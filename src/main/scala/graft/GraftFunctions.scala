@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.plans.{CosineSim, HmacSha256Hex}
+
+/** Registers graft's native expressions as SQL functions on a session.
+  *
+  * Two paths: `GraftExtensions` for `spark.sql.extensions` users, and
+  * `GraftFunctions.register(spark)` for sessions created without the
+  * extension (e.g. the driver's Verify/Bench sessions). Registration
+  * is idempotent.
+  */
+object GraftFunctions {
+  private case class Fn(name: String, builder: Seq[Expression] => Expression)
+
+  private val fns = Seq(
+    Fn("hmac_sha256_hex", { args =>
+      require(args.length == 2, "hmac_sha256_hex(data, key)")
+      HmacSha256Hex(args(0), args(1))
+    }),
+    Fn("cosine_sim", { args =>
+      require(args.length == 2, "cosine_sim(a, b)")
+      CosineSim(args(0), args(1))
+    })
+  )
+
+  def register(spark: SparkSession): Unit = synchronized {
+    val registry = spark.sessionState.functionRegistry
+    fns.foreach { f =>
+      val id = FunctionIdentifier(f.name)
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(
+          id,
+          new ExpressionInfo("graft", f.name),
+          f.builder)
+      }
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.GraftExtensions` entry point. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("hmac_sha256_hex"),
+      new ExpressionInfo("graft", "hmac_sha256_hex"),
+      (args: Seq[Expression]) => HmacSha256Hex(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo("graft", "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+  }
+}

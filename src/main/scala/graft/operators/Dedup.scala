@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators (SURVEY.md §2B).
+  *
+  * Scale shape: the only all-pairs comparison allowed is *within LSH
+  * buckets*; everything global is hash-groupBy or explode-groupBy,
+  * i.e. one shuffle keyed by content hash / band hash. The bounded
+  * brute-force Jaccard is a correctness baseline only.
+  */
+object Dedup {
+
+  /** Exact dedup: content-hash groupBy, keep lowest doc_id. At 100 TB
+    * this is the canonical first pass — map-side partial agg on
+    * md5(text), single shuffle, no sort.
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Tokenize → distinct k-word shingles, exploded. */
+  private def shingled(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= k)
+      .withColumn("shingle", explode(array_distinct(expr(
+        s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))"))))
+      .select("doc_id", "shingle")
+
+  /** MinHash(numHashes) signature per doc: min over shingles of
+    * xxhash64(seed_i, shingle) — all codegen'd built-ins, one
+    * explode + one groupBy shuffle.
+    */
+  def minhashSignatures(documents: DataFrame, numHashes: Int = 64,
+      shingleLen: Int = 3): DataFrame = {
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    shingled(documents, shingleLen)
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over the MinHash signature: `bands` bands of
+    * `rowsPerBand` hashes; docs sharing any band-hash become candidate
+    * pairs. Join is *within buckets only* — at 100 TB the shuffle is
+    * O(docs × bands), never O(docs²).
+    */
+  def minhashCandidates(documents: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, shingleLen: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(documents, numHashes, shingleLen)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"),
+        xxhash64(cols: _*).as("band_hash"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band_idx"), col("bh.band_hash"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** SimHash-64 fingerprint per doc: per-token xxhash64, signed bit
+    * contributions summed per bit position, sign → bit. 64 partial-agg
+    * sums over one shuffle (no 64× row explosion).
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1L) * 2 - 1).as(s"s_$j"))
+    val summed = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64)
+      .map(j => when(col(s"s_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    summed.select(col("doc_id"), fp.as("simhash64"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Bounded brute-force token-set Jaccard pairs — the correctness
+    * baseline the oracle checks; the scale path is
+    * [[minhashCandidates]]. Set algebra via exploded-token self-join
+    * (|A∩B| by join, sizes by groupBy), restricted to doc_id < `bound`
+    * and same-language pairs.
+    */
+  def jaccardPairs(documents: DataFrame, bound: Long = 300,
+      threshold: Double = 0.8): DataFrame = {
+    val docs = documents.where(col("doc_id") < bound)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("sa.n_tok") + col("sb.n_tok") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+}

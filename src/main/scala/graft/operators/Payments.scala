@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Payment-lifecycle analytics — the reference's domain re-expressed
+  * as distributed Spark operators (see SURVEY.md §2A).
+  *
+  * Determinism/oracle rules (SURVEY.md §6): money is cast to
+  * DECIMAL(12,2) *before* arithmetic so every intermediate is exact in
+  * both Spark and DuckDB; final aggregates are cast to DOUBLE (same
+  * bits both engines). Event time is compared at floor-second
+  * granularity (`cast(ts as long)` ⇔ `epoch_us(ts)//1000000`), and
+  * window orderings always tie-break on a unique id.
+  *
+  * Scale notes are on each operator — all are single-shuffle,
+  * partial-agg-friendly shapes that hold at 100 TB.
+  */
+object Payments {
+
+  private val dec = "decimal(12,2)"
+
+  /** Latest-state resolution per entity — the poll loop's terminal
+    * status (kinesis-pay.php:239-249). One shuffle on the entity key;
+    * rank-window, never a global sort.
+    */
+  def latestStatus(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"),
+        col("event_type").as("last_status"),
+        col("event_id").as("last_event_id"))
+  }
+
+  /** Per-day lifecycle funnel: counts + exact money totals by status. */
+  def funnel(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("total_value"))
+
+  /** 10-minute expiry semantics (kinesis-pay.php:210,264-268): each
+    * purchase is matched to the user's most recent prior signup; within
+    * `expirySec` → processed, later → expired, no signup → orphan.
+    * Carried-forward state via an ignore-nulls last() window — one
+    * shuffle on user_id, no self-join, no range explosion.
+    */
+  def expiryOutcomes(events: DataFrame, expirySec: Long = 600): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = events
+      .where(col("event_type").isin("signup", "purchase"))
+      .withColumn("ts_sec", col("ts").cast("long"))
+      .withColumn("last_signup_sec",
+        last(when(col("event_type") === "signup", col("ts").cast("long")),
+          ignoreNulls = true).over(w))
+    flagged
+      .where(col("event_type") === "purchase")
+      .withColumn("status",
+        when(col("last_signup_sec").isNull, "orphan")
+          .when(col("ts_sec") - col("last_signup_sec") <= expirySec, "processed")
+          .otherwise("expired"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("total_value"))
+  }
+
+  /** FSM transition matrix: lag() per user → (prev,curr) counts. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Gap-based sessionization (gaps-and-islands): a new session starts
+    * when the gap exceeds `gapSec`. Two window passes over one
+    * user_id shuffle; equivalent to `session_window` grouping but
+    * expressed so the DuckDB oracle is identical.
+    */
+  def sessionStats(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sessions = events
+      .withColumn("ts_sec", col("ts").cast("long"))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(wo))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("sess_events"))
+    sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("sess_events")).as("n_events"),
+        max(col("sess_events")).as("max_session_events"))
+  }
+
+  /** Deterministic every-Nth sampling (the reference logs every 10th
+    * poll, kinesis-pay.php:303). Partition-local — no shuffle for the
+    * filter itself, unlike orderBy+limit sampling.
+    */
+  def pollSample(events: DataFrame, n: Int = 10): DataFrame =
+    events
+      .where(col("event_id") % n === 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("total_value"))
+
+  /** Percentage price adjustment with 2-dp money rounding
+    * (kinesis-pay.php:137-140). Pure projection — no shuffle.
+    */
+  def priceAdjust(orders: DataFrame, pct: String = "0.85"): DataFrame =
+    orders.selectExpr(
+      "o_orderkey",
+      s"CAST(ROUND(CAST(o_totalprice AS $dec) * CAST($pct AS DECIMAL(3,2)), 2) AS DOUBLE) AS adj_total")
+
+  /** First vs recurring payment split (first_total/second_total,
+    * kinesis-pay.php:138): window-min per customer, then aggregate.
+    */
+  def firstVsRebill(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pay_class", when(col("rn") === 1, "first").otherwise("rebill"))
+      .groupBy("pay_class")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+  }
+
+  /** Manual-rebill schedule: next due date per customer = last order
+    * date + `days` (Am_Paysystem_ManualRebill semantics).
+    */
+  def rebillDue(orders: DataFrame, days: Int = 30): DataFrame =
+    orders
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_ts"))
+      .select(col("o_custkey"),
+        to_date(col("last_ts")).as("last_order_date"),
+        date_add(to_date(col("last_ts")), days).as("due_date"))
+
+  /** Free-trial bypass split (total ≤ threshold routes around the
+    * gateway, kinesis-pay.php:124-128).
+    */
+  def freeTrialSplit(orders: DataFrame, threshold: String = "5000"): DataFrame =
+    orders
+      .withColumn("tier",
+        when(col("o_totalprice").cast(dec) < expr(s"CAST($threshold AS $dec)"), "free_tier")
+          .otherwise("paid"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+
+  /** As-of join: each purchase gets the most recent prior exchange-rate
+    * tick (kinesis-pay.php:468-485 orderbook bid). Implemented as
+    * union + ignore-nulls carry-forward window — a single sort, no
+    * range-join explosion. The tick stream is a global sequence here;
+    * at 100 TB rates are a broadcast-scale dim, or the window is
+    * range-partitioned on time with boundary-tick duplication.
+    */
+  def xrateAsof(events: DataFrame): DataFrame = {
+    val ticks = events.where(col("event_type") === "click")
+      .select(col("ts"), col("event_id"), lit(null).cast("double").as("paid"),
+        col("value").as("rate"), lit(0).as("is_purchase"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("ts"), col("event_id"), col("value").as("paid"),
+        lit(null).cast("double").as("rate"), lit(1).as("is_purchase"))
+    val w = Window.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ticks.unionByName(purchases)
+      .withColumn("cur_rate", last(col("rate"), ignoreNulls = true).over(w))
+      .where(col("is_purchase") === 1 && col("cur_rate").isNotNull)
+      .select(col("event_id"), col("cur_rate").as("rate"),
+        (col("paid") / col("cur_rate")).as("kau_amount"))
+  }
+
+  /** Currency-conditional amount resolution (KAU/KAG pick,
+    * kinesis-pay.php:507-509) with exact decimal arithmetic.
+    */
+  def amountPaid(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "purchase")
+      .selectExpr(
+        "CASE WHEN event_id % 2 = 0 THEN 'KAU' ELSE 'KAG' END AS currency",
+        s"""CAST(value AS $dec) * CASE WHEN event_id % 2 = 0
+            THEN CAST(0.9 AS DECIMAL(2,1)) ELSE CAST(1.1 AS DECIMAL(2,1)) END AS amt""")
+      .groupBy("currency")
+      .agg(count(lit(1)).as("n"), sum(col("amt")).cast("double").as("total_paid"))
+
+  /** Multi-level revenue rollup over the dim hierarchy. Dims are
+    * broadcast (small); rollup is one shuffle with partial aggs.
+    */
+  def revenueRollup(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+
+  /** Top-k customers per nation by exact revenue; rank-window on one
+    * shuffle, deterministic tie-break on custkey.
+    */
+  def topCustomers(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, k: Int = 3): DataFrame = {
+    val rev = orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_custkey")
+      .agg(sum(col("o_totalprice").cast(dec)).as("rev_d"))
+    val w = Window.partitionBy("n_name").orderBy(col("rev_d").desc, col("c_custkey"))
+    rev.withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("n_name"), col("c_custkey"),
+        col("rev_d").cast("double").as("revenue"), col("rnk"))
+  }
+
+  /** Invoice↔customer↔nation reconciliation (the reference's invoice
+    * lookup + logging, kinesis-pay.php:291-299,446-462): per-nation
+    * order counts, exact revenue, distinct paying customers.
+    */
+  def invoiceReconcile(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+
+  /** Unmatched detection: customers with no orders — left-anti join
+    * (no distinct-then-join, no null-safe traps).
+    */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+
+  /** Secret masking / log redaction (kinesis-pay.php:459). */
+  def maskLog(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      regexp_replace(col("props"), "[0-9]+", "***").as("masked_props"))
+
+  /** Request signing: nonce+method+url+body HMAC-SHA256 upper-hex
+    * (kinesis-pay.php:422-424) via the native codegen expression.
+    * Not SQL-oracle-able (DuckDB has no hmac) — rows-only + spec.
+    */
+  def hmacSign(events: DataFrame, secret: String = "test_secret"): DataFrame = {
+    graft.GraftFunctions.register(events.sparkSession)
+    events.select(col("event_id"),
+      concat(
+        (col("event_id") * 1000 + 7).cast("string"), lit("GET"),
+        lit("/api/merchants/payment/id/sdk/"), col("user_id").cast("string")
+      ).as("message"))
+      .selectExpr("event_id", s"hmac_sha256_hex(message, '$secret') AS signature")
+  }
+}

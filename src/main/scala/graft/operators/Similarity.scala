@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2B): brute-force cosine as
+  * the correctness baseline, random-hyperplane LSH bucketing as the
+  * 100 TB path (bucket-join → exact re-rank inside buckets only).
+  *
+  * The cosine kernel is the native codegen'd `cosine_sim` expression
+  * (graft.plans.CosineSim); its arithmetic order is mirrored verbatim
+  * by the DuckDB oracle SQL, so raw doubles match bit-for-bit.
+  */
+object Similarity {
+
+  private def cos(a: String, b: String): Column =
+    expr(s"cosine_sim($a, $b)")
+
+  private def registered(df: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession); df
+  }
+
+  /** Cosine near-duplicate pairs above `threshold`, bounded to
+    * vec_id < `bound` (correctness baseline; LSH is the scale path).
+    * Broadcast nested-loop on the bounded side only.
+    */
+  def nearDupPairs(embeddings: DataFrame, bound: Long = 2000,
+      threshold: Double = 0.95): DataFrame = {
+    val e = registered(embeddings).where(col("vec_id") < bound)
+      .select(col("vec_id"), col("embedding"))
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        cos("a.embedding", "b.embedding").as("cos_sim"))
+      .where(col("cos_sim") > threshold)
+  }
+
+  /** Brute-force top-k neighbors for query vectors (vec_id < nQueries)
+    * against the full corpus — the exact baseline ANN. The query side
+    * is broadcast; the corpus streams. Rank-window partitioned by
+    * query id (one shuffle of scored pairs, never a global sort).
+    */
+  def annTopK(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5): DataFrame = {
+    val e = registered(embeddings)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.as("c").join(broadcast(q), col("q_id") =!= col("c.vec_id"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        cos("q_emb", "c.embedding").as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (no RNG objects — a
+    * splitmix64-style integer mix keyed by (plane, dim), so the same
+    * planes materialize on every executor with no driver state).
+    */
+  private def planeComponent(p: Int, d: Int): Float = {
+    var z = p.toLong * 1000003L + d.toLong * 29L + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    // map to [-1, 1)
+    ((z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+  }
+
+  /** Random-hyperplane LSH bucket id: `nPlanes` sign bits. Planes are
+    * literal arrays (broadcast with the plan, zero shuffle).
+    */
+  def lshBucket(embeddings: DataFrame, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val e = registered(embeddings)
+    val planes = (0 until nPlanes).map { p =>
+      array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+    }
+    val bits = planes.zipWithIndex.map { case (pl, i) =>
+      when(expr(s"cosine_sim(embedding, plane_$i)") >= 0, shiftleft(lit(1), i))
+        .otherwise(0)
+    }
+    val withPlanes = planes.zipWithIndex.foldLeft(e) {
+      case (df, (pl, i)) => df.withColumn(s"plane_$i", pl)
+    }
+    withPlanes
+      .withColumn("bucket", bits.reduce(_.bitwiseOR(_)))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+  }
+
+  /** LSH-bucketed ANN: candidates share a bucket with the query; exact
+    * cosine re-rank within bucket. At scale the join key is the bucket
+    * id — shuffle is O(n), all-pairs work only inside buckets.
+    */
+  def annLsh(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
+      nPlanes: Int = 12): DataFrame = {
+    val b = lshBucket(embeddings, nPlanes)
+    val q = b.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val cand = b.as("c").join(broadcast(q),
+      col("q_id") =!= col("c.vec_id") && col("q.bucket") === col("c.bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    cand
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        cos("q_emb", "c.embedding").as("cos_sim"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+}

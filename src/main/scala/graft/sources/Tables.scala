@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Parquet star-schema loader.
+  *
+  * Reads the driver-generated TPC-H-ish tables (see TESTDATA.md).
+  * Declarative `spark.read.parquet` so Catalyst gets full pushdown /
+  * pruning; at 100 TB these would be partitioned/bucketed tables and
+  * the same code holds — filters and column selection reach the scan.
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS). Spark's vector
+  * reader may surface it as nanos-long (legacy flag) or error; we
+  * normalize to a micros TIMESTAMP column deterministically (floor),
+  * which matches DuckDB's `epoch_us` truncation used by the oracles.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** events with `ts` as TimestampType (micros, floor-truncated from ns). */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case TimestampType => df
+      case LongType => // nanosAsLong mode: ns epoch → micros timestamp
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+}
