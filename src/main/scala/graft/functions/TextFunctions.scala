@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable column-function library (SURVEY.md §2C) — every helper is
+  * a composition of codegen'd built-ins (no UDFs), so operators built
+  * from these stay inside whole-stage codegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokenize(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokens: letter runs, digit runs, single symbols.
+    * Same regex class semantics in Java regex (Spark) and RE2
+    * (DuckDB oracle).
+    */
+  val bpeIshPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeIshTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeIshPattern), lit(0))
+
+  /** Distinct k-word shingles of a token array. */
+  def shingles(toks: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** Per-language stopword marker sets for the lang-ID heuristic.
+    * Deterministic preference order on ties: en > de > fr > es.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "dans"),
+    "es" -> Seq("el", "los", "y", "es", "con"))
+
+  /** Count of tokens contained in `words` (non-distinct — frequency
+    * matters for language scoring).
+    */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Rolling polynomial fingerprint over whitespace tokens:
+    * acc = acc * 1000003 + xxhash64(token), left to right, wrapping
+    * 64-bit arithmetic. Partition-local projection — zero shuffle.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokenize(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** Secret masking for audit logs (kinesis-pay.php:459): digit runs
+    * and `key=...` values are redacted.
+    */
+  def maskSecret(s: Column): Column =
+    regexp_replace(s, "[0-9]+", "***")
+}

@@ -21,6 +21,34 @@ object Payments {
 
   private val dec = "decimal(12,2)"
 
+  /** Flagship pricing summary (TPC-H Q1 shape): shipped-lineitem
+    * status report with exact decimal money math. Scan → filter
+    * (pushed to parquet) → 6-group hash aggregate with map-side
+    * partials; the canonical 100 TB-friendly plan (one shuffle of 6
+    * partial rows per task). Averages are computed as exact decimal
+    * sums divided as doubles so Spark and the DuckDB oracle agree
+    * bit-for-bit.
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "1998-09-02"): DataFrame =
+    lineitem
+      .where(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast("decimal(4,3)")))
+          .cast("double").as("sum_disc_price"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast("decimal(4,3)")) *
+          (lit(1).cast(dec) + col("l_tax").cast("decimal(4,3)")))
+          .cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(col("l_extendedprice").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
   /** Latest-state resolution per entity — the poll loop's terminal
     * status (kinesis-pay.php:239-249). One shuffle on the entity key;
     * rank-window, never a global sort.
@@ -159,26 +187,33 @@ object Payments {
         sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
 
   /** As-of join: each purchase gets the most recent prior exchange-rate
-    * tick (kinesis-pay.php:468-485 orderbook bid). Implemented as
-    * union + ignore-nulls carry-forward window — a single sort, no
-    * range-join explosion. The tick stream is a global sequence here;
-    * at 100 TB rates are a broadcast-scale dim, or the window is
-    * range-partitioned on time with boundary-tick duplication.
+    * tick *for its currency* (kinesis-pay.php:468-485 orderbook bid,
+    * one book per KAU/KAG pair). Implemented as union + ignore-nulls
+    * carry-forward window **partitioned by the currency key** — one
+    * shuffle keyed by symbol, no range-join explosion, no global sort.
+    * At 100 TB this scales with the number of symbols × time, and a
+    * skewed symbol can further be range-bucketed on time with
+    * boundary-tick duplication; there is no single-partition stage.
     */
   def xrateAsof(events: DataFrame): DataFrame = {
+    // Symbol of any event: KAU for even event_id, KAG for odd (the
+    // deterministic stand-in for the reference's currency field).
+    val currency = when(col("event_id") % 2 === 0, "KAU").otherwise("KAG")
     val ticks = events.where(col("event_type") === "click")
-      .select(col("ts"), col("event_id"), lit(null).cast("double").as("paid"),
+      .select(currency.as("currency"), col("ts"), col("event_id"),
+        lit(null).cast("double").as("paid"),
         col("value").as("rate"), lit(0).as("is_purchase"))
     val purchases = events.where(col("event_type") === "purchase")
-      .select(col("ts"), col("event_id"), col("value").as("paid"),
+      .select(currency.as("currency"), col("ts"), col("event_id"),
+        col("value").as("paid"),
         lit(null).cast("double").as("rate"), lit(1).as("is_purchase"))
-    val w = Window.orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy("currency").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ticks.unionByName(purchases)
       .withColumn("cur_rate", last(col("rate"), ignoreNulls = true).over(w))
       .where(col("is_purchase") === 1 && col("cur_rate").isNotNull)
-      .select(col("event_id"), col("cur_rate").as("rate"),
-        (col("paid") / col("cur_rate")).as("kau_amount"))
+      .select(col("event_id"), col("currency"), col("cur_rate").as("rate"),
+        (col("paid") / col("cur_rate")).as("pay_amount"))
   }
 
   /** Currency-conditional amount resolution (KAU/KAG pick,
@@ -258,11 +293,14 @@ object Payments {
     */
   def hmacSign(events: DataFrame, secret: String = "test_secret"): DataFrame = {
     graft.GraftFunctions.register(events.sparkSession)
+    // Secret passed as a typed literal (no SQL string interpolation —
+    // quote-safe, no injection path).
     events.select(col("event_id"),
       concat(
         (col("event_id") * 1000 + 7).cast("string"), lit("GET"),
         lit("/api/merchants/payment/id/sdk/"), col("user_id").cast("string")
       ).as("message"))
-      .selectExpr("event_id", s"hmac_sha256_hex(message, '$secret') AS signature")
+      .select(col("event_id"),
+        call_function("hmac_sha256_hex", col("message"), lit(secret)).as("signature"))
   }
 }

@@ -93,9 +93,10 @@ object Similarity {
       nPlanes: Int = 12): DataFrame = {
     val b = lshBucket(embeddings, nPlanes)
     val q = b.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
     val cand = b.as("c").join(broadcast(q),
-      col("q_id") =!= col("c.vec_id") && col("q.bucket") === col("c.bucket"))
+      col("q_id") =!= col("c.vec_id") && col("q_bucket") === col("c.bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     cand
       .select(col("q_id"), col("c.vec_id").as("n_id"),

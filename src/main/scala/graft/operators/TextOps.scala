@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2B):
+  * language-ID, quality scoring, token counting, fingerprinting, and
+  * the multimodal-metadata plumbing. All are projections + one hash
+  * aggregate at most — partition-local, codegen'd, no UDFs; at 100 TB
+  * these run at scan speed.
+  */
+object TextOps {
+
+  /** Language-ID heuristic: frequency of per-language stopword markers,
+    * argmax with deterministic preference order (en > de > fr > es),
+    * `unknown` when no marker hits. Pure projection — zero shuffle.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokenize(col("text"))
+    val scored = stopwords.foldLeft(documents.select(col("doc_id"), col("text"))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang", stopwordCount(toks, words).cast("long"))
+    }
+    val Seq(en, de, fr, es) = stopwords.map { case (l, _) => col(s"s_$l") }
+    scored.select(col("doc_id"),
+      when(en >= de && en >= fr && en >= es && en > 0, "en")
+        .when(de >= fr && de >= es && de > 0, "de")
+        .when(fr >= es && fr > 0, "fr")
+        .when(es > 0, "es")
+        .otherwise("unknown").as("pred_lang"),
+      en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"))
+  }
+
+  /** Quality scoring per source: doc counts plus corpus-level
+    * chars-per-token, punctuation and stopword ratios. Integer sums
+    * (exact) divided as doubles — identical bits in the DuckDB oracle.
+    */
+  def textQuality(documents: DataFrame): DataFrame = {
+    val toks = tokenize(col("text"))
+    val enWords = stopwords.head._2
+    documents
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_chars_c"),
+        size(toks).cast("long").as("n_tok"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long").as("n_punct"),
+        stopwordCount(toks, enWords).cast("long").as("n_stop"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        (sum(col("n_chars_c")).cast("double") / sum(col("n_tok")).cast("double"))
+          .as("chars_per_token"),
+        (sum(col("n_punct")).cast("double") / sum(col("n_chars_c")).cast("double"))
+          .as("punct_ratio"),
+        (sum(col("n_stop")).cast("double") / sum(col("n_tok")).cast("double"))
+          .as("stopword_ratio"))
+  }
+
+  /** Token counting per language tag: whitespace tokens and BPE-ish
+    * regex tokens (letter runs / digit runs / single symbols).
+    */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"),
+        size(tokenize(col("text"))).cast("long").as("ws_tok"),
+        size(bpeIshTokens(col("text"))).cast("long").as("re_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tok")).as("ws_tokens"),
+        sum(col("re_tok")).as("bpe_tokens"))
+
+  /** Rolling-hash document fingerprint (rows-only: DuckDB has no
+    * xxhash64). Deterministic 64-bit polynomial over tokens.
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      rollingFingerprint(col("text")).as("fingerprint"))
+
+  /** Multimodal-column plumbing: the document body as an opaque
+    * `binary` payload plus typed metadata. The "decode" is a STUB —
+    * deterministic fake dimensions derived from the byte length (no
+    * image/audio libs in this container) — but the schema, projection
+    * shape and checksum are the real pipeline plumbing: at 100 TB the
+    * payload column stays unread unless selected (parquet column
+    * pruning), and metadata extraction is a codegen'd projection.
+    */
+  def multimodalMeta(documents: DataFrame): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    val nBytes = length(payload).cast("long")
+    documents.select(
+      col("doc_id"),
+      nBytes.as("n_bytes"),
+      element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+        (nBytes % 3 + 1).cast("int")).as("format"),
+      (lit(320L) + (nBytes * 7) % 1600).as("width"),   // stubbed decode
+      (lit(240L) + (nBytes * 13) % 840).as("height"),  // stubbed decode
+      md5(payload).as("checksum"))
+  }
+}

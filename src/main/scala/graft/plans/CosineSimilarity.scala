@@ -1,9 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Runtime kernel for [[CosineSim]]. Sequential left-to-right double
   * accumulation; the formula `dot / sqrt(na * nb)` is mirrored
@@ -33,10 +34,21 @@ object CosUtil {
   * whole-stage codegen, which matters when scoring 1e9+ pairs.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  // NOTE: `ExpectsInputTypes.inputTypes` is not implementable here —
+  // `AbstractDataType` is private[sql] in the Spark 4.1.2 scala
+  // signatures — so the type guard lives in checkInputDataTypes().
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects (array<float>, array<float>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 

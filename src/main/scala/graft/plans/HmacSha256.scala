@@ -3,9 +3,10 @@ package graft.plans
 import javax.crypto.Mac
 import javax.crypto.spec.SecretKeySpec
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
+import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Runtime helper for [[HmacSha256Hex]]; kept as a plain object so the
@@ -40,9 +41,16 @@ object HmacUtil {
   * whole-stage codegen).
   */
 case class HmacSha256Hex(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  // Type guard via checkInputDataTypes(): `AbstractDataType` (needed
+  // for ExpectsInputTypes.inputTypes) is private[sql] in Spark 4.1.2.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hmac_sha256_hex expects (string, string), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = StringType
   override def prettyName: String = "hmac_sha256_hex"
 
