@@ -1,13 +1,318 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Payments, Similarity, TextOps}
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB oracle SQL for every SQL-expressible one.
+  *
+  * Determinism rules (SURVEY.md §6): every aggregate over money is an
+  * exact DECIMAL sum cast to DOUBLE at the very end; doubles that pass
+  * through floating arithmetic whose fold order differs across engines
+  * (cosine similarity) are rounded to 4 dp before any threshold /
+  * ordering decision; every computed column is aliased identically in
+  * the Spark plan and the oracle SQL (the driver's compare sorts
+  * columns by name); DuckDB integer sums are cast BIGINT to match
+  * Spark's LongType.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Payments.pricingSummary(t(spark, "/root/testdata/sf0.001", "lineitem"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── §2A reference-domain operators ────────────────────────────
+    "q1_agg" -> ((s, d) => Payments.pricingSummary(t(s, d, "lineitem"))),
+    "q_payment_latest_status" -> ((s, d) => Payments.latestStatus(t(s, d, "events"))),
+    "q_payment_funnel" -> ((s, d) => Payments.funnel(t(s, d, "events"))),
+    "q_payment_expiry" -> ((s, d) => Payments.expiryOutcomes(t(s, d, "events"))),
+    "q_status_transitions" -> ((s, d) => Payments.transitions(t(s, d, "events"))),
+    "q_session_windows" -> ((s, d) => Payments.sessionStats(t(s, d, "events"))),
+    "q_poll_sample" -> ((s, d) => Payments.pollSample(t(s, d, "events"))),
+    "q_price_adjust" -> ((s, d) => Payments.priceAdjust(t(s, d, "orders"))),
+    "q_first_vs_rebill" -> ((s, d) => Payments.firstVsRebill(t(s, d, "orders"))),
+    "q_rebill_due" -> ((s, d) => Payments.rebillDue(t(s, d, "orders"))),
+    "q_free_trial" -> ((s, d) => Payments.freeTrialSplit(t(s, d, "orders"))),
+    "q_xrate_asof" -> ((s, d) => Payments.xrateAsof(t(s, d, "events"))),
+    "q_amount_paid" -> ((s, d) => Payments.amountPaid(t(s, d, "events"))),
+    "q_revenue_rollup" -> ((s, d) => Payments.revenueRollup(
+      t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
+    "q_top_customers" -> ((s, d) => Payments.topCustomers(
+      t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
+    "q_invoice_reconcile" -> ((s, d) => Payments.invoiceReconcile(
+      t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
+    "q_anti_join" -> ((s, d) => Payments.customersWithoutOrders(
+      t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
+    "q_mask_log" -> ((s, d) => Payments.maskLog(t(s, d, "events"))),
+    "q_hmac_sign" -> ((s, d) => Payments.hmacSign(t(s, d, "events"))),
+    // ── §2B LLM-data-pipeline operators ───────────────────────────
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),
+    "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"))),
+    "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
+    "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
+    "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
+    "q_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"))),
+    "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
+    "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(t(s, d, "documents")))
+  )
+
+  /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
+    * column). Omitted: q_hmac_sign, q_dedup_minhash, q_dedup_simhash,
+    * q_ann_lsh, q_fingerprint (xxhash64/hmac not in DuckDB) → driver
+    * rows-only check + ScalaTest specs cover semantics.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,3))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(4,3)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_payment_latest_status" ->
+      """SELECT user_id, event_type AS last_status, event_id AS last_event_id
+        |FROM (SELECT user_id, event_type, event_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "q_payment_funnel" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_payment_expiry" ->
+      """WITH e AS (
+        |  SELECT *, epoch_us(ts) // 1000000 AS ts_sec FROM events
+        |  WHERE event_type IN ('signup', 'purchase')
+        |), g AS (
+        |  SELECT *, last_value(CASE WHEN event_type = 'signup' THEN ts_sec END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_sec
+        |  FROM e
+        |)
+        |SELECT status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT CASE WHEN last_signup_sec IS NULL THEN 'orphan'
+        |             WHEN ts_sec - last_signup_sec <= 600 THEN 'processed'
+        |             ELSE 'expired' END AS status, value
+        |      FROM g WHERE event_type = 'purchase')
+        |GROUP BY status""".stripMargin,
+    "q_status_transitions" ->
+      """SELECT prev_type, curr_type, COUNT(*) AS n
+        |FROM (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |             event_type AS curr_type
+        |      FROM events)
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, curr_type""".stripMargin,
+    "q_session_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) // 1000000 AS ts_sec FROM events
+        |), w1 AS (
+        |  SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec FROM e
+        |), w3 AS (
+        |  SELECT *, SUM(CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM w1
+        |), s AS (
+        |  SELECT user_id, sess_id, COUNT(*) AS sess_events FROM w3 GROUP BY 1, 2
+        |)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(sess_events) AS BIGINT) AS n_events,
+        |  MAX(sess_events) AS max_session_events
+        |FROM s GROUP BY user_id""".stripMargin,
+    "q_poll_sample" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id % 10 = 0 GROUP BY event_type""".stripMargin,
+    "q_price_adjust" ->
+      """SELECT o_orderkey,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.85 AS DECIMAL(3,2)), 2) AS DOUBLE) AS adj_total
+        |FROM orders""".stripMargin,
+    "q_first_vs_rebill" ->
+      """SELECT pay_class, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT o_totalprice,
+        |        CASE WHEN row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+        |             THEN 'first' ELSE 'rebill' END AS pay_class
+        |      FROM orders)
+        |GROUP BY pay_class""".stripMargin,
+    "q_rebill_due" ->
+      """SELECT o_custkey, CAST(MAX(o_orderdate) AS DATE) AS last_order_date,
+        |  CAST(MAX(o_orderdate) AS DATE) + 30 AS due_date
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q_free_trial" ->
+      """SELECT tier, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT o_totalprice,
+        |        CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) < CAST(5000 AS DECIMAL(12,2))
+        |             THEN 'free_tier' ELSE 'paid' END AS tier
+        |      FROM orders)
+        |GROUP BY tier""".stripMargin,
+    "q_xrate_asof" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN 'KAU' ELSE 'KAG' END AS currency,
+        |         ts, event_id, CAST(NULL AS DOUBLE) AS paid, value AS rate, 0 AS is_purchase
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN 'KAU' ELSE 'KAG' END AS currency,
+        |         ts, event_id, value AS paid, CAST(NULL AS DOUBLE) AS rate, 1 AS is_purchase
+        |  FROM events WHERE event_type = 'purchase'
+        |), g AS (
+        |  SELECT *, last_value(rate IGNORE NULLS)
+        |    OVER (PARTITION BY currency ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_rate
+        |  FROM u
+        |)
+        |SELECT event_id, currency, cur_rate AS rate, paid / cur_rate AS pay_amount
+        |FROM g WHERE is_purchase = 1 AND cur_rate IS NOT NULL""".stripMargin,
+    "q_amount_paid" ->
+      """SELECT currency, COUNT(*) AS n, CAST(SUM(amt) AS DOUBLE) AS total_paid
+        |FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 'KAU' ELSE 'KAG' END AS currency,
+        |        CAST(value AS DECIMAL(12,2)) * CASE WHEN event_id % 2 = 0
+        |          THEN CAST(0.9 AS DECIMAL(2,1)) ELSE CAST(1.1 AS DECIMAL(2,1)) END AS amt
+        |      FROM events WHERE event_type = 'purchase')
+        |GROUP BY currency""".stripMargin,
+    "q_revenue_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_top_customers" ->
+      """WITH rev AS (
+        |  SELECT n_name, c_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_d
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT n_name, c_custkey, revenue, rnk
+        |FROM (SELECT n_name, c_custkey, CAST(rev_d AS DOUBLE) AS revenue,
+        |        CAST(rank() OVER (PARTITION BY n_name ORDER BY rev_d DESC, c_custkey) AS BIGINT) AS rnk
+        |      FROM rev)
+        |WHERE rnk <= 3""".stripMargin,
+    "q_invoice_reconcile" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')""".stripMargin,
+    "q_mask_log" ->
+      """SELECT event_id, regexp_replace(props, '[0-9]+', '***', 'g') AS masked_props
+        |FROM events""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
+        |toks AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM toks a JOIN toks b
+        |    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, jaccard
+        |FROM (SELECT a_id, b_id,
+        |        CAST(n_inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_inter AS DOUBLE) AS jaccard
+        |      FROM inter
+        |      JOIN sizes sa ON a_id = sa.doc_id
+        |      JOIN sizes sb ON b_id = sb.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 2000
+        |)
+        |SELECT a_id, b_id, cos_sim
+        |FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |        ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cos_sim > 0.35""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id < 10
+        |), s AS (
+        |  SELECT q_id, c.vec_id AS n_id,
+        |    ROUND(list_cosine_similarity(q_emb, CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim
+        |  FROM q JOIN embeddings c ON q_id <> c.vec_id
+        |)
+        |SELECT q_id, n_id, cos_sim, rnk
+        |FROM (SELECT *, CAST(rank() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rnk
+        |      FROM s)
+        |WHERE rnk <= 5""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'unknown' END AS pred_lang,
+        |  s_en, s_de, s_fr, s_es
+        |FROM (SELECT doc_id,
+        |        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |        len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |        len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et','est','dans'))) AS s_fr,
+        |        len(list_filter(string_split(text, ' '), t -> t IN ('el','los','y','es','con'))) AS s_es
+        |      FROM documents)""".stripMargin,
+    "q_text_quality" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars_c) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS chars_per_token,
+        |  CAST(SUM(n_punct) AS DOUBLE) / CAST(SUM(n_chars_c) AS DOUBLE) AS punct_ratio,
+        |  CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS stopword_ratio
+        |FROM (SELECT source,
+        |        length(text) AS n_chars_c,
+        |        len(string_split(text, ' ')) AS n_tok,
+        |        length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS n_stop
+        |      FROM documents)
+        |GROUP BY source""".stripMargin,
+    "q_token_count" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws_tok) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(re_tok) AS BIGINT) AS bpe_tokens
+        |FROM (SELECT lang,
+        |        len(string_split(text, ' ')) AS ws_tok,
+        |        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tok
+        |      FROM documents)
+        |GROUP BY lang""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  (['jpeg', 'png', 'webp'])[CAST(octet_length(encode(text)) % 3 + 1 AS INT)] AS format,
+        |  CAST(320 + (octet_length(encode(text)) * 7) % 1600 AS BIGINT) AS width,
+        |  CAST(240 + (octet_length(encode(text)) * 13) % 840 AS BIGINT) AS height,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin
+  )
 }

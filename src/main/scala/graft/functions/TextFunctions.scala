@@ -41,13 +41,14 @@ object TextFunctions {
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
-  /** Rolling polynomial fingerprint over whitespace tokens:
-    * acc = acc * 1000003 + xxhash64(token), left to right, wrapping
-    * 64-bit arithmetic. Partition-local projection — zero shuffle.
+  /** Rolling document fingerprint over whitespace tokens: the 64-bit
+    * state is folded left-to-right as acc = xxhash64(acc, token) — an
+    * order-sensitive chained hash with no overflow (polynomial-style
+    * wrapping multiply would trip ANSI mode). Partition-local
+    * projection — zero shuffle.
     */
   def rollingFingerprint(text: Column): Column =
-    aggregate(tokenize(text), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+    aggregate(tokenize(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** Secret masking for audit logs (kinesis-pay.php:459): digit runs
     * and `key=...` values are redacted.

@@ -272,13 +272,15 @@ object Payments {
         sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
         countDistinct(col("o_custkey")).as("n_customers"))
 
-  /** Unmatched detection: customers with no orders — left-anti join
-    * (no distinct-then-join, no null-safe traps).
+  /** Unmatched detection: customers with no orders since `since`
+    * (churned) — left-anti join against the filtered fact (filter
+    * pushed to the scan; no distinct-then-join, no null-safe traps).
     */
   def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
-      nation: DataFrame): DataFrame =
+      nation: DataFrame, since: String = "1998-01-01"): DataFrame =
     customer
-      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders.where(col("o_orderdate") >= lit(since).cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("n_name"))
 

@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Cosine rounded to 4 dp: raw doubles differ across engines by the
+    * fold order (~1e-15), so every oracled output (and every ordering /
+    * threshold decision) uses the rounded value — identical in Spark
+    * and the DuckDB oracle.
+    */
   private def cos(a: String, b: String): Column =
-    expr(s"cosine_sim($a, $b)")
+    round(expr(s"cosine_sim($a, $b)"), 4)
 
   private def registered(df: DataFrame): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession); df
@@ -26,7 +31,7 @@ object Similarity {
     * Broadcast nested-loop on the bounded side only.
     */
   def nearDupPairs(embeddings: DataFrame, bound: Long = 2000,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.35): DataFrame = {
     val e = registered(embeddings).where(col("vec_id") < bound)
       .select(col("vec_id"), col("embedding"))
     e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
@@ -65,42 +70,50 @@ object Similarity {
     ((z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
   }
 
-  /** Random-hyperplane LSH bucket id: `nPlanes` sign bits. Planes are
-    * literal arrays (broadcast with the plan, zero shuffle).
+  /** Multi-table random-hyperplane LSH buckets: `nTables` independent
+    * hash tables of `nPlanes` sign bits each (standard recall knob —
+    * one table of b bits has recall p^b per near pair; L tables give
+    * 1-(1-p^b)^L). Planes are literal arrays (broadcast with the plan,
+    * zero shuffle); output is one row per (vec, table).
     */
-  def lshBucket(embeddings: DataFrame, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+  def lshBuckets(embeddings: DataFrame, nTables: Int = 4, nPlanes: Int = 6,
+      dim: Int = 64): DataFrame = {
     val e = registered(embeddings)
-    val planes = (0 until nPlanes).map { p =>
-      array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+    val buckets = (0 until nTables).map { t =>
+      val bits = (0 until nPlanes).map { p =>
+        val plane = array((0 until dim).map(d =>
+          lit(planeComponent(t * nPlanes + p, d))): _*)
+        when(call_function("cosine_sim", col("embedding"), plane) >= 0,
+          shiftleft(lit(1), p)).otherwise(0)
+      }
+      struct(lit(t).as("table_id"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
     }
-    val bits = planes.zipWithIndex.map { case (pl, i) =>
-      when(expr(s"cosine_sim(embedding, plane_$i)") >= 0, shiftleft(lit(1), i))
-        .otherwise(0)
-    }
-    val withPlanes = planes.zipWithIndex.foldLeft(e) {
-      case (df, (pl, i)) => df.withColumn(s"plane_$i", pl)
-    }
-    withPlanes
-      .withColumn("bucket", bits.reduce(_.bitwiseOR(_)))
-      .select(col("vec_id"), col("embedding"), col("bucket"))
+    e.select(col("vec_id"), col("embedding"),
+        explode(array(buckets: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
   }
 
-  /** LSH-bucketed ANN: candidates share a bucket with the query; exact
-    * cosine re-rank within bucket. At scale the join key is the bucket
-    * id — shuffle is O(n), all-pairs work only inside buckets.
+  /** LSH-bucketed ANN: candidates share a bucket with the query in any
+    * table; exact cosine re-rank over the deduped candidate set. At
+    * scale the join key is (table, bucket) — shuffle is O(n × tables),
+    * all-pairs work only inside buckets.
     */
   def annLsh(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
-      nPlanes: Int = 12): DataFrame = {
-    val b = lshBucket(embeddings, nPlanes)
+      nTables: Int = 4, nPlanes: Int = 6): DataFrame = {
+    val b = lshBuckets(embeddings, nTables, nPlanes)
     val q = b.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"))
+        col("table_id").as("q_table"), col("bucket").as("q_bucket"))
     val cand = b.as("c").join(broadcast(q),
-      col("q_id") =!= col("c.vec_id") && col("q_bucket") === col("c.bucket"))
+      col("q_id") =!= col("c.vec_id") &&
+        col("q_table") === col("c.table_id") &&
+        col("q_bucket") === col("c.bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     cand
       .select(col("q_id"), col("c.vec_id").as("n_id"),
         cos("q_emb", "c.embedding").as("cos_sim"))
+      .distinct() // a pair can collide in several tables
       .withColumn("rnk", rank().over(w).cast("long"))
       .where(col("rnk") <= k)
   }

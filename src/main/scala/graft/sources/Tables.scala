@@ -22,8 +22,14 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS): Spark only reads it with
+      // the legacy nanos-as-long flag (runtime session conf — set here
+      // so driver-built sessions work too); normalizeEventTs then
+      // produces a proper micros TimestampType column.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
   /** events with `ts` as TimestampType (micros, floor-truncated from ns). */
