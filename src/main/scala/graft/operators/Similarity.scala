@@ -71,12 +71,17 @@ object Similarity {
   }
 
   /** Multi-table random-hyperplane LSH buckets: `nTables` independent
-    * hash tables of `nPlanes` sign bits each (standard recall knob —
-    * one table of b bits has recall p^b per near pair; L tables give
-    * 1-(1-p^b)^L). Planes are literal arrays (broadcast with the plan,
-    * zero shuffle); output is one row per (vec, table).
+    * hash tables of `nPlanes` sign bits each. A hyperplane splits a
+    * pair at angle θ with prob θ/π, so a pair agrees on one b-bit
+    * table with p^b where p = 1-θ/π, and on any of L tables with
+    * 1-(1-p^b)^L — b trades candidate-set size against recall, L buys
+    * recall back. Defaults (L=8, b=3) target this corpus's loose
+    * neighbors (cos≈0.4, p≈0.6 → recall≈0.9); a real near-dup corpus
+    * (cos≥0.9, p≥0.95) would run b=12-16, L=4-8 for tiny buckets at
+    * the same recall. Planes are literal arrays (broadcast with the
+    * plan, zero shuffle); output is one row per (vec, table).
     */
-  def lshBuckets(embeddings: DataFrame, nTables: Int = 4, nPlanes: Int = 6,
+  def lshBuckets(embeddings: DataFrame, nTables: Int = 8, nPlanes: Int = 3,
       dim: Int = 64): DataFrame = {
     val e = registered(embeddings)
     val buckets = (0 until nTables).map { t =>
@@ -100,7 +105,7 @@ object Similarity {
     * all-pairs work only inside buckets.
     */
   def annLsh(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
-      nTables: Int = 4, nPlanes: Int = 6): DataFrame = {
+      nTables: Int = 8, nPlanes: Int = 3): DataFrame = {
     val b = lshBuckets(embeddings, nTables, nPlanes)
     val q = b.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.TextFunctions.maskSecret
+
+/** JSONL invoice/audit-log sink + reader — the reference's invoice
+  * logging (kinesis-pay.php:446-462) as a columnar-friendly audit
+  * stream, with the reference's secret masking (kinesis-pay.php:459)
+  * applied to every string column on write.
+  *
+  * JSON-lines keeps the log appendable and tool-friendly; reading it
+  * back with an explicit schema keeps the scan a single pass with
+  * column pruning (no schema inference job at 100 TB).
+  */
+object InvoiceLog {
+
+  /** Write `df` as JSONL at `path`, redacting every string column. */
+  def write(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    redact(df).write.mode(mode).json(path)
+
+  /** All string columns pass through maskSecret; others unchanged. */
+  def redact(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == StringType) maskSecret(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+
+  /** Read a JSONL invoice log. Pass the writer's schema via a sample
+    * DataFrame to skip inference (required practice at scale).
+    */
+  def read(spark: SparkSession, path: String,
+      schemaOf: Option[DataFrame] = None): DataFrame =
+    schemaOf match {
+      case Some(s) => spark.read.schema(s.schema).json(path)
+      case None => spark.read.json(path)
+    }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest today", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest tonight", "en"),
+    (2L, "completely different text about spark distributed query engines operating at warehouse scale with shuffles", "en"),
+    (3L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest today", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps lowest doc_id and counts duplicates") {
+    val r = Dedup.exact(docs).collect()
+    assert(r.length == 3) // docs 0 and 3 collapse
+    val dup = r.find(_.getAs[Long]("dup_cnt") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH candidates include exact dup, exclude unrelated") {
+    val pairs = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((0L, 3L))) // identical signature
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("simhash: identical docs identical, near-dup closer than unrelated") {
+    val fp = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash64")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(0L, 3L) == 0)
+    assert(ham(0L, 1L) < ham(0L, 2L))
+  }
+
+  test("jaccard pairs: exact value on crafted overlap") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta", "en"),
+      (1L, "alpha beta gamma epsilon", "en"),
+      (2L, "zeta eta theta iota", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r = Dedup.jaccardPairs(d, bound = 10, threshold = 0.5).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("a_id") == 0L && r.head.getAs[Long]("b_id") == 1L)
+    assert(r.head.getAs[Double]("jaccard") == 3.0 / 5.0)
+  }
+}

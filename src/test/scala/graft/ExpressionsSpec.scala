@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Known-answer tests for the native codegen expressions. */
+class ExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hmac_sha256_hex matches RFC 4231 vectors, upper-hex (PHP parity)") {
+    GraftFunctions.register(spark)
+    // RFC 4231 test case 2 (printable key/data).
+    val r1 = spark.sql(
+      "SELECT hmac_sha256_hex('what do ya want for nothing?', 'Jefe') AS h")
+      .as[String].head()
+    assert(r1 ==
+      "5BDCC146BF60754E6A042426089575C75A003F089D2739839DEC58B964EC3843")
+    // RFC 4231 test case 1: key = 20 bytes of 0x0b (valid single-byte
+    // UTF-8 chars, so a String key carries the exact key bytes).
+    val key = "\u000b" * 20
+    val r2 = Seq(("Hi There", key)).toDF("d", "k")
+      .select(call_function("hmac_sha256_hex", col("d"), col("k")).as("h"))
+      .as[String].head()
+    assert(r2 ==
+      "B0344C61D8DB38535CA8AFCEAF0BF12B881DC200C9833DA726E9376C2E32CFF7")
+  }
+
+  test("hmac_sha256_hex is null-safe and works in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val out = Seq(Some("msg"), None).toDF("d")
+      .select(call_function("hmac_sha256_hex", col("d"), lit("k")).as("h"))
+      .as[Option[String]].collect()
+    assert(out.count(_.isDefined) == 1 && out.count(_.isEmpty) == 1)
+  }
+
+  test("cosine_sim matches hand-computed value") {
+    GraftFunctions.register(spark)
+    val got = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .select(call_function("cosine_sim", col("a"), col("b")).as("c"))
+      .as[Double].head()
+    val want = 32.0 / math.sqrt(14.0 * 77.0)
+    assert(math.abs(got - want) < 1e-15)
+  }
+
+  test("cosine_sim: NaN on length mismatch and empty arrays") {
+    GraftFunctions.register(spark)
+    val got = Seq(
+      (Array(1f, 2f), Array(1f, 2f, 3f)),
+      (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b")
+      .select(call_function("cosine_sim", col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    assert(got.forall(_.isNaN))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Payments
+
+class PaymentsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // events schema: event_id, ts, user_id, event_type, value, props
+  private def ev(rows: (Long, String, Long, String, Double)*) =
+    rows.map { case (id, t, u, k, v) => (id, ts(t), u, k, v, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("expiryOutcomes: processed within 10 min, expired after, orphan without signup") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-01 10:05:00", 1L, "purchase", 10.0), // 300s -> processed
+      (3L, "2024-01-01 10:20:00", 1L, "purchase", 20.0), // 1200s -> expired
+      (4L, "2024-01-01 11:00:00", 2L, "purchase", 30.0)) // no signup -> orphan
+    val r = Payments.expiryOutcomes(e).collect()
+      .map(x => x.getAs[String]("status") -> x.getAs[Long]("n")).toMap
+    assert(r == Map("processed" -> 1L, "expired" -> 1L, "orphan" -> 1L))
+  }
+
+  test("xrateAsof: purchase gets most recent prior tick of its own currency") {
+    val e = ev(
+      (2L, "2024-01-01 10:00:00", 1L, "click", 5.0),    // KAU tick @5
+      (1L, "2024-01-01 10:00:00", 1L, "click", 2.0),    // KAG tick @2
+      (4L, "2024-01-01 10:10:00", 1L, "purchase", 10.0), // KAU -> rate 5, amt 2
+      (3L, "2024-01-01 10:10:00", 1L, "purchase", 4.0),  // KAG -> rate 2, amt 2
+      (6L, "2024-01-01 10:20:00", 1L, "click", 8.0),     // KAU tick @8 (later)
+      (8L, "2024-01-01 10:30:00", 1L, "purchase", 16.0)) // KAU -> rate 8, amt 2
+    val r = Payments.xrateAsof(e).collect()
+      .map(x => (x.getAs[Long]("event_id"),
+        x.getAs[String]("currency"), x.getAs[Double]("rate"),
+        x.getAs[Double]("pay_amount"))).toSet
+    assert(r == Set(
+      (4L, "KAU", 5.0, 2.0), (3L, "KAG", 2.0, 2.0), (8L, "KAU", 8.0, 2.0)))
+  }
+
+  test("sessionStats: 30-min gap splits sessions") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:10:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 12:00:00", 1L, "view", 0.0))
+    val r = Payments.sessionStats(e).collect().head
+    assert(r.getAs[Long]("n_sessions") == 2L)
+    assert(r.getAs[Long]("n_events") == 3L)
+    assert(r.getAs[Long]("max_session_events") == 2L)
+  }
+
+  test("pricingSummary: exact decimal money math on a tiny lineitem") {
+    val li = Seq(
+      (1.0, 100.0, 0.1, 0.05, "A", "F", ts("1995-01-01 00:00:00")),
+      (2.0, 200.0, 0.0, 0.10, "A", "F", ts("1995-01-02 00:00:00")),
+      (3.0, 300.0, 0.2, 0.00, "R", "O", ts("1999-01-01 00:00:00"))) // after cutoff
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = Payments.pricingSummary(li).collect()
+    assert(r.length == 1)
+    val x = r.head
+    assert(x.getAs[Double]("sum_qty") == 3.0)
+    assert(x.getAs[Double]("sum_base_price") == 300.0)
+    // 100*0.9 + 200*1.0 = 290; charge: 90*1.05 + 200*1.10 = 314.5
+    assert(x.getAs[Double]("sum_disc_price") == 290.0)
+    assert(x.getAs[Double]("sum_charge") == 314.5)
+    assert(x.getAs[Long]("count_order") == 2L)
+  }
+
+  test("hmacSign emits 64-char upper-hex signatures") {
+    val e = ev((1L, "2024-01-01 10:00:00", 7L, "purchase", 1.0))
+    val sig = Payments.hmacSign(e).collect().head.getAs[String]("signature")
+    assert(sig.matches("[0-9A-F]{64}"))
+  }
+}

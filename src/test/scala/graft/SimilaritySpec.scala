@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSuite {
+
+  private lazy val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("lshBuckets: one row per (vec, table), bucket within bit range") {
+    val n = emb.count()
+    val b = Similarity.lshBuckets(emb, nTables = 8, nPlanes = 3).collect()
+    assert(b.length == 8 * n)
+    assert(b.forall { r =>
+      val bk = r.getAs[Int]("bucket"); bk >= 0 && bk < 8
+    })
+  }
+
+  test("annLsh recall vs exact annTopK is >= 0.8 on the test embeddings") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(Similarity.annTopK(emb, nQueries = 10, k = 5))
+    val approx = pairs(Similarity.annLsh(emb, nQueries = 10, k = 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"recall = $recall (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.8)
+  }
+
+  test("nearDupPairs agrees with cosine threshold and is symmetric-free") {
+    val r = Similarity.nearDupPairs(emb, bound = 50, threshold = 0.3).collect()
+    assert(r.forall(x => x.getAs[Long]("a_id") < x.getAs[Long]("b_id")))
+    assert(r.forall(x => x.getAs[Double]("cos_sim") > 0.3))
+  }
+}
