@@ -48,9 +48,16 @@ object Dedup {
     * `rowsPerBand` hashes; docs sharing any band-hash become candidate
     * pairs. Join is *within buckets only* — at 100 TB the shuffle is
     * O(docs × bands), never O(docs²).
+    *
+    * `bucketCap` guards the self-join against degenerate bands: one
+    * hot band-hash of n docs implies n²/2 pairs, and at corpus scale a
+    * bucket past the cap is near-certainly a pathological value (empty
+    * or template docs) better collapsed by [[exact]] dedup first — so
+    * those buckets are dropped before the join rather than exploded
+    * into a quadratic hot partition.
     */
   def minhashCandidates(documents: DataFrame, numHashes: Int = 64,
-      bands: Int = 16, shingleLen: Int = 3): DataFrame = {
+      bands: Int = 16, shingleLen: Int = 3, bucketCap: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(documents, numHashes, shingleLen)
     val bandCols = (0 until bands).map { b =>
@@ -61,8 +68,16 @@ object Dedup {
     val banded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band_idx"), col("bh.band_hash"))
-    banded.as("a")
-      .join(banded.as("b"),
+    // Bucket-size frequencies ride the same (band_idx, band_hash) key
+    // as the join, so AQE plans both shuffles together.
+    val okBuckets = banded
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= bucketCap)
+      .select("band_idx", "band_hash")
+    val capped = banded.join(okBuckets, Seq("band_idx", "band_hash"))
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Payments
+import graft.sources.Tables
+
+/** Plan audits: the scale properties SURVEY.md §5 promises, asserted
+  * against the actual physical plans so they can't silently regress —
+  * filter/column pushdown to the parquet scan, broadcast joins on
+  * dims, no single-partition window stages.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan(Payments.pricingSummary(Tables(spark, dir, "lineitem")))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_partkey"), "scan must prune unused columns")
+  }
+
+  test("invoiceReconcile: dims are broadcast, never sort-merge joined") {
+    val p = plan(Payments.invoiceReconcile(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "nation")))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("latestStatus: exactly one shuffle, keyed by the entity") {
+    val p = plan(Payments.latestStatus(Tables(spark, dir, "events")))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    assert(p.contains("hashpartitioning(user_id"))
+  }
+
+  test("xrateAsof: no single-partition window stage") {
+    val p = plan(Payments.xrateAsof(Tables(spark, dir, "events")))
+    assert(!p.contains("SinglePartition"),
+      "as-of carry-forward must partition by currency, not globally")
+  }
+
+  test("pollSample: sampling filter is partition-local (no pre-agg shuffle of raw rows)") {
+    val df = Payments.pollSample(Tables(spark, dir, "events"))
+    val p = plan(df)
+    // one shuffle for the final groupBy only; the % filter runs at the scan
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+  }
+}
