@@ -51,6 +51,7 @@ object SparkEntry {
     "q_anti_join" -> ((s, d) => Payments.customersWithoutOrders(
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
     "q_mask_log" -> ((s, d) => Payments.maskLog(t(s, d, "events"))),
+    "q_txn_unique" -> ((s, d) => Payments.txnUniqueViolations(t(s, d, "events"))),
     "q_hmac_sign" -> ((s, d) => Payments.hmacSign(t(s, d, "events"))),
     // ── §2B LLM-data-pipeline operators ───────────────────────────
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
@@ -60,6 +61,7 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
+    "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"))),
@@ -226,6 +228,11 @@ object SparkEntry {
     "q_mask_log" ->
       """SELECT event_id, regexp_replace(props, '[0-9]+', '***', 'g') AS masked_props
         |FROM events""".stripMargin,
+    "q_txn_unique" ->
+      """SELECT user_id * 1000 + event_id % 1000 AS txn_key,
+        |  COUNT(*) AS n_txn, MIN(event_id) AS first_event_id
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,

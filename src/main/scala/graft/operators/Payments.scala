@@ -284,6 +284,20 @@ object Payments {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("n_name"))
 
+  /** Transaction-uniqueness validation (kinesis-pay.php:515-530: a
+    * Kinesis payment id must map to exactly one invoice): txn key →
+    * occurrence count, keeping only violations. Single hash-agg
+    * shuffle + having filter; at 100 TB the partial aggs collapse
+    * almost everything map-side because violations are rare.
+    */
+  def txnUniqueViolations(events: DataFrame): DataFrame =
+    events
+      .where(col("event_type") === "purchase")
+      .groupBy((col("user_id") * 1000 + col("event_id") % 1000).as("txn_key"))
+      .agg(count(lit(1)).as("n_txn"),
+        min(col("event_id")).as("first_event_id"))
+      .where(col("n_txn") > 1)
+
   /** Secret masking / log redaction (kinesis-pay.php:459). */
   def maskLog(events: DataFrame): DataFrame =
     events.select(col("event_id"),

@@ -99,6 +99,55 @@ object Similarity {
         col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
   }
 
+  /** Deterministic pseudo-random centroid component (seed-offset so
+    * IVF centroids are independent of the LSH planes).
+    */
+  private def centroidComponent(c: Int, d: Int): Float =
+    planeComponent(c + 10007, d)
+
+  /** IVF cell assignment: argmax-dot over `nCells` fixed centroids,
+    * computed as `array_max` over (dot, cell) structs — pure codegen'd
+    * projection, zero shuffle. `nProbe` > 1 returns the top-probe
+    * cells (query side); one row per (vec, probed cell).
+    */
+  def ivfCells(embeddings: DataFrame, nCells: Int = 8, nProbe: Int = 1,
+      dim: Int = 64): DataFrame = {
+    val e = registered(embeddings)
+    val scored = (0 until nCells).map { c =>
+      val centroid = array((0 until dim).map(d =>
+        lit(centroidComponent(c, d))): _*)
+      struct(call_function("cosine_sim", col("embedding"), centroid).as("d"),
+        lit(c).as("c"))
+    }
+    val ranked = reverse(array_sort(array(scored: _*)))
+    e.select(col("vec_id"), col("embedding"),
+        explode(slice(ranked, 1, nProbe)).as("cell_s"))
+      .select(col("vec_id"), col("embedding"), col("cell_s.c").as("cell"))
+  }
+
+  /** IVF ANN: corpus vectors live in their argmax cell (inverted
+    * lists); each query probes its `nProbe` closest cells and exact
+    * re-ranks inside them. At scale the join key is the cell id —
+    * shuffle O(n + q×probes), all-pairs work only inside probed cells.
+    * The LSH path ([[annLsh]]) trades differently: IVF candidates
+    * adapt to the data's density, LSH buckets are data-independent.
+    */
+  def annIvf(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
+      nCells: Int = 8, nProbe: Int = 4): DataFrame = {
+    val corpus = ivfCells(embeddings, nCells, nProbe = 1)
+    val q = ivfCells(embeddings.where(col("vec_id") < nQueries), nCells, nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    corpus.as("c").join(broadcast(q),
+        col("q_id") =!= col("c.vec_id") && col("q_cell") === col("c.cell"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        cos("q_emb", "c.embedding").as("cos_sim"))
+      .distinct()
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket with the query in any
     * table; exact cosine re-rank over the deduped candidate set. At
     * scale the join key is (table, bucket) — shuffle is O(n × tables),

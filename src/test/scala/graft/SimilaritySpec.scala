@@ -26,6 +26,22 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8)
   }
 
+  test("annIvf recall vs exact annTopK on the test embeddings") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(Similarity.annTopK(emb, nQueries = 10, k = 5))
+    val approx = pairs(Similarity.annIvf(emb, nQueries = 10, k = 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"ivf recall = $recall (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.6) // nProbe=4 of 8 cells on loose neighbors
+  }
+
+  test("ivfCells: corpus side one cell per vec, query side nProbe cells") {
+    val n = emb.count()
+    assert(Similarity.ivfCells(emb, nCells = 8, nProbe = 1).count() == n)
+    assert(Similarity.ivfCells(emb, nCells = 8, nProbe = 4).count() == 4 * n)
+  }
+
   test("nearDupPairs agrees with cosine threshold and is symmetric-free") {
     val r = Similarity.nearDupPairs(emb, bound = 50, threshold = 0.3).collect()
     assert(r.forall(x => x.getAs[Long]("a_id") < x.getAs[Long]("b_id")))

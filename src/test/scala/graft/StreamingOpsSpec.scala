@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingOps
+
+class StreamingOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // events-shaped stream rows
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  test("windowedFunnel: closed windows emit counts + exact totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.windowedFunnel(df, "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:01:00"), 1L, "purchase", 10.0),
+        (2L, ts("2024-01-01 10:02:00"), 2L, "purchase", 5.5),
+        (3L, ts("2024-01-01 10:03:00"), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // advance watermark past the 10:00-10:10 window
+      input.addData((4L, ts("2024-01-01 10:30:00"), 1L, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("funnel_out").collect()
+        .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("total_value"))).toSet
+      assert(out == Set(
+        (ts("2024-01-01 10:00:00"), "purchase", 2L, 15.5),
+        (ts("2024-01-01 10:00:00"), "view", 1L, 0.0)))
+    } finally q.stop()
+  }
+
+  test("dedupedEvents: duplicate event ids within the horizon are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.dedupedEvents(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 10.0),
+        (1L, ts("2024-01-01 10:00:05"), 1L, "purchase", 10.0), // dup id
+        (2L, ts("2024-01-01 10:01:00"), 2L, "view", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+}
