@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSim, HmacSha256Hex}
+import graft.plans.{CosineSim, DotF32, HmacSha256Hex}
 
 /** Registers graft's native expressions as SQL functions on a session.
   *
@@ -24,6 +24,10 @@ object GraftFunctions {
     Fn("cosine_sim", { args =>
       require(args.length == 2, "cosine_sim(a, b)")
       CosineSim(args(0), args(1))
+    }),
+    Fn("dot_f32", { args =>
+      require(args.length == 2, "dot_f32(a, b)")
+      DotF32(args(0), args(1))
     })
   )
 
@@ -52,5 +56,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft", "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo("graft", "dot_f32"),
+      (args: Seq[Expression]) => DotF32(args(0), args(1))))
   }
 }

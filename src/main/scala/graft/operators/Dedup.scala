@@ -31,15 +31,23 @@ object Dedup {
         s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))"))))
       .select("doc_id", "shingle")
 
-  /** MinHash(numHashes) signature per doc: min over shingles of
-    * xxhash64(seed_i, shingle) — all codegen'd built-ins, one
-    * explode + one groupBy shuffle.
+  /** MinHash(numHashes) signature per doc — all codegen'd built-ins,
+    * one explode + one groupBy shuffle. The hash family is
+    * Kirsch-Mitzenmacher: h_i = (h1 + i*h2) mod p over two base
+    * xxhash64 string hashes, so each shingle is *hashed twice*, not
+    * `numHashes` times (the string hashing dominates the kernel;
+    * the per-i work is three integer ops). p = 2^31-1 keeps
+    * h1 + 63*h2 far from long overflow under ANSI mode.
     */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 64,
       shingleLen: Int = 3): DataFrame = {
-    val aggs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    val p = 2147483647L // 2^31 - 1
+    val aggs = (0 until numHashes).map(i =>
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(p))).as(s"mh_$i"))
     shingled(documents, shingleLen)
+      .withColumn("h1", pmod(xxhash64(col("shingle")), lit(p)))
+      // +1 so h2 is never 0 (all h_i identical would defeat banding)
+      .withColumn("h2", pmod(xxhash64(lit(40503L), col("shingle")), lit(p)) + 1)
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -86,9 +86,9 @@ object Similarity {
     val e = registered(embeddings)
     val buckets = (0 until nTables).map { t =>
       val bits = (0 until nPlanes).map { p =>
-        val plane = array((0 until dim).map(d =>
-          lit(planeComponent(t * nPlanes + p, d))): _*)
-        when(call_function("cosine_sim", col("embedding"), plane) >= 0,
+        val plane = unitLit((0 until dim).map(d =>
+          planeComponent(t * nPlanes + p, d)))
+        when(call_function("dot_f32", col("embedding"), plane) >= 0,
           shiftleft(lit(1), p)).otherwise(0)
       }
       struct(lit(t).as("table_id"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
@@ -105,6 +105,16 @@ object Similarity {
   private def centroidComponent(c: Int, d: Int): Float =
     planeComponent(c + 10007, d)
 
+  /** Unit-normalized literal vector (normalized once at plan build, in
+    * Scala): lets the per-row kernel be a plain `dot_f32` — same sign
+    * as cosine for LSH bits, same argmax for IVF cells — without
+    * recomputing the row norm against every plane/centroid.
+    */
+  private def unitLit(components: IndexedSeq[Float]): Column = {
+    val norm = math.sqrt(components.map(x => x.toDouble * x).sum)
+    array(components.map(x => lit((x / norm).toFloat)): _*)
+  }
+
   /** IVF cell assignment: argmax-dot over `nCells` fixed centroids,
     * computed as `array_max` over (dot, cell) structs — pure codegen'd
     * projection, zero shuffle. `nProbe` > 1 returns the top-probe
@@ -114,9 +124,8 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     val e = registered(embeddings)
     val scored = (0 until nCells).map { c =>
-      val centroid = array((0 until dim).map(d =>
-        lit(centroidComponent(c, d))): _*)
-      struct(call_function("cosine_sim", col("embedding"), centroid).as("d"),
+      val centroid = unitLit((0 until dim).map(d => centroidComponent(c, d)))
+      struct(call_function("dot_f32", col("embedding"), centroid).as("d"),
         lit(c).as("c"))
     }
     val ranked = reverse(array_sort(array(scored: _*)))
