@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
+
+/** Stream-ingest adapter: turns raw record streams into typed
+  * [[PaymentEvent]]s for [[PaymentMonitor]].
+  *
+  * Production wiring is source-agnostic `readStream`: a Kinesis-style
+  * connector delivers records with an opaque `data` payload column —
+  * point `raw()` at the connector's format name and options and feed
+  * `fromJson(df, "data")`. Tests drive the exact same parse path with
+  * MemoryStream, which is how the end-to-end spec covers it (no
+  * connector jars required).
+  */
+object PaymentStream {
+
+  /** Payload schema: the reference's payment poll response fields
+    * (kinesis-pay.php:239-249) reduced to the FSM's inputs.
+    */
+  val payloadSchema: StructType = new StructType()
+    .add("paymentId", LongType)
+    .add("ts", TimestampType)
+    .add("kind", StringType)
+
+  /** Generic raw stream: `spark.readStream.format(fmt).options(...)`.
+    * e.g. format="rate" for smoke tests; a kinesis connector format +
+    * (streamName, region, ...) options in production.
+    */
+  def raw(spark: SparkSession, format: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format(format).options(options).load()
+
+  /** Parse a string/binary JSON payload column into typed events.
+    * Malformed records become nulls and are dropped (poison-pill
+    * tolerance — one bad record must not kill the stream).
+    */
+  def fromJson(raw: DataFrame, payloadCol: String = "value"): Dataset[PaymentEvent] = {
+    implicit val enc = Encoders.product[PaymentEvent]
+    raw
+      .select(from_json(col(payloadCol).cast("string"), payloadSchema).as("e"))
+      .where(col("e.paymentId").isNotNull && col("e.ts").isNotNull &&
+        col("e.kind").isNotNull)
+      .select(col("e.paymentId"), col("e.ts"), col("e.kind"))
+      .as[PaymentEvent]
+  }
+}

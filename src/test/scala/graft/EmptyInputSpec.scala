@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Dedup, Payments, Similarity, TextOps}
+
+/** Robustness: every operator must return an empty (not crashed)
+  * result on empty input — at 100 TB a partition-pruned scan or an
+  * upstream filter routinely produces zero rows.
+  */
+class EmptyInputSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val noEvents = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  private lazy val noDocs = Seq.empty[(Long, String, String, String)]
+    .toDF("doc_id", "text", "lang", "source")
+  private lazy val noEmb = Seq.empty[(Long, Array[Float])]
+    .toDF("vec_id", "embedding")
+
+  private def assertEmptyOk(name: String, df: => DataFrame): Unit =
+    assert(df.count() == 0, s"$name on empty input")
+
+  test("payment operators tolerate empty input") {
+    assertEmptyOk("latestStatus", Payments.latestStatus(noEvents))
+    assertEmptyOk("expiryOutcomes", Payments.expiryOutcomes(noEvents))
+    assertEmptyOk("xrateAsof", Payments.xrateAsof(noEvents))
+    assertEmptyOk("sessionStats", Payments.sessionStats(noEvents))
+    assertEmptyOk("txnUniqueViolations", Payments.txnUniqueViolations(noEvents))
+    assertEmptyOk("hmacSign", Payments.hmacSign(noEvents))
+  }
+
+  test("dedup/text operators tolerate empty input") {
+    assertEmptyOk("exact", Dedup.exact(noDocs))
+    assertEmptyOk("minhashCandidates", Dedup.minhashCandidates(noDocs))
+    assertEmptyOk("simhash", Dedup.simhash(noDocs))
+    assertEmptyOk("jaccardPairs", Dedup.jaccardPairs(noDocs))
+    assertEmptyOk("langId", TextOps.langId(noDocs))
+    assertEmptyOk("textQuality", TextOps.textQuality(noDocs))
+    assertEmptyOk("fingerprint", TextOps.fingerprint(noDocs))
+  }
+
+  test("similarity operators tolerate empty input") {
+    assertEmptyOk("nearDupPairs", Similarity.nearDupPairs(noEmb))
+    assertEmptyOk("annTopK", Similarity.annTopK(noEmb))
+    assertEmptyOk("annLsh", Similarity.annLsh(noEmb))
+    assertEmptyOk("annIvf", Similarity.annIvf(noEmb))
+  }
+}

@@ -45,4 +45,20 @@ class PlanAuditSpec extends SparkSuite {
     // one shuffle for the final groupBy only; the % filter runs at the scan
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
   }
+
+  test("annLsh: bucket join is a hash join, never cartesian") {
+    val p = plan(graft.operators.Similarity.annLsh(
+      Tables(spark, dir, "embeddings")))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"))
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val p = plan(Payments.hmacSign(Tables(spark, dir, "events")))
+    // the signature projection must carry the codegen-stage marker
+    // (`*(n) Project [...hmac...]`), i.e. not fall back to interpreted
+    val hmacLine = p.linesIterator.find(_.contains("hmac_sha256_hex"))
+    assert(hmacLine.exists(_.trim.startsWith("*(")),
+      s"hmac projection not codegen'd:\n$p")
+  }
 }
