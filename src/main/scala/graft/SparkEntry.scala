@@ -52,6 +52,8 @@ object SparkEntry {
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
     "q_mask_log" -> ((s, d) => Payments.maskLog(t(s, d, "events"))),
     "q_txn_unique" -> ((s, d) => Payments.txnUniqueViolations(t(s, d, "events"))),
+    "q_payment_confirm" -> ((s, d) => Payments.confirmAmounts(t(s, d, "events"))),
+    "q_secure_lookup" -> ((s, d) => Payments.secureLookup(t(s, d, "orders"))),
     "q_hmac_sign" -> ((s, d) => Payments.hmacSign(t(s, d, "events"))),
     // ── §2B LLM-data-pipeline operators ───────────────────────────
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
@@ -233,6 +235,22 @@ object SparkEntry {
         |  COUNT(*) AS n_txn, MIN(event_id) AS first_event_id
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "q_payment_confirm" ->
+      """SELECT event_id, currency,
+        |  CAST(amt AS VARCHAR) || ' ' || currency AS amount_paid
+        |FROM (SELECT event_id,
+        |        CASE WHEN event_id % 2 = 0 THEN 'KAU' ELSE 'KAG' END AS currency,
+        |        CAST(ROUND(CAST(value AS DECIMAL(12,2)) * CASE WHEN event_id % 2 = 0
+        |          THEN CAST(0.9 AS DECIMAL(2,1)) ELSE CAST(1.1 AS DECIMAL(2,1)) END,
+        |          2) AS DECIMAL(12,2)) AS amt
+        |      FROM events WHERE event_type = 'purchase')""".stripMargin,
+    "q_secure_lookup" ->
+      """SELECT md5(CAST(o_orderkey AS VARCHAR)) AS secure_id,
+        |  o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS invoice_total
+        |FROM orders
+        |WHERE md5(CAST(o_orderkey AS VARCHAR)) IN (
+        |  SELECT md5(CAST(o_orderkey AS VARCHAR)) FROM orders WHERE o_orderkey % 97 = 0)""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,

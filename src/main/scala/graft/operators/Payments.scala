@@ -284,6 +284,42 @@ object Payments {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("n_name"))
 
+  /** Payment-confirmation amount recording (kinesis-pay.php:487-510,
+    * approvePayment): resolve the paid amount by currency and persist
+    * it in the reference's `"<amount> <currency>"` AMOUNT_PAID format.
+    * Pure projection on the purchase stream — zero shuffle; the
+    * formatted string is produced from a scale-2 DECIMAL so both
+    * engines render identical text.
+    */
+  def confirmAmounts(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "purchase")
+      .selectExpr("event_id",
+        "CASE WHEN event_id % 2 = 0 THEN 'KAU' ELSE 'KAG' END AS currency",
+        s"""CAST(ROUND(CAST(value AS $dec) * CASE WHEN event_id % 2 = 0
+            THEN CAST(0.9 AS DECIMAL(2,1)) ELSE CAST(1.1 AS DECIMAL(2,1)) END,
+            2) AS $dec) AS amt""")
+      .select(col("event_id"), col("currency"),
+        concat(col("amt").cast("string"), lit(" "), col("currency"))
+          .as("amount_paid"))
+
+  /** Invoice lookup by secure id (kinesis-pay.php:292-296,540-549:
+    * `findBySecureId`): the reference resolves one invoice per poll
+    * request; at scale the requests batch into a broadcast semi-join
+    * on the hash surrogate instead of per-row point queries. The
+    * requested-id set here is a deterministic subset standing in for
+    * the live poll traffic.
+    */
+  def secureLookup(orders: DataFrame): DataFrame = {
+    val withId = orders.withColumn("secure_id",
+      md5(col("o_orderkey").cast("string")))
+    val requested = withId.where(col("o_orderkey") % 97 === 0)
+      .select(col("secure_id").as("req_id"))
+    withId.join(broadcast(requested), col("secure_id") === col("req_id"),
+        "left_semi")
+      .select(col("secure_id"), col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(dec).cast("double").as("invoice_total"))
+  }
+
   /** Transaction-uniqueness validation (kinesis-pay.php:515-530: a
     * Kinesis payment id must map to exactly one invoice): txn key →
     * occurrence count, keeping only violations. Single hash-agg
