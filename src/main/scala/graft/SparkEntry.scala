@@ -44,6 +44,9 @@ object SparkEntry {
     "q_amount_paid" -> ((s, d) => Payments.amountPaid(t(s, d, "events"))),
     "q_revenue_rollup" -> ((s, d) => Payments.revenueRollup(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
+    "q_revenue_cube" -> ((s, d) => Payments.revenueCube(
+      t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
+    "q_value_quantiles" -> ((s, d) => Payments.valueQuantiles(t(s, d, "events"))),
     "q_top_customers" -> ((s, d) => Payments.topCustomers(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_invoice_reconcile" -> ((s, d) => Payments.invoiceReconcile(
@@ -201,6 +204,20 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_revenue_cube" ->
+      """SELECT r_name, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, o_orderstatus)""".stripMargin,
+    "q_value_quantiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_top_customers" ->
       """WITH rev AS (
         |  SELECT n_name, c_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_d

@@ -241,6 +241,34 @@ object Payments {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
 
+  /** Full-cube revenue view over (region, status): every grouping-set
+    * combination in one pass — same single-shuffle partial-agg shape
+    * as the rollup, 4× the output groups.
+    */
+  def revenueCube(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+
+  /** Exact value percentiles per event type (payment-size
+    * distribution for ops dashboards): exact linear-interpolated
+    * percentile — at 100 TB swap for approx_percentile and accept the
+    * sketch error; exactness here keeps the DuckDB oracle bit-exact.
+    * One shuffle; percentile is the only sort-bearing agg.
+    */
+  def valueQuantiles(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
   /** Top-k customers per nation by exact revenue; rank-window on one
     * shuffle, deterministic tie-break on custkey.
     */
