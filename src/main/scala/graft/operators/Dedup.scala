@@ -22,13 +22,17 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Tokenize → distinct k-word shingles, exploded. */
+  /** Tokenize → k-word shingles, exploded. Duplicate shingles are NOT
+    * deduped: the only consumer is a min-aggregate, which is
+    * duplicate-insensitive, so the per-doc array_distinct pass would
+    * be pure overhead.
+    */
   private def shingled(documents: DataFrame, k: Int): DataFrame =
     documents
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= k)
-      .withColumn("shingle", explode(array_distinct(expr(
-        s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))"))))
+      .withColumn("shingle", explode(expr(
+        s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))")))
       .select("doc_id", "shingle")
 
   /** MinHash(numHashes) signature per doc — all codegen'd built-ins,
@@ -113,6 +117,33 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs at scale: the 64-bit fingerprint splits
+    * into 4 16-bit bands; by pigeonhole any pair with hamming ≤ 3
+    * agrees exactly on ≥1 band, so the candidate join is an equi-join
+    * on (band_idx, band_value) — shuffle O(docs × 4), never all-pairs
+    * — followed by the exact hamming filter (complete for
+    * `maxHamming` ≤ 3; raise the band count for looser thresholds).
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(documents)
+    val bands = (0 until 4).map(b => struct(lit(b).as("band_idx"),
+      shiftright(col("simhash64"), b * 16).bitwiseAND(0xFFFFL).as("band_val")))
+    val banded = fp
+      .select(col("doc_id"), col("simhash64"),
+        explode(array(bands: _*)).as("bv"))
+      .select(col("doc_id"), col("simhash64"),
+        col("bv.band_idx"), col("bv.band_val"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        hamming(col("a.simhash64"), col("b.simhash64")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   /** Bounded brute-force token-set Jaccard pairs — the correctness
     * baseline the oracle checks; the scale path is

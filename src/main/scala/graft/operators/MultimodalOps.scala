@@ -44,4 +44,37 @@ object MultimodalOps {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
   }
+
+  case class ResizedMedia(docId: Long, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** STUB resize — a real build binds an image library here. The
+    * stub's output payload is a deterministic function of (input
+    * bytes, target dims); plumbing (typed schema, partition-local map)
+    * is real.
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    media.mapPartitions(_.map { m =>
+      val outLen = math.max(1, math.min(m.payload.length, w * h / 64))
+      ResizedMedia(m.docId, w, h,
+        Array.tabulate(outLen)(i => (m.payload(i % m.payload.length) ^ (w + h)).toByte))
+    })
+  }
+
+  case class Frame(docId: Long, frameIdx: Int, payload: Array[Byte])
+
+  /** STUB frame sampling for video payloads: emit every `everyN`-th
+    * frame index of the (stub-decoded) frame count. Partition-local
+    * flatMap — output cardinality scales with frames, input stays
+    * opaque bytes until here.
+    */
+  def frameSample(media: Dataset[MediaRow], everyN: Int = 4): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    media.mapPartitions(_.flatMap { m =>
+      val nFrames = if (m.format == "video") 1 + (m.payload.length % 16) else 1
+      (0 until nFrames by everyN).map(i =>
+        Frame(m.docId, i, Array(m.payload((i % m.payload.length)), i.toByte)))
+    })
+  }
 }

@@ -34,6 +34,16 @@ class DedupSpec extends SparkSuite {
     assert(ham(0L, 1L) < ham(0L, 2L))
   }
 
+  test("simhashPairs: finds identical docs via band join, respects hamming cap") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("a_id") == 0L && r.getAs[Long]("b_id") == 3L &&
+        r.getAs[Int]("hamming") == 0))
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+    assert(!pairs.exists(r =>
+      r.getAs[Long]("a_id") == 2L || r.getAs[Long]("b_id") == 2L))
+  }
+
   test("jaccard pairs: exact value on crafted overlap") {
     val d = Seq(
       (0L, "alpha beta gamma delta", "en"),

@@ -26,4 +26,23 @@ class MultimodalOpsSpec extends SparkSuite {
     assert(f1.forall(f => f.width >= 320 && f.height >= 240 && f.feature.length == 8))
     assert(f1.filter(_.nFrames > 1).forall(_.docId % 3 == 0))
   }
+
+  test("resize: typed output carries target dims, deterministic payload") {
+    val r1 = MultimodalOps.resize(media, 64, 64).collect().sortBy(_.docId)
+    val r2 = MultimodalOps.resize(media, 64, 64).collect().sortBy(_.docId)
+    assert(r1.length == 100)
+    assert(r1.forall(m => m.width == 64 && m.height == 64 && m.payload.nonEmpty))
+    assert(r1.map(_.payload.toSeq).toSeq == r2.map(_.payload.toSeq).toSeq)
+  }
+
+  test("frameSample: every-Nth frame for videos, single frame for images") {
+    val frames = MultimodalOps.frameSample(media, everyN = 4).collect()
+    val byDoc = frames.groupBy(_.docId)
+    assert(byDoc.keySet.size == 100)
+    // images (docId % 3 != 0) produce exactly one frame at index 0
+    assert(byDoc.filter(_._1 % 3 != 0).values.forall(f =>
+      f.length == 1 && f.head.frameIdx == 0))
+    // sampled indices step by 4
+    assert(frames.forall(_.frameIdx % 4 == 0))
+  }
 }
