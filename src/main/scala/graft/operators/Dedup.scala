@@ -80,14 +80,15 @@ object Dedup {
     val banded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band_idx"), col("bh.band_hash"))
-    // Bucket-size frequencies ride the same (band_idx, band_hash) key
-    // as the join, so AQE plans both shuffles together.
-    val okBuckets = banded
-      .groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
+    // Bucket-size cap as a window count over the join key: ONE pass
+    // over `banded` (an agg+join formulation would recompute the whole
+    // minhash subtree for each branch), and the self-join below reuses
+    // the same hash partitioning.
+    val wb = Window.partitionBy("band_idx", "band_hash")
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(wb))
       .where(col("bucket_n") <= bucketCap)
-      .select("band_idx", "band_hash")
-    val capped = banded.join(okBuckets, Seq("band_idx", "band_hash"))
+      .drop("bucket_n")
     capped.as("a")
       .join(capped.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
