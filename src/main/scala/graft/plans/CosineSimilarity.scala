@@ -12,6 +12,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * engines (no rounding needed).
   */
 object CosUtil {
+  /** Same accumulation order as [[cos]] on plain arrays, for typed
+    * batch kernels — bit-identical results.
+    */
+  def cosArr(a: Array[Float], b: Array[Float]): Double = {
+    val n = a.length
+    if (n != b.length || n == 0) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** Exact replica of Spark's `round(x, 4)` on doubles
+    * (BigDecimal.valueOf + HALF_UP), so kernel output equals the
+    * declarative `round(cosine_sim(...), 4)` bit-for-bit.
+    */
+  def round4(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
   def cos(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     if (n != b.numElements() || n == 0) return Double.NaN
