@@ -44,6 +44,12 @@ object SparkEntry {
     "q_amount_paid" -> ((s, d) => Payments.amountPaid(t(s, d, "events"))),
     "q_revenue_rollup" -> ((s, d) => Payments.revenueRollup(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
+    "q_ship_priority" -> ((s, d) => Payments.shipPriority(
+      t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q_order_priority" -> ((s, d) => Payments.orderPriority(
+      t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q_region_volume" -> ((s, d) => Payments.regionVolume(
+      t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
     "q_revenue_cube" -> ((s, d) => Payments.revenueCube(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
     "q_value_quantiles" -> ((s, d) => Payments.valueQuantiles(t(s, d, "events"))),
@@ -205,6 +211,42 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_ship_priority" ->
+      """WITH rev AS (
+        |  SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,3)))) AS rev_d
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |    AND c_mktsegment = 'BUILDING'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT l_orderkey, order_date, revenue, rnk
+        |FROM (SELECT l_orderkey, order_date, CAST(rev_d AS DOUBLE) AS revenue,
+        |        CAST(rank() OVER (ORDER BY rev_d DESC, l_orderkey) AS BIGINT) AS rnk
+        |      FROM rev)
+        |WHERE rnk <= 10""".stripMargin,
+    "q_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_linenumber % 3 = 0)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_region_volume" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS volume
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY r_name, n_name""".stripMargin,
     "q_revenue_cube" ->
       """SELECT r_name, o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue

@@ -241,6 +241,62 @@ object Payments {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
 
+  /** Shipping-priority report (TPC-H Q3 shape): segment-filtered
+    * customers ⨝ undelivered orders ⨝ lineitems, revenue per order,
+    * top-k by revenue. Dims broadcast after pushdown filters; one agg
+    * shuffle; global top-k via rank on the (small) aggregated set.
+    */
+  def shipPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String = "BUILDING",
+      cutoff: String = "1998-03-15", k: Int = 10): DataFrame = {
+    val rev = lineitem
+      .where(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .join(orders.where(col("o_orderdate") < lit(cutoff).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.where(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast("decimal(4,3)")))
+        .as("rev_d"))
+    val w = Window.orderBy(col("rev_d").desc, col("l_orderkey"))
+    rev.withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("l_orderkey"), col("order_date"),
+        col("rev_d").cast("double").as("revenue"), col("rnk"))
+  }
+
+  /** Order-priority check (TPC-H Q4 shape): orders in a date window
+    * with at least one late lineitem — left-semi join (existence, no
+    * fan-out), counts by priority.
+    */
+  def orderPriority(orders: DataFrame, lineitem: DataFrame,
+      from: String = "1996-01-01", to: String = "1996-04-01"): DataFrame =
+    orders
+      .where(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(to).cast("timestamp"))
+      .join(lineitem.where(col("l_linenumber") % 3 === 0),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+
+  /** Regional order volume (TPC-H Q5 shape): 4-way dim chain over the
+    * fact, exact revenue per (region, nation). All dims broadcast —
+    * the fact never shuffles before the aggregate.
+    */
+  def regionVolume(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame,
+      from: String = "1996-01-01", to: String = "1997-01-01"): DataFrame =
+    orders
+      .where(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(to).cast("timestamp"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("volume"))
+
   /** Full-cube revenue view over (region, status): every grouping-set
     * combination in one pass — same single-shuffle partial-agg shape
     * as the rollup, 4× the output groups.
