@@ -91,8 +91,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,3))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(4,3)))) AS DOUBLE) AS sum_charge,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,3)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST((CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,3))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(4,3))) AS DECIMAL(8,6))), 2) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
         |  COUNT(*) AS count_order
@@ -183,7 +183,7 @@ object SparkEntry {
       """WITH u AS (
         |  SELECT CASE WHEN event_id % 2 = 0 THEN 'KAU' ELSE 'KAG' END AS currency,
         |         ts, event_id, CAST(NULL AS DOUBLE) AS paid, value AS rate, 0 AS is_purchase
-        |  FROM events WHERE event_type = 'click'
+        |  FROM events WHERE event_type = 'click' AND value <> 0
         |  UNION ALL
         |  SELECT CASE WHEN event_id % 2 = 0 THEN 'KAU' ELSE 'KAG' END AS currency,
         |         ts, event_id, value AS paid, CAST(NULL AS DOUBLE) AS rate, 1 AS is_purchase

@@ -36,12 +36,21 @@ object Payments {
       .agg(
         sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
-        sum(col("l_extendedprice").cast(dec) *
-          (lit(1).cast(dec) - col("l_discount").cast("decimal(4,3)")))
+        // Money sums are rounded to scale 2 BEFORE the double cast:
+        // (a) money semantics, (b) it keeps the unscaled value far
+        // below 2^53 — DuckDB's int128-decimal → double cast rounds
+        // through two steps and is off by an ulp past that (observed
+        // at sf0.1), while scale-2 sums cast exactly in both engines.
+        round(sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec) - col("l_discount").cast("decimal(4,3)"))), 2)
           .cast("double").as("sum_disc_price"),
-        sum(col("l_extendedprice").cast(dec) *
-          (lit(1).cast(dec) - col("l_discount").cast("decimal(4,3)")) *
-          (lit(1).cast(dec) + col("l_tax").cast("decimal(4,3)")))
+        // (1-d)*(1+t) folded first at exact scale 6: the naive 3-way
+        // product needs precision 40 and triggers Spark's >38
+        // precision-loss rounding.
+        round(sum(col("l_extendedprice").cast(dec) *
+          ((lit(1).cast(dec) - col("l_discount").cast("decimal(4,3)")) *
+            (lit(1).cast(dec) + col("l_tax").cast("decimal(4,3)")))
+            .cast("decimal(8,6)")), 2)
           .cast("double").as("sum_charge"),
         (sum(col("l_quantity").cast(dec)).cast("double") /
           count(lit(1)).cast("double")).as("avg_qty"),
@@ -199,7 +208,9 @@ object Payments {
     // Symbol of any event: KAU for even event_id, KAG for odd (the
     // deterministic stand-in for the reference's currency field).
     val currency = when(col("event_id") % 2 === 0, "KAU").otherwise("KAG")
-    val ticks = events.where(col("event_type") === "click")
+    // value=0 ticks are invalid quotes (and would divide-by-zero under
+    // ANSI): excluded, so carry-forward holds the last VALID rate.
+    val ticks = events.where(col("event_type") === "click" && col("value") =!= 0)
       .select(currency.as("currency"), col("ts"), col("event_id"),
         lit(null).cast("double").as("paid"),
         col("value").as("rate"), lit(0).as("is_purchase"))
