@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming transforms beyond the payment FSM — the reference's poll
   * loop observed as a live stream (kinesis-pay.php:295-303): windowed
@@ -27,6 +30,36 @@ object StreamingOps {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Live latest-status per user (the streaming dual of the batch
+    * `Payments.latestStatus` argmax): tiny per-key state updated by
+    * event-time comparison (late events can't regress the answer),
+    * emitted in Update mode. State is one row per active user.
+    */
+  case class UserStatus(userId: Long, lastStatus: String, lastTs: Timestamp)
+  // public: Catalyst's generated deserializer must reach the class
+  case class RawEv(userId: Long, status: String, ts: Timestamp, id: Long)
+
+  def liveLatestStatus(events: DataFrame): Dataset[UserStatus] = {
+    implicit val rawEnc = Encoders.product[RawEv]
+    implicit val outEnc = Encoders.product[UserStatus]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .select(col("user_id").cast("long").as("userId"),
+        col("event_type").as("status"), col("ts"),
+        col("event_id").cast("long").as("id"))
+      .as[RawEv]
+      .groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[RawEv], state: GroupState[UserStatus]) =>
+          val latest = (state.getOption.map(s =>
+            RawEv(uid, s.lastStatus, s.lastTs, Long.MinValue)) ++ evs)
+            .maxBy(e => (e.ts.getTime, e.id))
+          val next = UserStatus(uid, latest.status, latest.ts)
+          state.update(next)
+          next
+      }
+  }
 
   /** At-most-once admission: drop duplicate event ids arriving within
     * the watermark horizon (the reference's "transaction already

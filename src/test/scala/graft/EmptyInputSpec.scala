@@ -30,6 +30,23 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("sessionStats", Payments.sessionStats(noEvents))
     assertEmptyOk("txnUniqueViolations", Payments.txnUniqueViolations(noEvents))
     assertEmptyOk("hmacSign", Payments.hmacSign(noEvents))
+    assertEmptyOk("confirmAmounts", Payments.confirmAmounts(noEvents))
+    assertEmptyOk("valueQuantiles", Payments.valueQuantiles(noEvents))
+  }
+
+  test("order/report operators tolerate empty input") {
+    val noOrders = Seq.empty[(Long, Long, String, Double, Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val noLineitem = Seq.empty[(Long, Int, Double, Double, Double, Timestamp)]
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "l_tax", "l_shipdate")
+    val noCust = Seq.empty[(Long, String, Int, String)]
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    assertEmptyOk("secureLookup", Payments.secureLookup(noOrders))
+    assertEmptyOk("orderPriority", Payments.orderPriority(noOrders, noLineitem))
+    assertEmptyOk("shipPriority",
+      Payments.shipPriority(noCust, noOrders, noLineitem))
   }
 
   test("dedup/text operators tolerate empty input") {
@@ -37,6 +54,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("minhashCandidates", Dedup.minhashCandidates(noDocs))
     assertEmptyOk("simhash", Dedup.simhash(noDocs))
     assertEmptyOk("jaccardPairs", Dedup.jaccardPairs(noDocs))
+    assertEmptyOk("simhashPairs", Dedup.simhashPairs(noDocs))
     assertEmptyOk("langId", TextOps.langId(noDocs))
     assertEmptyOk("textQuality", TextOps.textQuality(noDocs))
     assertEmptyOk("fingerprint", TextOps.fingerprint(noDocs))

@@ -41,6 +41,28 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("liveLatestStatus: event-time argmax survives late arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.liveLatestStatus(df)
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "pending", 0.0),
+        (2L, ts("2024-01-01 10:05:00"), 1L, "processed", 0.0))
+      q.processAllAvailable()
+      // late event older than current state must NOT regress the status
+      input.addData((3L, ts("2024-01-01 10:01:00"), 1L, "rejected", 0.0))
+      q.processAllAvailable()
+      val last = spark.table("latest_out").collect()
+        .maxBy(_.getAs[Timestamp]("lastTs").getTime)
+      assert(last.getAs[String]("lastStatus") == "processed")
+    } finally q.stop()
+  }
+
   test("dedupedEvents: duplicate event ids within the horizon are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
