@@ -68,7 +68,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
-    "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 16)),
+    "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 15)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
@@ -82,9 +82,10 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
-    * column). Omitted: q_hmac_sign, q_dedup_minhash, q_dedup_simhash,
-    * q_ann_lsh, q_fingerprint (xxhash64/hmac not in DuckDB) → driver
-    * rows-only check + ScalaTest specs cover semantics.
+    * column). Omitted (rows-only + ScalaTest specs, since xxhash64 /
+    * hmac have no DuckDB equivalent): q_hmac_sign, q_dedup_minhash,
+    * q_dedup_simhash, q_simhash_pairs, q_fingerprint, q_ann_lsh,
+    * q_ann_ivf.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -20,11 +20,16 @@ object TextFunctions {
   def bpeIshTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpeIshPattern), lit(0))
 
-  /** Distinct k-word shingles of a token array. */
-  def shingles(toks: Column, k: Int): Column =
-    array_distinct(transform(
+  /** k-word shingles of a token array. Not deduped by default: the
+    * minhash consumer is a min-aggregate (duplicate-insensitive), so
+    * the per-doc distinct pass would be pure overhead there.
+    */
+  def shingles(toks: Column, k: Int, distinct: Boolean = false): Column = {
+    val sh = transform(
       sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    if (distinct) array_distinct(sh) else sh
+  }
 
   /** Per-language stopword marker sets for the lang-ID heuristic.
     * Deterministic preference order on ties: en > de > fr > es.
@@ -51,7 +56,9 @@ object TextFunctions {
     aggregate(tokenize(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** Secret masking for audit logs (kinesis-pay.php:459): digit runs
-    * and `key=...` values are redacted.
+    * (card/token/amount digits) are redacted. The single source of
+    * truth for the redaction rule — `Payments.maskLog` and
+    * `InvoiceLog.redact` both call this.
     */
   def maskSecret(s: Column): Column =
     regexp_replace(s, "[0-9]+", "***")

@@ -31,8 +31,8 @@ object Dedup {
     documents
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= k)
-      .withColumn("shingle", explode(expr(
-        s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))")))
+      .withColumn("shingle",
+        explode(graft.functions.TextFunctions.shingles(col("toks"), k)))
       .select("doc_id", "shingle")
 
   /** MinHash(numHashes) signature per doc — all codegen'd built-ins,
@@ -50,8 +50,10 @@ object Dedup {
       min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(p))).as(s"mh_$i"))
     shingled(documents, shingleLen)
       .withColumn("h1", pmod(xxhash64(col("shingle")), lit(p)))
-      // +1 so h2 is never 0 (all h_i identical would defeat banding)
-      .withColumn("h2", pmod(xxhash64(lit(40503L), col("shingle")), lit(p)) + 1)
+      // h2 in [1, p-1]: pmod(x, p-1)+1 can never be ≡ 0 (mod p), so
+      // the h_i are genuinely distinct per shingle (h2 = p would
+      // collapse them all to h1)
+      .withColumn("h2", pmod(xxhash64(lit(40503L), col("shingle")), lit(p - 1)) + 1)
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -120,16 +122,25 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs at scale: the 64-bit fingerprint splits
-    * into 4 16-bit bands; by pigeonhole any pair with hamming ≤ 3
-    * agrees exactly on ≥1 band, so the candidate join is an equi-join
-    * on (band_idx, band_value) — shuffle O(docs × 4), never all-pairs
-    * — followed by the exact hamming filter (complete for
-    * `maxHamming` ≤ 3; raise the band count for looser thresholds).
+    * into `nBands` equal bands; by pigeonhole any pair with hamming <
+    * nBands agrees exactly on ≥1 band, so the candidate join is an
+    * equi-join on (band_idx, band_value) — shuffle O(docs × bands),
+    * never all-pairs — followed by the exact hamming filter. The band
+    * count is derived from `maxHamming` (next divisor of 64 above it)
+    * so the result is COMPLETE for the requested threshold; narrower
+    * bands trade larger candidate buckets for that completeness.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = Seq(2, 4, 8, 16, 32)
+      .find(_ > maxHamming)
+      .getOrElse(throw new IllegalArgumentException(
+        s"maxHamming=$maxHamming not supported: pigeonhole completeness " +
+          "needs more than 32 bands of a 64-bit fingerprint"))
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
     val fp = simhash(documents)
-    val bands = (0 until 4).map(b => struct(lit(b).as("band_idx"),
-      shiftright(col("simhash64"), b * 16).bitwiseAND(0xFFFFL).as("band_val")))
+    val bands = (0 until nBands).map(b => struct(lit(b).as("band_idx"),
+      shiftright(col("simhash64"), b * width).bitwiseAND(mask).as("band_val")))
     val banded = fp
       .select(col("doc_id"), col("simhash64"),
         explode(array(bands: _*)).as("bv"))

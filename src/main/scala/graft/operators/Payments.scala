@@ -432,7 +432,7 @@ object Payments {
   /** Secret masking / log redaction (kinesis-pay.php:459). */
   def maskLog(events: DataFrame): DataFrame =
     events.select(col("event_id"),
-      regexp_replace(col("props"), "[0-9]+", "***").as("masked_props"))
+      graft.functions.TextFunctions.maskSecret(col("props")).as("masked_props"))
 
   /** Request signing: nonce+method+url+body HMAC-SHA256 upper-hex
     * (kinesis-pay.php:422-424) via the native codegen expression.

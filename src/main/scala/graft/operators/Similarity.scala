@@ -39,6 +39,11 @@ object Similarity {
     * per-pair row machinery — this is the rung-(d) `mapPartitions`
     * escape hatch, used because profiling showed the BNLJ row overhead
     * at 95% of runtime, not the kernel.
+    *
+    * NOTE: building this plan materializes the bounded side (a
+    * collect-sized-by-contract job runs at DataFrame construction),
+    * and the broadcast lives for the session — the same data movement
+    * and lifetime a broadcast-hash join would have, but eager.
     */
   def nearDupPairs(embeddings: DataFrame, bound: Long = 2000,
       threshold: Double = 0.35): DataFrame = {

@@ -36,7 +36,12 @@ object StreamingOps {
     * event-time comparison (late events can't regress the answer),
     * emitted in Update mode. State is one row per active user.
     */
-  case class UserStatus(userId: Long, lastStatus: String, lastTs: Timestamp)
+  /** `lastId` is retained in state so same-timestamp ties resolve by
+    * the SAME (ts, event_id) argmax as batch `Payments.latestStatus`
+    * regardless of how events split across micro-batches.
+    */
+  case class UserStatus(userId: Long, lastStatus: String,
+      lastTs: Timestamp, lastId: Long)
   // public: Catalyst's generated deserializer must reach the class
   case class RawEv(userId: Long, status: String, ts: Timestamp, id: Long)
 
@@ -53,9 +58,9 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (uid: Long, evs: Iterator[RawEv], state: GroupState[UserStatus]) =>
           val latest = (state.getOption.map(s =>
-            RawEv(uid, s.lastStatus, s.lastTs, Long.MinValue)) ++ evs)
+            RawEv(uid, s.lastStatus, s.lastTs, s.lastId)) ++ evs)
             .maxBy(e => (e.ts.getTime, e.id))
-          val next = UserStatus(uid, latest.status, latest.ts)
+          val next = UserStatus(uid, latest.status, latest.ts, latest.id)
           state.update(next)
           next
       }
