@@ -78,7 +78,9 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
-    "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(t(s, d, "documents")))
+    "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(t(s, d, "documents"))),
+    "q_corpus_clean" -> ((s, d) => TextOps.cleanCorpus(t(s, d, "documents"))),
+    "q_train_split" -> ((s, d) => TextOps.trainSplit(t(s, d, "documents")))
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -399,6 +401,27 @@ object SparkEntry {
         |  CAST(320 + (octet_length(encode(text)) * 7) % 1600 AS BIGINT) AS width,
         |  CAST(240 + (octet_length(encode(text)) * 13) % 840 AS BIGINT) AS height,
         |  md5(text) AS checksum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_corpus_clean" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, source,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+        |    md5(text) AS text_hash
+        |  FROM documents
+        |), filtered AS (
+        |  SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        |  FROM scored WHERE n_tok >= 10 AND stop_ratio >= 0.05
+        |)
+        |SELECT doc_id, lang, source, n_tok FROM filtered WHERE rn = 1""".stripMargin,
+    "q_train_split" ->
+      """SELECT split, lang, COUNT(*) AS n_docs
+        |FROM (SELECT doc_id, lang,
+        |        CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 10 THEN 'val'
+        |             WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 20 THEN 'test'
+        |             ELSE 'train' END AS split
+        |      FROM documents)
+        |GROUP BY split, lang""".stripMargin
   )
 }

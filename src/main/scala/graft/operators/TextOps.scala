@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -77,6 +78,51 @@ object TextOps {
   def fingerprint(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
       rollingFingerprint(col("text")).as("fingerprint"))
+
+  /** End-to-end corpus cleaning — the composed filter a training-data
+    * pipeline runs before tokenization: (1) length floor, (2) quality
+    * floor (stopword ratio for the doc's nominal language ≈ prose, not
+    * boilerplate), (3) exact dedup keeping the first occurrence. One
+    * window shuffle keyed by content hash; the quality projections are
+    * scan-local. Emits the surviving docs with their stats.
+    */
+  def cleanCorpus(documents: DataFrame, minTokens: Int = 10,
+      minStopRatio: Double = 0.05): DataFrame = {
+    val toks = tokenize(col("text"))
+    val enWords = stopwords.head._2
+    val scored = documents.select(
+      col("doc_id"), col("lang"), col("source"),
+      size(toks).cast("long").as("n_tok"),
+      (stopwordCount(toks, enWords).cast("double") /
+        size(toks).cast("double")).as("stop_ratio"),
+      md5(col("text")).as("text_hash"))
+    val w = Window.partitionBy("text_hash").orderBy(col("doc_id"))
+    scored
+      .where(col("n_tok") >= minTokens && col("stop_ratio") >= minStopRatio)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_tok")
+  }
+
+  /** Deterministic train/val/test split: a content-hash bucket in
+    * [0,100) routes each doc (md5-derived so the DuckDB oracle can
+    * reproduce it) — stable across runs, clusters, and re-orderings,
+    * which is what makes held-out sets trustworthy. Pure projection +
+    * one count aggregate.
+    */
+  def trainSplit(documents: DataFrame, valPct: Int = 10,
+      testPct: Int = 10): DataFrame = {
+    // first 8 hex chars of md5 → int bucket, identical in DuckDB
+    val bucket = pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long"), lit(100))
+    documents
+      .select(col("doc_id"), col("lang"),
+        when(bucket < valPct, "val")
+          .when(bucket < valPct + testPct, "test")
+          .otherwise("train").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+  }
 
   /** Multimodal-column plumbing: the document body as an opaque
     * `binary` payload plus typed metadata. The "decode" is a STUB —

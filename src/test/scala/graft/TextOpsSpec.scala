@@ -44,6 +44,31 @@ class TextOpsSpec extends SparkSuite {
     assert(Set("jpeg", "png", "webp").contains(r.getAs[String]("format")))
   }
 
+  test("cleanCorpus: drops short/low-quality docs, keeps first of dups") {
+    val longGood = "the cat and the dog of a house is here and the end of it all"
+    val d = Seq(
+      (0L, longGood, "en", "s1"),
+      (1L, longGood, "en", "s2"),                        // exact dup of 0
+      (2L, "short text", "en", "s1"),                    // too short
+      (3L, "xx yy zz aa bb cc dd ee ff gg hh ii", "en", "s1") // no stopwords
+    ).toDF("doc_id", "text", "lang", "source")
+    val kept = TextOps.cleanCorpus(d).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(0L))
+  }
+
+  test("trainSplit: deterministic, partitions every doc exactly once") {
+    val d = (0L until 200L).map(i => (i, s"document number $i with words", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r1 = TextOps.trainSplit(d).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("n_docs"))).toMap
+    val r2 = TextOps.trainSplit(d).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("n_docs"))).toMap
+    assert(r1 == r2)
+    assert(r1.values.sum == 200L)
+    assert(r1.keySet.subsetOf(Set("train", "val", "test")))
+    assert(r1("train") > r1.getOrElse("val", 0L))
+  }
+
   test("maskSecret redacts digit runs") {
     val m = Seq("key=1234 user 56 ok").toDF("s")
       .select(TextFunctions.maskSecret(col("s")).as("m")).as[String].head()
