@@ -68,7 +68,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
-    "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 15)),
+    "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
