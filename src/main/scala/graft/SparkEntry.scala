@@ -80,7 +80,9 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(t(s, d, "documents"))),
     "q_corpus_clean" -> ((s, d) => TextOps.cleanCorpus(t(s, d, "documents"))),
-    "q_train_split" -> ((s, d) => TextOps.trainSplit(t(s, d, "documents")))
+    "q_train_split" -> ((s, d) => TextOps.trainSplit(t(s, d, "documents"))),
+    "q_vocab_topk" -> ((s, d) => TextOps.vocabTopK(t(s, d, "documents"))),
+    "q_bigram_topk" -> ((s, d) => TextOps.bigramTopK(t(s, d, "documents")))
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -422,6 +424,27 @@ object SparkEntry {
         |             WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 20 THEN 'test'
         |             ELSE 'train' END AS split
         |      FROM documents)
-        |GROUP BY split, lang""".stripMargin
+        |GROUP BY split, lang""".stripMargin,
+    "q_vocab_topk" ->
+      """WITH counts AS (
+        |  SELECT token, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY token
+        |)
+        |SELECT token, n, rnk
+        |FROM (SELECT token, n, CAST(rank() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk FROM counts)
+        |WHERE rnk <= 100""".stripMargin,
+    "q_bigram_topk" ->
+      """WITH counts AS (
+        |  SELECT bigram, COUNT(*) AS n
+        |  FROM (SELECT unnest(list_transform(range(len(toks) - 1),
+        |                i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+        |        FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 2)
+        |  GROUP BY bigram
+        |)
+        |SELECT bigram, n, rnk
+        |FROM (SELECT bigram, n, CAST(rank() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS rnk FROM counts)
+        |WHERE rnk <= 50""".stripMargin
   )
 }

@@ -79,6 +79,36 @@ object TextOps {
     documents.select(col("doc_id"),
       rollingFingerprint(col("text")).as("fingerprint"))
 
+  /** Corpus vocabulary: top-k tokens by frequency with rank — the
+    * word-count pass a BPE/vocab build starts from. Explode →
+    * hash-agg (map-side partials collapse the heavy hitters before
+    * the shuffle) → rank on the aggregated set (two-level
+    * WindowGroupLimit keeps the final stage k-sized).
+    */
+  def vocabTopK(documents: DataFrame, k: Int = 100): DataFrame = {
+    val counts = documents
+      .select(explode(tokenize(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("token"))
+    counts.withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Top-k bigrams by frequency — same shape over 2-shingles. */
+  def bigramTopK(documents: DataFrame, k: Int = 50): DataFrame = {
+    val toks = tokenize(col("text"))
+    val counts = documents
+      .where(size(toks) >= 2)
+      .select(explode(shingles(toks, 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** End-to-end corpus cleaning — the composed filter a training-data
     * pipeline runs before tokenization: (1) length floor, (2) quality
     * floor (stopword ratio for the doc's nominal language ≈ prose, not

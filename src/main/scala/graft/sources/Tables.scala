@@ -32,6 +32,13 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Register every table as a temp view so plain `spark.sql` users
+    * can query the star schema directly (the SQL front door, paired
+    * with `GraftExtensions` for the native functions).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
   /** events with `ts` as TimestampType (micros, floor-truncated from ns). */
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {

@@ -69,6 +69,21 @@ class TextOpsSpec extends SparkSuite {
     assert(r1("train") > r1.getOrElse("val", 0L))
   }
 
+  test("vocabTopK and bigramTopK count correctly") {
+    val d = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val v = TextOps.vocabTopK(d, k = 2).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n"))).toMap
+    assert(v == Map("a" -> 3L, "b" -> 2L))
+    val b = TextOps.bigramTopK(d, k = 1).collect()
+    assert(b.head.getAs[String]("bigram") == "a b" && b.head.getAs[Long]("n") == 2L)
+  }
+
+  test("Tables.registerAll exposes the star schema to spark.sql") {
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM events WHERE value > 0").head().getLong(0) > 0)
+  }
+
   test("maskSecret redacts digit runs") {
     val m = Seq("key=1234 user 56 ok").toDF("s")
       .select(TextFunctions.maskSecret(col("s")).as("m")).as[String].head()
