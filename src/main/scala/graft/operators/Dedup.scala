@@ -157,17 +157,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Bounded brute-force token-set Jaccard pairs — the correctness
-    * baseline the oracle checks; the scale path is
-    * [[minhashCandidates]]. Set algebra via exploded-token self-join
-    * (|A∩B| by join, sizes by groupBy), restricted to doc_id < `bound`
-    * and same-language pairs.
+  /** Bounded brute-force Jaccard pairs over distinct `shingleLen`-gram
+    * sets (1 = token sets) — the correctness baseline the oracle
+    * checks; the scale path is [[minhashCandidates]]. Set algebra via
+    * exploded-feature self-join (|A∩B| by join, sizes by groupBy),
+    * restricted to doc_id < `bound` and same-language pairs. With
+    * shingleLen = 3 this measures the same feature space minhash
+    * signatures are built on (used by the recall spec).
     */
   def jaccardPairs(documents: DataFrame, bound: Long = 300,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, shingleLen: Int = 1): DataFrame = {
     val docs = documents.where(col("doc_id") < bound)
     val toks = docs.select(col("doc_id"), col("lang"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
+      explode(graft.functions.TextFunctions.shingles(
+        split(col("text"), " "), shingleLen, distinct = true)).as("tok"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
     val inter = toks.as("a")
       .join(toks.as("b"),

@@ -184,6 +184,48 @@ object Similarity {
       .where(col("rnk") <= k)
   }
 
+  /** Mini Lloyd's k-means over the embedding column — the clustering
+    * pass a data-curation pipeline uses for diversity sampling /
+    * domain balancing. Iterations are driver-coordinated (as in
+    * MLlib): each step is one distributed assign (argmax dot against
+    * broadcast centroid literals) + one element-wise mean aggregate
+    * (posexplode → groupBy(cluster, dim) avg — one shuffle of
+    * n×dim skinny rows); centroids come back to the driver (k×dim
+    * floats, constant-size). Deterministic init from the splitmix
+    * stream. Returns final (vec_id, cluster).
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val e = registered(embeddings).select(col("vec_id"), col("embedding"))
+    var centroids: IndexedSeq[IndexedSeq[Float]] =
+      (0 until k).map(c => (0 until dim).map(d => planeComponent(c + 20011, d)))
+    def assign(cs: IndexedSeq[IndexedSeq[Float]]): DataFrame = {
+      val scored = cs.zipWithIndex.map { case (cvec, i) =>
+        struct(call_function("dot_f32", col("embedding"),
+          unitLit(cvec)).as("d"), lit(i).as("c"))
+      }
+      e.withColumn("cluster",
+        reverse(array_sort(array(scored: _*))).getItem(0).getField("c"))
+    }
+    for (_ <- 0 until iters) {
+      val means = assign(centroids)
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getAs[Int]("cluster"))
+      centroids = (0 until k).map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val m = rows.map(r => r.getAs[Int]("pos") -> r.getAs[Double]("m")).toMap
+            (0 until dim).map(d => m.getOrElse(d, 0.0).toFloat)
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }
+    }
+    assign(centroids).select(col("vec_id"), col("cluster"))
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket with the query in any
     * table; exact cosine re-rank over the deduped candidate set. At
     * scale the join key is (table, bucket) — shuffle is O(n × tables),

@@ -44,6 +44,20 @@ class DedupSpec extends SparkSuite {
       r.getAs[Long]("a_id") == 2L || r.getAs[Long]("b_id") == 2L))
   }
 
+  test("minhash candidates cover every high-shingle-Jaccard pair (recall on real docs)") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.01", "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // truth in the SAME feature space the signatures hash: 3-shingles
+    val truth = pairs(Dedup.jaccardPairs(docs, bound = Long.MaxValue,
+      threshold = 0.8, shingleLen = 3))
+    val cand = pairs(Dedup.minhashCandidates(docs))
+    assert(truth.nonEmpty, "test data should contain high-jaccard near-dups")
+    val missed = truth -- cand
+    assert(missed.isEmpty,
+      s"LSH banding missed ${missed.size}/${truth.size} true pairs: $missed")
+  }
+
   test("jaccard pairs: exact value on crafted overlap") {
     val d = Seq(
       (0L, "alpha beta gamma delta", "en"),

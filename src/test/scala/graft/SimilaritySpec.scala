@@ -42,6 +42,17 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.ivfCells(emb, nCells = 8, nProbe = 4).count() == 4 * n)
   }
 
+  test("kmeansAssign: every vector gets one cluster; assignments are deterministic") {
+    val a1 = Similarity.kmeansAssign(emb, k = 4, iters = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    val a2 = Similarity.kmeansAssign(emb, k = 4, iters = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(a1 == a2)
+    assert(a1.size == emb.count())
+    assert(a1.values.toSet.subsetOf((0 until 4).toSet))
+    assert(a1.values.toSet.size > 1, "clustering must actually split the data")
+  }
+
   test("nearDupPairs agrees with cosine threshold and is symmetric-free") {
     val r = Similarity.nearDupPairs(emb, bound = 50, threshold = 0.3).collect()
     assert(r.forall(x => x.getAs[Long]("a_id") < x.getAs[Long]("b_id")))
