@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSim, DotF32, HmacSha256Hex}
+import graft.plans.{CosineSim, DotF32, HmacSha256Hex, MinHashSketch}
 
 /** Registers graft's native expressions as SQL functions on a session.
   *
@@ -28,6 +28,17 @@ object GraftFunctions {
     Fn("dot_f32", { args =>
       require(args.length == 2, "dot_f32(a, b)")
       DotF32(args(0), args(1))
+    }),
+    // aggregate: the analyzer wraps the returned AggregateFunction
+    Fn("minhash_sketch", { args =>
+      require(args.length == 2 || args.length == 3,
+        "minhash_sketch(h1, h2[, numHashes])")
+      val n = if (args.length == 3) args(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_sketch numHashes must be an int literal, got $other")
+      } else 64
+      MinHashSketch(args(0), args(1), n)
     })
   )
 

@@ -35,27 +35,36 @@ object Dedup {
         explode(graft.functions.TextFunctions.shingles(col("toks"), k)))
       .select("doc_id", "shingle")
 
-  /** MinHash(numHashes) signature per doc — all codegen'd built-ins,
-    * one explode + one groupBy shuffle. The hash family is
-    * Kirsch-Mitzenmacher: h_i = (h1 + i*h2) mod p over two base
-    * xxhash64 string hashes, so each shingle is *hashed twice*, not
-    * `numHashes` times (the string hashing dominates the kernel;
-    * the per-i work is three integer ops). p = 2^31-1 keeps
-    * h1 + 63*h2 far from long overflow under ANSI mode.
+  /** MinHash(numHashes) signature per doc as an array column — one
+    * explode + one groupBy shuffle whose aggregate is the custom
+    * [[graft.plans.MinHashSketch]] (single imperative buffer update;
+    * a 64-column `min` agg costs ~6 s of one-shot codegen compile).
+    * The hash family is Kirsch-Mitzenmacher: h_i = (h1 + i*h2) mod p
+    * over two base xxhash64 string hashes, so each shingle is *hashed
+    * twice*, not `numHashes` times. h2 lands in [1, p-1] (never ≡ 0
+    * mod p, which would collapse all h_i to h1).
+    */
+  def minhashSketch(documents: DataFrame, numHashes: Int = 64,
+      shingleLen: Int = 3): DataFrame = {
+    graft.GraftFunctions.register(documents.sparkSession)
+    val p = 2147483647L // 2^31 - 1
+    shingled(documents, shingleLen)
+      .withColumn("h1", pmod(xxhash64(col("shingle")), lit(p)))
+      .withColumn("h2", pmod(xxhash64(lit(40503L), col("shingle")), lit(p - 1)) + 1)
+      .groupBy("doc_id")
+      .agg(call_function("minhash_sketch", col("h1"), col("h2"),
+        lit(numHashes)).as("sig"))
+  }
+
+  /** Wide (mh_0..mh_n-1 columns) view of [[minhashSketch]] for API
+    * consumers that want per-hash columns.
     */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 64,
       shingleLen: Int = 3): DataFrame = {
-    val p = 2147483647L // 2^31 - 1
-    val aggs = (0 until numHashes).map(i =>
-      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(p))).as(s"mh_$i"))
-    shingled(documents, shingleLen)
-      .withColumn("h1", pmod(xxhash64(col("shingle")), lit(p)))
-      // h2 in [1, p-1]: pmod(x, p-1)+1 can never be ≡ 0 (mod p), so
-      // the h_i are genuinely distinct per shingle (h2 = p would
-      // collapse them all to h1)
-      .withColumn("h2", pmod(xxhash64(lit(40503L), col("shingle")), lit(p - 1)) + 1)
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
+    val sk = minhashSketch(documents, numHashes, shingleLen)
+    sk.select(col("doc_id") +:
+      (0 until numHashes).map(i =>
+        element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
   }
 
   /** LSH banding over the MinHash signature: `bands` bands of
@@ -73,9 +82,10 @@ object Dedup {
   def minhashCandidates(documents: DataFrame, numHashes: Int = 64,
       bands: Int = 16, shingleLen: Int = 3, bucketCap: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(documents, numHashes, shingleLen)
+    val sigs = minhashSketch(documents, numHashes, shingleLen)
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      val cols = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band_idx"),
         xxhash64(cols: _*).as("band_hash"))
     }
