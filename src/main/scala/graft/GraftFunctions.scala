@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSim, DotF32, HmacSha256Hex, MinHashSketch}
+import graft.plans.{CosineSim, DotF32, HmacSha256Hex, MinHashSketch, SimHash64Agg}
 
 /** Registers graft's native expressions as SQL functions on a session.
   *
@@ -39,6 +39,10 @@ object GraftFunctions {
           s"minhash_sketch numHashes must be an int literal, got $other")
       } else 64
       MinHashSketch(args(0), args(1), n)
+    }),
+    Fn("simhash64_agg", { args =>
+      require(args.length == 1, "simhash64_agg(h)")
+      SimHash64Agg(args(0))
     })
   )
 

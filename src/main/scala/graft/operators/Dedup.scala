@@ -111,20 +111,18 @@ object Dedup {
   }
 
   /** SimHash-64 fingerprint per doc: per-token xxhash64, signed bit
-    * contributions summed per bit position, sign → bit. 64 partial-agg
-    * sums over one shuffle (no 64× row explosion).
+    * contributions summed per bit position, sign → bit — aggregated by
+    * the custom [[graft.plans.SimHash64Agg]] (one buffer update per
+    * token; partial aggregation merges by addition over one shuffle,
+    * no 64× row explosion, no 64-column generated agg).
     */
   def simhash(documents: DataFrame): DataFrame = {
-    val toks = documents
+    graft.GraftFunctions.register(documents.sparkSession)
+    documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1L) * 2 - 1).as(s"s_$j"))
-    val summed = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64)
-      .map(j => when(col(s"s_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
-    summed.select(col("doc_id"), fp.as("simhash64"))
+      .groupBy("doc_id")
+      .agg(call_function("simhash64_agg", col("h")).as("simhash64"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
