@@ -75,5 +75,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo("graft", "dot_f32"),
       (args: Seq[Expression]) => DotF32(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo("graft", "minhash_sketch"),
+      (args: Seq[Expression]) => MinHashSketch(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64_agg"),
+      new ExpressionInfo("graft", "simhash64_agg"),
+      (args: Seq[Expression]) => SimHash64Agg(args(0))))
   }
 }
