@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSim, DotF32, HmacSha256Hex, MinHashSketch, SimHash64Agg}
+import graft.plans.{CosineSim, DotF32, HmacSha256Hex, MinHashSketch, SimHash64Agg, VectorMeanAgg}
 
 /** Registers graft's native expressions as SQL functions on a session.
   *
@@ -43,6 +43,15 @@ object GraftFunctions {
     Fn("simhash64_agg", { args =>
       require(args.length == 1, "simhash64_agg(h)")
       SimHash64Agg(args(0))
+    }),
+    Fn("vector_mean", { args =>
+      require(args.length == 1 || args.length == 2, "vector_mean(v[, dim])")
+      val d = if (args.length == 2) args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"vector_mean dim must be an int literal, got $other")
+      } else 64
+      VectorMeanAgg(args(0), d)
     })
   )
 
@@ -83,5 +92,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("simhash64_agg"),
       new ExpressionInfo("graft", "simhash64_agg"),
       (args: Seq[Expression]) => SimHash64Agg(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("vector_mean"),
+      new ExpressionInfo("graft", "vector_mean"),
+      (args: Seq[Expression]) => VectorMeanAgg(args(0))))
   }
 }

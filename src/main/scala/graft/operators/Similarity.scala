@@ -208,17 +208,17 @@ object Similarity {
         reverse(array_sort(array(scored: _*))).getItem(0).getField("c"))
     }
     for (_ <- 0 until iters) {
+      // centroid update = one vector_mean aggregate per cluster (the
+      // custom VectorMeanAgg: dim+1 doubles per partial, k rows back
+      // to the driver — constant-size regardless of corpus)
       val means = assign(centroids)
-        .select(col("cluster"), posexplode(col("embedding")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(call_function("vector_mean", col("embedding"), lit(dim)).as("m"))
         .collect()
-      val byCluster = means.groupBy(_.getAs[Int]("cluster"))
+        .map(r => r.getAs[Int]("cluster") -> r.getSeq[Double](1)).toMap
       centroids = (0 until k).map { c =>
-        byCluster.get(c) match {
-          case Some(rows) =>
-            val m = rows.map(r => r.getAs[Int]("pos") -> r.getAs[Double]("m")).toMap
-            (0 until dim).map(d => m.getOrElse(d, 0.0).toFloat)
+        means.get(c) match {
+          case Some(m) => m.map(_.toFloat).toIndexedSeq
           case None => centroids(c) // empty cluster keeps its centroid
         }
       }

@@ -47,4 +47,23 @@ class MinHashSketchSpec extends AnyFunSuite {
     val b = agg.update(agg.createAggregationBuffer(), InternalRow(null, 5L))
     assert(b.forall(_ == Long.MaxValue))
   }
+
+  test("VectorMeanAgg: mean over updates and merged partials; null when empty") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.plans.VectorMeanAgg
+    val vm = VectorMeanAgg(
+      BoundReference(0, ArrayType(FloatType), nullable = true), dim = 3)
+    def row(xs: Float*) = InternalRow(new GenericArrayData(xs.toArray))
+    val b1 = vm.update(vm.update(vm.createAggregationBuffer(),
+      row(1f, 2f, 3f)), row(3f, 4f, 5f))
+    assert(vm.eval(b1).asInstanceOf[GenericArrayData].toDoubleArray().toSeq ==
+      Seq(2.0, 3.0, 4.0))
+    // merge of partials equals single-pass
+    val bl = vm.update(vm.createAggregationBuffer(), row(1f, 2f, 3f))
+    val br = vm.update(vm.createAggregationBuffer(), row(3f, 4f, 5f))
+    assert(vm.eval(vm.merge(bl, br)).asInstanceOf[GenericArrayData]
+      .toDoubleArray().toSeq == Seq(2.0, 3.0, 4.0))
+    assert(vm.eval(vm.createAggregationBuffer()) == null)
+  }
 }
