@@ -96,5 +96,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("vector_mean"),
       new ExpressionInfo("graft", "vector_mean"),
       (args: Seq[Expression]) => VectorMeanAgg(args(0))))
+    ext.injectOptimizerRule(_ => graft.plans.CosineSignToDot)
   }
 }
