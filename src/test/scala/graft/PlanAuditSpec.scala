@@ -14,6 +14,10 @@ class PlanAuditSpec extends SparkSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("entry() flagship returns rows (the driver smoke-check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q1_agg: shipdate filter and column pruning reach the parquet scan") {
     val p = plan(Payments.pricingSummary(Tables(spark, dir, "lineitem")))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
