@@ -66,6 +66,22 @@ object StreamingOps {
       }
   }
 
+  /** Event-time sessionization on the stream: Spark's native
+    * `session_window` (gap-merged windows, watermark-closed) — the
+    * streaming dual of the batch gaps-and-islands `sessionStats`.
+    * State per open session only.
+    */
+  def sessionFunnel(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** At-most-once admission: drop duplicate event ids arriving within
     * the watermark horizon (the reference's "transaction already
     * processed" guard, kinesis-pay.php:515-530, as a stream op).

@@ -63,6 +63,31 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionFunnel: gap-merged sessions close on the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.sessionFunnel(df, gap = "30 minutes",
+      watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        (2L, ts("2024-01-01 10:10:00"), 1L, "view", 2.0), // merges (gap 10m)
+        (3L, ts("2024-01-01 12:00:00"), 1L, "view", 4.0)) // new session
+      q.processAllAvailable()
+      input.addData((4L, ts("2024-01-01 15:00:00"), 2L, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Timestamp]("sess_start"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(out.contains((ts("2024-01-01 10:00:00"), 1L, 2L, 3.0)))
+      assert(out.contains((ts("2024-01-01 12:00:00"), 1L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("dedupedEvents: duplicate event ids within the horizon are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
