@@ -20,6 +20,12 @@ object MultimodalOps {
   case class MediaFeatures(docId: Long, width: Int, height: Int,
       nFrames: Int, feature: Array[Float])
 
+  /** Stub frame count shared by decodeBatch and frameSample so a real
+    * codec binding replaces ONE formula, not two drifting copies.
+    */
+  private[operators] def frameCount(payload: Array[Byte], format: String): Int =
+    if (format == "video") 1 + (payload.length % 16) else 1
+
   /** STUB decoder — replace with a real codec binding in production.
     * Deterministic in the payload bytes; one call per batch.
     */
@@ -30,7 +36,7 @@ object MultimodalOps {
       MediaFeatures(m.docId,
         width = 320 + (n * 7) % 1600,
         height = 240 + (n * 13) % 840,
-        nFrames = if (m.format == "video") 1 + (n % 16) else 1,
+        nFrames = frameCount(m.payload, m.format),
         feature = Array.tabulate(8)(i => ((sum + i * 31) % 997).toFloat / 997f))
     }
 
@@ -56,9 +62,12 @@ object MultimodalOps {
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
     implicit val enc = Encoders.product[ResizedMedia]
     media.mapPartitions(_.map { m =>
-      val outLen = math.max(1, math.min(m.payload.length, w * h / 64))
-      ResizedMedia(m.docId, w, h,
-        Array.tabulate(outLen)(i => (m.payload(i % m.payload.length) ^ (w + h)).toByte))
+      if (m.payload.isEmpty) ResizedMedia(m.docId, w, h, Array.emptyByteArray)
+      else {
+        val outLen = math.max(1, math.min(m.payload.length, w * h / 64))
+        ResizedMedia(m.docId, w, h,
+          Array.tabulate(outLen)(i => (m.payload(i % m.payload.length) ^ (w + h)).toByte))
+      }
     })
   }
 
@@ -72,9 +81,9 @@ object MultimodalOps {
   def frameSample(media: Dataset[MediaRow], everyN: Int = 4): Dataset[Frame] = {
     implicit val enc = Encoders.product[Frame]
     media.mapPartitions(_.flatMap { m =>
-      val nFrames = if (m.format == "video") 1 + (m.payload.length % 16) else 1
-      (0 until nFrames by everyN).map(i =>
-        Frame(m.docId, i, Array(m.payload((i % m.payload.length)), i.toByte)))
+      if (m.payload.isEmpty) Iterator.empty // nothing to decode
+      else (0 until frameCount(m.payload, m.format) by everyN).iterator.map(i =>
+        Frame(m.docId, i, Array(m.payload(i % m.payload.length), i.toByte)))
     })
   }
 }

@@ -43,6 +43,8 @@ object CosUtil {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // null elements invalidate the vector (NOT silently read as 0)
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y

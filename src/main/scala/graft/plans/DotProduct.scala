@@ -14,6 +14,8 @@ object DotUtil {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // null elements invalidate the vector (NOT silently read as 0)
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

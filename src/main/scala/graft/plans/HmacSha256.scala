@@ -14,15 +14,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * thread-safe, so they are cached per thread.
   */
 object HmacUtil {
-  private val macs = new ThreadLocal[Mac] {
-    override def initialValue(): Mac = Mac.getInstance("HmacSHA256")
+  private final class State {
+    val mac: Mac = Mac.getInstance("HmacSHA256")
+    var lastKey: Array[Byte] = null
+  }
+  private val states = new ThreadLocal[State] {
+    override def initialValue(): State = new State
   }
   private val HEX = "0123456789ABCDEF".toCharArray
+  // HMAC pads the key with zeros to the block size, so the empty key
+  // (which SecretKeySpec rejects) is equivalent to a zero block —
+  // matches PHP hash_hmac('SHA256', ..., '').
+  private val EMPTY_KEY = new Array[Byte](64)
 
   def hmacHexUtf8(data: UTF8String, key: UTF8String): UTF8String = {
-    val mac = macs.get()
-    mac.init(new SecretKeySpec(key.getBytes, "HmacSHA256"))
-    val raw = mac.doFinal(data.getBytes)
+    val st = states.get()
+    val kb0 = key.getBytes
+    val kb = if (kb0.length == 0) EMPTY_KEY else kb0
+    // constant-key fast path: skip the per-row key schedule re-init
+    if (st.lastKey == null || !java.util.Arrays.equals(st.lastKey, kb)) {
+      st.mac.init(new SecretKeySpec(kb, "HmacSHA256"))
+      st.lastKey = kb.clone()
+    } else {
+      st.mac.reset()
+    }
+    val raw = st.mac.doFinal(data.getBytes)
     val out = new Array[Char](raw.length * 2)
     var i = 0
     while (i < raw.length) {

@@ -50,8 +50,11 @@ case class MinHashSketch(
     val a = h1.eval(input)
     val b = h2.eval(input)
     if (a != null && b != null) {
-      val x = a.asInstanceOf[Long]
-      val y = b.asInstanceOf[Long]
+      // reduce mod P here so the public SQL function is safe for raw
+      // full-range 64-bit hashes, not just pre-reduced callers
+      // (unreduced i*y would overflow Long and yield negative mins)
+      val x = Math.floorMod(a.asInstanceOf[Long], P)
+      val y = Math.floorMod(b.asInstanceOf[Long], P)
       var i = 0
       while (i < numHashes) {
         val v = (x + i * y) % P

@@ -33,8 +33,15 @@ object StreamingOps {
 
   /** Live latest-status per user (the streaming dual of the batch
     * `Payments.latestStatus` argmax): tiny per-key state updated by
-    * event-time comparison (late events can't regress the answer),
-    * emitted in Update mode. State is one row per active user.
+    * event-time comparison, emitted in Update mode.
+    *
+    * State contract — the exception to this object's watermark-bounded
+    * rule: "latest per user" inherently needs one row per distinct
+    * user, so state is O(user cardinality), NOT O(stream) and NOT
+    * watermark-evicted. For unbounded key universes (e.g. session ids
+    * rather than users), wrap with a timeout-based TTL or periodically
+    * snapshot-and-restart; as written it fits the reference's
+    * bounded-membership domain.
     */
   /** `lastId` is retained in state so same-timestamp ties resolve by
     * the SAME (ts, event_id) argmax as batch `Payments.latestStatus`

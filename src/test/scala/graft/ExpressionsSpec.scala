@@ -32,6 +32,38 @@ class ExpressionsSpec extends SparkSuite {
     assert(out.count(_.isDefined) == 1 && out.count(_.isEmpty) == 1)
   }
 
+  test("hmac_sha256_hex: empty key matches PHP hash_hmac semantics") {
+    GraftFunctions.register(spark)
+    // php: strtoupper(hash_hmac('sha256', '', '')) — HMAC zero-pads
+    // the empty key to the block size
+    val r = spark.sql("SELECT hmac_sha256_hex('', '') AS h").as[String].head()
+    assert(r ==
+      "B613679A0814D9EC772F95D778C35FC5FF1697C493715653C6C712144292C5AD")
+  }
+
+  test("cosine_sim/dot_f32: null array elements yield NaN, not zero-substitution") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c,
+        |        dot_f32(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |                array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d
+        |""".stripMargin).collect().head
+    assert(got.getDouble(0).isNaN && got.getDouble(1).isNaN)
+  }
+
+  test("minhash_sketch is safe for raw full-range 64-bit hash inputs") {
+    GraftFunctions.register(spark)
+    val sig = spark.sql(
+      """SELECT minhash_sketch(h1, h2, 8) AS sig
+        |FROM (SELECT xxhash64(v) AS h1, xxhash64(41, v) AS h2
+        |      FROM VALUES ('a'), ('b'), ('c') AS t(v))""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 8)
+    assert(sig.forall(v => v >= 0 && v < 2147483647L),
+      s"sketch values must stay in [0, p): $sig")
+  }
+
   test("cosine_sim matches hand-computed value") {
     GraftFunctions.register(spark)
     val got = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")

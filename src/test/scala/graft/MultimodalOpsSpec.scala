@@ -35,6 +35,18 @@ class MultimodalOpsSpec extends SparkSuite {
     assert(r1.map(_.payload.toSeq).toSeq == r2.map(_.payload.toSeq).toSeq)
   }
 
+  test("empty payloads do not crash resize/frameSample") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    val m = spark.createDataset(Seq(
+      MediaRow(0L, Array.emptyByteArray, "image"),
+      MediaRow(1L, Array.emptyByteArray, "video"),
+      MediaRow(2L, "x".getBytes, "image")))
+    assert(MultimodalOps.resize(m, 32, 32).collect().length == 3)
+    // empty payloads produce no frames; non-empty image produces one
+    assert(MultimodalOps.frameSample(m).collect().map(_.docId).toSeq == Seq(2L))
+    assert(MultimodalOps.extractFeatures(m).collect().length == 3)
+  }
+
   test("frameSample: every-Nth frame for videos, single frame for images") {
     val frames = MultimodalOps.frameSample(media, everyN = 4).collect()
     val byDoc = frames.groupBy(_.docId)
