@@ -20,9 +20,16 @@ object TextFunctions {
   def bpeIshTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpeIshPattern), lit(0))
 
-  /** k-word shingles of a token array. Not deduped by default: the
-    * minhash consumer is a min-aggregate (duplicate-insensitive), so
-    * the per-doc distinct pass would be pure overhead there.
+  /** k-word shingles of a token array (array-valued form). Not deduped
+    * by default: the minhash consumer is a min-aggregate
+    * (duplicate-insensitive), so the per-doc distinct pass would be
+    * pure overhead there.
+    *
+    * NOTE: `transform` is a HigherOrderFunction and evaluates its
+    * lambda *interpreted* (outside codegen) — fine for bounded
+    * baselines, but hot paths should use [[shingleStructs]] +
+    * [[shingleFromStruct]] (explode the zip, then a codegen'd
+    * projection), which measured ~10× faster at 50M shingles.
     */
   def shingles(toks: Column, k: Int, distinct: Boolean = false): Column = {
     val sh = transform(
@@ -30,6 +37,21 @@ object TextFunctions {
       i => concat_ws(" ", slice(toks, i + 1, lit(k))))
     if (distinct) array_distinct(sh) else sh
   }
+
+  /** Codegen-friendly shingling, step 1: zip the k shifted slices of
+    * the token array into an array of k-field structs (one per
+    * shingle). No lambdas — `arrays_zip`/`slice` are ordinary codegen
+    * expressions.
+    */
+  def shingleStructs(toks: Column, k: Int): Column =
+    arrays_zip((0 until k).map(i =>
+      slice(toks, lit(i + 1), size(toks) - (k - 1))): _*)
+
+  /** Step 2 (after exploding step 1): join one struct's fields into
+    * the shingle string — a plain codegen'd projection.
+    */
+  def shingleFromStruct(z: Column, k: Int): Column =
+    concat_ws(" ", (0 until k).map(i => z.getField(i.toString)): _*)
 
   /** Per-language stopword marker sets for the lang-ID heuristic.
     * Deterministic preference order on ties: en > de > fr > es.

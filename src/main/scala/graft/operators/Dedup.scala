@@ -22,18 +22,20 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Tokenize → k-word shingles, exploded. Duplicate shingles are NOT
-    * deduped: the only consumer is a min-aggregate, which is
-    * duplicate-insensitive, so the per-doc array_distinct pass would
-    * be pure overhead.
+  /** Tokenize → k-word shingles, exploded via the codegen-friendly
+    * zip form (an interpreted `transform` lambda here cost ~10× at
+    * 50M shingles — see TextFunctions.shingleStructs). Duplicate
+    * shingles are NOT deduped: the only consumer is a min-aggregate,
+    * which is duplicate-insensitive.
     */
-  private def shingled(documents: DataFrame, k: Int): DataFrame =
+  private def shingled(documents: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TextFunctions.{shingleFromStruct, shingleStructs}
     documents
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= k)
-      .withColumn("shingle",
-        explode(graft.functions.TextFunctions.shingles(col("toks"), k)))
-      .select("doc_id", "shingle")
+      .select(col("doc_id"), explode(shingleStructs(col("toks"), k)).as("z"))
+      .select(col("doc_id"), shingleFromStruct(col("z"), k).as("shingle"))
+  }
 
   /** MinHash(numHashes) signature per doc as an array column — one
     * explode + one groupBy shuffle whose aggregate is the custom
