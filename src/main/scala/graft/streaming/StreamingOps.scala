@@ -73,6 +73,60 @@ object StreamingOps {
       }
   }
 
+  /** One event of the rate/purchase stream, keyed by currency. */
+  case class XEv(currency: String, ts: Timestamp, id: Long,
+      isPurchase: Boolean, value: Double)
+  case class XRate(eventId: Long, currency: String, rate: Double,
+      payAmount: Double)
+  // public: Catalyst's generated state serializer must reach the class
+  case class LastRate(tsMs: Long, id: Long, rate: Double)
+
+  /** Streaming as-of rate enrichment — the live dual of the batch
+    * `Payments.xrateAsof`: per-currency state holds the latest tick
+    * (event-time compared, so an old tick arriving late cannot regress
+    * it), and each purchase is enriched at arrival with the current
+    * rate. Purchases before any tick are dropped, as in batch. State
+    * is one (ts, id, rate) triple per currency — constant.
+    *
+    * At-arrival semantics (inherent to streaming): a tick arriving
+    * *after* a purchase it would have priced in event time cannot
+    * retro-correct the already-emitted row; the batch operator is the
+    * reconciliation path for that.
+    */
+  def xrateEnrich(events: DataFrame): Dataset[XRate] = {
+    implicit val evEnc = Encoders.product[XEv]
+    implicit val outEnc = Encoders.product[XRate]
+    implicit val stEnc = Encoders.product[LastRate]
+    implicit val keyEnc = Encoders.STRING
+    events
+      .where(col("event_type").isin("click", "purchase"))
+      .where(col("event_type") =!= "click" || col("value") =!= 0) // invalid quotes
+      .select(
+        when(col("event_id") % 2 === 0, "KAU").otherwise("KAG").as("currency"),
+        col("ts"), col("event_id").as("id"),
+        (col("event_type") === "purchase").as("isPurchase"),
+        col("value"))
+      .as[XEv]
+      .groupByKey(_.currency)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (cur: String, evs: Iterator[XEv], state: GroupState[LastRate]) => {
+          val out = Seq.newBuilder[XRate]
+          var last = state.getOption
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.id)).foreach { e =>
+            if (!e.isPurchase) {
+              if (last.forall(l => l.tsMs < e.ts.getTime ||
+                  (l.tsMs == e.ts.getTime && l.id < e.id)))
+                last = Some(LastRate(e.ts.getTime, e.id, e.value))
+            } else last.foreach { l =>
+              out += XRate(e.id, cur, l.rate, e.value / l.rate)
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** Event-time sessionization on the stream: Spark's native
     * `session_window` (gap-merged windows, watermark-closed) — the
     * streaming dual of the batch gaps-and-islands `sessionStats`.

@@ -63,6 +63,32 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("xrateEnrich: purchases priced at the latest prior tick, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.xrateEnrich(df)
+      .writeStream.format("memory").queryName("xrate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 9.0), // KAG, no tick yet -> dropped
+        (3L, ts("2024-01-01 10:01:00"), 1L, "click", 2.0),    // KAG tick @2
+        (5L, ts("2024-01-01 10:02:00"), 1L, "purchase", 8.0)) // KAG -> rate 2, amt 4
+      q.processAllAvailable()
+      // next batch: state carried; also a LATE old tick must not regress
+      input.addData(
+        (7L, ts("2024-01-01 09:00:00"), 1L, "click", 1000.0), // late, older than state
+        (9L, ts("2024-01-01 10:10:00"), 1L, "purchase", 6.0)) // KAG -> still rate 2
+      q.processAllAvailable()
+      val out = spark.table("xrate_out").collect()
+        .map(r => (r.getAs[Long]("eventId"), r.getAs[Double]("rate"),
+          r.getAs[Double]("payAmount"))).toSet
+      assert(out == Set((5L, 2.0, 4.0), (9L, 2.0, 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionFunnel: gap-merged sessions close on the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
