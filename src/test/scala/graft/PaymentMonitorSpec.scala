@@ -50,4 +50,25 @@ class PaymentMonitorSpec extends SparkSuite {
       assert(p2.getAs[Timestamp]("resolvedTs") == ts("2024-01-01 10:10:10"))
     } finally q.stop()
   }
+
+  test("duplicate creates and orphan terminals are ignored") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PaymentEvent]
+    val q = PaymentMonitor.outcomes(input.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("edge_outcomes")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        PaymentEvent(1L, ts("2024-01-01 10:00:00"), "create"),
+        PaymentEvent(1L, ts("2024-01-01 10:01:00"), "create"),    // dup: ignored
+        PaymentEvent(2L, ts("2024-01-01 10:02:00"), "processed"), // orphan: ignored
+        PaymentEvent(1L, ts("2024-01-01 10:03:00"), "processed"))
+      q.processAllAvailable()
+      val out = spark.table("edge_outcomes").collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[Long]("paymentId") == 1L)
+      // createdTs is the FIRST create, not the duplicate
+      assert(out.head.getAs[Timestamp]("createdTs") == ts("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
 }
