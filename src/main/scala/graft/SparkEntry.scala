@@ -83,6 +83,7 @@ object SparkEntry {
     "q_corpus_clean" -> ((s, d) => TextOps.cleanCorpus(t(s, d, "documents"))),
     "q_train_split" -> ((s, d) => TextOps.trainSplit(t(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) => TextOps.vocabTopK(t(s, d, "documents"))),
+    "q_tfidf_top" -> ((s, d) => TextOps.tfidfTop(t(s, d, "documents"))),
     "q_bigram_topk" -> ((s, d) => TextOps.bigramTopK(t(s, d, "documents")))
   )
 
@@ -435,6 +436,26 @@ object SparkEntry {
         |SELECT token, n, rnk
         |FROM (SELECT token, n, CAST(rank() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk FROM counts)
         |WHERE rnk <= 100""".stripMargin,
+    "q_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE doc_id < 100 GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS nd FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.tok AS tok,
+        |    ROUND(tf * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        |)
+        |SELECT doc_id, tok, tfidf, rnk
+        |FROM (SELECT doc_id, tok, tfidf,
+        |        CAST(rank() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS BIGINT) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
     "q_bigram_topk" ->
       """WITH counts AS (
         |  SELECT bigram, COUNT(*) AS n

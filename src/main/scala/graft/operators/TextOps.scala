@@ -79,6 +79,32 @@ object TextOps {
     documents.select(col("doc_id"),
       rollingFingerprint(col("text")).as("fingerprint"))
 
+  /** TF-IDF top terms per document (bounded output side; corpus
+    * statistics stay global): tf = per-doc term counts, df = exact
+    * distinct-doc counts, score = tf·ln(N/df) rounded 6dp BEFORE the
+    * rank (ln's last ulp may differ across engines' libm). Shapes:
+    * two keyed aggregates + a broadcast of the single-row corpus
+    * count — no driver-side actions.
+    */
+  def tfidfTop(documents: DataFrame, docBound: Long = 100, k: Int = 3): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val tf = toks.where(col("doc_id") < docBound)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val n = documents.agg(count(lit(1)).as("nd"))
+    val scored = tf
+      .join(df, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(col("nd").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency with rank — the
     * word-count pass a BPE/vocab build starts from. Explode →
     * hash-agg (map-side partials collapse the heavy hitters before
