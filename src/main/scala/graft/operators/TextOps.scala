@@ -87,12 +87,16 @@ object TextOps {
     * count — no driver-side actions.
     */
   def tfidfTop(documents: DataFrame, docBound: Long = 100, k: Int = 3): DataFrame = {
-    val toks = documents
+    // Both tf and df derive from ONE (doc, tok) aggregate: the
+    // branches share an identical subtree, so Spark's ReusedExchange
+    // runs the explode + first aggregation once (df = row count per
+    // token of tfAll ≡ exact distinct-doc count).
+    val tfAll = documents
       .select(col("doc_id"), explode(tokenize(col("text"))).as("tok"))
       .where(col("tok") =!= "")
-    val tf = toks.where(col("doc_id") < docBound)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = tfAll.where(col("doc_id") < docBound)
+    val df = tfAll.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("nd"))
     val scored = tf
       .join(df, "tok")

@@ -22,6 +22,8 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(names.contains(name),
+      s"unknown table '$name'; expected one of: ${names.mkString(", ")}")
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS): Spark only reads it with
       // the legacy nanos-as-long flag (runtime session conf — set here

@@ -21,4 +21,21 @@ class InvoiceLogSpec extends SparkSuite {
     assert(rows(1).getAs[String]("note") == "token=*** paid")
     assert(rows(1).getAs[Double]("amount") == 20.0)
   }
+
+  test("streaming JSONL sink appends redacted records") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("invstream").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("invoice_id", "note")
+    val q = InvoiceLog.writeStream(df, s"$base/log", s"$base/ckpt")
+    try {
+      input.addData((1L, "card 4111 paid"), (2L, "ok"))
+      q.processAllAvailable()
+      val back = InvoiceLog.read(spark, s"$base/log", schemaOf = Some(df))
+        .orderBy("invoice_id").collect()
+      assert(back.length == 2)
+      assert(back(0).getAs[String]("note") == "card *** paid")
+    } finally q.stop()
+  }
 }
