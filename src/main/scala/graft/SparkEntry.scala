@@ -67,6 +67,7 @@ object SparkEntry {
     // ── §2B LLM-data-pipeline operators ───────────────────────────
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
+    "q_dedup_minhash_verified" -> ((s, d) => Dedup.minhashVerifiedPairs(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),

@@ -112,6 +112,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Stage 2 of MinHash dedup: estimate Jaccard for each candidate
+    * pair as the fraction of agreeing signature positions (an
+    * unbiased estimator of shingle-set Jaccard) and keep pairs above
+    * `threshold`. Joining signatures back happens only for the
+    * candidate set — tiny relative to the corpus — so the interpreted
+    * zip_with lambda here is off the hot path by construction.
+    */
+  def minhashVerifiedPairs(documents: DataFrame, threshold: Double = 0.7,
+      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+      bucketCap: Int = 10000): DataFrame = {
+    val sigs = minhashSketch(documents, numHashes, shingleLen)
+    val cand = minhashCandidates(documents, numHashes, bands, shingleLen, bucketCap)
+    cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), b -> b))") /
+          lit(numHashes.toDouble))
+      .where(col("est_jaccard") >= threshold)
+      .select("a_id", "b_id", "est_jaccard")
+  }
+
   /** SimHash-64 fingerprint per doc: per-token xxhash64, signed bit
     * contributions summed per bit position, sign → bit — aggregated by
     * the custom [[graft.plans.SimHash64Agg]] (one buffer update per

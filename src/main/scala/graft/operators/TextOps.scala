@@ -87,10 +87,12 @@ object TextOps {
     * count — no driver-side actions.
     */
   def tfidfTop(documents: DataFrame, docBound: Long = 100, k: Int = 3): DataFrame = {
-    // Both tf and df derive from ONE (doc, tok) aggregate: the
-    // branches share an identical subtree, so Spark's ReusedExchange
-    // runs the explode + first aggregation once (df = row count per
-    // token of tfAll ≡ exact distinct-doc count).
+    // tf and df both derive from one (doc, tok) aggregate expression;
+    // Catalyst then specializes the branches better than a forced
+    // shared subtree would: the doc bound is pushed into the tf
+    // branch's parquet scan (tiny read) while df keeps the global
+    // scan — asserted in PlanAuditSpec. (df = row count per token of
+    // tfAll ≡ exact distinct-doc count.)
     val tfAll = documents
       .select(col("doc_id"), explode(tokenize(col("text"))).as("tok"))
       .where(col("tok") =!= "")

@@ -34,6 +34,14 @@ class DedupSpec extends SparkSuite {
     assert(ham(0L, 1L) < ham(0L, 2L))
   }
 
+  test("minhashVerifiedPairs: exact dup estimates 1.0, threshold filters") {
+    val pairs = Dedup.minhashVerifiedPairs(docs, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("est_jaccard")))
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 3L && j == 1.0 })
+    assert(pairs.forall(_._3 >= 0.9))
+  }
+
   test("simhashPairs: finds identical docs via band join, respects hamming cap") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     assert(pairs.exists(r =>

@@ -57,6 +57,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"))
   }
 
+  test("tfidfTop: doc bound pushed into the tf scan; df scan stays global") {
+    val p = plan(graft.operators.TextOps.tfidfTop(
+      Tables(spark, dir, "documents")))
+    // Catalyst specializes the shared subtree: the bounded tf branch
+    // reads only doc_id < 100 at the scan, the df branch reads all
+    assert(p.contains("LessThan(doc_id,100)"),
+      s"tf branch must push the doc bound to parquet:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans >= 2, "df branch keeps its own global scan")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val p = plan(Payments.hmacSign(Tables(spark, dir, "events")))
     // the signature projection must carry the codegen-stage marker
