@@ -38,8 +38,10 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
     val results = ordered.map { case (n, f) =>
-      val t2 = if (pass1(n) < 0) -1.0 else timeOnce(n, f)
-      n -> (if (t2 < 0) -1.0 else math.min(pass1(n), t2))
+      val t1 = pass1(n)
+      val t2 = if (t1 < 0) -1.0 else timeOnce(n, f)
+      // a transient pass-2 failure must not discard a valid pass-1 time
+      n -> (if (t1 < 0) -1.0 else if (t2 < 0) t1 else math.min(t1, t2))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -32,9 +32,13 @@ object TextFunctions {
     * projection), which measured ~10× faster at 50M shingles.
     */
   def shingles(toks: Column, k: Int, distinct: Boolean = false): Column = {
-    val sh = transform(
-      sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    // guard: fewer than k tokens means no shingles (sequence(0, <0)
+    // would count DOWN and slice would throw on start 0)
+    val sh = when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array())
     if (distinct) array_distinct(sh) else sh
   }
 

@@ -29,9 +29,9 @@ object Dedup {
     * which is duplicate-insensitive.
     */
   private def shingled(documents: DataFrame, k: Int): DataFrame = {
-    import graft.functions.TextFunctions.{shingleFromStruct, shingleStructs}
+    import graft.functions.TextFunctions.{shingleFromStruct, shingleStructs, tokenize}
     documents
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", tokenize(col("text")))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"), explode(shingleStructs(col("toks"), k)).as("z"))
       .select(col("doc_id"), shingleFromStruct(col("z"), k).as("shingle"))
@@ -82,9 +82,19 @@ object Dedup {
     * into a quadratic hot partition.
     */
   def minhashCandidates(documents: DataFrame, numHashes: Int = 64,
-      bands: Int = 16, shingleLen: Int = 3, bucketCap: Int = 10000): DataFrame = {
+      bands: Int = 16, shingleLen: Int = 3, bucketCap: Int = 10000): DataFrame =
+    candidatesFromSketch(minhashSketch(documents, numHashes, shingleLen),
+      numHashes, bands, bucketCap)
+
+  /** Banding + bucket-capped self-join over a precomputed signature
+    * frame — split out so pipelines that also need the signatures
+    * (e.g. [[minhashVerifiedPairs]]) build the sketch once.
+    */
+  def candidatesFromSketch(sigs: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, bucketCap: Int = 10000): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) exactly")
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSketch(documents, numHashes, shingleLen)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r =>
         element_at(col("sig"), b * rowsPerBand + r + 1))
@@ -122,8 +132,10 @@ object Dedup {
   def minhashVerifiedPairs(documents: DataFrame, threshold: Double = 0.7,
       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
       bucketCap: Int = 10000): DataFrame = {
+    // one sketch frame feeds candidates AND both signature joins (the
+    // identical agg subtree lets Spark reuse the sketch exchange)
     val sigs = minhashSketch(documents, numHashes, shingleLen)
-    val cand = minhashCandidates(documents, numHashes, bands, shingleLen, bucketCap)
+    val cand = candidatesFromSketch(sigs, numHashes, bands, bucketCap)
     cand
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
@@ -143,7 +155,8 @@ object Dedup {
   def simhash(documents: DataFrame): DataFrame = {
     graft.GraftFunctions.register(documents.sparkSession)
     documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokenize(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
       .groupBy("doc_id")
       .agg(call_function("simhash64_agg", col("h")).as("simhash64"))
@@ -202,7 +215,8 @@ object Dedup {
     val docs = documents.where(col("doc_id") < bound)
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(graft.functions.TextFunctions.shingles(
-        split(col("text"), " "), shingleLen, distinct = true)).as("tok"))
+        graft.functions.TextFunctions.tokenize(col("text")),
+        shingleLen, distinct = true)).as("tok"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
     val inter = toks.as("a")
       .join(toks.as("b"),

@@ -66,6 +66,17 @@ class DedupSpec extends SparkSuite {
       s"LSH banding missed ${missed.size}/${truth.size} true pairs: $missed")
   }
 
+  test("jaccardPairs survives docs shorter than the shingle length") {
+    val d = Seq(
+      (0L, "one two", "en"), // < 3 tokens: no shingles, must not throw
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "alpha beta gamma delta zeta", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r = Dedup.jaccardPairs(d, bound = 10, threshold = 0.1, shingleLen = 3)
+      .collect()
+    assert(r.forall(x => x.getAs[Long]("a_id") != 0L))
+  }
+
   test("jaccard pairs: exact value on crafted overlap") {
     val d = Seq(
       (0L, "alpha beta gamma delta", "en"),
