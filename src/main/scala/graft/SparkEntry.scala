@@ -53,6 +53,8 @@ object SparkEntry {
     "q_revenue_cube" -> ((s, d) => Payments.revenueCube(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
     "q_value_quantiles" -> ((s, d) => Payments.valueQuantiles(t(s, d, "events"))),
+    "q_active_users" -> ((s, d) => Payments.activeUsers(t(s, d, "events"))),
+    "q_retention" -> ((s, d) => Payments.retention(t(s, d, "events"))),
     "q_top_customers" -> ((s, d) => Payments.topCustomers(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_invoice_reconcile" -> ((s, d) => Payments.invoiceReconcile(
@@ -219,6 +221,22 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_active_users" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_retention" ->
+      """WITH weeks AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 // 604800 AS week FROM events
+        |), first_seen AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1
+        |)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(DISTINCT w.user_id) AS n_active
+        |FROM (SELECT DISTINCT user_id, week FROM weeks) w
+        |JOIN first_seen USING (user_id)
+        |WHERE week - cohort_week <= 8
+        |GROUP BY 1, 2""".stripMargin,
     "q_ship_priority" ->
       """WITH rev AS (
         |  SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,

@@ -252,6 +252,35 @@ object Payments {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
 
+  /** Daily/rolling active users: distinct users per day. Exact
+    * distinct (Spark expands it to a two-phase aggregate); at larger
+    * cardinalities swap for approx_count_distinct and accept the HLL
+    * error — exactness here keeps the oracle bit-exact.
+    */
+  def activeUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"),
+        count(lit(1)).as("n_events"))
+
+  /** Cohort retention: users grouped by first-seen week, counted as
+    * active per weeks-since-cohort offset. First-seen via one min-agg
+    * (not a window over raw events), then a broadcast-sized cohort
+    * map joins back to the distinct (user, week) activity — two keyed
+    * shuffles total, both on user_id.
+    */
+  def retention(events: DataFrame, maxWeeks: Int = 8): DataFrame = {
+    val weeks = events.select(col("user_id"),
+      floor(col("ts").cast("long") / lit(604800L)).as("week"))
+    val firstSeen = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    weeks.distinct()
+      .join(firstSeen, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .where(col("week_offset") <= maxWeeks)
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   /** Shipping-priority report (TPC-H Q3 shape): segment-filtered
     * customers ⨝ undelivered orders ⨝ lineitems, revenue per order,
     * top-k by revenue. Dims broadcast after pushdown filters; one agg
