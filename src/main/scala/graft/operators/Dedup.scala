@@ -125,16 +125,26 @@ object Dedup {
   /** Stage 2 of MinHash dedup: estimate Jaccard for each candidate
     * pair as the fraction of agreeing signature positions (an
     * unbiased estimator of shingle-set Jaccard) and keep pairs above
-    * `threshold`. Joining signatures back happens only for the
-    * candidate set — tiny relative to the corpus — so the interpreted
-    * zip_with lambda here is off the hot path by construction.
+    * `threshold`.
+    *
+    * Exact duplicates are collapsed FIRST (stage 0, [[exact]]): that
+    * is the canonical pipeline order, and it is load-bearing — on a
+    * corpus that is 90% verbatim copies, skipping it made every
+    * duplicate group contribute O(copies²) candidate pairs each
+    * shipping two full signatures (measured 103 s vs ~4 s at the 10×
+    * scale run). Pairs between exact copies are therefore NOT in this
+    * output; they are stage 0's. Signature joins then touch only the
+    * candidate set of unique docs — the interpreted zip_with lambda
+    * is off the hot path by construction.
     */
   def minhashVerifiedPairs(documents: DataFrame, threshold: Double = 0.7,
       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
       bucketCap: Int = 10000): DataFrame = {
+    val reps = documents.join(
+      exact(documents).select(col("keep_id").as("doc_id")), "doc_id")
     // one sketch frame feeds candidates AND both signature joins (the
     // identical agg subtree lets Spark reuse the sketch exchange)
-    val sigs = minhashSketch(documents, numHashes, shingleLen)
+    val sigs = minhashSketch(reps, numHashes, shingleLen)
     val cand = candidatesFromSketch(sigs, numHashes, bands, bucketCap)
     cand
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")

@@ -34,12 +34,15 @@ class DedupSpec extends SparkSuite {
     assert(ham(0L, 1L) < ham(0L, 2L))
   }
 
-  test("minhashVerifiedPairs: exact dup estimates 1.0, threshold filters") {
-    val pairs = Dedup.minhashVerifiedPairs(docs, threshold = 0.9).collect()
+  test("minhashVerifiedPairs: near-dups estimated, exact dups left to stage 0") {
+    val pairs = Dedup.minhashVerifiedPairs(docs, threshold = 0.5).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
         r.getAs[Double]("est_jaccard")))
-    assert(pairs.exists { case (a, b, j) => a == 0L && b == 3L && j == 1.0 })
-    assert(pairs.forall(_._3 >= 0.9))
+    // (0,1) are near-dups: high but sub-1.0 estimate
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j >= 0.5 && j < 1.0 })
+    // (0,3) are exact copies: collapsed by stage-0 exact dedup, not re-paired
+    assert(!pairs.exists { case (a, b, _) => a == 0L && b == 3L })
+    assert(pairs.forall(_._3 >= 0.5))
   }
 
   test("simhashPairs: finds identical docs via band join, respects hamming cap") {
