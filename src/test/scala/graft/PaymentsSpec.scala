@@ -70,6 +70,27 @@ class PaymentsSpec extends SparkSuite {
     assert(x.getAs[Long]("count_order") == 2L)
   }
 
+  test("retention: users counted in their cohort week offsets") {
+    // week boundaries are epoch/604800; use epoch-aligned dates
+    val e = ev(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-10 00:00:00", 1L, "view", 0.0), // +1 week
+      (3L, "2024-01-01 00:00:00", 2L, "view", 0.0)) // cohort only
+    val r = Payments.retention(e).collect()
+      .map(x => (x.getAs[Long]("week_offset"), x.getAs[Long]("n_active"))).toMap
+    assert(r(0L) == 2L) // both users active in their cohort week
+    assert(r(1L) == 1L) // only user 1 returned the next week
+  }
+
+  test("activeUsers: distinct users per day") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 11:00:00", 1L, "view", 0.0), // same user, same day
+      (3L, "2024-01-01 12:00:00", 2L, "view", 0.0))
+    val r = Payments.activeUsers(e).collect().head
+    assert(r.getAs[Long]("dau") == 2L && r.getAs[Long]("n_events") == 3L)
+  }
+
   test("hmacSign emits 64-char upper-hex signatures") {
     val e = ev((1L, "2024-01-01 10:00:00", 7L, "purchase", 1.0))
     val sig = Payments.hmacSign(e).collect().head.getAs[String]("signature")
