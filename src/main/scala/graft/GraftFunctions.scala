@@ -14,9 +14,9 @@ import graft.plans.{CosineSim, DotF32, HmacSha256Hex, MinHashSketch, SimHash64Ag
   * is idempotent.
   */
 object GraftFunctions {
-  private case class Fn(name: String, builder: Seq[Expression] => Expression)
+  private[graft] case class Fn(name: String, builder: Seq[Expression] => Expression)
 
-  private val fns = Seq(
+  private[graft] val fns = Seq(
     Fn("hmac_sha256_hex", { args =>
       require(args.length == 2, "hmac_sha256_hex(data, key)")
       HmacSha256Hex(args(0), args(1))
@@ -69,33 +69,23 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions=graft.GraftExtensions` entry point. */
+/** `spark.sql.extensions=graft.GraftExtensions` entry point.
+  *
+  * Uses the SAME builder lambdas as `GraftFunctions.register` so both
+  * registration paths parse optional literal args identically — e.g.
+  * `vector_mean(emb, 128)` and `minhash_sketch(h1, h2, 128)` honor the
+  * explicit size on an extensions-configured cluster exactly as they
+  * do on a session-registered one (a diverging copy here once silently
+  * dropped the third argument).
+  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("hmac_sha256_hex"),
-      new ExpressionInfo("graft", "hmac_sha256_hex"),
-      (args: Seq[Expression]) => HmacSha256Hex(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo("graft", "cosine_sim"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("dot_f32"),
-      new ExpressionInfo("graft", "dot_f32"),
-      (args: Seq[Expression]) => DotF32(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_sketch"),
-      new ExpressionInfo("graft", "minhash_sketch"),
-      (args: Seq[Expression]) => MinHashSketch(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64_agg"),
-      new ExpressionInfo("graft", "simhash64_agg"),
-      (args: Seq[Expression]) => SimHash64Agg(args(0))))
-    ext.injectFunction((
-      FunctionIdentifier("vector_mean"),
-      new ExpressionInfo("graft", "vector_mean"),
-      (args: Seq[Expression]) => VectorMeanAgg(args(0))))
+    GraftFunctions.fns.foreach { f =>
+      ext.injectFunction((
+        FunctionIdentifier(f.name),
+        new ExpressionInfo("graft", f.name),
+        f.builder))
+    }
     ext.injectOptimizerRule(_ => graft.plans.CosineSignToDot)
   }
 }

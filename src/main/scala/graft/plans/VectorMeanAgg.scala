@@ -39,13 +39,22 @@ case class VectorMeanAgg(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == dim) {
+      // Rows with the wrong length or any null element are skipped as
+      // invalid vectors — the same guard CosUtil.cos/DotUtil.dot apply,
+      // so the library treats degenerate embeddings consistently.
+      if (arr.numElements() == dim && !hasNullElement(arr)) {
         var i = 0
         while (i < dim) { buf(i) += arr.getFloat(i).toDouble; i += 1 }
         buf(dim) += 1.0
       }
     }
     buf
+  }
+
+  private def hasNullElement(arr: ArrayData): Boolean = {
+    var i = 0
+    while (i < dim) { if (arr.isNullAt(i)) return true; i += 1 }
+    false
   }
 
   override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {

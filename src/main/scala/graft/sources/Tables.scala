@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * which matches DuckDB's `epoch_us` truncation used by the oracles.
   */
 object Tables {
+  /** Session conf required (=true) to read the nanos-timestamped
+    * `events` table; see the loud note in [[apply]].
+    */
+  val NanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -25,11 +30,22 @@ object Tables {
     require(names.contains(name),
       s"unknown table '$name'; expected one of: ${names.mkString(", ")}")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS): Spark only reads it with
-      // the legacy nanos-as-long flag (runtime session conf — set here
-      // so driver-built sessions work too); normalizeEventTs then
-      // produces a proper micros TimestampType column.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // LOUD SIDE EFFECT — events.ts is parquet TIMESTAMP(NANOS), which
+      // Spark 4 reads ONLY when the SESSION conf
+      // `spark.sql.legacy.parquet.nanosAsLong` is true: a per-read
+      // option cannot work because ParquetFileFormat overwrites the
+      // relation hadoopConf entry from the session SQLConf at execution
+      // (verified against the 4.1.2 bytecode — there is no per-read
+      // escape hatch). The loader therefore sets the session conf as a
+      // convenience for driver-built sessions, but REFUSES to override
+      // an explicit user `false` — that would silently change the
+      // meaning of the user's other nanos-parquet reads.
+      if (spark.conf.getOption(NanosFlag).contains("false"))
+        throw new IllegalStateException(
+          s"loading 'events' requires session conf $NanosFlag=true " +
+            "(its ts column is parquet TIMESTAMP(NANOS)); the session " +
+            "sets it to false explicitly, refusing to override")
+      spark.conf.set(NanosFlag, "true")
       normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }

@@ -18,8 +18,16 @@ case class PaymentEvent(paymentId: Long, ts: Timestamp, kind: String)
 case class PaymentOutcome(paymentId: Long, status: String,
     createdTs: Timestamp, resolvedTs: Timestamp)
 
-/** In-flight state for one pending payment. */
-case class PendingPayment(createdMs: Long)
+/** State for one payment: `resolvedMs` is None while pending (awaiting
+  * a terminal event or expiry) and Some(t) once a terminal outcome was
+  * emitted at event-time t. The resolved marker is retained until the
+  * watermark passes t + expiry so a duplicate/replayed `create` cannot
+  * re-open an already-resolved payment (and emit a second outcome);
+  * replays arriving later than that horizon are indistinguishable from
+  * new payments — the same watermark-bounded contract as
+  * `dropDuplicatesWithinWatermark`.
+  */
+case class PaymentState(createdMs: Long, resolvedMs: Option[Long])
 
 /** Structured Streaming payment state machine — the reference's poll
   * loop re-expressed as distributed event-time state:
@@ -41,51 +49,60 @@ object PaymentMonitor {
       watermarkDelay: String = "10 seconds",
       expiryMs: Long = ExpiryMs): Dataset[PaymentOutcome] = {
     implicit val outcomeEnc = Encoders.product[PaymentOutcome]
-    implicit val stateEnc = Encoders.product[PendingPayment]
+    implicit val stateEnc = Encoders.product[PaymentState]
     implicit val keyEnc = Encoders.scalaLong
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.paymentId)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        (id: Long, evs: Iterator[PaymentEvent], state: GroupState[PendingPayment]) =>
+        (id: Long, evs: Iterator[PaymentEvent], state: GroupState[PaymentState]) =>
           step(id, evs, state, expiryMs))
   }
 
   /** One FSM step for one key. Visible for unit tests. */
   private[streaming] def step(id: Long, evs: Iterator[PaymentEvent],
-      state: GroupState[PendingPayment], expiryMs: Long): Iterator[PaymentOutcome] = {
+      state: GroupState[PaymentState], expiryMs: Long): Iterator[PaymentOutcome] = {
     if (state.hasTimedOut) {
-      // Watermark passed created+expiry with no terminal event: the
-      // reference's failsafe expiry.
-      val created = state.get.createdMs
+      val s = state.get
       state.remove()
-      return Iterator(PaymentOutcome(id, "expired",
-        new Timestamp(created), new Timestamp(created + expiryMs)))
+      return s.resolvedMs match {
+        // Resolved-marker retention horizon passed: drop silently.
+        case Some(_) => Iterator.empty
+        // Watermark passed created+expiry with no terminal event: the
+        // reference's failsafe expiry.
+        case None => Iterator(PaymentOutcome(id, "expired",
+          new Timestamp(s.createdMs), new Timestamp(s.createdMs + expiryMs)))
+      }
     }
     val sorted = evs.toSeq.sortBy(_.ts.getTime)
-    var pending = state.getOption
+    var cur = state.getOption
     val out = Seq.newBuilder[PaymentOutcome]
     sorted.foreach { e =>
       e.kind match {
-        case "create" if pending.isEmpty =>
-          pending = Some(PendingPayment(e.ts.getTime))
-        case ("processed" | "rejected") if pending.isDefined =>
-          val created = pending.get.createdMs
+        case "create" if cur.isEmpty =>
+          cur = Some(PaymentState(e.ts.getTime, None))
+        case ("processed" | "rejected") if cur.exists(_.resolvedMs.isEmpty) =>
+          val created = cur.get.createdMs
           if (e.ts.getTime - created <= expiryMs)
             out += PaymentOutcome(id, e.kind,
               new Timestamp(created), new Timestamp(e.ts.getTime))
           else // terminal event arrived after the window: expired
             out += PaymentOutcome(id, "expired",
               new Timestamp(created), new Timestamp(created + expiryMs))
-          pending = None
-        case _ => // duplicate create / orphan terminal: ignore
+          cur = Some(PaymentState(created, Some(e.ts.getTime)))
+        case _ => // dup create (pending OR resolved) / orphan or dup terminal
       }
     }
-    pending match {
-      case Some(p) =>
-        state.update(p)
-        state.setTimeoutTimestamp(p.createdMs + expiryMs)
+    cur match {
+      case Some(s) =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.resolvedMs match {
+          // marker retention: replayed creates are ignored until the
+          // watermark passes resolution + expiry
+          case Some(r) => r + expiryMs
+          case None => s.createdMs + expiryMs
+        })
       case None =>
         if (state.exists) state.remove()
     }
