@@ -197,14 +197,31 @@ object Payments {
 
   /** As-of join: each purchase gets the most recent prior exchange-rate
     * tick *for its currency* (kinesis-pay.php:468-485 orderbook bid,
-    * one book per KAU/KAG pair). Implemented as union + ignore-nulls
-    * carry-forward window **partitioned by the currency key** — one
-    * shuffle keyed by symbol, no range-join explosion, no global sort.
-    * At 100 TB this scales with the number of symbols × time, and a
-    * skewed symbol can further be range-bucketed on time with
-    * boundary-tick duplication; there is no single-partition stage.
+    * one book per KAU/KAG pair). **Time-bucketed carry-forward** so
+    * parallelism is symbols × time-buckets, never bounded by symbol
+    * cardinality (a currency pair has exactly 2 symbols here — a plain
+    * partition-by-currency window would be a 2-task sort at any
+    * cluster size):
+    *
+    *  1. every tick/purchase is assigned a `bucketSec`-wide time bucket;
+    *     the carry-forward window runs WITHIN (currency, bucket) — the
+    *     event-sized sort shuffles on a high-cardinality composite key;
+    *  2. a per-(currency, bucket) spine (one aggregated row per bucket
+    *     that has any event — orders of magnitude smaller than the
+    *     events) computes each bucket's closing tick and carries it
+    *     across buckets (including tickless ones) with a
+    *     strictly-preceding window, partitioned by currency only — safe
+    *     because this frame is already aggregate-sized, the same
+    *     small-frame argument as the global top-k rank;
+    *  3. the carry-in joins back on (currency, bucket) — co-partitioned
+    *     with the window shuffle, and broadcast-sized in practice — and
+    *     each purchase resolves coalesce(within-bucket rate, carry-in).
+    *
+    * Identical semantics to the single-window formulation (the oracle
+    * SQL is still the plain carry-forward); no range-join explosion, no
+    * global sort, no low-cardinality sort stage over event-sized data.
     */
-  def xrateAsof(events: DataFrame): DataFrame = {
+  def xrateAsof(events: DataFrame, bucketSec: Long = 86400): DataFrame = {
     // Symbol of any event: KAU for even event_id, KAG for odd (the
     // deterministic stand-in for the reference's currency field).
     val currency = when(col("event_id") % 2 === 0, "KAU").otherwise("KAG")
@@ -218,10 +235,32 @@ object Payments {
       .select(currency.as("currency"), col("ts"), col("event_id"),
         col("value").as("paid"),
         lit(null).cast("double").as("rate"), lit(1).as("is_purchase"))
-    val w = Window.partitionBy("currency").orderBy(col("ts"), col("event_id"))
+    val u = ticks.unionByName(purchases)
+      .withColumn("bucket", floor(col("ts").cast("long") / lit(bucketSec)))
+    // 1) within-bucket carry-forward: high-cardinality composite key
+    val wIn = Window.partitionBy("currency", "bucket")
+      .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ticks.unionByName(purchases)
-      .withColumn("cur_rate", last(col("rate"), ignoreNulls = true).over(w))
+    val inBucket = u.withColumn("bucket_rate",
+      last(col("rate"), ignoreNulls = true).over(wIn))
+    // 2) bucket spine: closing tick per bucket, carried forward from
+    // strictly earlier buckets (tickless buckets inherit; close_rate is
+    // null only for them, so ignoreNulls last() skips them correctly)
+    val spine = u.groupBy("currency", "bucket")
+      .agg(max_by(when(col("is_purchase") === 0, col("rate")),
+        // purchases sort below any tick so a purchase row never wins max_by
+        struct(col("is_purchase") === 0, col("ts"), col("event_id")))
+        .as("close_rate"))
+    val wCarry = Window.partitionBy("currency").orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine.withColumn("carry_in",
+      last(col("close_rate"), ignoreNulls = true).over(wCarry))
+      .select(col("currency").as("cc"), col("bucket").as("cb"), col("carry_in"))
+    // 3) resolve: within-bucket rate if any tick preceded the purchase
+    // in its own bucket, else the last closing rate of an earlier bucket
+    inBucket.join(carry,
+        col("currency") === col("cc") && col("bucket") === col("cb"))
+      .withColumn("cur_rate", coalesce(col("bucket_rate"), col("carry_in")))
       .where(col("is_purchase") === 1 && col("cur_rate").isNotNull)
       .select(col("event_id"), col("currency"), col("cur_rate").as("rate"),
         (col("paid") / col("cur_rate")).as("pay_amount"))

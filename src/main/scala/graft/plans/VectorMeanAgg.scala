@@ -42,7 +42,7 @@ case class VectorMeanAgg(
       // Rows with the wrong length or any null element are skipped as
       // invalid vectors — the same guard CosUtil.cos/DotUtil.dot apply,
       // so the library treats degenerate embeddings consistently.
-      if (arr.numElements() == dim && !hasNullElement(arr)) {
+      if (arr.numElements() == dim && !(mayHaveNulls && hasNullElement(arr))) {
         var i = 0
         while (i < dim) { buf(i) += arr.getFloat(i).toDouble; i += 1 }
         buf(dim) += 1.0
@@ -50,6 +50,11 @@ case class VectorMeanAgg(
     }
     buf
   }
+
+  // Embedding columns are typically containsNull=false: skip the
+  // O(dim) per-row null scan entirely when the schema rules nulls out.
+  private lazy val mayHaveNulls: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
 
   private def hasNullElement(arr: ArrayData): Boolean = {
     var i = 0

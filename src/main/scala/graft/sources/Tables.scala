@@ -40,7 +40,11 @@ object Tables {
       // convenience for driver-built sessions, but REFUSES to override
       // an explicit user `false` — that would silently change the
       // meaning of the user's other nanos-parquet reads.
-      if (spark.conf.getOption(NanosFlag).contains("false"))
+      // NOTE: must distinguish "user explicitly set false" from "unset":
+      // nanosAsLong is a REGISTERED SQLConf entry, so getOption returns
+      // Some("false") (the default) even when never set. The two-arg get
+      // returns the null fallback only when unset — that is the probe.
+      if (spark.conf.get(NanosFlag, null) == "false")
         throw new IllegalStateException(
           s"loading 'events' requires session conf $NanosFlag=true " +
             "(its ts column is parquet TIMESTAMP(NANOS)); the session " +

@@ -41,6 +41,33 @@ class PaymentsSpec extends SparkSuite {
       (4L, "KAU", 5.0, 2.0), (3L, "KAG", 2.0, 2.0), (8L, "KAU", 8.0, 2.0)))
   }
 
+  test("xrateAsof: carry-forward crosses bucket boundaries, incl. tickless buckets") {
+    // bucketSec=600 puts each timestamp below in its own bucket; the
+    // 10:3x purchases sit in buckets with NO tick, so their rate must
+    // come from the bucket-spine carry (KAU close @8 from 10:20), and
+    // a purchase in a tick's own bucket still sees only PRIOR ticks.
+    val e = ev(
+      (2L, "2024-01-01 10:00:00", 1L, "click", 5.0),     // KAU tick @5
+      (6L, "2024-01-01 10:20:00", 1L, "click", 8.0),     // KAU tick @8
+      (8L, "2024-01-01 10:21:00", 1L, "purchase", 16.0), // same bucket as @8
+      (10L, "2024-01-01 10:35:00", 1L, "purchase", 24.0), // tickless bucket -> @8
+      (12L, "2024-01-01 10:45:00", 1L, "purchase", 40.0)) // another tickless -> @8
+    val r = Payments.xrateAsof(e, bucketSec = 600).collect()
+      .map(x => (x.getAs[Long]("event_id"), x.getAs[Double]("rate"),
+        x.getAs[Double]("pay_amount"))).toSet
+    assert(r == Set((8L, 8.0, 2.0), (10L, 8.0, 3.0), (12L, 8.0, 5.0)))
+  }
+
+  test("xrateAsof: purchase before any tick in bucket 0 is dropped") {
+    val e = ev(
+      (1L, "2024-01-01 09:00:00", 1L, "purchase", 4.0),  // KAG, no prior tick
+      (3L, "2024-01-01 10:00:00", 1L, "click", 2.0),     // KAG tick @2
+      (5L, "2024-01-01 10:05:00", 1L, "purchase", 6.0))  // KAG -> rate 2
+    val r = Payments.xrateAsof(e, bucketSec = 600).collect()
+      .map(x => (x.getAs[Long]("event_id"), x.getAs[Double]("rate"))).toSet
+    assert(r == Set((5L, 2.0)))
+  }
+
   test("sessionStats: 30-min gap splits sessions") {
     val e = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),

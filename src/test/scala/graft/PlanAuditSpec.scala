@@ -37,10 +37,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("hashpartitioning(user_id"))
   }
 
-  test("xrateAsof: no single-partition window stage") {
-    val p = plan(Payments.xrateAsof(Tables(spark, dir, "events")))
+  test("xrateAsof: event-sized window partitions by (currency, bucket), not symbol-only") {
+    val df = Payments.xrateAsof(Tables(spark, dir, "events"))
+    val p = plan(df)
     assert(!p.contains("SinglePartition"),
-      "as-of carry-forward must partition by currency, not globally")
+      "as-of carry-forward must never run a global window stage")
+    // The event-sized carry-forward sort must shuffle on the composite
+    // (currency, bucket) key — a symbol-only partitioning caps
+    // parallelism at |symbols| (=2 here) at any cluster size.
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(currency") && l.contains("bucket")),
+      s"within-bucket window must hash on (currency, bucket):\n$p")
+    // And the composite key is genuinely high-cardinality on the data:
+    // more distinct (currency, bucket) groups than symbols.
+    val events = Tables(spark, dir, "events")
+    val nGroups = events
+      .selectExpr("CASE WHEN event_id % 2 = 0 THEN 'KAU' ELSE 'KAG' END AS c",
+        "floor(cast(ts as long) / 86400) AS b")
+      .distinct().count()
+    assert(nGroups > 2, s"expected > 2 (currency, bucket) groups, got $nGroups")
   }
 
   test("pollSample: sampling filter is partition-local (no pre-agg shuffle of raw rows)") {

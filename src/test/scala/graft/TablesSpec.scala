@@ -32,6 +32,19 @@ class TablesSpec extends SparkSuite {
     assert(r.getLong(1) < 4102444800L, "ts must be before 2100")
   }
 
+  test("events loads on a session that NEVER set the nanos flag") {
+    // The advertised fallback path: a fresh session (driver-built, no
+    // pre-set conf). newSession() inherits the suite builder's =true,
+    // so unset restores the never-explicitly-set state; the registered
+    // SQLConf default ("false") must NOT trip the refusal guard.
+    val s2 = spark.newSession()
+    s2.conf.unset(Tables.NanosFlag)
+    assert(s2.conf.get(Tables.NanosFlag, null) == null, "flag must read as unset")
+    val events = Tables(s2, dir, "events")
+    assert(events.schema("ts").dataType == TimestampType)
+    assert(events.limit(1).count() == 1)
+  }
+
   test("non-events tables never touch the nanos session conf") {
     val s2 = spark.newSession()
     // "false" is the observable canary: events would refuse, and any
