@@ -97,12 +97,19 @@ object PaymentMonitor {
     cur match {
       case Some(s) =>
         state.update(s)
-        state.setTimeoutTimestamp(s.resolvedMs match {
+        val deadline = s.resolvedMs match {
           // marker retention: replayed creates are ignored until the
           // watermark passes resolution + expiry
           case Some(r) => r + expiryMs
           case None => s.createdMs + expiryMs
-        })
+        }
+        // Clamp below by watermark+1: data is processed before timeouts
+        // fire, so a replayed event arriving in the very micro-batch in
+        // which the key's deadline falls below the watermark would
+        // otherwise make setTimeoutTimestamp throw and kill the query.
+        // The clamped timeout fires on the next watermark advance.
+        state.setTimeoutTimestamp(
+          math.max(deadline, state.getCurrentWatermarkMs() + 1))
       case None =>
         if (state.exists) state.remove()
     }

@@ -32,6 +32,32 @@ object PaymentStream {
       options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.format(format).options(options).load()
 
+  /** File-backed ingest: every file landing under `dir` is a batch of
+    * JSON-lines payment records — the in-sandbox stand-in for a
+    * Kinesis-style connector with the same operational semantics: the
+    * source's processed-file log lives in the query checkpoint, so a
+    * killed query resumes exactly where it stopped, and with a
+    * file-commit-log sink the whole pipeline is exactly-once across
+    * restarts. Swapping in a real connector is `raw(spark, fmt, opts)`
+    * + [[fromJson]] — the parse and FSM stages are identical.
+    */
+  def fromFiles(spark: SparkSession, dir: String): Dataset[PaymentEvent] =
+    fromJson(spark.readStream.format("text").load(dir), "value")
+
+  /** The full live deployment shape (reference ingest loop,
+    * kinesis-pay.php:286-356): file-stream source → JSON parse →
+    * payment FSM → redacted JSONL audit sink, checkpointed. Returns
+    * the running query; callers own stop().
+    */
+  def filePipeline(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, watermarkDelay: String = "10 seconds",
+      expiryMs: Long = PaymentMonitor.ExpiryMs)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val outcomes = PaymentMonitor.outcomes(
+      fromFiles(spark, inDir), watermarkDelay, expiryMs)
+    graft.sources.InvoiceLog.writeStream(outcomes.toDF(), outDir, checkpointDir)
+  }
+
   /** Parse a string/binary JSON payload column into typed events.
     * Malformed records become nulls and are dropped (poison-pill
     * tolerance — one bad record must not kill the stream).

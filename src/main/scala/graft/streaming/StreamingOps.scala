@@ -143,6 +143,27 @@ object StreamingOps {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming poll sampler — the reference's every-10-seconds poll
+    * loop logging every `n`-th poll (kinesis-pay.php:232, :303) as a
+    * live stream op: deterministic every-Nth admission (stateless,
+    * partition-local — the same `event_id % n` rule as the batch
+    * `Payments.pollSample`, so batch reconciliation is exact) feeding
+    * a watermarked tumbling count per event type. Emits one row per
+    * closed (window, type): the sampled poll-log rate a dashboard
+    * watches.
+    */
+  def polledSample(events: DataFrame, n: Int = 10,
+      windowLen: String = "10 seconds",
+      watermarkDelay: String = "10 seconds"): DataFrame =
+    events
+      .where(col("event_id") % n === 0)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_sampled"), col("total_value"))
+
   /** At-most-once admission: drop duplicate event ids arriving within
     * the watermark horizon (the reference's "transaction already
     * processed" guard, kinesis-pay.php:515-530, as a stream op).

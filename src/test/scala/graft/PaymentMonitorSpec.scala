@@ -51,6 +51,66 @@ class PaymentMonitorSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("replayed create after resolution emits exactly one outcome (marker retention)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PaymentEvent]
+    val q = PaymentMonitor.outcomes(input.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("replay_outcomes")
+      .outputMode("append").start()
+    try {
+      // same-batch replay after the terminal event
+      input.addData(
+        PaymentEvent(1L, ts("2024-01-01 10:00:00"), "create"),
+        PaymentEvent(1L, ts("2024-01-01 10:00:30"), "processed"),
+        PaymentEvent(1L, ts("2024-01-01 10:00:40"), "create")) // replay
+      q.processAllAvailable()
+      // later-batch replay, watermark still inside the marker horizon
+      input.addData(PaymentEvent(1L, ts("2024-01-01 10:00:50"), "create"))
+      q.processAllAvailable()
+      input.addData(PaymentEvent(9L, ts("2024-01-01 10:20:00"), "create"))
+      q.processAllAvailable()
+      val out = spark.table("replay_outcomes").collect()
+        .map(r => r.getAs[Long]("paymentId") -> r.getAs[String]("status"))
+      assert(out.toSeq == Seq(1L -> "processed"),
+        s"a replayed create must not re-open a resolved payment: ${out.toSeq}")
+    } finally q.stop()
+  }
+
+  test("post-horizon replayed create opens a new lifecycle (watermark-bounded contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PaymentEvent]
+    // 1-minute expiry keeps the timeline compact
+    val q = PaymentMonitor.outcomes(input.toDS(),
+      watermarkDelay = "0 seconds", expiryMs = 60000L)
+      .writeStream.format("memory").queryName("horizon_outcomes")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        PaymentEvent(1L, ts("2024-01-01 10:00:00"), "create"),
+        PaymentEvent(1L, ts("2024-01-01 10:00:30"), "processed"))
+      q.processAllAvailable() // marker deadline = 10:01:30
+      // watermark passes the marker deadline -> marker dropped SILENTLY
+      // (no second outcome for the resolved payment)
+      input.addData(PaymentEvent(2L, ts("2024-01-01 10:02:00"), "create"))
+      q.processAllAvailable()
+      assert(spark.table("horizon_outcomes").count() == 1)
+      // post-horizon replay: indistinguishable from a new payment by
+      // contract (same horizon as dropDuplicatesWithinWatermark) — it
+      // opens a fresh lifecycle, which here expires unresolved
+      input.addData(PaymentEvent(1L, ts("2024-01-01 10:02:30"), "create"))
+      q.processAllAvailable()
+      input.addData(PaymentEvent(3L, ts("2024-01-01 10:10:00"), "create"))
+      q.processAllAvailable() // watermark 10:10 > p1's 10:03:30 deadline
+      val p1 = spark.table("horizon_outcomes").where("paymentId = 1")
+        .collect().map(r => (r.getAs[String]("status"),
+          r.getAs[Timestamp]("createdTs"), r.getAs[Timestamp]("resolvedTs"))).toSet
+      assert(p1 == Set(
+        ("processed", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:30")),
+        ("expired", ts("2024-01-01 10:02:30"), ts("2024-01-01 10:03:30"))),
+        s"got $p1")
+    } finally q.stop()
+  }
+
   test("duplicate creates and orphan terminals are ignored") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[PaymentEvent]

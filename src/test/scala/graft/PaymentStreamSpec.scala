@@ -33,4 +33,41 @@ class PaymentStreamSpec extends SparkSuite {
         Timestamp.valueOf("2024-01-01 10:03:00"))
     } finally q.stop()
   }
+
+  test("file source → FSM → JSONL sink: exactly-once across kill and checkpoint resume") {
+    import java.io.File
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-e2e").toFile
+    val in = new File(root, "in"); in.mkdirs()
+    val out = new File(root, "out").getPath
+    val ckpt = new File(root, "ckpt").getPath
+    // files land atomically (write outside, rename in), as a real
+    // collector would — the file source must never see partial files
+    def land(name: String, lines: String*): Unit = {
+      val tmp = new File(root, name)
+      Files.write(tmp.toPath, lines.mkString("\n").getBytes)
+      assert(tmp.renameTo(new File(in, name)))
+    }
+    land("b1.jsonl",
+      """{"paymentId": 1, "ts": "2024-01-01T10:00:00", "kind": "create"}""",
+      """{"paymentId": 1, "ts": "2024-01-01T10:03:00", "kind": "processed"}""",
+      """{"paymentId": 2, "ts": "2024-01-01T10:04:00", "kind": "create"}""")
+    val q1 = graft.streaming.PaymentStream.filePipeline(
+      spark, in.getPath, out, ckpt, watermarkDelay = "0 seconds")
+    try q1.processAllAvailable() finally q1.stop() // kill mid-stream: p2 still pending
+    land("b2.jsonl",
+      """{"paymentId": 2, "ts": "2024-01-01T10:06:00", "kind": "rejected"}""",
+      """{"paymentId": 3, "ts": "2024-01-01T10:07:00", "kind": "create"}""",
+      """{"paymentId": 3, "ts": "2024-01-01T10:08:00", "kind": "processed"}""")
+    // resume from the SAME checkpoint: p2's pending state must have
+    // survived the restart, b1 must not be reprocessed
+    val q2 = graft.streaming.PaymentStream.filePipeline(
+      spark, in.getPath, out, ckpt, watermarkDelay = "0 seconds")
+    try q2.processAllAvailable() finally q2.stop()
+    val log = graft.sources.InvoiceLog.read(spark, out)
+      .select("paymentId", "status").collect()
+      .map(r => r.getAs[Long]("paymentId") -> r.getAs[String]("status"))
+    assert(log.length == 3, s"each outcome exactly once, got ${log.toSeq}")
+    assert(log.toSet == Set(1L -> "processed", 2L -> "rejected", 3L -> "processed"))
+  }
 }

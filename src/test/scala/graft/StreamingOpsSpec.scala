@@ -114,6 +114,34 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("polledSample: every-Nth admission, counts per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.polledSample(df, n = 10,
+      windowLen = "10 seconds", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("poll_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, ts("2024-01-01 10:00:01"), 1L, "poll", 1.0), // admitted
+        (11L, ts("2024-01-01 10:00:02"), 1L, "poll", 2.0), // dropped (11 % 10)
+        (20L, ts("2024-01-01 10:00:03"), 1L, "poll", 3.0), // admitted
+        (30L, ts("2024-01-01 10:00:12"), 1L, "poll", 4.0)) // next window
+      q.processAllAvailable()
+      // advance the watermark past both windows
+      input.addData((40L, ts("2024-01-01 10:05:00"), 1L, "poll", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("poll_out").collect()
+        .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_sampled"), r.getAs[Double]("total_value"))).toSet
+      assert(out == Set(
+        (ts("2024-01-01 10:00:00"), "poll", 2L, 4.0),
+        (ts("2024-01-01 10:00:10"), "poll", 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("dedupedEvents: duplicate event ids within the horizon are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
