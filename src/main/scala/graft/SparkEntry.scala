@@ -70,6 +70,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
     "q_dedup_minhash_verified" -> ((s, d) => Dedup.minhashVerifiedPairs(t(s, d, "documents"))),
+    "q_dedup_minhash_exactverify" -> ((s, d) => Dedup.minhashExactVerifiedPairs(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),
@@ -340,6 +341,30 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_minhash_exactverify" ->
+      """WITH reps AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents JOIN reps USING (doc_id)
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS shingle
+        |  FROM d WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, jaccard
+        |FROM (SELECT a_id, b_id,
+        |        CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+        |      FROM inter
+        |      JOIN sizes sa ON a_id = sa.doc_id
+        |      JOIN sizes sb ON b_id = sb.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
         |toks AS (

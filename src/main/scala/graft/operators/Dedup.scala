@@ -156,6 +156,51 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard")
   }
 
+  /** Exact stage-2 verification: LSH candidate pairs joined back to
+    * their distinct shingle sets, TRUE Jaccard computed (the same set
+    * algebra as [[jaccardPairs]]) and thresholded — vs
+    * [[minhashVerifiedPairs]], which thresholds a signature-agreement
+    * *estimate*. Pays two extra keyed equi-joins against the exploded
+    * shingles, but the output is deterministic in the text alone: by
+    * the banding recall at this threshold (spec-asserted zero missed
+    * jaccard≥0.8 pairs), it equals the set of ALL representative pairs
+    * with exact Jaccard ≥ threshold, which is what the SQL oracle
+    * computes.
+    *
+    * Scale shape: stage-0 exact collapse first (same load-bearing
+    * order as [[minhashVerifiedPairs]]); candidates are bucket-capped
+    * O(docs × bands); intersection rows materialize only for candidate
+    * pairs (cand ⨝ shingles on doc id, then on shingle value), never
+    * all pairs.
+    */
+  def minhashExactVerifiedPairs(documents: DataFrame, threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+      bucketCap: Int = 10000): DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokenize}
+    val reps = documents.join(
+      exact(documents).select(col("keep_id").as("doc_id")), "doc_id")
+    val sigs = minhashSketch(reps, numHashes, shingleLen)
+    val cand = candidatesFromSketch(sigs, numHashes, bands, bucketCap)
+    // distinct shingle features per representative doc (the exact
+    // feature space the signatures estimate)
+    val feats = reps.select(col("doc_id"),
+      explode(shingles(tokenize(col("text")), shingleLen, distinct = true))
+        .as("shingle"))
+    val sizes = feats.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(feats.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(feats.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), "b_id")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("a_n") + col("b_n") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** SimHash-64 fingerprint per doc: per-token xxhash64, signed bit
     * contributions summed per bit position, sign → bit — aggregated by
     * the custom [[graft.plans.SimHash64Agg]] (one buffer update per

@@ -29,42 +29,52 @@ object Similarity {
   /** Cosine near-duplicate pairs above `threshold`, bounded to
     * vec_id < `bound` (correctness baseline; LSH is the scale path).
     *
-    * The pair enumeration is a typed batch kernel: one side (bounded →
-    * driver-sized by contract, the same data movement a broadcast join
-    * performs) rides a broadcast variable as a flat array; the other
-    * streams through `mapPartitions`, scoring each row against the
-    * array in a tight loop. Identical pairs/values to the declarative
-    * broadcast-nested-loop formulation (`CosUtil.cosArr`/`round4`
-    * mirror `round(cosine_sim(..),4)` bit-for-bit), but ~10× less
-    * per-pair row machinery — this is the rung-(d) `mapPartitions`
-    * escape hatch, used because profiling showed the BNLJ row overhead
-    * at 95% of runtime, not the kernel.
+    * The pair enumeration is a typed batch kernel over a LAZY plan:
+    * the bounded side is aggregated into ONE row of flat primitive
+    * arrays (ids + dim-strided packed vectors — two collect_lists in a
+    * single aggregate see rows in the same order, so they stay
+    * aligned) and rides a `broadcast` cross join; each probe row then
+    * scores against the packed array in a tight loop inside
+    * `mapPartitions`. Everything is a logical plan node — constructing
+    * the DataFrame runs ZERO Spark jobs (spec-asserted via a
+    * SparkListener); the broadcast exchange materializes at action
+    * time, the same data movement the previous eager collect+broadcast
+    * performed at plan build. Per-probe-row decode of the shared side
+    * columns is two primitive-array copies (memcpy-shaped), not
+    * per-element struct decodes — this is the rung-(d) `mapPartitions`
+    * escape hatch, kept because profiling showed declarative BNLJ
+    * per-pair row machinery at 95% of runtime, not the kernel.
     *
-    * NOTE: building this plan materializes the bounded side (a
-    * collect-sized-by-contract job runs at DataFrame construction),
-    * and the broadcast lives for the session — the same data movement
-    * and lifetime a broadcast-hash join would have, but eager.
+    * NaN contract (degenerate vectors: zero norm, length mismatch,
+    * null elements): NaN pairs are EXCLUDED, explicitly — matching the
+    * SQL oracle, where a NaN comparison is not-true. (A naive Spark
+    * `Column` filter would diverge here: Spark orders NaN largest, so
+    * `col > lit` KEEPS NaN — which is why the kernel filter is the
+    * semantics of record, not a Column translation.)
     */
   def nearDupPairs(embeddings: DataFrame, bound: Long = 2000,
       threshold: Double = 0.35): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val bounded = embeddings.where(col("vec_id") < bound)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val bc = spark.sparkContext.broadcast(bounded.collect())
-    bounded.mapPartitions { it =>
-      val side = bc.value
-      it.flatMap { case (aId, aEmb) =>
-        side.iterator
-          .filter { case (bId, _) => aId < bId }
-          .map { case (bId, bEmb) =>
-            (aId, bId, graft.plans.CosUtil.round4(
-              graft.plans.CosUtil.cosArr(aEmb, bEmb)))
-          }
-          .filter(_._3 > threshold)
-      }
-    }.toDF("a_id", "b_id", "cos_sim")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val side = bounded.agg(
+      collect_list(col("vec_id")).as("side_ids"),
+      flatten(collect_list(col("embedding"))).as("side_vecs"))
+    bounded.crossJoin(broadcast(side))
+      .as[(Long, Array[Float], Array[Long], Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (aId, aEmb, ids, flat) =>
+          val dim = aEmb.length
+          Iterator.range(0, ids.length)
+            .filter(j => aId < ids(j))
+            .map { j =>
+              (aId, ids(j), graft.plans.CosUtil.round4(
+                graft.plans.CosUtil.cosFlat(aEmb, flat, j * dim, dim)))
+            }
+            .filter(t => !t._3.isNaN && t._3 > threshold)
+        }
+      }.toDF("a_id", "b_id", "cos_sim")
   }
 
   /** Brute-force top-k neighbors for query vectors (vec_id < nQueries)

@@ -28,6 +28,22 @@ object CosUtil {
     dot / math.sqrt(na * nb)
   }
 
+  /** [[cosArr]] against a dim-strided slice of a flat packed array
+    * (side vectors shipped as one primitive float array) — identical
+    * accumulation order, bit-identical results.
+    */
+  def cosFlat(a: Array[Float], flat: Array[Float], off: Int, dim: Int): Double = {
+    if (a.length != dim || dim == 0 || off + dim > flat.length) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = a(i).toDouble; val y = flat(off + i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
   /** Exact replica of Spark's `round(x, 4)` on doubles
     * (BigDecimal.valueOf + HALF_UP), so kernel output equals the
     * declarative `round(cosine_sim(...), 4)` bit-for-bit.

@@ -45,6 +45,16 @@ class DedupSpec extends SparkSuite {
     assert(pairs.forall(_._3 >= 0.5))
   }
 
+  test("minhashExactVerifiedPairs: TRUE Jaccard on candidates, exact value") {
+    // docs 0/1 differ in the last of 21 tokens: 19 distinct 3-shingles
+    // each, 18 shared -> exact J = 18 / (19 + 19 - 18) = 0.9
+    val pairs = Dedup.minhashExactVerifiedPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard")))
+    assert(pairs.toSeq == Seq((0L, 1L, 0.9)),
+      s"expected exactly the (0,1) near-dup pair with true jaccard, got ${pairs.toSeq}")
+  }
+
   test("simhashPairs: finds identical docs via band join, respects hamming cap") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     assert(pairs.exists(r =>

@@ -43,6 +43,36 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("annLsh recall tracks the 1-(1-p^b)^L hyperplane bound across (L, b) configs") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    // true top-k WITH their cosines: each neighbor's per-table collision
+    // prob is p^b with p = 1 - theta/pi, so its find prob over L
+    // independent tables is 1-(1-p^b)^L; expected recall = mean over
+    // the true neighbor set. The generated (L, b) grid replaces the
+    // old single-config point assertion.
+    val exact = Similarity.annTopK(emb, nQueries = 10, k = 5).collect()
+      .map(r => ((r.getAs[Long]("q_id"), r.getAs[Long]("n_id")),
+        r.getAs[Double]("cos_sim"))).toMap
+    val combos = sample(Gen.zip(Gen.oneOf(4, 8, 12), Gen.oneOf(2, 3, 4)), 8)
+      .distinct.take(5)
+    assert(combos.size >= 3, "need a real grid of configurations")
+    combos.foreach { case (l, b) =>
+      val approx = Similarity.annLsh(emb, nQueries = 10, k = 5,
+        nTables = l, nPlanes = b).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+      val measured = (exact.keySet & approx).size.toDouble / exact.size
+      val expected = exact.values.map { c =>
+        val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+        1.0 - math.pow(1.0 - math.pow(p, b), l)
+      }.sum / exact.size
+      info(f"L=$l b=$b measured=$measured%.3f expected=$expected%.3f")
+      assert(math.abs(measured - expected) <= 0.2,
+        f"L=$l b=$b: measured recall $measured%.3f vs bound $expected%.3f " +
+          "outside tolerance")
+    }
+  }
+
   test("cosine_sim agrees with direct double accumulation on generated vectors") {
     GraftFunctions.register(spark)
     val genVec = Gen.listOfN(16,

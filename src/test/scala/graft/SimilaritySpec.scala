@@ -58,4 +58,25 @@ class SimilaritySpec extends SparkSuite {
     assert(r.forall(x => x.getAs[Long]("a_id") < x.getAs[Long]("b_id")))
     assert(r.forall(x => x.getAs[Double]("cos_sim") > 0.3))
   }
+
+  test("nearDupPairs: plan construction runs ZERO Spark jobs (lazy by contract)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // force the input's own lazy setup (table read schema inference)
+    // BEFORE listening, so only nearDupPairs construction is counted
+    emb.schema
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = Similarity.nearDupPairs(emb, bound = 50, threshold = 0.3)
+      df.queryExecution.executedPlan // even physical planning stays job-free
+      Thread.sleep(500) // drain the listener bus
+      assert(jobs.get() == 0,
+        "constructing/planning nearDupPairs must run no Spark job")
+      assert(df.count() >= 0) // still executes (broadcast runs here)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
