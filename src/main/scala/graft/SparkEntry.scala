@@ -54,6 +54,11 @@ object SparkEntry {
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
     "q_value_quantiles" -> ((s, d) => Payments.valueQuantiles(t(s, d, "events"))),
     "q_active_users" -> ((s, d) => Payments.activeUsers(t(s, d, "events"))),
+    // approx (100 TB) variants: sketch aggregates, rows-only (HLL++ /
+    // Greenwald-Khanna have no DuckDB equivalent); error bounds vs the
+    // exact forms are spec-asserted (PaymentsSpec)
+    "q_active_users_approx" -> ((s, d) => Payments.activeUsers(t(s, d, "events"), approx = true)),
+    "q_value_quantiles_approx" -> ((s, d) => Payments.valueQuantiles(t(s, d, "events"), approx = true)),
     "q_retention" -> ((s, d) => Payments.retention(t(s, d, "events"))),
     "q_top_customers" -> ((s, d) => Payments.topCustomers(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),

@@ -292,14 +292,19 @@ object Payments {
         sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
 
   /** Daily/rolling active users: distinct users per day. Exact
-    * distinct (Spark expands it to a two-phase aggregate); at larger
-    * cardinalities swap for approx_count_distinct and accept the HLL
-    * error — exactness here keeps the oracle bit-exact.
+    * distinct (Spark expands it to a two-phase aggregate) keeps the
+    * oracle bit-exact; `approx = true` is the 100 TB swap — HLL++
+    * (`approx_count_distinct`, rsd 2%) aggregates in ONE shuffle of
+    * constant-size sketches instead of the exact form's expanded
+    * two-phase distinct, at the cost of the documented error bound
+    * (spec-asserted ≤ 5% against exact at sf0.01).
     */
-  def activeUsers(events: DataFrame): DataFrame =
+  def activeUsers(events: DataFrame, approx: Boolean = false): DataFrame =
     events
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(countDistinct(col("user_id")).as("dau"),
+      .agg(
+        (if (approx) approx_count_distinct(col("user_id"), 0.02)
+         else countDistinct(col("user_id"))).as("dau"),
         count(lit(1)).as("n_events"))
 
   /** Cohort retention: users grouped by first-seen week, counted as
@@ -392,17 +397,22 @@ object Payments {
 
   /** Exact value percentiles per event type (payment-size
     * distribution for ops dashboards): exact linear-interpolated
-    * percentile — at 100 TB swap for approx_percentile and accept the
-    * sketch error; exactness here keeps the DuckDB oracle bit-exact.
-    * One shuffle; percentile is the only sort-bearing agg.
+    * percentile keeps the DuckDB oracle bit-exact; `approx = true` is
+    * the 100 TB swap — `approx_percentile` (Greenwald-Khanna, accuracy
+    * 10000) holds a bounded-size summary per group instead of
+    * buffering every value for the exact sort-bearing aggregate
+    * (spec-asserted ≤ 5% relative error against exact at sf0.01).
     */
-  def valueQuantiles(events: DataFrame): DataFrame =
+  def valueQuantiles(events: DataFrame, approx: Boolean = false): DataFrame = {
+    val fn = if (approx) "approx_percentile" else "percentile"
+    val acc = if (approx) ", 10000" else ""
     events
       .groupBy("event_type")
       .agg(
-        round(expr("percentile(value, 0.5)"), 6).as("p50"),
-        round(expr("percentile(value, 0.9)"), 6).as("p90"),
-        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        round(expr(s"$fn(value, 0.5$acc)"), 6).as("p50"),
+        round(expr(s"$fn(value, 0.9$acc)"), 6).as("p90"),
+        round(expr(s"$fn(value, 0.99$acc)"), 6).as("p99"))
+  }
 
   /** Top-k customers per nation by exact revenue; rank-window on one
     * shuffle, deterministic tie-break on custkey.

@@ -191,12 +191,15 @@ object TextOps {
   }
 
   /** Multimodal-column plumbing: the document body as an opaque
-    * `binary` payload plus typed metadata. The "decode" is a STUB —
-    * deterministic fake dimensions derived from the byte length (no
-    * image/audio libs in this container) — but the schema, projection
-    * shape and checksum are the real pipeline plumbing: at 100 TB the
-    * payload column stays unread unless selected (parquet column
-    * pruning), and metadata extraction is a codegen'd projection.
+    * `binary` payload plus typed metadata — the oracled METADATA view
+    * (schema, projection shape, checksum are the real pipeline
+    * plumbing: at 100 TB the payload column stays unread unless
+    * selected via parquet column pruning, and metadata extraction is a
+    * codegen'd projection). The width/height here are deterministic
+    * byte-length formulas because these payloads are text, not media;
+    * REAL bitstream decode (JDK `javax.imageio`, dimensions +
+    * luminance-histogram features + raster resize) lives in
+    * [[MultimodalOps.extractFeatures]]/[[MultimodalOps.resize]].
     */
   def multimodalMeta(documents: DataFrame): DataFrame = {
     val payload = encode(col("text"), "UTF-8")

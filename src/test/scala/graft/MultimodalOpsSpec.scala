@@ -35,6 +35,43 @@ class MultimodalOpsSpec extends SparkSuite {
     assert(r1.map(_.payload.toSeq).toSeq == r2.map(_.payload.toSeq).toSeq)
   }
 
+  private def testImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 37 + y * 91 + 123) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real PNG/JPEG payloads decode to their true dimensions") {
+    implicit val enc = Encoders.product[MediaRow]
+    val m = spark.createDataset(Seq(
+      MediaRow(0L, testImage(5, 7, "png"), "image"),
+      MediaRow(1L, testImage(6, 4, "jpg"), "image"),
+      MediaRow(2L, "definitely not an image".getBytes("UTF-8"), "image")))
+    val f = MultimodalOps.extractFeatures(m).collect().sortBy(_.docId)
+    assert(f(0).width == 5 && f(0).height == 7 && f(0).nFrames == 1)
+    assert(f(1).width == 6 && f(1).height == 4)
+    // undecodable bytes degrade to the deterministic stub, not an error
+    assert(f(2).width >= 320 && f(2).height >= 240)
+    // luminance histogram is a probability distribution over 8 bins
+    assert(math.abs(f(0).feature.sum - 1f) < 1e-3)
+    assert(f(0).feature.forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("resize re-rasters decodable images to the target dimensions") {
+    implicit val enc = Encoders.product[MediaRow]
+    val m = spark.createDataset(Seq(MediaRow(0L, testImage(10, 8, "png"), "image")))
+    val r = MultimodalOps.resize(m, 4, 3).collect().head
+    assert(r.width == 4 && r.height == 3)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    assert(back != null, "resize output must itself be a decodable image")
+    assert(back.getWidth == 4 && back.getHeight == 3)
+  }
+
   test("empty payloads do not crash resize/frameSample") {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
     val m = spark.createDataset(Seq(
