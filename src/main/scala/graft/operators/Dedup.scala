@@ -176,27 +176,24 @@ object Dedup {
   def minhashExactVerifiedPairs(documents: DataFrame, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
       bucketCap: Int = 10000): DataFrame = {
-    import graft.functions.TextFunctions.{shingles, tokenize}
     val reps = documents.join(
       exact(documents).select(col("keep_id").as("doc_id")), "doc_id")
     val sigs = minhashSketch(reps, numHashes, shingleLen)
     val cand = candidatesFromSketch(sigs, numHashes, bands, bucketCap)
-    // distinct shingle features per representative doc (the exact
-    // feature space the signatures estimate)
-    val feats = reps.select(col("doc_id"),
-      explode(shingles(tokenize(col("text")), shingleLen, distinct = true))
-        .as("shingle"))
-    val sizes = feats.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(feats.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-      .join(feats.select(col("doc_id").as("b_id"), col("shingle")),
-        Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), "b_id")
+    // distinct shingle set per representative doc, PACKED as one array
+    // row (codegen'd shingled() explode + collect_set — not the
+    // interpreted `transform` shingle lambda): candidate pairs then
+    // fetch two arrays by doc id and intersect in-row, so intersection
+    // work and shuffle volume scale with the candidate count, not with
+    // candidates × shingles exploded rows.
+    val sets = shingled(reps, shingleLen)
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard", col("n_inter").cast("double") /
-        (col("a_n") + col("b_n") - col("n_inter")).cast("double"))
+        (size(col("a_sh")) + size(col("b_sh")) - col("n_inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
