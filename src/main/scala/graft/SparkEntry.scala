@@ -90,6 +90,9 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(t(s, d, "documents"))),
     "q_corpus_clean" -> ((s, d) => TextOps.cleanCorpus(t(s, d, "documents"))),
+    "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(t(s, d, "documents"))),
+    "q_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d, "documents"))),
+    "q_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(t(s, d, "documents"))),
     "q_train_split" -> ((s, d) => TextOps.trainSplit(t(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) => TextOps.vocabTopK(t(s, d, "documents"))),
     "q_tfidf_top" -> ((s, d) => TextOps.tfidfTop(t(s, d, "documents"))),
@@ -468,6 +471,39 @@ object SparkEntry {
         |  FROM scored WHERE n_tok >= 10 AND stop_ratio >= 0.05
         |)
         |SELECT doc_id, lang, source, n_tok FROM filtered WHERE rn = 1""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_url,
+        |  len(regexp_extract_all(text, '[0-9]{7,}')) AS n_num
+        |FROM documents""".stripMargin,
+    "q_repetition" ->
+      """SELECT doc_id, n_bigrams, n_distinct,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rep_ratio
+        |FROM (SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bigram) AS n_distinct
+        |      FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+        |              i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |            WHERE len(toks) >= 2)
+        |      GROUP BY doc_id)""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2
+        |), freq AS (
+        |  SELECT tok, CAST(SUM(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1
+        |), total AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM freq)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(tf AS DECIMAL(10,0)) *
+        |      CAST(ROUND(ln(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS DECIMAL(12,6)))
+        |    AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS avg_logprob
+        |FROM tf JOIN freq USING (tok) CROSS JOIN total
+        |GROUP BY doc_id""".stripMargin,
     "q_train_split" ->
       """SELECT split, lang, COUNT(*) AS n_docs
         |FROM (SELECT doc_id, lang,

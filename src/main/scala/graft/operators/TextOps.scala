@@ -111,6 +111,82 @@ object TextOps {
       .where(col("rnk") <= k)
   }
 
+  /** PII scrubbing — the C4-style pre-training redaction pass: emails,
+    * URLs and long digit runs (ids/phones/cards) replaced by typed
+    * placeholders, with per-doc match counts emitted so a pipeline can
+    * quarantine PII-dense documents. Pure projection — scan-speed at
+    * 100 TB. Patterns restrict themselves to syntax with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB oracle); the
+    * replacement ORDER (email → url → digits) is part of the contract
+    * since the classes can overlap inside one string.
+    */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ ]+"
+    val num = "[0-9]{7,}"
+    documents.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"), url, "<URL>"), num, "<NUM>").as("scrubbed"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(col("text"), lit(url), lit(0)))
+        .cast("long").as("n_url"),
+      size(regexp_extract_all(col("text"), lit(num), lit(0)))
+        .cast("long").as("n_num"))
+  }
+
+  /** Repetition ratio per doc — the duplicate-bigram fraction
+    * (Gopher-style repetition filter: templated/spammy text repeats
+    * n-grams): 1 − distinct/total bigrams for docs with ≥ 2 tokens.
+    * Codegen'd shingle explode + one keyed aggregate (Spark expands
+    * the exact distinct into the standard two-phase plan). Exact
+    * integer counts divided as doubles — bit-identical to the oracle.
+    */
+  def repetitionRatio(documents: DataFrame): DataFrame = {
+    val toks = tokenize(col("text"))
+    documents
+      .where(size(toks) >= 2)
+      .select(col("doc_id"), explode(shingleStructs(toks, 2)).as("z"))
+      .select(col("doc_id"), shingleFromStruct(col("z"), 2).as("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bigram")).as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_bigrams").cast("double")).as("rep_ratio"))
+  }
+
+  /** Unigram log-likelihood quality score — the CCNet-style LM-filter
+    * proxy: score(doc) = mean over tokens of ln(corpusFreq(token) /
+    * corpusTotal). Gibberish/rare-token text scores low; prose scores
+    * high. Plan: one (doc, tok) tf aggregate, one global token-freq
+    * aggregate joined on the token key, the single-row total
+    * broadcast. Determinism: each token's ln is rounded to 6 dp (libm
+    * last-ulp differs across engines — the tfidf precedent) and summed
+    * as DECIMAL scaled by tf, so the aggregate is exact and
+    * fold-order-free in both engines; the final mean divides as double.
+    */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("tok").agg(sum(col("tf")).as("n_tok"))
+    val total = freq.agg(sum(col("n_tok")).as("n_total"))
+    val lp = round(log(col("n_tok").cast("double") / col("n_total").cast("double")), 6)
+      .cast("decimal(12,6)")
+    tf.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        (col("tf").cast("decimal(10,0)") * lp).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("contrib")).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_lp").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("avg_logprob"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency with rank — the
     * word-count pass a BPE/vocab build starts from. Explode →
     * hash-agg (map-side partials collapse the heavy hitters before

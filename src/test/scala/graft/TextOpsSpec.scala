@@ -28,6 +28,48 @@ class TextOpsSpec extends SparkSuite {
     assert(n == 4) // ab, 12, cd, !
   }
 
+  test("piiScrub replaces emails/urls/long digit runs and counts matches") {
+    val d = Seq(
+      (0L, "contact bob.smith@example.com or see https://example.com/a?b=1 id 12345678 ok"),
+      (1L, "plain prose with a small number 42 in it")
+    ).toDF("doc_id", "text")
+    val r = TextOps.piiScrub(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("scrubbed"), x.getAs[Long]("n_email"),
+          x.getAs[Long]("n_url"), x.getAs[Long]("n_num")))).toMap
+    assert(r(0L) == (("contact <EMAIL> or see <URL> id <NUM> ok", 1L, 1L, 1L)))
+    assert(r(1L) == (("plain prose with a small number 42 in it", 0L, 0L, 0L)))
+  }
+
+  test("repetitionRatio: duplicate-bigram fraction, short docs excluded") {
+    val d = Seq(
+      (0L, "a b a b a b"), // bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+      (1L, "all distinct words here"),
+      (2L, "single")       // < 2 tokens: excluded
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionRatio(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_bigrams"), x.getAs[Long]("n_distinct"),
+          x.getAs[Double]("rep_ratio")))).toMap
+    assert(r(0L) == ((5L, 2L, 1.0 - 2.0 / 5.0)))
+    assert(r(1L) == ((3L, 3L, 0.0)))
+    assert(!r.contains(2L))
+  }
+
+  test("unigramLogProb: rare-token docs score lower than common-token docs") {
+    // corpus: x appears 3 times, y once (total 4)
+    val d = Seq((0L, "x x"), (1L, "x y")).toDF("doc_id", "text")
+    val r = TextOps.unigramLogProb(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Double]("avg_logprob")))).toMap
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val lnX = r6(math.log(3.0 / 4.0)); val lnY = r6(math.log(1.0 / 4.0))
+    assert(r(0L)._1 == 2L && r6(r(0L)._2) == r6(lnX.toDouble))
+    assert(r(1L)._1 == 2L &&
+      r6(r(1L)._2) == r6(((lnX + lnY) / 2).toDouble))
+    assert(r(1L)._2 < r(0L)._2, "the rare-token doc must score lower")
+  }
+
   test("rolling fingerprint is order-sensitive and deterministic") {
     val fps = Seq((0L, "a b"), (1L, "b a"), (2L, "a b")).toDF("doc_id", "text")
     val r = TextOps.fingerprint(fps).collect()
