@@ -83,6 +83,7 @@ object SparkEntry {
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
+    "q_ann_ivf_learned" -> ((s, d) => Similarity.annIvfLearned(t(s, d, "embeddings"))),
     "q_kmeans" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),

@@ -159,24 +159,29 @@ object Similarity {
     array(components.map(x => lit((x / norm).toFloat)): _*)
   }
 
-  /** IVF cell assignment: argmax-dot over `nCells` fixed centroids,
-    * computed as `array_max` over (dot, cell) structs — pure codegen'd
-    * projection, zero shuffle. `nProbe` > 1 returns the top-probe
-    * cells (query side); one row per (vec, probed cell).
+  /** Cell assignment against a given centroid set: argmax-dot over the
+    * unit-normalized centroid literals — pure codegen'd projection,
+    * zero shuffle. `nProbe` > 1 returns the top-probe cells (query
+    * side); one row per (vec, probed cell).
     */
-  def ivfCells(embeddings: DataFrame, nCells: Int = 8, nProbe: Int = 1,
-      dim: Int = 64): DataFrame = {
-    val e = registered(embeddings)
-    val scored = (0 until nCells).map { c =>
-      val centroid = unitLit((0 until dim).map(d => centroidComponent(c, d)))
-      struct(call_function("dot_f32", col("embedding"), centroid).as("d"),
-        lit(c).as("c"))
+  private def cellsFor(e: DataFrame,
+      centroids: IndexedSeq[IndexedSeq[Float]], nProbe: Int): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (cvec, i) =>
+      struct(call_function("dot_f32", col("embedding"), unitLit(cvec)).as("d"),
+        lit(i).as("c"))
     }
     val ranked = reverse(array_sort(array(scored: _*)))
     e.select(col("vec_id"), col("embedding"),
         explode(slice(ranked, 1, nProbe)).as("cell_s"))
       .select(col("vec_id"), col("embedding"), col("cell_s.c").as("cell"))
   }
+
+  /** IVF cell assignment over `nCells` FIXED (splitmix) centroids. */
+  def ivfCells(embeddings: DataFrame, nCells: Int = 8, nProbe: Int = 1,
+      dim: Int = 64): DataFrame =
+    cellsFor(registered(embeddings),
+      (0 until nCells).map(c => (0 until dim).map(d => centroidComponent(c, d))),
+      nProbe)
 
   /** IVF ANN: corpus vectors live in their argmax cell (inverted
     * lists); each query probes its `nProbe` closest cells and exact
@@ -214,25 +219,28 @@ object Similarity {
   def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
       dim: Int = 64): DataFrame = {
     val e = registered(embeddings).select(col("vec_id"), col("embedding"))
+    val centroids = learnedCentroids(e, k, iters, dim)
+    cellsFor(e, centroids, nProbe = 1)
+      .select(col("vec_id"), col("cell").cast("int").as("cluster"))
+  }
+
+  /** Lloyd's iterations returning the learned centroids (shared by
+    * [[kmeansAssign]] and [[annIvfLearned]]). Driver traffic per iter
+    * is k×dim floats — constant regardless of corpus size.
+    */
+  private def learnedCentroids(e: DataFrame, k: Int, iters: Int,
+      dim: Int): IndexedSeq[IndexedSeq[Float]] = {
     var centroids: IndexedSeq[IndexedSeq[Float]] =
       (0 until k).map(c => (0 until dim).map(d => planeComponent(c + 20011, d)))
-    def assign(cs: IndexedSeq[IndexedSeq[Float]]): DataFrame = {
-      val scored = cs.zipWithIndex.map { case (cvec, i) =>
-        struct(call_function("dot_f32", col("embedding"),
-          unitLit(cvec)).as("d"), lit(i).as("c"))
-      }
-      e.withColumn("cluster",
-        reverse(array_sort(array(scored: _*))).getItem(0).getField("c"))
-    }
     for (_ <- 0 until iters) {
       // centroid update = one vector_mean aggregate per cluster (the
       // custom VectorMeanAgg: dim+1 doubles per partial, k rows back
       // to the driver — constant-size regardless of corpus)
-      val means = assign(centroids)
-        .groupBy(col("cluster"))
+      val means = cellsFor(e, centroids, nProbe = 1)
+        .groupBy(col("cell"))
         .agg(call_function("vector_mean", col("embedding"), lit(dim)).as("m"))
         .collect()
-        .map(r => r.getAs[Int]("cluster") -> r.getSeq[Double](1)).toMap
+        .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1)).toMap
       centroids = (0 until k).map { c =>
         means.get(c) match {
           case Some(m) => m.map(_.toFloat).toIndexedSeq
@@ -240,7 +248,37 @@ object Similarity {
         }
       }
     }
-    assign(centroids).select(col("vec_id"), col("cluster"))
+    centroids
+  }
+
+  /** IVF over LEARNED centroids: the same Lloyd's loop as
+    * [[kmeansAssign]] refines the cell centroids to the data's actual
+    * density, then the standard probe/re-rank runs against those
+    * cells. Data-adaptive cells balance the inverted lists (fixed
+    * random centroids leave some cells near-empty and others hot), so
+    * the same nProbe buys more recall — spec-asserted against the
+    * fixed-centroid [[annIvf]] on the test embeddings. Same scale
+    * shape as annIvf: shuffle keys are cell ids, all-pairs work only
+    * inside probed cells; the learning adds `iters` constant-size
+    * driver round-trips (the MLlib pattern).
+    */
+  def annIvfLearned(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
+      nCells: Int = 8, nProbe: Int = 4, iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val e = registered(embeddings).select(col("vec_id"), col("embedding"))
+    val centroids = learnedCentroids(e, nCells, iters, dim)
+    val corpus = cellsFor(e, centroids, nProbe = 1)
+    val q = cellsFor(e.where(col("vec_id") < nQueries), centroids, nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    corpus.as("c").join(broadcast(q),
+        col("q_id") =!= col("c.vec_id") && col("q_cell") === col("c.cell"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        cos("q_emb", "c.embedding").as("cos_sim"))
+      .distinct()
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
   }
 
   /** LSH-bucketed ANN: candidates share a bucket with the query in any

@@ -36,6 +36,20 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6) // nProbe=4 of 8 cells on loose neighbors
   }
 
+  test("annIvfLearned: learned centroids match or beat fixed-centroid recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(Similarity.annTopK(emb, nQueries = 10, k = 5))
+    val fixed = pairs(Similarity.annIvf(emb, nQueries = 10, k = 5))
+    val learned = pairs(Similarity.annIvfLearned(emb, nQueries = 10, k = 5))
+    val rFixed = (exact & fixed).size.toDouble / exact.size
+    val rLearned = (exact & learned).size.toDouble / exact.size
+    info(s"fixed recall = $rFixed, learned recall = $rLearned")
+    assert(rLearned >= rFixed,
+      s"data-adaptive cells must not lose recall: $rLearned < $rFixed")
+    assert(rLearned >= 0.6)
+  }
+
   test("ivfCells: corpus side one cell per vec, query side nProbe cells") {
     val n = emb.count()
     assert(Similarity.ivfCells(emb, nCells = 8, nProbe = 1).count() == n)

@@ -142,6 +142,25 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("polledSample batch/stream parity: window totals reconcile with Payments.pollSample") {
+    // the documented contract: the same code runs on batch frames, and
+    // its per-type totals must equal the batch sampler's aggregate
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    val windowed = StreamingOps.polledSample(events, n = 10,
+      windowLen = "1 day", watermarkDelay = "0 seconds")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.sum("n_sampled").as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("total_value"), 2).as("total_value"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("total_value")))).toMap
+    val batch = graft.operators.Payments.pollSample(events, n = 10).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("total_value")))).toMap
+    assert(windowed == batch)
+  }
+
   test("dedupedEvents: duplicate event ids within the horizon are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
