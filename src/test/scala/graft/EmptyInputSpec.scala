@@ -58,6 +58,10 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("langId", TextOps.langId(noDocs))
     assertEmptyOk("textQuality", TextOps.textQuality(noDocs))
     assertEmptyOk("fingerprint", TextOps.fingerprint(noDocs))
+    assertEmptyOk("minhashExactVerifiedPairs", Dedup.minhashExactVerifiedPairs(noDocs))
+    assertEmptyOk("piiScrub", TextOps.piiScrub(noDocs))
+    assertEmptyOk("repetitionRatio", TextOps.repetitionRatio(noDocs))
+    assertEmptyOk("unigramLogProb", TextOps.unigramLogProb(noDocs))
   }
 
   test("similarity operators tolerate empty input") {
@@ -65,5 +69,6 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("annTopK", Similarity.annTopK(noEmb))
     assertEmptyOk("annLsh", Similarity.annLsh(noEmb))
     assertEmptyOk("annIvf", Similarity.annIvf(noEmb))
+    assertEmptyOk("annIvfLearned", Similarity.annIvfLearned(noEmb))
   }
 }

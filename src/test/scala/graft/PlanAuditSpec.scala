@@ -83,6 +83,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(scans >= 2, "df branch keeps its own global scan")
   }
 
+  test("piiScrub: pure projection — zero exchanges, pruned scan") {
+    val p = plan(graft.operators.TextOps.piiScrub(Tables(spark, dir, "documents")))
+    assert(!p.contains("Exchange"), "PII scrubbing must be scan-local")
+    assert(!p.contains("lang"), "scan must prune unused columns")
+  }
+
+  test("unigramLogProb: freq join is a hash join, never cartesian") {
+    val p = plan(graft.operators.TextOps.unigramLogProb(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop join is the broadcast of the single-row total
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val p = plan(Payments.hmacSign(Tables(spark, dir, "events")))
     // the signature projection must carry the codegen-stage marker
