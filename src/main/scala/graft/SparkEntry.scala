@@ -80,6 +80,7 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"))),
+    "q_embed_neardup_lsh" -> ((s, d) => Similarity.nearDupPairsLsh(t(s, d, "embeddings"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),

@@ -84,6 +84,37 @@ object Similarity {
       }.toDF("a_id", "b_id", "cos_sim")
   }
 
+  /** Embedding near-dup PAIRS at scale — the unbounded dual of
+    * [[nearDupPairs]]: multi-table hyperplane-LSH bucket SELF-join
+    * (same tables as [[annLsh]]) → exact cosine filter ≥ `threshold`
+    * → distinct pairs. Shuffle is O(n × tables) on the (table, bucket)
+    * key; pair scoring happens only inside buckets, and buckets past
+    * `bucketCap` are dropped (the same degenerate-value guard as
+    * minhash banding — a hot bucket means near-constant vectors better
+    * handled by exact dedup first). Probabilistic recall
+    * 1-(1-p^b)^L; the defaults match this corpus's loose neighbors —
+    * a true near-dup corpus (cos ≥ 0.9, p ≥ 0.95) runs nPlanes=12-16
+    * for tiny buckets at the same recall. NaN cosines (degenerate
+    * vectors) are excluded explicitly, as in [[nearDupPairs]].
+    */
+  def nearDupPairsLsh(embeddings: DataFrame, threshold: Double = 0.35,
+      nTables: Int = 8, nPlanes: Int = 3, bucketCap: Int = 10000): DataFrame = {
+    val b = lshBuckets(embeddings, nTables, nPlanes)
+    val wb = Window.partitionBy("table_id", "bucket")
+    val capped = b
+      .withColumn("bucket_n", count(lit(1)).over(wb))
+      .where(col("bucket_n") <= bucketCap)
+      .drop("bucket_n")
+    capped.as("a").join(capped.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        cos("a.embedding", "b.embedding").as("cos_sim"))
+      .where(!isnan(col("cos_sim")) && col("cos_sim") > threshold)
+      .distinct() // a pair can collide in several tables
+  }
+
   /** Brute-force top-k neighbors for query vectors (vec_id < nQueries)
     * against the full corpus — the exact baseline ANN. The query side
     * is broadcast; the corpus streams. Rank-window partitioned by

@@ -70,5 +70,6 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("annLsh", Similarity.annLsh(noEmb))
     assertEmptyOk("annIvf", Similarity.annIvf(noEmb))
     assertEmptyOk("annIvfLearned", Similarity.annIvfLearned(noEmb))
+    assertEmptyOk("nearDupPairsLsh", Similarity.nearDupPairsLsh(noEmb))
   }
 }

@@ -73,6 +73,21 @@ class SimilaritySpec extends SparkSuite {
     assert(r.forall(x => x.getAs[Double]("cos_sim") > 0.3))
   }
 
+  test("nearDupPairsLsh: exact precision, bounded-baseline recall >= 0.7") {
+    val bounded = emb.where(org.apache.spark.sql.functions.col("vec_id") < 200)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        r.getAs[Double]("cos_sim"))).toMap
+    val truth = pairs(Similarity.nearDupPairs(emb, bound = 200, threshold = 0.35))
+    val lsh = pairs(Similarity.nearDupPairsLsh(bounded, threshold = 0.35))
+    // precision is EXACT: every returned pair is a true pair with the
+    // identical rounded cosine (the filter re-scores exactly)
+    lsh.foreach { case (p, c) => assert(truth.get(p).contains(c), s"false pair $p") }
+    val recall = lsh.size.toDouble / truth.size
+    info(s"lsh pair recall = $recall (${lsh.size}/${truth.size})")
+    assert(recall >= 0.7)
+  }
+
   test("nearDupPairs: plan construction runs ZERO Spark jobs (lazy by contract)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
