@@ -91,11 +91,22 @@ object Similarity {
     * key; pair scoring happens only inside buckets, and buckets past
     * `bucketCap` are dropped (the same degenerate-value guard as
     * minhash banding — a hot bucket means near-constant vectors better
-    * handled by exact dedup first). Probabilistic recall
-    * 1-(1-p^b)^L; the defaults match this corpus's loose neighbors —
-    * a true near-dup corpus (cos ≥ 0.9, p ≥ 0.95) runs nPlanes=12-16
-    * for tiny buckets at the same recall. NaN cosines (degenerate
-    * vectors) are excluded explicitly, as in [[nearDupPairs]].
+    * handled by exact dedup first). Probabilistic recall 1-(1-p^b)^L.
+    *
+    * SCALE PHYSICS (measured): LSH's win over brute force is the
+    * selectivity ratio (p_near / p_random)^b, with p_random = 1/2 for
+    * hyperplane bits. A TRUE near-dup threshold (cos ≥ 0.9, p ≥ 0.95)
+    * at b=16 gives ~10⁴× selectivity — candidate work ≈ output size.
+    * A LOOSE threshold like this corpus's 0.35 (p ≈ 0.62) gives only
+    * (0.62/0.5)^b ≈ 1.9× at b=3: candidate work stays near-quadratic
+    * no matter how b and L are traded (raising b kills recall faster
+    * than it kills random collisions at p this close to 1/2). The 10×
+    * scale run measures exactly that: 20k vectors → 455k true pairs,
+    * 101 s — dense problems are dense; use [[nearDupPairs]]'s bounded
+    * kernel for loose exploratory thresholds and THIS op with
+    * nPlanes=12-16, higher threshold for production near-dup sweeps.
+    * NaN cosines (degenerate vectors) are excluded explicitly, as in
+    * [[nearDupPairs]].
     */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double = 0.35,
       nTables: Int = 8, nPlanes: Int = 3, bucketCap: Int = 10000): DataFrame = {
