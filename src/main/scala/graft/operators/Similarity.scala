@@ -29,21 +29,22 @@ object Similarity {
   /** Cosine near-duplicate pairs above `threshold`, bounded to
     * vec_id < `bound` (correctness baseline; LSH is the scale path).
     *
-    * The pair enumeration is a typed batch kernel over a LAZY plan:
-    * the bounded side is aggregated into ONE row of flat primitive
-    * arrays (ids + dim-strided packed vectors — two collect_lists in a
-    * single aggregate see rows in the same order, so they stay
-    * aligned) and rides a `broadcast` cross join; each probe row then
-    * scores against the packed array in a tight loop inside
-    * `mapPartitions`. Everything is a logical plan node — constructing
-    * the DataFrame runs ZERO Spark jobs (spec-asserted via a
-    * SparkListener); the broadcast exchange materializes at action
-    * time, the same data movement the previous eager collect+broadcast
-    * performed at plan build. Per-probe-row decode of the shared side
-    * columns is two primitive-array copies (memcpy-shaped), not
-    * per-element struct decodes — this is the rung-(d) `mapPartitions`
-    * escape hatch, kept because profiling showed declarative BNLJ
-    * per-pair row machinery at 95% of runtime, not the kernel.
+    * The pair enumeration is a BLOCKED typed kernel over a LAZY plan:
+    * both sides pack into flat primitive arrays (ids + dim-strided
+    * vectors — two collect_lists in a single aggregate see rows in the
+    * same order, so they stay aligned). The full bounded set is ONE
+    * aggregated row riding a `broadcast` cross join; the probe side
+    * packs per input partition (groupBy spark_partition_id), so each
+    * probe BLOCK decodes the shared side exactly once and the kernel
+    * runs a block × side nested loop — total decode is
+    * O(blocks × side), not O(rows × side). Everything is a logical
+    * plan node — constructing the DataFrame runs ZERO Spark jobs
+    * (spec-asserted via a SparkListener); the broadcast exchange
+    * materializes at action time, the same data movement the previous
+    * eager collect+broadcast performed at plan build. This is the
+    * rung-(d) `mapPartitions` escape hatch, kept because profiling
+    * showed declarative BNLJ per-pair row machinery at 95% of runtime,
+    * not the kernel.
     *
     * NaN contract (degenerate vectors: zero norm, length mismatch,
     * null elements): NaN pairs are EXCLUDED, explicitly — matching the
@@ -58,28 +59,36 @@ object Similarity {
     import spark.implicits._
     val bounded = embeddings.where(col("vec_id") < bound)
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-    // The coalesce-in-transform marks the packed array's elements
+    // The coalesce-in-transform marks the packed arrays' elements
     // non-null (parquet float lists are nullable by default): without
-    // it the tuple deserializer walks 128k elements per probe row on
-    // the boxed null-checking path instead of one primitive copy —
-    // measured 4× on the whole query. The lambda runs ONCE (single
-    // aggregated row), so its interpreted evaluation is irrelevant.
-    val side = bounded.agg(
-      collect_list(col("vec_id")).as("side_ids"),
+    // it the tuple deserializer walks every element on the boxed
+    // null-checking path instead of one primitive copy — measured 4×
+    // on the whole query. The lambda runs once per BLOCK row, so its
+    // interpreted evaluation is irrelevant.
+    def packCols(ids: String, vecs: String): (Column, Column) = (
+      collect_list(col("vec_id")).as(ids),
       transform(flatten(collect_list(col("embedding"))),
-        x => coalesce(x, lit(0f))).as("side_vecs"))
-    bounded.crossJoin(broadcast(side))
-      .as[(Long, Array[Float], Array[Long], Array[Float])]
+        x => coalesce(x, lit(0f))).as(vecs))
+    val (sIds, sVecs) = packCols("s_ids", "s_vecs")
+    val side = bounded.agg(sIds, sVecs)
+    val (pIds, pVecs) = packCols("p_ids", "p_vecs")
+    val probe = bounded.groupBy(spark_partition_id().as("pid")).agg(pIds, pVecs)
+    probe.crossJoin(broadcast(side))
+      .select(col("p_ids"), col("p_vecs"), col("s_ids"), col("s_vecs"))
+      .as[(Array[Long], Array[Float], Array[Long], Array[Float])]
       .mapPartitions { it =>
-        it.flatMap { case (aId, aEmb, ids, flat) =>
-          val dim = aEmb.length
-          Iterator.range(0, ids.length)
-            .filter(j => aId < ids(j))
-            .map { j =>
-              (aId, ids(j), graft.plans.CosUtil.round4(
-                graft.plans.CosUtil.cosFlat(aEmb, flat, j * dim, dim)))
-            }
-            .filter(t => !t._3.isNaN && t._3 > threshold)
+        it.flatMap { case (pIds, pVecs, sIds, sVecs) =>
+          val dim = if (pIds.isEmpty) 1 else pVecs.length / pIds.length
+          Iterator.range(0, pIds.length).flatMap { i =>
+            val aId = pIds(i)
+            Iterator.range(0, sIds.length)
+              .filter(j => aId < sIds(j))
+              .map { j =>
+                (aId, sIds(j), graft.plans.CosUtil.round4(
+                  graft.plans.CosUtil.cosFlat(pVecs, i * dim, sVecs, j * dim, dim)))
+              }
+              .filter(t => !t._3.isNaN && t._3 > threshold)
+          }
         }
       }.toDF("a_id", "b_id", "cos_sim")
   }

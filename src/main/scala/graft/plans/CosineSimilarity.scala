@@ -28,16 +28,18 @@ object CosUtil {
     dot / math.sqrt(na * nb)
   }
 
-  /** [[cosArr]] against a dim-strided slice of a flat packed array
-    * (side vectors shipped as one primitive float array) — identical
-    * accumulation order, bit-identical results.
+  /** [[cosArr]] between two dim-strided slices of flat packed arrays
+    * (blocked batch kernels ship vectors as one primitive float array
+    * per block) — identical accumulation order, bit-identical results.
     */
-  def cosFlat(a: Array[Float], flat: Array[Float], off: Int, dim: Int): Double = {
-    if (a.length != dim || dim == 0 || off + dim > flat.length) return Double.NaN
+  def cosFlat(a: Array[Float], offA: Int, b: Array[Float], offB: Int,
+      dim: Int): Double = {
+    if (dim == 0 || offA + dim > a.length || offB + dim > b.length)
+      return Double.NaN
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < dim) {
-      val x = a(i).toDouble; val y = flat(off + i).toDouble
+      val x = a(offA + i).toDouble; val y = b(offB + i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
