@@ -113,7 +113,12 @@ object Dedup {
       .withColumn("bucket_n", count(lit(1)).over(wb))
       .where(col("bucket_n") <= bucketCap)
       .drop("bucket_n")
-    capped.as("a")
+    // SHUFFLE_HASH instead of the planner's broadcast: both self-join
+    // sides then carry the IDENTICAL shuffle exchange the bucket-cap
+    // window already created on the join keys, so ReuseExchange
+    // computes the whole sketch→band subtree ONCE (a broadcast build
+    // side is a different exchange node and re-executes it).
+    capped.as("a").hint("SHUFFLE_HASH")
       .join(capped.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -243,7 +248,10 @@ object Dedup {
         explode(array(bands: _*)).as("bv"))
       .select(col("doc_id"), col("simhash64"),
         col("bv.band_idx"), col("bv.band_val"))
-    banded.as("a")
+    // SHUFFLE_HASH: self-join sides share the identical shuffle, so
+    // ReuseExchange computes the simhash subtree once (see
+    // candidatesFromSketch for the broadcast-vs-reuse tradeoff)
+    banded.as("a").hint("SHUFFLE_HASH")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&

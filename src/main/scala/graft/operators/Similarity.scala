@@ -125,7 +125,9 @@ object Similarity {
       .withColumn("bucket_n", count(lit(1)).over(wb))
       .where(col("bucket_n") <= bucketCap)
       .drop("bucket_n")
-    capped.as("a").join(capped.as("b"),
+    // SHUFFLE_HASH: the self-join sides then share the bucket-cap
+    // window's shuffle via ReuseExchange (one bucketing pass, not two)
+    capped.as("a").hint("SHUFFLE_HASH").join(capped.as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
