@@ -245,7 +245,14 @@ object Payments {
       last(col("rate"), ignoreNulls = true).over(wIn))
     // 2) bucket spine: closing tick per bucket, carried forward from
     // strictly earlier buckets (tickless buckets inherit; close_rate is
-    // null only for them, so ignoreNulls last() skips them correctly)
+    // null only for them, so ignoreNulls last() skips them correctly).
+    // Deliberately re-aggregates the raw union rather than consuming
+    // the windowed frame: exchange reuse does NOT fire across the two
+    // branches either way (column pruning gives them different
+    // exchange schemas), and a partial-agg over the pruned scan is far
+    // cheaper than replaying the sort+window. Cost at scale = two
+    // extra column-pruned, filter-pushed scans for the aggregate-sized
+    // spine.
     val spine = u.groupBy("currency", "bucket")
       .agg(max_by(when(col("is_purchase") === 0, col("rate")),
         // purchases sort below any tick so a purchase row never wins max_by
