@@ -76,6 +76,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
     "q_dedup_minhash_verified" -> ((s, d) => Dedup.minhashVerifiedPairs(t(s, d, "documents"))),
     "q_dedup_minhash_exactverify" -> ((s, d) => Dedup.minhashExactVerifiedPairs(t(s, d, "documents"))),
+    "q_dedup_groups" -> ((s, d) => Dedup.dedupGroups(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),
@@ -375,6 +376,43 @@ object SparkEntry {
         |      JOIN sizes sa ON a_id = sa.doc_id
         |      JOIN sizes sb ON b_id = sb.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    "q_dedup_groups" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents
+        |), reps AS (
+        |  SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h
+        |), dd AS (
+        |  SELECT d.doc_id, string_split(d.text, ' ') AS toks
+        |  FROM documents d JOIN reps r ON md5(d.text) = r.h AND d.doc_id = r.keep_id
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS shingle
+        |  FROM dd WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), near AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON a_id = sa.doc_id
+        |  JOIN sizes sb ON b_id = sb.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+        |), ex AS (
+        |  SELECT bb.doc_id AS e_src, rr.keep_id AS e_dst
+        |  FROM base bb JOIN reps rr USING (h) WHERE bb.doc_id <> rr.keep_id
+        |), edges AS (
+        |  SELECT e_src AS src, e_dst AS dst FROM ex
+        |  UNION ALL SELECT e_dst, e_src FROM ex
+        |  UNION ALL SELECT a_id, b_id FROM near
+        |  UNION ALL SELECT b_id, a_id FROM near
+        |), reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM base
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src
+        |)
+        |SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
         |toks AS (

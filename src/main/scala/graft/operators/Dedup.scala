@@ -203,6 +203,62 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Canonical dedup assignment — the FINAL step of the pipeline:
+    * connected components over the union of exact-duplicate edges
+    * (doc → its md5-group representative) and exact-verified near-dup
+    * edges among representatives ([[minhashExactVerifiedPairs]],
+    * Jaccard ≥ threshold), computed as min-label propagation to a
+    * fixpoint. Every doc gets `group_id` = the smallest doc_id
+    * transitively reachable; "keep one per group" is then the filter
+    * `doc_id = group_id`.
+    *
+    * Iterations are driver-coordinated (the same pattern as
+    * [[Similarity.kmeansAssign]]): the edge set materializes once via
+    * localCheckpoint (which also truncates the sketch lineage so each
+    * round replays nothing), each round is one keyed join + one
+    * min-aggregate, and the loop exits as soon as a round changes no
+    * label — rounds needed = component diameter, and dedup components
+    * are shallow (star-shaped around the representative). At 100 TB
+    * swap plain propagation for alternating small-star/large-star
+    * rounds — the same join shape, O(log n) rounds on adversarial
+    * chains. NOTE: deliberately an EAGER iterative operator (jobs run
+    * at construction), unlike the lazy single-plan operators.
+    */
+  def dedupGroups(documents: DataFrame, threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+      bucketCap: Int = 10000, maxIters: Int = 10): DataFrame = {
+    val docs = documents.select(col("doc_id"), md5(col("text")).as("h"))
+    val reps = docs.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    val exactEdges = docs.join(reps, "h")
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("src"), col("keep_id").as("dst"))
+    val nearEdges = minhashExactVerifiedPairs(documents, threshold,
+        numHashes, bands, shingleLen, bucketCap)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val directed = exactEdges.unionByName(nearEdges)
+    val edges = directed.unionByName(
+      directed.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = documents.select(col("doc_id"),
+      col("doc_id").as("group_id")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val prop = labels.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("group_id"))
+        .unionByName(labels)
+        .groupBy("doc_id").agg(min(col("group_id")).as("group_id"))
+        .localCheckpoint()
+      done = prop
+        .join(labels.withColumnRenamed("group_id", "old_group"), "doc_id")
+        .where(col("group_id") =!= col("old_group"))
+        .isEmpty
+      labels = prop
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash-64 fingerprint per doc: per-token xxhash64, signed bit
     * contributions summed per bit position, sign → bit — aggregated by
     * the custom [[graft.plans.SimHash64Agg]] (one buffer update per

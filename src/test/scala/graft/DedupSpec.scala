@@ -55,6 +55,14 @@ class DedupSpec extends SparkSuite {
       s"expected exactly the (0,1) near-dup pair with true jaccard, got ${pairs.toSeq}")
   }
 
+  test("dedupGroups: exact + near-dup edges merge transitively into min-id groups") {
+    // fixture: 0↔3 exact copies, 0↔1 near-dups (J=0.9) → one group {0,1,3};
+    // 2 is isolated → its own group
+    val groups = Dedup.dedupGroups(docs, threshold = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(groups == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L))
+  }
+
   test("simhashPairs: finds identical docs via band join, respects hamming cap") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     assert(pairs.exists(r =>
