@@ -59,6 +59,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("textQuality", TextOps.textQuality(noDocs))
     assertEmptyOk("fingerprint", TextOps.fingerprint(noDocs))
     assertEmptyOk("minhashExactVerifiedPairs", Dedup.minhashExactVerifiedPairs(noDocs))
+    assertEmptyOk("dedupGroups", Dedup.dedupGroups(noDocs))
     assertEmptyOk("piiScrub", TextOps.piiScrub(noDocs))
     assertEmptyOk("repetitionRatio", TextOps.repetitionRatio(noDocs))
     assertEmptyOk("unigramLogProb", TextOps.unigramLogProb(noDocs))
