@@ -103,10 +103,12 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
-    * column). Omitted (rows-only + ScalaTest specs, since xxhash64 /
-    * hmac have no DuckDB equivalent): q_hmac_sign, q_dedup_minhash,
-    * q_dedup_simhash, q_simhash_pairs, q_fingerprint, q_ann_lsh,
-    * q_ann_ivf.
+    * column). Omitted (rows-only + ScalaTest specs — xxhash64/hmac,
+    * HLL/GK sketches and LSH/IVF bucket configurations have no DuckDB
+    * equivalent): q_hmac_sign, q_dedup_minhash, q_dedup_minhash_verified,
+    * q_dedup_simhash, q_simhash_pairs, q_fingerprint, q_kmeans,
+    * q_ann_lsh, q_ann_ivf, q_ann_ivf_learned, q_embed_neardup_lsh,
+    * q_active_users_approx, q_value_quantiles_approx.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

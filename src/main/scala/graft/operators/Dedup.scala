@@ -180,9 +180,20 @@ object Dedup {
     */
   def minhashExactVerifiedPairs(documents: DataFrame, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
-      bucketCap: Int = 10000): DataFrame = {
-    val reps = documents.join(
-      exact(documents).select(col("keep_id").as("doc_id")), "doc_id")
+      bucketCap: Int = 10000): DataFrame =
+    exactVerifiedFromReps(
+      documents.join(exact(documents).select(col("keep_id").as("doc_id")),
+        "doc_id"),
+      threshold, numHashes, bands, shingleLen, bucketCap)
+
+  /** [[minhashExactVerifiedPairs]] over an ALREADY-computed
+    * representative frame — split out so pipelines that derive the
+    * md5-representative set anyway ([[dedupGroups]]) aggregate the
+    * corpus text once, not twice.
+    */
+  private[operators] def exactVerifiedFromReps(reps: DataFrame,
+      threshold: Double, numHashes: Int, bands: Int, shingleLen: Int,
+      bucketCap: Int): DataFrame = {
     val sigs = minhashSketch(reps, numHashes, shingleLen)
     val cand = candidatesFromSketch(sigs, numHashes, bands, bucketCap)
     // distinct shingle set per representative doc, PACKED as one array
@@ -221,18 +232,26 @@ object Dedup {
     * are shallow (star-shaped around the representative). At 100 TB
     * swap plain propagation for alternating small-star/large-star
     * rounds — the same join shape, O(log n) rounds on adversarial
-    * chains. NOTE: deliberately an EAGER iterative operator (jobs run
-    * at construction), unlike the lazy single-plan operators.
+    * chains. A run that exhausts `maxIters` without a PROVEN fixpoint
+    * (one round that changes nothing) THROWS rather than silently
+    * returning a partially-merged assignment. NOTE: deliberately an
+    * EAGER iterative operator (jobs run at construction), unlike the
+    * lazy single-plan operators.
     */
   def dedupGroups(documents: DataFrame, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
-      bucketCap: Int = 10000, maxIters: Int = 10): DataFrame = {
+      bucketCap: Int = 10000, maxIters: Int = 20): DataFrame = {
     val docs = documents.select(col("doc_id"), md5(col("text")).as("h"))
-    val reps = docs.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
-    val exactEdges = docs.join(reps, "h")
+    val repIds = docs.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    val exactEdges = docs.join(repIds, "h")
       .where(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id").as("src"), col("keep_id").as("dst"))
-    val nearEdges = minhashExactVerifiedPairs(documents, threshold,
+    // representatives derive from the SAME md5 aggregate as the exact
+    // edges — the corpus text is hashed/aggregated once, not once here
+    // and once more inside minhashExactVerifiedPairs
+    val reps = documents.join(
+      repIds.select(col("keep_id").as("doc_id")), "doc_id")
+    val nearEdges = exactVerifiedFromReps(reps, threshold,
         numHashes, bands, shingleLen, bucketCap)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val directed = exactEdges.unionByName(nearEdges)
@@ -256,6 +275,11 @@ object Dedup {
       labels = prop
       iter += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"dedupGroups did not reach a proven fixpoint within $maxIters " +
+        "rounds — a duplicate component has diameter >= maxIters. Raise " +
+        "maxIters, or use alternating small-star/large-star rounds for " +
+        "adversarial chain-shaped components.")
     labels
   }
 

@@ -59,7 +59,9 @@ object MultimodalOps {
       else {
         val w = img.getWidth; val h = img.getHeight
         val hist = new Array[Float](8)
-        val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+        // ceil division keeps the probe grid genuinely <= 64x64 (floor
+        // would sample up to 127 per axis for sizes in [65, 127])
+        val sx = math.max(1, (w + 63) / 64); val sy = math.max(1, (h + 63) / 64)
         var n = 0; var y = 0
         while (y < h) {
           var x = 0

@@ -46,18 +46,27 @@ object Similarity {
     * showed declarative BNLJ per-pair row machinery at 95% of runtime,
     * not the kernel.
     *
-    * NaN contract (degenerate vectors: zero norm, length mismatch,
-    * null elements): NaN pairs are EXCLUDED, explicitly — matching the
-    * SQL oracle, where a NaN comparison is not-true. (A naive Spark
-    * `Column` filter would diverge here: Spark orders NaN largest, so
+    * Degenerate-vector contract: vectors that are null, not exactly
+    * `dim` elements, or contain a null element are excluded UP FRONT —
+    * required for correctness, not just hygiene: the packed arrays
+    * assume a uniform `dim` stride, and `collect_list` skips null rows
+    * while keeping their ids, so one bad vector would misalign every
+    * pair in its block. Up-front exclusion produces the same output as
+    * the old per-pair NaN checks (every pair touching a degenerate
+    * vector scored NaN and was dropped). Zero-norm vectors still score
+    * NaN in the kernel and are excluded there — matching the SQL
+    * oracle, where a NaN comparison is not-true. (A naive Spark
+    * `Column` filter would diverge: Spark orders NaN largest, so
     * `col > lit` KEEPS NaN — which is why the kernel filter is the
     * semantics of record, not a Column translation.)
     */
   def nearDupPairs(embeddings: DataFrame, bound: Long = 2000,
-      threshold: Double = 0.35): DataFrame = {
+      threshold: Double = 0.35, dim: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val bounded = embeddings.where(col("vec_id") < bound)
+      .where(col("embedding").isNotNull && size(col("embedding")) === dim &&
+        !exists(col("embedding"), _.isNull))
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     // The coalesce-in-transform marks the packed arrays' elements
     // non-null (parquet float lists are nullable by default): without
@@ -78,7 +87,7 @@ object Similarity {
       .as[(Array[Long], Array[Float], Array[Long], Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (pIds, pVecs, sIds, sVecs) =>
-          val dim = if (pIds.isEmpty) 1 else pVecs.length / pIds.length
+          // uniform stride guaranteed by the up-front dim/null filter
           Iterator.range(0, pIds.length).flatMap { i =>
             val aId = pIds(i)
             Iterator.range(0, sIds.length)
@@ -244,11 +253,20 @@ object Similarity {
     * adapt to the data's density, LSH buckets are data-independent.
     */
   def annIvf(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
-      nCells: Int = 8, nProbe: Int = 4): DataFrame = {
-    val corpus = ivfCells(embeddings, nCells, nProbe = 1)
-    val q = ivfCells(embeddings.where(col("vec_id") < nQueries), nCells, nProbe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("cell").as("q_cell"))
+      nCells: Int = 8, nProbe: Int = 4): DataFrame =
+    ivfProbeRerank(
+      ivfCells(embeddings, nCells, nProbe = 1),
+      ivfCells(embeddings.where(col("vec_id") < nQueries), nCells, nProbe), k)
+
+  /** Shared IVF probe/re-rank: candidates share a probed cell with the
+    * query (broadcast query side), deduped across probes, exact cosine
+    * rank-window top-k — ONE copy of the re-rank semantics for the
+    * fixed- and learned-centroid variants.
+    */
+  private def ivfProbeRerank(corpus: DataFrame, queryCells: DataFrame,
+      k: Int): DataFrame = {
+    val q = queryCells.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("cell").as("q_cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     corpus.as("c").join(broadcast(q),
         col("q_id") =!= col("c.vec_id") && col("q_cell") === col("c.cell"))
@@ -320,18 +338,9 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     val e = registered(embeddings).select(col("vec_id"), col("embedding"))
     val centroids = learnedCentroids(e, nCells, iters, dim)
-    val corpus = cellsFor(e, centroids, nProbe = 1)
-    val q = cellsFor(e.where(col("vec_id") < nQueries), centroids, nProbe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("cell").as("q_cell"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-    corpus.as("c").join(broadcast(q),
-        col("q_id") =!= col("c.vec_id") && col("q_cell") === col("c.cell"))
-      .select(col("q_id"), col("c.vec_id").as("n_id"),
-        cos("q_emb", "c.embedding").as("cos_sim"))
-      .distinct()
-      .withColumn("rnk", rank().over(w).cast("long"))
-      .where(col("rnk") <= k)
+    ivfProbeRerank(
+      cellsFor(e, centroids, nProbe = 1),
+      cellsFor(e.where(col("vec_id") < nQueries), centroids, nProbe), k)
   }
 
   /** LSH-bucketed ANN: candidates share a bucket with the query in any

@@ -63,6 +63,14 @@ class DedupSpec extends SparkSuite {
     assert(groups == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L))
   }
 
+  test("dedupGroups throws rather than returning an unproven fixpoint") {
+    // maxIters=1 cannot PROVE convergence (the confirming no-change
+    // round never runs), so the operator must fail loudly
+    val e = intercept[IllegalStateException](
+      Dedup.dedupGroups(docs, threshold = 0.5, maxIters = 1))
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("simhashPairs: finds identical docs via band join, respects hamming cap") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     assert(pairs.exists(r =>
