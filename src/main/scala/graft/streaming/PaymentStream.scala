@@ -41,21 +41,39 @@ object PaymentStream {
     * restarts. Swapping in a real connector is `raw(spark, fmt, opts)`
     * + [[fromJson]] — the parse and FSM stages are identical.
     */
-  def fromFiles(spark: SparkSession, dir: String): Dataset[PaymentEvent] =
-    fromJson(spark.readStream.format("text").load(dir), "value")
+  def fromFiles(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[PaymentEvent] = {
+    val reader = spark.readStream.format("text")
+    // backpressure: bound how much backlog one micro-batch ingests, so
+    // recovery after downtime degrades latency, not stability
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    fromJson(reader.load(dir), "value")
+  }
 
   /** The full live deployment shape (reference ingest loop,
     * kinesis-pay.php:286-356): file-stream source → JSON parse →
     * payment FSM → redacted JSONL audit sink, checkpointed. Returns
-    * the running query; callers own stop().
+    * the running query; callers own stop(). `triggerInterval` spaces
+    * micro-batches (the reference polls every 10 s — kinesis-pay.php:
+    * 232); None = as-fast-as-possible (the test default);
+    * `maxFilesPerTrigger` bounds per-batch backlog intake.
     */
   def filePipeline(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, watermarkDelay: String = "10 seconds",
-      expiryMs: Long = PaymentMonitor.ExpiryMs)
+      expiryMs: Long = PaymentMonitor.ExpiryMs,
+      triggerInterval: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val outcomes = PaymentMonitor.outcomes(
-      fromFiles(spark, inDir), watermarkDelay, expiryMs)
-    graft.sources.InvoiceLog.writeStream(outcomes.toDF(), outDir, checkpointDir)
+      fromFiles(spark, inDir, maxFilesPerTrigger), watermarkDelay, expiryMs)
+    val writer = graft.sources.InvoiceLog.redact(outcomes.toDF()).writeStream
+      .format("json")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+    triggerInterval.foreach(t => writer.trigger(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(t)))
+    writer.start()
   }
 
   /** Parse a string/binary JSON payload column into typed events.

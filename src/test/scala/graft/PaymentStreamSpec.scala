@@ -60,9 +60,11 @@ class PaymentStreamSpec extends SparkSuite {
       """{"paymentId": 3, "ts": "2024-01-01T10:07:00", "kind": "create"}""",
       """{"paymentId": 3, "ts": "2024-01-01T10:08:00", "kind": "processed"}""")
     // resume from the SAME checkpoint: p2's pending state must have
-    // survived the restart, b1 must not be reprocessed
+    // survived the restart, b1 must not be reprocessed; the resumed
+    // query also exercises the backpressure knob (one file per batch)
     val q2 = graft.streaming.PaymentStream.filePipeline(
-      spark, in.getPath, out, ckpt, watermarkDelay = "0 seconds")
+      spark, in.getPath, out, ckpt, watermarkDelay = "0 seconds",
+      maxFilesPerTrigger = Some(1))
     try q2.processAllAvailable() finally q2.stop()
     val log = graft.sources.InvoiceLog.read(spark, out)
       .select("paymentId", "status").collect()
