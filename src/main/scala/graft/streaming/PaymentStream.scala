@@ -66,14 +66,8 @@ object PaymentStream {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val outcomes = PaymentMonitor.outcomes(
       fromFiles(spark, inDir, maxFilesPerTrigger), watermarkDelay, expiryMs)
-    val writer = graft.sources.InvoiceLog.redact(outcomes.toDF()).writeStream
-      .format("json")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-    triggerInterval.foreach(t => writer.trigger(
-      org.apache.spark.sql.streaming.Trigger.ProcessingTime(t)))
-    writer.start()
+    graft.sources.InvoiceLog.writeStream(outcomes.toDF(), outDir,
+      checkpointDir, triggerInterval)
   }
 
   /** Parse a string/binary JSON payload column into typed events.
