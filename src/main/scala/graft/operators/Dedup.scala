@@ -214,6 +214,65 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Distributed connected components over an undirected edge list —
+    * the alternating large-star/small-star rounds (the public
+    * MapReduce-components construction): each round is two
+    * groupBy-min + join passes that re-point every node at the
+    * smallest id it can currently see, halving star depth, so
+    * convergence takes O(log n) rounds even on chain-shaped
+    * components (plain min-label propagation needs O(diameter)). No
+    * per-node adjacency is ever collected — high-degree hubs (a
+    * representative with millions of exact dups) stay as keyed
+    * aggregates.
+    *
+    * Returns (id, label) with label = smallest id in the component;
+    * vertices absent from `edges` label themselves. Driver-coordinated
+    * rounds (localCheckpoint-truncated lineage, fixpoint = a round
+    * that changes nothing); exhausting `maxRounds` without a proven
+    * fixpoint throws rather than returning a partial merge.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    val vId = vertices.columns.head
+    // neighbor min per node over BOTH directions, self included
+    def minsOf(adj: DataFrame): DataFrame = adj
+      .groupBy("src").agg(min(col("dst")).as("min_nbr"))
+      .select(col("src"), least(col("src"), col("min_nbr")).as("m"))
+    def undirected(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst")).distinct()
+    var cur = undirected(edges.toDF("src", "dst")).localCheckpoint()
+    var round = 0
+    var done = cur.isEmpty
+    while (!done && round < maxRounds) {
+      // large-star: every neighbor ABOVE u re-points at u's min
+      val mins1 = minsOf(cur)
+      val ls = cur.join(mins1, "src").where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val adj2 = undirected(ls)
+      // small-star: every neighbor at-or-below u (and u itself)
+      // re-points at the min of the large-star graph
+      val mins2 = minsOf(adj2)
+      val ss = adj2.join(mins2, "src").where(col("dst") <= col("src"))
+        .select(col("dst").as("a"), col("m").as("b"))
+        .unionByName(mins2.select(col("src").as("a"), col("m").as("b")))
+      val next = undirected(ss.select(col("a").as("src"), col("b").as("dst")))
+        .localCheckpoint()
+      done = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      cur = next
+      round += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds " +
+        "alternating star rounds")
+    // at the fixpoint every component is a star rooted at its min:
+    // a node's label is its min neighbor (or itself when isolated)
+    val labels = minsOf(cur)
+    vertices.select(col(vId).as("id"))
+      .join(labels.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("m"), col("id")).as("label"))
+  }
+
   /** Canonical dedup assignment — the FINAL step of the pipeline:
     * connected components over the union of exact-duplicate edges
     * (doc → its md5-group representative) and exact-verified near-dup
@@ -223,20 +282,14 @@ object Dedup {
     * transitively reachable; "keep one per group" is then the filter
     * `doc_id = group_id`.
     *
-    * Iterations are driver-coordinated (the same pattern as
-    * [[Similarity.kmeansAssign]]): the edge set materializes once via
-    * localCheckpoint (which also truncates the sketch lineage so each
-    * round replays nothing), each round is one keyed join + one
-    * min-aggregate, and the loop exits as soon as a round changes no
-    * label — rounds needed = component diameter, and dedup components
-    * are shallow (star-shaped around the representative). At 100 TB
-    * swap plain propagation for alternating small-star/large-star
-    * rounds — the same join shape, O(log n) rounds on adversarial
-    * chains. A run that exhausts `maxIters` without a PROVEN fixpoint
-    * (one round that changes nothing) THROWS rather than silently
-    * returning a partially-merged assignment. NOTE: deliberately an
-    * EAGER iterative operator (jobs run at construction), unlike the
-    * lazy single-plan operators.
+    * Components are resolved by [[connectedComponents]] (alternating
+    * large/small-star rounds — O(log n) rounds even on adversarial
+    * chain-shaped duplicate components, union-find-property-tested),
+    * driver-coordinated like [[Similarity.kmeansAssign]]; a run that
+    * cannot PROVE its fixpoint within `maxIters` rounds throws rather
+    * than silently returning a partially-merged assignment. NOTE:
+    * deliberately an EAGER iterative operator (jobs run at
+    * construction), unlike the lazy single-plan operators.
     */
   def dedupGroups(documents: DataFrame, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
@@ -254,33 +307,9 @@ object Dedup {
     val nearEdges = exactVerifiedFromReps(reps, threshold,
         numHashes, bands, shingleLen, bucketCap)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    val directed = exactEdges.unionByName(nearEdges)
-    val edges = directed.unionByName(
-      directed.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = documents.select(col("doc_id"),
-      col("doc_id").as("group_id")).localCheckpoint()
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIters) {
-      val prop = labels.join(edges, col("doc_id") === col("src"))
-        .select(col("dst").as("doc_id"), col("group_id"))
-        .unionByName(labels)
-        .groupBy("doc_id").agg(min(col("group_id")).as("group_id"))
-        .localCheckpoint()
-      done = prop
-        .join(labels.withColumnRenamed("group_id", "old_group"), "doc_id")
-        .where(col("group_id") =!= col("old_group"))
-        .isEmpty
-      labels = prop
-      iter += 1
-    }
-    if (!done) throw new IllegalStateException(
-      s"dedupGroups did not reach a proven fixpoint within $maxIters " +
-        "rounds — a duplicate component has diameter >= maxIters. Raise " +
-        "maxIters, or use alternating small-star/large-star rounds for " +
-        "adversarial chain-shaped components.")
-    labels
+    connectedComponents(documents.select(col("doc_id")),
+        exactEdges.unionByName(nearEdges), maxIters)
+      .select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 
   /** SimHash-64 fingerprint per doc: per-token xxhash64, signed bit

@@ -63,12 +63,48 @@ class DedupSpec extends SparkSuite {
     assert(groups == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L))
   }
 
-  test("dedupGroups throws rather than returning an unproven fixpoint") {
-    // maxIters=1 cannot PROVE convergence (the confirming no-change
-    // round never runs), so the operator must fail loudly
+  test("connectedComponents matches union-find on random graphs (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def unionFind(n: Int, es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a.toInt); val rb = find(b.toInt)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      k <- Gen.choose(0, 80)
+      es <- Gen.listOfN(k, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, es.map { case (a, b) => (a.toLong, b.toLong) })
+    val random = Gen.listOfN(8, gen)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    // plus the adversarial case star rounds exist for: a 30-node chain
+    // (plain propagation would need 29 rounds; star rounds need ~log)
+    val chain = (30, (0 until 29).map(i => (i.toLong, i.toLong + 1)).toSeq)
+    (random :+ chain).foreach { case (n, es) =>
+      val vertices = (0L until n.toLong).toDF("doc_id")
+      val edges = es.toDF("src", "dst")
+      val got = Dedup.connectedComponents(vertices, edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(n, es), s"n=$n edges=$es")
+    }
+  }
+
+  test("connectedComponents throws rather than returning an unproven fixpoint") {
+    val vertices = (0L until 30L).toDF("doc_id")
+    val chain = (0 until 29).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
     val e = intercept[IllegalStateException](
-      Dedup.dedupGroups(docs, threshold = 0.5, maxIters = 1))
-    assert(e.getMessage.contains("fixpoint"))
+      Dedup.connectedComponents(vertices, chain, maxRounds = 1))
+    assert(e.getMessage.contains("converge"))
   }
 
   test("simhashPairs: finds identical docs via band join, respects hamming cap") {
