@@ -167,10 +167,15 @@ object Dedup {
     * [[minhashVerifiedPairs]], which thresholds a signature-agreement
     * *estimate*. Pays two extra keyed equi-joins against the exploded
     * shingles, but the output is deterministic in the text alone: by
-    * the banding recall at this threshold (spec-asserted zero missed
-    * jaccard≥0.8 pairs), it equals the set of ALL representative pairs
-    * with exact Jaccard ≥ threshold, which is what the SQL oracle
-    * computes.
+    * the banding recall at this threshold it equals — with
+    * overwhelming probability, not as a guarantee — the set of ALL
+    * representative pairs with exact Jaccard ≥ threshold, which is
+    * what the SQL oracle computes. Two explicit deviations from the
+    * oracle semantics: a pair just above threshold can miss all bands
+    * (~2e-4 at J=0.8 with 16×4 banding), and `bucketCap` drops
+    * candidates in degenerate hot buckets the oracle still counts.
+    * Both are spec-asserted absent on the gate data (zero missed
+    * jaccard≥0.8 pairs), not impossible on an arbitrary corpus.
     *
     * Scale shape: stage-0 exact collapse first (same load-bearing
     * order as [[minhashVerifiedPairs]]); candidates are bucket-capped
@@ -242,8 +247,9 @@ object Dedup {
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
         .where(col("src") =!= col("dst")).distinct()
     var cur = undirected(edges.toDF("src", "dst")).localCheckpoint()
+    var curCount = cur.count()
     var round = 0
-    var done = cur.isEmpty
+    var done = curCount == 0
     while (!done && round < maxRounds) {
       // large-star: every neighbor ABOVE u re-points at u's min
       val mins1 = minsOf(cur)
@@ -258,8 +264,16 @@ object Dedup {
         .unionByName(mins2.select(col("src").as("a"), col("m").as("b")))
       val next = undirected(ss.select(col("a").as("src"), col("b").as("dst")))
         .localCheckpoint()
-      done = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      // fixpoint proof, cheapest test first: both frames are
+      // distinct()'d sets, so equal counts + (next \ cur) = ∅ implies
+      // set equality — the count compare over localCheckpointed data
+      // is near-free and skips the exceptAll scan on every
+      // non-converged round (it is almost always false until the
+      // last round)
+      val nextCount = next.count()
+      done = nextCount == curCount && next.exceptAll(cur).isEmpty
       cur = next
+      curCount = nextCount
       round += 1
     }
     if (!done) throw new IllegalStateException(

@@ -47,14 +47,51 @@ object MultimodalOps {
       feature = Array.tabulate(8)(i => ((sum + i * 31) % 997).toFloat / 997f))
   }
 
-  /** Real image decode via the JDK registry: None when the bytes are
-    * not a readable image (caller falls back to the stub). Features =
-    * 8-bin luminance histogram over a bounded probe grid (≤64×64
-    * samples), so cost is constant in the image size.
+  /** Pixel budget for a full decode: 32 Mpixel ≈ 128 MB of ARGB
+    * raster. A decompression-bomb payload (tiny bytes, huge DECLARED
+    * dimensions) would otherwise make `ImageIO.read` allocate the full
+    * raster and OOM the executor — the one failure mode the
+    * poison-pill catch cannot contain, because OutOfMemoryError is not
+    * an Exception. The guard reads width/height from the header via
+    * the `ImageReader` API (no raster allocation) and rejects
+    * over-budget images to the stub path BEFORE decoding.
     */
-  private def decodeImage(m: MediaRow): Option[MediaFeatures] =
+  private[graft] val DefaultMaxPixels: Long = 32L * 1024 * 1024
+
+  /** Header-first bounded read: dimensions come from the format header
+    * (cheap); the full raster is decoded only when width×height fits
+    * the pixel budget. None on unreadable bytes OR over-budget
+    * dimensions — the caller degrades to the stub either way.
+    */
+  private def readImageBounded(payload: Array[Byte],
+      maxPixels: Long): Option[java.awt.image.BufferedImage] =
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      if (iis == null) None
+      else try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0); val h = r.getHeight(0)
+            if (w.toLong * h > maxPixels) None
+            else Option(r.read(0))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Real image decode via the JDK registry: None when the bytes are
+    * not a readable image or declare over-budget dimensions (caller
+    * falls back to the stub). Features = 8-bin luminance histogram
+    * over a bounded probe grid (≤64×64 samples), so cost is constant
+    * in the image size.
+    */
+  private def decodeImage(m: MediaRow, maxPixels: Long): Option[MediaFeatures] =
+    try {
+      val img = readImageBounded(m.payload, maxPixels).orNull
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -79,11 +116,14 @@ object MultimodalOps {
       }
     } catch { case _: Exception => None }
 
-  /** Decode one batch: real image decode, stub for video/undecodable. */
-  private[operators] def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+  /** Decode one batch: real image decode (pixel-budget-guarded), stub
+    * for video/undecodable/over-budget.
+    */
+  private[graft] def decodeBatch(batch: Seq[MediaRow],
+      maxPixels: Long = DefaultMaxPixels): Seq[MediaFeatures] =
     batch.map { m =>
       if (m.format == "video") stubFeatures(m)
-      else decodeImage(m).getOrElse(stubFeatures(m))
+      else decodeImage(m, maxPixels).getOrElse(stubFeatures(m))
     }
 
   /** Batched feature extraction: payloads stream through the decoder
@@ -91,10 +131,10 @@ object MultimodalOps {
     * driver involvement — the partitioning of the input is the
     * parallelism of the decode).
     */
-  def extractFeatures(media: Dataset[MediaRow],
-      batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64,
+      maxPixels: Long = DefaultMaxPixels): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
-    media.mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
+    media.mapPartitions(_.grouped(batchSize).flatMap(decodeBatch(_, maxPixels)))
   }
 
   case class ResizedMedia(docId: Long, width: Int, height: Int,
@@ -121,7 +161,7 @@ object MultimodalOps {
   private def resizeImage(m: MediaRow, w: Int, h: Int): Option[ResizedMedia] =
     if (m.format == "video") None
     else try {
-      val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+      val img = readImageBounded(m.payload, DefaultMaxPixels).orNull
       if (img == null) None
       else {
         val out = new java.awt.image.BufferedImage(w, h,

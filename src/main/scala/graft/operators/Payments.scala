@@ -254,9 +254,15 @@ object Payments {
     // extra column-pruned, filter-pushed scans for the aggregate-sized
     // spine.
     val spine = u.groupBy("currency", "bucket")
-      .agg(max_by(when(col("is_purchase") === 0, col("rate")),
-        // purchases sort below any tick so a purchase row never wins max_by
-        struct(col("is_purchase") === 0, col("ts"), col("event_id")))
+      .agg(max_by(when(col("is_purchase") === 0 && col("rate").isNotNull,
+        col("rate")),
+        // purchases AND null-rate ticks sort below any real tick, so the
+        // closing rate is the latest NON-NULL tick — matching the
+        // single-window ignoreNulls semantics even if a tick arrived
+        // with a null rate (unreachable with current data, but the
+        // bucket spine must not diverge on it)
+        struct(col("is_purchase") === 0 && col("rate").isNotNull,
+          col("ts"), col("event_id")))
         .as("close_rate"))
     val wCarry = Window.partitionBy("currency").orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -58,16 +58,32 @@ object Similarity {
     * oracle, where a NaN comparison is not-true. (A naive Spark
     * `Column` filter would diverge: Spark orders NaN largest, so
     * `col > lit` KEEPS NaN — which is why the kernel filter is the
-    * semantics of record, not a Column translation.)
+    * semantics of record, not a Column translation.) If the bound
+    * matches rows but NONE pass the validity filter (a uniformly
+    * wrong-dim corpus), the query raises at action time instead of
+    * silently returning zero pairs.
     */
   def nearDupPairs(embeddings: DataFrame, bound: Long = 2000,
       threshold: Double = 0.35, dim: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val bounded = embeddings.where(col("vec_id") < bound)
-      .where(col("embedding").isNotNull && size(col("embedding")) === dim &&
-        !exists(col("embedding"), _.isNull))
+    val valid = col("embedding").isNotNull && size(col("embedding")) === dim &&
+      !exists(col("embedding"), _.isNull)
+    val bounded0 = embeddings.where(col("vec_id") < bound)
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    // Both sides aggregate over the PRE-validity frame with
+    // CONDITIONAL collect_lists (when(valid, …) nulls are skipped, and
+    // both lists drop the same rows in the same order, so id/vector
+    // alignment is preserved). Aggregating pre-filter rows is what
+    // makes the dim-mismatch failure LOUD: if the bound matched rows
+    // but NONE had `dim` elements, (a) the side's projection raises at
+    // action time via raise_error, and (b) the probe still produces
+    // rows (one per input partition), so AQE's empty-relation
+    // propagation cannot eliminate the join before the broadcast —
+    // and with it the raise — materializes. A uniformly wrong-dim
+    // corpus is a caller error, not an empty answer; construction
+    // stays job-free.
+    //
     // The coalesce-in-transform marks the packed arrays' elements
     // non-null (parquet float lists are nullable by default): without
     // it the tuple deserializer walks every element on the boxed
@@ -75,13 +91,19 @@ object Similarity {
     // on the whole query. The lambda runs once per BLOCK row, so its
     // interpreted evaluation is irrelevant.
     def packCols(ids: String, vecs: String): (Column, Column) = (
-      collect_list(col("vec_id")).as(ids),
-      transform(flatten(collect_list(col("embedding"))),
+      collect_list(when(valid, col("vec_id"))).as(ids),
+      transform(flatten(collect_list(when(valid, col("embedding")))),
         x => coalesce(x, lit(0f))).as(vecs))
     val (sIds, sVecs) = packCols("s_ids", "s_vecs")
-    val side = bounded.agg(sIds, sVecs)
+    val side = bounded0.agg(count(lit(1)).as("n_total"), sIds, sVecs)
+      .select(
+        when(col("n_total") > 0 && size(col("s_ids")) === 0,
+          raise_error(concat(lit("nearDupPairs: none of "), col("n_total"),
+            lit(s" bounded vectors matched dim=$dim with non-null elements"))))
+          .otherwise(col("s_ids")).as("s_ids"),
+        col("s_vecs"))
     val (pIds, pVecs) = packCols("p_ids", "p_vecs")
-    val probe = bounded.groupBy(spark_partition_id().as("pid")).agg(pIds, pVecs)
+    val probe = bounded0.groupBy(spark_partition_id().as("pid")).agg(pIds, pVecs)
     probe.crossJoin(broadcast(side))
       .select(col("p_ids"), col("p_vecs"), col("s_ids"), col("s_vecs"))
       .as[(Array[Long], Array[Float], Array[Long], Array[Float])]

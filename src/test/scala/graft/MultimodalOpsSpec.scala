@@ -84,6 +84,22 @@ class MultimodalOpsSpec extends SparkSuite {
     assert(MultimodalOps.extractFeatures(m).collect().length == 3)
   }
 
+  test("pixel budget: over-budget declared dimensions degrade to the stub") {
+    val png = testImage(8, 8, "png") // 64 pixels, decodes fine normally
+    val rows = Seq(MediaRow(0L, png, "image"))
+    val real = MultimodalOps.decodeBatch(rows).head
+    assert(real.width == 8 && real.height == 8)
+    // with a 32-pixel budget the SAME payload is rejected at the
+    // header read (no raster allocation) and falls back to the stub —
+    // the mechanism that keeps a decompression-bomb header from
+    // OOM-ing an executor
+    val guarded = MultimodalOps.decodeBatch(rows, maxPixels = 32L).head
+    assert(guarded.width >= 320 && guarded.height >= 240,
+      "over-budget image must take the stub path")
+    // at the default budget the cap is far above any legitimate image
+    assert(MultimodalOps.DefaultMaxPixels == 32L * 1024 * 1024)
+  }
+
   test("frameSample: every-Nth frame for videos, single frame for images") {
     val frames = MultimodalOps.frameSample(media, everyN = 4).collect()
     val byDoc = frames.groupBy(_.docId)

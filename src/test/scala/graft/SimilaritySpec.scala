@@ -88,6 +88,29 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.7)
   }
 
+  test("nearDupPairs: uniformly wrong-dim corpus raises instead of empty result") {
+    import org.apache.spark.sql.functions._
+    // every vector is 32-dim while the kernel expects 64: silently
+    // returning zero pairs would hide a caller error, so the plan
+    // raises at action time (construction itself stays lazy)
+    val wrongDim = emb.where(col("vec_id") < 50)
+      .select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+    val df = Similarity.nearDupPairs(wrongDim, bound = 50, threshold = 0.3)
+    val e = intercept[Exception](df.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("matched dim=64")),
+      s"expected the loud dim-mismatch error, got: $e")
+    // a MIXED corpus (some valid vectors) still computes over the
+    // valid subset without raising
+    val mixed = emb.where(col("vec_id") < 50)
+      .select(col("vec_id"), when(col("vec_id") % 5 === 0,
+        slice(col("embedding"), 1, 32)).otherwise(col("embedding")).as("embedding"))
+    val r = Similarity.nearDupPairs(mixed, bound = 50, threshold = 0.3).collect()
+    assert(r.forall(x => x.getAs[Long]("a_id") % 5 != 0 &&
+      x.getAs[Long]("b_id") % 5 != 0))
+  }
+
   test("nearDupPairs: plan construction runs ZERO Spark jobs (lazy by contract)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
