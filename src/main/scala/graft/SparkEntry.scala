@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Payments, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Payments, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -99,7 +99,10 @@ object SparkEntry {
     "q_train_split" -> ((s, d) => TextOps.trainSplit(t(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) => TextOps.vocabTopK(t(s, d, "documents"))),
     "q_tfidf_top" -> ((s, d) => TextOps.tfidfTop(t(s, d, "documents"))),
-    "q_bigram_topk" -> ((s, d) => TextOps.bigramTopK(t(s, d, "documents")))
+    "q_bigram_topk" -> ((s, d) => TextOps.bigramTopK(t(s, d, "documents"))),
+    "q_decontaminate" -> ((s, d) => Curation.decontaminate(t(s, d, "documents"))),
+    "q_domain_mix" -> ((s, d) => Curation.domainMix(t(s, d, "documents"))),
+    "q_pack_sequences" -> ((s, d) => Curation.packSequences(t(s, d, "documents")))
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -594,6 +597,33 @@ object SparkEntry {
         |)
         |SELECT bigram, n, rnk
         |FROM (SELECT bigram, n, CAST(rank() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS rnk FROM counts)
-        |WHERE rnk <= 50""".stripMargin
+        |WHERE rnk <= 50""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 3),
+        |          i -> array_to_string(toks[i + 1:i + 4], ' '))) AS shingle
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 4)
+        |), bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+        |SELECT doc_id, COUNT(*) AS n_hits
+        |FROM sh JOIN bench USING (shingle)
+        |WHERE doc_id % 10 <> 0
+        |GROUP BY doc_id""".stripMargin,
+    "q_domain_mix" ->
+      """SELECT doc_id, lang, source
+        |FROM (SELECT doc_id, lang, source,
+        |        CAST('0x' || substr(md5('mix:' || text), 1, 8) AS BIGINT) % 10000 AS bucket
+        |      FROM documents)
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 3500 ELSE 10000 END""".stripMargin,
+    "q_pack_sequences" ->
+      """SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        |FROM (SELECT shard, CAST((cum - n_tok) // 256 AS BIGINT) AS bin, n_tok
+        |      FROM (SELECT doc_id % 32 AS shard, n_tok,
+        |              SUM(n_tok) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |            FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        |                  FROM documents)))
+        |GROUP BY shard, bin""".stripMargin
   )
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{shingleFromStruct, shingleStructs, tokenize}
+
+/** Training-corpus curation operators (SURVEY.md §2B): benchmark
+  * decontamination, deterministic domain-mix sampling, and sequence
+  * packing — the steps between "cleaned corpus" and "training batches"
+  * in an LLM data pipeline. All three are single declarative plans
+  * with SQL oracles; every sampling decision is a content hash, never
+  * an RNG, so reruns and the DuckDB oracle agree bit-for-bit.
+  */
+object Curation {
+
+  /** Benchmark decontamination: flag training documents that share any
+    * word `n`-gram with the benchmark set (docs with
+    * `doc_id % benchmarkEvery == 0` stand in for an eval suite — the
+    * public decontamination recipe is exactly this shape with 8-13
+    * grams against held-out benchmarks). Returns one row per
+    * CONTAMINATED training doc: (doc_id, n_hits) with n_hits = number
+    * of DISTINCT benchmark n-grams the doc contains.
+    *
+    * Scale shape: shingles explode once, distinct to (doc, shingle),
+    * then a keyed equi-join on the shingle string — shuffle is
+    * O(distinct shingles), never docs × benchmark. The benchmark side
+    * is usually small enough to broadcast; leaving the join strategy
+    * to Catalyst/AQE keeps the same plan correct when the benchmark
+    * set is itself huge. Shingling uses the codegen'd
+    * [[graft.functions.TextFunctions.shingleStructs]] path (the
+    * interpreted `transform` lambda measured ~10× slower at scale).
+    */
+  def decontaminate(documents: DataFrame, benchmarkEvery: Int = 10,
+      n: Int = 4): DataFrame = {
+    val sh = documents
+      .withColumn("toks", tokenize(col("text")))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(shingleStructs(col("toks"), n)).as("z"))
+      .select(col("doc_id"), shingleFromStruct(col("z"), n).as("shingle"))
+      .distinct()
+    val bench = sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) === 0)
+      .select(col("shingle")).distinct()
+    sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) =!= 0)
+      .join(bench, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Deterministic domain-mix sampling: rebalance the corpus toward a
+    * target per-language rate by keeping a doc iff its content hash
+    * falls under the language's cutoff. The hash is
+    * `md5(salt || text)` → first 8 hex chars → bucket in [0, 10000):
+    * pure projection + filter, embarrassingly parallel, reproducible
+    * across engines (the oracle mirrors it literally), and independent
+    * of [[TextOps.trainSplit]]'s hash by the salt. Default mix
+    * downsamples over-represented English to 35% and keeps the rest.
+    *
+    * At 100 TB this is the right shape for mix rebalancing: no
+    * shuffle, no global count pass, no RNG state — the filter pushes
+    * into the scan and the kept fraction converges to the rate by the
+    * hash's uniformity.
+    */
+  def domainMix(documents: DataFrame,
+      targets: Map[String, Double] = Map("en" -> 0.35),
+      defaultRate: Double = 1.0, salt: String = "mix:"): DataFrame = {
+    val bucket = pmod(conv(substring(md5(concat(lit(salt), col("text"))), 1, 8),
+      16, 10).cast("long"), lit(10000))
+    val cutoff = targets.toSeq.sortBy(_._1).foldLeft(
+      lit((defaultRate * 10000).toInt)) { case (acc, (lang, rate)) =>
+      when(col("lang") === lang, lit((rate * 10000).toInt)).otherwise(acc)
+    }
+    documents
+      .where(bucket < cutoff)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * bins, first-fit in doc_id order WITHIN a shard — a doc opens in
+    * the bin its cumulative predecessor count points at
+    * (`bin = tokens_before div budget`), the streaming-order packing a
+    * sequential packer produces per shard. Returns per-bin occupancy:
+    * (shard, bin, n_docs, sum_tokens).
+    *
+    * Packing is inherently sequential per output stream, so the
+    * parallelism knob is EXPLICIT: `shards` independent streams
+    * (doc_id mod shards), each packed by a window over its own
+    * partition. At 100 TB set shards ≈ total cores — the window
+    * shuffles once on the shard key and never sees a global sort,
+    * unlike a naive single-stream cumsum (which would be the
+    * single-partition scale-killer the plan audit checks for).
+    */
+  def packSequences(documents: DataFrame, budget: Int = 256,
+      shards: Int = 32): DataFrame = {
+    val d = documents.select(col("doc_id"),
+      size(tokenize(col("text"))).cast("long").as("n_tok"),
+      pmod(col("doc_id"), lit(shards)).as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tok) div $budget"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+  }
+}

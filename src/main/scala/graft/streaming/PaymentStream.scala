@@ -50,6 +50,22 @@ object PaymentStream {
     fromJson(reader.load(dir), "value")
   }
 
+  /** Socket-backed ingest: newline-delimited JSON payment records on
+    * a TCP socket — the push-delivery stand-in for a Kinesis-style
+    * connector (the reference's live poll loop, kinesis-pay.php:
+    * 286-356, inverted to push). Same parse ([[fromJson]]) and FSM
+    * stages as every other source; the spec drives a real
+    * `ServerSocket` through it. OPERATIONAL CAVEAT, by design of
+    * Spark's socket source: the socket has no replayable offset log,
+    * so a restart loses in-flight lines — it is the low-latency
+    * smoke-test shape, while [[fromFiles]]/[[filePipeline]] is the
+    * exactly-once checkpointed deployment shape.
+    */
+  def fromSocket(spark: SparkSession, host: String,
+      port: Int): Dataset[PaymentEvent] =
+    fromJson(raw(spark, "socket",
+      Map("host" -> host, "port" -> port.toString)), "value")
+
   /** The full live deployment shape (reference ingest loop,
     * kinesis-pay.php:286-356): file-stream source → JSON parse →
     * payment FSM → redacted JSONL audit sink, checkpointed. Returns

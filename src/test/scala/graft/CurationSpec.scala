@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+import graft.sources.Tables
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  test("decontaminate: flags exactly the docs sharing an n-gram with the benchmark") {
+    // doc 0 is benchmark (0 % 10 == 0); doc 1 embeds two of its
+    // 4-grams, doc 2 shares words but no 4-gram, doc 3 is disjoint
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "x y alpha beta gamma delta epsilon w"),
+      (2L, "alpha beta gamma q delta epsilon zeta2 r"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val r = Curation.decontaminate(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_hits")).toMap
+    // doc 1 contains "alpha beta gamma delta" and
+    // "beta gamma delta epsilon" — exactly 2 of doc 0's 4-grams
+    assert(r == Map(1L -> 2L), s"got $r")
+  }
+
+  test("decontaminate: benchmark docs never appear in the output") {
+    val r = Curation.decontaminate(docs).collect()
+    assert(r.nonEmpty, "synthetic near-dup corpus must show contamination")
+    assert(r.forall(_.getAs[Long]("doc_id") % 10 != 0))
+    assert(r.forall(_.getAs[Long]("n_hits") > 0))
+  }
+
+  test("domainMix: deterministic, subset of input, rebalances en toward target") {
+    val kept1 = Curation.domainMix(docs).collect().map(_.getAs[Long]("doc_id")).toSet
+    val kept2 = Curation.domainMix(docs).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept1 == kept2, "hash sampling must be rerun-stable")
+    val byLang = Curation.domainMix(docs).groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    // non-target langs are kept wholesale (rate 1.0)
+    totals.keys.filterNot(_ == "en").foreach(l => assert(byLang(l) == totals(l)))
+    // en is downsampled to ~35% (hash uniformity; generous tolerance
+    // at this corpus size)
+    val enFrac = byLang("en").toDouble / totals("en")
+    assert(enFrac > 0.15 && enFrac < 0.55, s"en kept fraction $enFrac")
+  }
+
+  test("packSequences: shard-local first-fit packing accounts for every doc") {
+    val budget = 7
+    val d = Seq(
+      // shard 0 (doc_id % 2 == 0): tokens 3, 3, 3 → cum 3, 6, 9 →
+      // bins (0)/7=0, (3)/7=0, (6)/7=0 — all open inside the first bin
+      (0L, "a b c"), (2L, "d e f"), (4L, "g h i"),
+      // shard 1: tokens 5, 5 → bins 0/7=0, 5/7=0; then 5 more → 10/7=1
+      (1L, "a b c d e"), (3L, "f g h i j"), (5L, "k l m n o")
+    ).toDF("doc_id", "text")
+    val r = Curation.packSequences(d, budget = budget, shards = 2).collect()
+      .map(x => (x.getAs[Long]("shard"), x.getAs[Long]("bin")) ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("sum_tokens"))).toMap
+    assert(r == Map((0L, 0L) -> (3L, 9L), (1L, 0L) -> (2L, 10L),
+      (1L, 1L) -> (1L, 5L)), s"got $r")
+  }
+
+  test("packSequences: bins partition the corpus; occupancy is budget-shaped") {
+    val r = Curation.packSequences(docs).collect()
+    val nDocs = r.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == docs.count(), "every doc lands in exactly one bin")
+    val maxTok = docs.select(max(size(split(col("text"), " ")))).head().getInt(0)
+    // a bin's occupancy exceeds the budget only by documents that
+    // OPENED in it (first-fit): bound = budget + maxDoc - 1 per closing
+    // doc, and the synthetic docs are all far under budget
+    assert(r.forall(_.getAs[Long]("sum_tokens") <= 256 + maxTok))
+  }
+}

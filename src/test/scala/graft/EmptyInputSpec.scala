@@ -63,6 +63,9 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("piiScrub", TextOps.piiScrub(noDocs))
     assertEmptyOk("repetitionRatio", TextOps.repetitionRatio(noDocs))
     assertEmptyOk("unigramLogProb", TextOps.unigramLogProb(noDocs))
+    assertEmptyOk("decontaminate", graft.operators.Curation.decontaminate(noDocs))
+    assertEmptyOk("domainMix", graft.operators.Curation.domainMix(noDocs))
+    assertEmptyOk("packSequences", graft.operators.Curation.packSequences(noDocs))
   }
 
   test("similarity operators tolerate empty input") {

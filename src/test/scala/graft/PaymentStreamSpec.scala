@@ -34,6 +34,50 @@ class PaymentStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("socket source → parse → FSM: a real TCP stream drives the same pipeline") {
+    import java.net.ServerSocket
+    import java.nio.charset.StandardCharsets.UTF_8
+    // real server socket on an ephemeral port; Spark's socket source
+    // CONNECTS to it, then every accepted line flows through the same
+    // fromJson parse + FSM as the file/connector paths
+    val server = new ServerSocket(0)
+    val lines = Seq(
+      """{"paymentId": 7, "ts": "2024-01-01T10:00:00", "kind": "create"}""",
+      """garbage line""",
+      """{"paymentId": 7, "ts": "2024-01-01T10:02:00", "kind": "processed"}""")
+    val writer = new Thread(() => {
+      val s = server.accept()
+      try {
+        val outS = s.getOutputStream
+        outS.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+        outS.flush()
+        // keep the connection open until the query is done reading
+        Thread.sleep(30000)
+      } catch { case _: InterruptedException => () } finally s.close()
+    })
+    writer.setDaemon(true); writer.start()
+    val events = PaymentStream.fromSocket(spark, "localhost", server.getLocalPort)
+    val q = PaymentMonitor.outcomes(events, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("socket_outcomes")
+      .outputMode("append").start()
+    try {
+      // the socket source buffers lines as they arrive; poll until the
+      // resolved outcome lands (bounded — the data is 3 lines)
+      val deadline = System.currentTimeMillis() + 30000
+      var out = Array.empty[org.apache.spark.sql.Row]
+      while (out.isEmpty && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        out = spark.table("socket_outcomes").collect()
+        if (out.isEmpty) Thread.sleep(200)
+      }
+      assert(out.length == 1, "expected exactly one resolved outcome")
+      assert(out.head.getAs[Long]("paymentId") == 7L)
+      assert(out.head.getAs[String]("status") == "processed")
+    } finally {
+      q.stop(); writer.interrupt(); server.close()
+    }
+  }
+
   test("file source → FSM → JSONL sink: exactly-once across kill and checkpoint resume") {
     import java.io.File
     import java.nio.file.Files
