@@ -235,10 +235,20 @@ object Dedup {
     * rounds (localCheckpoint-truncated lineage, fixpoint = a round
     * that changes nothing); exhausting `maxRounds` without a proven
     * fixpoint throws rather than returning a partial merge.
+    *
+    * HYBRID: when the deduped undirected edge set holds at most
+    * `driverFinishEdges` rows it is collected and resolved by a single
+    * driver-side union-find pass instead — at small edge counts the
+    * star rounds' ~6 Spark jobs per round are pure scheduling
+    * overhead, while ~1M edges is a few MB on the driver. Star rounds
+    * remain the path for larger graphs; both paths produce identical
+    * labels and both are property-tested against the same union-find
+    * reference.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25, driverFinishEdges: Long = 1L << 20): DataFrame = {
     val vId = vertices.columns.head
+    val spark = vertices.sparkSession
     // neighbor min per node over BOTH directions, self included
     def minsOf(adj: DataFrame): DataFrame = adj
       .groupBy("src").agg(min(col("dst")).as("min_nbr"))
@@ -248,6 +258,38 @@ object Dedup {
         .where(col("src") =!= col("dst")).distinct()
     var cur = undirected(edges.toDF("src", "dst")).localCheckpoint()
     var curCount = cur.count()
+    // Hybrid finish: below `driverFinishEdges` the whole (deduped,
+    // undirected) edge set fits comfortably on the driver, and a
+    // union-find resolves it in one pass — versus ~6 Spark jobs PER
+    // star round, whose fixed scheduling cost dominates at this size.
+    // The star rounds remain the path for genuinely large graphs
+    // (set driverFinishEdges=0 to force them; the property spec runs
+    // both paths against the same union-find reference). Labels are
+    // identical by construction: min id per component.
+    if (curCount > 0 && curCount <= driverFinishEdges) {
+      import spark.implicits._
+      val es = cur.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nx: Long = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val labels = nodes.iterator.map(x => (x, find(x))).toSeq.toDF("id", "m")
+      return vertices.select(col(vId).as("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("m"), col("id")).as("label"))
+    }
     var round = 0
     var done = curCount == 0
     while (!done && round < maxRounds) {
@@ -321,9 +363,19 @@ object Dedup {
     val nearEdges = exactVerifiedFromReps(reps, threshold,
         numHashes, bands, shingleLen, bucketCap)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    connectedComponents(documents.select(col("doc_id")),
-        exactEdges.unionByName(nearEdges), maxIters)
-      .select(col("id").as("doc_id"), col("label").as("group_id"))
+    // Iterate components over the REPRESENTATIVE graph only (near-dup
+    // edges), then compose the exact-dup stars with ONE post-join:
+    // doc label = its rep's component label. Equivalent to iterating
+    // over the union graph — every doc_id ≥ its rep (rep = md5-group
+    // min), so the component minimum over reps IS the minimum over all
+    // member docs — but the iterated vertex set shrinks by the
+    // duplicate factor (on a 90%-dup corpus, 10×), and the bulky
+    // doc→rep stars never churn through the star rounds at all.
+    val repLabels = connectedComponents(
+      repIds.select(col("keep_id")), nearEdges, maxIters)
+    docs.join(repIds, "h")
+      .join(repLabels.withColumnRenamed("id", "keep_id"), "keep_id")
+      .select(col("doc_id"), col("label").as("group_id"))
   }
 
   /** SimHash-64 fingerprint per doc: per-token xxhash64, signed bit

@@ -174,4 +174,39 @@ object StreamingOps {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming corpus intake: the batch cleaning gate
+    * ([[graft.operators.TextOps.cleanCorpus]] — token floor, stopword
+    * quality floor, exact dedup) applied AS DOCUMENTS ARRIVE, so a
+    * continuously-collected corpus is curated on ingest instead of by
+    * nightly batch. Same filters as batch (the projections are
+    * identical Column expressions); dedup becomes
+    * `dropDuplicatesWithinWatermark` on the content hash — exact-dup
+    * state is one md5 per surviving doc inside the watermark horizon,
+    * bounded, vs batch's global keep-first. Contract difference, by
+    * streaming necessity: batch keeps the MIN doc_id of a duplicate
+    * set; streaming keeps the FIRST-ARRIVED inside the horizon, and a
+    * dup re-arriving after the horizon passes is re-admitted (the
+    * horizon is the dedup scope — size it to the collector's replay
+    * window).
+    *
+    * Input needs an event-time column `ingest_ts` alongside the
+    * documents schema.
+    */
+  def cleanDocStream(docs: DataFrame, minTokens: Int = 10,
+      minStopRatio: Double = 0.05,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.{stopwordCount, stopwords, tokenize}
+    val toks = tokenize(col("text"))
+    docs
+      .select(col("doc_id"), col("lang"), col("source"), col("ingest_ts"),
+        size(toks).cast("long").as("n_tok"),
+        (stopwordCount(toks, stopwords.head._2).cast("double") /
+          size(toks).cast("double")).as("stop_ratio"),
+        md5(col("text")).as("text_hash"))
+      .where(col("n_tok") >= minTokens && col("stop_ratio") >= minStopRatio)
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .select("doc_id", "lang", "source", "n_tok")
+  }
 }

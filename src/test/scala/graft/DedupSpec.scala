@@ -93,9 +93,16 @@ class DedupSpec extends SparkSuite {
     (random :+ chain).foreach { case (n, es) =>
       val vertices = (0L until n.toLong).toDF("doc_id")
       val edges = es.toDF("src", "dst")
-      val got = Dedup.connectedComponents(vertices, edges).collect()
+      // BOTH execution paths against the same reference: the default
+      // driver-side union-find finish (small graphs) and the
+      // distributed star rounds (forced via driverFinishEdges = 0)
+      val viaDriver = Dedup.connectedComponents(vertices, edges).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == unionFind(n, es), s"n=$n edges=$es")
+      val viaStars = Dedup.connectedComponents(vertices, edges,
+          driverFinishEdges = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver == unionFind(n, es), s"driver path: n=$n edges=$es")
+      assert(viaStars == unionFind(n, es), s"star path: n=$n edges=$es")
     }
   }
 
@@ -103,7 +110,8 @@ class DedupSpec extends SparkSuite {
     val vertices = (0L until 30L).toDF("doc_id")
     val chain = (0 until 29).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
     val e = intercept[IllegalStateException](
-      Dedup.connectedComponents(vertices, chain, maxRounds = 1))
+      Dedup.connectedComponents(vertices, chain, maxRounds = 1,
+        driverFinishEdges = 0L))
     assert(e.getMessage.contains("converge"))
   }
 

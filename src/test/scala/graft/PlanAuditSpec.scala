@@ -98,6 +98,29 @@ class PlanAuditSpec extends SparkSuite {
       p.contains("SortMergeJoin"))
   }
 
+  test("domainMix: pure pushed-down filter — zero exchanges, pruned scan") {
+    val p = plan(graft.operators.Curation.domainMix(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("Exchange"), s"mix sampling must not shuffle:\n$p")
+    assert(!p.contains("n_chars"), "scan must prune unused columns")
+  }
+
+  test("packSequences: window partitions by shard, never a global sort") {
+    val p = plan(graft.operators.Curation.packSequences(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("SinglePartition"),
+      s"packing must stay sharded — a global cumsum is the scale-killer:\n$p")
+    assert(p.contains("hashpartitioning(shard"), s"expected shard-keyed window:\n$p")
+  }
+
+  test("decontaminate: shingle join is a hash join, never cartesian") {
+    val p = plan(graft.operators.Curation.decontaminate(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must equi-join on the shingle key:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val p = plan(Payments.hmacSign(Tables(spark, dir, "events")))
     // the signature projection must carry the codegen-stage marker

@@ -178,4 +178,34 @@ class StreamingOpsSpec extends SparkSuite {
       assert(spark.table("dedup_out").count() == 2)
     } finally q.stop()
   }
+
+  test("cleanDocStream: quality gate + exact dedup applied on ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox is one of the animals in the list of words"
+    val input = MemoryStream[(Long, String, String, String, Timestamp)]
+    val df = input.toDF()
+      .toDF("doc_id", "text", "lang", "source", "ingest_ts")
+    val q = StreamingOps.cleanDocStream(df, minTokens = 5,
+        minStopRatio = 0.05, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("clean_docs")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, good, "en", "s0", ts("2024-01-01 10:00:00")),
+        (2L, "too short", "en", "s0", ts("2024-01-01 10:00:01")), // token floor
+        (3L, "x y z w v u q r s t m n o p", "zz", "s1",
+          ts("2024-01-01 10:00:02")), // no stopwords → quality floor
+        (4L, good, "en", "s0", ts("2024-01-01 10:00:03"))) // exact dup of 1
+      q.processAllAvailable()
+      val out = spark.table("clean_docs").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(out == Set(1L), s"got $out")
+      // a NEW distinct doc still flows through
+      input.addData((5L, good + " extended variant", "en", "s1",
+        ts("2024-01-01 10:00:10")))
+      q.processAllAvailable()
+      assert(spark.table("clean_docs").collect()
+        .map(_.getAs[Long]("doc_id")).toSet == Set(1L, 5L))
+    } finally q.stop()
+  }
 }
