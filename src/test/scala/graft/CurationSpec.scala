@@ -65,6 +65,55 @@ class CurationSpec extends SparkSuite {
       (1L, 1L) -> (1L, 5L)), s"got $r")
   }
 
+  test("packSequences matches a sequential reference packer (property)") {
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val nDocs = 1 + rnd.nextInt(60)
+      val budget = 5 + rnd.nextInt(40)
+      val shards = 1 + rnd.nextInt(4)
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(12))("w").mkString(" "))
+      }
+      // sequential reference: per shard in doc_id order, a doc opens in
+      // the bin its predecessor token total points at
+      val expected = docs
+        .map { case (id, text) => (id, text.split(" ", -1).length.toLong) }
+        .groupBy { case (id, _) => id % shards }
+        .toSeq.flatMap { case (shard, ds) =>
+          var cum = 0L
+          ds.sortBy(_._1).map { case (_, n) =>
+            val bin = cum / budget; cum += n
+            ((shard, bin), n)
+          }
+        }
+        .groupBy(_._1)
+        .map { case (k, vs) => k -> (vs.size.toLong, vs.map(_._2).sum) }
+      val got = Curation.packSequences(docs.toDF("doc_id", "text"),
+          budget = budget, shards = shards).collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"))).toMap
+      assert(got == expected, s"nDocs=$nDocs budget=$budget shards=$shards")
+    }
+  }
+
+  test("domainMix matches the literal hash-cutoff reference (property)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(text: String): Long = {
+      val hex = md.digest(("mix:" + text).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    val sample = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang")))
+    val expected = sample.filter { case (_, text, lang) =>
+      bucket(text) < (if (lang == "en") 3500 else 10000)
+    }.map(_._1).toSet
+    val got = Curation.domainMix(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected)
+  }
+
   test("packSequences: bins partition the corpus; occupancy is budget-shaped") {
     val r = Curation.packSequences(docs).collect()
     val nDocs = r.map(_.getAs[Long]("n_docs")).sum
