@@ -102,6 +102,8 @@ object SparkEntry {
     "q_bigram_topk" -> ((s, d) => TextOps.bigramTopK(t(s, d, "documents"))),
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(t(s, d, "documents"))),
     "q_domain_mix" -> ((s, d) => Curation.domainMix(t(s, d, "documents"))),
+    "q_semantic_decontaminate" -> ((s, d) =>
+      Curation.semanticDecontaminate(t(s, d, "embeddings"))),
     "q_pack_sequences" -> ((s, d) => Curation.packSequences(t(s, d, "documents")))
   )
 
@@ -616,6 +618,16 @@ object SparkEntry {
         |        CAST('0x' || substr(md5('mix:' || text), 1, 8) AS BIGINT) % 10000 AS bucket
         |      FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 3500 ELSE 10000 END""".stripMargin,
+    "q_semantic_decontaminate" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 2000
+        |)
+        |SELECT t_id AS vec_id, COUNT(*) AS n_hits, MAX(cos_sim) AS max_sim
+        |FROM (SELECT t.vec_id AS t_id,
+        |        ROUND(list_cosine_similarity(t.emb, b.emb), 4) AS cos_sim
+        |      FROM e t JOIN e b ON t.vec_id % 10 <> 0 AND b.vec_id % 10 = 0)
+        |WHERE cos_sim >= 0.35
+        |GROUP BY t_id""".stripMargin,
     "q_pack_sequences" ->
       """SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
         |FROM (SELECT shard, CAST((cum - n_tok) // 256 AS BIGINT) AS bin, n_tok

@@ -48,6 +48,41 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Semantic (embedding) decontamination — the OTHER public
+    * decontamination recipe, complementing the n-gram overlap of
+    * [[decontaminate]]: flag training vectors whose cosine similarity
+    * to ANY benchmark vector (`vec_id % benchmarkEvery == 0` stands in
+    * for the eval-suite embeddings) reaches `threshold`. Returns
+    * (vec_id, n_hits, max_sim) per contaminated training vector.
+    *
+    * Shape: bipartite broadcast nested-loop join bounded by `bound`
+    * rows per side (the benchmark side is small by construction — eval
+    * suites are thousands of rows, the broadcast is exact); the cosine
+    * is the native codegen `cosine_sim` kernel rounded to 4 dp before
+    * the threshold, mirrored verbatim by the oracle's
+    * list_cosine_similarity. NaN scores (zero-norm vectors) are
+    * excluded EXPLICITLY — Spark orders NaN largest, so a bare
+    * `>=` Column filter would keep what SQL drops. For an unbounded
+    * corpus swap the exact join for the LSH-bucketed shape
+    * ([[Similarity.nearDupPairsLsh]]) with the benchmark side
+    * replicated into every table's buckets.
+    */
+  def semanticDecontaminate(embeddings: DataFrame, benchmarkEvery: Int = 10,
+      threshold: Double = 0.35, bound: Long = 2000): DataFrame = {
+    graft.GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.where(col("vec_id") < bound)
+    val bench = e.where(pmod(col("vec_id"), lit(benchmarkEvery)) === 0)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val train = e.where(pmod(col("vec_id"), lit(benchmarkEvery)) =!= 0)
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"))
+    train.crossJoin(broadcast(bench))
+      .withColumn("cos_sim", round(expr("cosine_sim(t_emb, b_emb)"), 4))
+      .where(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
+      .groupBy(col("t_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos_sim")).as("max_sim"))
+      .select(col("t_id").as("vec_id"), col("n_hits"), col("max_sim"))
+  }
+
   /** Deterministic domain-mix sampling: rebalance the corpus toward a
     * target per-language rate by keeping a doc iff its content hash
     * falls under the language's cutoff. The hash is

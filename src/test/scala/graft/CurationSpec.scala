@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Curation
+import graft.operators.{Curation, Similarity}
 import graft.sources.Tables
 
 class CurationSpec extends SparkSuite {
@@ -31,6 +31,31 @@ class CurationSpec extends SparkSuite {
     assert(r.nonEmpty, "synthetic near-dup corpus must show contamination")
     assert(r.forall(_.getAs[Long]("doc_id") % 10 != 0))
     assert(r.forall(_.getAs[Long]("n_hits") > 0))
+  }
+
+  test("semanticDecontaminate: exactly the train vecs with a benchmark neighbor") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val th = 0.35
+    val r = Curation.semanticDecontaminate(emb, threshold = th).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Long]("n_hits"), x.getAs[Double]("max_sim"))).toMap
+    assert(r.nonEmpty)
+    assert(r.keys.forall(_ % 10 != 0), "benchmark vecs never flagged")
+    assert(r.values.forall { case (n, m) => n >= 1 && m >= th })
+    // cross-check against the brute-force pair kernel: a flagged vec
+    // is exactly a train vec sharing a >= th pair with a benchmark vec
+    val pairs = Similarity.nearDupPairs(emb, bound = 2000, threshold = th - 0.0001)
+      .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"),
+        x.getAs[Double]("cos_sim")))
+    val expected = pairs.iterator.flatMap { case (a, b, c) =>
+      val out = scala.collection.mutable.ListBuffer.empty[Long]
+      if (c >= th) {
+        if (a % 10 != 0 && b % 10 == 0) out += a
+        if (b % 10 != 0 && a % 10 == 0) out += b
+      }
+      out
+    }.toSet
+    assert(r.keySet == expected)
   }
 
   test("domainMix: deterministic, subset of input, rebalances en toward target") {

@@ -75,5 +75,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("annIvf", Similarity.annIvf(noEmb))
     assertEmptyOk("annIvfLearned", Similarity.annIvfLearned(noEmb))
     assertEmptyOk("nearDupPairsLsh", Similarity.nearDupPairsLsh(noEmb))
+    assertEmptyOk("semanticDecontaminate",
+      graft.operators.Curation.semanticDecontaminate(noEmb))
   }
 }
