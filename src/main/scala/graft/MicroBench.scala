@@ -69,24 +69,24 @@ object MicroBench {
     }
     // agg to one row so the noop sink cost itself stays negligible;
     // the aggregate consumes every kernel output, so nothing is pruned
-    def run(kernel: String, native: DataFrame, alt: DataFrame,
-        altName: String = "udf"): Unit = {
+    def run(kernel: String, kernelRows: Long, native: DataFrame,
+        alt: DataFrame, altName: String = "udf"): Unit = {
       time(native); time(alt) // shared warmup: codegen + JIT
       val tn = math.min(time(native), time(native))
       val ta = math.min(time(alt), time(alt))
-      println(s"""{"kernel":"$kernel","variant":"native","rows":$rows,"sec":$tn}""")
-      println(s"""{"kernel":"$kernel","variant":"$altName","rows":$rows,"sec":$ta}""")
+      println(s"""{"kernel":"$kernel","variant":"native","rows":$kernelRows,"sec":$tn}""")
+      println(s"""{"kernel":"$kernel","variant":"$altName","rows":$kernelRows,"sec":$ta}""")
     }
 
-    run("hmac_sha256_hex",
+    run("hmac_sha256_hex", rows,
       base.select(expr("hmac_sha256_hex(text, 'graft-micro')").as("h"))
         .agg(count(when(substring(col("h"), 1, 1) === "f", 1)).as("n")),
       base.select(hmacUdf(col("text")).as("h"))
         .agg(count(when(substring(col("h"), 1, 1) === "f", 1)).as("n")))
-    run("cosine_sim",
+    run("cosine_sim", rows,
       base.select(expr("cosine_sim(va, vb)").as("c")).agg(sum("c")),
       base.select(cosUdf(col("va"), col("vb")).as("c")).agg(sum("c")))
-    run("dot_f32",
+    run("dot_f32", rows,
       base.select(expr("dot_f32(va, vb)").as("d")).agg(sum("d")),
       base.select(dotUdf(col("va"), col("vb")).as("d")).agg(sum("d")))
 
@@ -98,7 +98,10 @@ object MicroBench {
       (0 until 24).map(i => md5(concat(col("id").cast("string"), lit(i)))): _*)
       .as("text"))
     val toks = split(col("text"), " ")
-    run("shingle_3gram",
+    // rows here = TEXT rows actually fed to the shingler (rows/10),
+    // not the outer row count — per-row throughput math must not be
+    // overstated 10×
+    run("shingle_3gram", rows / 10,
       texts.select(explode(shingleStructs(toks, 3)).as("z"))
         .select(shingleFromStruct(col("z"), 3).as("sh"))
         .agg(count(when(substring(col("sh"), 1, 1) === "f", 1))),

@@ -88,4 +88,18 @@ object TextFunctions {
     */
   def maskSecret(s: Column): Column =
     regexp_replace(s, "[0-9]+", "***")
+
+  /** Deterministic content-hash bucket in [0, n): first 8 hex chars of
+    * md5(salt || text) as an integer, mod n — the engine-portable
+    * sampling primitive behind `TextOps.trainSplit` and
+    * `Curation.domainMix` (DuckDB mirror:
+    * `CAST('0x' || substr(md5(salt || text), 1, 8) AS BIGINT) % n`).
+    * Distinct salts give mutually independent bucketings, which is
+    * what keeps the mix sample uncorrelated with the train/val/test
+    * split.
+    */
+  def hashBucket(text: Column, n: Int, salt: String = ""): Column = {
+    val keyed = if (salt.isEmpty) text else concat(lit(salt), text)
+    pmod(conv(substring(md5(keyed), 1, 8), 16, 10).cast("long"), lit(n))
+  }
 }

@@ -100,11 +100,15 @@ object Curation {
   def domainMix(documents: DataFrame,
       targets: Map[String, Double] = Map("en" -> 0.35),
       defaultRate: Double = 1.0, salt: String = "mix:"): DataFrame = {
-    val bucket = pmod(conv(substring(md5(concat(lit(salt), col("text"))), 1, 8),
-      16, 10).cast("long"), lit(10000))
+    val bucket = graft.functions.TextFunctions.hashBucket(col("text"),
+      10000, salt)
+    // round, don't truncate: 0.0003 * 10000 is 2.9999999999999996 in
+    // IEEE754 — toInt would under-admit ~6% of 4-decimal rates by one
+    // bucket
+    def cut(rate: Double): Int = math.round(rate * 10000).toInt
     val cutoff = targets.toSeq.sortBy(_._1).foldLeft(
-      lit((defaultRate * 10000).toInt)) { case (acc, (lang, rate)) =>
-      when(col("lang") === lang, lit((rate * 10000).toInt)).otherwise(acc)
+      lit(cut(defaultRate))) { case (acc, (lang, rate)) =>
+      when(col("lang") === lang, lit(cut(rate))).otherwise(acc)
     }
     documents
       .where(bucket < cutoff)

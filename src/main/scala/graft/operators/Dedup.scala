@@ -330,13 +330,16 @@ object Dedup {
   }
 
   /** Canonical dedup assignment — the FINAL step of the pipeline:
-    * connected components over the union of exact-duplicate edges
-    * (doc → its md5-group representative) and exact-verified near-dup
-    * edges among representatives ([[minhashExactVerifiedPairs]],
-    * Jaccard ≥ threshold), computed as min-label propagation to a
-    * fixpoint. Every doc gets `group_id` = the smallest doc_id
-    * transitively reachable; "keep one per group" is then the filter
-    * `doc_id = group_id`.
+    * connected components over the exact-verified near-dup edges among
+    * md5-group REPRESENTATIVES ([[minhashExactVerifiedPairs]], Jaccard
+    * ≥ threshold), with each doc's exact-duplicate star composed by
+    * one post-join (doc label = its representative's component label —
+    * equivalent to iterating the union graph, since every doc_id ≥ its
+    * rep and so the component minimum over reps is the minimum over
+    * all member docs, but the iterated vertex set shrinks by the
+    * duplicate factor). Every doc gets `group_id` = the smallest
+    * doc_id transitively reachable; "keep one per group" is then the
+    * filter `doc_id = group_id`.
     *
     * Components are resolved by [[connectedComponents]] (alternating
     * large/small-star rounds — O(log n) rounds even on adversarial
@@ -352,12 +355,10 @@ object Dedup {
       bucketCap: Int = 10000, maxIters: Int = 20): DataFrame = {
     val docs = documents.select(col("doc_id"), md5(col("text")).as("h"))
     val repIds = docs.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
-    val exactEdges = docs.join(repIds, "h")
-      .where(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id").as("src"), col("keep_id").as("dst"))
-    // representatives derive from the SAME md5 aggregate as the exact
-    // edges — the corpus text is hashed/aggregated once, not once here
-    // and once more inside minhashExactVerifiedPairs
+    // representatives derive from the SAME md5 aggregate the final
+    // doc→group join reuses — the corpus text is hashed/aggregated
+    // once, not once here and once more inside
+    // minhashExactVerifiedPairs
     val reps = documents.join(
       repIds.select(col("keep_id").as("doc_id")), "doc_id")
     val nearEdges = exactVerifiedFromReps(reps, threshold,

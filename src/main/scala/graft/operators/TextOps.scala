@@ -228,16 +228,25 @@ object TextOps {
     * window shuffle keyed by content hash; the quality projections are
     * scan-local. Emits the surviving docs with their stats.
     */
-  def cleanCorpus(documents: DataFrame, minTokens: Int = 10,
-      minStopRatio: Double = 0.05): DataFrame = {
+  /** The cleaning gate's scoring columns — ONE formula shared by batch
+    * ([[cleanCorpus]]) and streaming
+    * ([[graft.streaming.StreamingOps.cleanDocStream]]), so the two
+    * gates cannot drift: token count, English stopword ratio, and the
+    * exact-dup content hash.
+    */
+  private[graft] def cleaningScores: Seq[org.apache.spark.sql.Column] = {
     val toks = tokenize(col("text"))
-    val enWords = stopwords.head._2
-    val scored = documents.select(
-      col("doc_id"), col("lang"), col("source"),
+    Seq(
       size(toks).cast("long").as("n_tok"),
-      (stopwordCount(toks, enWords).cast("double") /
+      (stopwordCount(toks, stopwords.head._2).cast("double") /
         size(toks).cast("double")).as("stop_ratio"),
       md5(col("text")).as("text_hash"))
+  }
+
+  def cleanCorpus(documents: DataFrame, minTokens: Int = 10,
+      minStopRatio: Double = 0.05): DataFrame = {
+    val scored = documents.select(
+      Seq(col("doc_id"), col("lang"), col("source")) ++ cleaningScores: _*)
     val w = Window.partitionBy("text_hash").orderBy(col("doc_id"))
     scored
       .where(col("n_tok") >= minTokens && col("stop_ratio") >= minStopRatio)
@@ -255,8 +264,7 @@ object TextOps {
   def trainSplit(documents: DataFrame, valPct: Int = 10,
       testPct: Int = 10): DataFrame = {
     // first 8 hex chars of md5 → int bucket, identical in DuckDB
-    val bucket = pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
-      .cast("long"), lit(100))
+    val bucket = hashBucket(col("text"), 100)
     documents
       .select(col("doc_id"), col("lang"),
         when(bucket < valPct, "val")

@@ -196,14 +196,9 @@ object StreamingOps {
   def cleanDocStream(docs: DataFrame, minTokens: Int = 10,
       minStopRatio: Double = 0.05,
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    import graft.functions.TextFunctions.{stopwordCount, stopwords, tokenize}
-    val toks = tokenize(col("text"))
     docs
-      .select(col("doc_id"), col("lang"), col("source"), col("ingest_ts"),
-        size(toks).cast("long").as("n_tok"),
-        (stopwordCount(toks, stopwords.head._2).cast("double") /
-          size(toks).cast("double")).as("stop_ratio"),
-        md5(col("text")).as("text_hash"))
+      .select(Seq(col("doc_id"), col("lang"), col("source"),
+        col("ingest_ts")) ++ graft.operators.TextOps.cleaningScores: _*)
       .where(col("n_tok") >= minTokens && col("stop_ratio") >= minStopRatio)
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text_hash")
