@@ -33,12 +33,20 @@ object Curation {
     * interpreted `transform` lambda measured ~10× slower at scale).
     */
   def decontaminate(documents: DataFrame, benchmarkEvery: Int = 10,
-      n: Int = 4): DataFrame = {
+      n: Int = 4, hashShingles: Boolean = false): DataFrame = {
+    val shingleStr = shingleFromStruct(col("z"), n)
+    // The 100 TB swap (flag-gated like the approx aggregates): join on
+    // xxhash64(shingle) instead of the string — the distinct + join
+    // shuffle moves 8-byte keys instead of ~n-word strings. Identical
+    // output short of a 2^-64-scale hash collision (spec-asserted
+    // equal on the gate corpus); the default stays exact-string so the
+    // DuckDB oracle mirrors it literally.
+    val key = if (hashShingles) xxhash64(shingleStr) else shingleStr
     val sh = documents
       .withColumn("toks", tokenize(col("text")))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), explode(shingleStructs(col("toks"), n)).as("z"))
-      .select(col("doc_id"), shingleFromStruct(col("z"), n).as("shingle"))
+      .select(col("doc_id"), key.as("shingle"))
       .distinct()
     val bench = sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) === 0)
       .select(col("shingle")).distinct()

@@ -33,6 +33,13 @@ class CurationSpec extends SparkSuite {
     assert(r.forall(_.getAs[Long]("n_hits") > 0))
   }
 
+  test("decontaminate: hashed-shingle scale path matches the exact-string path") {
+    def res(hash: Boolean) = Curation.decontaminate(docs, hashShingles = hash)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_hits"))
+      .toMap
+    assert(res(hash = true) == res(hash = false))
+  }
+
   test("semanticDecontaminate: exactly the train vecs with a benchmark neighbor") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val th = 0.35
