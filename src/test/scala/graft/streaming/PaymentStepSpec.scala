@@ -53,6 +53,78 @@ class PaymentStepSpec extends AnyFunSuite {
     assert(fired.isRemoved)
   }
 
+  test("random dup/late/replay sequences: exactly one outcome per lifecycle (property)") {
+    // Simulates the micro-batch protocol around step() for one key:
+    // data is processed with the PREVIOUS batch's watermark, then the
+    // watermark advances to the max delivered event time (delay 0) and
+    // any due timeout fires. Delivery is in event-time order (so no
+    // event is late-filtered), batch boundaries are random.
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 40) {
+      val c = 100000L
+      // dup creates stay inside [c, c+expiry): within every retention
+      // horizon by construction (post-horizon re-open has its own spec)
+      val dupCreates = Seq.fill(rnd.nextInt(3))(
+        c + 1 + rnd.nextInt(expiry.toInt - 2))
+      val termKinds = Seq("processed", "rejected")
+      val terminals = Seq.fill(rnd.nextInt(3))(
+        (c + 1 + rnd.nextInt(2 * expiry.toInt - 2),
+          termKinds(rnd.nextInt(2))))
+        .filter(_._1 != c + expiry) // avoid the exact-boundary tie
+      val events = ((c, "create") +: dupCreates.map(t => (t, "create"))
+        ++: terminals.map { case (t, k) => (t, k) })
+        .sortBy(_._1)
+        .map { case (t, k) => PaymentEvent(1L, new Timestamp(t), k) }
+      // random order-preserving batch split
+      val batches = events.foldLeft(List(List.empty[PaymentEvent])) {
+        (acc, e) =>
+          if (rnd.nextBoolean() && acc.head.nonEmpty) List(e) :: acc
+          else (acc.head :+ e) :: acc.tail
+      }.reverse
+      var stateOpt: Option[PaymentState] = None
+      var timeoutMs: Option[Long] = None
+      var wm = 0L
+      val outs = scala.collection.mutable.ListBuffer.empty[PaymentOutcome]
+      def call(evs: Seq[PaymentEvent], timedOut: Boolean): Unit = {
+        val st = TestGroupState.create[PaymentState](
+          stateOpt.map(Optional.of[PaymentState])
+            .getOrElse(Optional.empty[PaymentState]()),
+          GroupStateTimeout.EventTimeTimeout, 1000L, Optional.of(wm),
+          hasTimedOut = timedOut)
+        outs ++= PaymentMonitor.step(1L, evs.iterator, st, expiry)
+        stateOpt = if (st.isRemoved || !st.exists) None else Some(st.get)
+        timeoutMs =
+          if (st.isRemoved) None
+          else if (st.getTimeoutTimestampMs.isPresent)
+            Some(st.getTimeoutTimestampMs.get)
+          else timeoutMs
+      }
+      batches.foreach { b =>
+        call(b, timedOut = false)
+        wm = math.max(wm, b.map(_.ts.getTime).max)
+        while (stateOpt.isDefined && timeoutMs.exists(_ < wm))
+          call(Nil, timedOut = true)
+      }
+      wm = Long.MaxValue // final flush: every horizon passes
+      while (stateOpt.isDefined && timeoutMs.exists(_ < wm))
+        call(Nil, timedOut = true)
+      // the contract: exactly ONE outcome, resolved by the FIRST
+      // terminal if it was in-window, expired otherwise
+      val ctx = s"trial=$trial events=${events.map(e => (e.ts.getTime, e.kind))}"
+      assert(outs.size == 1, s"$ctx got $outs")
+      val o = outs.head
+      assert(o.createdTs.getTime == c, ctx)
+      terminals.sortBy(_._1).headOption match {
+        case Some((t, k)) if t - c <= expiry =>
+          assert(o.status == k && o.resolvedTs.getTime == t, s"$ctx got $o")
+        case _ =>
+          assert(o.status == "expired" &&
+            o.resolvedTs.getTime == c + expiry, s"$ctx got $o")
+      }
+      assert(stateOpt.isEmpty, s"$ctx state must drain after the flush")
+    }
+  }
+
   test("in-window deadline is NOT clamped (normal path unchanged)") {
     val st = TestGroupState.create[PaymentState](
       Optional.empty[PaymentState](), GroupStateTimeout.EventTimeTimeout,
