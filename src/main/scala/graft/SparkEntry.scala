@@ -42,6 +42,7 @@ object SparkEntry {
     "q_free_trial" -> ((s, d) => Payments.freeTrialSplit(t(s, d, "orders"))),
     "q_xrate_asof" -> ((s, d) => Payments.xrateAsof(t(s, d, "events"))),
     "q_amount_paid" -> ((s, d) => Payments.amountPaid(t(s, d, "events"))),
+    "q_rate_ohlc" -> ((s, d) => Payments.rateOhlc(t(s, d, "events"))),
     "q_revenue_rollup" -> ((s, d) => Payments.revenueRollup(
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
     "q_ship_priority" -> ((s, d) => Payments.shipPriority(
@@ -618,6 +619,21 @@ object SparkEntry {
         |        CAST('0x' || substr(md5('mix:' || text), 1, 8) AS BIGINT) % 10000 AS bucket
         |      FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 3500 ELSE 10000 END""".stripMargin,
+    "q_rate_ohlc" ->
+      """SELECT currency, day,
+        |  MAX(CASE WHEN rn_o = 1 THEN value END) AS open_rate,
+        |  MAX(value) AS high_rate,
+        |  MIN(value) AS low_rate,
+        |  MAX(CASE WHEN rn_c = 1 THEN value END) AS close_rate,
+        |  COUNT(*) AS n_ticks
+        |FROM (SELECT currency, day, value,
+        |        row_number() OVER (PARTITION BY currency, day ORDER BY ts, event_id) AS rn_o,
+        |        row_number() OVER (PARTITION BY currency, day ORDER BY ts DESC, event_id DESC) AS rn_c
+        |      FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 'KAU' ELSE 'KAG' END AS currency,
+        |              CAST(ts AS DATE) AS day, ts, event_id, value
+        |            FROM events
+        |            WHERE event_type = 'click' AND value <> 0))
+        |GROUP BY currency, day""".stripMargin,
     "q_semantic_decontaminate" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 2000

@@ -279,6 +279,40 @@ object Payments {
         (col("paid") / col("cur_rate")).as("pay_amount"))
   }
 
+  /** Daily OHLC (open/high/low/close) per currency over the rate
+    * ticks — the summary view of the reference's orderbook feed
+    * (kinesis-pay.php:468-485): open/close resolved by row_number
+    * windows ordered by (ts, event_id) — deterministic under ts ties
+    * and literally mirrorable in the oracle (DuckDB 1.0's arg_min
+    * cannot take a composite key) — high/low/count as plain aggregates.
+    *
+    * Scale shape: one exchange on the high-cardinality
+    * (currency, day) composite (the same key argument as the as-of
+    * bucket window — never a symbol-only sort), two sort orders over
+    * it, one partial-agg'd groupBy. Raw double rates pass through
+    * un-arithmetic'd, so min/max/first/last are bit-stable across
+    * engines.
+    */
+  def rateOhlc(events: DataFrame): DataFrame = {
+    val currency = when(col("event_id") % 2 === 0, "KAU").otherwise("KAG")
+    val ticks = events.where(col("event_type") === "click" && col("value") =!= 0)
+      .select(currency.as("currency"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value"))
+    val w = Window.partitionBy("currency", "day")
+    val asc = w.orderBy(col("ts"), col("event_id"))
+    val desc = w.orderBy(col("ts").desc, col("event_id").desc)
+    ticks
+      .withColumn("rn_o", row_number().over(asc))
+      .withColumn("rn_c", row_number().over(desc))
+      .groupBy("currency", "day")
+      .agg(
+        max(when(col("rn_o") === 1, col("value"))).as("open_rate"),
+        max(col("value")).as("high_rate"),
+        min(col("value")).as("low_rate"),
+        max(when(col("rn_c") === 1, col("value"))).as("close_rate"),
+        count(lit(1)).as("n_ticks"))
+  }
+
   /** Currency-conditional amount resolution (KAU/KAG pick,
     * kinesis-pay.php:507-509) with exact decimal arithmetic.
     */

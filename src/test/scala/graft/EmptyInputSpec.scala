@@ -32,6 +32,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("hmacSign", Payments.hmacSign(noEvents))
     assertEmptyOk("confirmAmounts", Payments.confirmAmounts(noEvents))
     assertEmptyOk("valueQuantiles", Payments.valueQuantiles(noEvents))
+    assertEmptyOk("rateOhlc", Payments.rateOhlc(noEvents))
   }
 
   test("order/report operators tolerate empty input") {

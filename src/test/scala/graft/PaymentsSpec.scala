@@ -145,6 +145,28 @@ class PaymentsSpec extends SparkSuite {
     }
   }
 
+  test("rateOhlc: first/last tick by (ts, event_id) bound the day's range") {
+    val e = ev(
+      (2L, "2024-01-01 10:00:00", 1L, "click", 5.0),  // KAU open
+      (4L, "2024-01-01 11:00:00", 1L, "click", 9.0),  // KAU high
+      (6L, "2024-01-01 12:00:00", 1L, "click", 4.0),  // KAU low
+      (8L, "2024-01-01 13:00:00", 1L, "click", 7.0),  // KAU close
+      (10L, "2024-01-02 09:00:00", 1L, "click", 6.0), // KAU next day
+      (1L, "2024-01-01 10:30:00", 1L, "click", 2.0),  // KAG open=close
+      (3L, "2024-01-01 10:30:00", 1L, "click", 3.0),  // KAG same ts: id wins
+      (5L, "2024-01-01 09:00:00", 1L, "purchase", 99.0), // not a tick
+      (7L, "2024-01-01 09:00:00", 1L, "click", 0.0))  // zero quote: invalid
+    val r = Payments.rateOhlc(e).collect()
+      .map(x => (x.getAs[String]("currency"), x.getAs[java.sql.Date]("day")) ->
+        (x.getAs[Double]("open_rate"), x.getAs[Double]("high_rate"),
+          x.getAs[Double]("low_rate"), x.getAs[Double]("close_rate"),
+          x.getAs[Long]("n_ticks"))).toMap
+    assert(r == Map(
+      ("KAU", java.sql.Date.valueOf("2024-01-01")) -> ((5.0, 9.0, 4.0, 7.0, 4L)),
+      ("KAU", java.sql.Date.valueOf("2024-01-02")) -> ((6.0, 6.0, 6.0, 6.0, 1L)),
+      ("KAG", java.sql.Date.valueOf("2024-01-01")) -> ((2.0, 3.0, 2.0, 3.0, 2L))), s"got $r")
+  }
+
   test("hmacSign emits 64-char upper-hex signatures") {
     val e = ev((1L, "2024-01-01 10:00:00", 7L, "purchase", 1.0))
     val sig = Payments.hmacSign(e).collect().head.getAs[String]("signature")
