@@ -102,6 +102,10 @@ object SparkEntry {
     "q_tfidf_top" -> ((s, d) => TextOps.tfidfTop(t(s, d, "documents"))),
     "q_bigram_topk" -> ((s, d) => TextOps.bigramTopK(t(s, d, "documents"))),
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(t(s, d, "documents"))),
+    // rows-only (xxhash64 join keys have no DuckDB equivalent); the
+    // spec asserts result identity with the exact-string path
+    "q_decontaminate_hashed" -> ((s, d) =>
+      Curation.decontaminate(t(s, d, "documents"), hashShingles = true)),
     "q_domain_mix" -> ((s, d) => Curation.domainMix(t(s, d, "documents"))),
     "q_semantic_decontaminate" -> ((s, d) =>
       Curation.semanticDecontaminate(t(s, d, "embeddings"))),
@@ -114,7 +118,8 @@ object SparkEntry {
     * equivalent): q_hmac_sign, q_dedup_minhash, q_dedup_minhash_verified,
     * q_dedup_simhash, q_simhash_pairs, q_fingerprint, q_kmeans,
     * q_ann_lsh, q_ann_ivf, q_ann_ivf_learned, q_embed_neardup_lsh,
-    * q_active_users_approx, q_value_quantiles_approx.
+    * q_active_users_approx, q_value_quantiles_approx,
+    * q_decontaminate_hashed.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

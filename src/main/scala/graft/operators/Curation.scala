@@ -34,14 +34,18 @@ object Curation {
     */
   def decontaminate(documents: DataFrame, benchmarkEvery: Int = 10,
       n: Int = 4, hashShingles: Boolean = false): DataFrame = {
-    val shingleStr = shingleFromStruct(col("z"), n)
-    // The 100 TB swap (flag-gated like the approx aggregates): join on
-    // xxhash64(shingle) instead of the string — the distinct + join
-    // shuffle moves 8-byte keys instead of ~n-word strings. Identical
-    // output short of a 2^-64-scale hash collision (spec-asserted
-    // equal on the gate corpus); the default stays exact-string so the
-    // DuckDB oracle mirrors it literally.
-    val key = if (hashShingles) xxhash64(shingleStr) else shingleStr
+    // The 100 TB swap (flag-gated like the approx aggregates, and
+    // driver-exercised as the rows-only q_decontaminate_hashed): join
+    // on xxhash64 over the shingle's TOKEN FIELDS — the distinct +
+    // join shuffle moves 8-byte keys instead of ~n-word strings, and
+    // the concatenated string is never materialized at all (the hash
+    // never reaches the output; only doc_id/n_hits survive).
+    // Identical output short of a 2^-64-scale hash collision
+    // (spec-asserted equal on the gate corpus); the default stays
+    // exact-string so the DuckDB oracle mirrors it literally.
+    val key =
+      if (hashShingles) xxhash64((0 until n).map(i => col("z").getField(i.toString)): _*)
+      else shingleFromStruct(col("z"), n)
     val sh = documents
       .withColumn("toks", tokenize(col("text")))
       .where(size(col("toks")) >= n)

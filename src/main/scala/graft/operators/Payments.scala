@@ -21,6 +21,24 @@ object Payments {
 
   private val dec = "decimal(12,2)"
 
+  /** Symbol of any event: KAU for even event_id, KAG for odd — the
+    * deterministic stand-in for the reference's currency field
+    * (kinesis-pay.php:468-485). THE single definition: every batch
+    * operator and the streaming enrichment derive the symbol from
+    * here (the oracle SQL mirrors it as a CASE expression).
+    */
+  private[graft] def currencyOf: org.apache.spark.sql.Column =
+    when(col("event_id") % 2 === 0, "KAU").otherwise("KAG")
+
+  /** The rate-tick stream: click events with a VALID quote. value=0
+    * ticks are invalid (and would divide-by-zero under ANSI) —
+    * excluded here so every consumer (as-of carry-forward, OHLC,
+    * streaming enrichment) agrees on what a tick is.
+    */
+  private[graft] def ticksOf(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "click" && col("value") =!= 0)
+      .withColumn("currency", currencyOf)
+
   /** Flagship pricing summary (TPC-H Q1 shape): shipped-lineitem
     * status report with exact decimal money math. Scan → filter
     * (pushed to parquet) → 6-group hash aggregate with map-side
@@ -222,17 +240,12 @@ object Payments {
     * global sort, no low-cardinality sort stage over event-sized data.
     */
   def xrateAsof(events: DataFrame, bucketSec: Long = 86400): DataFrame = {
-    // Symbol of any event: KAU for even event_id, KAG for odd (the
-    // deterministic stand-in for the reference's currency field).
-    val currency = when(col("event_id") % 2 === 0, "KAU").otherwise("KAG")
-    // value=0 ticks are invalid quotes (and would divide-by-zero under
-    // ANSI): excluded, so carry-forward holds the last VALID rate.
-    val ticks = events.where(col("event_type") === "click" && col("value") =!= 0)
-      .select(currency.as("currency"), col("ts"), col("event_id"),
+    val ticks = ticksOf(events)
+      .select(col("currency"), col("ts"), col("event_id"),
         lit(null).cast("double").as("paid"),
         col("value").as("rate"), lit(0).as("is_purchase"))
     val purchases = events.where(col("event_type") === "purchase")
-      .select(currency.as("currency"), col("ts"), col("event_id"),
+      .select(currencyOf.as("currency"), col("ts"), col("event_id"),
         col("value").as("paid"),
         lit(null).cast("double").as("rate"), lit(1).as("is_purchase"))
     val u = ticks.unionByName(purchases)
@@ -281,47 +294,49 @@ object Payments {
 
   /** Daily OHLC (open/high/low/close) per currency over the rate
     * ticks — the summary view of the reference's orderbook feed
-    * (kinesis-pay.php:468-485): open/close resolved by row_number
-    * windows ordered by (ts, event_id) — deterministic under ts ties
-    * and literally mirrorable in the oracle (DuckDB 1.0's arg_min
-    * cannot take a composite key) — high/low/count as plain aggregates.
+    * (kinesis-pay.php:468-485): open/close are min_by/max_by on the
+    * (ts, event_id) composite — deterministic under ts ties —
+    * high/low/count as plain aggregates.
     *
-    * Scale shape: one exchange on the high-cardinality
-    * (currency, day) composite (the same key argument as the as-of
-    * bucket window — never a symbol-only sort), two sort orders over
-    * it, one partial-agg'd groupBy. Raw double rates pass through
-    * un-arithmetic'd, so min/max/first/last are bit-stable across
-    * engines.
+    * Scale shape: ONE partial-aggregated groupBy — every aggregate
+    * (including the argmin/argmax) combines map-side, so the exchange
+    * moves one row per (currency, day), never the raw ticks (a
+    * row_number formulation would shuffle and twice-sort every tick —
+    * plan-audit-asserted absent; the struct-keyed min_by does plan as
+    * SortAggregate, a map-side group-key sort, which still beats
+    * shipping ticks). The oracle
+    * keeps an equivalent row_number form purely because DuckDB 1.0's
+    * arg_min cannot take a composite key — same values either way.
+    * Raw double rates pass through un-arithmetic'd, so min/max are
+    * bit-stable across engines.
     */
-  def rateOhlc(events: DataFrame): DataFrame = {
-    val currency = when(col("event_id") % 2 === 0, "KAU").otherwise("KAG")
-    val ticks = events.where(col("event_type") === "click" && col("value") =!= 0)
-      .select(currency.as("currency"), to_date(col("ts")).as("day"),
+  def rateOhlc(events: DataFrame): DataFrame =
+    ticksOf(events)
+      .select(col("currency"), to_date(col("ts")).as("day"),
         col("ts"), col("event_id"), col("value"))
-    val w = Window.partitionBy("currency", "day")
-    val asc = w.orderBy(col("ts"), col("event_id"))
-    val desc = w.orderBy(col("ts").desc, col("event_id").desc)
-    ticks
-      .withColumn("rn_o", row_number().over(asc))
-      .withColumn("rn_c", row_number().over(desc))
       .groupBy("currency", "day")
       .agg(
-        max(when(col("rn_o") === 1, col("value"))).as("open_rate"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_rate"),
         max(col("value")).as("high_rate"),
         min(col("value")).as("low_rate"),
-        max(when(col("rn_c") === 1, col("value"))).as("close_rate"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_rate"),
         count(lit(1)).as("n_ticks"))
-  }
 
   /** Currency-conditional amount resolution (KAU/KAG pick,
     * kinesis-pay.php:507-509) with exact decimal arithmetic.
     */
+  /** KAU pays 0.9, KAG 1.1 — derived from the shared [[currencyOf]]
+    * symbol so the even/odd rule lives in one place.
+    */
+  private def currencyMultiplier: org.apache.spark.sql.Column =
+    when(col("currency") === "KAU", lit(0.9).cast("decimal(2,1)"))
+      .otherwise(lit(1.1).cast("decimal(2,1)"))
+
   def amountPaid(events: DataFrame): DataFrame =
     events.where(col("event_type") === "purchase")
-      .selectExpr(
-        "CASE WHEN event_id % 2 = 0 THEN 'KAU' ELSE 'KAG' END AS currency",
-        s"""CAST(value AS $dec) * CASE WHEN event_id % 2 = 0
-            THEN CAST(0.9 AS DECIMAL(2,1)) ELSE CAST(1.1 AS DECIMAL(2,1)) END AS amt""")
+      .withColumn("currency", currencyOf)
+      .select(col("currency"),
+        (col("value").cast(dec) * currencyMultiplier).as("amt"))
       .groupBy("currency")
       .agg(count(lit(1)).as("n"), sum(col("amt")).cast("double").as("total_paid"))
 
@@ -513,11 +528,10 @@ object Payments {
     */
   def confirmAmounts(events: DataFrame): DataFrame =
     events.where(col("event_type") === "purchase")
-      .selectExpr("event_id",
-        "CASE WHEN event_id % 2 = 0 THEN 'KAU' ELSE 'KAG' END AS currency",
-        s"""CAST(ROUND(CAST(value AS $dec) * CASE WHEN event_id % 2 = 0
-            THEN CAST(0.9 AS DECIMAL(2,1)) ELSE CAST(1.1 AS DECIMAL(2,1)) END,
-            2) AS $dec) AS amt""")
+      .withColumn("currency", currencyOf)
+      .select(col("event_id"), col("currency"),
+        round(col("value").cast(dec) * currencyMultiplier, 2)
+          .cast(dec).as("amt"))
       .select(col("event_id"), col("currency"),
         concat(col("amt").cast("string"), lit(" "), col("currency"))
           .as("amount_paid"))

@@ -102,7 +102,7 @@ object StreamingOps {
       .where(col("event_type").isin("click", "purchase"))
       .where(col("event_type") =!= "click" || col("value") =!= 0) // invalid quotes
       .select(
-        when(col("event_id") % 2 === 0, "KAU").otherwise("KAG").as("currency"),
+        graft.operators.Payments.currencyOf.as("currency"),
         col("ts"), col("event_id").as("id"),
         (col("event_type") === "purchase").as("isPurchase"),
         col("value"))

@@ -98,6 +98,20 @@ class PlanAuditSpec extends SparkSuite {
       p.contains("SortMergeJoin"))
   }
 
+  test("rateOhlc: map-side partial aggregation, no window, no tick shuffle") {
+    val p = plan(Payments.rateOhlc(Tables(spark, dir, "events")))
+    // the struct-keyed min_by/max_by plans as SortAggregate (struct
+    // buffers are not hash-aggregable), but the PARTIAL agg still runs
+    // below the exchange — one row per (currency, day) crosses the
+    // network, never the raw ticks, and no per-group window runs
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    assert(p.contains("hashpartitioning(currency"), s"expected composite key:\n$p")
+    assert(p.contains("partial_min_by"),
+      s"open/close must combine map-side below the exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"OHLC must aggregate, never run a per-group window:\n$p")
+  }
+
   test("domainMix: pure pushed-down filter — zero exchanges, pruned scan") {
     val p = plan(graft.operators.Curation.domainMix(
       Tables(spark, dir, "documents")))
