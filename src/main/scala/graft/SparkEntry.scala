@@ -84,6 +84,7 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"))),
     "q_embed_neardup_lsh" -> ((s, d) => Similarity.nearDupPairsLsh(t(s, d, "embeddings"))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
+    "q_embed_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "q_ann_ivf_learned" -> ((s, d) => Similarity.annIvfLearned(t(s, d, "embeddings"))),
@@ -624,6 +625,15 @@ object SparkEntry {
         |        CAST('0x' || substr(md5('mix:' || text), 1, 8) AS BIGINT) % 10000 AS bucket
         |      FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 3500 ELSE 10000 END""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale_raw
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |)
+        |SELECT vec_id, ROUND(scale_raw, 6) AS scale,
+        |  list_transform(emb, x -> CAST(round(x / scale_raw * 127) AS TINYINT)) AS q
+        |FROM s WHERE scale_raw > 0""".stripMargin,
     "q_rate_ohlc" ->
       """SELECT currency, day,
         |  MAX(CASE WHEN rn_o = 1 THEN value END) AS open_rate,

@@ -173,6 +173,34 @@ object Similarity {
     * is broadcast; the corpus streams. Rank-window partitioned by
     * query id (one shuffle of scored pairs, never a global sort).
     */
+  /** Int8 embedding quantization — the storage-reduction pass of a
+    * vector pipeline (4× smaller than float32): per-vector max-abs
+    * scale, each element mapped to round(x / scale * 127) in
+    * [-127, 127]. Pure projection + filter (zero-scale vectors — all
+    * zeros — are dropped: nothing to quantize, and the division
+    * would be undefined). Reconstruction error is bounded by
+    * scale/254 per element (half a quantization step, spec-asserted).
+    *
+    * Determinism: the float→double widening is exact, the divide and
+    * multiply are written in the same order as the oracle SQL (IEEE
+    * ops are bit-deterministic given order), and both engines round
+    * half away from zero. The `transform` lambdas evaluate
+    * interpreted, which is fine at one call per element of a bounded
+    * projection (the 10×-slower-lambda concern is for exploded
+    * hot paths — TextFunctions.shingleStructs' docstring).
+    */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings
+      .where(col("embedding").isNotNull)
+      .withColumn("scale_raw",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .where(col("scale_raw") > 0)
+      .select(col("vec_id"),
+        round(col("scale_raw"), 6).as("scale"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("scale_raw") * 127).cast("byte"))
+          .as("q"))
+
   def annTopK(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5): DataFrame = {
     val e = registered(embeddings)
     val q = e.where(col("vec_id") < nQueries)

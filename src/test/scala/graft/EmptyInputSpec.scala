@@ -78,5 +78,6 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("nearDupPairsLsh", Similarity.nearDupPairsLsh(noEmb))
     assertEmptyOk("semanticDecontaminate",
       graft.operators.Curation.semanticDecontaminate(noEmb))
+    assertEmptyOk("quantizeEmbeddings", Similarity.quantizeEmbeddings(noEmb))
   }
 }

@@ -67,6 +67,29 @@ class SimilaritySpec extends SparkSuite {
     assert(a1.values.toSet.size > 1, "clustering must actually split the data")
   }
 
+  test("quantizeEmbeddings: int8 range, per-element error <= half a step") {
+    val raw = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    val q = Similarity.quantizeEmbeddings(emb).collect()
+    assert(q.nonEmpty && q.length <= raw.size)
+    q.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val scale = r.getAs[Double]("scale")
+      val qs = r.getAs[scala.collection.Seq[Byte]]("q")
+      val orig = raw(id)
+      assert(qs.length == orig.length)
+      assert(qs.forall(b => b >= -127 && b <= 127))
+      // dequantized value is within half a quantization step
+      val exactScale = orig.map(x => math.abs(x.toDouble)).max
+      qs.zip(orig).foreach { case (b, x) =>
+        val deq = b.toDouble / 127 * exactScale
+        assert(math.abs(deq - x) <= exactScale / 254 + 1e-12,
+          s"vec $id: $x -> $b -> $deq")
+      }
+      assert(math.abs(scale - math.rint(exactScale * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
   test("nearDupPairs agrees with cosine threshold and is symmetric-free") {
     val r = Similarity.nearDupPairs(emb, bound = 50, threshold = 0.3).collect()
     assert(r.forall(x => x.getAs[Long]("a_id") < x.getAs[Long]("b_id")))
