@@ -64,6 +64,41 @@ class ExpressionsSpec extends SparkSuite {
       s"sketch values must stay in [0, p): $sig")
   }
 
+  test("native expressions: interpreted and codegen paths agree on edge inputs") {
+    GraftFunctions.register(spark)
+    // The doGenCode implementations are the hot path; the interpreted
+    // eval() is the fallback Spark silently switches to (codegen
+    // compile failure, FALLBACK mode, expression-tree size limits). A
+    // divergence would be a silent wrong-answer, so pin equality on
+    // the edge inputs: nulls, null elements, empties, length
+    // mismatches, zero norms, unicode/empty strings.
+    val rows = Seq(
+      (Some(Array(1f, 2f, 3f)), Some(Array(4f, 5f, 6f)), Some("msg"), Some("key")),
+      (Some(Array(0f, 0f, 0f)), Some(Array(1f, 1f, 1f)), Some(""), Some("k")),
+      (Some(Array(1f, 2f)), Some(Array(1f, 2f, 3f)), Some("mixed \u00e9\u4e2d"), Some("")),
+      (Some(Array.empty[Float]), Some(Array.empty[Float]), None, Some("k")),
+      (None, Some(Array(1f)), Some("m"), None),
+      (Some(Array(1f, Float.NaN)), Some(Array(1f, 1f)), Some("m"), Some("k")))
+    def run(): Seq[String] = {
+      import spark.implicits._
+      rows.toDF("a", "b", "s", "k")
+        .selectExpr("cosine_sim(a, b) AS c", "dot_f32(a, b) AS d",
+          "hmac_sha256_hex(s, k) AS h")
+        .collect().map(_.toString).toSeq
+    }
+    val viaCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = run()
+      assert(interpreted == viaCodegen,
+        s"interpreted/codegen divergence:\n$interpreted\nvs\n$viaCodegen")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("cosine_sim matches hand-computed value") {
     GraftFunctions.register(spark)
     val got = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
