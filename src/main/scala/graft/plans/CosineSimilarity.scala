@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Runtime kernel for [[CosineSim]]. Sequential left-to-right double
   * accumulation; the formula `dot / sqrt(na * nb)` is mirrored
@@ -81,19 +81,8 @@ object CosUtil {
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // NOTE: `ExpectsInputTypes.inputTypes` is not implementable here —
-  // `AbstractDataType` is private[sql] in the Spark 4.1.2 scala
-  // signatures — so the type guard lives in checkInputDataTypes().
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects (array<float>, array<float>), " +
-        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.floatArrayPair("cosine_sim", left.dataType, right.dataType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 

@@ -39,14 +39,17 @@ object HmacUtil {
       st.mac.reset()
     }
     val raw = st.mac.doFinal(data.getBytes)
-    val out = new Array[Char](raw.length * 2)
+    // hex is pure ASCII, so the digit bytes ARE the UTF-8 encoding:
+    // write them straight into the UTF8String buffer — one allocation,
+    // no char[] -> String -> re-encode round trip on the hot path
+    val out = new Array[Byte](raw.length * 2)
     var i = 0
     while (i < raw.length) {
-      out(2 * i) = HEX((raw(i) >> 4) & 0xf)
-      out(2 * i + 1) = HEX(raw(i) & 0xf)
+      out(2 * i) = HEX((raw(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HEX(raw(i) & 0xf).toByte
       i += 1
     }
-    UTF8String.fromString(new String(out))
+    UTF8String.fromBytes(out)
   }
 }
 

@@ -37,7 +37,13 @@ case class MinHashSketch(
   override def prettyName: String = "minhash_sketch"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (h1.dataType == LongType && h2.dataType == LongType)
+    // numHashes <= 0 must fail at ANALYSIS time: a negative value
+    // would crash in serialize (ByteBuffer.allocate) at shuffle time
+    // with no hint the argument was bad; 0 is a useless empty sketch
+    if (numHashes <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_sketch expects a positive numHashes, got $numHashes")
+    else if (h1.dataType == LongType && h2.dataType == LongType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"minhash_sketch expects (bigint, bigint), got " +

@@ -26,6 +26,11 @@ case class VectorMeanAgg(
   override def prettyName: String = "vector_mean"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // dim <= 0 must fail at ANALYSIS time: a negative dim would reach
+    // buf(dim) out-of-bounds deep in an executor; dim = 0 would
+    // silently average nothing
+    case _ if dim <= 0 => TypeCheckResult.TypeCheckFailure(
+      s"vector_mean expects a positive dim, got $dim")
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"vector_mean expects array<float>, got ${other.simpleString}")

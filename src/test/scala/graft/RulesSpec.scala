@@ -31,13 +31,20 @@ class RulesSpec extends SparkSuite {
       (1L, Array(1f, 1f), Array(1f, 2f)),    // cos > 0
       (2L, Array(1f, 0f), Array(-1f, 0f)),   // cos < 0
       (3L, Array(0f, 0f), Array(1f, 2f)),    // zero vec: cos NaN, dot 0
-      (4L, Array(1f, 2f), Array(1f, 2f, 3f)) // mismatch: NaN both
+      (4L, Array(1f, 2f), Array(1f, 2f, 3f)), // mismatch: NaN both
+      // Inf elements: dot = -Inf / +Inf / NaN while cos is NaN in all
+      // three — the divergence the rule's dot != -Inf conjunct exists
+      // for (an unguarded `dot < 0` rewrite would KEEP id 5)
+      (5L, Array(Float.PositiveInfinity, 1f), Array(-1f, 1f)), // dot -Inf
+      (6L, Array(Float.PositiveInfinity, 1f), Array(1f, 1f)),  // dot +Inf
+      (7L, Array(Float.PositiveInfinity, 1f), Array(0f, 1f))   // dot NaN
     ).toDF("id", "a", "b")
     val lt = df.where(expr("cosine_sim(a, b) < 0"))
       .select("id").as[Long].collect().toSeq
     assert(lt == Seq(2L)) // NaN rows false under < in both forms
     val gt = df.where(expr("cosine_sim(a, b) > 0"))
       .select("id").as[Long].collect().toSeq
-    assert(gt == Seq(1L, 3L, 4L)) // Spark NaN-largest: NaN > 0 is true
+    // Spark NaN-largest: every NaN-cos row is > 0, including the Infs
+    assert(gt == Seq(1L, 3L, 4L, 5L, 6L, 7L))
   }
 }
