@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructType}
 
 import graft.functions.TextFunctions.maskSecret
 
@@ -17,16 +17,38 @@ import graft.functions.TextFunctions.maskSecret
   */
 object InvoiceLog {
 
-  /** Write `df` as JSONL at `path`, redacting every string column. */
-  def write(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+  /** Write `df` as JSONL at `path`, redacting every string column.
+    * Default mode is APPEND — this is an audit log; overwriting prior
+    * history must be an explicit opt-in, never the default.
+    */
+  def write(df: DataFrame, path: String, mode: String = "append"): Unit =
     redact(df).write.mode(mode).json(path)
 
-  /** All string columns pass through maskSecret; others unchanged. */
-  def redact(df: DataFrame): DataFrame =
+  /** All top-level string columns pass through maskSecret; others
+    * unchanged. A string field NESTED inside a struct/array/map would
+    * silently bypass the mask — an unredacted secret in the audit
+    * file — so string-bearing nested columns are REFUSED loudly:
+    * flatten them (or drop them) before logging.
+    */
+  def redact(df: DataFrame): DataFrame = {
+    def hasString(t: DataType): Boolean = t match {
+      case StringType => true
+      case st: StructType => st.fields.exists(f => hasString(f.dataType))
+      case at: ArrayType => hasString(at.elementType)
+      case mt: MapType => hasString(mt.keyType) || hasString(mt.valueType)
+      case _ => false
+    }
+    val leaky = df.schema.fields
+      .filter(f => f.dataType != StringType && hasString(f.dataType))
+    require(leaky.isEmpty,
+      s"InvoiceLog cannot redact string fields nested inside " +
+        s"[${leaky.map(_.name).mkString(", ")}]; flatten or drop them " +
+        "before logging — writing them unmasked would leak secrets")
     df.select(df.schema.fields.map { f =>
       if (f.dataType == StringType) maskSecret(col(f.name)).as(f.name)
       else col(f.name)
     }.toIndexedSeq: _*)
+  }
 
   /** Streaming variant: continuously append the redacted audit stream
     * as JSONL — the shape a live payment deployment runs (checkpointed,

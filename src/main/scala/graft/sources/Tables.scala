@@ -13,8 +13,11 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *
   * `events.ts` is written as parquet TIMESTAMP(NANOS). Spark's vector
   * reader may surface it as nanos-long (legacy flag) or error; we
-  * normalize to a micros TIMESTAMP column deterministically (floor),
-  * which matches DuckDB's `epoch_us` truncation used by the oracles.
+  * normalize to a micros TIMESTAMP column deterministically
+  * (`div 1000` — integral TRUNCATION toward zero, which matches
+  * DuckDB's own nanos→micros conversion; truncation and floor
+  * coincide for all post-epoch timestamps, and the test data has no
+  * pre-1970 events).
   */
 object Tables {
   /** Session conf required (=true) to read the nanos-timestamped
@@ -44,11 +47,7 @@ object Tables {
       // nanosAsLong is a REGISTERED SQLConf entry, so getOption returns
       // Some("false") (the default) even when never set. The two-arg get
       // returns the null fallback only when unset — that is the probe.
-      if (spark.conf.get(NanosFlag, null) == "false")
-        throw new IllegalStateException(
-          s"loading 'events' requires session conf $NanosFlag=true " +
-            "(its ts column is parquet TIMESTAMP(NANOS)); the session " +
-            "sets it to false explicitly, refusing to override")
+      requireNanosAllowed(spark)
       spark.conf.set(NanosFlag, "true")
       normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
@@ -58,10 +57,25 @@ object Tables {
     * can query the star schema directly (the SQL front door, paired
     * with `GraftExtensions` for the native functions).
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    // validate the events nanos conf BEFORE registering anything: a
+    // mid-loop refusal would leave the session half-registered (views
+    // after 'events' silently absent)
+    requireNanosAllowed(spark)
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  }
 
-  /** events with `ts` as TimestampType (micros, floor-truncated from ns). */
+  /** Refuses to proceed when the user has EXPLICITLY set the nanos
+    * flag to false (see the loud note in [[apply]]).
+    */
+  private def requireNanosAllowed(spark: SparkSession): Unit =
+    if (spark.conf.get(NanosFlag, null) == "false")
+      throw new IllegalStateException(
+        s"loading 'events' requires session conf $NanosFlag=true " +
+          "(its ts column is parquet TIMESTAMP(NANOS)); the session " +
+          "sets it to false explicitly, refusing to override")
+
+  /** events with `ts` as TimestampType (micros, truncated from ns). */
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case TimestampType => df

@@ -13,10 +13,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampTy
   * batch `cleanCorpus` → `CorpusStore.write`.
   *
   * Operational contract mirrors [[PaymentStream.filePipeline]]: the
-  * file source's processed-file log and the parquet sink's file commit
-  * log both live under the checkpoint, so a killed query resumes where
-  * it stopped and the output is exactly-once across restarts (readers
-  * see only committed files).
+  * file source's processed-file log lives under the CHECKPOINT dir and
+  * the parquet sink's commit log under `<outDir>/_spark_metadata` — a
+  * killed query resumes where it stopped and the output is
+  * exactly-once across restarts (readers see only committed files),
+  * PROVIDED checkpoint and output dirs are lifecycle-managed together:
+  * recreating one while keeping the other desynchronizes the two logs
+  * (duplicate re-emits or an inconsistent committed-file view).
   */
 object DocStream {
 
@@ -56,6 +59,10 @@ object DocStream {
     val cleaned = StreamingOps.cleanDocStream(
       fromFiles(spark, inDir, maxFilesPerTrigger),
       minTokens, minStopRatio, watermarkDelay)
+      // one file per (batch, lang), not (task, lang): the same
+      // small-files argument as CorpusStore.write — a long-running
+      // intake with frequent triggers must not explode the listing
+      .repartition(org.apache.spark.sql.functions.col("lang"))
     val writer = cleaned.writeStream
       .format("parquet")
       .option("path", outDir)

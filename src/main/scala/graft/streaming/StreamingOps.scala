@@ -57,6 +57,10 @@ object StreamingOps {
     implicit val outEnc = Encoders.product[UserStatus]
     implicit val keyEnc = Encoders.scalaLong
     events
+      // poison-pill tolerance (same policy as PaymentStream.fromJson):
+      // a null in a non-nullable encoder field would KILL the query
+      .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull && col("event_id").isNotNull)
       .select(col("user_id").cast("long").as("userId"),
         col("event_type").as("status"), col("ts"),
         col("event_id").cast("long").as("id"))
@@ -101,6 +105,9 @@ object StreamingOps {
     events
       .where(col("event_type").isin("click", "purchase"))
       .where(col("event_type") =!= "click" || col("value") =!= 0) // invalid quotes
+      // poison-pill tolerance: null fields must not kill the query
+      .where(col("ts").isNotNull && col("event_id").isNotNull &&
+        col("value").isNotNull)
       .select(
         graft.operators.Payments.currencyOf.as("currency"),
         col("ts"), col("event_id").as("id"),

@@ -111,6 +111,26 @@ class PaymentMonitorSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("terminal arriving a batch BEFORE its create still resolves (orphan buffer)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PaymentEvent]
+    val q = PaymentMonitor.outcomes(input.toDS(), watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("skew_outcomes")
+      .outputMode("append").start()
+    try {
+      // delivery skew: the terminal's file is discovered first
+      input.addData(PaymentEvent(9L, ts("2024-01-01 10:00:05"), "processed"))
+      q.processAllAvailable()
+      input.addData(PaymentEvent(9L, ts("2024-01-01 10:00:00"), "create"))
+      q.processAllAvailable()
+      val out = spark.table("skew_outcomes").collect()
+      assert(out.length == 1, "buffered terminal must resolve the payment")
+      assert(out.head.getAs[String]("status") == "processed")
+      assert(out.head.getAs[Timestamp]("createdTs") == ts("2024-01-01 10:00:00"))
+      assert(out.head.getAs[Timestamp]("resolvedTs") == ts("2024-01-01 10:00:05"))
+    } finally q.stop()
+  }
+
   test("duplicate creates and orphan terminals are ignored") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[PaymentEvent]

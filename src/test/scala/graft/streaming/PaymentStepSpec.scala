@@ -125,6 +125,36 @@ class PaymentStepSpec extends AnyFunSuite {
     }
   }
 
+  test("equal-timestamp terminal arriving BEFORE its create in one batch resolves") {
+    val st = TestGroupState.create[PaymentState](
+      Optional.empty[PaymentState](), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(0L), hasTimedOut = false)
+    // arrival order: terminal first — the (ts, kind) sort must put the
+    // create ahead so the terminal is not buffered past it
+    val out = PaymentMonitor.step(1L, Iterator(
+      PaymentEvent(1L, new Timestamp(100000L), "processed"),
+      PaymentEvent(1L, new Timestamp(100000L), "create")), st, expiry).toSeq
+    assert(out.map(o => (o.status, o.resolvedTs.getTime)) ==
+      Seq(("processed", 100000L)))
+  }
+
+  test("orphan buffer with no create drains silently at its horizon") {
+    val st = TestGroupState.create[PaymentState](
+      Optional.empty[PaymentState](), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(0L), hasTimedOut = false)
+    val out1 = PaymentMonitor.step(1L,
+      Iterator(PaymentEvent(1L, new Timestamp(100000L), "processed")), st, expiry)
+    assert(out1.isEmpty, "orphan terminal buffers, emits nothing")
+    assert(st.get.createdMs == PaymentState.OrphanOnly)
+    assert(st.getTimeoutTimestampMs.get() == 100000L + expiry)
+    val fired = TestGroupState.create[PaymentState](
+      Optional.of(st.get), GroupStateTimeout.EventTimeTimeout,
+      2000L, Optional.of(100000L + expiry + 1), hasTimedOut = true)
+    val out2 = PaymentMonitor.step(1L, Iterator.empty, fired, expiry)
+    assert(out2.isEmpty, "unclaimed orphan drains with no outcome")
+    assert(fired.isRemoved)
+  }
+
   test("in-window deadline is NOT clamped (normal path unchanged)") {
     val st = TestGroupState.create[PaymentState](
       Optional.empty[PaymentState](), GroupStateTimeout.EventTimeTimeout,
