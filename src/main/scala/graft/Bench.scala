@@ -42,11 +42,37 @@ object Bench {
       val t2 = if (t1 < 0) -1.0 else timeOnce(n, f)
       // a transient pass-2 failure must not discard a valid pass-1 time
       n -> (if (t1 < 0) -1.0 else if (t2 < 0) t1 else math.min(t1, t2))
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    // kernel micro-bench folded in (SPARK_GRAFT_MICRO=0 skips): the
+    // native-vs-UDF ratios ride the per-round artifact so a kernel
+    // regression shows up round-over-round, not only on demand
+    val micro =
+      if (sys.env.get("SPARK_GRAFT_MICRO").contains("0")) Seq.empty
+      else MicroBench.kernels(spark,
+        sys.env.getOrElse("SPARK_GRAFT_MICRO_ROWS", "1000000").toLong)
+    val ratios = micro.groupBy(_.kernel).toSeq.sortBy(_._1).flatMap {
+      case (k, ts) =>
+        for (n <- ts.find(_.variant == "native");
+             a <- ts.find(_.variant != "native"))
+          yield k -> a.sec / n.sec
+    }
+    def r4(v: Double): String = // fixed-width values keep the stdout
+      if (v < 0) "-1" else f"$v%.4f" // line inside the driver's capture
+    val total = results.map(_._2).filter(_ >= 0).sum
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val kr = ratios.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"kernel_ratios":$kr,"sf":"$sfDir"}"""
+    }
+    // stdout: ONE rounded line (the driver captures a bounded tail —
+    // full-precision values overflow it and truncate the JSON); the
+    // full-precision twin goes to a file artifact
+    println(line(r4))
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      line(_.toString).getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object MicroBench {
 
+  /** One measured kernel variant: `sec` is the best of two timed runs
+    * after a shared warmup.
+    */
+  final case class KernelTime(kernel: String, variant: String, rows: Long,
+      sec: Double)
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -28,7 +34,19 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    kernels(spark, rows).foreach { k =>
+      println(s"""{"kernel":"${k.kernel}","variant":"${k.variant}","rows":${k.rows},"sec":${k.sec}}""")
+    }
+    spark.stop()
+  }
+
+  /** The measurements themselves, reusable from [[Bench]] (which folds
+    * the native-vs-UDF ratios into its per-round artifact so kernel
+    * regressions are tracked round-over-round, not just on demand).
+    */
+  def kernels(spark: SparkSession, rows: Long): Seq[KernelTime] = {
     GraftFunctions.register(spark)
+    val out = Seq.newBuilder[KernelTime]
 
     // deterministic inputs: a short text per row, a 64-dim float pair
     val dim = 64
@@ -74,8 +92,8 @@ object MicroBench {
       time(native); time(alt) // shared warmup: codegen + JIT
       val tn = math.min(time(native), time(native))
       val ta = math.min(time(alt), time(alt))
-      println(s"""{"kernel":"$kernel","variant":"native","rows":$kernelRows,"sec":$tn}""")
-      println(s"""{"kernel":"$kernel","variant":"$altName","rows":$kernelRows,"sec":$ta}""")
+      out += KernelTime(kernel, "native", kernelRows, tn)
+      out += KernelTime(kernel, altName, kernelRows, ta)
     }
 
     run("hmac_sha256_hex", rows,
@@ -111,6 +129,6 @@ object MicroBench {
         .agg(count(when(substring(col("sh"), 1, 1) === "f", 1))),
       altName = "interpreted_lambda")
 
-    spark.stop()
+    out.result()
   }
 }

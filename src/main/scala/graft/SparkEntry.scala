@@ -82,9 +82,16 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"))),
-    "q_embed_neardup_lsh" -> ((s, d) => Similarity.nearDupPairsLsh(t(s, d, "embeddings"))),
+    // explicit loose-threshold opt-in: the synthetic embeddings top out
+    // at cos ~0.5, so the production default (0.9) would return zero
+    // rows; allowDense owns the documented dense enumeration
+    "q_embed_neardup_lsh" -> ((s, d) => Similarity.nearDupPairsLsh(
+      t(s, d, "embeddings"), threshold = 0.35, nTables = 8, nPlanes = 3,
+      allowDense = true)),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
-    "q_embed_quantize" -> ((s, d) => Similarity.quantizeEmbeddings(t(s, d, "embeddings"))),
+    // oracled via the csv-flattened form: the driver's compare cannot
+    // sort an array column (Similarity.quantizeEmbeddingsFlat doc)
+    "q_embed_quantize" -> ((s, d) => Similarity.quantizeEmbeddingsFlat(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "q_ann_ivf_learned" -> ((s, d) => Similarity.annIvfLearned(t(s, d, "embeddings"))),
@@ -632,7 +639,8 @@ object SparkEntry {
         |  FROM embeddings WHERE embedding IS NOT NULL
         |)
         |SELECT vec_id, ROUND(scale_raw, 6) AS scale,
-        |  list_transform(emb, x -> CAST(round(x / scale_raw * 127) AS TINYINT)) AS q
+        |  array_to_string(list_transform(emb,
+        |    x -> CAST(CAST(round(x / scale_raw * 127) AS TINYINT) AS VARCHAR)), ',') AS q_csv
         |FROM s WHERE scale_raw > 0""".stripMargin,
     "q_rate_ohlc" ->
       """SELECT currency, day,

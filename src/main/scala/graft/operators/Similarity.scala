@@ -137,19 +137,37 @@ object Similarity {
     * selectivity ratio (p_near / p_random)^b, with p_random = 1/2 for
     * hyperplane bits. A TRUE near-dup threshold (cos ≥ 0.9, p ≥ 0.95)
     * at b=16 gives ~10⁴× selectivity — candidate work ≈ output size.
-    * A LOOSE threshold like this corpus's 0.35 (p ≈ 0.62) gives only
+    * A LOOSE threshold like 0.35 (p ≈ 0.62) gives only
     * (0.62/0.5)^b ≈ 1.9× at b=3: candidate work stays near-quadratic
     * no matter how b and L are traded (raising b kills recall faster
     * than it kills random collisions at p this close to 1/2). The 10×
     * scale run measures exactly that: 20k vectors → 455k true pairs,
     * 101 s — dense problems are dense; use [[nearDupPairs]]'s bounded
-    * kernel for loose exploratory thresholds and THIS op with
-    * nPlanes=12-16, higher threshold for production near-dup sweeps.
-    * NaN cosines (degenerate vectors) are excluded explicitly, as in
-    * [[nearDupPairs]].
+    * kernel for loose exploratory thresholds and THIS op for
+    * production near-dup sweeps.
+    *
+    * The DEFAULTS embody the win case (threshold 0.9, b=12, L=4 →
+    * recall ≈ 0.94, selectivity ≈ 640×); the operator's own math is
+    * enforced at plan build: if (p_near/½)^b < `minSelectivity` the
+    * parameterization is near-quadratic by construction and the call
+    * REFUSES with the numbers, unless `allowDense = true` makes the
+    * dense sweep an explicit, owned decision (the gate query opts in:
+    * its corpus tops out at cos ≈ 0.5, so the win case would be
+    * vacuous there). NaN cosines (degenerate vectors) are excluded
+    * explicitly, as in [[nearDupPairs]].
     */
-  def nearDupPairsLsh(embeddings: DataFrame, threshold: Double = 0.35,
-      nTables: Int = 8, nPlanes: Int = 3, bucketCap: Int = 10000): DataFrame = {
+  def nearDupPairsLsh(embeddings: DataFrame, threshold: Double = 0.9,
+      nTables: Int = 4, nPlanes: Int = 12, bucketCap: Int = 10000,
+      allowDense: Boolean = false, minSelectivity: Double = 4.0): DataFrame = {
+    val pNear = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
+    val selectivity = math.pow(pNear / 0.5, nPlanes)
+    require(allowDense || selectivity >= minSelectivity,
+      f"nearDupPairsLsh: threshold=$threshold%.2f (collision p=$pNear%.3f) at " +
+        f"nPlanes=$nPlanes gives selectivity (p/0.5)^b = $selectivity%.2f < " +
+        f"$minSelectivity%.1f over brute force - candidate work is " +
+        "near-quadratic at this parameterization. Raise threshold/nPlanes, " +
+        "use nearDupPairs' bounded kernel for loose exploratory sweeps, or " +
+        "pass allowDense = true to own the dense enumeration explicitly.")
     val b = lshBuckets(embeddings, nTables, nPlanes)
     val wb = Window.partitionBy("table_id", "bucket")
     val capped = b
@@ -168,11 +186,6 @@ object Similarity {
       .distinct() // a pair can collide in several tables
   }
 
-  /** Brute-force top-k neighbors for query vectors (vec_id < nQueries)
-    * against the full corpus — the exact baseline ANN. The query side
-    * is broadcast; the corpus streams. Rank-window partitioned by
-    * query id (one shuffle of scored pairs, never a global sort).
-    */
   /** Int8 embedding quantization — the storage-reduction pass of a
     * vector pipeline (4× smaller than float32): per-vector max-abs
     * scale, each element mapped to round(x / scale * 127) in
@@ -201,6 +214,24 @@ object Similarity {
           x => round(x.cast("double") / col("scale_raw") * 127).cast("byte"))
           .as("q"))
 
+  /** [[quantizeEmbeddings]] with the int8 vector flattened to a csv
+    * string (`q_csv`). The array-returning form is the pipeline API;
+    * this is the ORACLED form: the driver's pandas-based compare sorts
+    * rows by every column, and an array-typed column is unhashable
+    * there (CORRECTNESS r5's one red row) — a scalar encoding carries
+    * the identical information in a comparable shape. Encoding order
+    * is the vector's element order, so equality of `q_csv` is equality
+    * of `q`.
+    */
+  def quantizeEmbeddingsFlat(embeddings: DataFrame): DataFrame =
+    quantizeEmbeddings(embeddings).select(col("vec_id"), col("scale"),
+      array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"))
+
+  /** Brute-force top-k neighbors for query vectors (vec_id < nQueries)
+    * against the full corpus — the exact baseline ANN. The query side
+    * is broadcast; the corpus streams. Rank-window partitioned by
+    * query id (one shuffle of scored pairs, never a global sort).
+    */
   def annTopK(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5): DataFrame = {
     val e = registered(embeddings)
     val q = e.where(col("vec_id") < nQueries)

@@ -90,6 +90,20 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("quantizeEmbeddingsFlat: csv encoding is lossless vs the array form") {
+    val arr = Similarity.quantizeEmbeddings(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[scala.collection.Seq[Byte]]("q").toList))
+      .toMap
+    val flat = Similarity.quantizeEmbeddingsFlat(emb).collect()
+    assert(flat.length == arr.size)
+    flat.foreach { r =>
+      val (scale, q) = arr(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Double]("scale") == scale)
+      assert(r.getAs[String]("q_csv") == q.map(_.toString).mkString(","))
+    }
+  }
+
   test("nearDupPairs agrees with cosine threshold and is symmetric-free") {
     val r = Similarity.nearDupPairs(emb, bound = 50, threshold = 0.3).collect()
     assert(r.forall(x => x.getAs[Long]("a_id") < x.getAs[Long]("b_id")))
@@ -102,13 +116,27 @@ class SimilaritySpec extends SparkSuite {
       .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
         r.getAs[Double]("cos_sim"))).toMap
     val truth = pairs(Similarity.nearDupPairs(emb, bound = 200, threshold = 0.35))
-    val lsh = pairs(Similarity.nearDupPairsLsh(bounded, threshold = 0.35))
+    val lsh = pairs(Similarity.nearDupPairsLsh(bounded, threshold = 0.35,
+      nTables = 8, nPlanes = 3, allowDense = true))
     // precision is EXACT: every returned pair is a true pair with the
     // identical rounded cosine (the filter re-scores exactly)
     lsh.foreach { case (p, c) => assert(truth.get(p).contains(c), s"false pair $p") }
     val recall = lsh.size.toDouble / truth.size
     info(s"lsh pair recall = $recall (${lsh.size}/${truth.size})")
     assert(recall >= 0.7)
+  }
+
+  test("nearDupPairsLsh: dense parameterization refuses without allowDense") {
+    // threshold 0.35 at b=3: (p/0.5)^b ~ 1.9x < 4 -> near-quadratic by
+    // the operator's own math; must refuse at plan build
+    val e = intercept[IllegalArgumentException](
+      Similarity.nearDupPairsLsh(emb, threshold = 0.35, nTables = 8, nPlanes = 3))
+    assert(e.getMessage.contains("near-quadratic"))
+    // the win-case defaults pass the guard (no exception at build)
+    Similarity.nearDupPairsLsh(emb)
+    // opting in builds the loose shape
+    Similarity.nearDupPairsLsh(emb, threshold = 0.35, nTables = 8, nPlanes = 3,
+      allowDense = true)
   }
 
   test("nearDupPairs: uniformly wrong-dim corpus raises instead of empty result") {
