@@ -171,6 +171,36 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_sampled"), col("total_value"))
 
+  /** Streaming OHLC — the live dual of the batch
+    * [[graft.operators.Payments.rateOhlc]] (the reference's orderbook
+    * feed, kinesis-pay.php:468-485, as a live dashboard): tumbling
+    * event-time windows per currency, open/close as min_by/max_by on
+    * the (ts, event_id) composite — the SAME deterministic tie-break
+    * as batch, so a closed window equals the batch row for its day
+    * exactly (spec-asserted). The tick gate is the shared
+    * [[graft.operators.Payments.ticksOf]], so live and batch cannot
+    * drift on what counts as a tick.
+    *
+    * Scale shape: identical to batch — all five aggregates (including
+    * the argmin/argmax structs) combine map-side, the shuffle moves one
+    * partial row per (currency, window) per task, and the watermark
+    * bounds state to open windows.
+    */
+  def liveRateOhlc(events: DataFrame, windowLen: String = "1 day",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.operators.Payments.ticksOf(events)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("currency"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_rate"),
+        max(col("value")).as("high_rate"),
+        min(col("value")).as("low_rate"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_rate"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("window.start").as("win_start"), col("currency"),
+        col("open_rate"), col("high_rate"), col("low_rate"),
+        col("close_rate"), col("n_ticks"))
+
   /** At-most-once admission: drop duplicate event ids arriving within
     * the watermark horizon (the reference's "transaction already
     * processed" guard, kinesis-pay.php:515-530, as a stream op).

@@ -34,6 +34,40 @@ class PaymentStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("raw(): a built-in connector format drives the parse seam end-to-end") {
+    import org.apache.spark.sql.functions._
+    // the connector seam itself: raw(fmt, opts) is exactly what a
+    // Kinesis-style connector swap would call — prove it with a format
+    // that actually ships in Spark (`rate`), synthesizing a payload
+    // column from the connector's records with every 3rd one malformed
+    // (fromJson's poison-pill drop path)
+    val rawDf = PaymentStream.raw(spark, "rate",
+      Map("rowsPerSecond" -> "100"))
+    assert(rawDf.isStreaming, "raw() must return an unstarted streaming frame")
+    val payload = rawDf.select(
+      when(col("value") % 3 === 0, lit("{not json"))
+        .otherwise(to_json(struct(col("value").as("paymentId"),
+          col("timestamp").as("ts"), lit("create").as("kind")))).as("data"))
+    val q = PaymentStream.fromJson(payload, "data")
+      .writeStream.format("memory").queryName("raw_seam")
+      .outputMode("append").start()
+    try {
+      // rate generates continuously; wait until enough rows flowed
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n < 10 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("raw_seam").count()
+        if (n < 10) Thread.sleep(200)
+      }
+      val ids = spark.table("raw_seam").collect().map(_.getAs[Long]("paymentId"))
+      assert(ids.length >= 10, s"expected >=10 parsed events, got ${ids.length}")
+      // every malformed record (value % 3 == 0) was dropped, others kept
+      assert(ids.forall(_ % 3 != 0))
+      assert(ids.toSet.size == ids.length, "rate ids are unique")
+    } finally q.stop()
+  }
+
   test("socket source → parse → FSM: a real TCP stream drives the same pipeline") {
     import java.net.ServerSocket
     import java.nio.charset.StandardCharsets.UTF_8

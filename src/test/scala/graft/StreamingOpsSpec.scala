@@ -179,6 +179,48 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("liveRateOhlc: closed windows equal the batch rateOhlc rows") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.liveRateOhlc(df, "1 day", "0 seconds")
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    try {
+      val day1 = Seq(
+        (2L, ts("2024-01-01 09:00:00"), 1L, "click", 5.0), // KAU open
+        (4L, ts("2024-01-01 11:00:00"), 1L, "click", 9.0), // KAU high
+        (6L, ts("2024-01-01 10:00:00"), 1L, "click", 3.0), // KAU low, out of order
+        (8L, ts("2024-01-01 12:00:00"), 1L, "click", 7.0), // KAU close
+        (1L, ts("2024-01-01 09:30:00"), 1L, "click", 2.0), // KAG open (ts tie,
+        (3L, ts("2024-01-01 09:30:00"), 1L, "click", 4.0), //   close by event_id)
+        (10L, ts("2024-01-01 10:30:00"), 1L, "click", 0.0), // invalid tick
+        (12L, ts("2024-01-01 10:40:00"), 1L, "purchase", 6.0)) // not a tick
+      input.addData(day1: _*)
+      q.processAllAvailable()
+      // next-day tick advances the watermark past day 1, closing it
+      input.addData((14L, ts("2024-01-02 10:00:00"), 1L, "click", 8.0))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("currency"),
+          r.getAs[Double]("open_rate"), r.getAs[Double]("high_rate"),
+          r.getAs[Double]("low_rate"), r.getAs[Double]("close_rate"),
+          r.getAs[Long]("n_ticks"))
+      val live = spark.table("ohlc_out")
+        .withColumn("day", to_date(col("win_start")))
+        .collect().map(key).toSet
+      val batch = graft.operators.Payments.rateOhlc(
+        day1.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map(key).toSet
+      assert(live == batch, s"live $live != batch $batch")
+      assert(live.size == 2) // KAU + KAG for day 1; day 2 still open
+      // the tie-broken KAG row: open id 1 (2.0), close id 3 (4.0)
+      assert(live.exists(t => t._2 == "KAG" && t._3 == 2.0 && t._6 == 4.0))
+    } finally q.stop()
+  }
+
   test("cleanDocStream: quality gate + exact dedup applied on ingest") {
     implicit val sqlCtx = spark.sqlContext
     val good = "the quick brown fox is one of the animals in the list of words"
