@@ -255,24 +255,35 @@ object TextOps {
       .select("doc_id", "lang", "source", "n_tok")
   }
 
-  /** Deterministic train/val/test split: a content-hash bucket in
-    * [0,100) routes each doc (md5-derived so the DuckDB oracle can
-    * reproduce it) — stable across runs, clusters, and re-orderings,
-    * which is what makes held-out sets trustworthy. Pure projection +
-    * one count aggregate.
+  /** Per-document split label over the `text` column: a content-hash
+    * bucket in [0,100) routes each doc (md5-derived so the DuckDB
+    * oracle can reproduce it) — stable across runs, clusters, and
+    * re-orderings, which is what makes held-out sets trustworthy. ONE
+    * definition shared by [[trainSplit]] and
+    * [[graft.sources.CorpusStore]]'s split partitioning, so the
+    * reported split sizes and the stored directory layout cannot
+    * drift.
     */
-  def trainSplit(documents: DataFrame, valPct: Int = 10,
-      testPct: Int = 10): DataFrame = {
+  def splitOf(valPct: Int = 10,
+      testPct: Int = 10): org.apache.spark.sql.Column = {
     // first 8 hex chars of md5 → int bucket, identical in DuckDB
     val bucket = hashBucket(col("text"), 100)
+    when(bucket < valPct, "val")
+      .when(bucket < valPct + testPct, "test")
+      .otherwise("train")
+  }
+
+  /** Deterministic train/val/test split sizes per language (the
+    * [[splitOf]] label, counted). Pure projection + one count
+    * aggregate.
+    */
+  def trainSplit(documents: DataFrame, valPct: Int = 10,
+      testPct: Int = 10): DataFrame =
     documents
       .select(col("doc_id"), col("lang"),
-        when(bucket < valPct, "val")
-          .when(bucket < valPct + testPct, "test")
-          .otherwise("train").as("split"))
+        splitOf(valPct, testPct).as("split"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   /** Multimodal-column plumbing: the document body as an opaque
     * `binary` payload plus typed metadata — the oracled METADATA view

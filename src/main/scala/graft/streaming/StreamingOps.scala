@@ -39,9 +39,9 @@ object StreamingOps {
     * rule: "latest per user" inherently needs one row per distinct
     * user, so state is O(user cardinality), NOT O(stream) and NOT
     * watermark-evicted. For unbounded key universes (e.g. session ids
-    * rather than users), wrap with a timeout-based TTL or periodically
-    * snapshot-and-restart; as written it fits the reference's
-    * bounded-membership domain.
+    * rather than users), use [[liveLatestStatusTtl]] — the same update
+    * rule with timeout-based eviction; as written THIS variant fits
+    * the reference's bounded-membership domain.
     */
   /** `lastId` is retained in state so same-timestamp ties resolve by
     * the SAME (ts, event_id) argmax as batch `Payments.latestStatus`
@@ -52,10 +52,12 @@ object StreamingOps {
   // public: Catalyst's generated deserializer must reach the class
   case class RawEv(userId: Long, status: String, ts: Timestamp, id: Long)
 
-  def liveLatestStatus(events: DataFrame): Dataset[UserStatus] = {
+  /** Shared poison-pill filter + typed projection for the
+    * latest-status family (one definition, so the bounded and TTL
+    * variants cannot drift on admission).
+    */
+  private def typedStatusEvents(events: DataFrame): Dataset[RawEv] = {
     implicit val rawEnc = Encoders.product[RawEv]
-    implicit val outEnc = Encoders.product[UserStatus]
-    implicit val keyEnc = Encoders.scalaLong
     events
       // poison-pill tolerance (same policy as PaymentStream.fromJson):
       // a null in a non-nullable encoder field would KILL the query
@@ -65,16 +67,72 @@ object StreamingOps {
         col("event_type").as("status"), col("ts"),
         col("event_id").cast("long").as("id"))
       .as[RawEv]
+  }
+
+  /** Event-time argmax of state + batch — the single update rule both
+    * latest-status variants apply.
+    */
+  private[streaming] def latestOf(uid: Long, evs: Iterator[RawEv],
+      prior: Option[UserStatus]): UserStatus = {
+    val latest = (prior.map(s =>
+      RawEv(uid, s.lastStatus, s.lastTs, s.lastId)) ++ evs)
+      .maxBy(e => (e.ts.getTime, e.id))
+    UserStatus(uid, latest.status, latest.ts, latest.id)
+  }
+
+  def liveLatestStatus(events: DataFrame): Dataset[UserStatus] = {
+    implicit val outEnc = Encoders.product[UserStatus]
+    implicit val keyEnc = Encoders.scalaLong
+    typedStatusEvents(events)
       .groupByKey(_.userId)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (uid: Long, evs: Iterator[RawEv], state: GroupState[UserStatus]) =>
-          val latest = (state.getOption.map(s =>
-            RawEv(uid, s.lastStatus, s.lastTs, s.lastId)) ++ evs)
-            .maxBy(e => (e.ts.getTime, e.id))
-          val next = UserStatus(uid, latest.status, latest.ts, latest.id)
+          val next = latestOf(uid, evs, state.getOption)
           state.update(next)
           next
       }
+  }
+
+  /** TTL twin of [[liveLatestStatus]] for UNBOUNDED key universes
+    * (session ids, request ids — anywhere "one state row per distinct
+    * key ever seen" is not a bounded set): identical update rule, but
+    * every update arms a processing-time timeout of `ttlMs`, and a key
+    * idle past its TTL is EVICTED (state removed, nothing emitted). A
+    * key re-appearing after eviction is re-admitted fresh — its
+    * pre-eviction history is forgotten, which is the explicit contract
+    * difference from [[liveLatestStatus]] (a late event older than the
+    * evicted status can briefly "regress" the reported status; the
+    * batch argmax is the reconciliation path, as with xrateEnrich).
+    * Activity renews the TTL, so state is O(keys active inside one TTL
+    * horizon) — bounded by traffic, not by key-universe cardinality.
+    */
+  def liveLatestStatusTtl(events: DataFrame,
+      ttlMs: Long = 3600 * 1000L): Dataset[UserStatus] = {
+    implicit val outEnc = Encoders.product[UserStatus]
+    implicit val keyEnc = Encoders.scalaLong
+    typedStatusEvents(events)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout())(
+        (uid: Long, evs: Iterator[RawEv], state: GroupState[UserStatus]) =>
+          statusTtlStep(uid, evs, state, ttlMs))
+  }
+
+  /** One TTL step for one key. Visible for unit tests (the data-then-
+    * timeout protocol cannot be orchestrated through MemoryStream —
+    * PaymentStepSpec's rationale).
+    */
+  private[streaming] def statusTtlStep(uid: Long, evs: Iterator[RawEv],
+      state: GroupState[UserStatus], ttlMs: Long): Iterator[UserStatus] = {
+    if (state.hasTimedOut) {
+      state.remove() // idle past TTL: evict, emit nothing
+      Iterator.empty
+    } else {
+      val next = latestOf(uid, evs, state.getOption)
+      state.update(next)
+      state.setTimeoutDuration(ttlMs) // any activity renews the TTL
+      Iterator(next)
+    }
   }
 
   /** One event of the rate/purchase stream, keyed by currency. */

@@ -179,6 +179,32 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("liveLatestStatusTtl: flows end-to-end on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.liveLatestStatusTtl(df, ttlMs = 3600 * 1000L)
+      .writeStream.format("memory").queryName("latest_ttl_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "pending", 0.0),
+        (2L, ts("2024-01-01 10:05:00"), 1L, "processed", 0.0))
+      // NOT processAllAvailable(): with ProcessingTimeTimeout armed the
+      // engine keeps scheduling micro-batches (each clock advance may
+      // fire a timeout), so "all available" never settles — poll the
+      // sink with a deadline instead
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("latest_ttl_out").isEmpty &&
+          System.nanoTime() < deadline) Thread.sleep(200)
+      val rows = spark.table("latest_ttl_out").collect()
+      assert(rows.nonEmpty, "no output within deadline")
+      val last = rows.maxBy(_.getAs[Timestamp]("lastTs").getTime)
+      assert(last.getAs[String]("lastStatus") == "processed")
+    } finally q.stop()
+  }
+
   test("liveRateOhlc: closed windows equal the batch rateOhlc rows") {
     import org.apache.spark.sql.functions.{col, to_date}
     implicit val sqlCtx = spark.sqlContext
