@@ -81,6 +81,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),
+    "q_containment" -> ((s, d) => Dedup.containmentPairs(t(s, d, "documents"))),
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"))),
     // explicit loose-threshold opt-in: the synthetic embeddings top out
     // at cos ~0.5, so the production default (0.9) would return zero
@@ -109,6 +110,8 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, d) => TextOps.vocabTopK(t(s, d, "documents"))),
     "q_tfidf_top" -> ((s, d) => TextOps.tfidfTop(t(s, d, "documents"))),
     "q_bigram_topk" -> ((s, d) => TextOps.bigramTopK(t(s, d, "documents"))),
+    "q_length_hist" -> ((s, d) => TextOps.lengthHist(t(s, d, "documents"))),
+    "q_quality_topk" -> ((s, d) => Curation.qualityTopK(t(s, d, "documents"))),
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(t(s, d, "documents"))),
     // rows-only (xxhash64 join keys have no DuckDB equivalent); the
     // spec asserts result identity with the exact-string path
@@ -453,6 +456,25 @@ object SparkEntry {
         |      JOIN sizes sa ON a_id = sa.doc_id
         |      JOIN sizes sb ON b_id = sb.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    "q_containment" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
+        |toks AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM toks a JOIN toks b
+        |    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, containment
+        |FROM (SELECT a_id, b_id,
+        |        CAST(n_inter AS DOUBLE) / CAST(LEAST(sa.n_tok, sb.n_tok) AS DOUBLE) AS containment
+        |      FROM inter
+        |      JOIN sizes sa ON a_id = sa.doc_id
+        |      JOIN sizes sb ON b_id = sb.doc_id)
+        |WHERE containment >= 0.9""".stripMargin,
     "q_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 2000
@@ -614,6 +636,20 @@ object SparkEntry {
         |SELECT bigram, n, rnk
         |FROM (SELECT bigram, n, CAST(rank() OVER (ORDER BY n DESC, bigram) AS BIGINT) AS rnk FROM counts)
         |WHERE rnk <= 50""".stripMargin,
+    "q_length_hist" ->
+      """SELECT lang, n_tok - (n_tok % 16) AS bucket_lo,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        |FROM (SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents)
+        |GROUP BY lang, bucket_lo""".stripMargin,
+    "q_quality_topk" ->
+      """SELECT doc_id, lang, q_score, rnk
+        |FROM (SELECT doc_id, lang, q_score,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY q_score DESC, doc_id) AS BIGINT) AS rnk
+        |      FROM (SELECT doc_id, lang,
+        |              CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |                / CAST(len(string_split(text, ' ')) AS DOUBLE) AS q_score
+        |            FROM documents))
+        |WHERE rnk <= 20""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, shingle

@@ -154,4 +154,29 @@ object Curation {
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
   }
+
+  /** Quality-ranked selection: the top `k` documents per language by
+    * stopword-ratio quality score — the "keep the best N per stratum"
+    * selection step of a curation pass (the per-SOURCE aggregate view
+    * is `TextOps.textQuality`; this is the per-DOC selection). The
+    * score is one IEEE division of exact integer counts —
+    * bit-identical in the DuckDB oracle with no rounding — and ties
+    * break on doc_id, so the selected set is fully deterministic.
+    *
+    * Scale shape: row_number windowed by lang with the `rnk <= k`
+    * filter directly above it — Spark 4 rewrites that into
+    * WindowGroupLimit (per-partition top-k retained BEFORE the
+    * shuffle), so the exchange moves O(partitions × k) rows, never
+    * the corpus.
+    */
+  def qualityTopK(documents: DataFrame, k: Int = 20): DataFrame = {
+    val toks = tokenize(col("text"))
+    val scored = documents.select(col("doc_id"), col("lang"),
+      (graft.functions.TextFunctions.stopwordCount(toks,
+        graft.functions.TextFunctions.stopwords.head._2).cast("double") /
+        size(toks).cast("double")).as("q_score"))
+    val w = Window.partitionBy("lang").orderBy(col("q_score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
 }

@@ -438,35 +438,68 @@ object Dedup {
       .distinct()
   }
 
-  /** Bounded brute-force Jaccard pairs over distinct `shingleLen`-gram
-    * sets (1 = token sets) — the correctness baseline the oracle
-    * checks; the scale path is [[minhashCandidates]]. Set algebra via
-    * exploded-feature self-join (|A∩B| by join, sizes by groupBy),
-    * restricted to doc_id < `bound` and same-language pairs. With
-    * shingleLen = 3 this measures the same feature space minhash
-    * signatures are built on (used by the recall spec).
+  /** Exploded-feature set-overlap frame shared by [[jaccardPairs]]
+    * and [[containmentPairs]]: one row per same-language candidate
+    * pair (a_id < b_id, both under `bound`) carrying the distinct
+    * `shingleLen`-gram intersection count and both set sizes — the
+    * similarity measures are pure projections over it, so the two
+    * operators cannot drift on the feature space.
     */
-  def jaccardPairs(documents: DataFrame, bound: Long = 300,
-      threshold: Double = 0.8, shingleLen: Int = 1): DataFrame = {
+  private def setOverlap(documents: DataFrame, bound: Long,
+      shingleLen: Int): DataFrame = {
     val docs = documents.where(col("doc_id") < bound)
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(graft.functions.TextFunctions.shingles(
         graft.functions.TextFunctions.tokenize(col("text")),
         shingleLen, distinct = true)).as("tok"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-    val inter = toks.as("a")
+    toks.as("a")
       .join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
       .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"), col("n_inter"),
+        col("sa.n_tok").as("n_a"), col("sb.n_tok").as("n_b"))
+  }
+
+  /** Bounded brute-force Jaccard pairs over distinct `shingleLen`-gram
+    * sets (1 = token sets) — the correctness baseline the oracle
+    * checks; the scale path is [[minhashCandidates]]. Set algebra via
+    * exploded-feature self-join (|A∩B| by join, sizes by groupBy),
+    * restricted to doc_id < `bound` and same-language pairs. With
+    * shingleLen = 3 this measures the same feature space minhash
+    * signatures are built on (used by the recall spec). The division
+    * is a single IEEE op on exact integer counts — bit-identical in
+    * the oracle without rounding.
+    */
+  def jaccardPairs(documents: DataFrame, bound: Long = 300,
+      threshold: Double = 0.8, shingleLen: Int = 1): DataFrame =
+    setOverlap(documents, bound, shingleLen)
       .withColumn("jaccard",
         col("n_inter").cast("double") /
-          (col("sa.n_tok") + col("sb.n_tok") - col("n_inter")).cast("double"))
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-  }
+
+  /** Set CONTAINMENT pairs — |A∩B| / min(|A|, |B|) over the same
+    * distinct-shingle feature space as [[jaccardPairs]]: the
+    * asymmetric-size near-dup measure Jaccard is blind to (a short
+    * document quoted whole inside a long one scores containment ≈ 1
+    * but Jaccard ≈ |A|/|B| ≈ 0 — exactly the quote/subset duplication
+    * a curation pass wants to catch; the min-normalized form is the
+    * standard symmetric variant). Same bounded-baseline contract and
+    * scale story as Jaccard: candidates at scale come from MinHash
+    * banding; this is the exact measure applied inside buckets.
+    */
+  def containmentPairs(documents: DataFrame, bound: Long = 300,
+      threshold: Double = 0.9, shingleLen: Int = 1): DataFrame =
+    setOverlap(documents, bound, shingleLen)
+      .withColumn("containment",
+        col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
 }

@@ -72,6 +72,20 @@ object TextOps {
         sum(col("ws_tok")).as("ws_tokens"),
         sum(col("re_tok")).as("bpe_tokens"))
 
+  /** Document-length histogram per language: token counts bucketed to
+    * fixed `width` (bucket_lo = n_tok - n_tok % width) — the length
+    * distribution a curation pass reads before setting its floors and
+    * packing budgets (where is the mass? how heavy is the tail?).
+    * Pure projection + one aggregate-sized groupBy: scan speed at
+    * 100 TB, output O(langs × buckets).
+    */
+  def lengthHist(documents: DataFrame, width: Int = 16): DataFrame =
+    documents
+      .select(col("lang"), size(tokenize(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"),
+        (col("n_tok") - pmod(col("n_tok"), lit(width))).as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+
   /** Rolling-hash document fingerprint (rows-only: DuckDB has no
     * xxhash64). Deterministic 64-bit polynomial over tokens.
     */

@@ -156,4 +156,28 @@ class CurationSpec extends SparkSuite {
     // doc, and the synthetic docs are all far under budget
     assert(r.forall(_.getAs[Long]("sum_tokens") <= 256 + maxTok))
   }
+
+  test("qualityTopK matches an in-memory reference selection (property)") {
+    val k = 5
+    val got = Curation.qualityTopK(docs, k = k).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rnk")) ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Double]("q_score")))).toMap
+    // reference: score + sort in plain Scala over the collected corpus
+    val stop = Set("the", "a", "of", "and", "is")
+    val expected = docs.select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val toks = r.getAs[String]("text").split(" ", -1)
+        (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+          toks.count(stop).toDouble / toks.length)
+      }
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (lang, rows) =>
+        rows.toSeq.sortBy(t => (-t._3, t._2)).take(k).zipWithIndex.map {
+          case ((_, id, s), i) => (lang, i + 1L) -> ((id, s))
+        }
+      }.toMap
+    assert(got == expected)
+    got.foreach { case ((_, rnk), _) => assert(rnk >= 1 && rnk <= k) }
+  }
 }

@@ -139,6 +139,33 @@ class DedupSpec extends SparkSuite {
       s"LSH banding missed ${missed.size}/${truth.size} true pairs: $missed")
   }
 
+  test("containmentPairs catches subset quotes Jaccard misses") {
+    // doc 11's token set is a strict subset of doc 10's: containment
+    // is exactly 1.0 while Jaccard is |A|/|B| — the asymmetric-size
+    // near-dup the containment measure exists for
+    val d = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (11L, "alpha beta gamma delta", "en"),
+      (12L, "totally unrelated words about completely other things here now", "en")
+    ).toDF("doc_id", "text", "lang")
+    val cont = Dedup.containmentPairs(d, bound = 100, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(cont == Map((10L, 11L) -> 1.0))
+    val jac = Dedup.jaccardPairs(d, bound = 100, threshold = 0.8).collect()
+    assert(jac.isEmpty, "Jaccard at 0.8 must be blind to the subset quote")
+    // measures agree on the shared feature space: containment >= jaccard
+    // always (min(|A|,|B|) <= |A∪B|)
+    val jAll = Dedup.jaccardPairs(docs, bound = 100, threshold = 0.0)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val cAll = Dedup.containmentPairs(docs, bound = 100, threshold = 0.0)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(jAll.keySet == cAll.keySet)
+    jAll.foreach { case (p, j) => assert(cAll(p) >= j - 1e-12, s"pair $p") }
+  }
+
   test("jaccardPairs survives docs shorter than the shingle length") {
     val d = Seq(
       (0L, "one two", "en"), // < 3 tokens: no shingles, must not throw

@@ -135,6 +135,20 @@ class PlanAuditSpec extends SparkSuite {
       s"decontamination must equi-join on the shingle key:\n$p")
   }
 
+  test("qualityTopK: rank filter becomes WindowGroupLimit (pre-shuffle top-k)") {
+    val p = plan(graft.operators.Curation.qualityTopK(
+      Tables(spark, dir, "documents")))
+    assert(p.contains("WindowGroupLimit"),
+      s"rnk <= k must rewrite to WindowGroupLimit:\n$p")
+  }
+
+  test("lengthHist: pure projection + aggregate — scan prunes to (lang, text)") {
+    val p = plan(graft.operators.TextOps.lengthHist(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("doc_id"), "scan must prune unused columns")
+    assert(p.contains("partial"), "aggregate must combine map-side")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val p = plan(Payments.hmacSign(Tables(spark, dir, "events")))
     // the signature projection must carry the codegen-stage marker

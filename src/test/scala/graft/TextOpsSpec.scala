@@ -111,6 +111,22 @@ class TextOpsSpec extends SparkSuite {
     assert(r1("train") > r1.getOrElse("val", 0L))
   }
 
+  test("lengthHist: fixed-width buckets account for every doc and token") {
+    val d = Seq(
+      (0L, "a b c", "en"),                         // 3 tokens -> bucket 0
+      (1L, (1 to 17).map(i => s"t$i").mkString(" "), "en"), // 17 -> bucket 16
+      (2L, (1 to 16).map(i => s"t$i").mkString(" "), "en"), // 16 -> bucket 16
+      (3L, "x y", "de")                            // 2 tokens -> bucket 0
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.lengthHist(d, width = 16).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[Long]("bucket_lo")) ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("sum_tokens")))).toMap
+    assert(r == Map(
+      ("en", 0L) -> ((1L, 3L)),
+      ("en", 16L) -> ((2L, 33L)),
+      ("de", 0L) -> ((1L, 2L))))
+  }
+
   test("vocabTopK and bigramTopK count correctly") {
     val d = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
     val v = TextOps.vocabTopK(d, k = 2).collect()
