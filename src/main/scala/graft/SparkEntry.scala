@@ -82,6 +82,11 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),
     "q_containment" -> ((s, d) => Dedup.containmentPairs(t(s, d, "documents"))),
+    "q_dup_span" -> ((s, d) => Dedup.dupSpan(t(s, d, "documents"))),
+    // rows-only (xxhash64 gram keys have no DuckDB equivalent); the
+    // spec asserts result identity with the exact-string path
+    "q_dup_span_hashed" -> ((s, d) =>
+      Dedup.dupSpan(t(s, d, "documents"), hashGrams = true)),
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"))),
     // explicit loose-threshold opt-in: the synthetic embeddings top out
     // at cos ~0.5, so the production default (0.9) would return zero
@@ -90,6 +95,7 @@ object SparkEntry {
       t(s, d, "embeddings"), threshold = 0.35, nTables = 8, nPlanes = 3,
       allowDense = true)),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(t(s, d, "embeddings"))),
+    "q_embed_outlier" -> ((s, d) => Similarity.embedOutlier(t(s, d, "embeddings"))),
     // oracled via the csv-flattened form: the driver's compare cannot
     // sort an array column (Similarity.quantizeEmbeddingsFlat doc)
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeEmbeddingsFlat(t(s, d, "embeddings"))),
@@ -120,7 +126,8 @@ object SparkEntry {
     "q_domain_mix" -> ((s, d) => Curation.domainMix(t(s, d, "documents"))),
     "q_semantic_decontaminate" -> ((s, d) =>
       Curation.semanticDecontaminate(t(s, d, "embeddings"))),
-    "q_pack_sequences" -> ((s, d) => Curation.packSequences(t(s, d, "documents")))
+    "q_pack_sequences" -> ((s, d) => Curation.packSequences(t(s, d, "documents"))),
+    "q_token_budget" -> ((s, d) => Curation.tokenBudget(t(s, d, "documents")))
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -130,7 +137,7 @@ object SparkEntry {
     * q_dedup_simhash, q_simhash_pairs, q_fingerprint, q_kmeans,
     * q_ann_lsh, q_ann_ivf, q_ann_ivf_learned, q_embed_neardup_lsh,
     * q_active_users_approx, q_value_quantiles_approx,
-    * q_decontaminate_hashed.
+    * q_decontaminate_hashed, q_dup_span_hashed.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -484,6 +491,28 @@ object SparkEntry {
         |        ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE cos_sim > 0.35""".stripMargin,
+    "q_embed_outlier" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings
+        |  WHERE vec_id < 2000 AND embedding IS NOT NULL
+        |    AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x))) = 0
+        |), pe AS (
+        |  SELECT label, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM e
+        |), cells AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(floor(v * 1099511627776) AS BIGINT)) AS DOUBLE)
+        |      / (CAST(COUNT(*) AS DOUBLE) * 1099511627776.0) AS c
+        |  FROM pe GROUP BY label, pos
+        |), cent AS (
+        |  SELECT label, CAST(list(CAST(c AS FLOAT) ORDER BY pos) AS DOUBLE[]) AS centroid
+        |  FROM cells GROUP BY label
+        |)
+        |SELECT vec_id, label, centroid_sim
+        |FROM (SELECT e.vec_id, e.label,
+        |        ROUND(list_cosine_similarity(e.emb, cent.centroid), 4) AS centroid_sim
+        |      FROM e JOIN cent USING (label))
+        |WHERE NOT isnan(centroid_sim)""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
@@ -650,6 +679,23 @@ object SparkEntry {
         |                / CAST(len(string_split(text, ' ')) AS DOUBLE) AS q_score
         |            FROM documents))
         |WHERE rnk <= 20""".stripMargin,
+    "q_dup_span" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(toks) - 3),
+        |          i -> array_to_string(toks[i + 1:i + 4], ' '))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 4
+        |), dup AS (
+        |  SELECT gram
+        |  FROM (SELECT gram, COUNT(*) AS n_docs
+        |        FROM (SELECT DISTINCT doc_id, gram FROM sh) GROUP BY 1)
+        |  WHERE n_docs >= 2
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(COUNT(d.gram) AS BIGINT) AS n_dup_windows,
+        |  CAST(COUNT(d.gram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+        |FROM sh LEFT JOIN dup d ON sh.gram = d.gram
+        |GROUP BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, shingle
@@ -711,6 +757,22 @@ object SparkEntry {
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |            FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
         |                  FROM documents)))
-        |GROUP BY shard, bin""".stripMargin
+        |GROUP BY shard, bin""".stripMargin,
+    // states the SEMANTICS as the naive one-window form; the Spark
+    // plan is the histogram-cutoff equivalent (Curation.tokenBudget)
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+        |    CAST('0x' || substr(md5('budget:' || text), 1, 8) AS BIGINT) % 10000 AS bucket
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok
+        |FROM c
+        |WHERE cum - n_tok < CASE WHEN lang = 'en' THEN 4000 ELSE 2000 END""".stripMargin
   )
 }

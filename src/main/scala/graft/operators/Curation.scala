@@ -155,6 +155,63 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
   }
 
+  /** Token-budget selection: admit documents per language, in a
+    * deterministic content-hash order, until the language's token
+    * budget is reached — the "sample each domain to N tokens" step
+    * that turns mixture WEIGHTS into an actual training corpus
+    * (domainMix keeps a target *fraction*; this keeps a target token
+    * *mass*). A doc is admitted iff the token count of all docs
+    * ordered before it (hash bucket, then doc_id) is still under the
+    * budget — so the output overshoots by at most one document, and
+    * reruns/engines agree exactly (no RNG, no floating point).
+    *
+    * Scale shape — the naive form is a scale-killer and this is NOT
+    * it: summing tokens over a window ordered by hash within each
+    * language would SORT the whole corpus inside the largest language
+    * partition (half of 100 TB in one sort, plus the skew). Instead
+    * the plan is a two-level histogram cutoff, exact by construction:
+    * (1) aggregate token mass per (lang, hash bucket) — at most
+    * langs × 10 000 rows; (2) a running total over that TINY frame
+    * finds each bucket's tokens-before; (3) broadcast it back —
+    * buckets that start past the budget drop at the scan, so the rows
+    * that reach the in-bucket window are bounded by the budgets
+    * themselves (the admitted mass plus one boundary bucket's tail),
+    * NOT by the corpus. One admission inequality covers both cases:
+    * for a bucket entirely under the budget every in-bucket prefix is
+    * under it too, so the window never changes those rows' fate and
+    * only the boundary bucket's ordering actually matters. The oracle
+    * states the semantics as the naive one-window SQL; this plan must
+    * (and does) reproduce it bit-for-bit.
+    */
+  def tokenBudget(documents: DataFrame,
+      budgets: Map[String, Long] = Map("en" -> 4000L),
+      defaultBudget: Long = 2000L, salt: String = "budget:"): DataFrame = {
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (lang, b)) => when(col("lang") === lang, lit(b)).otherwise(acc)
+    }
+    val d = documents.select(col("doc_id"), col("lang"),
+      size(tokenize(col("text"))).cast("long").as("n_tok"),
+      graft.functions.TextFunctions.hashBucket(col("text"), 10000, salt)
+        .as("bucket"))
+    val hist = d.groupBy("lang", "bucket")
+      .agg(sum(col("n_tok")).as("btok"))
+    val wPrev = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("before", coalesce(sum(col("btok")).over(wPrev), lit(0L)))
+      // only buckets that start under the budget can admit anything —
+      // the broadcast side shrinks to the admitted prefix
+      .where(col("before") < budgetCol)
+    // the in-bucket first-fit window: its input is already budget-
+    // bounded (only buckets with before < budget survive the join)
+    val wIn = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(cum), Seq("lang", "bucket"))
+      .withColumn("cumIn", sum(col("n_tok")).over(wIn))
+      .where(col("before") + col("cumIn") - col("n_tok") < budgetCol)
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+  }
+
   /** Quality-ranked selection: the top `k` documents per language by
     * stopword-ratio quality score — the "keep the best N per stratum"
     * selection step of a curation pass (the per-SOURCE aggregate view

@@ -502,4 +502,52 @@ object Dedup {
           least(col("n_a"), col("n_b")).cast("double"))
       .where(col("containment") >= threshold)
       .select(col("a_id"), col("b_id"), col("containment"))
+
+  /** Per-document duplicated-span load: the fraction of a document's
+    * word `n`-gram WINDOW POSITIONS whose n-gram also appears in at
+    * least `minDocs` − 1 OTHER documents — the exact-substring
+    * duplication diagnostic (how much of this doc is boilerplate the
+    * corpus already has elsewhere?) that drives span-level dedup
+    * decisions, where the pair operators ([[jaccardPairs]],
+    * [[containmentPairs]]) only say WHICH docs overlap. Positions
+    * count non-distinct: a doc that repeats a corpus-wide 4-gram ten
+    * times carries ten duplicated windows. Returns
+    * (doc_id, n_windows, n_dup_windows, dup_ratio) for every doc with
+    * at least one window; the ratio is one IEEE division of exact
+    * counts — bit-identical in the oracle.
+    *
+    * Scale shape: one shingle explode, a distinct-(doc, gram) pass to
+    * find corpus-duplicated grams (an aggregate, shuffle O(distinct
+    * grams)), then an equi-join of the positional explode against
+    * that gram set and a per-doc count — no pairwise work anywhere,
+    * so cost stays O(total windows) when the corpus grows 100×;
+    * `hashGrams` is the same flag-gated xxhash64 shingle swap as
+    * [[Curation.decontaminate]] (8-byte join/aggregate keys, the gram
+    * string never materialized) for when the gram strings dominate
+    * the shuffle — identical output short of a 2^-64-scale collision,
+    * spec-asserted equal on the gate corpus.
+    */
+  def dupSpan(documents: DataFrame, n: Int = 4, minDocs: Int = 2,
+      hashGrams: Boolean = false): DataFrame = {
+    import graft.functions.TextFunctions.{shingleFromStruct, shingleStructs, tokenize}
+    val key =
+      if (hashGrams) xxhash64((0 until n).map(i => col("z").getField(i.toString)): _*)
+      else shingleFromStruct(col("z"), n)
+    val sh = documents
+      .withColumn("toks", tokenize(col("text")))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(shingleStructs(col("toks"), n)).as("z"))
+      .select(col("doc_id"), key.as("gram"))
+    val dup = sh.distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("gram"), lit(1).as("is_dup"))
+    sh.join(dup, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("is_dup")).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+  }
 }

@@ -231,6 +231,62 @@ object Similarity {
     quantizeEmbeddings(embeddings).select(col("vec_id"), col("scale"),
       array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"))
 
+  /** Embedding-outlier scoring: each vector's cosine similarity to
+    * its LABEL's centroid — the cluster-coherence filter of an
+    * embedding-curation pass (a vector far from its own group's
+    * center is a mislabeled or junk example; SemDeDup-style pruning
+    * ranks within-cluster items exactly this way, with [[kMeans]]
+    * supplying the clusters when no labels exist). Returns
+    * (vec_id, label, centroid_sim) for every non-NaN vector under
+    * `bound`; downstream keeps a threshold or bottom-k.
+    *
+    * The centroid is exact by construction so the DuckDB oracle
+    * hash-matches: float sums are fold-order-dependent across
+    * partitions (which is why [[graft.plans.VectorMeanAgg]] — the
+    * right tool for pipelines — cannot be oracle-stable), and even
+    * decimal ROUNDING at a power-of-TEN scale is engine-dependent in
+    * the last ulp (the two engines' round-to-6dp disagreed on one
+    * cell in 1.2M at sf0.1). So the quantization is a power of TWO:
+    * each element is floor(v · 2^40) summed as exact BIGINT — floor
+    * of an exact double product (×2^40 is exponent arithmetic, no
+    * rounding mode anywhere) — then one double division rebuilds the
+    * mean and a float cast (IEEE round-to-nearest in both engines)
+    * fixes the centroid element. The per-label array is rebuilt in
+    * dim order for the codegen `cosine_sim` kernel. Centroids are one
+    * aggregate-sized frame (labels × dims cells → labels rows),
+    * broadcast back; the corpus itself is touched by one explode +
+    * one aggregate + one broadcast join — no pairwise work, scales
+    * linearly (at 10^9+ rows per label switch the BIGINT sum to
+    * DECIMAL: the 2^40-scaled sum approaches 2^63 there).
+    */
+  def embedOutlier(embeddings: DataFrame, bound: Long = 2000): DataFrame = {
+    val e = registered(embeddings)
+      .where(col("vec_id") < bound && col("embedding").isNotNull &&
+        // vectors with NaN elements poison the centroid sum; exclude
+        // them from both the centroid and the scoring (oracle mirrors)
+        !exists(col("embedding"), x => isnan(x)))
+    val scale = 1099511627776L // 2^40
+    val cells = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("v").cast("double") * scale).cast("long")).as("s"),
+        count(lit(1)).as("nv"))
+      .select(col("label"), col("pos"),
+        (col("s").cast("double") /
+          (col("nv").cast("double") * lit(scale.toDouble)))
+          .cast("float").as("c"))
+    val cent = cells.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    e.join(broadcast(cent), "label")
+      .withColumn("centroid_sim",
+        round(expr("cosine_sim(embedding, centroid)"), 4))
+      // zero-norm vectors score NaN against any centroid: excluded
+      // explicitly (Spark orders NaN largest; SQL drops it)
+      .where(!isnan(col("centroid_sim")))
+      .select(col("vec_id"), col("label"), col("centroid_sim"))
+  }
+
   /** Brute-force top-k neighbors for query vectors (vec_id < nQueries)
     * against the full corpus — the exact baseline ANN. The query side
     * is broadcast; the corpus streams. Rank-window partitioned by

@@ -157,6 +157,44 @@ class CurationSpec extends SparkSuite {
     assert(r.forall(_.getAs[Long]("sum_tokens") <= 256 + maxTok))
   }
 
+  test("tokenBudget: histogram-cutoff plan matches the naive-window reference") {
+    val budgets = Map("en" -> 300L)
+    val default = 150L
+    val got = Curation.tokenBudget(docs, budgets, default).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_tok"))).toSet
+    // reference: the oracle's naive semantics — per lang, order by
+    // (md5 hash bucket, doc_id), admit while tokens-before < budget
+    def bucket(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("budget:" + text).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 10000
+    }
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text")))
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val budget = budgets.getOrElse(lang, default)
+      var before = 0L
+      ds.sortBy { case (id, _, text) => (bucket(text), id) }.flatMap {
+        case (id, l, text) =>
+          val n = text.split(" ", -1).length.toLong
+          val admit = before < budget
+          before += n
+          if (admit) Some((id, l, n)) else None
+      }
+    }.toSet
+    assert(got == expected)
+    // budget compliance: overshoot is at most one document
+    got.groupBy(_._2).foreach { case (lang, sel) =>
+      val budget = budgets.getOrElse(lang, default)
+      val total = sel.map(_._3).sum
+      assert(total < budget + sel.map(_._3).max,
+        s"$lang: $total tokens vs budget $budget")
+    }
+  }
+
   test("qualityTopK matches an in-memory reference selection (property)") {
     val k = 5
     val got = Curation.qualityTopK(docs, k = k).collect()

@@ -166,6 +166,37 @@ class DedupSpec extends SparkSuite {
     jAll.foreach { case (p, j) => assert(cAll(p) >= j - 1e-12, s"pair $p") }
   }
 
+  test("dupSpan: counts corpus-duplicated window positions per doc") {
+    val d = Seq(
+      (0L, "a b c d e f", "en"),  // 3 windows; shares "a b c d" with doc 1
+      (1L, "x a b c d y", "en"),  // 3 windows; one duplicated
+      (2L, "p q r s t u", "en"),  // 3 windows, none shared: ratio 0
+      (3L, "m n o p2 q2", "en"),  // exact duplicate pair: every window
+      (4L, "m n o p2 q2", "en"),  //   duplicated, ratio 1.0
+      (5L, "one two three", "en") // 3 tokens < n=4: no windows, no row
+    ).toDF("doc_id", "text", "lang")
+    val r = Dedup.dupSpan(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_windows"), x.getAs[Long]("n_dup_windows"),
+          x.getAs[Double]("dup_ratio")))).toMap
+    assert(r == Map(
+      0L -> ((3L, 1L, 1.0 / 3.0)),
+      1L -> ((3L, 1L, 1.0 / 3.0)),
+      2L -> ((3L, 0L, 0.0)),
+      3L -> ((2L, 2L, 1.0)),
+      4L -> ((2L, 2L, 1.0))))
+  }
+
+  test("dupSpan: hashed-gram scale path matches the exact-string path") {
+    def res(hash: Boolean) = Dedup.dupSpan(docs, hashGrams = hash)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_windows"), x.getAs[Long]("n_dup_windows"))))
+      .toMap
+    val exact = res(hash = false)
+    assert(exact.nonEmpty)
+    assert(res(hash = true) == exact)
+  }
+
   test("jaccardPairs survives docs shorter than the shingle length") {
     val d = Seq(
       (0L, "one two", "en"), // < 3 tokens: no shingles, must not throw

@@ -17,8 +17,8 @@ class EmptyInputSpec extends SparkSuite {
     .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
   private lazy val noDocs = Seq.empty[(Long, String, String, String)]
     .toDF("doc_id", "text", "lang", "source")
-  private lazy val noEmb = Seq.empty[(Long, Array[Float])]
-    .toDF("vec_id", "embedding")
+  private lazy val noEmb = Seq.empty[(Long, Array[Float], Long)]
+    .toDF("vec_id", "embedding", "label")
 
   private def assertEmptyOk(name: String, df: => DataFrame): Unit =
     assert(df.count() == 0, s"$name on empty input")
@@ -67,6 +67,11 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("decontaminate", graft.operators.Curation.decontaminate(noDocs))
     assertEmptyOk("domainMix", graft.operators.Curation.domainMix(noDocs))
     assertEmptyOk("packSequences", graft.operators.Curation.packSequences(noDocs))
+    assertEmptyOk("containmentPairs", Dedup.containmentPairs(noDocs))
+    assertEmptyOk("dupSpan", Dedup.dupSpan(noDocs))
+    assertEmptyOk("lengthHist", TextOps.lengthHist(noDocs))
+    assertEmptyOk("qualityTopK", graft.operators.Curation.qualityTopK(noDocs))
+    assertEmptyOk("tokenBudget", graft.operators.Curation.tokenBudget(noDocs))
   }
 
   test("similarity operators tolerate empty input") {
@@ -79,5 +84,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("semanticDecontaminate",
       graft.operators.Curation.semanticDecontaminate(noEmb))
     assertEmptyOk("quantizeEmbeddings", Similarity.quantizeEmbeddings(noEmb))
+    assertEmptyOk("quantizeEmbeddingsFlat", Similarity.quantizeEmbeddingsFlat(noEmb))
+    assertEmptyOk("embedOutlier", Similarity.embedOutlier(noEmb))
   }
 }

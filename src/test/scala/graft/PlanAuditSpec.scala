@@ -135,6 +135,26 @@ class PlanAuditSpec extends SparkSuite {
       s"decontamination must equi-join on the shingle key:\n$p")
   }
 
+  test("dupSpan: gram join stays an equi-join, never cartesian") {
+    val p = plan(graft.operators.Dedup.dupSpan(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"duplicated-gram lookup must equi-join on the gram key:\n$p")
+  }
+
+  test("tokenBudget: histogram side broadcasts; corpus never globally sorts") {
+    val p = plan(graft.operators.Curation.tokenBudget(
+      Tables(spark, dir, "documents")))
+    // the cutoff frame (langs x buckets) must come back as a broadcast,
+    // and the only windows may be the tiny histogram cumsum and the
+    // boundary bucket — never a single-partition pass over the corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the bucket histogram broadcast back to the scan:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"token-budget selection must not sort the corpus globally:\n$p")
+  }
+
   test("qualityTopK: rank filter becomes WindowGroupLimit (pre-shuffle top-k)") {
     val p = plan(graft.operators.Curation.qualityTopK(
       Tables(spark, dir, "documents")))

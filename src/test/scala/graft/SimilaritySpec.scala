@@ -104,6 +104,27 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("embedOutlier: scores vectors against their label centroid, drops NaN") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0L),
+      (1L, Array(1f, 0f, 0f, 0f), 0L),
+      (2L, Array(1f, 0f, 0f, 0f), 0L),
+      (3L, Array(-1f, 0f, 0f, 0f), 0L), // the outlier in label 0
+      (4L, Array(0f, 1f, 0f, 0f), 1L),
+      (5L, Array(0f, 1f, 0f, 0f), 1L),
+      (6L, Array(Float.NaN, 1f, 0f, 0f), 1L), // NaN element: excluded
+      (7L, Array(0f, 0f, 0f, 0f), 2L) // zero-norm: NaN score, dropped
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.embedOutlier(vecs).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Double]("centroid_sim"))
+      .toMap
+    // label-0 centroid is (0.5, 0, 0, 0): aligned vectors score 1.0,
+    // the flipped one -1.0; vec 6 must not poison label 1's centroid
+    assert(r == Map(0L -> 1.0, 1L -> 1.0, 2L -> 1.0, 3L -> -1.0,
+      4L -> 1.0, 5L -> 1.0))
+  }
+
   test("nearDupPairs agrees with cosine threshold and is symmetric-free") {
     val r = Similarity.nearDupPairs(emb, bound = 50, threshold = 0.3).collect()
     assert(r.forall(x => x.getAs[Long]("a_id") < x.getAs[Long]("b_id")))
