@@ -57,6 +57,18 @@ object TextFunctions {
   def shingleFromStruct(z: Column, k: Int): Column =
     concat_ws(" ", (0 until k).map(i => z.getField(i.toString)): _*)
 
+  /** The shingle JOIN/AGGREGATE key for an exploded [[shingleStructs]]
+    * struct: the exact string (oracle-mirrorable), or — the flag-gated
+    * 100 TB swap shared by `Curation.decontaminate` and `Dedup.dupSpan`
+    * — xxhash64 over the struct's token FIELDS, so shuffles move
+    * 8-byte keys and the concatenated string is never materialized.
+    * One definition for both operators: their spec-asserted
+    * hashed == exact identity cannot drift.
+    */
+  def shingleKey(z: Column, k: Int, hashed: Boolean): Column =
+    if (hashed) xxhash64((0 until k).map(i => z.getField(i.toString)): _*)
+    else shingleFromStruct(z, k)
+
   /** Per-language stopword marker sets for the lang-ID heuristic.
     * Deterministic preference order on ties: en > de > fr > es.
     */

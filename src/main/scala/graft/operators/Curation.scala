@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{shingleFromStruct, shingleStructs, tokenize}
+import graft.functions.TextFunctions.{shingleStructs, tokenize}
 
 /** Training-corpus curation operators (SURVEY.md §2B): benchmark
   * decontamination, deterministic domain-mix sampling, and sequence
@@ -43,9 +43,7 @@ object Curation {
     // Identical output short of a 2^-64-scale hash collision
     // (spec-asserted equal on the gate corpus); the default stays
     // exact-string so the DuckDB oracle mirrors it literally.
-    val key =
-      if (hashShingles) xxhash64((0 until n).map(i => col("z").getField(i.toString)): _*)
-      else shingleFromStruct(col("z"), n)
+    val key = graft.functions.TextFunctions.shingleKey(col("z"), n, hashShingles)
     val sh = documents
       .withColumn("toks", tokenize(col("text")))
       .where(size(col("toks")) >= n)
@@ -228,9 +226,14 @@ object Curation {
     */
   def qualityTopK(documents: DataFrame, k: Int = 20): DataFrame = {
     val toks = tokenize(col("text"))
+    // explicit "en" lookup: stopwords' Seq ORDER is the lang-ID tie
+    // preference — depending on head would silently change the score
+    // (and break the oracle's hardcoded English list) on a reorder
+    val enStopwords = graft.functions.TextFunctions.stopwords.toMap
+      .apply("en")
     val scored = documents.select(col("doc_id"), col("lang"),
-      (graft.functions.TextFunctions.stopwordCount(toks,
-        graft.functions.TextFunctions.stopwords.head._2).cast("double") /
+      (graft.functions.TextFunctions.stopwordCount(toks, enStopwords)
+        .cast("double") /
         size(toks).cast("double")).as("q_score"))
     val w = Window.partitionBy("lang").orderBy(col("q_score").desc, col("doc_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))

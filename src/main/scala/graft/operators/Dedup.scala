@@ -529,10 +529,8 @@ object Dedup {
     */
   def dupSpan(documents: DataFrame, n: Int = 4, minDocs: Int = 2,
       hashGrams: Boolean = false): DataFrame = {
-    import graft.functions.TextFunctions.{shingleFromStruct, shingleStructs, tokenize}
-    val key =
-      if (hashGrams) xxhash64((0 until n).map(i => col("z").getField(i.toString)): _*)
-      else shingleFromStruct(col("z"), n)
+    import graft.functions.TextFunctions.{shingleKey, shingleStructs, tokenize}
+    val key = shingleKey(col("z"), n, hashGrams)
     val sh = documents
       .withColumn("toks", tokenize(col("text")))
       .where(size(col("toks")) >= n)
