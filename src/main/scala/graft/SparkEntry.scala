@@ -127,7 +127,12 @@ object SparkEntry {
     "q_semantic_decontaminate" -> ((s, d) =>
       Curation.semanticDecontaminate(t(s, d, "embeddings"))),
     "q_pack_sequences" -> ((s, d) => Curation.packSequences(t(s, d, "documents"))),
-    "q_token_budget" -> ((s, d) => Curation.tokenBudget(t(s, d, "documents")))
+    "q_token_budget" -> ((s, d) => Curation.tokenBudget(t(s, d, "documents"))),
+    "q_word_entropy" -> ((s, d) => TextOps.wordEntropy(t(s, d, "documents"))),
+    "q_pmi_top" -> ((s, d) => TextOps.pmiTop(t(s, d, "documents"))),
+    "q_blocklist" -> ((s, d) => TextOps.blocklistFilter(t(s, d, "documents"))),
+    "q_chunk" -> ((s, d) => Curation.tokenChunks(t(s, d, "documents"))),
+    "q_split_leakage" -> ((s, d) => Curation.splitLeakage(t(s, d, "documents")))
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -773,6 +778,103 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok
         |FROM c
-        |WHERE cum - n_tok < CASE WHEN lang = 'en' THEN 4000 ELSE 2000 END""".stripMargin
+        |WHERE cum - n_tok < CASE WHEN lang = 'en' THEN 4000 ELSE 2000 END""".stripMargin,
+    "q_word_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  ROUND(ROUND(ln(CAST(SUM(tf) AS DOUBLE)), 6) -
+        |    CAST(SUM(CAST(tf AS DECIMAL(10,0)) *
+        |        CAST(ROUND(ln(CAST(tf AS DOUBLE)), 6) AS DECIMAL(12,6))) AS DOUBLE)
+        |      / CAST(SUM(tf) AS DOUBLE), 6) AS entropy
+        |FROM tf GROUP BY doc_id""".stripMargin,
+    "q_pmi_top" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), uni AS (
+        |  SELECT tok, COUNT(*) AS n_uni FROM toks WHERE tok <> '' GROUP BY 1
+        |), totu AS (SELECT CAST(SUM(n_uni) AS BIGINT) AS n_tot_uni FROM uni),
+        |big AS (
+        |  SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2,
+        |    COUNT(*) AS n_pair
+        |  FROM (SELECT unnest(list_transform(range(len(toks) - 1),
+        |          i -> array_to_string(toks[i + 1:i + 2], ' '))) AS gram
+        |        FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 2)
+        |  GROUP BY 1, 2
+        |), totp AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_tot_pair FROM big),
+        |scored AS (
+        |  SELECT w1, w2, n_pair,
+        |    ROUND(ln((CAST(n_pair AS DOUBLE) * CAST(n_tot_uni AS DOUBLE) * CAST(n_tot_uni AS DOUBLE)) /
+        |      (CAST(n_tot_pair AS DOUBLE) * CAST(a.n_uni AS DOUBLE) * CAST(b.n_uni AS DOUBLE))), 6) AS pmi
+        |  FROM big
+        |  JOIN uni a ON big.w1 = a.tok
+        |  JOIN uni b ON big.w2 = b.tok
+        |  CROSS JOIN totu CROSS JOIN totp
+        |  WHERE n_pair >= 5
+        |)
+        |SELECT w1, w2, n_pair, pmi, rnk
+        |FROM (SELECT w1, w2, n_pair, pmi,
+        |        CAST(rank() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 50""".stripMargin,
+    "q_blocklist" ->
+      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |  CAST(len(list_filter(toks, x -> x IN ('slow', 'big'))) AS BIGINT) AS n_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('slow', 'big'))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS hit_ratio
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |WHERE len(list_filter(toks, x -> x IN ('slow', 'big'))) > 0""".stripMargin,
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1
+        |), s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS tok_start FROM t
+        |)
+        |SELECT doc_id, CAST(tok_start // 24 AS BIGINT) AS chunk_id,
+        |  CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(len(toks[tok_start + 1:tok_start + 32]) AS BIGINT) AS n_chunk_tok,
+        |  array_to_string(toks[tok_start + 1:tok_start + 32], ' ') AS chunk_text
+        |FROM s""".stripMargin,
+    "q_split_leakage" ->
+      """WITH reps AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents JOIN reps USING (doc_id)
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS shingle
+        |  FROM d WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a_id, b_id, jaccard
+        |  FROM (SELECT a_id, b_id,
+        |          CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+        |        FROM inter
+        |        JOIN sizes sa ON a_id = sa.doc_id
+        |        JOIN sizes sb ON b_id = sb.doc_id)
+        |  WHERE jaccard >= 0.8
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 10 THEN 'val'
+        |         WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 20 THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM documents
+        |)
+        |SELECT a_id, b_id, sa.split AS a_split, sb.split AS b_split, jaccard
+        |FROM pairs
+        |JOIN sp sa ON a_id = sa.doc_id
+        |JOIN sp sb ON b_id = sb.doc_id
+        |WHERE sa.split <> sb.split""".stripMargin
   )
 }

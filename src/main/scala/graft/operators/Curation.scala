@@ -210,6 +210,75 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tok"))
   }
 
+  /** Token-window chunking — the context-window materialization step
+    * (RAG indexing and fixed-length pretraining examples both consume
+    * exactly this): each document becomes overlapping chunks of
+    * `chunkLen` tokens starting every `stride` tokens (overlap =
+    * chunkLen − stride), the final chunk truncating at the document
+    * end. Emits (doc_id, chunk_id, tok_start, n_chunk_tok,
+    * chunk_text) — deterministic, no RNG, so chunk identities are
+    * stable across reruns (what makes an incremental RAG index
+    * rebuildable).
+    *
+    * Scale shape: `sequence` + `explode` + `slice` are ordinary
+    * codegen expressions evaluated per input row — zero shuffle, zero
+    * joins; output volume is the controlled ~(1 + overlap/stride)×
+    * amplification of the corpus and the operator runs at scan speed.
+    * The window arithmetic (`sequence(0, n−1, stride)`, 1-based
+    * truncating `slice`) is mirrored literally by the oracle's
+    * `range(0, n, stride)` + list slicing.
+    */
+  def tokenChunks(documents: DataFrame, chunkLen: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      s"need 0 < stride <= chunkLen, got stride=$stride chunkLen=$chunkLen")
+    documents
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as("tok_start"))
+      .select(col("doc_id"),
+        expr(s"tok_start div $stride").cast("long").as("chunk_id"),
+        col("tok_start").cast("long").as("tok_start"),
+        slice(col("toks"), col("tok_start") + 1, lit(chunkLen)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+        size(col("chunk")).cast("long").as("n_chunk_tok"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** Cross-split near-duplicate leakage — the held-out-integrity audit
+    * run after [[TextOps.trainSplit]]: near-duplicate document pairs
+    * (true Jaccard ≥ `threshold`, the
+    * [[Dedup.minhashExactVerifiedPairs]] chain) whose two sides land
+    * in DIFFERENT train/val/test splits. A val/test doc with a
+    * near-dup in train inflates eval scores exactly like benchmark
+    * contamination; this emits each leaking pair with both split
+    * labels so the audit can quantify and quarantine.
+    *
+    * EXACT duplicates cannot leak by construction — [[TextOps.splitOf]]
+    * is a content hash, so identical texts always share a split —
+    * which is why auditing the md5-REPRESENTATIVE pairs (what the
+    * exact-verified chain emits) loses nothing: every member of an
+    * exact-dup group carries its representative's split. Scale shape
+    * inherits the verified-pairs chain (banded LSH, bucket-capped,
+    * never all-pairs); the split labels join on doc_id — two keyed
+    * equi-joins against a pair set that is tiny relative to the
+    * corpus.
+    */
+  def splitLeakage(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = Dedup.minhashExactVerifiedPairs(documents, threshold)
+    val splits = documents.select(col("doc_id"), TextOps.splitOf().as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")),
+        "a_id")
+      .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")),
+        "b_id")
+      .where(col("a_split") =!= col("b_split"))
+      .select(col("a_id"), col("b_id"), col("a_split"), col("b_split"),
+        col("jaccard"))
+  }
+
   /** Quality-ranked selection: the top `k` documents per language by
     * stopword-ratio quality score — the "keep the best N per stratum"
     * selection step of a curation pass (the per-SOURCE aggregate view

@@ -201,6 +201,105 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Per-document token Shannon entropy — the Gopher-style gibberish /
+    * templated-text diagnostic complementary to [[repetitionRatio]]
+    * (repetition looks at adjacent bigrams; entropy collapses for ANY
+    * skewed unigram distribution, e.g. one token repeated anywhere):
+    * H(doc) = ln(n) − Σ_tok tf·ln(tf) / n over the doc's token counts,
+    * in nats. Low entropy = few distinct tokens dominate; prose sits
+    * near ln(vocab-in-doc).
+    *
+    * Determinism (the [[unigramLogProb]] precedent): each ln is rounded
+    * to 6 dp (libm last-ulp differs across engines) and the per-token
+    * contributions sum as DECIMAL scaled by tf — exact and
+    * fold-order-free in both engines; ln(n) is rounded to 6 dp before
+    * the subtraction for the same reason. Plan shape: one (doc, tok)
+    * count aggregate + one per-doc aggregate — two keyed exchanges,
+    * map-side partials on both, no joins. Scan-bound at 100 TB.
+    */
+  def wordEntropy(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val contrib = (col("tf").cast("decimal(10,0)") *
+      round(log(col("tf").cast("double")), 6).cast("decimal(12,6)"))
+    tf.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), sum(contrib).as("sum_tlnt"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(round(log(col("n_tokens").cast("double")), 6) -
+          col("sum_tlnt").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("entropy"))
+  }
+
+  /** Top-k bigram collocations by pointwise mutual information —
+    * the phrase-mining pass of a vocab/tokenizer build ([[bigramTopK]]
+    * ranks by raw frequency, which surfaces stopword pairs; PMI
+    * surfaces pairs that co-occur MORE than their unigram frequencies
+    * predict): pmi = ln(P(w1 w2) / (P(w1)·P(w2))) with a count floor
+    * to suppress rare-pair noise (classic Church & Hanks shape).
+    *
+    * Determinism: the probability ratio is assembled as ONE double
+    * expression with explicit parenthesization — products of exact
+    * integer counts cast to double are IEEE-identical across engines
+    * given the same association order, so the single ln sees the same
+    * argument — and rounded to 6 dp before the rank. Plan shape: a
+    * unigram aggregate and a bigram aggregate (both map-side partial),
+    * two single-row totals broadcast, two broadcast-joined unigram
+    * lookups, then the two-level WindowGroupLimit top-k. The window's
+    * input is the minCount-floored bigram set, never the corpus.
+    */
+  def pmiTop(documents: DataFrame, k: Int = 50, minCount: Long = 5): DataFrame = {
+    val toks = tokenize(col("text"))
+    val uni = documents
+      .select(explode(toks).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n_uni"))
+    val uniTot = uni.agg(sum(col("n_uni")).as("n_tot_uni"))
+    val pairs = documents
+      .where(size(toks) >= 2)
+      .select(explode(shingleStructs(toks, 2)).as("z"))
+      .select(col("z").getField("0").as("w1"), col("z").getField("1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val pairTot = pairs.agg(sum(col("n_pair")).as("n_tot_pair"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val scored = pairs
+      .where(col("n_pair") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("w1"), col("n_uni").as("n_w1"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("n_uni").as("n_w2"))), "w2")
+      .crossJoin(broadcast(uniTot))
+      .crossJoin(broadcast(pairTot))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((d(col("n_pair")) * d(col("n_tot_uni")) * d(col("n_tot_uni"))) /
+          (d(col("n_tot_pair")) * d(col("n_w1")) * d(col("n_w2")))), 6).as("pmi"))
+    val w = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+    scored.withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Blocklist safety filter — the word-level unsafe-content flagging
+    * pass (C4 ran exactly this shape with its public "bad words" list):
+    * per-doc hit counts against a term list, emitting only FLAGGED
+    * docs (doc_id, token count, hits, hit ratio) so a pipeline can
+    * quarantine or threshold them. The default list is a two-term
+    * stand-in from the synthetic vocabulary; production swaps in the
+    * real list — the plan is identical for any bounded list (the
+    * membership test is a codegen'd array filter, no join, no regex
+    * backtracking). Pure projection + filter: scan speed at 100 TB.
+    */
+  def blocklistFilter(documents: DataFrame,
+      terms: Seq[String] = Seq("slow", "big")): DataFrame = {
+    val toks = tokenize(col("text"))
+    documents
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        stopwordCount(toks, terms).cast("long").as("n_hits"))
+      .where(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_tok"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_tok").cast("double"))
+          .as("hit_ratio"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency with rank — the
     * word-count pass a BPE/vocab build starts from. Explode →
     * hash-agg (map-side partials collapse the heavy hitters before

@@ -218,4 +218,58 @@ class CurationSpec extends SparkSuite {
     assert(got == expected)
     got.foreach { case ((_, rnk), _) => assert(rnk >= 1 && rnk <= k) }
   }
+
+  test("tokenChunks: window arithmetic, truncation, and doc coverage") {
+    val d = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Curation.tokenChunks(d, chunkLen = 4, stride = 3).collect()
+      .map(x => (x.getAs[Long]("chunk_id"), x.getAs[Long]("tok_start"),
+        x.getAs[Long]("n_chunk_tok"), x.getAs[String]("chunk_text")))
+      .sortBy(_._1)
+    assert(r.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    assert(r(0)._4 == "t1 t2 t3 t4")
+    assert(r(1)._4 == "t4 t5 t6 t7")   // overlap = chunkLen - stride = 1
+    assert(r(3)._4 == "t10")           // trailing chunk truncates
+    // stride-aligned prefixes reassemble the doc exactly
+    val rebuilt = r.map(c => c._4.split(" ").take(3)).flatten
+    assert(rebuilt.mkString(" ").startsWith("t1 t2 t3 t4 t5 t6 t7 t8 t9"))
+  }
+
+  test("tokenChunks: corpus chunk mass accounts for every token") {
+    val chunkLen = 32
+    val stride = 32 // non-overlapping: chunk tokens partition each doc
+    val r = Curation.tokenChunks(docs, chunkLen, stride)
+    val got = r.agg(sum(col("n_chunk_tok"))).head().getLong(0)
+    val total = docs.select(sum(size(split(col("text"), " "))))
+      .head().getLong(0)
+    assert(got == total, s"chunk token mass $got != corpus $total")
+    // chunk ids are dense per doc: max(chunk_id)+1 == chunk count
+    val perDoc = r.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("chunk_id")).as("mx"))
+      .where(col("n") =!= col("mx") + 1).count()
+    assert(perDoc == 0L)
+  }
+
+  test("splitLeakage: exactly the cross-split near-dup representative pairs") {
+    val sf01 = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val r = Curation.splitLeakage(sf01).collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id")) ->
+        ((x.getAs[String]("a_split"), x.getAs[String]("b_split"),
+          x.getAs[Double]("jaccard")))).toMap
+    // the synthetic corpus plants near-dups; content-hash splits land
+    // some straddling pairs (deterministic for fixed data)
+    assert(r.nonEmpty, "expected at least one cross-split near-dup pair")
+    r.values.foreach { case (a, b, j) =>
+      assert(a != b); assert(j >= 0.8)
+    }
+    // cross-check: composition of the verified-pairs op and splitOf
+    val pairs = graft.operators.Dedup.minhashExactVerifiedPairs(sf01)
+      .collect().map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id")))
+    val splits = sf01.select(col("doc_id"),
+      graft.operators.TextOps.splitOf().as("split")).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("split")).toMap
+    val expected = pairs.filter { case (a, b) => splits(a) != splits(b) }.toSet
+    assert(r.keySet == expected)
+  }
 }

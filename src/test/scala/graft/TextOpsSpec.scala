@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.operators.TextOps
+import graft.sources.Tables
 
 class TextOpsSpec extends SparkSuite {
   import spark.implicits._
@@ -146,5 +147,98 @@ class TextOpsSpec extends SparkSuite {
     val m = Seq("key=1234 user 56 ok").toDF("s")
       .select(TextFunctions.maskSecret(col("s")).as("m")).as[String].head()
     assert(m == "key=*** user *** ok")
+  }
+
+  test("wordEntropy: hand-computed values on degenerate and uniform docs") {
+    val d = Seq(
+      (0L, "a a a a"),      // one token: H = 0
+      (1L, "a b c d"),      // uniform: H = ln(4)
+      (2L, "a a b b")       // H = ln(4) - ln(2) = ln(2)
+    ).toDF("doc_id", "text")
+    val r = TextOps.wordEntropy(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("entropy")).toMap
+    assert(math.abs(r(0L)) < 1e-6, s"got ${r(0L)}")
+    assert(math.abs(r(1L) - math.log(4)) < 1e-5, s"got ${r(1L)}")
+    assert(math.abs(r(2L) - math.log(2)) < 1e-5, s"got ${r(2L)}")
+  }
+
+  test("wordEntropy: matches an in-memory reference on the corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val r = TextOps.wordEntropy(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Double]("entropy")))).toMap
+    val ref = docs.select("doc_id", "text").collect().map { x =>
+      val toks = x.getAs[String]("text").split(" ").filter(_.nonEmpty)
+      val n = toks.length.toDouble
+      val h = math.log(n) -
+        toks.groupBy(identity).values.map(g =>
+          g.length * math.log(g.length)).sum / n
+      x.getAs[Long]("doc_id") -> ((toks.length.toLong, h))
+    }.toMap
+    assert(r.keySet == ref.keySet)
+    for ((id, (n, h)) <- r) {
+      assert(n == ref(id)._1)
+      // 6dp per-term rounding bounds the drift from the float reference
+      assert(math.abs(h - ref(id)._2) < 1e-4, s"doc $id: $h vs ${ref(id)._2}")
+      assert(h >= -1e-6 && h <= math.log(n.toDouble) + 1e-6)
+    }
+  }
+
+  test("pmiTop: perfectly-correlated pair outranks an independent pair") {
+    // "x y" always co-occur (never apart); "a b" co-occur at chance
+    val d = Seq(
+      (0L, "x y a p x y b q"),
+      (1L, "x y a r b s x y"),
+      (2L, "x y b t a u x y"),
+      (3L, "x y a v x y b w")
+    ).toDF("doc_id", "text")
+    val r = TextOps.pmiTop(d, k = 100, minCount = 2).collect()
+      .map(x => (x.getAs[String]("w1"), x.getAs[String]("w2")) ->
+        ((x.getAs[Long]("n_pair"), x.getAs[Double]("pmi")))).toMap
+    assert(r.contains(("x", "y")), s"got ${r.keys}")
+    val (nXy, pmiXy) = r(("x", "y"))
+    assert(nXy == 8L)
+    // every bigram containing x as w1 is "x y": PMI must exceed any
+    // other pair passing the floor
+    assert(r.values.map(_._2).max == pmiXy, s"x y not top: $r")
+  }
+
+  test("pmiTop: matches an in-memory reference on the corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val r = TextOps.pmiTop(docs, k = 20).collect()
+      .map(x => (x.getAs[String]("w1"), x.getAs[String]("w2")) ->
+        x.getAs[Double]("pmi")).toMap
+    val texts = docs.select("text").collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (t <- texts) {
+      val toks = t.split(" ", -1)
+      toks.filter(_.nonEmpty).foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      toks.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0), p(1)); big(k) = big.getOrElse(k, 0L) + 1
+      }
+    }
+    val nu = uni.values.sum.toDouble
+    val np = big.values.sum.toDouble
+    for (((w1, w2), pmi) <- r) {
+      val expected = math.log(
+        (big((w1, w2)) * nu * nu) / (np * uni(w1) * uni(w2)))
+      assert(math.abs(pmi - expected) < 1e-5,
+        s"($w1,$w2): $pmi vs $expected")
+      assert(big((w1, w2)) >= 5)
+    }
+  }
+
+  test("blocklistFilter: flags exactly the docs containing a listed term") {
+    val d = Seq(
+      (0L, "clean text here"),
+      (1L, "one bad term here"),
+      (2L, "bad bad worse bad"),
+      (3L, "badge is not bad-ge or bad")  // whole-token match only
+    ).toDF("doc_id", "text")
+    val r = TextOps.blocklistFilter(d, terms = Seq("bad", "worse")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tok"), x.getAs[Long]("n_hits")))).toMap
+    assert(r == Map(1L -> ((4L, 1L)), 2L -> ((4L, 4L)), 3L -> ((6L, 1L))))
   }
 }
