@@ -102,6 +102,11 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "q_ann_ivf_learned" -> ((s, d) => Similarity.annIvfLearned(t(s, d, "embeddings"))),
+    // rows-only (Lloyd's-trained codebooks are not SQL-expressible);
+    // codes flattened to csv for the driver's row sort, recall +
+    // reconstruction specs in SimilaritySpec
+    "q_pq_encode" -> ((s, d) => Similarity.pqEncodeFlat(t(s, d, "embeddings"))),
+    "q_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(t(s, d, "embeddings"))),
     "q_kmeans" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
@@ -142,7 +147,8 @@ object SparkEntry {
     * q_dedup_simhash, q_simhash_pairs, q_fingerprint, q_kmeans,
     * q_ann_lsh, q_ann_ivf, q_ann_ivf_learned, q_embed_neardup_lsh,
     * q_active_users_approx, q_value_quantiles_approx,
-    * q_decontaminate_hashed, q_dup_span_hashed.
+    * q_decontaminate_hashed, q_dup_span_hashed, q_pq_encode,
+    * q_ann_ivfpq.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -484,6 +484,192 @@ object Similarity {
       cellsFor(e.where(col("vec_id") < nQueries), centroids, nProbe), k)
   }
 
+  /** L2 argmin against one PQ codebook as a codegen expression:
+    * argmin_j ||x − c_j||² = argmax_j (x·c_j − ||c_j||²/2) — the
+    * squared-norm halves fold to literals at plan build, so the per-row
+    * work is `kCodes` native `dot_f32` kernels over a `dim/m`-length
+    * slice plus one bounded array sort. Ties break toward the higher
+    * code index (the same struct-sort convention as [[cellsFor]]),
+    * deterministically.
+    */
+  private def pqArgminExpr(book: IndexedSeq[IndexedSeq[Float]],
+      subvec: Column): Column = {
+    val scored = book.zipWithIndex.map { case (cw, j) =>
+      val halfNorm2 = cw.map(x => x.toDouble * x).sum / 2.0
+      struct(
+        (call_function("dot_f32", subvec, array(cw.map(lit(_)): _*)) -
+          lit(halfNorm2)).as("d"),
+        lit(j).as("c"))
+    }
+    element_at(reverse(array_sort(array(scored: _*))), 1).getField("c")
+  }
+
+  /** The `m` per-subspace code columns for one embedding column —
+    * shared by [[pqEncode]] and [[annIvfPq]] so the stored codes and
+    * the ADC scorer can never disagree on the encoding.
+    */
+  private def pqCodeArray(books: IndexedSeq[IndexedSeq[IndexedSeq[Float]]],
+      emb: Column, dim: Int): Column = {
+    val m = books.length
+    val ds = dim / m
+    array((0 until m).map(s =>
+      pqArgminExpr(books(s), slice(emb, s * ds + 1, ds))): _*)
+  }
+
+  /** Product-quantization codebooks: `m` subspaces of `dim/m`
+    * components, each with `kCodes` centroids refined by Lloyd's
+    * iterations under L2 (the classic PQ training recipe). All `m`
+    * subspaces train in ONE distributed job per iteration — the
+    * embedding explodes into (sub, subvec) rows and a sub-dispatched
+    * argmin assigns codes, so the per-iteration cost is one scan + one
+    * (m × kCodes)-group aggregate; the driver round-trip is the
+    * codebook itself (m × kCodes × dim/m floats — constant in the
+    * corpus size, the [[learnedCentroids]] pattern). Deterministic
+    * splitmix init, empty cells keep their centroid.
+    */
+  private[graft] def pqCodebooks(embeddings: DataFrame, m: Int = 8,
+      kCodes: Int = 64, iters: Int = 3, dim: Int = 64)
+      : IndexedSeq[IndexedSeq[IndexedSeq[Float]]] = {
+    val ds = dim / m
+    require(m * ds == dim, s"dim=$dim must split evenly into m=$m subspaces")
+    val e = registered(embeddings).select(col("vec_id"), col("embedding"))
+    // Forgy init: the first kCodes data vectors seed the codebooks, so
+    // the initial centroids sit AT THE DATA'S SCALE (a unit-norm
+    // 64-dim corpus has subvector norms ~ sqrt(ds/dim) ≈ 0.35 — a
+    // fixed-range random init sits 5× off-scale there, and the argmin's
+    // −‖c‖²/2 term then funnels everything into the smallest-norm cell:
+    // Lloyd's can't re-split a cell that never got members). Splitmix
+    // backfills if the corpus has fewer than kCodes usable vectors.
+    val seedVecs = e.where(col("vec_id") < kCodes).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1))
+      .filter(_._2 != null).toMap
+    var books: IndexedSeq[IndexedSeq[IndexedSeq[Float]]] =
+      (0 until m).map(s => (0 until kCodes).map(c =>
+        seedVecs.get(c.toLong).filter(_.length == dim)
+          .map(v => v.slice(s * ds, s * ds + ds).toIndexedSeq)
+          .getOrElse((0 until ds).map(d =>
+            planeComponent(30013 + s * kCodes + c, d)))))
+    val subs = e.select(
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * ds + 1, ds)): _*)).as(Seq("sub", "subvec")))
+    for (_ <- 0 until iters) {
+      val assign = (1 until m).foldLeft(
+        when(col("sub") === 0, pqArgminExpr(books(0), col("subvec")))) {
+        (acc, s) => acc.when(col("sub") === s, pqArgminExpr(books(s), col("subvec")))
+      }
+      val means = subs
+        .select(col("sub"), assign.as("code"), col("subvec"))
+        .groupBy("sub", "code")
+        .agg(call_function("vector_mean", col("subvec"), lit(ds)).as("mvec"))
+        .collect()
+        .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code")) ->
+          r.getSeq[Double](2))
+        .toMap
+      books = (0 until m).map(s => (0 until kCodes).map(c =>
+        means.get((s, c)).map(_.map(_.toFloat).toIndexedSeq)
+          .getOrElse(books(s)(c))))
+    }
+    books
+  }
+
+  /** PQ encoding — the 32×-compression pass of a billion-vector index
+    * (64 float32 dims → 8 one-byte codes; the embedding survives only
+    * as its per-subspace nearest codewords): trains codebooks via
+    * [[pqCodebooks]], then encoding is a PURE PROJECTION (m argmin
+    * expressions over embedding slices — zero shuffle, scan speed).
+    * Returns (vec_id, codes). Reconstruction quality and code-range
+    * invariants are spec-asserted; [[annIvfPq]] consumes the same
+    * encoding for ADC search.
+    */
+  def pqEncode(embeddings: DataFrame, m: Int = 8, kCodes: Int = 64,
+      iters: Int = 3, dim: Int = 64): DataFrame = {
+    val books = pqCodebooks(embeddings, m, kCodes, iters, dim)
+    registered(embeddings)
+      .select(col("vec_id"), pqCodeArray(books, col("embedding"), dim).as("codes"))
+  }
+
+  /** [[pqEncode]] with the code vector flattened to a csv string — the
+    * driver-checkable form (the [[quantizeEmbeddingsFlat]] precedent:
+    * array columns break the driver's pandas row sort). */
+  def pqEncodeFlat(embeddings: DataFrame): DataFrame =
+    pqEncode(embeddings).select(col("vec_id"),
+      array_join(transform(col("codes"), _.cast("string")), ",").as("codes_csv"))
+
+  /** IVF-PQ ANN — the composition that actually runs at
+    * billion-vector scale (IVF prunes the corpus to probed cells, PQ
+    * compresses what's scanned 32×): corpus side carries only
+    * (cell, codes) — ONE projection, no join, the full-precision
+    * vector never shuffles; the query side probes its `nProbe`
+    * closest cells and precomputes the classic ADC lookup table
+    * (m × kCodes partial dots against its OWN slices — per QUERY
+    * work, not per candidate). Candidate scoring is then `m` array
+    * lookups + adds per (query, candidate) — no kernel calls at all
+    * in the hot join, the whole point of ADC. The ADC pass keeps the
+    * top `rerank` candidates per query; the REFINEMENT stage (the +R
+    * in the classic IVFADC+R) then fetches the full-precision vectors
+    * for just those q×R rows — one equi-join on vec_id against the
+    * source table, the "read R vectors from cold storage per query"
+    * cost a PQ deployment actually pays — and exact-cosine re-ranks
+    * to the final top-k. Recall vs the exact baseline (and vs
+    * uncompressed IVF under identical cells/probes — its ceiling by
+    * construction) is spec-asserted.
+    */
+  def annIvfPq(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
+      nCells: Int = 8, nProbe: Int = 4, m: Int = 8, kCodes: Int = 64,
+      iters: Int = 3, rerank: Int = 50, dim: Int = 64): DataFrame = {
+    val ds = dim / m
+    val e = registered(embeddings).select(col("vec_id"), col("embedding"))
+    val books = pqCodebooks(embeddings, m, kCodes, iters, dim)
+    val centroids = (0 until nCells).map(c =>
+      (0 until dim).map(d => centroidComponent(c, d)))
+    val corpus = cellsFor(e, centroids, nProbe = 1)
+      .select(col("vec_id"), col("cell"),
+        pqCodeArray(books, col("embedding"), dim).as("codes"))
+    val lut = array((0 until m).map(s =>
+      array((0 until kCodes).map(j =>
+        call_function("dot_f32", slice(col("embedding"), s * ds + 1, ds),
+          array(books(s)(j).map(lit(_)): _*))): _*)): _*)
+    val q = cellsFor(e.where(col("vec_id") < nQueries), centroids, nProbe)
+      .select(col("vec_id").as("q_id"), col("cell").as("q_cell"), lut.as("lut"))
+    // ADC dot(q, x̂) …
+    val adcDot = (0 until m).map(s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    // … normalized by ‖x̂‖ so the ranking is COSINE-consistent (the
+    // exact baseline ranks cosine; raw dot would re-rank by candidate
+    // norm). ‖x̂‖² = Σ_sub ‖codeword‖² decomposes exactly like the dot,
+    // so it's the same m lookups against a norm table folded at plan
+    // build — still zero kernel calls per candidate. The query's own
+    // norm scales every candidate equally and is dropped.
+    val norm2Lit = (0 until m).map(s =>
+      array(books(s).map(cw => lit(cw.map(x => x.toDouble * x).sum)): _*))
+    val reconNorm2 = (0 until m).map(s =>
+      element_at(norm2Lit(s), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val adcScore = adcDot / sqrt(greatest(reconNorm2, lit(1e-12)))
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc_score").desc, col("n_id"))
+    val shortlist = corpus.as("c").join(broadcast(q),
+        col("q_id") =!= col("c.vec_id") && col("q_cell") === col("c.cell"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"), adcScore.as("adc_score"))
+      .distinct() // probes can duplicate a candidate
+      .withColumn("adc_rnk", row_number().over(wAdc))
+      .where(col("adc_rnk") <= rerank)
+    // refinement: full vectors ONLY for the q×rerank shortlist
+    val qFull = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wExact = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    shortlist
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        "n_id")
+      .join(broadcast(qFull), "q_id")
+      .select(col("q_id"), col("n_id"), cos("q_emb", "n_emb").as("cos_sim"))
+      .withColumn("rnk", rank().over(wExact).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket with the query in any
     * table; exact cosine re-rank over the deduped candidate set. At
     * scale the join key is (table, bucket) — shuffle is O(n × tables),

@@ -203,4 +203,59 @@ class SimilaritySpec extends SparkSuite {
       assert(df.count() >= 0) // still executes (broadcast runs here)
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("pqEncode: codes in range, deterministic, one row per vector") {
+    val c1 = Similarity.pqEncode(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    val c2 = Similarity.pqEncode(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    assert(c1 == c2, "PQ encoding must be deterministic")
+    assert(c1.size == emb.count())
+    assert(c1.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 64)))
+    // codes must actually discriminate: not every vector on one codeword
+    assert(c1.values.toSet.size > c1.size / 4,
+      "code diversity collapsed - codebook training is broken")
+  }
+
+  test("pqEncode: codeword reconstruction approximates the original vector") {
+    val books = Similarity.pqCodebooks(emb)
+    val codes = Similarity.pqEncode(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val sims = codes.collect { case (id, cs) if vecs(id).length == 64 =>
+      val recon = cs.zipWithIndex.flatMap { case (c, s) => books(s)(c) }
+        .map(_.toDouble)
+      cosine(vecs(id).map(_.toDouble), recon)
+    }.toSeq
+    val mean = sims.sum / sims.size
+    info(f"mean reconstruction cosine = $mean%.3f over ${sims.size} vectors")
+    // 8 subspaces x 16 codes after Lloyd's must reconstruct far above
+    // chance (random 64-dim pairs have cosine ~0)
+    assert(mean >= 0.5, f"reconstruction collapsed: $mean%.3f")
+  }
+
+  test("annIvfPq recall vs exact annTopK on the test embeddings") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(Similarity.annTopK(emb, nQueries = 10, k = 5))
+    val pq = pairs(Similarity.annIvfPq(emb, nQueries = 10, k = 5))
+    val ivf = pairs(Similarity.annIvf(emb, nQueries = 10, k = 5))
+    val rPq = (exact & pq).size.toDouble / exact.size
+    val rIvf = (exact & ivf).size.toDouble / exact.size
+    info(s"ivf-pq recall = $rPq (plain ivf at same probes = $rIvf)")
+    // plain IVF under identical cells/probes is the ceiling by
+    // construction; ADC prune + exact top-R refinement must land close
+    // to it (0.72 vs 0.74 measured), far above the unrefined ADC rank
+    // (0.40 measured at kCodes=64)
+    assert(rPq <= rIvf + 1e-9, s"PQ cannot beat its candidate ceiling")
+    assert(rPq >= rIvf - 0.1, s"refinement lost too much: $rPq vs $rIvf")
+    assert(rPq >= 0.6)
+  }
 }
