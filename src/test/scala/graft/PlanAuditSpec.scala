@@ -177,4 +177,45 @@ class PlanAuditSpec extends SparkSuite {
     assert(hmacLine.exists(_.trim.startsWith("*(")),
       s"hmac projection not codegen'd:\n$p")
   }
+
+  test("tokenChunks: zero exchanges — chunking runs at scan speed") {
+    val p = plan(graft.operators.Curation.tokenChunks(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("Exchange"),
+      s"chunk explode+slice must stay partition-local:\n$p")
+    assert(!p.contains("lang"), "scan must prune unused columns")
+  }
+
+  test("blocklistFilter: pure projection + filter — zero exchanges") {
+    val p = plan(graft.operators.TextOps.blocklistFilter(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("Exchange"), s"blocklist scoring must not shuffle:\n$p")
+  }
+
+  test("wordEntropy: two keyed aggregates, both map-side partial, no joins") {
+    val p = plan(graft.operators.TextOps.wordEntropy(
+      Tables(spark, dir, "documents")))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected exactly (doc,tok) + doc aggregate exchanges:\n$p")
+    assert(!p.contains("Join"), "entropy needs no join")
+    assert(p.contains("partial"), "aggregates must combine map-side")
+  }
+
+  test("pmiTop: unigram lookups broadcast; top-k becomes WindowGroupLimit") {
+    val p = plan(graft.operators.TextOps.pmiTop(
+      Tables(spark, dir, "documents")))
+    assert(p.contains("BroadcastHashJoin"), s"uni lookups must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("WindowGroupLimit"),
+      s"rnk <= k must rewrite to WindowGroupLimit:\n$p")
+  }
+
+  test("annIvfPq: corpus side has no join before the cell equi-join; no cartesian") {
+    val p = plan(graft.operators.Similarity.annIvfPq(
+      Tables(spark, dir, "embeddings")))
+    assert(!p.contains("CartesianProduct"), s"no cartesian in IVF-PQ:\n$p")
+    // the ADC candidate join is keyed on the probed cell
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      s"cell-keyed candidate join must be a hash join:\n$p")
+  }
 }
