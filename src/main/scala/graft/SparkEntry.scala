@@ -622,9 +622,9 @@ object SparkEntry {
         |  SELECT tok, CAST(SUM(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1
         |), total AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM freq)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-        |  ROUND(CAST(SUM(CAST(tf AS DECIMAL(10,0)) *
+        |  CAST(SUM(CAST(tf AS DECIMAL(10,0)) *
         |      CAST(ROUND(ln(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS DECIMAL(12,6)))
-        |    AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS avg_logprob
+        |    AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS avg_logprob
         |FROM tf JOIN freq USING (tok) CROSS JOIN total
         |GROUP BY doc_id""".stripMargin,
     "q_train_split" ->
@@ -792,10 +792,11 @@ object SparkEntry {
         |  WHERE tok <> '' GROUP BY 1, 2
         |)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-        |  ROUND(ROUND(ln(CAST(SUM(tf) AS DOUBLE)), 6) -
-        |    CAST(SUM(CAST(tf AS DECIMAL(10,0)) *
-        |        CAST(ROUND(ln(CAST(tf AS DOUBLE)), 6) AS DECIMAL(12,6))) AS DOUBLE)
-        |      / CAST(SUM(tf) AS DOUBLE), 6) AS entropy
+        |  CAST(CAST(SUM(tf) AS DECIMAL(10,0)) *
+        |      CAST(ROUND(ln(CAST(SUM(tf) AS DOUBLE)), 6) AS DECIMAL(12,6)) -
+        |    SUM(CAST(tf AS DECIMAL(10,0)) *
+        |      CAST(ROUND(ln(CAST(tf AS DOUBLE)), 6) AS DECIMAL(12,6))) AS DOUBLE)
+        |    / CAST(SUM(tf) AS DOUBLE) AS entropy
         |FROM tf GROUP BY doc_id""".stripMargin,
     "q_pmi_top" ->
       """WITH toks AS (

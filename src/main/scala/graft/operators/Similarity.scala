@@ -540,9 +540,14 @@ object Similarity {
     // −‖c‖²/2 term then funnels everything into the smallest-norm cell:
     // Lloyd's can't re-split a cell that never got members). Splitmix
     // backfills if the corpus has fewer than kCodes usable vectors.
+    // getSeq under erasure yields boxed floats: a null ELEMENT (legal
+    // in parquet float lists) must be rejected here, or it NPEs later
+    // when the codeword literals unbox at plan build
     val seedVecs = e.where(col("vec_id") < kCodes).collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1))
-      .filter(_._2 != null).toMap
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[java.lang.Float](1))
+      .collect { case (id, v) if v != null && !v.contains(null) =>
+        id -> v.map(_.floatValue)
+      }.toMap
     var books: IndexedSeq[IndexedSeq[IndexedSeq[Float]]] =
       (0 until m).map(s => (0 until kCodes).map(c =>
         seedVecs.get(c.toLong).filter(_.length == dim)

@@ -190,6 +190,13 @@ object TextOps {
     val total = freq.agg(sum(col("n_tok")).as("n_total"))
     val lp = round(log(col("n_tok").cast("double") / col("n_total").cast("double")), 6)
       .cast("decimal(12,6)")
+    // NO final round: sum_lp is an exact 6-dp DECIMAL, so sum_lp/n has
+    // a finite decimal expansion and lands on 1e-7 midpoints at real
+    // rates — where Spark (BigDecimal HALF_UP on the binary value) and
+    // DuckDB (decimal-string rounding) disagree (this bit
+    // q_word_entropy at sf0.1). The unrounded division of an
+    // exact-decimal cast by an integer is IEEE-deterministic in both
+    // engines — bit-identical with no rounding step at all.
     tf.join(freq, "tok")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("tf"),
@@ -197,7 +204,7 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"), sum(col("contrib")).as("sum_lp"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("sum_lp").cast("double") / col("n_tokens").cast("double"), 6)
+        (col("sum_lp").cast("double") / col("n_tokens").cast("double"))
           .as("avg_logprob"))
   }
 
@@ -210,12 +217,20 @@ object TextOps {
     * near ln(vocab-in-doc).
     *
     * Determinism (the [[unigramLogProb]] precedent): each ln is rounded
-    * to 6 dp (libm last-ulp differs across engines) and the per-token
-    * contributions sum as DECIMAL scaled by tf — exact and
-    * fold-order-free in both engines; ln(n) is rounded to 6 dp before
-    * the subtraction for the same reason. Plan shape: one (doc, tok)
-    * count aggregate + one per-doc aggregate — two keyed exchanges,
-    * map-side partials on both, no joins. Scan-bound at 100 TB.
+    * to 6 dp (libm last-ulp differs across engines) and the ENTIRE
+    * numerator n·ln(n) − Σ tf·ln(tf) assembles in exact DECIMAL
+    * arithmetic (integer × 6-dp decimal products, decimal subtraction
+    * — fold-order-free in both engines); only then does ONE double
+    * division by n happen, with NO final rounding step. A final
+    * `round(x, 6)` here is a trap, not a safety net: x = decimal/n
+    * has a finite decimal expansion, so it lands exactly on 1e-7
+    * midpoints at real rates — where Spark's BigDecimal HALF_UP on
+    * the binary value and DuckDB's decimal-string rounding disagree
+    * (observed at sf0.1: 2.9622924999999998 → 2.962292 vs 2.962293).
+    * The unrounded exact-decimal-cast ÷ integer is IEEE-deterministic.
+    * Plan shape: one (doc, tok) count aggregate + one per-doc
+    * aggregate — two keyed exchanges, map-side partials on both, no
+    * joins. Scan-bound at 100 TB.
     */
   def wordEntropy(documents: DataFrame): DataFrame = {
     val tf = documents
@@ -227,9 +242,10 @@ object TextOps {
     tf.groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"), sum(contrib).as("sum_tlnt"))
       .select(col("doc_id"), col("n_tokens"),
-        round(round(log(col("n_tokens").cast("double")), 6) -
-          col("sum_tlnt").cast("double") / col("n_tokens").cast("double"), 6)
-          .as("entropy"))
+        ((col("n_tokens").cast("decimal(10,0)") *
+          round(log(col("n_tokens").cast("double")), 6).cast("decimal(12,6)") -
+          col("sum_tlnt")).cast("double") /
+          col("n_tokens").cast("double")).as("entropy"))
   }
 
   /** Top-k bigram collocations by pointwise mutual information —
