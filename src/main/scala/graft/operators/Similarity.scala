@@ -501,7 +501,10 @@ object Similarity {
           lit(halfNorm2)).as("d"),
         lit(j).as("c"))
     }
-    element_at(reverse(array_sort(array(scored: _*))), 1).getField("c")
+    // array_max = one O(k) pass under the same (d, c) struct ordering
+    // as the reverse-sort idiom — measured ~2× on the PQ training
+    // passes vs sorting 64 structs per row
+    array_max(array(scored: _*)).getField("c")
   }
 
   /** The `m` per-subspace code columns for one embedding column —
@@ -518,61 +521,82 @@ object Similarity {
 
   /** Product-quantization codebooks: `m` subspaces of `dim/m`
     * components, each with `kCodes` centroids refined by Lloyd's
-    * iterations under L2 (the classic PQ training recipe). All `m`
-    * subspaces train in ONE distributed job per iteration — the
-    * embedding explodes into (sub, subvec) rows and a sub-dispatched
-    * argmin assigns codes, so the per-iteration cost is one scan + one
-    * (m × kCodes)-group aggregate; the driver round-trip is the
-    * codebook itself (m × kCodes × dim/m floats — constant in the
-    * corpus size, the [[learnedCentroids]] pattern). Deterministic
-    * splitmix init, empty cells keep their centroid.
+    * iterations under L2 (the classic PQ training recipe). Training
+    * runs IN THE DRIVER over a bounded deterministic sample
+    * (`vec_id < trainSample`, a few MB — the FAISS recipe: codebooks
+    * train on a fixed-size sample regardless of index size, and the
+    * same bounded-driver-step precedent as [[learnedCentroids]]'s
+    * constant round-trips and dedupGroups' union-find finish). The
+    * first distributed version of this trainer spent ~1.5 s/iteration
+    * in CATALYST, not in compute — each iteration's plan embeds
+    * m × kCodes codeword literals (4096 arrays at the defaults), and
+    * re-analyzing that tree per iteration dwarfs the 10M-flop argmin
+    * work it schedules. Only ENCODE (one plan, one pass) needs the
+    * cluster; training a constant-size sample does not.
+    *
+    * Forgy init: the first kCodes sample vectors seed the codebooks,
+    * so initial centroids sit AT THE DATA'S SCALE (a unit-norm 64-dim
+    * corpus has subvector norms ~ sqrt(ds/dim) ≈ 0.35 — a fixed-range
+    * random init sits 5× off-scale, and the argmin's −‖c‖²/2 term then
+    * funnels everything into the smallest-norm cell: Lloyd's can't
+    * re-split a cell that never got members). Splitmix backfills if
+    * the sample has fewer than kCodes usable vectors. Ties break
+    * toward the higher code index (the [[pqArgminExpr]] struct-max
+    * convention). Empty cells keep their centroid.
     */
   private[graft] def pqCodebooks(embeddings: DataFrame, m: Int = 8,
-      kCodes: Int = 64, iters: Int = 3, dim: Int = 64)
-      : IndexedSeq[IndexedSeq[IndexedSeq[Float]]] = {
+      kCodes: Int = 64, iters: Int = 3, dim: Int = 64,
+      trainSample: Int = 4096): IndexedSeq[IndexedSeq[IndexedSeq[Float]]] = {
     val ds = dim / m
     require(m * ds == dim, s"dim=$dim must split evenly into m=$m subspaces")
     val e = registered(embeddings).select(col("vec_id"), col("embedding"))
-    // Forgy init: the first kCodes data vectors seed the codebooks, so
-    // the initial centroids sit AT THE DATA'S SCALE (a unit-norm
-    // 64-dim corpus has subvector norms ~ sqrt(ds/dim) ≈ 0.35 — a
-    // fixed-range random init sits 5× off-scale there, and the argmin's
-    // −‖c‖²/2 term then funnels everything into the smallest-norm cell:
-    // Lloyd's can't re-split a cell that never got members). Splitmix
-    // backfills if the corpus has fewer than kCodes usable vectors.
-    // getSeq under erasure yields boxed floats: a null ELEMENT (legal
-    // in parquet float lists) must be rejected here, or it NPEs later
-    // when the codeword literals unbox at plan build
-    val seedVecs = e.where(col("vec_id") < kCodes).collect()
+    // getSeq under erasure yields boxed floats: null ELEMENTS (legal in
+    // parquet float lists) and wrong-dim vectors are rejected here, or
+    // they would NPE/misalign the primitive training arrays
+    val sample = e.where(col("vec_id") < trainSample).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[java.lang.Float](1))
-      .collect { case (id, v) if v != null && !v.contains(null) =>
-        id -> v.map(_.floatValue)
-      }.toMap
+      .collect { case (id, v)
+          if v != null && v.length == dim && !v.contains(null) =>
+        id -> v.map(_.floatValue).toArray
+      }
+      .sortBy(_._1).map(_._2)
     var books: IndexedSeq[IndexedSeq[IndexedSeq[Float]]] =
       (0 until m).map(s => (0 until kCodes).map(c =>
-        seedVecs.get(c.toLong).filter(_.length == dim)
-          .map(v => v.slice(s * ds, s * ds + ds).toIndexedSeq)
-          .getOrElse((0 until ds).map(d =>
-            planeComponent(30013 + s * kCodes + c, d)))))
-    val subs = e.select(
-      posexplode(array((0 until m).map(s =>
-        slice(col("embedding"), s * ds + 1, ds)): _*)).as(Seq("sub", "subvec")))
+        if (c < sample.length) sample(c).slice(s * ds, s * ds + ds).toIndexedSeq
+        else (0 until ds).map(d => planeComponent(30013 + s * kCodes + c, d))))
     for (_ <- 0 until iters) {
-      val assign = (1 until m).foldLeft(
-        when(col("sub") === 0, pqArgminExpr(books(0), col("subvec")))) {
-        (acc, s) => acc.when(col("sub") === s, pqArgminExpr(books(s), col("subvec")))
+      books = (0 until m).map { s =>
+        val sums = Array.fill(kCodes)(new Array[Double](ds))
+        val counts = new Array[Long](kCodes)
+        for (v <- sample) {
+          var best = 0
+          var bestScore = Double.NegativeInfinity
+          var j = 0
+          while (j < kCodes) {
+            val cw = books(s)(j)
+            var dot = 0.0
+            var norm2 = 0.0
+            var d = 0
+            while (d < ds) {
+              val c = cw(d).toDouble
+              dot += v(s * ds + d) * c
+              norm2 += c * c
+              d += 1
+            }
+            val score = dot - norm2 / 2
+            // >= : ties pick the higher code index, as in pqArgminExpr
+            if (score >= bestScore) { bestScore = score; best = j }
+            j += 1
+          }
+          var d = 0
+          while (d < ds) { sums(best)(d) += v(s * ds + d); d += 1 }
+          counts(best) += 1
+        }
+        (0 until kCodes).map(c =>
+          if (counts(c) > 0)
+            (0 until ds).map(d => (sums(c)(d) / counts(c)).toFloat)
+          else books(s)(c))
       }
-      val means = subs
-        .select(col("sub"), assign.as("code"), col("subvec"))
-        .groupBy("sub", "code")
-        .agg(call_function("vector_mean", col("subvec"), lit(ds)).as("mvec"))
-        .collect()
-        .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code")) ->
-          r.getSeq[Double](2))
-        .toMap
-      books = (0 until m).map(s => (0 until kCodes).map(c =>
-        means.get((s, c)).map(_.map(_.toFloat).toIndexedSeq)
-          .getOrElse(books(s)(c))))
     }
     books
   }
@@ -618,6 +642,14 @@ object Similarity {
     * to the final top-k. Recall vs the exact baseline (and vs
     * uncompressed IVF under identical cells/probes — its ceiling by
     * construction) is spec-asserted.
+    *
+    * Cost profile: this operator pays a CONSTANT multi-second driver
+    * overhead (sample collect + in-memory training, then Catalyst
+    * analysis + janino codegen of the m × kCodes codeword-literal
+    * projection) that is independent of corpus size — it is index
+    * BUILD cost, amortized to nothing at 100 TB, but it dominates the
+    * wall clock at bench scale. The per-row work is what scales: one
+    * argmin projection per corpus vector, m lookups per candidate.
     */
   def annIvfPq(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
       nCells: Int = 8, nProbe: Int = 4, m: Int = 8, kCodes: Int = 64,
