@@ -134,6 +134,8 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => Curation.packSequences(t(s, d, "documents"))),
     "q_token_budget" -> ((s, d) => Curation.tokenBudget(t(s, d, "documents"))),
     "q_word_entropy" -> ((s, d) => TextOps.wordEntropy(t(s, d, "documents"))),
+    "q_oov_rate" -> ((s, d) => TextOps.oovRate(t(s, d, "documents"))),
+    "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(t(s, d, "documents"))),
     "q_pmi_top" -> ((s, d) => TextOps.pmiTop(t(s, d, "documents"))),
     "q_blocklist" -> ((s, d) => TextOps.blocklistFilter(t(s, d, "documents"))),
     "q_chunk" -> ((s, d) => Curation.tokenChunks(t(s, d, "documents"))),
@@ -798,6 +800,35 @@ object SparkEntry {
         |      CAST(ROUND(ln(CAST(tf AS DOUBLE)), 6) AS DECIMAL(12,6))) AS DOUBLE)
         |    / CAST(SUM(tf) AS DOUBLE) AS entropy
         |FROM tf GROUP BY doc_id""".stripMargin,
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''
+        |), vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, rank() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+        |    FROM toks GROUP BY tok)
+        |  WHERE rnk <= 20
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  CAST(COUNT(*) - COUNT(v.tok) AS BIGINT) AS n_oov,
+        |  CAST(COUNT(*) - COUNT(v.tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        |FROM toks LEFT JOIN vocab v USING (tok)
+        |GROUP BY doc_id""".stripMargin,
+    "q_source_overlap" ->
+      """WITH gs AS (
+        |  SELECT DISTINCT source, gram
+        |  FROM (SELECT source, unnest(list_transform(range(len(toks) - 3),
+        |          i -> array_to_string(toks[i + 1:i + 4], ' '))) AS gram
+        |        FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 4)
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM gs a JOIN gs b
+        |  ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "q_pmi_top" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents

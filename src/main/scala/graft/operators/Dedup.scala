@@ -22,6 +22,45 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Cross-source content overlap — the provenance audit behind
+    * "which of my sources mirror each other?" (a crawl that re-ingests
+    * a mirrored site pays its storage and training-weight twice): for
+    * every unordered source pair, the number of DISTINCT word
+    * `n`-grams present in both. The n-gram key (the
+    * [[Curation.decontaminate]] feature space) sees PARTIAL mirroring
+    * — excerpts, boilerplate, re-posts — where an exact-hash key only
+    * counts verbatim full-document copies (zero on this corpus at
+    * gate scale; the n-gram view is the one with signal). Feeds
+    * source-level dedup priority and mix-weight corrections.
+    *
+    * Plan shape: codegen shingle explode → distinct (gram, source) —
+    * map-side partial — then a self-equi-join on the gram key with
+    * `source_a < source_b` and one pair-count aggregate. The join
+    * fans out per gram only over its DISTINCT sources (bounded by the
+    * source universe, not the duplication count — a gram repeated 10⁶
+    * times inside two sources is still one row per side), so the
+    * shuffle is O(distinct (gram, source)) and the output is at most
+    * |sources|² rows. At a 100 TB scale the gram string never needs
+    * to materialize: swap the key for the shared
+    * [[graft.functions.TextFunctions.shingleKey]] xxhash64 form, the
+    * decontaminate precedent.
+    */
+  def sourceOverlap(documents: DataFrame, n: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions.{shingleFromStruct, shingleStructs, tokenize}
+    val gs = documents
+      .withColumn("toks", tokenize(col("text")))
+      .where(size(col("toks")) >= n)
+      .select(col("source"), explode(shingleStructs(col("toks"), n)).as("z"))
+      .select(col("source"), shingleFromStruct(col("z"), n).as("gram"))
+      .distinct()
+    gs.as("a").join(gs.as("b"),
+        col("a.gram") === col("b.gram") &&
+          col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Tokenize → k-word shingles, exploded via the codegen-friendly
     * zip form (an interpreted `transform` lambda here cost ~10× at
     * 50M shingles — see TextFunctions.shingleStructs). Duplicate

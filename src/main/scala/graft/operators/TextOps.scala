@@ -293,6 +293,38 @@ object TextOps {
       .where(col("rnk") <= k)
   }
 
+  /** Per-doc out-of-vocabulary rate against the top-`v` corpus
+    * vocabulary — the tokenizer-coverage diagnostic run before
+    * committing a vocab size (what fraction of each document would
+    * fall to <UNK> / byte-fallback?): rank tokens by corpus frequency,
+    * keep the top `v`, and score each doc by the fraction of its
+    * (non-empty) tokens outside that set. High-OOV docs are the ones
+    * a fixed vocab serves worst — route them to review or byte-level
+    * tokenization.
+    *
+    * Plan shape: one corpus-frequency aggregate ranked through
+    * WindowGroupLimit (the v-sized vocab), broadcast back against the
+    * exploded tokens, one per-doc count aggregate. The rate is one
+    * IEEE division of exact counts — bit-identical in the oracle.
+    */
+  def oovRate(documents: DataFrame, v: Int = 20): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", rank().over(w))
+      .where(col("rnk") <= v)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tok").cast("double"))
+          .as("oov_rate"))
+  }
+
   /** Blocklist safety filter — the word-level unsafe-content flagging
     * pass (C4 ran exactly this shape with its public "bad words" list):
     * per-doc hit counts against a term list, emitting only FLAGGED

@@ -219,4 +219,24 @@ class DedupSpec extends SparkSuite {
     assert(r.head.getAs[Long]("a_id") == 0L && r.head.getAs[Long]("b_id") == 1L)
     assert(r.head.getAs[Double]("jaccard") == 3.0 / 5.0)
   }
+
+  test("sourceOverlap: counts distinct shared n-grams per source pair") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta tail", "crawl"),
+      // shares "alpha beta gamma delta" AND "beta gamma delta tail"
+      (1L, "x alpha beta gamma delta tail", "mirror"),
+      // the same two grams AGAIN within mirror: distinct counts once
+      (2L, "y alpha beta gamma delta tail", "mirror"),
+      // shares only "alpha beta gamma delta" (tail diverges)
+      (3L, "alpha beta gamma delta other", "wiki"),
+      (4L, "completely different words here now", "crawl")
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.sourceOverlap(d).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b")) ->
+        x.getAs[Long]("n_shared")).toMap
+    assert(r == Map(
+      ("crawl", "mirror") -> 2L,
+      ("crawl", "wiki") -> 1L,
+      ("mirror", "wiki") -> 1L))
+  }
 }

@@ -72,6 +72,13 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("lengthHist", TextOps.lengthHist(noDocs))
     assertEmptyOk("qualityTopK", graft.operators.Curation.qualityTopK(noDocs))
     assertEmptyOk("tokenBudget", graft.operators.Curation.tokenBudget(noDocs))
+    assertEmptyOk("wordEntropy", TextOps.wordEntropy(noDocs))
+    assertEmptyOk("pmiTop", TextOps.pmiTop(noDocs))
+    assertEmptyOk("blocklistFilter", TextOps.blocklistFilter(noDocs))
+    assertEmptyOk("tokenChunks", graft.operators.Curation.tokenChunks(noDocs))
+    assertEmptyOk("splitLeakage", graft.operators.Curation.splitLeakage(noDocs))
+    assertEmptyOk("oovRate", TextOps.oovRate(noDocs))
+    assertEmptyOk("sourceOverlap", Dedup.sourceOverlap(noDocs))
   }
 
   test("similarity operators tolerate empty input") {
@@ -86,5 +93,8 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("quantizeEmbeddings", Similarity.quantizeEmbeddings(noEmb))
     assertEmptyOk("quantizeEmbeddingsFlat", Similarity.quantizeEmbeddingsFlat(noEmb))
     assertEmptyOk("embedOutlier", Similarity.embedOutlier(noEmb))
+    assertEmptyOk("pqEncode", Similarity.pqEncode(noEmb))
+    assertEmptyOk("pqEncodeFlat", Similarity.pqEncodeFlat(noEmb))
+    assertEmptyOk("annIvfPq", Similarity.annIvfPq(noEmb))
   }
 }

@@ -210,6 +210,23 @@ class PlanAuditSpec extends SparkSuite {
       s"rnk <= k must rewrite to WindowGroupLimit:\n$p")
   }
 
+  test("oovRate: vocab broadcasts back; vocab rank becomes WindowGroupLimit") {
+    val p = plan(graft.operators.TextOps.oovRate(
+      Tables(spark, dir, "documents")))
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("WindowGroupLimit"),
+      s"vocab rank filter must rewrite to WindowGroupLimit:\n$p")
+  }
+
+  test("sourceOverlap: gram self-join is an equi-join, never cartesian") {
+    val p = plan(graft.operators.Dedup.sourceOverlap(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"gram key must drive a hash equi-join:\n$p")
+  }
+
   test("annIvfPq: corpus side has no join before the cell equi-join; no cartesian") {
     val p = plan(graft.operators.Similarity.annIvfPq(
       Tables(spark, dir, "embeddings")))

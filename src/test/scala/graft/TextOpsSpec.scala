@@ -229,6 +229,19 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("oovRate: rates against the top-v vocab, hand-checked") {
+    // corpus freq: a=5, b=4, c=2, z=1 -> top-2 vocab = {a, b}
+    val d = Seq(
+      (0L, "a a b b c"),   // 1 OOV of 5
+      (1L, "a b c z a"),   // 2 OOV of 5
+      (2L, "a b b a")      // 0 OOV of 4
+    ).toDF("doc_id", "text")
+    val r = TextOps.oovRate(d, v = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tok"), x.getAs[Long]("n_oov")))).toMap
+    assert(r == Map(0L -> ((5L, 1L)), 1L -> ((5L, 2L)), 2L -> ((4L, 0L))))
+  }
+
   test("blocklistFilter: flags exactly the docs containing a listed term") {
     val d = Seq(
       (0L, "clean text here"),
