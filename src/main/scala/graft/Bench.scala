@@ -48,11 +48,10 @@ object Bench {
     // regression shows up round-over-round, not only on demand
     val micro =
       if (sys.env.get("SPARK_GRAFT_MICRO").contains("0")) Seq.empty
-      else try MicroBench.kernels(spark,
-        sys.env.getOrElse("SPARK_GRAFT_MICRO_ROWS", "1000000").toLong)
+      else try MicroBench.kernels(spark, MicroBench.rowsFromEnv)
       catch { case e: Throwable =>
-        // a transient micro-kernel failure must not destroy the 73
-        // query timings already measured — emit without ratios
+        // a transient micro-kernel failure must not destroy the query
+        // timings already measured — emit without ratios
         System.err.println(s"[bench] micro kernels failed: ${e.getMessage}")
         Seq.empty
       }

@@ -23,10 +23,19 @@ object MicroBench {
   final case class KernelTime(kernel: String, variant: String, rows: Long,
       sec: Double)
 
+  /** Row count for the kernel passes (`SPARK_GRAFT_MICRO_ROWS`) — ONE
+    * accessor shared with [[Bench]]'s folded-in run. Two call sites
+    * once carried separate fallback constants (1M vs 2M), which made
+    * the standalone tool's absolute timings silently incomparable with
+    * the per-round artifact's for the same kernel.
+    */
+  def rowsFromEnv: Long =
+    sys.env.getOrElse("SPARK_GRAFT_MICRO_ROWS", "1000000").toLong
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val rows = sys.env.getOrElse("SPARK_GRAFT_MICRO_ROWS", "2000000").toLong
+    val rows = rowsFromEnv
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -509,7 +509,8 @@ object SparkEntry {
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings
         |  WHERE vec_id < 2000 AND embedding IS NOT NULL
-        |    AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x))) = 0
+        |    AND len(list_filter(CAST(embedding AS DOUBLE[]),
+        |                        x -> x IS NULL OR isnan(x))) = 0
         |), pe AS (
         |  SELECT label, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM e
         |), cells AS (

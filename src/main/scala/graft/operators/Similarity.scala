@@ -262,9 +262,14 @@ object Similarity {
   def embedOutlier(embeddings: DataFrame, bound: Long = 2000): DataFrame = {
     val e = registered(embeddings)
       .where(col("vec_id") < bound && col("embedding").isNotNull &&
-        // vectors with NaN elements poison the centroid sum; exclude
-        // them from both the centroid and the scoring (oracle mirrors)
-        !exists(col("embedding"), x => isnan(x)))
+        // vectors with NaN OR NULL elements poison the centroid sum;
+        // exclude them from both the centroid and the scoring (oracle
+        // mirrors). The null leg must be explicit: under three-valued
+        // logic `!exists(_, isnan)` is NULL for a null-element vector
+        // (silently dropped here) while DuckDB's list_filter(isnan)
+        // count KEEPS it — a centroid divergence on every vector
+        // sharing that label
+        forall(col("embedding"), x => x.isNotNull && !isnan(x)))
     val scale = 1099511627776L // 2^40
     val cells = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -507,6 +512,21 @@ object Similarity {
     array_max(array(scored: _*)).getField("c")
   }
 
+  /** Vectors the PQ encoder can actually represent: present, exactly
+    * `dim` elements, no NULL/NaN element. Without this gate a
+    * degenerate vector does NOT fail — `dot_f32` returns NaN for a
+    * null-element or wrong-length input, every argmin struct scores
+    * NaN, Spark orders NaN largest, and the tie resolves to code
+    * kCodes−1 in every subspace: a valid-looking, in-range, fabricated
+    * code word indistinguishable from real data in the stored index
+    * (and ranked FIRST by the NaN cosine in a rerank). Shared by
+    * [[pqEncode]] and [[annIvfPq]]; the drop mirrors
+    * [[quantizeEmbeddings]]' poison-pill convention.
+    */
+  private def pqEncodable(dim: Int): Column =
+    col("embedding").isNotNull && size(col("embedding")) === dim &&
+      forall(col("embedding"), x => x.isNotNull && !isnan(x))
+
   /** The `m` per-subspace code columns for one embedding column —
     * shared by [[pqEncode]] and [[annIvfPq]] so the stored codes and
     * the ADC scorer can never disagree on the encoding.
@@ -606,14 +626,18 @@ object Similarity {
     * as its per-subspace nearest codewords): trains codebooks via
     * [[pqCodebooks]], then encoding is a PURE PROJECTION (m argmin
     * expressions over embedding slices — zero shuffle, scan speed).
-    * Returns (vec_id, codes). Reconstruction quality and code-range
-    * invariants are spec-asserted; [[annIvfPq]] consumes the same
-    * encoding for ADC search.
+    * Returns (vec_id, codes). Degenerate vectors (null/NaN element,
+    * wrong dim) are DROPPED, not encoded — see [[pqEncodable]] for why
+    * they would otherwise silently fabricate code kCodes−1 everywhere.
+    * Reconstruction quality and code-range invariants are
+    * spec-asserted; [[annIvfPq]] consumes the same encoding for ADC
+    * search.
     */
   def pqEncode(embeddings: DataFrame, m: Int = 8, kCodes: Int = 64,
       iters: Int = 3, dim: Int = 64): DataFrame = {
     val books = pqCodebooks(embeddings, m, kCodes, iters, dim)
     registered(embeddings)
+      .where(pqEncodable(dim))
       .select(col("vec_id"), pqCodeArray(books, col("embedding"), dim).as("codes"))
   }
 
@@ -655,7 +679,10 @@ object Similarity {
       nCells: Int = 8, nProbe: Int = 4, m: Int = 8, kCodes: Int = 64,
       iters: Int = 3, rerank: Int = 50, dim: Int = 64): DataFrame = {
     val ds = dim / m
+    // the pqEncodable gate covers every derived side — corpus codes,
+    // query LUTs, and the refinement fetch all filter from `e`
     val e = registered(embeddings).select(col("vec_id"), col("embedding"))
+      .where(pqEncodable(dim))
     val books = pqCodebooks(embeddings, m, kCodes, iters, dim)
     val centroids = (0 until nCells).map(c =>
       (0 until dim).map(d => centroidComponent(c, d)))

@@ -261,9 +261,15 @@ object TextOps {
     * given the same association order, so the single ln sees the same
     * argument — and rounded to 6 dp before the rank. Plan shape: a
     * unigram aggregate and a bigram aggregate (both map-side partial),
-    * two single-row totals broadcast, two broadcast-joined unigram
-    * lookups, then the two-level WindowGroupLimit top-k. The window's
-    * input is the minCount-floored bigram set, never the corpus.
+    * two single-row totals broadcast, two unigram lookups LEFT TO
+    * CATALYST/AQE — the vocabulary frame is one row per distinct
+    * corpus token, an UNBOUNDED aggregate a web corpus pushes past any
+    * broadcast limit, so forcing `broadcast(uni)` would die at exactly
+    * the scale this operator is for; stats broadcast it when small and
+    * a shuffled hash join carries it when not (the floored bigram set
+    * keys both probes) — then the two-level WindowGroupLimit top-k.
+    * The window's input is the minCount-floored bigram set, never the
+    * corpus.
     */
   def pmiTop(documents: DataFrame, k: Int = 50, minCount: Long = 5): DataFrame = {
     val toks = tokenize(col("text"))
@@ -281,8 +287,8 @@ object TextOps {
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     val scored = pairs
       .where(col("n_pair") >= minCount)
-      .join(broadcast(uni.select(col("tok").as("w1"), col("n_uni").as("n_w1"))), "w1")
-      .join(broadcast(uni.select(col("tok").as("w2"), col("n_uni").as("n_w2"))), "w2")
+      .join(uni.select(col("tok").as("w1"), col("n_uni").as("n_w1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("n_uni").as("n_w2")), "w2")
       .crossJoin(broadcast(uniTot))
       .crossJoin(broadcast(pairTot))
       .select(col("w1"), col("w2"), col("n_pair"),

@@ -201,10 +201,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial"), "aggregates must combine map-side")
   }
 
-  test("pmiTop: unigram lookups broadcast; top-k becomes WindowGroupLimit") {
+  test("pmiTop: small-input vocab broadcasts via stats (no forced hint); " +
+      "top-k becomes WindowGroupLimit") {
     val p = plan(graft.operators.TextOps.pmiTop(
       Tables(spark, dir, "documents")))
-    assert(p.contains("BroadcastHashJoin"), s"uni lookups must broadcast:\n$p")
+    // no broadcast() hint on the unigram frame (unbounded at corpus
+    // scale) — Catalyst's size stats must still pick broadcast at THIS
+    // scale, proving the hint was never needed for the small case
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats should broadcast the tiny uni frame here:\n$p")
     assert(!p.contains("SortMergeJoin"))
     assert(p.contains("WindowGroupLimit"),
       s"rnk <= k must rewrite to WindowGroupLimit:\n$p")

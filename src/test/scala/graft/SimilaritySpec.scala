@@ -125,6 +125,63 @@ class SimilaritySpec extends SparkSuite {
       4L -> 1.0, 5L -> 1.0))
   }
 
+  test("embedOutlier: null-element vector excluded without shifting centroid") {
+    // the filter's null leg must be EXPLICIT: `!exists(_, isnan)` is
+    // NULL (silent drop) for [null, ...] in Spark while the oracle's
+    // list_filter(isnan) count KEEPS the vector — this pins the
+    // deterministic both-engines-drop contract
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("label", LongType, nullable = false)))
+    val rows = Seq(
+      Row(0L, Seq[Any](1f, 0f, 0f, 0f), 0L),
+      Row(1L, Seq[Any](1f, 0f, 0f, 0f), 0L),
+      Row(2L, Seq[Any](null, 1f, 0f, 0f), 0L)) // null element: excluded
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val r = Similarity.embedOutlier(df).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Double]("centroid_sim"))
+      .toMap
+    // the clean vectors' centroid must be untouched by vec 2
+    assert(r == Map(0L -> 1.0, 1L -> 1.0))
+  }
+
+  test("pqEncode/annIvfPq: degenerate vectors dropped, never fabricated") {
+    // dot_f32 scores NaN for null-element / wrong-dim input; without
+    // the pqEncodable gate every argmin tie then resolves to code
+    // kCodes-1 — an in-range, fake code word — and the NaN cosine
+    // outranks every true neighbor in the rerank window
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val good = (0L until 10L).map { i =>
+      Row(i, Seq.tabulate(4)(d =>
+        (math.sin(i * 1.7 + d) * 0.5).toFloat): Seq[Any])
+    }
+    val bad = Seq(
+      Row(10L, Seq[Any](1f, 0f, 0f)), // wrong dim
+      Row(11L, Seq[Any](1f, null, 0f, 0f)), // null element
+      Row(12L, Seq[Any](Float.NaN, 0f, 0f, 0f))) // NaN element
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(good ++ bad, 2), schema)
+    val codes = Similarity.pqEncode(df, m = 2, kCodes = 4, iters = 1, dim = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(codes == (0L until 10L).toSet,
+      s"degenerate vectors must be dropped from the code index: $codes")
+    val nn = Similarity.annIvfPq(df, nQueries = 2, k = 3, nCells = 2,
+      nProbe = 2, m = 2, kCodes = 4, iters = 1, rerank = 10, dim = 4)
+      .collect()
+    assert(nn.nonEmpty)
+    val nIds = nn.map(_.getAs[Long]("n_id")).toSet
+    assert(Seq(10L, 11L, 12L).forall(!nIds.contains(_)),
+      s"degenerate vectors must never surface as neighbors: $nIds")
+  }
+
   test("nearDupPairs agrees with cosine threshold and is symmetric-free") {
     val r = Similarity.nearDupPairs(emb, bound = 50, threshold = 0.3).collect()
     assert(r.forall(x => x.getAs[Long]("a_id") < x.getAs[Long]("b_id")))
