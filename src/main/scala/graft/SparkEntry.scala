@@ -139,7 +139,15 @@ object SparkEntry {
     "q_pmi_top" -> ((s, d) => TextOps.pmiTop(t(s, d, "documents"))),
     "q_blocklist" -> ((s, d) => TextOps.blocklistFilter(t(s, d, "documents"))),
     "q_chunk" -> ((s, d) => Curation.tokenChunks(t(s, d, "documents"))),
-    "q_split_leakage" -> ((s, d) => Curation.splitLeakage(t(s, d, "documents")))
+    "q_split_leakage" -> ((s, d) => Curation.splitLeakage(t(s, d, "documents"))),
+    "q_bigram_logprob" -> ((s, d) => TextOps.bigramLogProb(t(s, d, "documents"))),
+    "q_hash_embed" -> ((s, d) => TextOps.hashEmbedSparse(t(s, d, "documents"))),
+    "q_zipf_slope" -> ((s, d) => TextOps.zipfSlope(t(s, d, "documents"))),
+    // rows-only (driver-iterated k-means centroids); threshold opts
+    // DOWN from the 0.9 production default because the synthetic
+    // corpus tops out near cos 0.55 (the nearDupPairsLsh precedent)
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semDeDup(t(s, d, "embeddings"), threshold = 0.4))
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -150,7 +158,7 @@ object SparkEntry {
     * q_ann_lsh, q_ann_ivf, q_ann_ivf_learned, q_embed_neardup_lsh,
     * q_active_users_approx, q_value_quantiles_approx,
     * q_decontaminate_hashed, q_dup_span_hashed, q_pq_encode,
-    * q_ann_ivfpq.
+    * q_ann_ivfpq, q_semdedup.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -914,6 +922,67 @@ object SparkEntry {
         |FROM pairs
         |JOIN sp sa ON a_id = sa.doc_id
         |JOIN sp sb ON b_id = sb.doc_id
-        |WHERE sa.split <> sb.split""".stripMargin
+        |WHERE sa.split <> sb.split""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH bg AS (
+        |  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 2)
+        |), tf AS (
+        |  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+        |), pair AS (
+        |  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS n_pair FROM tf GROUP BY 1, 2
+        |), firsts AS (
+        |  SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_first FROM pair GROUP BY 1
+        |), vocab AS (
+        |  SELECT COUNT(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''
+        |)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CAST(tf AS DECIMAL(10,0)) *
+        |      CAST(ROUND(ln(CAST(n_pair + 1 AS DOUBLE) / CAST(n_first + v AS DOUBLE)), 6) AS DECIMAL(12,6)))
+        |    AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS avg_logprob
+        |FROM tf JOIN pair USING (w1, w2) JOIN firsts USING (w1) CROSS JOIN vocab
+        |GROUP BY doc_id""".stripMargin,
+    "q_hash_embed" ->
+      """WITH counts AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''
+        |  GROUP BY 1, 2
+        |), norms AS (
+        |  SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS norm2 FROM counts GROUP BY 1
+        |)
+        |SELECT doc_id, bucket,
+        |  ROUND(CAST(cnt AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE)), 6) AS weight
+        |FROM counts JOIN norms USING (doc_id)""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH freq AS (
+        |  SELECT lang, tok, COUNT(*) AS n
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), ranked AS (
+        |  SELECT lang, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS r
+        |  FROM freq
+        |), mill AS (
+        |  SELECT lang,
+        |    CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000, 0) AS BIGINT) AS x,
+        |    CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000, 0) AS BIGINT) AS y
+        |  FROM ranked WHERE r <= 1000
+        |), moments AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM mill GROUP BY lang
+        |)
+        |SELECT lang, k,
+        |  CAST(k * sxy - sx * sy AS DOUBLE) /
+        |  CAST(k * sxx - sx * sx AS DOUBLE) AS zipf_slope
+        |FROM moments WHERE k >= 2""".stripMargin
   )
 }

@@ -489,6 +489,48 @@ object Similarity {
       cellsFor(e.where(col("vec_id") < nQueries), centroids, nProbe), k)
   }
 
+  /** SemDeDup — semantic deduplication as published (Abbas et al.
+    * 2023, arXiv:2303.09540): k-means partitions the embedding space,
+    * near-duplicate detection runs ONLY within each cluster (the
+    * pairwise work the paper accepts because k bounds cluster size —
+    * at a billion vectors you pick k so clusters hold ~10⁴-10⁵ items,
+    * making within-cluster pairs tractable where corpus-wide pairs
+    * are not), and each duplicate pair keeps one side. Returns every
+    * vector as (vec_id, cell, is_dropped): a vector is dropped iff
+    * SOME lower-id vector in its cluster has cosine ≥ `threshold` —
+    * the deterministic greedy keep-lowest-id rule (the paper's
+    * keep-farthest-from-centroid variant is a different tie-break on
+    * the identical plan).
+    *
+    * Default threshold is the production near-dup regime (0.9+, where
+    * semantic duplicates actually live); the gate query opts DOWN
+    * explicitly because the synthetic corpus tops out near cos 0.55.
+    *
+    * Scale shape: clusters from [[learnedCentroids]] (constant-size
+    * driver round-trips), one cell-keyed self-join (SHUFFLE_HASH so
+    * AQE reuses the assignment exchange on both sides — the dedup-
+    * family lesson), pairwise work bounded per cluster by k's choice;
+    * the drop set joins back as one broadcast-able distinct frame.
+    * Not SQL-expressible (driver-iterated centroids) — rows-only with
+    * a property spec against an in-memory reference.
+    */
+  def semDeDup(embeddings: DataFrame, threshold: Double = 0.9,
+      nCells: Int = 8, iters: Int = 3, dim: Int = 64): DataFrame = {
+    val e = registered(embeddings).select(col("vec_id"), col("embedding"))
+    val centroids = learnedCentroids(e, nCells, iters, dim)
+    val cells = cellsFor(e, centroids, nProbe = 1)
+    val pairs = cells.as("a").join(cells.as("b").hint("SHUFFLE_HASH"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        cos("a.embedding", "b.embedding").as("cos_sim"))
+      .where(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
+    val drops = pairs.select(col("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    cells.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup"), lit(false)).as("is_dropped"))
+  }
+
   /** L2 argmin against one PQ codebook as a codegen expression:
     * argmin_j ||x − c_j||² = argmax_j (x·c_j − ||c_j||²/2) — the
     * squared-norm halves fold to literals at plan build, so the per-row

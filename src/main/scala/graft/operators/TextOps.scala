@@ -208,6 +208,166 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Bigram-LM fluency score — one rung up the CCNet ladder from
+    * [[unigramLogProb]] (unigram scoring is order-blind: "the the the"
+    * and real prose with the same tokens score identically; a bigram
+    * model sees word ORDER): score(doc) = mean over the doc's bigram
+    * positions of ln P(w2 | w1) under an add-one-smoothed corpus
+    * bigram model, P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) — Laplace
+    * smoothing over the corpus vocabulary V, the classic closed-form
+    * proxy for the KenLM-style filter (backoff/interpolation are
+    * quality refinements on the same plan shape).
+    *
+    * Determinism (the [[unigramLogProb]] pattern exactly): the
+    * smoothed-probability numerator/denominator are exact integer
+    * adds, the single ln per distinct (w1,w2) is rounded to 6 dp and
+    * summed as DECIMAL × tf (fold-order-free), and the mean is ONE
+    * unrounded IEEE division — no final round (the §5b midpoint trap).
+    *
+    * Plan shape: per-doc bigram tf aggregate, corpus bigram-frequency
+    * aggregate joined on the (w1, w2) key — shuffle O(distinct
+    * bigrams), never docs × bigrams — a w1-marginal aggregate of THAT
+    * frame (no second corpus pass), and two single-row broadcasts
+    * (vocab count). Scales exactly like unigramLogProb with bigram
+    * keys.
+    */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = tokenize(col("text"))
+    val bg = documents
+      .where(size(toks) >= 2)
+      .select(col("doc_id"), explode(shingleStructs(toks, 2)).as("z"))
+      .select(col("doc_id"), col("z").getField("0").as("w1"),
+        col("z").getField("1").as("w2"))
+    val tf = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val pairFreq = tf.groupBy("w1", "w2").agg(sum(col("tf")).as("n_pair"))
+    val firstFreq = pairFreq.groupBy("w1").agg(sum(col("n_pair")).as("n_first"))
+    val vocab = documents.select(explode(toks).as("tok"))
+      .where(col("tok") =!= "")
+      .agg(countDistinct(col("tok")).as("v"))
+    val lp = round(log((col("n_pair") + 1).cast("double") /
+        (col("n_first") + col("v")).cast("double")), 6)
+      .cast("decimal(12,6)")
+    tf.join(pairFreq, Seq("w1", "w2")).join(firstFreq, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("tf"),
+        (col("tf").cast("decimal(10,0)") * lp).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("contrib")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_lp").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_logprob"))
+  }
+
+  /** Feature-hashing document vectorizer, sparse form — the text →
+    * vector bridge that needs NO trained model (the public HashingTF
+    * recipe): each token lands in bucket md5(token) mod dim via the
+    * engine-portable [[graft.functions.TextFunctions.hashBucket]], the
+    * per-(doc, bucket) counts are L2-normalized, and the result is one
+    * (doc_id, bucket, weight) row per NON-ZERO coordinate — the honest
+    * shape at scale (a dense array materializes dim cells per doc;
+    * sparse is O(distinct buckets hit)) and the driver-comparable one.
+    * [[hashEmbed]] densifies it for the cosine/ANN family.
+    *
+    * Determinism: norm² is an exact integer sum; sqrt and divide are
+    * single correctly-rounded IEEE ops, so `weight` is bit-identical
+    * across engines before the 6-dp round (which is safe here — the
+    * value has no finite decimal expansion, the §5b rule).
+    *
+    * Plan shape: one (doc, bucket) count aggregate, one per-doc norm
+    * aggregate of THAT frame, one equi-join on doc_id. Scan-bound.
+    */
+  def hashEmbedSparse(documents: DataFrame, dim: Int = 64): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), hashBucket(col("tok"), dim).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    val norms = counts.groupBy("doc_id")
+      .agg(sum(col("cnt") * col("cnt")).as("norm2"))
+    counts.join(norms, "doc_id")
+      .select(col("doc_id"), col("bucket"),
+        round(col("cnt").cast("double") / sqrt(col("norm2").cast("double")), 6)
+          .as("weight"))
+  }
+
+  /** [[hashEmbedSparse]] densified to a unit-norm `Array[Float]` —
+    * the pipeline API whose output drops straight into the
+    * cosine/ANN/near-dup family (`Similarity.annTopK(hashEmbed(docs))`
+    * is a working index over raw text; spec-asserted). One extra
+    * per-doc aggregate over the sparse frame; the dense array is dim
+    * cells per doc, which is why the sparse form is the stored one.
+    */
+  def hashEmbed(documents: DataFrame, dim: Int = 64): DataFrame =
+    hashEmbedSparse(documents, dim)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("weight")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          b => coalesce(element_at(col("m"), b.cast("long")), lit(0.0))
+            .cast("float")).as("embedding"))
+
+  /** Zipf-slope corpus diagnostic: the least-squares slope of
+    * ln(frequency) against ln(rank) over each language's token
+    * frequency table — natural text tracks Zipf's law with slope
+    * ≈ −1; a pipeline bug (boilerplate flood, truncated scrape,
+    * synthetic spam) shows up as a slope far from the corpus's
+    * baseline before any individual document looks wrong. Tokens
+    * below `minCount` are excluded (the hapax tail is measurement
+    * noise at every corpus size and roughly halves the ranked frame).
+    *
+    * The fit runs over the TOP `topR` ranks per language (the
+    * convention for Zipf fits — the deep tail is hapax noise and a
+    * different power-law regime anyway), which is also what makes the
+    * arithmetic exactly portable: with k ≤ 1000 ranks, encoding each
+    * ln as an integer count of MILLI-nats (round(ln·1000) — one
+    * correctly-rounded IEEE multiply of the same libm output both
+    * engines would round, then one half-up-to-integer both engines
+    * share) makes every moment (Σx, Σy, Σxy, Σx²) an exact BIGINT
+    * whose worst case stays far below 2^53 — so the two double casts
+    * before the ONE slope division are value-exact in both engines
+    * and the division is a single IEEE op. No decimals anywhere: two
+    * earlier decimal formulations of this operator died on (a) the
+    * int128-decimal→double ulp divergence past 2^53 and (b) midpoint
+    * disagreement in cross-engine decimal rescaling — integer
+    * milli-units dodge both by construction. The 3-dp ln quantization
+    * biases the slope by ~1e-4 — irrelevant for a corpus-health
+    * diagnostic. ANSI mode makes any overflow loud, not silent.
+    *
+    * Plan shape: token-frequency aggregate per (lang, token), the
+    * per-lang rank window REWRITTEN by Spark into WindowGroupLimit
+    * (each partition ships ≤ topR rows — the corpus never sorts, and
+    * neither does the full vocab), one per-lang moment aggregate.
+    * Langs with fewer than 2 ranked tokens are excluded (a 1-point
+    * fit has denominator 0, and 0/0 is engine-dependent).
+    */
+  def zipfSlope(documents: DataFrame, minCount: Long = 2,
+      topR: Int = 1000): DataFrame = {
+    require(topR <= 1000,
+      s"topR=$topR > 1000 breaks the exact-BIGINT-below-2^53 bound " +
+        "that makes the slope cross-engine deterministic")
+    val freq = documents
+      .select(col("lang"), explode(tokenize(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
+    def milli(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(log(c.cast("double")) * 1000).cast("long")
+    freq.withColumn("r", row_number().over(w))
+      .where(col("r") <= topR)
+      .select(col("lang"), milli(col("r")).as("x"), milli(col("n")).as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .where(col("k") >= 2)
+      .select(col("lang"), col("k"),
+        ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("zipf_slope"))
+  }
+
   /** Per-document token Shannon entropy — the Gopher-style gibberish /
     * templated-text diagnostic complementary to [[repetitionRatio]]
     * (repetition looks at adjacent bigrams; entropy collapses for ANY

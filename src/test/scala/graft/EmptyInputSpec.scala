@@ -79,6 +79,10 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("splitLeakage", graft.operators.Curation.splitLeakage(noDocs))
     assertEmptyOk("oovRate", TextOps.oovRate(noDocs))
     assertEmptyOk("sourceOverlap", Dedup.sourceOverlap(noDocs))
+    assertEmptyOk("bigramLogProb", TextOps.bigramLogProb(noDocs))
+    assertEmptyOk("hashEmbedSparse", TextOps.hashEmbedSparse(noDocs))
+    assertEmptyOk("hashEmbed", TextOps.hashEmbed(noDocs))
+    assertEmptyOk("zipfSlope", TextOps.zipfSlope(noDocs))
   }
 
   test("similarity operators tolerate empty input") {
@@ -96,5 +100,6 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("pqEncode", Similarity.pqEncode(noEmb))
     assertEmptyOk("pqEncodeFlat", Similarity.pqEncodeFlat(noEmb))
     assertEmptyOk("annIvfPq", Similarity.annIvfPq(noEmb))
+    assertEmptyOk("semDeDup", Similarity.semDeDup(noEmb))
   }
 }

@@ -215,6 +215,33 @@ class PlanAuditSpec extends SparkSuite {
       s"rnk <= k must rewrite to WindowGroupLimit:\n$p")
   }
 
+  test("zipfSlope: top-R rank becomes WindowGroupLimit; no joins anywhere") {
+    val p = plan(graft.operators.TextOps.zipfSlope(
+      Tables(spark, dir, "documents")))
+    assert(p.contains("WindowGroupLimit"),
+      s"r <= topR must rewrite so partitions ship <= topR rows:\n$p")
+    assert(!p.contains("Join"), "the fit is aggregates + one window only")
+    assert(p.contains("partial"), "moment aggregates must combine map-side")
+  }
+
+  test("hashEmbedSparse: two keyed aggregates, no nested-loop anything") {
+    val p = plan(graft.operators.TextOps.hashEmbedSparse(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial"), "count/norm aggregates must combine map-side")
+  }
+
+  test("bigramLogProb: keyed equi-joins only, single-row vocab broadcast") {
+    val p = plan(graft.operators.TextOps.bigramLogProb(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the single-row vocab-count cross join
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"only the 1-row vocab total may cross-join:\n$p")
+    assert(p.contains("partial"))
+  }
+
   test("oovRate: vocab broadcasts back; vocab rank becomes WindowGroupLimit") {
     val p = plan(graft.operators.TextOps.oovRate(
       Tables(spark, dir, "documents")))

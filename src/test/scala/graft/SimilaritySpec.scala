@@ -182,6 +182,38 @@ class SimilaritySpec extends SparkSuite {
       s"degenerate vectors must never surface as neighbors: $nIds")
   }
 
+  test("semDeDup: drop flag matches the in-cluster greedy reference") {
+    val r = Similarity.semDeDup(emb, threshold = 0.4).collect()
+      .map(x => (x.getAs[Long]("vec_id"),
+        (x.getAs[Int]("cell"), x.getAs[Boolean]("is_dropped"))))
+      .toMap
+    val vecs = emb.collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getSeq[Float](1).toArray).toMap
+    assert(r.keySet == vecs.keySet, "every vector must be flagged")
+    def cosR(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // a vector is dropped iff SOME lower-id vector in its cell scores
+    // >= threshold (the operator's cell assignment is the ground truth
+    // here; the reference replays only the dedup decision)
+    var drops = 0
+    for ((b, (cellB, flagged)) <- r) {
+      val expected = r.exists { case (a, (cellA, _)) =>
+        a < b && cellA == cellB && cosR(vecs(a), vecs(b)) >= 0.4
+      }
+      assert(flagged == expected, s"vec $b: got $flagged expected $expected")
+      if (flagged) drops += 1
+    }
+    info(s"semDeDup drops $drops of ${r.size} at threshold 0.4")
+    assert(drops > 0, "gate data must exercise the drop path")
+  }
+
   test("nearDupPairs agrees with cosine threshold and is symmetric-free") {
     val r = Similarity.nearDupPairs(emb, bound = 50, threshold = 0.3).collect()
     assert(r.forall(x => x.getAs[Long]("a_id") < x.getAs[Long]("b_id")))

@@ -254,4 +254,123 @@ class TextOpsSpec extends SparkSuite {
         ((x.getAs[Long]("n_tok"), x.getAs[Long]("n_hits")))).toMap
     assert(r == Map(1L -> ((4L, 1L)), 2L -> ((4L, 4L)), 3L -> ((6L, 1L))))
   }
+
+  test("bigramLogProb: order-sensitive where unigram scoring is blind") {
+    // both docs have identical token MULTISETS -> identical unigram
+    // scores by construction; only doc 0's bigrams match the corpus's
+    // dominant transitions, so the bigram model must separate them
+    val d = Seq(
+      (0L, "a b a b a b"),
+      (1L, "b a b a b a"),
+      (2L, "a b a b a b a b"),
+      (3L, "a b a b")
+    ).toDF("doc_id", "text")
+    val uni = TextOps.unigramLogProb(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("avg_logprob")).toMap
+    assert(math.abs(uni(0L) - uni(1L)) < 1e-12, "unigram cannot separate these")
+    val bi = TextOps.bigramLogProb(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("avg_logprob")).toMap
+    // doc 1 starts b->a and contains one less a->b than doc 0's
+    // pattern; corpus transitions are dominated by a->b so doc 0
+    // must score at least as high, strictly higher than random order
+    assert(bi(0L) > bi(1L), s"bigram model must see order: $bi")
+  }
+
+  test("bigramLogProb matches an in-memory add-one bigram LM") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val r = TextOps.bigramLogProb(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_bigrams"), x.getAs[Double]("avg_logprob")))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1))
+    val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+    val vocabSet = scala.collection.mutable.Set.empty[String]
+    for ((_, t) <- texts) {
+      val ts = t.split(" ", -1)
+      ts.filter(_.nonEmpty).foreach(vocabSet += _)
+      for (w <- ts.sliding(2) if w.length == 2)
+        pair((w(0), w(1))) = pair.getOrElse((w(0), w(1)), 0L) + 1
+    }
+    val first = pair.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = vocabSet.size
+    for ((id, t) <- texts) {
+      val ts = t.split(" ", -1)
+      if (ts.length >= 2) {
+        val bgs = ts.sliding(2).filter(_.length == 2).toSeq
+        val exp = bgs.map { w =>
+          BigDecimal(math.log((pair((w(0), w(1))) + 1).toDouble /
+            (first(w(0)) + v).toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.sum / bgs.size
+        val (n, got) = r(id)
+        assert(n == bgs.size)
+        assert(math.abs(got - exp) < 1e-9, s"doc $id: $got vs $exp")
+      } else assert(!r.contains(id))
+    }
+  }
+
+  test("hashEmbed: dense form equals sparse form and is unit-norm") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sparse = TextOps.hashEmbedSparse(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rows) =>
+        id -> rows.map(r =>
+          r.getAs[Long]("bucket") -> r.getAs[Double]("weight")).toMap
+      }
+    val dense = TextOps.hashEmbed(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    assert(dense.keySet == sparse.keySet)
+    for ((id, vec) <- dense) {
+      assert(vec.length == 64)
+      val norm2 = vec.map(x => x.toDouble * x).sum
+      assert(math.abs(norm2 - 1.0) < 1e-3, s"doc $id norm2 $norm2")
+      for ((b, w) <- sparse(id))
+        assert(math.abs(vec(b.toInt) - w) < 1e-6)
+      // zero everywhere the sparse form has no entry
+      for (i <- 0 until 64 if !sparse(id).contains(i.toLong))
+        assert(vec(i) == 0f)
+    }
+  }
+
+  test("hashEmbed output drives the ANN family end-to-end") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val vecs = TextOps.hashEmbed(docs)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val nn = graft.operators.Similarity.annTopK(vecs, nQueries = 3, k = 5)
+      .collect()
+    assert(nn.nonEmpty, "hash embeddings must be consumable by annTopK")
+    assert(nn.forall(r => !r.getAs[Double]("cos_sim").isNaN))
+  }
+
+  test("zipfSlope matches an in-memory least-squares fit and is negative") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val r = TextOps.zipfSlope(docs).collect()
+      .map(x => x.getAs[String]("lang") ->
+        ((x.getAs[Long]("k"), x.getAs[Double]("zipf_slope")))).toMap
+    val byLang = docs.select("lang", "text").collect()
+      .groupBy(_.getString(0)).map { case (l, rows) =>
+        l -> rows.flatMap(_.getString(1).split(" ", -1)).filter(_.nonEmpty)
+      }
+    for ((lang, toks) <- byLang) {
+      val freq = toks.groupBy(identity).map { case (t, xs) => t -> xs.length }
+        .filter(_._2 >= 2).toSeq
+        .sortBy { case (t, n) => (-n, t) }.take(1000)
+      if (freq.length >= 2) {
+        val xy = freq.zipWithIndex.map { case ((_, n), i) =>
+          (math.round(math.log(i + 1.0) * 1000),
+            math.round(math.log(n.toDouble) * 1000))
+        }
+        val k = xy.length.toLong
+        val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+        val sxy = xy.map(p => p._1 * p._2).sum
+        val sxx = xy.map(p => p._1 * p._1).sum
+        val exp = (k * sxy - sx * sy).toDouble / (k * sxx - sx * sx).toDouble
+        val (gotK, gotS) = r(lang)
+        assert(gotK == k, s"$lang: k $gotK vs $k")
+        assert(math.abs(gotS - exp) < 1e-12, s"$lang: $gotS vs $exp")
+        assert(gotS < 0, s"$lang: token frequencies must decay with rank")
+      } else assert(!r.contains(lang))
+    }
+  }
 }
