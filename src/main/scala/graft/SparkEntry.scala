@@ -147,7 +147,8 @@ object SparkEntry {
     // DOWN from the 0.9 production default because the synthetic
     // corpus tops out near cos 0.55 (the nearDupPairsLsh precedent)
     "q_semdedup" -> ((s, d) =>
-      Similarity.semDeDup(t(s, d, "embeddings"), threshold = 0.4))
+      Similarity.semDeDup(t(s, d, "embeddings"), threshold = 0.4)),
+    "q_dsir_score" -> ((s, d) => Curation.dsirScore(t(s, d, "documents")))
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -983,6 +984,41 @@ object SparkEntry {
         |SELECT lang, k,
         |  CAST(k * sxy - sx * sy AS DOUBLE) /
         |  CAST(k * sxx - sx * sx AS DOUBLE) AS zipf_slope
-        |FROM moments WHERE k >= 2""".stripMargin
+        |FROM moments WHERE k >= 2""".stripMargin,
+    "q_dsir_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |uni AS (
+        |  SELECT doc_id, f FROM (SELECT doc_id, unnest(ts) AS f FROM toks)
+        |  WHERE f <> ''
+        |), bi AS (
+        |  SELECT doc_id, ts[i + 1] || ' ' || ts[i + 2] AS f
+        |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 2)
+        |), tf AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS b,
+        |    COUNT(*) AS tf
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |  GROUP BY 1, 2
+        |), byb AS (
+        |  SELECT b,
+        |    CAST(SUM(tf) FILTER (WHERE doc_id % 10 = 7) AS BIGINT) AS ct,
+        |    CAST(SUM(tf) FILTER (WHERE doc_id % 10 <> 7) AS BIGINT) AS cr
+        |  FROM tf GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(tf) FILTER (WHERE doc_id % 10 = 7) AS BIGINT) AS nt,
+        |    CAST(SUM(tf) FILTER (WHERE doc_id % 10 <> 7) AS BIGINT) AS nr
+        |  FROM tf
+        |), ratio AS (
+        |  SELECT b, CAST(ROUND(ln(
+        |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE)) /
+        |      (CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE))), 6)
+        |    AS DECIMAL(12,6)) AS lr
+        |  FROM byb CROSS JOIN tot
+        |)
+        |SELECT doc_id, doc_id % 10 = 7 AS is_target,
+        |  CAST(SUM(tf) AS BIGINT) AS n_feat,
+        |  CAST(SUM(CAST(tf AS DECIMAL(10,0)) * lr) AS DOUBLE) AS log_weight
+        |FROM tf JOIN ratio USING (b)
+        |GROUP BY doc_id""".stripMargin
   )
 }

@@ -308,4 +308,71 @@ object Curation {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
   }
+
+  /** DSIR importance scoring (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169 — the published
+    * recipe for "select raw data that LOOKS LIKE the target domain"):
+    * every document gets log w(doc) = Σ_features tf·ln(p̂_target(f) /
+    * p̂_raw(f)) over HASHED unigram+bigram features — the paper's
+    * hashed n-gram bag, here md5-bucketed into `buckets` bins via the
+    * engine-portable [[graft.functions.TextFunctions.hashBucket]].
+    * Docs with `doc_id % targetEvery == targetRem` stand in for the
+    * target domain (the [[decontaminate]] benchmark-stand-in
+    * convention); both feature distributions are add-one smoothed
+    * over the bucket space. Downstream resamples raw docs with
+    * probability ∝ exp(log_weight) — high scores mean "distributed
+    * like the target". Returns (doc_id, is_target, n_feat,
+    * log_weight) for every doc with ≥1 feature.
+    *
+    * Determinism (the [[TextOps.unigramLogProb]] pattern): each
+    * bucket's ln ratio is one double expression with pinned
+    * association order, rounded to 6 dp, summed as DECIMAL × tf;
+    * log_weight is the exact decimal sum cast to double (unscaled
+    * ≪ 2^53 — exact in both engines). No final round (§5b).
+    *
+    * Scale shape: ONE corpus explode into the per-(doc, bucket) tf
+    * aggregate; the target/raw bucket histograms and their totals
+    * derive from THAT aggregate-sized frame (bounded by `buckets`,
+    * not the corpus — no second corpus pass), and the scoring join
+    * keys on the bucket id against a frame of ≤ `buckets` rows, which
+    * stats will broadcast at any corpus size. Shuffle O(docs ×
+    * distinct-buckets-per-doc), all small frames bounded by
+    * construction.
+    */
+  def dsirScore(documents: DataFrame, buckets: Int = 1024,
+      targetEvery: Int = 10, targetRem: Int = 7): DataFrame = {
+    val toks = tokenize(col("text"))
+    val uni = documents.select(col("doc_id"), explode(toks).as("f"))
+      .where(col("f") =!= "")
+    val bi = documents.where(size(toks) >= 2)
+      .select(col("doc_id"), explode(shingleStructs(toks, 2)).as("z"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingleFromStruct(col("z"), 2).as("f"))
+    val isTarget = col("doc_id") % targetEvery === targetRem
+    val tf = uni.unionByName(bi)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.hashBucket(col("f"), buckets).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    val bcnt = tf.select(col("b"), isTarget.as("t"), col("tf"))
+      .groupBy("b", "t").agg(sum(col("tf")).as("c"))
+    val byB = bcnt.groupBy("b").agg(
+      sum(when(col("t"), col("c")).otherwise(0L)).as("ct"),
+      sum(when(!col("t"), col("c")).otherwise(0L)).as("cr"))
+    val tot = bcnt.agg(
+      sum(when(col("t"), col("c")).otherwise(0L)).as("nt"),
+      sum(when(!col("t"), col("c")).otherwise(0L)).as("nr"))
+    val lr = round(log(
+      ((col("ct") + 1).cast("double") /
+        (col("nt") + buckets).cast("double")) /
+        ((col("cr") + 1).cast("double") /
+          (col("nr") + buckets).cast("double"))), 6)
+      .cast("decimal(12,6)")
+    val ratio = byB.crossJoin(broadcast(tot)).select(col("b"), lr.as("lr"))
+    tf.join(ratio, "b")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_feat"),
+        sum(col("tf").cast("decimal(10,0)") * col("lr")).as("sum_lw"))
+      .select(col("doc_id"), isTarget.as("is_target"), col("n_feat"),
+        col("sum_lw").cast("double").as("log_weight"))
+  }
 }

@@ -272,4 +272,64 @@ class CurationSpec extends SparkSuite {
     val expected = pairs.filter { case (a, b) => splits(a) != splits(b) }.toSet
     assert(r.keySet == expected)
   }
+
+  test("dsirScore: target-like docs outscore off-distribution docs") {
+    import spark.implicits._
+    // target docs (doc_id % 10 == 7) all speak "alpha beta"; raw docs
+    // 100/101 split into one alpha-beta clone and one off-distribution
+    // doc — the clone must carry the higher importance weight
+    val d = (Seq(7L, 17L, 27L, 37L).map(_ -> "alpha beta alpha beta alpha") ++
+      Seq(100L -> "alpha beta alpha beta gamma",
+        101L -> "delta epsilon zeta delta epsilon")).toDF("doc_id", "text")
+    val r = Curation.dsirScore(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Boolean]("is_target"), x.getAs[Double]("log_weight")))).toMap
+    assert(r.keySet == Set(7L, 17L, 27L, 37L, 100L, 101L))
+    assert(r(7L)._1 && !r(100L)._1 && !r(101L)._1)
+    assert(r(100L)._2 > r(101L)._2,
+      s"target-like doc must outscore off-distribution: $r")
+    assert(r(101L)._2 < 0, "off-distribution doc must score negative")
+  }
+
+  test("dsirScore matches an in-memory hashed-feature reference") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val r = Curation.dsirScore(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_feat"), x.getAs[Double]("log_weight")))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1))
+    def bucket(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(f.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1024
+    }
+    def feats(t: String): Seq[Long] = {
+      val ts = t.split(" ", -1)
+      val u = ts.filter(_.nonEmpty).toSeq
+      val b = if (ts.length >= 2)
+        ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      else Seq.empty
+      (u ++ b).map(bucket)
+    }
+    val tfAll = texts.map { case (id, t) => id -> feats(t) }
+    val ct = scala.collection.mutable.Map.empty[Long, Long]
+    val cr = scala.collection.mutable.Map.empty[Long, Long]
+    for ((id, fs) <- tfAll; f <- fs)
+      if (id % 10 == 7) ct(f) = ct.getOrElse(f, 0L) + 1
+      else cr(f) = cr.getOrElse(f, 0L) + 1
+    val nt = ct.values.sum; val nr = cr.values.sum
+    for ((id, fs) <- tfAll if fs.nonEmpty) {
+      val exp = fs.groupBy(identity).map { case (b, xs) =>
+        val lr = BigDecimal(math.log(
+          ((ct.getOrElse(b, 0L) + 1).toDouble / (nt + 1024)) /
+            ((cr.getOrElse(b, 0L) + 1).toDouble / (nr + 1024))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        lr * xs.length
+      }.sum.toDouble
+      val (nF, got) = r(id)
+      assert(nF == fs.length, s"doc $id n_feat")
+      assert(math.abs(got - exp) < 1e-9, s"doc $id: $got vs $exp")
+    }
+  }
 }

@@ -80,6 +80,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("oovRate", TextOps.oovRate(noDocs))
     assertEmptyOk("sourceOverlap", Dedup.sourceOverlap(noDocs))
     assertEmptyOk("bigramLogProb", TextOps.bigramLogProb(noDocs))
+    assertEmptyOk("dsirScore", graft.operators.Curation.dsirScore(noDocs))
     assertEmptyOk("hashEmbedSparse", TextOps.hashEmbedSparse(noDocs))
     assertEmptyOk("hashEmbed", TextOps.hashEmbed(noDocs))
     assertEmptyOk("zipfSlope", TextOps.zipfSlope(noDocs))
