@@ -928,7 +928,9 @@ object SparkEntry {
       """WITH bg AS (
         |  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
         |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |              FROM documents)
         |        WHERE len(toks) >= 2)
         |), tf AS (
         |  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
@@ -986,8 +988,10 @@ object SparkEntry {
         |  CAST(k * sxx - sx * sx AS DOUBLE) AS zipf_slope
         |FROM moments WHERE k >= 2""".stripMargin,
     "q_dsir_score" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |uni AS (
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents
+        |), uni AS (
         |  SELECT doc_id, f FROM (SELECT doc_id, unnest(ts) AS f FROM toks)
         |  WHERE f <> ''
         |), bi AS (
@@ -1005,8 +1009,8 @@ object SparkEntry {
         |    CAST(SUM(tf) FILTER (WHERE doc_id % 10 <> 7) AS BIGINT) AS cr
         |  FROM tf GROUP BY 1
         |), tot AS (
-        |  SELECT CAST(SUM(tf) FILTER (WHERE doc_id % 10 = 7) AS BIGINT) AS nt,
-        |    CAST(SUM(tf) FILTER (WHERE doc_id % 10 <> 7) AS BIGINT) AS nr
+        |  SELECT CAST(COALESCE(SUM(tf) FILTER (WHERE doc_id % 10 = 7), 0) AS BIGINT) AS nt,
+        |    CAST(COALESCE(SUM(tf) FILTER (WHERE doc_id % 10 <> 7), 0) AS BIGINT) AS nr
         |  FROM tf
         |), ratio AS (
         |  SELECT b, CAST(ROUND(ln(

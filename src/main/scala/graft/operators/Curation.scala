@@ -330,18 +330,24 @@ object Curation {
     * log_weight is the exact decimal sum cast to double (unscaled
     * ≪ 2^53 — exact in both engines). No final round (§5b).
     *
-    * Scale shape: ONE corpus explode into the per-(doc, bucket) tf
-    * aggregate; the target/raw bucket histograms and their totals
-    * derive from THAT aggregate-sized frame (bounded by `buckets`,
-    * not the corpus — no second corpus pass), and the scoring join
-    * keys on the bucket id against a frame of ≤ `buckets` rows, which
-    * stats will broadcast at any corpus size. Shuffle O(docs ×
+    * Scale shape: TWO pruned corpus passes — the unigram explode and
+    * the bigram explode are distinct feature types that union into
+    * the per-(doc, bucket) tf aggregate (both scans prune to
+    * (doc_id, text); a single-pass form would need the interpreted
+    * `transform` lambda on the shingle hot path, the measured-10×
+    * regression §5b records). The target/raw bucket histograms and
+    * their totals derive from THAT aggregate-sized frame (bounded by
+    * `buckets`, not the corpus — no third pass), and the scoring
+    * join keys on the bucket id against a frame of ≤ `buckets` rows,
+    * which stats will broadcast at any corpus size. Shuffle O(docs ×
     * distinct-buckets-per-doc), all small frames bounded by
-    * construction.
+    * construction. Features come from the EMPTY-FILTERED token
+    * stream ([[TextOps.bigramLogProb]]'s hygiene rule — whitespace
+    * runs must not mint phantom features).
     */
   def dsirScore(documents: DataFrame, buckets: Int = 1024,
       targetEvery: Int = 10, targetRem: Int = 7): DataFrame = {
-    val toks = tokenize(col("text"))
+    val toks = filter(tokenize(col("text")), t => t =!= "")
     val uni = documents.select(col("doc_id"), explode(toks).as("f"))
       .where(col("f") =!= "")
     val bi = documents.where(size(toks) >= 2)

@@ -495,12 +495,19 @@ object Similarity {
     * pairwise work the paper accepts because k bounds cluster size —
     * at a billion vectors you pick k so clusters hold ~10⁴-10⁵ items,
     * making within-cluster pairs tractable where corpus-wide pairs
-    * are not), and each duplicate pair keeps one side. Returns every
-    * vector as (vec_id, cell, is_dropped): a vector is dropped iff
-    * SOME lower-id vector in its cluster has cosine ≥ `threshold` —
-    * the deterministic greedy keep-lowest-id rule (the paper's
-    * keep-farthest-from-centroid variant is a different tie-break on
-    * the identical plan).
+    * are not). Returns every vector as (vec_id, cell, is_dropped):
+    * a vector is dropped iff SOME lower-id vector in its cluster has
+    * cosine ≥ `threshold` — dominated-by-ANY-earlier, the rule the
+    * released SemDeDup implementation applies (it thresholds against
+    * every EARLIER example in its ordering, kept or already dropped).
+    * Consequence, stated plainly: near-dup CHAINS over-drop — with
+    * A~B and B~C but A≁C, both B and C drop even though C's only
+    * near-dup was itself removed. That is the published trade-off
+    * (transitive keep-one-per-component is a different operator —
+    * [[graft.operators.Dedup.dedupGroups]] provides it for the
+    * text path); id order stands in for the paper's
+    * distance-to-centroid ordering — a different ORDER on the same
+    * plan, not a different plan.
     *
     * Default threshold is the production near-dup regime (0.9+, where
     * semantic duplicates actually live); the gate query opts DOWN

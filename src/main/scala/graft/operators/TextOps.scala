@@ -232,7 +232,12 @@ object TextOps {
     * keys.
     */
   def bigramLogProb(documents: DataFrame): DataFrame = {
-    val toks = tokenize(col("text"))
+    // bigrams come from the EMPTY-FILTERED token stream so P(w2|w1)
+    // is a distribution over the same vocabulary V it smooths with —
+    // a doc with doubled/trailing spaces must not score phantom ""
+    // transitions (the one per-doc `filter` lambda is off the hot
+    // path; the exploded shingle work stays codegen'd)
+    val toks = filter(tokenize(col("text")), t => t =!= "")
     val bg = documents
       .where(size(toks) >= 2)
       .select(col("doc_id"), explode(shingleStructs(toks, 2)).as("z"))

@@ -305,8 +305,8 @@ class CurationSpec extends SparkSuite {
       java.lang.Long.parseLong(hex, 16) % 1024
     }
     def feats(t: String): Seq[Long] = {
-      val ts = t.split(" ", -1)
-      val u = ts.filter(_.nonEmpty).toSeq
+      val ts = t.split(" ", -1).filter(_.nonEmpty)
+      val u = ts.toSeq
       val b = if (ts.length >= 2)
         ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
       else Seq.empty

@@ -276,6 +276,17 @@ class TextOpsSpec extends SparkSuite {
     assert(bi(0L) > bi(1L), s"bigram model must see order: $bi")
   }
 
+  test("bigramLogProb: whitespace runs do not mint phantom transitions") {
+    val d = Seq(
+      (0L, "a b a b"),
+      (1L, "a  b a b") // doubled space: same word sequence, same score
+    ).toDF("doc_id", "text")
+    val r = TextOps.bigramLogProb(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_bigrams"), x.getAs[Double]("avg_logprob")))).toMap
+    assert(r(0L) == r(1L), s"'' tokens leaked into the bigram model: $r")
+  }
+
   test("bigramLogProb matches an in-memory add-one bigram LM") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val r = TextOps.bigramLogProb(docs).collect()
@@ -286,15 +297,15 @@ class TextOpsSpec extends SparkSuite {
     val pair = scala.collection.mutable.Map.empty[(String, String), Long]
     val vocabSet = scala.collection.mutable.Set.empty[String]
     for ((_, t) <- texts) {
-      val ts = t.split(" ", -1)
-      ts.filter(_.nonEmpty).foreach(vocabSet += _)
+      val ts = t.split(" ", -1).filter(_.nonEmpty)
+      ts.foreach(vocabSet += _)
       for (w <- ts.sliding(2) if w.length == 2)
         pair((w(0), w(1))) = pair.getOrElse((w(0), w(1)), 0L) + 1
     }
     val first = pair.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
     val v = vocabSet.size
     for ((id, t) <- texts) {
-      val ts = t.split(" ", -1)
+      val ts = t.split(" ", -1).filter(_.nonEmpty)
       if (ts.length >= 2) {
         val bgs = ts.sliding(2).filter(_.length == 2).toSeq
         val exp = bgs.map { w =>
