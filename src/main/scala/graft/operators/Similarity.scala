@@ -364,7 +364,11 @@ object Similarity {
     */
   private def unitLit(components: IndexedSeq[Float]): Column = {
     val norm = math.sqrt(components.map(x => x.toDouble * x).sum)
-    array(components.map(x => lit((x / norm).toFloat)): _*)
+    // ONE Literal node per vector (typedLit), not dim CreateArray
+    // children: with hundreds of embedded vectors (512 PQ codewords at
+    // the defaults) the per-element form costs thousands of Catalyst
+    // nodes, and plan analysis dominated annIvfPq's wall clock
+    typedLit(components.map(x => (x / norm).toFloat).toSeq)
   }
 
   /** Cell assignment against a given centroid set: argmax-dot over the
@@ -551,7 +555,7 @@ object Similarity {
     val scored = book.zipWithIndex.map { case (cw, j) =>
       val halfNorm2 = cw.map(x => x.toDouble * x).sum / 2.0
       struct(
-        (call_function("dot_f32", subvec, array(cw.map(lit(_)): _*)) -
+        (call_function("dot_f32", subvec, typedLit(cw.toSeq)) -
           lit(halfNorm2)).as("d"),
         lit(j).as("c"))
     }
@@ -741,7 +745,7 @@ object Similarity {
     val lut = array((0 until m).map(s =>
       array((0 until kCodes).map(j =>
         call_function("dot_f32", slice(col("embedding"), s * ds + 1, ds),
-          array(books(s)(j).map(lit(_)): _*))): _*)): _*)
+          typedLit(books(s)(j).toSeq))): _*)): _*)
     val q = cellsFor(e.where(col("vec_id") < nQueries), centroids, nProbe)
       .select(col("vec_id").as("q_id"), col("cell").as("q_cell"), lut.as("lut"))
     // ADC dot(q, x̂) …
@@ -756,7 +760,7 @@ object Similarity {
     // build — still zero kernel calls per candidate. The query's own
     // norm scales every candidate equally and is dropped.
     val norm2Lit = (0 until m).map(s =>
-      array(books(s).map(cw => lit(cw.map(x => x.toDouble * x).sum)): _*))
+      typedLit(books(s).map(cw => cw.map(x => x.toDouble * x).sum).toSeq))
     val reconNorm2 = (0 until m).map(s =>
       element_at(norm2Lit(s), element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
