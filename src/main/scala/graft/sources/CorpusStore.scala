@@ -53,4 +53,35 @@ object CorpusStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** [[write]] plus a `_manifest` directory beside the data: one row
+    * per partition value with doc and token counts — the hand-off
+    * contract a training job reads to size epochs/mixtures WITHOUT
+    * scanning the corpus it just received (the counts are an
+    * aggregate-sized frame computed in the same job that wrote the
+    * data, so they cannot drift from it). The manifest is parquet
+    * (one coalesced file — it is tiny by construction) with columns
+    * (partition cols..., n_docs, n_tokens); [[readManifest]] loads it
+    * back. Token counts use the shared whitespace tokenizer on
+    * `textCol` so they match `TextOps.tokenCount`'s semantics.
+    */
+  def writeWithManifest(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Seq("lang", "split"),
+      salt: Int = 1, textCol: String = "text"): Unit = {
+    import org.apache.spark.sql.functions.{count, size, sum}
+    write(df, path, partitionCols, salt)
+    df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextFunctions.tokenize(col(textCol))))
+          .as("n_tokens"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  /** The manifest written by [[writeWithManifest]]. Parquet reads
+    * skip underscore-prefixed directories, so the data [[read]] never
+    * sees it and this accessor targets it directly.
+    */
+  def readManifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_manifest")
 }

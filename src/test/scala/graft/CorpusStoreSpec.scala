@@ -76,4 +76,30 @@ class CorpusStoreSpec extends SparkSuite {
     // and the data still round-trips
     assert(CorpusStore.read(spark, dir).count() == docs.count())
   }
+
+  test("writeWithManifest: counts match the data; data reads skip it") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val dir = Files.createTempDirectory("graft-corpus4").toString
+    val split = CorpusStore.withSplit(docs)
+    CorpusStore.writeWithManifest(split, dir)
+    // data read is unchanged by the underscore-prefixed manifest dir
+    val back = CorpusStore.read(spark, dir)
+    assert(back.count() == docs.count())
+    val manifest = CorpusStore.readManifest(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("split")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    val expected = split
+      .select(col("lang"), col("split"),
+        asize(graft.functions.TextFunctions.tokenize(col("text")))
+          .cast("long").as("n"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rows) => k -> ((rows.length.toLong, rows.map(_.getAs[Long]("n")).sum)) }
+    assert(manifest == expected,
+      s"manifest must equal the written data's counts")
+    // one coalesced manifest file
+    val mFiles = new java.io.File(s"$dir/_manifest")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(mFiles == 1, s"manifest must be one file, got $mFiles")
+  }
 }
