@@ -148,7 +148,8 @@ object SparkEntry {
     // corpus tops out near cos 0.55 (the nearDupPairsLsh precedent)
     "q_semdedup" -> ((s, d) =>
       Similarity.semDeDup(t(s, d, "embeddings"), threshold = 0.4)),
-    "q_dsir_score" -> ((s, d) => Curation.dsirScore(t(s, d, "documents")))
+    "q_dsir_score" -> ((s, d) => Curation.dsirScore(t(s, d, "documents"))),
+    "q_source_report" -> ((s, d) => TextOps.sourceReport(t(s, d, "documents")))
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -1023,6 +1024,23 @@ object SparkEntry {
         |  CAST(SUM(tf) AS BIGINT) AS n_feat,
         |  CAST(SUM(CAST(tf AS DECIMAL(10,0)) * lr) AS DOUBLE) AS log_weight
         |FROM tf JOIN ratio USING (b)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+    "q_source_report" ->
+      """WITH d AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        |  FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tok,
+        |    COUNT(*) AS n_words
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_doc_tokens,
+        |  CAST(n_distinct_tok AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+        |  CAST(1 AS DOUBLE) - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+        |FROM d JOIN t USING (source)""".stripMargin
   )
 }

@@ -59,6 +59,44 @@ object TextOps {
           .as("stopword_ratio"))
   }
 
+  /** Per-source corpus scorecard — the table a curation pass reads
+    * before deciding what to keep (the per-SOURCE duplication +
+    * lexical-diversity view; [[textQuality]] is the same stratum's
+    * punctuation/stopword view): doc and token mass, mean doc length,
+    * type-token ratio (distinct words / words — collapses on
+    * templated or machine-generated sources), and the exact-duplicate
+    * rate (1 − distinct md5 / docs — how much of the source is
+    * verbatim copies). Every ratio is ONE IEEE division of exact
+    * integer counts (§5b: no decimal structure, no rounding step
+    * needed, bit-identical in the oracle).
+    *
+    * Plan shape: one doc-level aggregate and one exploded token
+    * aggregate (both map-side partial, both output O(sources) rows),
+    * joined on the source key. Two pruned corpus passes; both scans
+    * read only (source, text).
+    */
+  def sourceReport(documents: DataFrame): DataFrame = {
+    val toks = tokenize(col("text"))
+    val docAgg = documents.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks)).cast("long").as("n_tokens"),
+      countDistinct(md5(col("text"))).as("n_unique"))
+    val tokAgg = documents
+      .select(col("source"), explode(toks).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("source").agg(
+        countDistinct(col("tok")).as("n_distinct_tok"),
+        count(lit(1)).as("n_words"))
+    docAgg.join(tokAgg, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("avg_doc_tokens"),
+        (col("n_distinct_tok").cast("double") / col("n_words").cast("double"))
+          .as("ttr"),
+        (lit(1.0) - col("n_unique").cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"))
+  }
+
   /** Token counting per language tag: whitespace tokens and BPE-ish
     * regex tokens (letter runs / digit runs / single symbols).
     */

@@ -81,6 +81,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("sourceOverlap", Dedup.sourceOverlap(noDocs))
     assertEmptyOk("bigramLogProb", TextOps.bigramLogProb(noDocs))
     assertEmptyOk("dsirScore", graft.operators.Curation.dsirScore(noDocs))
+    assertEmptyOk("sourceReport", TextOps.sourceReport(noDocs))
     assertEmptyOk("hashEmbedSparse", TextOps.hashEmbedSparse(noDocs))
     assertEmptyOk("hashEmbed", TextOps.hashEmbed(noDocs))
     assertEmptyOk("zipfSlope", TextOps.zipfSlope(noDocs))

@@ -354,6 +354,27 @@ class TextOpsSpec extends SparkSuite {
     assert(nn.forall(r => !r.getAs[Double]("cos_sim").isNaN))
   }
 
+  test("sourceReport: duplication and diversity per source, exact ratios") {
+    val d = Seq(
+      (0L, "a b c d", "s0"),
+      (1L, "a b c d", "s0"), // exact dup of 0
+      (2L, "a b e f", "s0"),
+      (3L, "x x x x x", "s1") // templated: ttr collapses
+    ).toDF("doc_id", "text", "source")
+    val r = TextOps.sourceReport(d).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"),
+          x.getAs[Double]("ttr"), x.getAs[Double]("dup_rate")))).toMap
+    val (n0, t0, ttr0, dup0) = r("s0")
+    assert(n0 == 3 && t0 == 12)
+    assert(math.abs(ttr0 - 6.0 / 12.0) < 1e-12) // a b c d e f over 12
+    assert(math.abs(dup0 - (1.0 - 2.0 / 3.0)) < 1e-12) // 2 unique of 3
+    val (n1, t1, ttr1, dup1) = r("s1")
+    assert(n1 == 1 && t1 == 5)
+    assert(math.abs(ttr1 - 1.0 / 5.0) < 1e-12)
+    assert(dup1 == 0.0)
+  }
+
   test("zipfSlope matches an in-memory least-squares fit and is negative") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val r = TextOps.zipfSlope(docs).collect()
