@@ -242,6 +242,24 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial"))
   }
 
+  test("dsirScore: bucket-keyed equi-joins only; aggregates combine map-side") {
+    val p = plan(graft.operators.Curation.dsirScore(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the single-row totals cross join
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"only the 1-row totals frame may cross-join:\n$p")
+    assert(p.contains("partial"))
+  }
+
+  test("sourceReport: two keyed aggregates joined on source, no cartesian") {
+    val p = plan(graft.operators.TextOps.sourceReport(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial"), "mass aggregates must combine map-side")
+  }
+
   test("oovRate: vocab broadcasts back; vocab rank becomes WindowGroupLimit") {
     val p = plan(graft.operators.TextOps.oovRate(
       Tables(spark, dir, "documents")))
