@@ -48,7 +48,7 @@ object Bench {
     // regression shows up round-over-round, not only on demand
     val micro =
       if (sys.env.get("SPARK_GRAFT_MICRO").contains("0")) Seq.empty
-      else try MicroBench.kernels(spark, MicroBench.rowsFromEnv)
+      else try MicroBench.kernels(spark, MicroBench.rowsFor(spark))
       catch { case e: Throwable =>
         // a transient micro-kernel failure must not destroy the query
         // timings already measured — emit without ratios

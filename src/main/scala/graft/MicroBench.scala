@@ -23,19 +23,22 @@ object MicroBench {
   final case class KernelTime(kernel: String, variant: String, rows: Long,
       sec: Double)
 
-  /** Row count for the kernel passes (`SPARK_GRAFT_MICRO_ROWS`) — ONE
-    * accessor shared with [[Bench]]'s folded-in run. Two call sites
-    * once carried separate fallback constants (1M vs 2M), which made
-    * the standalone tool's absolute timings silently incomparable with
-    * the per-round artifact's for the same kernel.
+  /** Row count for the kernel passes — ONE accessor shared with
+    * [[Bench]]'s folded-in run (two call sites once carried separate
+    * fallback constants, making their timings silently incomparable).
+    * An explicit `SPARK_GRAFT_MICRO_ROWS` is used verbatim; the
+    * default SCALES WITH SESSION PARALLELISM (1M rows per 8 threads)
+    * so per-thread work stays constant — at 32 threads the flat 1M
+    * default was overhead-dominated and the shingle kernel's real
+    * 8× win measured as ~1.1× (a phantom regression in the artifact).
     */
-  def rowsFromEnv: Long =
-    sys.env.getOrElse("SPARK_GRAFT_MICRO_ROWS", "1000000").toLong
+  def rowsFor(spark: SparkSession): Long =
+    sys.env.get("SPARK_GRAFT_MICRO_ROWS").map(_.toLong).getOrElse(
+      1000000L * math.max(1, spark.sparkContext.defaultParallelism / 8))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val rows = rowsFromEnv
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,7 +46,7 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    kernels(spark, rows).foreach { k =>
+    kernels(spark, rowsFor(spark)).foreach { k =>
       println(s"""{"kernel":"${k.kernel}","variant":"${k.variant}","rows":${k.rows},"sec":${k.sec}}""")
     }
     spark.stop()
