@@ -149,7 +149,8 @@ object SparkEntry {
     "q_semdedup" -> ((s, d) =>
       Similarity.semDeDup(t(s, d, "embeddings"), threshold = 0.4)),
     "q_dsir_score" -> ((s, d) => Curation.dsirScore(t(s, d, "documents"))),
-    "q_source_report" -> ((s, d) => TextOps.sourceReport(t(s, d, "documents")))
+    "q_source_report" -> ((s, d) => TextOps.sourceReport(t(s, d, "documents"))),
+    "q_ccnet_bucket" -> ((s, d) => Curation.ccnetBuckets(t(s, d, "documents")))
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -1041,6 +1042,32 @@ object SparkEntry {
         |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_doc_tokens,
         |  CAST(n_distinct_tok AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
         |  CAST(1 AS DOUBLE) - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
-        |FROM d JOIN t USING (source)""".stripMargin
+        |FROM d JOIN t USING (source)""".stripMargin,
+    "q_ccnet_bucket" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2
+        |), freq AS (
+        |  SELECT tok, CAST(SUM(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1
+        |), total AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM freq),
+        |scores AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(tf AS DECIMAL(10,0)) *
+        |        CAST(ROUND(ln(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS DECIMAL(12,6)))
+        |      AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS score
+        |  FROM tf JOIN freq USING (tok) CROSS JOIN total
+        |  GROUP BY doc_id
+        |), ranked AS (
+        |  SELECT s.doc_id, d.lang, s.score,
+        |    row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM scores s JOIN documents d USING (doc_id)
+        |)
+        |SELECT doc_id, lang, score,
+        |  CASE WHEN rn * 3 <= n THEN 'head'
+        |       WHEN rn * 3 <= 2 * n THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ranked""".stripMargin
   )
 }

@@ -309,6 +309,49 @@ object Curation {
       .where(col("rnk") <= k)
   }
 
+  /** CCNet-style perplexity bucketing: every scored document lands in
+    * the `head`, `middle`, or `tail` THIRD of its language by LM
+    * quality score (CCNet trains on head/middle and drops tail; the
+    * score here is [[TextOps.unigramLogProb]]'s corpus-LM proxy —
+    * higher = more fluent = head). The ORACLE semantics are the naive
+    * per-lang global rank (row_number over score desc); the Spark
+    * plan reproduces that rank EXACTLY without ever sorting the
+    * corpus inside a language partition — the [[tokenBudget]]
+    * histogram architecture applied to rank cutoffs:
+    *
+    * score bins of fixed width 0.25 nats (bin = floor(score · 4);
+    * ×4 = ×2² is IEEE-EXACT, so both engines bin identically with no
+    * rounding step) → per-(lang, bin) counts → running totals over
+    * that TINY frame give each bin its global rank offset → the only
+    * corpus-sized window partitions by the HIGH-CARDINALITY
+    * (lang, bin) composite (the xrate-asof lesson: parallelism =
+    * langs × bins, never capped at language count), and global rank =
+    * bin offset + within-bin rank. Thirds via integer arithmetic
+    * (rn·3 ≤ n), no division.
+    */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    val scores = TextOps.unigramLogProb(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("avg_logprob"))
+    val binned = scores
+      .withColumn("bin", floor(col("avg_logprob") * 4).cast("long"))
+    val hist = binned.groupBy("lang", "bin").agg(count(lit(1)).as("c"))
+    val wBins = Window.partitionBy("lang").orderBy(col("bin").desc)
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("c")).over(
+        wBins.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("bin"), col("cum_before"))
+    val tot = hist.groupBy("lang").agg(sum(col("c")).as("n"))
+    val wIn = Window.partitionBy("lang", "bin")
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    binned.join(cum, Seq("lang", "bin")).join(tot, "lang")
+      .withColumn("rn", col("cum_before") + row_number().over(wIn))
+      .select(col("doc_id"), col("lang"), col("avg_logprob").as("score"),
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** DSIR importance scoring (Data Selection via Importance
     * Resampling, Xie et al. 2023, arXiv:2302.03169 — the published
     * recipe for "select raw data that LOOKS LIKE the target domain"):

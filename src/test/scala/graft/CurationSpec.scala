@@ -273,6 +273,40 @@ class CurationSpec extends SparkSuite {
     assert(r.keySet == expected)
   }
 
+  test("ccnetBuckets: histogram-rank plan equals the naive per-lang thirds") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val r = Curation.ccnetBuckets(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("lang"), x.getAs[Double]("score"),
+          x.getAs[String]("bucket")))).toMap
+    // reference: the oracle's naive global rank per lang
+    val scores = graft.operators.TextOps.unigramLogProb(docs)
+      .join(docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang")), "doc_id")
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("lang"),
+        x.getAs[Double]("avg_logprob")))
+    assert(r.keySet == scores.map(_._1).toSet)
+    for ((lang, rows) <- scores.groupBy(_._2)) {
+      val ordered = rows.sortBy { case (id, _, s) => (-s, id) }
+      val n = ordered.length
+      for (((id, _, s), i) <- ordered.zipWithIndex) {
+        val rn = i + 1
+        val expected = if (rn * 3 <= n) "head"
+          else if (rn * 3 <= 2 * n) "middle" else "tail"
+        assert(r(id)._3 == expected,
+          s"doc $id ($lang rank $rn/$n): ${r(id)._3} vs $expected")
+        assert(math.abs(r(id)._2 - s) < 1e-12)
+      }
+      // thirds are balanced to within one doc
+      val counts = ordered.indices.groupBy { i =>
+        val rn = i + 1
+        if (rn * 3 <= n) "head" else if (rn * 3 <= 2 * n) "middle" else "tail"
+      }.map { case (b, xs) => b -> xs.size }
+      assert(counts.values.max - counts.values.min <= 2, s"$lang: $counts")
+    }
+  }
+
   test("dsirScore: target-like docs outscore off-distribution docs") {
     import spark.implicits._
     // target docs (doc_id % 10 == 7) all speak "alpha beta"; raw docs

@@ -242,6 +242,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial"))
   }
 
+  test("ccnetBuckets: doc-sized window partitions by (lang, bin), not lang") {
+    val p = plan(graft.operators.Curation.ccnetBuckets(
+      Tables(spark, dir, "documents")))
+    // the only corpus-sized sort must key on the composite — a plain
+    // per-lang window would cap parallelism at |langs| (xrate lesson)
+    assert(p.contains("hashpartitioning(lang") &&
+      p.linesIterator.exists(l => l.contains("hashpartitioning(lang") &&
+        l.contains("bin")),
+      s"corpus window must partition by (lang, bin):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dsirScore: bucket-keyed equi-joins only; aggregates combine map-side") {
     val p = plan(graft.operators.Curation.dsirScore(
       Tables(spark, dir, "documents")))
