@@ -150,7 +150,8 @@ object SparkEntry {
       Similarity.semDeDup(t(s, d, "embeddings"), threshold = 0.4)),
     "q_dsir_score" -> ((s, d) => Curation.dsirScore(t(s, d, "documents"))),
     "q_source_report" -> ((s, d) => TextOps.sourceReport(t(s, d, "documents"))),
-    "q_ccnet_bucket" -> ((s, d) => Curation.ccnetBuckets(t(s, d, "documents")))
+    "q_ccnet_bucket" -> ((s, d) => Curation.ccnetBuckets(t(s, d, "documents"))),
+    "q_gopher_gate" -> ((s, d) => TextOps.gopherGate(t(s, d, "documents")))
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -1068,6 +1069,45 @@ object SparkEntry {
         |  CASE WHEN rn * 3 <= n THEN 'head'
         |       WHEN rn * 3 <= 2 * n THEN 'middle'
         |       ELSE 'tail' END AS bucket
-        |FROM ranked""".stripMargin
+        |FROM ranked""".stripMargin,
+    "q_gopher_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents
+        |), rep AS (
+        |  SELECT doc_id,
+        |    1.0 - CAST(COUNT(DISTINCT bigram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rep
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks2) - 1),
+        |          i -> toks2[i + 1] || ' ' || toks2[i + 2])) AS bigram
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks2 FROM documents)
+        |        WHERE len(toks2) >= 2)
+        |  GROUP BY doc_id
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+        |    CAST((length(text) - length(replace(text, '#', ''))) +
+        |         (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_distinct(list_filter(ts,
+        |      t -> t IN ('the','a','of','and','is')))) AS BIGINT) AS n_stop
+        |  FROM toks
+        |  WHERE len(ts) > 0
+        |)
+        |SELECT doc_id, n_tok,
+        |  (n_tok >= 50 AND n_tok <= 100000)
+        |   AND (CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0)
+        |   AND (CAST(n_sym AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 0.1)
+        |   AND (CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.8)
+        |   AND (n_stop >= 2)
+        |   AND (COALESCE(rep, 0.0) <= 0.3) AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN NOT (n_tok >= 50 AND n_tok <= 100000) THEN 'word_count' END,
+        |    CASE WHEN NOT (CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0) THEN 'word_length' END,
+        |    CASE WHEN NOT (CAST(n_sym AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 0.1) THEN 'symbol_ratio' END,
+        |    CASE WHEN NOT (CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.8) THEN 'alpha_ratio' END,
+        |    CASE WHEN NOT (n_stop >= 2) THEN 'stopwords' END,
+        |    CASE WHEN NOT (COALESCE(rep, 0.0) <= 0.3) THEN 'repetition' END) AS fail_reasons
+        |FROM base LEFT JOIN rep USING (doc_id)""".stripMargin
   )
 }

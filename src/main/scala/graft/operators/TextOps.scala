@@ -97,6 +97,64 @@ object TextOps {
           col("n_docs").cast("double")).as("dup_rate"))
   }
 
+  /** Gopher-rules document gate (Rae et al. 2021, appendix A1.1 — the
+    * canonical published quality filter): every document gets a
+    * keep/drop verdict plus the NAMED failing rules, so a curation
+    * run can report WHY mass was dropped, not just how much. Rules,
+    * in fixed order: word count in [minTok, maxTok]; mean word length
+    * in [3, 10] chars; symbol-to-word ratio (# and … ellipses)
+    * ≤ 0.1; ≥ 80% of words contain an alphabetic character; ≥ 2
+    * distinct stopwords (the paper's "stop word" sanity rule); and
+    * duplicate-bigram fraction ≤ 0.3 (standing in for the paper's
+    * repeated-n-gram family, shared with [[repetitionRatio]] so the
+    * two views cannot drift).
+    *
+    * Determinism: every ratio is ONE IEEE division of exact integer
+    * counts compared against literal bounds (§5b — no rounding
+    * anywhere); `sum of word lengths` is `length(translate(text,
+    * ' ', ''))` (non-space chars — codegen, no per-token work);
+    * symbol counts come from replace-and-diff lengths. The alpha-word
+    * count is the one per-token regex (interpreted lambda — the same
+    * cost class as piiScrub's whole-text regexes, fine for a gate).
+    * Reasons concatenate in fixed rule order via null-skipping
+    * concat_ws, so the string is deterministic.
+    */
+  def gopherGate(documents: DataFrame, minTok: Long = 50,
+      maxTok: Long = 100000): DataFrame = {
+    val toks = filter(tokenize(col("text")), t => t =!= "")
+    val en = graft.functions.TextFunctions.stopwords.head._2
+    val base = documents.select(col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      length(translate(col("text"), " ", "")).cast("long").as("sum_len"),
+      ((length(col("text")) - length(replace(col("text"), lit("#"), lit("")))) +
+        (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3)
+        .cast("long").as("n_sym"),
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      size(array_intersect(toks, typedLit(en))).cast("long").as("n_stop_distinct"))
+    val withRep = base
+      // a wordless doc has no gate semantics, and 0/0 is NaN here but
+      // NULL in the oracle engine — exclude it in both
+      .where(col("n_tok") > 0)
+      .join(repetitionRatio(documents).select(col("doc_id"), col("rep_ratio")),
+        Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("rep_ratio"), lit(0.0)))
+    def ratio(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      a.cast("double") / b.cast("double")
+    val pWords = col("n_tok") >= minTok && col("n_tok") <= maxTok
+    val pLen = ratio(col("sum_len"), col("n_tok")).between(3.0, 10.0)
+    val pSym = ratio(col("n_sym"), col("n_tok")) <= 0.1
+    val pAlpha = ratio(col("n_alpha"), col("n_tok")) >= 0.8
+    val pStop = col("n_stop_distinct") >= 2
+    val pRep = col("rep") <= 0.3
+    withRep.select(col("doc_id"), col("n_tok"),
+      (pWords && pLen && pSym && pAlpha && pStop && pRep).as("keep"),
+      concat_ws(",",
+        when(!pWords, lit("word_count")), when(!pLen, lit("word_length")),
+        when(!pSym, lit("symbol_ratio")), when(!pAlpha, lit("alpha_ratio")),
+        when(!pStop, lit("stopwords")), when(!pRep, lit("repetition")))
+        .as("fail_reasons"))
+  }
+
   /** Token counting per language tag: whitespace tokens and BPE-ish
     * regex tokens (letter runs / digit runs / single symbols).
     */

@@ -83,6 +83,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("dsirScore", graft.operators.Curation.dsirScore(noDocs))
     assertEmptyOk("sourceReport", TextOps.sourceReport(noDocs))
     assertEmptyOk("ccnetBuckets", graft.operators.Curation.ccnetBuckets(noDocs))
+    assertEmptyOk("gopherGate", TextOps.gopherGate(noDocs))
     assertEmptyOk("hashEmbedSparse", TextOps.hashEmbedSparse(noDocs))
     assertEmptyOk("hashEmbed", TextOps.hashEmbed(noDocs))
     assertEmptyOk("zipfSlope", TextOps.zipfSlope(noDocs))

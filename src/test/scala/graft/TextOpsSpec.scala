@@ -375,6 +375,35 @@ class TextOpsSpec extends SparkSuite {
     assert(dup1 == 0.0)
   }
 
+  test("gopherGate: each rule fires on its own violation, keep on clean text") {
+    // 60 words, all bigrams distinct (repeating one sentence would
+    // legitimately fail the repetition rule)
+    val longClean = ("the a of and is " +
+      (1 to 55).map(i => s"wo${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+        .mkString(" "))
+    val d = Seq(
+      (0L, longClean), // 60 words, clean: keep
+      (1L, "the a of and is short"), // < 50 words: word_count
+      (2L, Seq.fill(60)("## the a ## of ##").mkString(" ")), // symbols
+      (3L, (Seq.fill(30)("12345 67890") ++ Seq("the", "a")).mkString(" ")), // numeric words
+      (4L, Seq.fill(60)("zumba wumba").mkString(" ")), // no stopwords + repetition
+      (5L, ("the a " + "xy " * 58).trim) // mean word length < 3
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherGate(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Boolean]("keep"), x.getAs[String]("fail_reasons")))).toMap
+    assert(r(0L)._1, s"clean doc must keep: ${r(0L)}")
+    assert(r(0L)._2 == "")
+    assert(!r(1L)._1 && r(1L)._2.contains("word_count"))
+    assert(!r(2L)._1 && r(2L)._2.contains("symbol_ratio"), r(2L).toString)
+    assert(!r(3L)._1 && r(3L)._2.contains("alpha_ratio"), r(3L).toString)
+    assert(!r(4L)._1 && r(4L)._2.contains("stopwords") &&
+      r(4L)._2.contains("repetition"), r(4L).toString)
+    assert(!r(5L)._1 && r(5L)._2.contains("word_length"), r(5L).toString)
+    // reasons appear in fixed rule order
+    assert(r(4L)._2 == "stopwords,repetition", r(4L)._2)
+  }
+
   test("zipfSlope matches an in-memory least-squares fit and is negative") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val r = TextOps.zipfSlope(docs).collect()
