@@ -87,6 +87,7 @@ object SparkEntry {
     // spec asserts result identity with the exact-string path
     "q_dup_span_hashed" -> ((s, d) =>
       Dedup.dupSpan(t(s, d, "documents"), hashGrams = true)),
+    "q_dup_span_merge" -> ((s, d) => Dedup.dupSpanMerge(t(s, d, "documents"))),
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"))),
     // explicit loose-threshold opt-in: the synthetic embeddings top out
     // at cos ~0.5, so the production default (0.9) would return zero
@@ -99,6 +100,9 @@ object SparkEntry {
     // oracled via the csv-flattened form: the driver's compare cannot
     // sort an array column (Similarity.quantizeEmbeddingsFlat doc)
     "q_embed_quantize" -> ((s, d) => Similarity.quantizeEmbeddingsFlat(t(s, d, "embeddings"))),
+    // oracled via the exploded double form (randomProjectFlat doc);
+    // the dense float array is the pipeline API
+    "q_random_project" -> ((s, d) => Similarity.randomProjectFlat(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "q_ann_ivf_learned" -> ((s, d) => Similarity.annIvfLearned(t(s, d, "embeddings"))),
@@ -539,6 +543,25 @@ object SparkEntry {
         |        ROUND(list_cosine_similarity(e.emb, cent.centroid), 4) AS centroid_sim
         |      FROM e JOIN cent USING (label))
         |WHERE NOT isnan(centroid_sim)""".stripMargin,
+    "q_random_project" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(CAST(embedding AS DOUBLE[]),
+        |                        x -> x IS NULL OR isnan(x))) = 0
+        |), pe AS (
+        |  SELECT vec_id, i, CAST(floor(emb[i + 1] * 1048576) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, emb, unnest(range(len(emb))) AS i FROM e)
+        |), terms AS (
+        |  SELECT vec_id, j,
+        |    CASE WHEN CAST('0x' || substr(md5('rp:' || i || ':' || j), 1, 8) AS BIGINT) % 2 = 0
+        |         THEN qv ELSE -qv END AS t
+        |  FROM pe CROSS JOIN (SELECT unnest(range(16)) AS j)
+        |)
+        |SELECT vec_id, CAST(j AS BIGINT) AS out_pos,
+        |  CAST(SUM(t) AS DOUBLE) / 1048576.0 AS val
+        |FROM terms GROUP BY vec_id, j""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
@@ -722,6 +745,26 @@ object SparkEntry {
         |  CAST(COUNT(d.gram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
         |FROM sh LEFT JOIN dup d ON sh.gram = d.gram
         |GROUP BY doc_id""".stripMargin,
+    "q_dup_span_merge" ->
+      """WITH sh AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos + 1:pos + 4], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 3)) AS pos
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 4)
+        |), dup AS (
+        |  SELECT gram
+        |  FROM (SELECT gram, COUNT(*) AS n_docs
+        |        FROM (SELECT DISTINCT doc_id, gram FROM sh) GROUP BY 1)
+        |  WHERE n_docs >= 2
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM sh JOIN dup USING (gram)
+        |)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS tok_start,
+        |  CAST(MAX(pos) - MIN(pos) + 4 AS BIGINT) AS n_span_tok,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, shingle

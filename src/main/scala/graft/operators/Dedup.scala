@@ -587,4 +587,51 @@ object Dedup {
       .withColumn("dup_ratio",
         col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
   }
+
+  /** Maximal duplicated SPANS per document — the span-extraction step
+    * behind exact-substring dedup (the published recipe: find every
+    * maximal token range whose `n`-grams all recur elsewhere in the
+    * corpus, then cut or down-weight those ranges). [[dupSpan]] says
+    * HOW MUCH of a doc is corpus boilerplate; this says WHERE:
+    * consecutive duplicated window positions are merged
+    * (gaps-and-islands) into maximal runs, and a run of windows
+    * p1..p2 covers tokens [p1, p2 + n − 1]. A position is duplicated
+    * under the same rule as [[dupSpan]] — its gram appears in at
+    * least `minDocs` documents (one shared distinct-gram aggregate
+    * semantics, so the ratio view and the span view cannot disagree).
+    * Returns one row per maximal span:
+    * (doc_id, tok_start 0-based, n_span_tok, n_windows).
+    *
+    * Scale shape: inherits dupSpan's O(total windows) explode +
+    * distinct-gram aggregate + equi-join; the merge itself is one
+    * row_number window PARTITIONED BY doc_id over only the DUPLICATED
+    * positions (parallelism = docs; per-partition input bounded by
+    * doc length — never a global sort) plus an aggregate keyed by
+    * (doc, island). No pairwise work anywhere. `hashGrams` is the
+    * flag-gated xxhash64 gram-key swap ([[dupSpan]] doc;
+    * spec-asserted identical output on the gate corpus).
+    */
+  def dupSpanMerge(documents: DataFrame, n: Int = 4, minDocs: Int = 2,
+      hashGrams: Boolean = false): DataFrame = {
+    import graft.functions.TextFunctions.{shingleKey, shingleStructs, tokenize}
+    val key = shingleKey(col("z"), n, hashGrams)
+    val sh = documents
+      .withColumn("toks", tokenize(col("text")))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(shingleStructs(col("toks"), n)).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("pos"), key.as("gram"))
+    val dup = sh.select(col("doc_id"), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("gram")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    sh.join(dup, Seq("gram"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).cast("long").as("tok_start"),
+        (max(col("pos")) - min(col("pos")) + lit(n)).cast("long").as("n_span_tok"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "tok_start", "n_span_tok", "n_windows")
+  }
 }

@@ -187,6 +187,50 @@ class DedupSpec extends SparkSuite {
       4L -> ((2L, 2L, 1.0))))
   }
 
+  test("dupSpanMerge: maximal spans with exact token boundaries") {
+    val d = Seq(
+      // D1..D6 shared with doc 1 -> windows at pos 2,3,4 merge into one
+      // span covering tokens 2..7 (start 2, 6 tokens, 3 windows)
+      (0L, "z1 z2 D1 D2 D3 D4 D5 D6 z3 z4", "en"),
+      (1L, "D1 D2 D3 D4 D5 D6", "en"), // all 3 windows duplicated
+      // the same 4-gram at BOTH ends, unique middle -> two 1-window
+      // islands, not one merged span
+      (2L, "D1 D2 D3 D4 u1 u2 u3 u4 u5 D1 D2 D3 D4", "en"),
+      (3L, "p q r s t u", "en"), // nothing shared: no rows
+      // a gram repeated within ONE doc only is not corpus-duplicated
+      // (minDocs counts DISTINCT docs) -> no rows
+      (4L, "r1 r2 r3 r4 k k r1 r2 r3 r4", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r = Dedup.dupSpanMerge(d).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("tok_start"),
+        x.getAs[Long]("n_span_tok"), x.getAs[Long]("n_windows"))).toSet
+    assert(r == Set(
+      (0L, 2L, 6L, 3L),
+      (1L, 0L, 6L, 3L),
+      (2L, 0L, 4L, 1L),
+      (2L, 9L, 4L, 1L)))
+  }
+
+  test("dupSpanMerge: span window counts sum to dupSpan's per-doc totals") {
+    val spans = Dedup.dupSpanMerge(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("n_windows")).sum }
+    val perDoc = Dedup.dupSpan(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_dup_windows"))
+      .filter(_._2 > 0).toMap
+    assert(spans.nonEmpty)
+    assert(spans == perDoc)
+  }
+
+  test("dupSpanMerge: hashed-gram scale path matches the exact-string path") {
+    def res(hash: Boolean) = Dedup.dupSpanMerge(docs, hashGrams = hash)
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("tok_start"),
+        x.getAs[Long]("n_span_tok"), x.getAs[Long]("n_windows"))).toSet
+    val exact = res(hash = false)
+    assert(exact.nonEmpty)
+    assert(res(hash = true) == exact)
+  }
+
   test("dupSpan: hashed-gram scale path matches the exact-string path") {
     def res(hash: Boolean) = Dedup.dupSpan(docs, hashGrams = hash)
       .collect().map(x => x.getAs[Long]("doc_id") ->

@@ -69,6 +69,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("packSequences", graft.operators.Curation.packSequences(noDocs))
     assertEmptyOk("containmentPairs", Dedup.containmentPairs(noDocs))
     assertEmptyOk("dupSpan", Dedup.dupSpan(noDocs))
+    assertEmptyOk("dupSpanMerge", Dedup.dupSpanMerge(noDocs))
     assertEmptyOk("lengthHist", TextOps.lengthHist(noDocs))
     assertEmptyOk("qualityTopK", graft.operators.Curation.qualityTopK(noDocs))
     assertEmptyOk("tokenBudget", graft.operators.Curation.tokenBudget(noDocs))
@@ -101,6 +102,8 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("quantizeEmbeddings", Similarity.quantizeEmbeddings(noEmb))
     assertEmptyOk("quantizeEmbeddingsFlat", Similarity.quantizeEmbeddingsFlat(noEmb))
     assertEmptyOk("embedOutlier", Similarity.embedOutlier(noEmb))
+    assertEmptyOk("randomProject", Similarity.randomProject(noEmb))
+    assertEmptyOk("randomProjectFlat", Similarity.randomProjectFlat(noEmb))
     assertEmptyOk("pqEncode", Similarity.pqEncode(noEmb))
     assertEmptyOk("pqEncodeFlat", Similarity.pqEncodeFlat(noEmb))
     assertEmptyOk("annIvfPq", Similarity.annIvfPq(noEmb))

@@ -143,6 +143,24 @@ class PlanAuditSpec extends SparkSuite {
       s"duplicated-gram lookup must equi-join on the gram key:\n$p")
   }
 
+  test("dupSpanMerge: island window partitions by doc, never SinglePartition") {
+    val p = plan(graft.operators.Dedup.dupSpanMerge(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("SinglePartition"),
+      s"the gaps-and-islands merge must stay per-doc parallel:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"duplicated-gram lookup must equi-join on the gram key:\n$p")
+  }
+
+  test("randomProject: pure projection — zero exchanges, zero joins") {
+    val p = plan(graft.operators.Similarity.randomProject(
+      Tables(spark, dir, "embeddings")))
+    assert(!p.contains("Exchange"),
+      s"the sign projection must run at scan speed:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a projection:\n$p")
+  }
+
   test("tokenBudget: histogram side broadcasts; corpus never globally sorts") {
     val p = plan(graft.operators.Curation.tokenBudget(
       Tables(spark, dir, "documents")))

@@ -16,6 +16,50 @@ class SimilaritySpec extends SparkSuite {
     })
   }
 
+  test("randomProject: dense form is the float view of the flat doubles") {
+    val dense = Similarity.randomProject(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("proj")).toMap
+    val flat = Similarity.randomProjectFlat(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("out_pos"),
+        r.getAs[Double]("val")))
+    assert(dense.nonEmpty && flat.size == dense.size * 16)
+    assert(dense.values.forall(_.length == 16))
+    assert(flat.forall { case (id, pos, v) => dense(id)(pos.toInt) == v.toFloat })
+  }
+
+  test("randomProject approximately preserves pairwise cosine (JL contract)") {
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    def denseOf(od: Int): Map[Long, Array[Float]] =
+      Similarity.randomProject(emb, outDim = od).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[scala.collection.Seq[Float]]("proj").toArray).toMap
+    val p16 = denseOf(16)
+    val p32 = denseOf(32)
+    val orig = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val ids = p16.keys.toSeq.sorted.take(60)
+    val idPairs = for { i <- ids.indices; j <- (i + 1) until ids.size }
+      yield (ids(i), ids(j))
+    def mae(p: Map[Long, Array[Float]]): Double = {
+      val errs = idPairs.map { case (a, b) =>
+        math.abs(cosine(orig(a), orig(b)) - cosine(p(a), p(b))) }
+      errs.sum / errs.size
+    }
+    val (m16, m32) = (mae(p16), mae(p32))
+    info(s"mean |cos_orig - cos_proj| over ${idPairs.size} pairs: " +
+      s"outDim=16 -> $m16, outDim=32 -> $m32")
+    // JL concentration: error variance ~ 1/outDim, so doubling the
+    // output dims must shrink the mean error; data + signs are
+    // deterministic, so these bounds are stable across runs
+    assert(m16 <= 0.2, s"outDim=16 mean cosine error $m16")
+    assert(m32 < m16, s"error must shrink with outDim: $m32 !< $m16")
+  }
+
   test("annLsh recall vs exact annTopK is >= 0.8 on the test embeddings") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
