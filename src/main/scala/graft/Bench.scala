@@ -35,7 +35,11 @@ object Bench {
     }
     // best-of-2 per query: the shared host shows ±40% per-run noise on
     // unchanged code; the min of two passes is the steady-state number
+    // SPARK_GRAFT_ONLY=q_a,q_b is a dev knob for focused scale-ratio
+    // runs (the driver never sets it, so round artifacts stay complete)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val pass1 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
     val results = ordered.map { case (n, f) =>
       val t1 = pass1(n)

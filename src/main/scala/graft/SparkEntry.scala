@@ -120,6 +120,7 @@ object SparkEntry {
     "q_corpus_clean" -> ((s, d) => TextOps.cleanCorpus(t(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(t(s, d, "documents"))),
     "q_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d, "documents"))),
+    "q_top_ngram_frac" -> ((s, d) => TextOps.topNgramFrac(t(s, d, "documents"))),
     "q_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(t(s, d, "documents"))),
     "q_train_split" -> ((s, d) => TextOps.trainSplit(t(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) => TextOps.vocabTopK(t(s, d, "documents"))),
@@ -127,6 +128,9 @@ object SparkEntry {
     "q_bigram_topk" -> ((s, d) => TextOps.bigramTopK(t(s, d, "documents"))),
     "q_length_hist" -> ((s, d) => TextOps.lengthHist(t(s, d, "documents"))),
     "q_quality_topk" -> ((s, d) => Curation.qualityTopK(t(s, d, "documents"))),
+    // rows-only (stage 5's oracle alone is a RECURSIVE CTE; the
+    // behavioral contract is spec-asserted stage by stage)
+    "q_curate_pipeline" -> ((s, d) => Curation.curateCorpus(t(s, d, "documents"))),
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(t(s, d, "documents"))),
     // rows-only (xxhash64 join keys have no DuckDB equivalent); the
     // spec asserts result identity with the exact-string path
@@ -166,7 +170,7 @@ object SparkEntry {
     * q_ann_lsh, q_ann_ivf, q_ann_ivf_learned, q_embed_neardup_lsh,
     * q_active_users_approx, q_value_quantiles_approx,
     * q_decontaminate_hashed, q_dup_span_hashed, q_pq_encode,
-    * q_ann_ivfpq, q_semdedup.
+    * q_ann_ivfpq, q_semdedup, q_curate_pipeline.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -651,6 +655,23 @@ object SparkEntry {
         |            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |            WHERE len(toks) >= 2)
         |      GROUP BY doc_id)""".stripMargin,
+    "q_top_ngram_frac" ->
+      """WITH sh AS (
+        |  SELECT doc_id, n_chars,
+        |    unnest(list_transform(range(len(toks) - 2),
+        |      i -> array_to_string(toks[i + 1:i + 3], ' '))) AS gram
+        |  FROM (SELECT doc_id, len(text) AS n_chars,
+        |          string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), c AS (
+        |  SELECT doc_id, n_chars, gram, COUNT(*) AS n_occ
+        |  FROM sh GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, gram AS top_gram, n_occ,
+        |  CAST(n_occ * len(gram) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS char_frac
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY n_occ DESC, gram) AS rn FROM c)
+        |WHERE rn = 1""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tf AS (
         |  SELECT doc_id, tok, COUNT(*) AS tf

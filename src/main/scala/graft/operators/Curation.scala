@@ -424,4 +424,60 @@ object Curation {
       .select(col("doc_id"), isTarget.as("is_target"), col("n_feat"),
         col("sum_lw").cast("double").as("log_weight"))
   }
+
+  /** End-to-end corpus curation — the pipeline a user of this library
+    * actually runs, composed from the individually-oracled stages into
+    * ONE declarative program (one action, one Catalyst plan — every
+    * stage's filter shrinks the input of the next, and AQE sees the
+    * whole pipeline when re-planning):
+    *
+    *   1. benchmark holdout: docs standing in for the eval suite
+    *      (`doc_id % benchmarkEvery == 0`, the [[decontaminate]]
+    *      convention) never enter the training corpus;
+    *   2. cleaning gate + exact-dedup keep-first ([[TextOps.cleanCorpus]]
+    *      rule, text retained for the later stages);
+    *   3. Gopher-rules document filter ([[TextOps.gopherGate]] keep);
+    *   4. n-gram decontamination: anti-join against the benchmark
+    *      overlap set;
+    *   5. near-dup keep-one: [[Dedup.dedupGroups]] representatives
+    *      only (cheap pushed-down gates run FIRST so the expensive
+    *      banded-minhash chain sees the smallest possible corpus);
+    *   6. deterministic split stamp ([[TextOps.splitOf]] — the same
+    *      content-hash rule [[graft.sources.CorpusStore]] partitions
+    *      by, so this output drops straight into `writeWithManifest`).
+    *
+    * Returns (doc_id, text, lang, source, n_tok, split). Not
+    * SQL-oracled as a unit (stage 5's oracle is already a RECURSIVE
+    * CTE); instead the spec asserts the behavioral contract on gate
+    * data: no benchmark doc, no exact-dup text, every survivor passes
+    * the Gopher gate, zero decontamination hits among survivors, and
+    * zero verified near-dup pairs within the output.
+    */
+  def curateCorpus(documents: DataFrame, minTokens: Int = 10,
+      minStopRatio: Double = 0.05, benchmarkEvery: Int = 10,
+      gopherMinTok: Long = 50, neardupThreshold: Double = 0.8,
+      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    val train =
+      documents.where(pmod(col("doc_id"), lit(benchmarkEvery)) =!= 0)
+    val scored = train.select(Seq(col("doc_id"), col("text"), col("lang"),
+      col("source")) ++ TextOps.cleaningScores: _*)
+    val wDup = Window.partitionBy("text_hash").orderBy(col("doc_id"))
+    val cleaned = scored
+      .where(col("n_tok") >= minTokens && col("stop_ratio") >= minStopRatio)
+      .withColumn("rn", row_number().over(wDup))
+      .where(col("rn") === 1)
+      .select("doc_id", "text", "lang", "source", "n_tok")
+    val gophKeep = TextOps.gopherGate(cleaned, minTok = gopherMinTok)
+      .where(col("keep")).select("doc_id")
+    val gated = cleaned.join(gophKeep, "doc_id")
+    // benchmark shingles come from the FULL corpus (the holdout docs),
+    // so decontamination runs against `documents`, not `train`
+    val hits = decontaminate(documents, benchmarkEvery).select("doc_id")
+    val decon = gated.join(hits, Seq("doc_id"), "left_anti")
+    val reps = Dedup.dedupGroups(decon, threshold = neardupThreshold)
+      .where(col("group_id") === col("doc_id")).select("doc_id")
+    decon.join(reps, "doc_id")
+      .withColumn("split", TextOps.splitOf(valPct, testPct))
+      .select("doc_id", "text", "lang", "source", "n_tok", "split")
+  }
 }

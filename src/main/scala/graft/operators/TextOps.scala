@@ -267,6 +267,45 @@ object TextOps {
           col("n_bigrams").cast("double")).as("rep_ratio"))
   }
 
+  /** Top n-gram character load (the OTHER published repetition leg:
+    * Gopher A1.1 drops a doc when the characters covered by its single
+    * most frequent {2,3,4}-gram exceed {20%, 18%, 16%} — a doc that
+    * repeats one phrase heavily can still have a fine duplicate-bigram
+    * ratio, which is what [[repetitionRatio]] measures, and vice
+    * versa). Per doc: the most frequent word `n`-gram (count ties
+    * broken by gram string, so the winner is deterministic in both
+    * engines) and char_frac = n_occ × length(gram) / length(text) —
+    * occurrences times the gram's character length over the doc's
+    * characters, one IEEE division of exact integer counts (§5b).
+    * Returns (doc_id, top_gram, n_occ, char_frac) for docs with at
+    * least one window.
+    *
+    * Scale shape: one shingle explode + a (doc, gram) count aggregate,
+    * then the per-doc argmax as a row_number window partitioned by
+    * doc_id — Spark rewrites the rn=1 filter to WindowGroupLimit, so
+    * each partition forwards one candidate row per doc, never the
+    * gram multiset (plan-audited). O(total windows), no joins.
+    */
+  def topNgramFrac(documents: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val toks = tokenize(col("text"))
+    val counts = documents
+      .where(size(toks) >= n)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(shingleStructs(toks, n)).as("z"))
+      .select(col("doc_id"), col("n_chars"),
+        shingleFromStruct(col("z"), n).as("gram"))
+      .groupBy("doc_id", "n_chars", "gram")
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy("doc_id").orderBy(col("n_occ").desc, col("gram"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_gram"), col("n_occ"),
+        ((col("n_occ") * length(col("gram"))).cast("double") /
+          col("n_chars").cast("double")).as("char_frac"))
+  }
+
   /** Unigram log-likelihood quality score — the CCNet-style LM-filter
     * proxy: score(doc) = mean over tokens of ln(corpusFreq(token) /
     * corpusTotal). Gibberish/rare-token text scores low; prose scores

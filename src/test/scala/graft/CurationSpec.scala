@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Similarity}
+import graft.operators.{Curation, Dedup, Similarity, TextOps}
 import graft.sources.Tables
 
 class CurationSpec extends SparkSuite {
@@ -24,6 +24,30 @@ class CurationSpec extends SparkSuite {
     // doc 1 contains "alpha beta gamma delta" and
     // "beta gamma delta epsilon" — exactly 2 of doc 0's 4-grams
     assert(r == Map(1L -> 2L), s"got $r")
+  }
+
+  test("curateCorpus: end-to-end behavioral contract on the gate corpus") {
+    val out = Curation.curateCorpus(docs)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "the pipeline must keep some of the gate corpus")
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.forall(_ % 10 != 0), "benchmark holdout docs must not survive")
+    val texts = rows.map(_.getAs[String]("text"))
+    assert(texts.distinct.length == texts.length, "no exact-duplicate text")
+    // every survivor passes the Gopher gate (per-doc metrics are
+    // doc-local, so re-running the gate on the output is equivalent)
+    val keep = TextOps.gopherGate(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(ids.forall(keep(_)), "every survivor must pass the Gopher gate")
+    // zero decontamination hits among survivors
+    val hits = Curation.decontaminate(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert((ids & hits).isEmpty, "no contaminated doc may survive")
+    // near-dup keep-one: no verified pair can remain within the output
+    assert(Dedup.minhashExactVerifiedPairs(out, threshold = 0.8)
+      .collect().isEmpty, "survivors must contain no near-dup pair")
+    assert(rows.map(_.getAs[String]("split")).toSet
+      .subsetOf(Set("train", "val", "test")))
   }
 
   test("decontaminate: benchmark docs never appear in the output") {

@@ -63,6 +63,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("dedupGroups", Dedup.dedupGroups(noDocs))
     assertEmptyOk("piiScrub", TextOps.piiScrub(noDocs))
     assertEmptyOk("repetitionRatio", TextOps.repetitionRatio(noDocs))
+    assertEmptyOk("topNgramFrac", TextOps.topNgramFrac(noDocs))
     assertEmptyOk("unigramLogProb", TextOps.unigramLogProb(noDocs))
     assertEmptyOk("decontaminate", graft.operators.Curation.decontaminate(noDocs))
     assertEmptyOk("domainMix", graft.operators.Curation.domainMix(noDocs))
@@ -85,6 +86,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("sourceReport", TextOps.sourceReport(noDocs))
     assertEmptyOk("ccnetBuckets", graft.operators.Curation.ccnetBuckets(noDocs))
     assertEmptyOk("gopherGate", TextOps.gopherGate(noDocs))
+    assertEmptyOk("curateCorpus", graft.operators.Curation.curateCorpus(noDocs))
     assertEmptyOk("hashEmbedSparse", TextOps.hashEmbedSparse(noDocs))
     assertEmptyOk("hashEmbed", TextOps.hashEmbed(noDocs))
     assertEmptyOk("zipfSlope", TextOps.zipfSlope(noDocs))

@@ -153,6 +153,22 @@ class PlanAuditSpec extends SparkSuite {
       s"duplicated-gram lookup must equi-join on the gram key:\n$p")
   }
 
+  test("topNgramFrac: per-doc argmax becomes WindowGroupLimit, no global sort") {
+    val p = plan(graft.operators.TextOps.topNgramFrac(
+      Tables(spark, dir, "documents")))
+    assert(p.contains("WindowGroupLimit"),
+      s"the rn=1 filter must prune before the window shuffle:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"the per-doc argmax must stay doc-parallel:\n$p")
+  }
+
+  test("curateCorpus: the composed pipeline plans no cartesian anywhere") {
+    val p = plan(graft.operators.Curation.curateCorpus(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct"),
+      s"no stage of the pipeline may go all-pairs:\n$p")
+  }
+
   test("randomProject: pure projection — zero exchanges, zero joins") {
     val p = plan(graft.operators.Similarity.randomProject(
       Tables(spark, dir, "embeddings")))

@@ -22,6 +22,22 @@ class TextOpsSpec extends SparkSuite {
     assert(r == Map(0L -> "en", 1L -> "de", 2L -> "fr", 3L -> "es", 4L -> "unknown"))
   }
 
+  test("topNgramFrac: most frequent 3-gram, deterministic tie-break, exact frac") {
+    val d = Seq(
+      // 3-grams: "a b a" x2, "b a b" x2, "a b x" x1 — count tie broken
+      // by gram string asc -> "a b a"; 13 chars, gram covers 2*5
+      (0L, "a b a b a b x"),
+      (1L, "one two three four"), // both 3-grams unique -> lexical first
+      (2L, "x y")                 // < 3 tokens: no row
+    ).toDF("doc_id", "text")
+    val r = TextOps.topNgramFrac(d).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("top_gram"),
+        x.getAs[Long]("n_occ"), x.getAs[Double]("char_frac"))).toSet
+    assert(r == Set(
+      (0L, "a b a", 2L, 10.0 / 13.0),
+      (1L, "one two three", 1L, 13.0 / 18.0)))
+  }
+
   test("BPE-ish tokenizer: letter runs, digit runs, single symbols") {
     val n = Seq("ab 12 cd!").toDF("text")
       .select(size(TextFunctions.bpeIshTokens(col("text"))).as("n"))
