@@ -131,6 +131,9 @@ object SparkEntry {
     // rows-only (stage 5's oracle alone is a RECURSIVE CTE; the
     // behavioral contract is spec-asserted stage by stage)
     "q_curate_pipeline" -> ((s, d) => Curation.curateCorpus(t(s, d, "documents"))),
+    // rows-only (driver-trained logistic weights are not
+    // SQL-expressible); determinism + separation spec in CurationSpec
+    "q_quality_probe" -> ((s, d) => Curation.probeScore(t(s, d, "documents"))),
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(t(s, d, "documents"))),
     // rows-only (xxhash64 join keys have no DuckDB equivalent); the
     // spec asserts result identity with the exact-string path
@@ -170,7 +173,7 @@ object SparkEntry {
     * q_ann_lsh, q_ann_ivf, q_ann_ivf_learned, q_embed_neardup_lsh,
     * q_active_users_approx, q_value_quantiles_approx,
     * q_decontaminate_hashed, q_dup_span_hashed, q_pq_encode,
-    * q_ann_ivfpq, q_semdedup, q_curate_pipeline.
+    * q_ann_ivfpq, q_semdedup, q_curate_pipeline, q_quality_probe.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

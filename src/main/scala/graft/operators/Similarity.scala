@@ -879,8 +879,13 @@ object Similarity {
   def randomProjectFlat(embeddings: DataFrame, outDim: Int = 16,
       dim: Int = 64): DataFrame =
     projectExact(embeddings, outDim, dim)
+      // posexplode_OUTER: the array is 16 never-null sums, so outer
+      // loses nothing — and it keeps InferFiltersFromGenerate from
+      // duplicating the whole 1024-node array expression into a
+      // size(...) > 0 pre-filter (2× the projection work, seen in the
+      // PLANS.md snapshot of the non-outer form)
       .select(col("vec_id"),
-        posexplode(col("proj_d")).as(Seq("out_pos", "val")))
+        posexplode_outer(col("proj_d")).as(Seq("out_pos", "val")))
       .select(col("vec_id"), col("out_pos").cast("long").as("out_pos"),
         col("val"))
 
@@ -894,13 +899,20 @@ object Similarity {
         // null-element vectors the oracle's list_filter count keeps
         // (the embedOutlier lesson)
         forall(col("embedding"), x => x.isNotNull && !isnan(x)))
-      .withColumn("qv", transform(col("embedding"),
-        x => floor(x.cast("double") * scale).cast("long")))
+    // per-element quantization as DIRECT element_at terms, not a
+    // transform(...) intermediate column: CollapseProject inlines an
+    // intermediate into every consumer, and transform's INTERPRETED
+    // lambda would then re-quantize the whole vector once per term
+    // (O(dim² × outDim) lambda work per row — caught in the PLANS.md
+    // snapshot). The direct floor(element_at(...)) form is ordinary
+    // codegen, and whole-stage subexpression elimination evaluates
+    // each of the `dim` distinct terms once per row.
+    def qv(i: Int) =
+      floor(element_at(col("embedding"), i + 1).cast("double") * scale)
+        .cast("long")
     val outs = (0 until outDim).map { j =>
-      (0 until dim).map { i =>
-        val t = element_at(col("qv"), i + 1)
-        if (rpSign(i, j) > 0L) t else -t
-      }.reduce(_ + _).cast("double") / lit(scale.toDouble)
+      (0 until dim).map(i => if (rpSign(i, j) > 0L) qv(i) else -qv(i))
+        .reduce(_ + _).cast("double") / lit(scale.toDouble)
     }
     e.select(col("vec_id"), array(outs: _*).as("proj_d"))
   }

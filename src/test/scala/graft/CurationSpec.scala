@@ -50,6 +50,36 @@ class CurationSpec extends SparkSuite {
       .subsetOf(Set("train", "val", "test")))
   }
 
+  test("probeScore: deterministic weights, in-sample separation, scores in (0,1)") {
+    val r1 = Curation.probeScore(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_target"),
+        r.getAs[Double]("score"))).sortBy(_._1)
+    val r2 = Curation.probeScore(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_target"),
+        r.getAs[Double]("score"))).sortBy(_._1)
+    assert(r1.nonEmpty)
+    assert(r1.sameElements(r2), "training must be bit-deterministic")
+    assert(r1.forall { case (_, _, s) => s > 0.0 && s < 1.0 })
+    // the whole gate corpus is inside sampleBound, so this is
+    // in-sample separation: a 64-feature model must separate the
+    // bounded sample even though the labels carry no true signal
+    val (pos, neg) = r1.partition(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    val accuracy = (pos.count(_._3 >= 0.5) + neg.count(_._3 < 0.5)).toDouble /
+      r1.length
+    info(s"in-sample accuracy = $accuracy (${pos.length} pos / ${neg.length} neg)")
+    assert(accuracy >= 0.8, s"in-sample separation too weak: $accuracy")
+  }
+
+  test("probeScore: single-class sample degrades to the untrained prior") {
+    val oneClass = Seq((1L, "alpha beta gamma delta", "en", "s"),
+      (2L, "epsilon zeta eta theta", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source") // no doc_id % 10 == 7
+    val r = Curation.probeScore(oneClass).collect()
+      .map(_.getAs[Double]("score"))
+    assert(r.length == 2 && r.forall(_ == 0.5))
+  }
+
   test("decontaminate: benchmark docs never appear in the output") {
     val r = Curation.decontaminate(docs).collect()
     assert(r.nonEmpty, "synthetic near-dup corpus must show contamination")

@@ -87,6 +87,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("ccnetBuckets", graft.operators.Curation.ccnetBuckets(noDocs))
     assertEmptyOk("gopherGate", TextOps.gopherGate(noDocs))
     assertEmptyOk("curateCorpus", graft.operators.Curation.curateCorpus(noDocs))
+    assertEmptyOk("probeScore", graft.operators.Curation.probeScore(noDocs))
     assertEmptyOk("hashEmbedSparse", TextOps.hashEmbedSparse(noDocs))
     assertEmptyOk("hashEmbed", TextOps.hashEmbed(noDocs))
     assertEmptyOk("zipfSlope", TextOps.zipfSlope(noDocs))

@@ -169,6 +169,16 @@ class PlanAuditSpec extends SparkSuite {
       s"no stage of the pipeline may go all-pairs:\n$p")
   }
 
+  test("probeScore: literal-weight scoring adds no exchange beyond hashEmbed's") {
+    val docs = Tables(spark, dir, "documents")
+    val base = plan(graft.operators.TextOps.hashEmbed(docs))
+      .linesIterator.count(_.contains("Exchange"))
+    val p = plan(graft.operators.Curation.probeScore(docs))
+    assert(p.linesIterator.count(_.contains("Exchange")) == base,
+      s"scoring must be a pure projection over the feature frame:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("randomProject: pure projection — zero exchanges, zero joins") {
     val p = plan(graft.operators.Similarity.randomProject(
       Tables(spark, dir, "embeddings")))
