@@ -299,4 +299,87 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("text_hash")
       .select("doc_id", "lang", "source", "n_tok")
   }
+
+  /** One document keyed by its minhash LSH band. */
+  case class BandDoc(band: String, docId: Long, md5: String)
+  case class NearDupFlag(docId: Long, isNeardup: Boolean, band: String)
+  case class BandState(firstMd5: String)
+
+  /** Streaming NEAR-duplicate first-pass gate — the live counterpart
+    * of the batch minhash chain's candidate stage: each arriving
+    * document is keyed by one LSH band (`bandLen` minima of
+    * xxhash64(seedᵢ ++ token) over its DISTINCT token set — computed
+    * row-locally as array_min over a per-seed transform, so banding
+    * needs no aggregation state and no shuffle beyond the band
+    * groupBy), and flagged `is_neardup` when its band was already
+    * claimed by a DIFFERENT text inside the TTL horizon. Exact copies
+    * (same md5) are NOT flagged — [[cleanDocStream]]'s
+    * dropDuplicatesWithinWatermark owns exact dedup; this gate flags
+    * the near-miss rewrites that slip past a content hash.
+    *
+    * Honest contract (the batch chain stays the authority): ONE band
+    * catches a pair with probability J^bandLen (J = true Jaccard) —
+    * J=0.95 → 0.81, J=0.8 → 0.41 at the default bandLen=4 — and the
+    * comparison is to the band's FIRST claimant (the SemDeDup-style
+    * chain rule), so this is a cheap INGEST-TIME candidate flag
+    * feeding span/batch verification downstream, not a verified
+    * verdict; the multi-band, exactly-verified path is the batch
+    * minhash chain. State is one md5 per band active inside the TTL
+    * horizon (bounded by traffic, the [[liveLatestStatusTtl]]
+    * contract); eviction + re-admission unit-spec'd via
+    * TestGroupState.
+    */
+  def nearDupDocStream(docs: DataFrame, bandLen: Int = 4,
+      ttlMs: Long = 3600 * 1000L): Dataset[NearDupFlag] = {
+    implicit val outEnc = Encoders.product[NearDupFlag]
+    implicit val keyEnc = Encoders.STRING
+    implicit val bdEnc = Encoders.product[BandDoc]
+    implicit val stEnc = Encoders.product[BandState]
+    val toks = array_distinct(
+      filter(graft.functions.TextFunctions.tokenize(col("text")),
+        t => t =!= ""))
+    val minima = (0 until bandLen).map(i =>
+      array_min(transform(toks, t => xxhash64(concat(lit(s"mh$i:"), t)))))
+    docs
+      // poison-pill tolerance (typedStatusEvents' policy): a null in a
+      // non-nullable encoder field would KILL the query; a wordless
+      // doc has no band semantics (size(null) is null -> dropped too)
+      .where(col("doc_id").isNotNull && size(toks) > 0)
+      .select(concat_ws("_", minima.map(_.cast("string")): _*).as("band"),
+        col("doc_id").cast("long").as("docId"),
+        md5(col("text")).as("md5"))
+      .as[BandDoc]
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout())(
+        (band: String, ds: Iterator[BandDoc], state: GroupState[BandState]) =>
+          nearDupStep(band, ds, state, ttlMs))
+  }
+
+  /** One band step. Visible for unit tests (TestGroupState — the
+    * data-then-timeout protocol cannot be orchestrated through
+    * MemoryStream; [[statusTtlStep]]'s rationale).
+    */
+  private[streaming] def nearDupStep(band: String, ds: Iterator[BandDoc],
+      state: GroupState[BandState], ttlMs: Long): Iterator[NearDupFlag] = {
+    if (state.hasTimedOut) {
+      state.remove() // idle past TTL: evict, emit nothing
+      Iterator.empty
+    } else {
+      // micro-batch iterator order is not deterministic across retries;
+      // claim the band by lowest docId so replays flag the same docs
+      val sorted = ds.toSeq.sortBy(_.docId)
+      val out = sorted.map { d =>
+        state.getOption match {
+          case None =>
+            state.update(BandState(d.md5))
+            NearDupFlag(d.docId, isNeardup = false, band)
+          case Some(s) =>
+            NearDupFlag(d.docId, s.firstMd5 != d.md5, band)
+        }
+      }
+      state.setTimeoutDuration(ttlMs) // any activity renews the TTL
+      out.iterator
+    }
+  }
 }

@@ -276,4 +276,45 @@ class StreamingOpsSpec extends SparkSuite {
         .map(_.getAs[Long]("doc_id")).toSet == Set(1L, 5L))
     } finally q.stop()
   }
+
+  test("nearDupDocStream: same token set flagged, exact dup and disjoint not") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.nearDupDocStream(df)
+      .writeStream.format("memory").queryName("neardup_docs")
+      .outputMode("update").start()
+    try {
+      // NOT processAllAvailable(): ProcessingTimeTimeout keeps the
+      // engine scheduling micro-batches, so "all available" never
+      // settles — poll the sink with a deadline (liveLatestStatusTtl's
+      // rationale)
+      def await(n: Int): Map[Long, Boolean] = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var out = Map.empty[Long, Boolean]
+        while (out.size < n && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          out = spark.table("neardup_docs").collect()
+            .map(r => r.getAs[Long]("docId") -> r.getAs[Boolean]("isNeardup"))
+            .toMap
+        }
+        out
+      }
+      input.addData(
+        (1L, "alpha beta gamma delta"),
+        (5L, "zeta eta theta iota"))
+      assert(await(2).keySet == Set(1L, 5L))
+      input.addData(
+        // same DISTINCT token set as doc 1 (reordered + one repeat):
+        // identical minima -> same band, different md5 -> near-dup
+        (7L, "delta gamma beta alpha alpha"),
+        // exact md5 copy of doc 1: same band but NOT near-dup (exact
+        // dedup belongs to cleanDocStream)
+        (8L, "alpha beta gamma delta"),
+        (9L, "totally different words here now"))
+      val out = await(5)
+      assert(out == Map(1L -> false, 5L -> false, 7L -> true,
+        8L -> false, 9L -> false), s"got $out")
+    } finally q.stop()
+  }
 }
