@@ -425,6 +425,57 @@ object Curation {
         col("sum_lw").cast("double").as("log_weight"))
   }
 
+  /** Temperature-scaled language sampling weights — the published
+    * multilingual mixing recipe (XLM-R / mT5 sample language ℓ with
+    * probability ∝ (n_ℓ/N)^α, α ≈ 0.3): α = 1 is proportional
+    * sampling (head languages drown the tail), α = 0 is uniform
+    * (tail languages over-repeat); the temperature in between
+    * flattens the head while keeping tail repetition finite. Per
+    * language: doc/token mass, raw token share, the α-scaled
+    * NORMALIZED sampling weight, and the implied per-doc admission
+    * rate for a `budgetTokens` total (capped at 1 — a language
+    * cannot supply more than it has; re-epoching the tail past rate
+    * 1 is the training loop's decision, not this operator's). The
+    * rates feed [[domainMix]]'s `targets` directly.
+    *
+    * Determinism (§5b): counts are exact integers and share is ONE
+    * unrounded IEEE division; pow is a transcendental (libm differs
+    * in the last ulp between engines) so it is rounded 6dp — the
+    * rounding rule for values WITHOUT decimal structure — then summed
+    * as exact DECIMAL so the normalizer is fold-order-free; the final
+    * weight and rate are short fixed chains of IEEE ops on
+    * bit-identical inputs, written in the same order as the oracle.
+    * Zero-token languages get rate 0 explicitly (0/0 is NaN in Spark
+    * but NULL-ish in SQL — the usual three-valued trap). Plan: one
+    * lang-keyed aggregate over the corpus; everything after is
+    * aggregate-sized (langs rows) on broadcast one-row frames.
+    */
+  def mixWeights(documents: DataFrame, alpha: Double = 0.3,
+      budgetTokens: Long = 100000L): DataFrame = {
+    val toks = org.apache.spark.sql.functions.filter(
+      tokenize(col("text")), t => t =!= "")
+    val perLang = documents
+      .select(col("lang"), size(toks).cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("tot"))
+    val p = perLang.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_tokens").cast("double") / col("tot").cast("double"))
+      .withColumn("p6",
+        round(pow(col("share"), lit(alpha)), 6).cast("decimal(18,6)"))
+    val s = p.agg(sum(col("p6")).cast("decimal(28,6)").as("sp"))
+    p.crossJoin(broadcast(s))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("share"),
+        (col("p6").cast("double") / col("sp").cast("double"))
+          .as("alpha_weight"),
+        when(col("n_tokens") > 0,
+          least(lit(1.0),
+            col("p6").cast("double") / col("sp").cast("double")
+              * lit(budgetTokens.toDouble) / col("n_tokens").cast("double")))
+          .otherwise(lit(0.0)).as("admit_rate"))
+  }
+
   /** Driver-trained logistic quality probe — the published
     * "quality classifier" recipe (GPT-3/LLaMA-line pipelines score
     * every document with a small linear model trained to separate a

@@ -50,6 +50,34 @@ class CurationSpec extends SparkSuite {
       .subsetOf(Set("train", "val", "test")))
   }
 
+  test("mixWeights: temperature flattens the head, budget caps the rate") {
+    val d = Seq(
+      (1L, "a b c d e f g h", "en", "s"), // en: 3 docs x 8 toks = 24
+      (2L, "a b c d e f g h", "en", "s"),
+      (3L, "a b c d e f g h", "en", "s"),
+      (4L, "x y", "de", "s")              // de: 1 doc x 2 toks = 2
+    ).toDF("doc_id", "text", "lang", "source")
+    def w(alpha: Double) =
+      Curation.mixWeights(d, alpha = alpha, budgetTokens = 10).collect()
+        .map(r => r.getAs[String]("lang") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Double]("alpha_weight"),
+            r.getAs[Double]("admit_rate")))).toMap
+    val w1 = w(1.0) // alpha=1: proportional — weight == token share
+    assert(w1("en")._1 == 24L && w1("de")._1 == 2L)
+    assert(math.abs(w1("en")._2 - 24.0 / 26.0) < 1e-5)
+    val w0 = w(0.0) // alpha=0: uniform
+    assert(math.abs(w0("en")._2 - 0.5) < 1e-9)
+    val w03 = w(0.3) // temperature lands between the two
+    assert(w03("en")._2 < w1("en")._2 && w03("en")._2 > 0.5)
+    Seq(w1, w0, w03).foreach(m =>
+      assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-6,
+        "weights must normalize"))
+    // 10-token budget: en's allocation stays under its 24 tokens;
+    // de's uniform share (5 tokens for its 2) is capped at rate 1
+    assert(w03("en")._3 < 1.0)
+    assert(w0("de")._3 == 1.0)
+  }
+
   test("probeScore: deterministic weights, in-sample separation, scores in (0,1)") {
     val r1 = Curation.probeScore(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_target"),

@@ -88,6 +88,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("gopherGate", TextOps.gopherGate(noDocs))
     assertEmptyOk("curateCorpus", graft.operators.Curation.curateCorpus(noDocs))
     assertEmptyOk("probeScore", graft.operators.Curation.probeScore(noDocs))
+    assertEmptyOk("mixWeights", graft.operators.Curation.mixWeights(noDocs))
     assertEmptyOk("hashEmbedSparse", TextOps.hashEmbedSparse(noDocs))
     assertEmptyOk("hashEmbed", TextOps.hashEmbed(noDocs))
     assertEmptyOk("zipfSlope", TextOps.zipfSlope(noDocs))

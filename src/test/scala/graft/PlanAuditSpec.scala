@@ -169,6 +169,15 @@ class PlanAuditSpec extends SparkSuite {
       s"no stage of the pipeline may go all-pairs:\n$p")
   }
 
+  test("mixWeights: corpus shuffles once on lang; no cartesian") {
+    val p = plan(graft.operators.Curation.mixWeights(
+      Tables(spark, dir, "documents")))
+    assert(p.contains("Exchange hashpartitioning(lang"),
+      s"the per-lang aggregate must be the only corpus shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the one-row totals must broadcast:\n$p")
+  }
+
   test("probeScore: literal-weight scoring adds no exchange beyond hashEmbed's") {
     val docs = Tables(spark, dir, "documents")
     val base = plan(graft.operators.TextOps.hashEmbed(docs))
