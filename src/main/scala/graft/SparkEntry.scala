@@ -161,6 +161,7 @@ object SparkEntry {
     "q_semdedup" -> ((s, d) =>
       Similarity.semDeDup(t(s, d, "embeddings"), threshold = 0.4)),
     "q_dsir_score" -> ((s, d) => Curation.dsirScore(t(s, d, "documents"))),
+    "q_dsir_select" -> ((s, d) => Curation.dsirSelect(t(s, d, "documents"))),
     "q_source_report" -> ((s, d) => TextOps.sourceReport(t(s, d, "documents"))),
     "q_ccnet_bucket" -> ((s, d) => Curation.ccnetBuckets(t(s, d, "documents"))),
     "q_gopher_gate" -> ((s, d) => TextOps.gopherGate(t(s, d, "documents")))
@@ -1113,6 +1114,55 @@ object SparkEntry {
         |  CAST(SUM(CAST(tf AS DECIMAL(10,0)) * lr) AS DOUBLE) AS log_weight
         |FROM tf JOIN ratio USING (b)
         |GROUP BY doc_id""".stripMargin,
+    "q_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents
+        |), uni AS (
+        |  SELECT doc_id, f FROM (SELECT doc_id, unnest(ts) AS f FROM toks)
+        |  WHERE f <> ''
+        |), bi AS (
+        |  SELECT doc_id, ts[i + 1] || ' ' || ts[i + 2] AS f
+        |  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 2)
+        |), tf AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS b,
+        |    COUNT(*) AS tf
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |  GROUP BY 1, 2
+        |), byb AS (
+        |  SELECT b,
+        |    CAST(SUM(tf) FILTER (WHERE doc_id % 10 = 7) AS BIGINT) AS ct,
+        |    CAST(SUM(tf) FILTER (WHERE doc_id % 10 <> 7) AS BIGINT) AS cr
+        |  FROM tf GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(COALESCE(SUM(tf) FILTER (WHERE doc_id % 10 = 7), 0) AS BIGINT) AS nt,
+        |    CAST(COALESCE(SUM(tf) FILTER (WHERE doc_id % 10 <> 7), 0) AS BIGINT) AS nr
+        |  FROM tf
+        |), ratio AS (
+        |  SELECT b, CAST(ROUND(ln(
+        |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE)) /
+        |      (CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE))), 6)
+        |    AS DECIMAL(12,6)) AS lr
+        |  FROM byb CROSS JOIN tot
+        |), sel AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(tf AS DECIMAL(10,0)) * lr) AS DOUBLE) AS log_weight
+        |  FROM tf JOIN ratio USING (b)
+        |  WHERE doc_id % 10 <> 7
+        |  GROUP BY doc_id
+        |), gum AS (
+        |  SELECT doc_id,
+        |    ROUND(-ln(-ln((CAST(CAST('0x' || substr(md5('gum:' || text), 1, 8) AS BIGINT) % 10000 AS DOUBLE) + 0.5) / 10000.0)), 6) AS g
+        |  FROM documents
+        |)
+        |SELECT doc_id, log_weight, gumbel_key, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT doc_id, log_weight, gumbel_key,
+        |        row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rnk
+        |      FROM (SELECT sel.doc_id, sel.log_weight,
+        |              sel.log_weight + gum.g AS gumbel_key
+        |            FROM sel JOIN gum USING (doc_id)))
+        |WHERE rnk <= 50""".stripMargin,
     "q_source_report" ->
       """WITH d AS (
         |  SELECT source, COUNT(*) AS n_docs,

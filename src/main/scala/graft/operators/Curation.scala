@@ -425,6 +425,55 @@ object Curation {
         col("sum_lw").cast("double").as("log_weight"))
   }
 
+  /** DSIR's SELECTION step — the resampling that gives Data Selection
+    * via Importance Resampling its name: the paper samples k raw
+    * documents without replacement with probability ∝ exp(log_weight),
+    * and the Gumbel-max trick makes that draw EXACTLY a top-k — add
+    * independent Gumbel(0,1) noise to each log weight and keep the k
+    * largest keys (the public Gumbel-top-k sampling result). The
+    * "randomness" here is the engine's no-RNG convention applied to
+    * sampling theory: u = (content-hash bucket + ½) / 10000 is a
+    * deterministic uniform in (0,1), g = −ln(−ln u) its Gumbel
+    * transform (ln is libm, engine-divergent in the last ulp → rounded
+    * 6dp, the [[mixWeights]] pow lesson), so the selected set is
+    * rerun- and engine-stable. Ties (identical text ⇒ identical key)
+    * break by doc_id. Returns the k selected RAW docs:
+    * (doc_id, log_weight, gumbel_key, rnk).
+    *
+    * Plan: [[dsirScore]]'s keyed aggregates, one doc_id equi-join to
+    * fetch the content hash, then ONE rank window — Spark's two-level
+    * WindowGroupLimit ships ≤ k rows per partition into the single
+    * final stage (the q_ship_priority global-top-k shape), never the
+    * corpus.
+    */
+  def dsirSelect(documents: DataFrame, k: Int = 50, buckets: Int = 1024,
+      targetEvery: Int = 10, targetRem: Int = 7): DataFrame = {
+    // materialize the DOC-sized score frame (one 4-column row per doc)
+    // before filtering: the !is_target predicate would otherwise push
+    // into the corpus scans and split dsirScore's tf subtree into
+    // filtered + unfiltered instances — the whole feature explode ran
+    // twice (measured 28.6 s vs dsirScore's 14.9 s at 10×; 18.2 s
+    // after). Unlike the curate checkpoint this one is small by
+    // construction: rows = docs, never docs × features
+    val scored = dsirScore(documents, buckets, targetEvery, targetRem)
+      .localCheckpoint(false)
+      .where(!col("is_target"))
+    val u = (graft.functions.TextFunctions.hashBucket(col("text"), 10000,
+      "gum:").cast("double") + lit(0.5)) / lit(10000.0)
+    val gum = documents.select(col("doc_id"),
+      round(-log(-log(u)), 6).as("g"))
+    val w = Window.orderBy(col("gumbel_key").desc, col("doc_id"))
+    scored.join(gum, "doc_id")
+      .withColumn("gumbel_key", col("log_weight") + col("g"))
+      // rank(), not row_number(): identical under the doc_id tie-break
+      // (the ordering is total), and it is the form Spark's
+      // InferWindowGroupLimit rewrites for an UNPARTITIONED window in
+      // this tree (row_number here kept the full-sort Filter+Window)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("doc_id", "log_weight", "gumbel_key", "rnk")
+  }
+
   /** Temperature-scaled language sampling weights — the published
     * multilingual mixing recipe (XLM-R / mT5 sample language ℓ with
     * probability ∝ (n_ℓ/N)^α, α ≈ 0.3): α = 1 is proportional

@@ -50,6 +50,32 @@ class CurationSpec extends SparkSuite {
       .subsetOf(Set("train", "val", "test")))
   }
 
+  test("dsirSelect: deterministic Gumbel top-k over raw docs only") {
+    val k = 10
+    def sel() = Curation.dsirSelect(docs, k = k).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("gumbel_key"),
+        r.getAs[Long]("rnk"))).sortBy(_._3)
+    val s1 = sel()
+    assert(s1.length == k)
+    assert(s1.sameElements(sel()), "the draw must be rerun-stable")
+    assert(s1.forall(_._1 % 10 != 7), "target docs are never selected")
+    // keys are ranked descending with doc_id tie-break
+    assert(s1.map(_._2).toSeq == s1.map(_._2).sortBy(x => -x).toSeq)
+    // the selection is ∝ exp(log_weight): verify against an in-memory
+    // reference computing the same keys from the operator's own parts
+    val scored = Curation.dsirScore(docs).collect()
+      .filter(!_.getAs[Boolean]("is_target"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight"))
+      .toMap
+    val gums = Curation.dsirSelect(docs, k = Int.MaxValue).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("gumbel_key"))
+    val expect = gums.sortBy { case (id, key) => (-key, id) }.take(k)
+      .map(_._1).toSeq
+    assert(s1.map(_._1).toSeq == expect)
+    assert(gums.forall { case (id, key) =>
+      math.abs(key - scored(id)) < 20.0 }) // key = log_weight + Gumbel noise
+  }
+
   test("mixWeights: temperature flattens the head, budget caps the rate") {
     val d = Seq(
       (1L, "a b c d e f g h", "en", "s"), // en: 3 docs x 8 toks = 24

@@ -89,6 +89,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("curateCorpus", graft.operators.Curation.curateCorpus(noDocs))
     assertEmptyOk("probeScore", graft.operators.Curation.probeScore(noDocs))
     assertEmptyOk("mixWeights", graft.operators.Curation.mixWeights(noDocs))
+    assertEmptyOk("dsirSelect", graft.operators.Curation.dsirSelect(noDocs))
     assertEmptyOk("hashEmbedSparse", TextOps.hashEmbedSparse(noDocs))
     assertEmptyOk("hashEmbed", TextOps.hashEmbed(noDocs))
     assertEmptyOk("zipfSlope", TextOps.zipfSlope(noDocs))

@@ -169,6 +169,14 @@ class PlanAuditSpec extends SparkSuite {
       s"no stage of the pipeline may go all-pairs:\n$p")
   }
 
+  test("dsirSelect: global top-k goes through WindowGroupLimit") {
+    val p = plan(graft.operators.Curation.dsirSelect(
+      Tables(spark, dir, "documents")))
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank filter must prune per partition before the final stage:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("mixWeights: corpus shuffles once on lang; no cartesian") {
     val p = plan(graft.operators.Curation.mixWeights(
       Tables(spark, dir, "documents")))
