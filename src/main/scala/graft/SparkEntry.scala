@@ -88,6 +88,7 @@ object SparkEntry {
     "q_dup_span_hashed" -> ((s, d) =>
       Dedup.dupSpan(t(s, d, "documents"), hashGrams = true)),
     "q_dup_span_merge" -> ((s, d) => Dedup.dupSpanMerge(t(s, d, "documents"))),
+    "q_cut_spans" -> ((s, d) => Dedup.cutSpans(t(s, d, "documents"))),
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"))),
     // explicit loose-threshold opt-in: the synthetic embeddings top out
     // at cos ~0.5, so the production default (0.9) would return zero
@@ -791,6 +792,47 @@ object SparkEntry {
         |  CAST(MAX(pos) - MIN(pos) + 4 AS BIGINT) AS n_span_tok,
         |  CAST(COUNT(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    "q_cut_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos + 1:pos + 4], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 3)) AS pos
+        |        FROM base WHERE len(toks) >= 4)
+        |), dupg AS (
+        |  SELECT gram
+        |  FROM (SELECT gram, COUNT(*) AS nd
+        |        FROM (SELECT DISTINCT doc_id, gram FROM sh) GROUP BY 1)
+        |  WHERE nd >= 2
+        |), marked AS (
+        |  SELECT doc_id, pos
+        |  FROM (SELECT sh.doc_id, sh.pos,
+        |          row_number() OVER (PARTITION BY sh.gram
+        |            ORDER BY sh.doc_id, sh.pos) AS rn
+        |        FROM sh JOIN dupg USING (gram))
+        |  WHERE rn > 1
+        |), unmarked AS (
+        |  SELECT doc_id, pos FROM sh
+        |  EXCEPT SELECT doc_id, pos FROM marked
+        |), keptidx AS (
+        |  SELECT DISTINCT doc_id, pos + i AS ti
+        |  FROM unmarked CROSS JOIN (SELECT unnest(range(4)) AS i)
+        |), tokens AS (
+        |  SELECT doc_id, ti, toks[ti + 1] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS ti FROM base)
+        |), rebuilt AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY ti) AS clean
+        |  FROM tokens JOIN keptidx USING (doc_id, ti)
+        |  GROUP BY doc_id
+        |)
+        |SELECT b.doc_id,
+        |  CASE WHEN len(b.toks) < 4 THEN b.text
+        |       ELSE COALESCE(r.clean, '') END AS text_clean,
+        |  CAST(len(b.toks) AS BIGINT) AS n_tok,
+        |  CAST(len(b.toks) - CASE WHEN len(b.toks) < 4 THEN len(b.toks)
+        |       ELSE COALESCE(r.n_kept, 0) END AS BIGINT) AS n_cut_tok
+        |FROM base b LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, shingle

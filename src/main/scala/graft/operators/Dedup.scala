@@ -634,4 +634,69 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select("doc_id", "tok_start", "n_span_tok", "n_windows")
   }
+
+  /** Span-level dedup TRANSFORMATION — the cut that [[dupSpan]]
+    * diagnoses and [[dupSpanMerge]] locates, applied keep-one-copy
+    * (the published exact-substring recipe removes every occurrence
+    * of a duplicated substring but one): a window occurrence is
+    * OWNED by the globally first (doc_id, pos) occurrence of its
+    * gram; every other duplicated occurrence is cut-marked; a token
+    * is removed iff EVERY window covering it is cut-marked (the
+    * covered-by-all rule — boundary tokens shared with a unique or
+    * owned window survive, so the cut is conservative at span
+    * edges). The first doc carrying a span keeps it verbatim; later
+    * verbatim copies lose it wholesale. Returns every doc:
+    * (doc_id, text_clean, n_tok, n_cut_tok) — docs shorter than
+    * `n` tokens (no windows) pass through unchanged.
+    *
+    * Scale shape: everything is keyed — the gram-ownership
+    * row_number window partitions by GRAM (high cardinality), the
+    * kept-token index explode is a bounded n× amplification of the
+    * window set, and the text rebuild is one per-doc aggregate over
+    * sorted (index, token) structs. No pairwise work. Like
+    * [[graft.operators.Curation.tokenChunks]], the OUTPUT is
+    * corpus-sized (text_clean materializes), so wall time tracks
+    * output volume; consumers that only need the cut statistics
+    * should drop text_clean.
+    */
+  def cutSpans(documents: DataFrame, n: Int = 4, minDocs: Int = 2): DataFrame = {
+    import graft.functions.TextFunctions.{shingleFromStruct, shingleStructs, tokenize}
+    val base = documents.select(col("doc_id"), col("text"),
+      tokenize(col("text")).as("toks"))
+    val sh = base.where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(shingleStructs(col("toks"), n)).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("pos"), shingleFromStruct(col("z"), n).as("gram"))
+    val dupg = sh.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs).select("gram")
+    val wOwn = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    val marked = sh.join(dupg, Seq("gram"))
+      .withColumn("rn", row_number().over(wOwn))
+      .where(col("rn") > 1) // duplicated and NOT the owner occurrence
+      .select(col("doc_id"), col("pos"))
+    val unmarked = sh.select("doc_id", "pos")
+      .join(marked, Seq("doc_id", "pos"), "left_anti")
+    val keptIdx = unmarked
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
+      .distinct()
+    val tokens = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("ti", "tok")))
+    val rebuilt = tokens.join(keptIdx, Seq("doc_id", "ti"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("ti"), col("tok")))),
+            x => x.getField("tok"))).as("clean"))
+    base.select(col("doc_id"), col("text"),
+      size(col("toks")).cast("long").as("n_tok"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_tok") < n, col("text"))
+          .otherwise(coalesce(col("clean"), lit(""))).as("text_clean"),
+        col("n_tok"),
+        (col("n_tok") - when(col("n_tok") < n, col("n_tok"))
+          .otherwise(coalesce(col("n_kept"), lit(0L)))).as("n_cut_tok"))
+  }
 }

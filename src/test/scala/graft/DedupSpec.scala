@@ -222,6 +222,39 @@ class DedupSpec extends SparkSuite {
     assert(spans == perDoc)
   }
 
+  test("cutSpans: first copy kept verbatim, later copies cut, boundaries conservative") {
+    val d = Seq(
+      (0L, "z1 z2 D1 D2 D3 D4 D5 D6 z3 z4", "en"), // owns every dup gram
+      (1L, "D1 D2 D3 D4 D5 D6", "en"),  // verbatim later copy: fully cut
+      (2L, "D1 D2 D3 D4 u1 u2 u3 u4 u5", "en"), // only window 0 marked:
+      // token 0 is covered by no unmarked window -> cut; D2..D4 are
+      // shared with unmarked windows -> kept (conservative boundary)
+      (3L, "p q r s t u", "en"),        // nothing duplicated: unchanged
+      (4L, "x y", "en")                 // < n tokens: unchanged
+    ).toDF("doc_id", "text", "lang")
+    val r = Dedup.cutSpans(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("text_clean"), x.getAs[Long]("n_tok"),
+          x.getAs[Long]("n_cut_tok")))).toMap
+    assert(r == Map(
+      0L -> (("z1 z2 D1 D2 D3 D4 D5 D6 z3 z4", 10L, 0L)),
+      1L -> (("", 6L, 6L)),
+      2L -> (("D2 D3 D4 u1 u2 u3 u4 u5", 9L, 1L)),
+      3L -> (("p q r s t u", 6L, 0L)),
+      4L -> (("x y", 2L, 0L))), s"got $r")
+  }
+
+  test("cutSpans: cut token counts reconcile with the corpus (no token invented)") {
+    val r = Dedup.cutSpans(docs).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val clean = x.getAs[String]("text_clean")
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept + x.getAs[Long]("n_cut_tok") == x.getAs[Long]("n_tok"),
+        s"doc ${x.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("dupSpanMerge: hashed-gram scale path matches the exact-string path") {
     def res(hash: Boolean) = Dedup.dupSpanMerge(docs, hashGrams = hash)
       .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("tok_start"),

@@ -71,6 +71,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("containmentPairs", Dedup.containmentPairs(noDocs))
     assertEmptyOk("dupSpan", Dedup.dupSpan(noDocs))
     assertEmptyOk("dupSpanMerge", Dedup.dupSpanMerge(noDocs))
+    assertEmptyOk("cutSpans", Dedup.cutSpans(noDocs))
     assertEmptyOk("lengthHist", TextOps.lengthHist(noDocs))
     assertEmptyOk("qualityTopK", graft.operators.Curation.qualityTopK(noDocs))
     assertEmptyOk("tokenBudget", graft.operators.Curation.tokenBudget(noDocs))

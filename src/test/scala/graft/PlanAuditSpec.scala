@@ -196,6 +196,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("cutSpans: ownership window partitions by gram; all joins keyed") {
+    val p = plan(graft.operators.Dedup.cutSpans(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("SinglePartition"),
+      s"gram ownership must stay gram-parallel:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"every join here has an equi-key:\n$p")
+  }
+
   test("randomProject: pure projection — zero exchanges, zero joins") {
     val p = plan(graft.operators.Similarity.randomProject(
       Tables(spark, dir, "embeddings")))
