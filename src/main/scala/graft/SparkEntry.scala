@@ -559,7 +559,8 @@ object SparkEntry {
         |  FROM embeddings
         |  WHERE embedding IS NOT NULL AND len(embedding) = 64
         |    AND len(list_filter(CAST(embedding AS DOUBLE[]),
-        |                        x -> x IS NULL OR isnan(x))) = 0
+        |                        x -> x IS NULL OR isnan(x)
+        |                          OR abs(x) >= 8388608.0)) = 0
         |), pe AS (
         |  SELECT vec_id, i, CAST(floor(emb[i + 1] * 1048576) AS BIGINT) AS qv
         |  FROM (SELECT vec_id, emb, unnest(range(len(emb))) AS i FROM e)

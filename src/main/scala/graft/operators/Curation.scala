@@ -532,10 +532,14 @@ object Curation {
     * a fastText model): features are [[TextOps.hashEmbed]]'s
     * unit-norm hashed token counts (model-free, `dim` buckets), the
     * model is full-batch logistic regression trained IN THE DRIVER on
-    * a bounded sample (`doc_id < sampleBound`, the [[Dedup]]-family
-    * bound convention; collected rows are sorted by doc_id so the
-    * gradient fold order — and therefore every weight — is
-    * deterministic), and the corpus is scored DISTRIBUTEDLY with the
+    * a bounded sample — the `sampleBound` documents with the smallest
+    * `xxhash64(doc_id)`, NOT an id prefix: at 100 TB the low ids are a
+    * time/source-ordered slice, and a probe trained on a prefix would
+    * silently model one shard of the corpus (the [[
+    * graft.operators.Similarity.pqCodebooks]] sampling rule; sample
+    * span is spec-asserted). Collected rows are sorted by doc_id so
+    * the gradient fold order — and therefore every weight — is
+    * deterministic. The corpus is then scored DISTRIBUTEDLY with the
     * trained weights embedded as one float-array literal through the
     * codegen `dot_f32` kernel — constant-size driver traffic, the
     * same train-small/score-everywhere pattern as the PQ codebooks
@@ -546,7 +550,18 @@ object Curation {
     * safely to the untrained prior (w = 0 → score 0.5 everywhere)
     * rather than crashing a 100 TB run. Returns
     * (doc_id, is_target, score) with score = sigmoid(w·x + b)
-    * rounded 6dp.
+    * rounded 6dp then clamped into [1e-6, 1 − 1e-6]: round(·, 6)
+    * saturates to exactly 0.0/1.0 once |z| > ~14.5, and a
+    * well-separated real-label corpus WILL push weights there — the
+    * clamp keeps the documented strictly-in-(0,1) contract (and every
+    * log(score) a downstream filter takes) safe at any separation.
+    *
+    * EAGER BY CONSTRUCTION — calling this (or [[trainProbe]]) runs
+    * Spark jobs immediately: training must collect the sample before
+    * the scoring plan can embed the weights as a literal. Every other
+    * operator in this library is lazy; pipelines that build plans
+    * up-front should call [[trainProbe]] once and reuse its weights
+    * via [[scoreWithProbe]] (which IS lazy, and never retrains).
     *
     * The synthetic gate corpus carries no true class signal, so the
     * spec asserts the MECHANISM: deterministic weights, in-sample
@@ -558,10 +573,25 @@ object Curation {
       targetEvery: Int = 10, targetRem: Int = 7,
       sampleBound: Long = 5000, iters: Int = 300,
       step: Double = 1.0, l2: Double = 1e-3): DataFrame = {
+    val (w, b) = trainProbe(documents, dim, targetEvery, targetRem,
+      sampleBound, iters, step, l2)
+    scoreWithProbe(documents, w, b, dim, targetEvery, targetRem)
+  }
+
+  /** The EAGER training half of [[probeScore]]: collects the bounded
+    * hash-ordered sample and runs full-batch gradient descent in the
+    * driver, returning (weights, bias) — constant-size state a caller
+    * can persist and reuse across corpora without retraining.
+    */
+  def trainProbe(documents: DataFrame, dim: Int = 64,
+      targetEvery: Int = 10, targetRem: Int = 7,
+      sampleBound: Long = 5000, iters: Int = 300,
+      step: Double = 1.0, l2: Double = 1e-3): (Array[Double], Double) = {
     graft.GraftFunctions.register(documents.sparkSession)
-    val isTarget = pmod(col("doc_id"), lit(targetEvery)) === lit(targetRem)
     val feats = TextOps.hashEmbed(documents, dim)
-    val sample = feats.where(col("doc_id") < sampleBound)
+    val sample = feats
+      .orderBy(xxhash64(col("doc_id")), col("doc_id"))
+      .limit(sampleBound.min(Int.MaxValue).toInt)
       .select(col("doc_id"), col("embedding")).collect()
       .sortBy(_.getAs[Long]("doc_id"))
       .map { r =>
@@ -594,11 +624,27 @@ object Curation {
         b -= step * gb / n
       }
     }
+    (w, b)
+  }
+
+  /** The LAZY scoring half of [[probeScore]]: embeds pre-trained
+    * weights as one float-array literal through the codegen `dot_f32`
+    * kernel — zero jobs at construction, zero exchanges beyond
+    * [[TextOps.hashEmbed]]'s own.
+    */
+  def scoreWithProbe(documents: DataFrame, w: Array[Double], b: Double,
+      dim: Int = 64, targetEvery: Int = 10, targetRem: Int = 7): DataFrame = {
+    graft.GraftFunctions.register(documents.sparkSession)
+    require(w.length == dim, s"weights dim ${w.length} != features dim $dim")
+    val isTarget = pmod(col("doc_id"), lit(targetEvery)) === lit(targetRem)
     val wLit = typedLit(w.map(_.toFloat).toSeq)
-    feats.select(col("doc_id"), isTarget.as("is_target"),
-      round(lit(1.0) / (lit(1.0) +
-        exp(-(call_function("dot_f32", col("embedding"), wLit)
-          .cast("double") + lit(b)))), 6).as("score"))
+    TextOps.hashEmbed(documents, dim)
+      .select(col("doc_id"), isTarget.as("is_target"),
+        least(greatest(
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(call_function("dot_f32", col("embedding"), wLit)
+              .cast("double") + lit(b)))), 6),
+          lit(1e-6)), lit(1.0 - 1e-6)).as("score"))
   }
 
   /** End-to-end corpus curation — the pipeline a user of this library

