@@ -112,6 +112,7 @@ object SparkEntry {
     // reconstruction specs in SimilaritySpec
     "q_pq_encode" -> ((s, d) => Similarity.pqEncodeFlat(t(s, d, "embeddings"))),
     "q_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(t(s, d, "embeddings"))),
+    "q_ann_ivfpq_learned" -> ((s, d) => Similarity.annIvfPqLearned(t(s, d, "embeddings"))),
     "q_kmeans" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
@@ -176,7 +177,8 @@ object SparkEntry {
     * q_ann_lsh, q_ann_ivf, q_ann_ivf_learned, q_embed_neardup_lsh,
     * q_active_users_approx, q_value_quantiles_approx,
     * q_decontaminate_hashed, q_dup_span_hashed, q_pq_encode,
-    * q_ann_ivfpq, q_semdedup, q_curate_pipeline, q_quality_probe.
+    * q_ann_ivfpq, q_ann_ivfpq_learned, q_semdedup, q_curate_pipeline,
+    * q_quality_probe.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

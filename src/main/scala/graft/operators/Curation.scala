@@ -588,10 +588,14 @@ object Curation {
       sampleBound: Long = 5000, iters: Int = 300,
       step: Double = 1.0, l2: Double = 1e-3): (Array[Double], Double) = {
     graft.GraftFunctions.register(documents.sparkSession)
-    val feats = TextOps.hashEmbed(documents, dim)
-    val sample = feats
-      .orderBy(xxhash64(col("doc_id")), col("doc_id"))
-      .limit(sampleBound.min(Int.MaxValue).toInt)
+    // sample FIRST (top-N over the raw two-column projection), embed
+    // the ~sampleBound surviving rows after: hashEmbed's tokenize +
+    // explode + two aggregates must run over the sample, not the
+    // corpus — sampling the embedded frame would tokenize 100 TB to
+    // keep 5000 rows (the round-7 shape this replaces)
+    val sampleDocs = Sampling.hashOrdered(
+      documents.select(col("doc_id"), col("text")), "doc_id", sampleBound)
+    val sample = TextOps.hashEmbed(sampleDocs, dim)
       .select(col("doc_id"), col("embedding")).collect()
       .sortBy(_.getAs[Long]("doc_id"))
       .map { r =>

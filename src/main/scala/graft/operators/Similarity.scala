@@ -635,8 +635,7 @@ object Similarity {
     // getSeq under erasure yields boxed floats: null ELEMENTS (legal in
     // parquet float lists) and wrong-dim vectors are rejected here, or
     // they would NPE/misalign the primitive training arrays
-    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(trainSample).collect()
+    val sample = Sampling.hashOrdered(e, "vec_id", trainSample).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[java.lang.Float](1))
       .collect { case (id, v)
           if v != null && v.length == dim && !v.contains(null) =>
@@ -742,7 +741,7 @@ object Similarity {
       nCells: Int = 8, nProbe: Int = 4, m: Int = 8, kCodes: Int = 64,
       iters: Int = 3, rerank: Int = 50, dim: Int = 64): DataFrame =
     ivfPqSearch(embeddings,
-      (0 until nCells).map(c => (0 until dim).map(d => centroidComponent(c, d))),
+      _ => (0 until nCells).map(c => (0 until dim).map(d => centroidComponent(c, d))),
       nQueries, k, nProbe, m, kCodes, iters, rerank, dim)
 
   /** [[annIvfPq]] over LEARNED coarse cells — the composition a real
@@ -754,35 +753,40 @@ object Similarity {
     * inverted lists — fixed random cells leave some near-empty and
     * others hot, so the same nProbe covers less of the true-neighbor
     * mass (measured on the gate corpus: plain IVF recall 0.74 fixed →
-    * 0.76 learned). Spec-asserted: recall ≥ the fixed-cell
-    * [[annIvfPq]] under identical cells/probes/codebooks, and still
-    * bounded by its own uncompressed-IVF ceiling. Adds `iters`
-    * constant-size driver round-trips (the MLlib pattern) to the
-    * index-build cost; the per-row scale shape is unchanged.
+    * 0.76 learned). Lloyd's refinement carries no recall guarantee on
+    * arbitrary data, so the spec pins the claim to the fixed gate
+    * corpus and defaults: there, learned-cell recall ≥ the fixed-cell
+    * [[annIvfPq]] minus a small tolerance, and is still bounded by its
+    * own uncompressed-IVF ceiling. Adds `iters` constant-size driver
+    * round-trips (the MLlib pattern) to the index-build cost; the
+    * per-row scale shape is unchanged.
     */
   def annIvfPqLearned(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
       nCells: Int = 8, nProbe: Int = 4, m: Int = 8, kCodes: Int = 64,
-      iters: Int = 3, rerank: Int = 50, dim: Int = 64): DataFrame = {
-    val e = registered(embeddings).select(col("vec_id"), col("embedding"))
-      .where(pqEncodable(dim))
-    ivfPqSearch(embeddings, learnedCentroids(e, nCells, iters, dim),
+      iters: Int = 3, rerank: Int = 50, dim: Int = 64): DataFrame =
+    ivfPqSearch(embeddings, e => learnedCentroids(e, nCells, iters, dim),
       nQueries, k, nProbe, m, kCodes, iters, rerank, dim)
-  }
 
   /** The IVF-PQ search core shared by [[annIvfPq]] (fixed cells) and
     * [[annIvfPqLearned]] (Lloyd's cells): encode corpus, probe cells,
-    * ADC-score, refine. Cells arrive as literals; everything else is
-    * one declarative plan.
+    * ADC-score, refine. Cells arrive as a function of the ONE
+    * pqEncodable-gated frame (so the fixed and learned variants train
+    * and search through literally the same filter — the gate cannot
+    * drift between centroid training and encoding); everything else
+    * is one declarative plan.
     */
   private def ivfPqSearch(embeddings: DataFrame,
-      centroids: IndexedSeq[IndexedSeq[Float]], nQueries: Long, k: Int,
+      mkCentroids: DataFrame => IndexedSeq[IndexedSeq[Float]],
+      nQueries: Long, k: Int,
       nProbe: Int, m: Int, kCodes: Int, iters: Int, rerank: Int,
       dim: Int): DataFrame = {
     val ds = dim / m
     // the pqEncodable gate covers every derived side — corpus codes,
-    // query LUTs, and the refinement fetch all filter from `e`
+    // query LUTs, centroid training, and the refinement fetch all
+    // filter from `e`
     val e = registered(embeddings).select(col("vec_id"), col("embedding"))
       .where(pqEncodable(dim))
+    val centroids = mkCentroids(e)
     val books = pqCodebooks(embeddings, m, kCodes, iters, dim)
     val corpus = cellsFor(e, centroids, nProbe = 1)
       .select(col("vec_id"), col("cell"),

@@ -113,6 +113,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("pqEncode", Similarity.pqEncode(noEmb))
     assertEmptyOk("pqEncodeFlat", Similarity.pqEncodeFlat(noEmb))
     assertEmptyOk("annIvfPq", Similarity.annIvfPq(noEmb))
+    assertEmptyOk("annIvfPqLearned", Similarity.annIvfPqLearned(noEmb))
     assertEmptyOk("semDeDup", Similarity.semDeDup(noEmb))
   }
 }

@@ -368,4 +368,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
       s"cell-keyed candidate join must be a hash join:\n$p")
   }
+
+  test("annIvfPqLearned: same plan discipline as the fixed-cell variant") {
+    val p = plan(graft.operators.Similarity.annIvfPqLearned(
+      Tables(spark, dir, "embeddings")))
+    assert(!p.contains("CartesianProduct"), s"no cartesian in learned IVF-PQ:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      s"cell-keyed candidate join must be a hash join:\n$p")
+  }
 }

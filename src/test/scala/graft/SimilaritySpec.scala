@@ -391,4 +391,29 @@ class SimilaritySpec extends SparkSuite {
     assert(rPq >= rIvf - 0.1, s"refinement lost too much: $rPq vs $rIvf")
     assert(rPq >= 0.6)
   }
+
+  test("annIvfPqLearned: near fixed-cell recall, bounded by learned-IVF ceiling") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(Similarity.annTopK(emb, nQueries = 10, k = 5))
+    val fixedPq = pairs(Similarity.annIvfPq(emb, nQueries = 10, k = 5))
+    val learnedPq = pairs(Similarity.annIvfPqLearned(emb, nQueries = 10, k = 5))
+    val learnedIvf = pairs(Similarity.annIvfLearned(emb, nQueries = 10, k = 5))
+    val rFixed = (exact & fixedPq).size.toDouble / exact.size
+    val rLearned = (exact & learnedPq).size.toDouble / exact.size
+    val rCeil = (exact & learnedIvf).size.toDouble / exact.size
+    info(s"learned ivf-pq recall = $rLearned (fixed ivf-pq = $rFixed, " +
+      s"uncompressed learned-ivf ceiling = $rCeil)")
+    // uncompressed IVF over the same learned cells ranks exact cosine
+    // within the same candidate sets — the ceiling by construction
+    assert(rLearned <= rCeil + 1e-9,
+      s"learned PQ cannot beat its uncompressed ceiling: $rLearned > $rCeil")
+    // Lloyd's carries no recall guarantee on arbitrary data, so this
+    // claim is PINNED to the fixed gate corpus + defaults: there,
+    // data-adaptive cells must stay within a small tolerance of the
+    // fixed-cell variant (measured: at or above it)
+    assert(rLearned >= rFixed - 0.1,
+      s"learned cells lost recall on the gate corpus: $rLearned vs $rFixed")
+    assert(rLearned >= 0.6)
+  }
 }
