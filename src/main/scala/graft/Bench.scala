@@ -65,25 +65,47 @@ object Bench {
              a <- ts.find(_.variant != "native"))
           yield k -> a.sec / n.sec
     }
-    def r4(v: Double): String = // fixed-width values keep the stdout
-      if (v < 0) "-1" // line inside the driver's capture; Locale.ROOT:
-      // a comma-decimal default locale would emit invalid JSON
-      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def r4(v: Double): String = // fixed-width values; Locale.ROOT: a
+      if (v < 0) "-1" // comma-decimal default locale would emit
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)) // invalid JSON
     val total = results.map(_._2).filter(_ >= 0).sum
-    def line(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // the dev filter must leave a trace in the artifact: a focused run
+    // that silently reports a tiny "total" reads as a 60x speedup
+    val onlyField = only.map(s =>
+      s""""only":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""")
+      .getOrElse("")
+    def mapJson(entries: Seq[(String, Double)], fmt: Double => String) =
+      entries.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val kr = ratios.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"kernel_ratios":$kr,"sf":"$sfDir"}"""
-    }
-    // stdout: ONE rounded line (the driver captures a bounded tail —
-    // full-precision values overflow it and truncate the JSON); the
-    // full-precision twin goes to a file artifact
-    println(line(r4))
+    // full-precision per-query twin: the complete record lives in a
+    // file artifact, where no capture window can cut it
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      line(_.toString).getBytes("UTF-8"))
+      (s"""{"metric":"total","value":$total,"unit":"sec",$onlyField""" +
+        s""""queries":${mapJson(results, _.toString)},""" +
+        s""""kernel_ratios":${mapJson(ratios, _.toString)},"sf":"$sfDir"}""")
+        .getBytes("UTF-8"))
+    // stdout: ONE line, emitted LAST, sized to survive the driver's
+    // bounded tail capture (measured: the captured tail is 2000 chars
+    // and also holds sbt's trailing "[success]" line, while all ~99
+    // per-query entries need ~2.5KB even at 2 decimals — a complete
+    // inline map CANNOT fit, which is exactly how rounds 6/7 shipped
+    // a truncated, unparseable artifact). The line carries the
+    // headline metric + the slowest queries; the full map is in
+    // `queries_file`.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val failedField =
+      if (failed.isEmpty) ""
+      else s""""failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
+    System.out.flush()
+    println(
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},$onlyField$failedField""" +
+        s""""queries_file":"$outPath",""" +
+        s""""slowest":${mapJson(slowest, r4)},""" +
+        s""""kernel_ratios":${mapJson(ratios, r4)},"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

