@@ -50,6 +50,20 @@ object InvoiceLog {
     }.toIndexedSeq: _*)
   }
 
+  /** Idempotent per-micro-batch write for `foreachBatch` sinks: batch
+    * `batchId`'s redacted rows land under `path/batch=<batchId>` with
+    * OVERWRITE mode. Structured Streaming re-delivers an uncommitted
+    * batch with the same id and the same rows after a crash
+    * (at-least-once delivery); scoping the overwrite to the batch's
+    * own directory turns that replay into a no-op — the standard
+    * idempotent-sink recipe that upgrades foreachBatch to
+    * exactly-once. The `batch=` partition-dir naming makes the batch
+    * id a queryable partition column on read-back (free audit lineage,
+    * zero extra bytes per row).
+    */
+  def writeBatch(df: DataFrame, path: String, batchId: Long): Unit =
+    redact(df).write.mode("overwrite").json(s"$path/batch=$batchId")
+
   /** Streaming variant: continuously append the redacted audit stream
     * as JSONL — the shape a live payment deployment runs (checkpointed,
     * exactly-once within the sink's file-commit protocol).

@@ -32,6 +32,19 @@ object PaymentStream {
       options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.format(format).options(options).load()
 
+  /** Connector-backed ingest: the named `payfeed` DataSourceV2 binding
+    * ([[graft.sources.PayFeedSource]]) resolved through its registered
+    * short format name — the exact call shape a production
+    * Kinesis-style connector swap uses (`raw(spark, fmt, opts)` with
+    * the connector's own format name and options), with the identical
+    * parse + FSM stages downstream. Options pass through to the
+    * connector (shards / recordsPerRound / rounds / malformedEvery for
+    * the stub; streamName / region / ... for a live one).
+    */
+  def fromFeed(spark: SparkSession,
+      options: Map[String, String] = Map.empty): Dataset[PaymentEvent] =
+    fromJson(raw(spark, graft.sources.PayFeedSource.ShortName, options), "value")
+
   /** File-backed ingest: every file landing under `dir` is a batch of
     * JSON-lines payment records — the in-sandbox stand-in for a
     * Kinesis-style connector with the same operational semantics: the
