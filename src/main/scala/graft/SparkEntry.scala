@@ -175,12 +175,22 @@ object SparkEntry {
     * equivalent): q_hmac_sign, q_dedup_minhash, q_dedup_minhash_verified,
     * q_dedup_simhash, q_simhash_pairs, q_fingerprint, q_kmeans,
     * q_ann_lsh, q_ann_ivf, q_ann_ivf_learned, q_embed_neardup_lsh,
-    * q_active_users_approx, q_value_quantiles_approx,
-    * q_decontaminate_hashed, q_dup_span_hashed, q_pq_encode,
+    * q_active_users_approx, q_value_quantiles_approx, q_pq_encode,
     * q_ann_ivfpq, q_ann_ivfpq_learned, q_semdedup, q_curate_pipeline,
     * q_quality_probe.
+    *
+    * The hashed-key twins ARE oracled: q_dup_span_hashed and
+    * q_decontaminate_hashed swap xxhash64 gram keys into the shuffle
+    * but produce the identical result frame (spec-asserted equal to
+    * the exact variants, 2^-64-collision caveat in their scaladoc), so
+    * the exact variants' SQL is their oracle too — DuckDB verifies the
+    * OUTPUT, not the internal key representation.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q_dup_span_hashed" -> oracleSqlBase("q_dup_span"),
+    "q_decontaminate_hashed" -> oracleSqlBase("q_decontaminate"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -649,11 +649,21 @@ object Dedup {
     * (doc_id, text_clean, n_tok, n_cut_tok) — docs shorter than
     * `n` tokens (no windows) pass through unchanged.
     *
-    * Scale shape: everything is keyed — the gram-ownership
-    * row_number window partitions by GRAM (high cardinality), the
-    * kept-token index explode is a bounded n× amplification of the
-    * window set, and the text rebuild is one per-doc aggregate over
-    * sorted (index, token) structs. No pairwise work. Like
+    * Scale shape: everything is keyed — and the gram-ownership step
+    * is a partial-aggregable `min(struct(doc_id, pos))` per gram, NOT
+    * a gram-partitioned window: a corpus-scale boilerplate gram (the
+    * classic skew funnel — one license header in half the corpus)
+    * collapses to one candidate per map partition before the shuffle
+    * instead of sorting every occurrence in a single window task.
+    * Ownership is then removed by an anti-join on the near-unique
+    * (gram, doc_id, pos) key, which distributes the hot gram's
+    * occurrences uniformly; the one remaining gram-keyed join
+    * (occurrences ⨝ duplicated-gram set) is an equi-join AQE's
+    * skew-join split handles — windows get no such help, which is
+    * why the window formulation had to go. The kept-token index
+    * explode is a bounded n× amplification of the window set, and
+    * the text rebuild is one per-doc aggregate over sorted
+    * (index, token) structs. No pairwise work. Like
     * [[graft.operators.Curation.tokenChunks]], the OUTPUT is
     * corpus-sized (text_clean materializes), so wall time tracks
     * output volume; consumers that only need the cut statistics
@@ -670,10 +680,14 @@ object Dedup {
     val dupg = sh.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("nd"))
       .where(col("nd") >= minDocs).select("gram")
-    val wOwn = Window.partitionBy("gram").orderBy("doc_id", "pos")
-    val marked = sh.join(dupg, Seq("gram"))
-      .withColumn("rn", row_number().over(wOwn))
-      .where(col("rn") > 1) // duplicated and NOT the owner occurrence
+    val dupOcc = sh.join(dupg, Seq("gram"))
+    // the globally first (doc_id, pos) occurrence per gram — struct
+    // min is lexicographic, so this is exactly the old
+    // row_number-over-(doc_id, pos) owner, minus the skew funnel
+    val owners = dupOcc.groupBy("gram")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+      .select(col("gram"), col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+    val marked = dupOcc.join(owners, Seq("gram", "doc_id", "pos"), "left_anti")
       .select(col("doc_id"), col("pos"))
     val unmarked = sh.select("doc_id", "pos")
       .join(marked, Seq("doc_id", "pos"), "left_anti")

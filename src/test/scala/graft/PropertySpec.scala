@@ -94,4 +94,62 @@ class PropertySpec extends SparkSuite {
       assert((e.isNaN && c.isNaN) || c == e, s"mismatch: got $c want $e")
     }
   }
+
+  /** Independent in-memory model of [[graft.operators.Dedup.cutSpans]]
+    * semantics: gram-ownership by globally-first (doc_id, pos),
+    * covered-by-all token cut, short docs pass through. Deliberately
+    * naive (quadratic over tiny corpora) so it shares no structure
+    * with the distributed plan it checks.
+    */
+  private def refCutSpans(docs: Seq[(Long, String)], n: Int,
+      minDocs: Int): Map[Long, (String, Long, Long)] = {
+    // Spark's split(text, " ") keeps empty tokens, incl. trailing ones
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val occ = for {
+      (id, tk) <- toks.toSeq if tk.size >= n
+      p <- 0 to (tk.size - n)
+    } yield (id, p, tk.slice(p, p + n).mkString(" "))
+    val dup = occ.groupBy(_._3)
+      .filter { case (_, os) => os.map(_._1).distinct.size >= minDocs }.keySet
+    val owner = occ.filter(o => dup(o._3)).groupBy(_._3)
+      .map { case (g, os) => g -> os.map(o => (o._1, o._2)).min }
+    val marked = occ.collect {
+      case (id, p, g) if dup(g) && owner(g) != ((id, p)) => (id, p)
+    }.toSet
+    docs.map { case (id, text) =>
+      val tk = toks(id)
+      if (tk.size < n) id -> (text, tk.size.toLong, 0L)
+      else {
+        val keptIdx = (for {
+          p <- 0 to (tk.size - n) if !marked((id, p))
+          ti <- p until (p + n)
+        } yield ti).toSet
+        val kept = tk.zipWithIndex.collect { case (t, i) if keptIdx(i) => t }
+        id -> (kept.mkString(" "), tk.size.toLong, (tk.size - kept.size).toLong)
+      }
+    }.toMap
+  }
+
+  test("cutSpans matches the keep-one-copy reference model on generated corpora") {
+    import graft.operators.Dedup
+    // tiny alphabet + short docs force heavy gram collisions: repeated
+    // spans within a doc, across docs, full-doc duplicates, docs
+    // shorter than n, empty docs, and double spaces (empty tokens)
+    val genDoc = Gen.chooseNum(0, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "")).map(_.mkString(" ")))
+    val genCorpus = Gen.chooseNum(2, 8).flatMap(nd => Gen.listOfN(nd, genDoc))
+    val corpora = sample(genCorpus, 30)
+    corpora.zipWithIndex.foreach { case (texts, ci) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val want = refCutSpans(docs, n = 3, minDocs = 2)
+      val got = Dedup.cutSpans(docs.toDF("doc_id", "text"), n = 3, minDocs = 2)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("text_clean"), r.getAs[Long]("n_tok"),
+            r.getAs[Long]("n_cut_tok"))))
+        .toMap
+      assert(got == want,
+        s"corpus #$ci diverged\n docs=$docs\n got=$got\n want=$want")
+    }
+  }
 }
