@@ -533,7 +533,14 @@ object Similarity {
     * instead of O(n²/k_fixed): a fixed k means cluster sizes — and
     * the within-cluster pairwise stage — grow linearly with the
     * corpus (measured 10.5× wall at 10× data at fixed k=8; the paper
-    * picks k per corpus for exactly this reason). Auto-k is capped at
+    * picks k per corpus for exactly this reason). The default target
+    * of ~1000 vectors per cell bounds the self-join at ~½M pairs per
+    * cell — small enough that one cell is one healthy task, large
+    * enough that k stays far from the cap until ~4M vectors
+    * (measured: 10× data moved from 9.2× wall under an inert
+    * 10k-target — both gate scales floored at k=8, so auto-k never
+    * engaged — to 2.9× once k actually scaled (20k vecs → k=20),
+    * §5b). Auto-k is capped at
     * `maxAutoCells` because the centroids travel as k×dim literals
     * through the assignment plan — beyond that budget (a ~1 MB plan
     * at the default cap) pass an explicit `nCells` and expect the
@@ -541,7 +548,7 @@ object Similarity {
     */
   def semDeDup(embeddings: DataFrame, threshold: Double = 0.9,
       nCells: Int = 0, iters: Int = 3, dim: Int = 64,
-      targetCellSize: Long = 10000L, maxAutoCells: Int = 4096): DataFrame = {
+      targetCellSize: Long = 1000L, maxAutoCells: Int = 4096): DataFrame = {
     val e = registered(embeddings).select(col("vec_id"), col("embedding"))
     val k = if (nCells > 0) nCells
       else autoCells(e.count(), targetCellSize, maxAutoCells)
