@@ -99,12 +99,17 @@ object Bench {
       if (failed.isEmpty) ""
       else s""""failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
     System.out.flush()
+    // env-provided strings (outPath, sfDir) must be JSON-escaped — a
+    // path containing a quote/backslash would otherwise corrupt the
+    // one bounded stdout line the driver parses
+    def jstr(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
     println(
       s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},$onlyField$failedField""" +
-        s""""queries_file":"$outPath",""" +
+        s""""queries_file":"${jstr(outPath)}",""" +
         s""""slowest":${mapJson(slowest, r4)},""" +
-        s""""kernel_ratios":${mapJson(ratios, r4)},"sf":"$sfDir"}""")
+        s""""kernel_ratios":${mapJson(ratios, r4)},"sf":"${jstr(sfDir)}"}""")
     System.out.flush()
     spark.stop()
   }

@@ -593,8 +593,16 @@ object Curation {
     // explode + two aggregates must run over the sample, not the
     // corpus — sampling the embedded frame would tokenize 100 TB to
     // keep 5000 rows (the round-7 shape this replaces)
+    // embeddable docs only: hashEmbed drops a doc whose every token is
+    // empty (null / "" / all-spaces text), so an unfiltered sample
+    // would spend hash-ordered slots on docs that produce zero
+    // training rows — the effective sample would silently shrink below
+    // sampleBound while embeddable docs exist. The predicate is a
+    // scan-level filter; the O(scan) sampling shape is unchanged.
     val sampleDocs = Sampling.hashOrdered(
-      documents.select(col("doc_id"), col("text")), "doc_id", sampleBound)
+      documents.select(col("doc_id"), col("text"))
+        .where(col("text").isNotNull && trim(col("text")) =!= ""),
+      "doc_id", sampleBound)
     val sample = TextOps.hashEmbed(sampleDocs, dim)
       .select(col("doc_id"), col("embedding")).collect()
       .sortBy(_.getAs[Long]("doc_id"))

@@ -575,6 +575,10 @@ object Similarity {
   private[graft] def autoCells(n: Long, targetCellSize: Long,
       maxAutoCells: Int): Int = {
     require(targetCellSize > 0, s"targetCellSize must be > 0: $targetCellSize")
+    // a cap below the floor would silently yield k < 8 (k <= 0 returns
+    // an EMPTY frame — every vector vanishing instead of failing loud)
+    require(maxAutoCells >= 8,
+      s"maxAutoCells must be >= the k-means floor of 8: $maxAutoCells")
     val wanted = (n + targetCellSize - 1) / targetCellSize
     math.min(maxAutoCells.toLong, math.max(8L, wanted)).toInt
   }
