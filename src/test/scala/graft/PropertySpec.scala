@@ -152,4 +152,45 @@ class PropertySpec extends SparkSuite {
         s"corpus #$ci diverged\n docs=$docs\n got=$got\n want=$want")
     }
   }
+
+  test("dupSpanMerge matches an independent gaps-and-islands model on generated corpora") {
+    import graft.operators.Dedup
+    // same dup-heavy generator as the cutSpans property; the model
+    // here is the island merge: per doc, maximal consecutive runs of
+    // duplicated window positions, each reported as
+    // (tok_start, n_span_tok = span of covered tokens, n_windows)
+    def refMerge(docs: Seq[(Long, String)], n: Int,
+        minDocs: Int): Set[(Long, Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val occ = for {
+        (id, tk) <- toks if tk.size >= n
+        p <- 0 to (tk.size - n)
+      } yield (id, p, tk.slice(p, p + n).mkString(" "))
+      val dup = occ.groupBy(_._3)
+        .filter { case (_, os) => os.map(_._1).distinct.size >= minDocs }.keySet
+      occ.filter(o => dup(o._3)).groupBy(_._1).flatMap { case (id, os) =>
+        val runs = os.map(_._2).distinct.sorted
+          .foldLeft(List.empty[List[Int]]) {
+            case (cur :: rest, p) if cur.head == p - 1 => (p :: cur) :: rest
+            case (acc, p) => List(p) :: acc
+          }
+        runs.map(r => (id, r.min.toLong, (r.max - r.min + n).toLong,
+          r.size.toLong))
+      }.toSet
+    }
+    val genDoc = Gen.chooseNum(0, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "")).map(_.mkString(" ")))
+    val corpora = sample(
+      Gen.chooseNum(2, 8).flatMap(nd => Gen.listOfN(nd, genDoc)), 30)
+    corpora.zipWithIndex.foreach { case (texts, ci) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val want = refMerge(docs, n = 3, minDocs = 2)
+      val got = Dedup.dupSpanMerge(docs.toDF("doc_id", "text"), n = 3,
+        minDocs = 2).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start"),
+          r.getAs[Long]("n_span_tok"), r.getAs[Long]("n_windows"))).toSet
+      assert(got == want,
+        s"corpus #$ci diverged\n docs=$docs\n got=$got\n want=$want")
+    }
+  }
 }
