@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet star-schema loader.
   *
@@ -11,13 +11,16 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * pruning; at 100 TB these would be partitioned/bucketed tables and
   * the same code holds — filters and column selection reach the scan.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS). Spark's vector
-  * reader may surface it as nanos-long (legacy flag) or error; we
-  * normalize to a micros TIMESTAMP column deterministically
-  * (`div 1000` — integral TRUNCATION toward zero, which matches
-  * DuckDB's own nanos→micros conversion; truncation and floor
-  * coincide for all post-epoch timestamps, and the test data has no
-  * pre-1970 events).
+  * `events.ts` has shipped in two parquet generations: TIMESTAMP
+  * (NANOS) (surfaced as nanos-long under the legacy flag; normalized
+  * by `div 1000` — integral TRUNCATION toward zero, matching DuckDB's
+  * own nanos→micros conversion; truncation and floor coincide for all
+  * post-epoch timestamps, and the test data has no pre-1970 events)
+  * and TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaced as
+  * TIMESTAMP_NTZ; cast to the instant type, value-preserving under
+  * the UTC session every entry point pins). Both normalize to one
+  * micros TimestampType `ts` so operators and oracles never see the
+  * writer generation.
   */
 object Tables {
   /** Session conf required (=true) to read the nanos-timestamped
@@ -81,6 +84,15 @@ object Tables {
       case TimestampType => df
       case LongType => // nanosAsLong mode: ns epoch → micros timestamp
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4
+        // surfaces it as TIMESTAMP_NTZ. Every session this library
+        // builds pins spark.sql.session.timeZone=UTC, where the
+        // NTZ→instant cast is value-preserving (identical micros), so
+        // downstream operators and the DuckDB oracle (which reads the
+        // same file as its plain TIMESTAMP) keep one ts semantics
+        // across both writer generations of the test data.
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case other =>
         throw new IllegalStateException(s"unexpected events.ts type: $other")
     }
