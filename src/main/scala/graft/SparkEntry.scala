@@ -143,6 +143,7 @@ object SparkEntry {
       Curation.decontaminate(t(s, d, "documents"), hashShingles = true)),
     "q_domain_mix" -> ((s, d) => Curation.domainMix(t(s, d, "documents"))),
     "q_mix_weights" -> ((s, d) => Curation.mixWeights(t(s, d, "documents"))),
+    "q_mix_apply" -> ((s, d) => Curation.mixApply(t(s, d, "documents"))),
     "q_semantic_decontaminate" -> ((s, d) =>
       Curation.semanticDecontaminate(t(s, d, "embeddings"))),
     "q_pack_sequences" -> ((s, d) => Curation.packSequences(t(s, d, "documents"))),
@@ -882,6 +883,27 @@ object SparkEntry {
         |    LEAST(1.0, CAST(p6 AS DOUBLE) / CAST(sp AS DOUBLE) * 100000.0 / CAST(n_tokens AS DOUBLE))
         |  ELSE 0.0 END AS admit_rate
         |FROM p CROSS JOIN s""".stripMargin,
+    "q_mix_apply" ->
+      """WITH pl AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang
+        |), t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM pl),
+        |p AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(ROUND(pow(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 0.3), 6) AS DECIMAL(18,6)) AS p6
+        |  FROM pl CROSS JOIN t
+        |), s AS (SELECT CAST(SUM(p6) AS DECIMAL(28,6)) AS sp FROM p),
+        |r AS (
+        |  SELECT lang,
+        |    CAST(FLOOR(
+        |      (CASE WHEN n_tokens > 0 THEN
+        |         LEAST(1.0, CAST(p6 AS DOUBLE) / CAST(sp AS DOUBLE) * 100000.0 / CAST(n_tokens AS DOUBLE))
+        |       ELSE 0.0 END) * 10000.0 + 0.5) AS BIGINT) AS cutoff
+        |  FROM p CROSS JOIN s)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST('0x' || substr(md5('mixapply:' || d.text), 1, 8) AS BIGINT) % 10000 < r.cutoff""".stripMargin,
     "q_embed_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

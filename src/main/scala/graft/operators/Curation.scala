@@ -525,6 +525,43 @@ object Curation {
           .otherwise(lit(0.0)).as("admit_rate"))
   }
 
+  /** Apply [[mixWeights]]'s admission rates as an ACTUAL corpus
+    * resample — the step the mixture recipe ends with: every document
+    * of language ℓ is admitted iff its content-hash bucket falls
+    * under ℓ's rate, so the surviving corpus token mass approaches
+    * the α-temperature target mix. Returns the admitted
+    * (doc_id, lang, source) rows.
+    *
+    * The admission decision is the same engine-portable primitive as
+    * [[domainMix]] — `hashBucket(text) < floor(rate·10⁴ + ½)` — but
+    * with rates COMPUTED from the corpus rather than passed in, and a
+    * distinct salt so this sample is independent of domainMix's and
+    * of the train/val/test split. The cutoff math is a short IEEE
+    * chain on the already-§5b-deterministic admit_rate, written in
+    * the same op order as the oracle (floor(x+½), not round — one
+    * rule both engines implement identically on doubles).
+    *
+    * Plan shape: the rates frame is langs-sized and force-broadcast,
+    * so the corpus side admits in ONE scan with no shuffle of
+    * documents; the rate computation itself is [[mixWeights]]'s
+    * lang-keyed aggregate (a second, earlier scan — inherent to
+    * "statistics, then filter" recipes; at 100 TB the stats scan
+    * reads only (lang, text-length) and the filter scan streams).
+    */
+  def mixApply(documents: DataFrame, alpha: Double = 0.3,
+      budgetTokens: Long = 100000L,
+      salt: String = "mixapply:"): DataFrame = {
+    val rates = mixWeights(documents, alpha, budgetTokens)
+      .select(col("lang"),
+        floor(col("admit_rate") * 10000d + 0.5d).cast("long").as("cutoff"))
+    val bucket = graft.functions.TextFunctions.hashBucket(col("text"),
+      10000, salt)
+    documents
+      .join(broadcast(rates), "lang")
+      .where(bucket < col("cutoff"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** Driver-trained logistic quality probe — the published
     * "quality classifier" recipe (GPT-3/LLaMA-line pipelines score
     * every document with a small linear model trained to separate a

@@ -254,6 +254,43 @@ class CurationSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("mixApply matches the rates-then-hash-cutoff reference (property)") {
+    // independent local model: take the operator's own published rate
+    // contract (mixWeights, already oracle-verified) and re-apply it
+    // with a from-scratch md5 bucket — the test owns the salt, the
+    // cutoff rounding, and the join, so a drift in any of the three
+    // shows up as a set mismatch
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(text: String): Long = {
+      val hex = md.digest(("mixapply:" + text).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    def check(budget: Long): Set[Long] = {
+      val cutoffs = Curation.mixWeights(docs, budgetTokens = budget)
+        .collect()
+        .map(r => r.getAs[String]("lang") ->
+          math.floor(r.getAs[Double]("admit_rate") * 10000d + 0.5d).toLong)
+        .toMap
+      val expected = docs.collect()
+        .filter(r => bucket(r.getAs[String]("text")) <
+          cutoffs(r.getAs[String]("lang")))
+        .map(_.getAs[Long]("doc_id")).toSet
+      val got = Curation.mixApply(docs, budgetTokens = budget).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got == expected, s"budget=$budget")
+      got
+    }
+    // the gate corpus (~26k tokens) fits inside the default budget:
+    // every rate caps at 1 and the resample must be the identity
+    assert(check(100000L).size == docs.count())
+    // a sub-corpus budget must admit a nonempty proper subset
+    val tight = check(1000L)
+    assert(tight.nonEmpty, "a 1000-token budget must admit some documents")
+    assert(tight.size < docs.count(),
+      "a 1000-token budget must reject some documents")
+  }
+
   test("packSequences: bins partition the corpus; occupancy is budget-shaped") {
     val r = Curation.packSequences(docs).collect()
     val nDocs = r.map(_.getAs[Long]("n_docs")).sum
