@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSim, DotF32, HmacSha256Hex, MinHashSketch, SimHash64Agg, VectorMeanAgg}
+import graft.plans.{CosineSim, DotF32, HmacSha256Hex, MinHashSketch, MisraGriesAgg, SimHash64Agg, VectorMeanAgg}
 
 /** Registers graft's native expressions as SQL functions on a session.
   *
@@ -43,6 +43,16 @@ object GraftFunctions {
     Fn("simhash64_agg", { args =>
       require(args.length == 1, "simhash64_agg(h)")
       SimHash64Agg(args(0))
+    }),
+    Fn("mg_summary", { args =>
+      require(args.length == 1 || args.length == 2,
+        "mg_summary(token[, capacity])")
+      val k = if (args.length == 2) args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"mg_summary capacity must be an int literal, got $other")
+      } else 256
+      MisraGriesAgg(args(0), k)
     }),
     Fn("vector_mean", { args =>
       require(args.length == 1 || args.length == 2, "vector_mean(v[, dim])")

@@ -126,6 +126,11 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(t(s, d, "documents"))),
     "q_train_split" -> ((s, d) => TextOps.trainSplit(t(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) => TextOps.vocabTopK(t(s, d, "documents"))),
+    // oracle-checked in the exact regime only: capacity 256 exceeds
+    // the gate vocabulary (~31), where Misra-Gries provably never
+    // decrements and the summary equals exact counts; the sketch
+    // regime is property-spec'd
+    "q_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(t(s, d, "documents"))),
     "q_tfidf_top" -> ((s, d) => TextOps.tfidfTop(t(s, d, "documents"))),
     "q_bigram_topk" -> ((s, d) => TextOps.bigramTopK(t(s, d, "documents"))),
     "q_length_hist" -> ((s, d) => TextOps.lengthHist(t(s, d, "documents"))),
@@ -723,6 +728,10 @@ object SparkEntry {
         |SELECT token, n, rnk
         |FROM (SELECT token, n, CAST(rank() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk FROM counts)
         |WHERE rnk <= 100""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS est_count
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 2""".stripMargin,
     "q_tfidf_top" ->
       """WITH toks AS (
         |  SELECT doc_id, tok

@@ -671,6 +671,36 @@ object TextOps {
       .where(col("rnk") <= k)
   }
 
+  /** Heavy-hitter tokens via a Misra-Gries summary
+    * ([[graft.plans.MisraGriesAgg]]) — the constant-memory dual of
+    * [[vocabTopK]]: where vocabTopK shuffles the FULL (token, count)
+    * vocabulary, this keeps ≤ `capacity` counters per map task and
+    * ships one summary per mapper to a single reducer — the right
+    * probe for "what dominates this tokenizer stream" over a
+    * web-scale corpus whose vocabulary itself is shuffle-sized.
+    * Returns (token, est_count) for summary entries with
+    * `est_count >= minCount`, sorted into the output by the
+    * aggregate (est desc, token).
+    *
+    * Estimates are undercounts by at most N/(capacity+1); any token
+    * more frequent than that bound is guaranteed present. With
+    * `capacity` above the distinct-token count the summary is
+    * provably EXACT — the regime the DuckDB oracle checks (the gate
+    * corpus vocabulary ≈ 31 ≪ 256); the sketch regime's bounds are
+    * property-spec'd at adversarially small capacities.
+    */
+  def heavyHitters(documents: DataFrame, capacity: Int = 256,
+      minCount: Long = 2): DataFrame = {
+    graft.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(explode(tokenize(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .agg(call_function("mg_summary", col("tok"), lit(capacity)).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.token").as("token"), col("e.est_count").as("est_count"))
+      .where(col("est_count") >= minCount)
+  }
+
   /** Top-k bigrams by frequency — same shape over 2-shingles, built
     * with the codegen-friendly zip (the interpreted `transform`
     * lambda cost 27 s at 50M bigrams vs ~2 s for this form).

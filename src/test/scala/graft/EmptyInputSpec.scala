@@ -90,6 +90,8 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("curateCorpus", graft.operators.Curation.curateCorpus(noDocs))
     assertEmptyOk("probeScore", graft.operators.Curation.probeScore(noDocs))
     assertEmptyOk("mixWeights", graft.operators.Curation.mixWeights(noDocs))
+    assertEmptyOk("mixApply", graft.operators.Curation.mixApply(noDocs))
+    assertEmptyOk("heavyHitters", TextOps.heavyHitters(noDocs))
     assertEmptyOk("dsirSelect", graft.operators.Curation.dsirSelect(noDocs))
     assertEmptyOk("hashEmbedSparse", TextOps.hashEmbedSparse(noDocs))
     assertEmptyOk("hashEmbed", TextOps.hashEmbed(noDocs))

@@ -153,6 +153,46 @@ class TextOpsSpec extends SparkSuite {
     assert(b.head.getAs[String]("bigram") == "a b" && b.head.getAs[Long]("n") == 2L)
   }
 
+  test("heavyHitters: exact regime equals full token counts (capacity >= vocab)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val exact = docs
+      .select(explode(TextFunctions.tokenize(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("n"))
+      .filter(_._2 >= 2).toMap
+    val got = TextOps.heavyHitters(docs).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
+    assert(got == exact,
+      "with capacity above the vocabulary MG must be exact")
+  }
+
+  test("heavyHitters: sketch regime honors the Misra-Gries bounds (capacity 4)") {
+    // skewed stream: a=100, b=60, c=30, plus 40 distinct singletons;
+    // N=230, k=4 -> bound N/(k+1)=46: a and b MUST survive, every
+    // estimate undercounts by at most 46. 7 partitions force real
+    // partial-summary merges.
+    val words = Seq.fill(100)("a") ++ Seq.fill(60)("b") ++
+      Seq.fill(30)("c") ++ (0 until 40).map(i => s"u$i")
+    val truth = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val n = words.size
+    val bound = n / 5 // N/(capacity+1)
+    val d = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text").repartition(7)
+    val got = TextOps.heavyHitters(d, capacity = 4, minCount = 1).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
+    assert(got.size <= 4, "summary may never exceed its capacity")
+    got.foreach { case (tok, est) =>
+      assert(est <= truth(tok), s"$tok overcounted: $est > ${truth(tok)}")
+      assert(truth(tok) - est <= bound,
+        s"$tok undercounted past N/(k+1): $est vs ${truth(tok)}")
+    }
+    truth.filter(_._2 > bound).keys.foreach { tok =>
+      assert(got.contains(tok),
+        s"$tok is more frequent than N/(k+1) and must be present")
+    }
+  }
+
   test("Tables.registerAll exposes the star schema to spark.sql") {
     graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
     assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
