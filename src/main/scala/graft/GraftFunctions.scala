@@ -44,6 +44,16 @@ object GraftFunctions {
       require(args.length == 1, "simhash64_agg(h)")
       SimHash64Agg(args(0))
     }),
+    // thin registry door onto Spark's own codegen'd bloom-membership
+    // predicate (the one its runtime row-filtering injects): arg 0
+    // must be a FOLDABLE binary (a driver-built filter literal —
+    // BloomFilterMightContain type-checks that itself), arg 1 the
+    // xxhash64 long being probed
+    Fn("bloom_contains", { args =>
+      require(args.length == 2, "bloom_contains(filter, value)")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        args(0), args(1))
+    }),
     Fn("mg_summary", { args =>
       require(args.length == 1 || args.length == 2,
         "mg_summary(token[, capacity])")

@@ -146,6 +146,10 @@ object SparkEntry {
     // spec asserts result identity with the exact-string path
     "q_decontaminate_hashed" -> ((s, d) =>
       Curation.decontaminate(t(s, d, "documents"), hashShingles = true)),
+    // Bloom prefilter + exact confirm: zero false negatives, so the
+    // output is identical to q_decontaminate and shares its oracle
+    "q_decontaminate_bloom" -> ((s, d) =>
+      Curation.decontaminateBloom(t(s, d, "documents"))),
     "q_domain_mix" -> ((s, d) => Curation.domainMix(t(s, d, "documents"))),
     "q_mix_weights" -> ((s, d) => Curation.mixWeights(t(s, d, "documents"))),
     "q_mix_apply" -> ((s, d) => Curation.mixApply(t(s, d, "documents"))),
@@ -194,7 +198,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "q_dup_span_hashed" -> oracleSqlBase("q_dup_span"),
-    "q_decontaminate_hashed" -> oracleSqlBase("q_decontaminate"))
+    "q_decontaminate_hashed" -> oracleSqlBase("q_decontaminate"),
+    "q_decontaminate_bloom" -> oracleSqlBase("q_decontaminate"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->

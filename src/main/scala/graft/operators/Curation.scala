@@ -58,6 +58,70 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[decontaminate]] with a Bloom-filter semi-join reduction — the
+    * 100 TB shuffle shape: the benchmark shingle set is folded into a
+    * compact Bloom filter (one driver-bounded build over the SMALL
+    * side, the `pqCodebooks`/`trainProbe` eager-coordination
+    * pattern), and the corpus side drops every shingle the filter
+    * rejects BEFORE the distinct+join shuffle. A Bloom filter has no
+    * false negatives, so the surviving candidates joined back to the
+    * exact benchmark set produce output IDENTICAL to the exact
+    * operator — false positives only cost shuffle bytes, never
+    * correctness (spec-asserted equal even at fpp 0.5), which is why
+    * the exact variant's DuckDB oracle verifies this one too.
+    *
+    * Why not rely on Spark's own runtime row-filtering: the AQE rule
+    * injects bloom filters only for selective shuffle joins it can
+    * prove at planning time and won't reach across the distinct
+    * aggregate below the join; the operator-level filter always
+    * fires, with `fpp` an explicit knob. Shuffle math at scale: the
+    * join side shrinks from ALL corpus shingles to
+    * |bench ∩ corpus| + fpp·|corpus| — at the default 3% that is a
+    * ~30× reduction for a typical 1‰-contamination crawl.
+    *
+    * The filter probes xxhash64 of the shingle (8-byte key into the
+    * Bloom lattice); the confirm join stays on the exact string, so
+    * even a 2^-64 xxhash collision cannot corrupt the output — the
+    * bloom can only ever pass extras that the exact join removes.
+    */
+  def decontaminateBloom(documents: DataFrame, benchmarkEvery: Int = 10,
+      n: Int = 4, fpp: Double = 0.03): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    graft.GraftFunctions.register(documents.sparkSession)
+    val key = graft.functions.TextFunctions
+      .shingleKey(col("z"), n, hashed = false)
+    val sh = documents
+      .withColumn("toks", tokenize(col("text")))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(shingleStructs(col("toks"), n)).as("z"))
+      .select(col("doc_id"), key.as("shingle"))
+      .distinct()
+    val bench = sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) === 0)
+      .select(col("shingle")).distinct()
+    // EAGER, bounded: the benchmark side is eval-suite-sized by
+    // construction; two actions (count + treeAggregate'd bloom build)
+    // before the lazy corpus plan, like every driver-trained model in
+    // this library
+    val nBench = bench.count()
+    // an empty benchmark admits nothing (and Spark's stat.bloomFilter
+    // NPEs on an empty build side) — the literal-false prefilter
+    // keeps the output schema and the empty result without a bloom
+    val prefilter = if (nBench == 0) lit(false) else {
+      val bf = bench.select(xxhash64(col("shingle")).as("h"))
+        .stat.bloomFilter("h", nBench, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      call_function("bloom_contains",
+        lit(bos.toByteArray), xxhash64(col("shingle")))
+    }
+    val candidates = sh
+      .where(pmod(col("doc_id"), lit(benchmarkEvery)) =!= 0)
+      .where(prefilter)
+    candidates.join(bench, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Semantic (embedding) decontamination — the OTHER public
     * decontamination recipe, complementing the n-gram overlap of
     * [[decontaminate]]: flag training vectors whose cosine similarity

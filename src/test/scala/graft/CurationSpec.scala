@@ -141,6 +141,19 @@ class CurationSpec extends SparkSuite {
     assert(r.forall(_.getAs[Long]("n_hits") > 0))
   }
 
+  test("decontaminateBloom equals exact decontaminate, even at fpp 0.5") {
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    val exact = asMap(Curation.decontaminate(docs))
+    assert(exact.nonEmpty, "gate corpus must have some contamination")
+    // default fpp: the production shape
+    assert(asMap(Curation.decontaminateBloom(docs)) == exact)
+    // adversarial fpp floods the confirm join with false positives;
+    // the output must not move (bloom FPs are shuffle cost, never
+    // correctness)
+    assert(asMap(Curation.decontaminateBloom(docs, fpp = 0.5)) == exact)
+  }
+
   test("decontaminate: hashed-shingle scale path matches the exact-string path") {
     def res(hash: Boolean) = Curation.decontaminate(docs, hashShingles = hash)
       .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_hits"))

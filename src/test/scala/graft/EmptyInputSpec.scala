@@ -66,6 +66,8 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("topNgramFrac", TextOps.topNgramFrac(noDocs))
     assertEmptyOk("unigramLogProb", TextOps.unigramLogProb(noDocs))
     assertEmptyOk("decontaminate", graft.operators.Curation.decontaminate(noDocs))
+    assertEmptyOk("decontaminateBloom",
+      graft.operators.Curation.decontaminateBloom(noDocs))
     assertEmptyOk("domainMix", graft.operators.Curation.domainMix(noDocs))
     assertEmptyOk("packSequences", graft.operators.Curation.packSequences(noDocs))
     assertEmptyOk("containmentPairs", Dedup.containmentPairs(noDocs))
