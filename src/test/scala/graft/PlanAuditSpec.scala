@@ -376,4 +376,46 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
       s"cell-keyed candidate join must be a hash join:\n$p")
   }
+
+  test("mixApply: langs-sized rates join broadcasts; documents never sort-merge") {
+    val p = plan(graft.operators.Curation.mixApply(
+      Tables(spark, dir, "documents")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the rates frame must broadcast onto the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-side shuffle join defeats the one-scan admit:\n$p")
+  }
+
+  test("decontaminateBloom: the bloom prefilter is pushed below the distinct") {
+    val df = graft.operators.Curation.decontaminateBloom(
+      Tables(spark, dir, "documents"))
+    val lp = df.queryExecution.optimizedPlan
+    val bloomFilters = lp.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.collectFirst {
+          case b: org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain => b
+        }.isDefined => f
+    }
+    assert(bloomFilters.nonEmpty, s"bloom membership filter missing:\n$lp")
+    // pushed below the distinct = no Aggregate inside the filter's
+    // subtree: the prefilter runs scan-side, BEFORE the first shuffle
+    bloomFilters.foreach { f =>
+      val aggsBelow = f.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggsBelow.isEmpty,
+        s"bloom filter must sit below the distinct, not above it:\n$lp")
+    }
+  }
+
+  test("heavyHitters: Misra-Gries aggregate combines map-side partials") {
+    val p = plan(graft.operators.TextOps.heavyHitters(
+      Tables(spark, dir, "documents")))
+    assert(p.contains("partial_mg_summary"),
+      s"MG must aggregate partially per map task before the shuffle:\n$p")
+    // the only exchange is the constant-size summary merge — the
+    // token stream itself never shuffles
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"exactly one (summary-sized) exchange expected:\n$p")
+  }
 }
