@@ -193,4 +193,45 @@ class PropertySpec extends SparkSuite {
         s"corpus #$ci diverged\n docs=$docs\n got=$got\n want=$want")
     }
   }
+
+  test("heavyHitters honors the Misra-Gries bounds on generated skewed streams") {
+    import graft.operators.TextOps
+    // zipf-ish skew plus a singleton tail, random capacity and random
+    // partition counts: every (stream, k, parts) draw must satisfy
+    // est <= true, true - est <= N/(k+1), and presence of every token
+    // above that bound — the guarantees, never a specific estimate
+    // (sketch-regime estimates legitimately vary with merge order)
+    val genTok = Gen.frequency(
+      8 -> Gen.const("alpha"), 4 -> Gen.const("beta"),
+      2 -> Gen.const("gamma"),
+      1 -> Gen.chooseNum(0, 50).map(i => s"u$i"))
+    val genCase = for {
+      len <- Gen.chooseNum(1, 300)
+      toks <- Gen.listOfN(len, genTok)
+      k <- Gen.chooseNum(1, 6)
+      parts <- Gen.chooseNum(1, 8)
+    } yield (toks, k, parts)
+    sample(genCase, 25).zipWithIndex.foreach {
+      case ((toks, k, parts), ci) =>
+        val truth = toks.groupBy(identity)
+          .map { case (t, g) => t -> g.size.toLong }
+        val bound = toks.size.toLong / (k + 1)
+        val d = toks.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toDF("doc_id", "text").repartition(parts)
+        val got = TextOps.heavyHitters(d, capacity = k, minCount = 1)
+          .collect()
+          .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count"))
+          .toMap
+        assert(got.size <= k, s"case #$ci: size ${got.size} > capacity $k")
+        got.foreach { case (t, est) =>
+          assert(est <= truth(t), s"case #$ci: $t overcounted $est>${truth(t)}")
+          assert(truth(t) - est <= bound,
+            s"case #$ci: $t undercounted past N/(k+1): $est vs ${truth(t)}")
+        }
+        truth.filter(_._2 > bound).keys.foreach { t =>
+          assert(got.contains(t),
+            s"case #$ci: $t above N/(k+1)=$bound must be present")
+        }
+    }
+  }
 }
