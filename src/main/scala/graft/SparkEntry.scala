@@ -114,6 +114,10 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(t(s, d, "embeddings"))),
     "q_ann_ivfpq_learned" -> ((s, d) => Similarity.annIvfPqLearned(t(s, d, "embeddings"))),
     "q_kmeans" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
+    // rows-only (k-means cells); admitted set re-derived by a local
+    // BigDecimal+md5 model in the spec
+    "q_cluster_balance" -> ((s, d) =>
+      Similarity.clusterBalance(t(s, d, "embeddings"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"))),
@@ -187,7 +191,7 @@ object SparkEntry {
     * q_ann_lsh, q_ann_ivf, q_ann_ivf_learned, q_embed_neardup_lsh,
     * q_active_users_approx, q_value_quantiles_approx, q_pq_encode,
     * q_ann_ivfpq, q_ann_ivfpq_learned, q_semdedup, q_curate_pipeline,
-    * q_quality_probe.
+    * q_quality_probe, q_cluster_balance.
     *
     * The hashed-key twins ARE oracled: q_dup_span_hashed and
     * q_decontaminate_hashed swap xxhash64 gram keys into the shuffle

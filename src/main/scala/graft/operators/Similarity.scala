@@ -445,6 +445,72 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("int").as("cluster"))
   }
 
+  /** Cluster-balanced resampling — the semantic-space twin of
+    * [[graft.operators.Curation.mixApply]] (the published
+    * clustering-based curation recipe: k-means the embedding space,
+    * then sample ACROSS clusters so no dense topic dominates —
+    * α-temperature between proportional (α=1) and uniform-per-cluster
+    * (α=0)). Where mixApply balances by a LABELED column (lang),
+    * this balances by LEARNED structure: [[kmeansAssign]]'s cells
+    * stand in for topics. Per cell: share^α → normalized weight →
+    * admit rate for a `budget` vectors total (capped at 1); a vector
+    * is admitted iff its salted md5 id-bucket falls under its cell's
+    * floor(rate·10⁴+½) cutoff — the same engine-portable,
+    * RNG-free primitive as every sampler in this library. Returns the
+    * admitted (vec_id, cluster).
+    *
+    * rows-only: the k-means assignment has no DuckDB equivalent; the
+    * spec re-derives the admitted set from a from-scratch local model
+    * (BigDecimal 6-dp weight assembly + md5 bucketing over the
+    * collected assignment — the §5b decimal discipline, asserted
+    * rather than oracled).
+    *
+    * `assignment`: pass a precomputed (vec_id, cluster) frame to
+    * balance against an existing clustering (the usual production
+    * shape — one k-means, many consumers); omitted, the operator
+    * trains its own. NOTE the internal training is deterministic in
+    * INIT but, like any distributed Lloyd's, its mean aggregate sums
+    * doubles in shuffle-merge order — vectors equidistant to two
+    * centroids at the last ulp can flip cells between runs. Every
+    * decision AFTER the assignment is bitwise deterministic, which is
+    * why the exactness spec runs on the injected path.
+    *
+    * Plan shape: assignment = broadcast-centroid argmax (zero
+    * shuffle), cell stats = one cell-keyed aggregate of (cell) rows,
+    * everything after is k-sized on broadcast one-row frames; the
+    * admit itself joins the k-row rates frame broadcast onto the
+    * assignment — no corpus shuffle anywhere, same discipline
+    * mixApply's plan audit asserts.
+    */
+  def clusterBalance(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+      alpha: Double = 0.5, budget: Long = 300, dim: Int = 64,
+      salt: String = "clusterbalance:",
+      assignment: Option[DataFrame] = None): DataFrame = {
+    val assign = assignment.getOrElse(kmeansAssign(embeddings, k, iters, dim))
+      .select(col("vec_id"), col("cluster"))
+    val perCell = assign.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+    val tot = perCell.agg(sum(col("n_vecs")).as("tot"))
+    val p = perCell.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_vecs").cast("double") / col("tot").cast("double"))
+      .withColumn("p6",
+        round(pow(col("share"), lit(alpha)), 6).cast("decimal(18,6)"))
+    val s = p.agg(sum(col("p6")).cast("decimal(28,6)").as("sp"))
+    val rates = p.crossJoin(broadcast(s))
+      .select(col("cluster"),
+        floor(
+          when(col("n_vecs") > 0,
+            least(lit(1.0),
+              col("p6").cast("double") / col("sp").cast("double")
+                * lit(budget.toDouble) / col("n_vecs").cast("double")))
+            .otherwise(lit(0.0)) * 10000d + 0.5d)
+          .cast("long").as("cutoff"))
+    assign.join(broadcast(rates), "cluster")
+      .where(graft.functions.TextFunctions.hashBucket(
+        col("vec_id").cast("string"), 10000, salt) < col("cutoff"))
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Lloyd's iterations returning the learned centroids (shared by
     * [[kmeansAssign]] and [[annIvfLearned]]). Driver traffic per iter
     * is k×dim floats — constant regardless of corpus size.

@@ -103,6 +103,7 @@ class EmptyInputSpec extends SparkSuite {
   test("similarity operators tolerate empty input") {
     assertEmptyOk("nearDupPairs", Similarity.nearDupPairs(noEmb))
     assertEmptyOk("annTopK", Similarity.annTopK(noEmb))
+    assertEmptyOk("clusterBalance", Similarity.clusterBalance(noEmb))
     assertEmptyOk("annLsh", Similarity.annLsh(noEmb))
     assertEmptyOk("annIvf", Similarity.annIvf(noEmb))
     assertEmptyOk("annIvfLearned", Similarity.annIvfLearned(noEmb))

@@ -4,6 +4,7 @@ import graft.operators.Similarity
 import graft.sources.Tables
 
 class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
 
   private lazy val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
 
@@ -109,6 +110,63 @@ class SimilaritySpec extends SparkSuite {
     assert(a1.size == emb.count())
     assert(a1.values.toSet.subsetOf((0 until 4).toSet))
     assert(a1.values.toSet.size > 1, "clustering must actually split the data")
+  }
+
+  test("clusterBalance matches the local weights-then-hash-cutoff model") {
+    // from-scratch model over the operator's own (deterministic)
+    // assignment: BigDecimal 6-dp weight assembly in the operator's
+    // exact op order, then the salted md5 id-bucket admit
+    val budget = 100L
+    val alpha = 0.5
+    val assign = Similarity.kmeansAssign(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster"))
+    val counts = assign.groupBy(_._2).map { case (c, g) => c -> g.size }
+    val tot = assign.size
+    val p6 = counts.map { case (c, n) =>
+      c -> BigDecimal(math.pow(n.toDouble / tot, alpha))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val sp = p6.values.sum
+    val cutoff = counts.map { case (c, n) =>
+      val rate = math.min(1.0,
+        p6(c).toDouble / sp.toDouble * budget.toDouble / n)
+      c -> math.floor(rate * 10000d + 0.5d).toLong
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(s"clusterbalance:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    val expected = assign.filter { case (id, c) => bucket(id) < cutoff(c) }
+      .map(_._1).toSet
+    // inject the collected assignment: internal Lloyd's training sums
+    // doubles in shuffle-merge order and boundary vectors can flip
+    // cells between runs (operator scaladoc) — everything AFTER the
+    // assignment is bitwise deterministic, which is what this spec
+    // pins exactly
+    val assignDf = assign.toSeq.toDF("vec_id", "cluster")
+    def run() = Similarity.clusterBalance(emb, budget = budget,
+      alpha = alpha, assignment = Some(assignDf)).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val got = run()
+    assert(got == expected)
+    assert(got == run(), "the resample must be rerun-stable")
+    assert(got.nonEmpty && got.size < assign.size,
+      "a sub-corpus budget must admit a nonempty proper subset")
+    // covering budget: every rate caps at 1 and every vector is
+    // admitted. budget = n is NOT enough — α<1 shifts weight away
+    // from dense clusters, so the biggest cluster's rate stays below
+    // 1 at budget = n (by design); 5n clears every cap here
+    val all = Similarity.clusterBalance(emb,
+      budget = assign.size.toLong * 5, assignment = Some(assignDf))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(all == assign.map(_._1).toSet)
+    // the self-training default path: same frame contract, bounded
+    // admitted size (exact membership is the injected path's claim)
+    val own = Similarity.clusterBalance(emb, budget = budget).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(own.nonEmpty && own.size < assign.size)
   }
 
   test("quantizeEmbeddings: int8 range, per-element error <= half a step") {
