@@ -48,6 +48,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * estimates may depend on merge order, which the guarantee above
   * bounds (the spec asserts the bound, never a specific estimate).
   */
+/** The Misra-Gries update/merge core, shared by the batch aggregate
+  * ([[MisraGriesAgg]]) and the streaming shard step
+  * ([[graft.streaming.StreamingOps.mgShardStep]]) — one definition,
+  * so the two surfaces cannot drift on the decrement rule.
+  */
+object MisraGries {
+  /** One-token update: tracked increments; untracked claims a free
+    * slot or triggers the global decrement (evicting zeros).
+    */
+  def insert(buf: mutable.HashMap[String, Long], t: String,
+      capacity: Int): Unit =
+    buf.get(t) match {
+      case Some(c) => buf.update(t, c + 1)
+      case None if buf.size < capacity => buf.update(t, 1L)
+      case None =>
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.mapValuesInPlace((_, c) => c - 1)
+        buf.foreach { case (k, c) => if (c <= 0) dead += k }
+        dead.foreach(buf.remove)
+    }
+
+  /** Pointwise-add merge, then subtract the (capacity+1)-th largest
+    * counter and evict non-positives (Agarwal et al.'s mergeable rule).
+    */
+  def merge(buf: mutable.HashMap[String, Long],
+      other: collection.Map[String, Long], capacity: Int): Unit = {
+    other.foreach { case (k, c) =>
+      buf.update(k, buf.getOrElse(k, 0L) + c)
+    }
+    if (buf.size > capacity) {
+      val pivot = buf.values.toArray.sortBy(-_).apply(capacity)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.mapValuesInPlace((_, c) => c - pivot)
+      buf.foreach { case (k, c) => if (c <= 0) dead += k }
+      dead.foreach(buf.remove)
+    }
+  }
+}
+
 case class MisraGriesAgg(
     child: Expression, capacity: Int = 256,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -80,19 +119,10 @@ case class MisraGriesAgg(
       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val t = v.asInstanceOf[UTF8String].toString
-      buf.get(t) match {
-        case Some(c) => buf.update(t, c + 1)
-        case None if buf.size < capacity => buf.update(t, 1L)
-        case None =>
-          // full and untracked: the global decrement step. O(k), and
-          // only on the slow path — tracked tokens (the heavy
-          // hitters, i.e. most of a skewed stream) never enter it.
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.mapValuesInPlace((_, c) => c - 1)
-          buf.foreach { case (k, c) => if (c <= 0) dead += k }
-          dead.foreach(buf.remove)
-      }
+      // the decrement path is O(k) but slow-path only — tracked
+      // tokens (the heavy hitters, i.e. most of a skewed stream)
+      // never enter it
+      MisraGries.insert(buf, v.asInstanceOf[UTF8String].toString, capacity)
     }
     buf
   }
@@ -100,19 +130,8 @@ case class MisraGriesAgg(
   override def merge(
       buf: mutable.HashMap[String, Long],
       other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    other.foreach { case (k, c) =>
-      buf.update(k, buf.getOrElse(k, 0L) + c)
-    }
-    if (buf.size > capacity) {
-      // subtract the (capacity+1)-th largest counter, evict <= 0:
-      // the mergeable-summaries rule — error adds across partials
-      // but stays within N_total/(k+1)
-      val pivot = buf.values.toArray.sortBy(-_).apply(capacity)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.mapValuesInPlace((_, c) => c - pivot)
-      buf.foreach { case (k, c) => if (c <= 0) dead += k }
-      dead.foreach(buf.remove)
-    }
+    // error adds across partials but stays within N_total/(k+1)
+    MisraGries.merge(buf, other, capacity)
     buf
   }
 

@@ -356,6 +356,78 @@ object StreamingOps {
           nearDupStep(band, ds, state, ttlMs))
   }
 
+  /** One token routed to its owning shard. */
+  case class TokShard(shard: Long, tok: String)
+  case class HeavyHitter(shard: Long, token: String, estCount: Long)
+  case class MgState(entries: Map[String, Long])
+
+  /** LIVE heavy-hitter tokens — the streaming dual of
+    * [[graft.operators.TextOps.heavyHitters]], same Misra-Gries core
+    * ([[graft.plans.MisraGries]] — one definition, the surfaces
+    * cannot drift): the token stream is hash-sharded
+    * (`xxhash64(tok) mod shards` — every occurrence of a token lands
+    * on ONE shard, so per-token guarantees come from that shard's
+    * substream alone), each shard folds its tokens into a
+    * `capacity`-bounded MG summary held in group state, and each
+    * micro-batch re-emits the shard's current summary (Update mode:
+    * downstream reads the LAST (shard, token) row as the running
+    * estimate).
+    *
+    * Guarantees per token (N_s = its shard's stream length so far):
+    * est ≤ true ≤ est + N_s/(capacity+1) — TIGHTER than one global
+    * summary, since sharding divides N. State is `shards × capacity`
+    * counters — bounded a priori, which is why this op needs NO
+    * timeout/TTL: unlike per-entity FSMs the key domain is the fixed
+    * shard set, not the unbounded token vocabulary.
+    *
+    * `shards` is the parallelism knob (the [[graft.operators.Curation.packSequences]]
+    * convention): at scale set ≈ cores; the per-batch shuffle carries
+    * one (shard, token) pair per DISTINCT batch token, never raw
+    * occurrences (map-side count pre-fold below).
+    */
+  def liveHeavyHitters(docs: DataFrame, capacity: Int = 256,
+      shards: Int = 32): Dataset[HeavyHitter] = {
+    implicit val outEnc = Encoders.product[HeavyHitter]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val tsEnc = Encoders.product[TokShard]
+    implicit val stEnc = Encoders.product[MgState]
+    val toks = filter(graft.functions.TextFunctions.tokenize(col("text")),
+      t => t =!= "")
+    docs
+      .where(col("text").isNotNull)
+      .select(explode(toks).as("tok"))
+      .select(pmod(xxhash64(col("tok")), lit(shards.toLong)).as("shard"),
+        col("tok"))
+      .as[TokShard]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (shard: Long, ts: Iterator[TokShard], state: GroupState[MgState]) =>
+          mgShardStep(shard, ts, state, capacity))
+  }
+
+  /** One shard step: fold the batch's tokens into the shard's MG
+    * summary, emit the full current summary (≤ capacity rows).
+    * Within-batch occurrences are pre-counted and fed through the
+    * MERGE rule rather than token-by-token inserts — same bounds,
+    * O(distinct) instead of O(occurrences) map operations — and the
+    * pre-count also makes the fold independent of the micro-batch
+    * iterator order (replay determinism; [[nearDupStep]]'s rationale).
+    * Visible for unit tests (TestGroupState).
+    */
+  private[streaming] def mgShardStep(shard: Long, ts: Iterator[TokShard],
+      state: GroupState[MgState], capacity: Int): Iterator[HeavyHitter] = {
+    val buf = scala.collection.mutable.HashMap
+      .from(state.getOption.map(_.entries).getOrElse(Map.empty))
+    val batch = scala.collection.mutable.HashMap.empty[String, Long]
+    ts.foreach(t => batch.update(t.tok, batch.getOrElse(t.tok, 0L) + 1))
+    graft.plans.MisraGries.merge(buf, batch, capacity)
+    state.update(MgState(buf.toMap))
+    buf.toSeq.sortBy { case (t, c) => (-c, t) }
+      .map { case (t, c) => HeavyHitter(shard, t, c) }
+      .iterator
+  }
+
   /** One band step. Visible for unit tests (TestGroupState — the
     * data-then-timeout protocol cannot be orchestrated through
     * MemoryStream; [[statusTtlStep]]'s rationale).

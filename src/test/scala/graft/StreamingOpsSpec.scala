@@ -247,6 +247,40 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("liveHeavyHitters: running summaries converge to exact counts (exact regime)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.liveHeavyHitters(df, capacity = 64, shards = 4)
+      .writeStream.format("memory").queryName("live_hh")
+      .outputMode("update").start()
+    try {
+      val batch1 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      val batch2 = Seq((3L, "alpha alpha delta"), (4L, "beta"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // update-mode sink: later rows supersede; estimates are
+      // monotone in the exact regime, so max = the final summary
+      val got = spark.table("live_hh").collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[String]("token"),
+          r.getAs[Long]("estCount")))
+        .groupBy(t => (t._1, t._2))
+        .map { case ((_, tok), g) => tok -> g.map(_._3).max }
+      val exact = (batch1 ++ batch2).flatMap(_._2.split(" "))
+        .groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+      assert(got == exact,
+        s"capacity above vocab must converge to exact counts: $got vs $exact")
+      // each token is owned by exactly one shard
+      val owners = spark.table("live_hh").collect()
+        .map(r => r.getAs[String]("token") -> r.getAs[Long]("shard"))
+        .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).distinct }
+      assert(owners.values.forall(_.size == 1),
+        s"token must hash to one shard: $owners")
+    } finally q.stop()
+  }
+
   test("cleanDocStream: quality gate + exact dedup applied on ingest") {
     implicit val sqlCtx = spark.sqlContext
     val good = "the quick brown fox is one of the animals in the list of words"
