@@ -122,6 +122,7 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
+    "q_winnow" -> ((s, d) => TextOps.winnow(t(s, d, "documents"))),
     "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(t(s, d, "documents"))),
     "q_corpus_clean" -> ((s, d) => TextOps.cleanCorpus(t(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(t(s, d, "documents"))),
@@ -741,6 +742,24 @@ object SparkEntry {
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS est_count
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 2""".stripMargin,
+    "q_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, u.pos AS pos, u.h AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(len(toks) - 3),
+        |            i -> {'pos': i, 'h': substr(md5(array_to_string(toks[i + 1:i + 4], ' ')), 1, 15)})) AS u
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 4)
+        |), m AS (
+        |  SELECT doc_id, pos,
+        |    min(h || lpad(CAST(pos AS VARCHAR), 8, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel
+        |  FROM g
+        |)
+        |SELECT DISTINCT doc_id, substr(sel, 1, 15) AS fp,
+        |  CAST(substr(sel, 16, 8) AS BIGINT) AS pos
+        |FROM m WHERE pos >= 4""".stripMargin,
     "q_tfidf_top" ->
       """WITH toks AS (
         |  SELECT doc_id, tok

@@ -189,6 +189,50 @@ object TextOps {
     documents.select(col("doc_id"),
       rollingFingerprint(col("text")).as("fingerprint"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — the MOSS local-minima selection): hash every word
+    * `k`-gram, slide a window of `w` consecutive gram positions, and
+    * select each window's minimum hash (ties to the LEFTMOST
+    * position) — the positions-deduped selection is the document's
+    * fingerprint set. Guarantee (the paper's point, spec-asserted):
+    * EVERY `w`-window contributes at least one selected gram, so any
+    * shared substring of ≥ w+k-1 tokens between two documents shares
+    * at least one fingerprint — partial-overlap detection at expected
+    * density 2/(w+1) instead of all-shingles, the robust middle
+    * ground between [[fingerprint]] (one hash per doc, whole-doc
+    * identity only) and the full shingle explode.
+    *
+    * Engine-portable hash: first 15 hex chars of md5(gram) — a 60-bit
+    * value both engines compare identically as a fixed-width string;
+    * the (hash, pos) tie-break rides the same string (15-char hash ||
+    * 8-digit zero-padded pos, lexicographic = (hash asc, pos asc)),
+    * so the DuckDB oracle mirrors the selection bit-for-bit.
+    *
+    * Plan shape: one posexplode + ONE doc-keyed window + distinct —
+    * every stage partitions by doc_id, no global stage, no join;
+    * window state is w rows. Returns (doc_id, fp, pos).
+    */
+  def winnow(documents: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val grams = documents
+      .withColumn("toks", tokenize(col("text")))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(shingleStructs(col("toks"), k)).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(shingleFromStruct(col("z"), k)), 1, 15).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("sel",
+        min(concat(col("h"), lpad(col("pos").cast("string"), 8, "0")))
+          .over(win))
+      .where(col("pos") >= w - 1) // full windows only
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"), substring(col("sel"), 1, 15).as("fp"),
+        substring(col("sel"), 16, 8).cast("long").as("pos"))
+  }
+
   /** TF-IDF top terms per document (bounded output side; corpus
     * statistics stay global): tf = per-doc term counts, df = exact
     * distinct-doc counts, score = tf·ln(N/df) rounded 6dp BEFORE the

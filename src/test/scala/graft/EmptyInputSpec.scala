@@ -59,6 +59,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("langId", TextOps.langId(noDocs))
     assertEmptyOk("textQuality", TextOps.textQuality(noDocs))
     assertEmptyOk("fingerprint", TextOps.fingerprint(noDocs))
+    assertEmptyOk("winnow", TextOps.winnow(noDocs))
     assertEmptyOk("minhashExactVerifiedPairs", Dedup.minhashExactVerifiedPairs(noDocs))
     assertEmptyOk("dedupGroups", Dedup.dedupGroups(noDocs))
     assertEmptyOk("piiScrub", TextOps.piiScrub(noDocs))

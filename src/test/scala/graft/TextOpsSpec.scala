@@ -153,6 +153,62 @@ class TextOpsSpec extends SparkSuite {
     assert(b.head.getAs[String]("bigram") == "a b" && b.head.getAs[Long]("n") == 2L)
   }
 
+  test("winnow matches the local winnowing model; every window is covered") {
+    val k = 4; val w = 5
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val texts = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(gram: String): String =
+      md.digest(gram.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15)
+    val expected = texts.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      if (toks.length < k) Seq.empty
+      else {
+        val keys = (0 to toks.length - k).map(p =>
+          h(toks.slice(p, p + k).mkString(" ")) + f"$p%08d")
+        ((w - 1) until keys.size).map(i =>
+          (id, keys.slice(i - w + 1, i + 1).min)).distinct
+          .map { case (d, sel) =>
+            (d, sel.take(15), sel.drop(15).toLong) }
+      }
+    }.toSet
+    val got = TextOps.winnow(docs, k, w).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"),
+        r.getAs[Long]("pos"))).toSet
+    assert(got == expected)
+    // the winnowing guarantee: every full window holds >= 1 selection
+    val byDoc = got.groupBy(_._1).map { case (d, g) => d -> g.map(_._3) }
+    texts.foreach { case (id, text) =>
+      val n = text.split(" ", -1).length - k + 1
+      if (n >= w) {
+        val sel = byDoc(id)
+        ((w - 1) until n).foreach(i =>
+          assert(sel.exists(p => p > i - w && p <= i),
+            s"doc $id window ending at $i has no fingerprint"))
+      }
+    }
+  }
+
+  test("winnow: docs sharing a long-enough run share a fingerprint; disjoint do not") {
+    val k = 4; val w = 5
+    // shared run of w+k-1 = 8 tokens guarantees a shared fingerprint
+    val run = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d = Seq(
+      (0L, s"a b c d e $run x y z"),
+      (1L, s"p q r $run m n o"),
+      (2L, "k l m n o p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnow(d, k, w).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp"))
+      .groupBy(_._1).map { case (id, g) => id -> g.map(_._2).toSet }
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      "a shared w+k-1 token run must share a fingerprint")
+    assert((fps(0L) & fps(2L)).isEmpty && (fps(1L) & fps(2L)).isEmpty,
+      "no shared grams, no shared fingerprints")
+  }
+
   test("heavyHitters: exact regime equals full token counts (capacity >= vocab)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val exact = docs
