@@ -123,6 +123,7 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "q_winnow" -> ((s, d) => TextOps.winnow(t(s, d, "documents"))),
+    "q_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(t(s, d, "documents"))),
     "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(t(s, d, "documents"))),
     "q_corpus_clean" -> ((s, d) => TextOps.cleanCorpus(t(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(t(s, d, "documents"))),
@@ -760,6 +761,31 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, substr(sel, 1, 15) AS fp,
         |  CAST(substr(sel, 16, 8) AS BIGINT) AS pos
         |FROM m WHERE pos >= 4""".stripMargin,
+    "q_winnow_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, u.pos AS pos, u.h AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(len(toks) - 3),
+        |            i -> {'pos': i, 'h': substr(md5(array_to_string(toks[i + 1:i + 4], ' ')), 1, 15)})) AS u
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 4)
+        |), m AS (
+        |  SELECT doc_id, pos,
+        |    min(h || lpad(CAST(pos AS VARCHAR), 8, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel
+        |  FROM g
+        |), fp AS (
+        |  SELECT DISTINCT doc_id, substr(sel, 1, 15) AS fp
+        |  FROM m WHERE pos >= 4
+        |), rare AS (
+        |  SELECT fp FROM (SELECT fp, COUNT(*) AS nd FROM fp GROUP BY 1)
+        |  WHERE nd <= 64
+        |), f AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "q_tfidf_top" ->
       """WITH toks AS (
         |  SELECT doc_id, tok

@@ -233,6 +233,38 @@ object TextOps {
         substring(col("sel"), 16, 8).cast("long").as("pos"))
   }
 
+  /** Cross-document partial-overlap pairs over the WINNOWED
+    * fingerprint space — what [[winnow]] exists for: join documents
+    * on shared fingerprints and keep pairs sharing ≥ `minShared`.
+    * Because winnowing guarantees a selection in every window, any
+    * pair sharing ≳ minShared·(w+1)/2 + w + k − 1 consecutive tokens
+    * surfaces here — at the 2/(w+1) fingerprint density instead of
+    * the full shingle explode that [[graft.operators.Dedup.sourceOverlap]]-style
+    * exact-gram joins pay.
+    *
+    * Scale guard: a fingerprint appearing in more than `fpCap`
+    * documents is corpus boilerplate (a license header's local
+    * minimum) and is EXCLUDED before the self-join — the bucketCap
+    * idiom; join fan-out per fingerprint is then ≤ fpCap², and the
+    * cap is part of the declared semantics (mirrored by the oracle),
+    * not a silent truncation.
+    */
+  def winnowPairs(documents: DataFrame, k: Int = 4, w: Int = 5,
+      minShared: Int = 2, fpCap: Int = 64): DataFrame = {
+    val fp = winnow(documents, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rare = fp.groupBy("fp")
+      .agg(count(lit(1)).as("nd"))
+      .where(col("nd") <= fpCap)
+      .select(col("fp"))
+    val f = fp.join(rare, "fp")
+    f.as("a").join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** TF-IDF top terms per document (bounded output side; corpus
     * statistics stay global): tf = per-doc term counts, df = exact
     * distinct-doc counts, score = tf·ln(N/df) rounded 6dp BEFORE the

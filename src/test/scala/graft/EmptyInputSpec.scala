@@ -60,6 +60,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("textQuality", TextOps.textQuality(noDocs))
     assertEmptyOk("fingerprint", TextOps.fingerprint(noDocs))
     assertEmptyOk("winnow", TextOps.winnow(noDocs))
+    assertEmptyOk("winnowPairs", TextOps.winnowPairs(noDocs))
     assertEmptyOk("minhashExactVerifiedPairs", Dedup.minhashExactVerifiedPairs(noDocs))
     assertEmptyOk("dedupGroups", Dedup.dedupGroups(noDocs))
     assertEmptyOk("piiScrub", TextOps.piiScrub(noDocs))

@@ -209,6 +209,29 @@ class TextOpsSpec extends SparkSuite {
       "no shared grams, no shared fingerprints")
   }
 
+  test("winnowPairs: overlapping docs pair up; boilerplate cap excludes saturated fps") {
+    val run = (1 to 20).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (0L, s"a b c d e $run x y z"),
+      (1L, s"p q r $run m n o"),
+      (2L, "k l m n o p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairs(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(pairs.contains((0L, 1L)),
+      s"a 20-token shared run must produce a pair, got $pairs")
+    assert(pairs((0L, 1L)) >= 2L)
+    assert(pairs.keySet == Set((0L, 1L)), "doc 2 shares no grams")
+    // cap: the same fingerprints in MORE than fpCap docs are
+    // boilerplate and must not pair anyone
+    val same = Seq.tabulate(3)(i => (i.toLong, run)).toDF("doc_id", "text")
+    assert(TextOps.winnowPairs(same, fpCap = 2).collect().isEmpty,
+      "fps saturating the cap are excluded")
+    assert(TextOps.winnowPairs(same, fpCap = 3).collect().length == 3,
+      "under the cap all three pairs surface")
+  }
+
   test("heavyHitters: exact regime equals full token counts (capacity >= vocab)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val exact = docs
