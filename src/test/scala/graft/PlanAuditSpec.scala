@@ -408,6 +408,23 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("winnow: doc-keyed window, never a global sort stage") {
+    val p = plan(graft.operators.TextOps.winnow(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("SinglePartition"),
+      s"winnowing must window per doc, never globally:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"the window must shuffle on doc_id:\n$p")
+  }
+
+  test("winnowPairs: fingerprint self-join is an equi-join, never cartesian") {
+    val p = plan(graft.operators.TextOps.winnowPairs(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the fp key must drive a hash equi-join:\n$p")
+  }
+
   test("heavyHitters: Misra-Gries aggregate combines map-side partials") {
     val p = plan(graft.operators.TextOps.heavyHitters(
       Tables(spark, dir, "documents")))
