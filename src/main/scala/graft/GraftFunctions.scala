@@ -16,6 +16,19 @@ import graft.plans.{CosineSim, DotF32, HmacSha256Hex, MinHashSketch, MisraGriesA
 object GraftFunctions {
   private[graft] case class Fn(name: String, builder: Seq[Expression] => Expression)
 
+  /** Optional trailing int-literal argument (sketch sizes, dims):
+    * one extraction + one error format for every parameterized
+    * aggregate in the registry.
+    */
+  private def intLit(args: Seq[Expression], idx: Int, what: String,
+      default: Int): Int =
+    if (args.length <= idx) default
+    else args(idx) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an int literal, got $other")
+    }
+
   private[graft] val fns = Seq(
     Fn("hmac_sha256_hex", { args =>
       require(args.length == 2, "hmac_sha256_hex(data, key)")
@@ -33,12 +46,8 @@ object GraftFunctions {
     Fn("minhash_sketch", { args =>
       require(args.length == 2 || args.length == 3,
         "minhash_sketch(h1, h2[, numHashes])")
-      val n = if (args.length == 3) args(2) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"minhash_sketch numHashes must be an int literal, got $other")
-      } else 64
-      MinHashSketch(args(0), args(1), n)
+      MinHashSketch(args(0), args(1),
+        intLit(args, 2, "minhash_sketch numHashes", 64))
     }),
     Fn("simhash64_agg", { args =>
       require(args.length == 1, "simhash64_agg(h)")
@@ -57,21 +66,11 @@ object GraftFunctions {
     Fn("mg_summary", { args =>
       require(args.length == 1 || args.length == 2,
         "mg_summary(token[, capacity])")
-      val k = if (args.length == 2) args(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"mg_summary capacity must be an int literal, got $other")
-      } else 256
-      MisraGriesAgg(args(0), k)
+      MisraGriesAgg(args(0), intLit(args, 1, "mg_summary capacity", 256))
     }),
     Fn("vector_mean", { args =>
       require(args.length == 1 || args.length == 2, "vector_mean(v[, dim])")
-      val d = if (args.length == 2) args(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"vector_mean dim must be an int literal, got $other")
-      } else 64
-      VectorMeanAgg(args(0), d)
+      VectorMeanAgg(args(0), intLit(args, 1, "vector_mean dim", 64))
     })
   )
 

@@ -753,13 +753,13 @@ object SparkEntry {
         |        WHERE len(toks) >= 4)
         |), m AS (
         |  SELECT doc_id, pos,
-        |    min(h || lpad(CAST(pos AS VARCHAR), 8, '0'))
+        |    min(h || lpad(CAST(pos AS VARCHAR), 10, '0'))
         |      OVER (PARTITION BY doc_id ORDER BY pos
         |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel
         |  FROM g
         |)
         |SELECT DISTINCT doc_id, substr(sel, 1, 15) AS fp,
-        |  CAST(substr(sel, 16, 8) AS BIGINT) AS pos
+        |  CAST(substr(sel, 16, 10) AS BIGINT) AS pos
         |FROM m WHERE pos >= 4""".stripMargin,
     "q_winnow_pairs" ->
       """WITH g AS (
@@ -771,7 +771,7 @@ object SparkEntry {
         |        WHERE len(toks) >= 4)
         |), m AS (
         |  SELECT doc_id, pos,
-        |    min(h || lpad(CAST(pos AS VARCHAR), 8, '0'))
+        |    min(h || lpad(CAST(pos AS VARCHAR), 10, '0'))
         |      OVER (PARTITION BY doc_id ORDER BY pos
         |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel
         |  FROM g

@@ -96,12 +96,15 @@ object Curation {
       .select(col("doc_id"), explode(shingleStructs(col("toks"), n)).as("z"))
       .select(col("doc_id"), key.as("shingle"))
       .distinct()
+    // EAGER, bounded: the benchmark side is eval-suite-sized by
+    // construction. localCheckpoint materializes its
+    // scan+explode+distinct subplan ONCE for its three consumers
+    // (count, bloom build, confirm join) — without it each action
+    // re-ran the extraction (the curate_pipeline iterative-stage
+    // precedent); blocks are released with the frame's GC
     val bench = sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) === 0)
       .select(col("shingle")).distinct()
-    // EAGER, bounded: the benchmark side is eval-suite-sized by
-    // construction; two actions (count + treeAggregate'd bloom build)
-    // before the lazy corpus plan, like every driver-trained model in
-    // this library
+      .localCheckpoint()
     val nBench = bench.count()
     // an empty benchmark admits nothing (and Spark's stat.bloomFilter
     // NPEs on an empty build side) — the literal-false prefilter

@@ -496,14 +496,15 @@ object Similarity {
       .withColumn("p6",
         round(pow(col("share"), lit(alpha)), 6).cast("decimal(18,6)"))
     val s = p.agg(sum(col("p6")).cast("decimal(28,6)").as("sp"))
+    // no zero-guard leg here (unlike mixWeights, whose langs can have
+    // docs but zero tokens): n_vecs is a groupBy count, always >= 1
     val rates = p.crossJoin(broadcast(s))
       .select(col("cluster"),
         floor(
-          when(col("n_vecs") > 0,
-            least(lit(1.0),
-              col("p6").cast("double") / col("sp").cast("double")
-                * lit(budget.toDouble) / col("n_vecs").cast("double")))
-            .otherwise(lit(0.0)) * 10000d + 0.5d)
+          least(lit(1.0),
+            col("p6").cast("double") / col("sp").cast("double")
+              * lit(budget.toDouble) / col("n_vecs").cast("double"))
+            * 10000d + 0.5d)
           .cast("long").as("cutoff"))
     assign.join(broadcast(rates), "cluster")
       .where(graft.functions.TextFunctions.hashBucket(

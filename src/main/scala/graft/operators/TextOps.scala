@@ -205,7 +205,9 @@ object TextOps {
     * Engine-portable hash: first 15 hex chars of md5(gram) — a 60-bit
     * value both engines compare identically as a fixed-width string;
     * the (hash, pos) tie-break rides the same string (15-char hash ||
-    * 8-digit zero-padded pos, lexicographic = (hash asc, pos asc)),
+    * 10-digit zero-padded pos — covers every Int position, no
+    * truncation at any document length; lexicographic = (hash asc,
+    * pos asc)),
     * so the DuckDB oracle mirrors the selection bit-for-bit.
     *
     * Plan shape: one posexplode + ONE doc-keyed window + distinct —
@@ -225,12 +227,12 @@ object TextOps {
       .rowsBetween(-(w - 1), 0)
     grams
       .withColumn("sel",
-        min(concat(col("h"), lpad(col("pos").cast("string"), 8, "0")))
+        min(concat(col("h"), lpad(col("pos").cast("string"), 10, "0")))
           .over(win))
       .where(col("pos") >= w - 1) // full windows only
       .select(col("doc_id"), col("sel")).distinct()
       .select(col("doc_id"), substring(col("sel"), 1, 15).as("fp"),
-        substring(col("sel"), 16, 8).cast("long").as("pos"))
+        substring(col("sel"), 16, 10).cast("long").as("pos"))
   }
 
   /** Cross-document partial-overlap pairs over the WINNOWED

@@ -36,23 +36,37 @@ object Tables {
     require(names.contains(name),
       s"unknown table '$name'; expected one of: ${names.mkString(", ")}")
     if (name == "events") {
-      // LOUD SIDE EFFECT — events.ts is parquet TIMESTAMP(NANOS), which
-      // Spark 4 reads ONLY when the SESSION conf
-      // `spark.sql.legacy.parquet.nanosAsLong` is true: a per-read
-      // option cannot work because ParquetFileFormat overwrites the
-      // relation hadoopConf entry from the session SQLConf at execution
-      // (verified against the 4.1.2 bytecode — there is no per-read
-      // escape hatch). The loader therefore sets the session conf as a
-      // convenience for driver-built sessions, but REFUSES to override
-      // an explicit user `false` — that would silently change the
-      // meaning of the user's other nanos-parquet reads.
-      // NOTE: must distinguish "user explicitly set false" from "unset":
-      // nanosAsLong is a REGISTERED SQLConf entry, so getOption returns
-      // Some("false") (the default) even when never set. The two-arg get
-      // returns the null fallback only when unset — that is the probe.
-      requireNanosAllowed(spark)
-      spark.conf.set(NanosFlag, "true")
-      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+      // Try the plain read first: the MICROS writer generations
+      // (TimestampType / TIMESTAMP_NTZ) need no legacy flag and no
+      // session side effect. Only a TIMESTAMP(NANOS) file throws here
+      // ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))"), and
+      // only THEN does the nanos machinery engage — so the flag
+      // mutation and the refusal below never fire for data that
+      // doesn't need them.
+      try normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+      catch {
+        case e: Exception
+            if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          // LOUD SIDE EFFECT — parquet TIMESTAMP(NANOS) is readable
+          // ONLY when the SESSION conf
+          // `spark.sql.legacy.parquet.nanosAsLong` is true: a per-read
+          // option cannot work because ParquetFileFormat overwrites
+          // the relation hadoopConf entry from the session SQLConf at
+          // execution (verified against the 4.1.2 bytecode — there is
+          // no per-read escape hatch). The loader sets the session
+          // conf as a convenience for driver-built sessions, but
+          // REFUSES to override an explicit user `false` — that would
+          // silently change the meaning of the user's other
+          // nanos-parquet reads.
+          // NOTE: must distinguish "user explicitly set false" from
+          // "unset": nanosAsLong is a REGISTERED SQLConf entry, so
+          // getOption returns Some("false") (the default) even when
+          // never set. The two-arg get returns the null fallback only
+          // when unset — that is the probe.
+          requireNanosAllowed(spark)
+          spark.conf.set(NanosFlag, "true")
+          normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -60,13 +74,12 @@ object Tables {
     * can query the star schema directly (the SQL front door, paired
     * with `GraftExtensions` for the native functions).
     */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    // validate the events nanos conf BEFORE registering anything: a
-    // mid-loop refusal would leave the session half-registered (views
-    // after 'events' silently absent)
-    requireNanosAllowed(spark)
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
-  }
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    // events first: it is the only table whose load can refuse (nanos
+    // flag, non-UTC NTZ session), and a refusal must leave ZERO views
+    // registered, never a half-registered schema
+    names.sortBy(n => if (n == "events") 0 else 1)
+      .foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 
   /** Refuses to proceed when the user has EXPLICITLY set the nanos
     * flag to false (see the loud note in [[apply]]).
@@ -86,12 +99,18 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4
-        // surfaces it as TIMESTAMP_NTZ. Every session this library
-        // builds pins spark.sql.session.timeZone=UTC, where the
-        // NTZ→instant cast is value-preserving (identical micros), so
-        // downstream operators and the DuckDB oracle (which reads the
-        // same file as its plain TIMESTAMP) keep one ts semantics
-        // across both writer generations of the test data.
+        // surfaces it as TIMESTAMP_NTZ. The NTZ→instant cast reads
+        // the wall-clock value in the SESSION zone, so it is
+        // value-preserving (identical micros) only under UTC — which
+        // every session this library builds pins. A driver-built
+        // session in another zone would silently shift every event
+        // instant relative to the oracle; refuse LOUDLY instead.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if (tz != "UTC") throw new IllegalStateException(
+          s"events.ts is parquet TIMESTAMP_NTZ; loading it requires " +
+            s"spark.sql.session.timeZone=UTC (session has '$tz') — the " +
+            "NTZ→instant cast is session-zone-dependent and every " +
+            "graft entry point pins UTC")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case other =>
         throw new IllegalStateException(s"unexpected events.ts type: $other")

@@ -4,23 +4,36 @@ import org.apache.spark.sql.types.TimestampType
 
 import graft.sources.Tables
 
-/** Loader contract around the nanos-timestamp events table: Spark 4
-  * has no per-read escape hatch for TIMESTAMP(NANOS) (the execution
-  * path overwrites the relation hadoopConf from session SQLConf), so
-  * the loader's documented behavior is: set the session flag when
-  * unset, REFUSE to override an explicit user `false`.
+/** Loader contract around the events table's two writer generations:
+  * the nanos machinery (set the session flag when unset, REFUSE to
+  * override an explicit user `false` — Spark 4 has no per-read escape
+  * hatch for TIMESTAMP(NANOS)) engages ONLY when the file actually
+  * carries a NANOS column; the current MICROS/NTZ generation loads
+  * with zero session side effects, and its NTZ→instant normalization
+  * refuses a non-UTC session loudly instead of silently shifting
+  * every instant.
   */
 class TablesSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("events refuses to override an explicit nanosAsLong=false") {
+  test("events (MICROS generation) loads without touching an explicit nanosAsLong=false") {
     val s2 = spark.newSession()
     s2.conf.set(Tables.NanosFlag, "false")
-    val e = intercept[IllegalStateException](Tables(s2, dir, "events"))
-    assert(e.getMessage.contains(Tables.NanosFlag))
-    // the refusal must not have flipped the user's setting
+    // the file needs no legacy flag, so the load must neither refuse
+    // nor flip the user's setting (the nanos machinery is conditional
+    // on the file, not unconditional)
+    val events = Tables(s2, dir, "events")
+    assert(events.schema("ts").dataType == TimestampType)
     assert(s2.conf.get(Tables.NanosFlag) == "false")
+  }
+
+  test("events NTZ load refuses a non-UTC session loudly") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val e = intercept[IllegalStateException](Tables(s2, dir, "events"))
+    assert(e.getMessage.contains("session.timeZone"),
+      s"refusal must name the conf: ${e.getMessage}")
   }
 
   test("events loads with ts normalized to micros TimestampType") {

@@ -167,7 +167,7 @@ class TextOpsSpec extends SparkSuite {
       if (toks.length < k) Seq.empty
       else {
         val keys = (0 to toks.length - k).map(p =>
-          h(toks.slice(p, p + k).mkString(" ")) + f"$p%08d")
+          h(toks.slice(p, p + k).mkString(" ")) + f"$p%010d")
         ((w - 1) until keys.size).map(i =>
           (id, keys.slice(i - w + 1, i + 1).min)).distinct
           .map { case (d, sel) =>
