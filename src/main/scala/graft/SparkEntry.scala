@@ -156,6 +156,8 @@ object SparkEntry {
     // output is identical to q_decontaminate and shares its oracle
     "q_decontaminate_bloom" -> ((s, d) =>
       Curation.decontaminateBloom(t(s, d, "documents"))),
+    "q_contam_attribution" -> ((s, d) =>
+      Curation.contamAttribution(t(s, d, "documents"))),
     "q_domain_mix" -> ((s, d) => Curation.domainMix(t(s, d, "documents"))),
     "q_mix_weights" -> ((s, d) => Curation.mixWeights(t(s, d, "documents"))),
     "q_mix_apply" -> ((s, d) => Curation.mixApply(t(s, d, "documents"))),
@@ -922,6 +924,22 @@ object SparkEntry {
         |FROM sh JOIN bench USING (shingle)
         |WHERE doc_id % 10 <> 0
         |GROUP BY doc_id""".stripMargin,
+    "q_contam_attribution" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 3),
+        |          i -> array_to_string(toks[i + 1:i + 4], ' '))) AS shingle
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 4)
+        |), bench AS (
+        |  SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 10 = 0
+        |)
+        |SELECT b.bench_id,
+        |  CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+        |  CAST(COUNT(DISTINCT b.shingle) AS BIGINT) AS n_shingles_hit
+        |FROM sh t JOIN bench b USING (shingle)
+        |WHERE t.doc_id % 10 <> 0
+        |GROUP BY b.bench_id""".stripMargin,
     "q_domain_mix" ->
       """SELECT doc_id, lang, source
         |FROM (SELECT doc_id, lang, source,

@@ -58,6 +58,41 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** The decontamination report read from the BENCHMARK side — the
+    * complement of [[decontaminate]] (which flags training docs):
+    * for each benchmark document, how many training documents share
+    * any of its n-grams and how many DISTINCT of its n-grams leak —
+    * the "which eval items are compromised, and how badly" table a
+    * decontamination pass actually ends with (an eval item with wide
+    * leakage gets dropped from the suite; one isolated shared gram
+    * may just be a common phrase). Returns
+    * (bench_id, n_train_docs, n_shingles_hit) per benchmark doc with
+    * any leakage.
+    *
+    * Same shingle frame and join shape as [[decontaminate]] — one
+    * explode + distinct + keyed equi-join, shuffle O(distinct
+    * shingles) — with the aggregate keyed by the benchmark doc: the
+    * join carries (bench_id, train_id, shingle) triples, and the two
+    * leakage measures are one distinct-count aggregate each.
+    */
+  def contamAttribution(documents: DataFrame, benchmarkEvery: Int = 10,
+      n: Int = 4): DataFrame = {
+    val key = graft.functions.TextFunctions.shingleKey(col("z"), n, hashed = false)
+    val sh = documents
+      .withColumn("toks", tokenize(col("text")))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(shingleStructs(col("toks"), n)).as("z"))
+      .select(col("doc_id"), key.as("shingle"))
+      .distinct()
+    val bench = sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) === 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) =!= 0)
+      .join(bench, "shingle")
+      .groupBy("bench_id")
+      .agg(countDistinct(col("doc_id")).as("n_train_docs"),
+        countDistinct(col("shingle")).as("n_shingles_hit"))
+  }
+
   /** [[decontaminate]] with a Bloom-filter semi-join reduction — the
     * 100 TB shuffle shape: the benchmark shingle set is folded into a
     * compact Bloom filter (one driver-bounded build over the SMALL

@@ -141,6 +141,30 @@ class CurationSpec extends SparkSuite {
     assert(r.forall(_.getAs[Long]("n_hits") > 0))
   }
 
+  test("contamAttribution: per-benchmark leakage counts, bench ids only") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "x y alpha beta gamma delta epsilon w"),
+      (2L, "alpha beta gamma q delta epsilon zeta2 r"),
+      (3L, "one two three four five six seven"),
+      // a second contaminated train doc for the same bench item
+      (11L, "alpha beta gamma delta nothing else here")
+    ).toDF("doc_id", "text")
+    val r = Curation.contamAttribution(d).collect()
+      .map(x => x.getAs[Long]("bench_id") ->
+        ((x.getAs[Long]("n_train_docs"), x.getAs[Long]("n_shingles_hit"))))
+      .toMap
+    // doc 1 shares 2 of doc 0's 4-grams, doc 11 shares 1; docs 2/3
+    // share none -> bench 0 leaks 2 distinct grams into 2 train docs
+    assert(r == Map(0L -> ((2L, 2L))), s"got $r")
+    // gate corpus: only benchmark ids appear, every count positive
+    val g = Curation.contamAttribution(docs).collect()
+    assert(g.nonEmpty)
+    assert(g.forall(_.getAs[Long]("bench_id") % 10 == 0))
+    assert(g.forall(x => x.getAs[Long]("n_train_docs") >= 1 &&
+      x.getAs[Long]("n_shingles_hit") >= 1))
+  }
+
   test("decontaminateBloom equals exact decontaminate, even at fpp 0.5") {
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap

@@ -70,6 +70,8 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("decontaminate", graft.operators.Curation.decontaminate(noDocs))
     assertEmptyOk("decontaminateBloom",
       graft.operators.Curation.decontaminateBloom(noDocs))
+    assertEmptyOk("contamAttribution",
+      graft.operators.Curation.contamAttribution(noDocs))
     assertEmptyOk("domainMix", graft.operators.Curation.domainMix(noDocs))
     assertEmptyOk("packSequences", graft.operators.Curation.packSequences(noDocs))
     assertEmptyOk("containmentPairs", Dedup.containmentPairs(noDocs))
