@@ -300,6 +300,52 @@ object StreamingOps {
       .select("doc_id", "lang", "source", "n_tok")
   }
 
+  /** Streaming benchmark-contamination gate — "never ingest eval
+    * data": each ARRIVING document is flagged when any of its word
+    * `n`-grams hits a Bloom filter built ONCE (driver-side, eager)
+    * over the BATCH benchmark set's shingles — the
+    * [[graft.operators.Curation.decontaminateBloom]] build applied as
+    * a row-LOCAL stream predicate: no state, no watermark, no
+    * shuffle — the flag is a per-row array membership fold, so the
+    * gate runs at ingest parallelism forever.
+    *
+    * Failure direction is the safe one: a Bloom filter has NO false
+    * negatives, so a contaminated document is NEVER admitted; false
+    * positives (rate `fpp` per distinct shingle) drop at most a few
+    * clean documents — for eval-set hygiene that is the correct
+    * trade, and the flag (not a hard filter) is returned so callers
+    * can route rejects to a quarantine sink instead of losing them.
+    * The filter bits are deterministic (Spark's BloomFilterImpl seeds
+    * are fixed), so replays flag identically. Returns the stream's
+    * (doc_id, lang, source) plus `is_contaminated`.
+    */
+  def contamGateDocStream(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 4, fpp: Double = 0.03): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    graft.GraftFunctions.register(docs.sparkSession)
+    import graft.functions.TextFunctions.{shingleKey, shingleStructs, tokenize}
+    val bench = benchmark
+      .withColumn("toks", tokenize(col("text")))
+      .where(size(col("toks")) >= n)
+      .select(explode(shingleStructs(col("toks"), n)).as("z"))
+      .select(shingleKey(col("z"), n, hashed = false).as("shingle"))
+      .distinct()
+      .localCheckpoint() // one materialization for count + bloom build
+    val nBench = bench.count()
+    val flag: org.apache.spark.sql.Column = if (nBench == 0) lit(false) else {
+      val bf = bench.select(xxhash64(col("shingle")).as("h"))
+        .stat.bloomFilter("h", nBench, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val bytes = bos.toByteArray
+      size(filter(shingleStructs(tokenize(col("text")), n),
+        z => call_function("bloom_contains", lit(bytes),
+          xxhash64(shingleKey(z, n, hashed = false))))) > 0
+    }
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      (size(tokenize(col("text"))) >= n && flag).as("is_contaminated"))
+  }
+
   /** One document keyed by its minhash LSH band. */
   case class BandDoc(band: String, docId: Long, md5: String)
   case class NearDupFlag(docId: Long, isNeardup: Boolean, band: String)

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.streaming.StreamingOps
 
@@ -245,6 +246,41 @@ class StreamingOpsSpec extends SparkSuite {
       // the tie-broken KAG row: open id 1 (2.0), close id 3 (4.0)
       assert(live.exists(t => t._2 == "KAG" && t._3 == 2.0 && t._6 == 4.0))
     } finally q.stop()
+  }
+
+  test("contamGateDocStream: contaminated docs flagged, disjoint and short admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchmark = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String, String, String)]
+    val df = input.toDF().toDF("doc_id", "text", "lang", "source")
+    val q = StreamingOps.contamGateDocStream(df, benchmark)
+      .writeStream.format("memory").queryName("contam_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "x y alpha beta gamma delta epsilon w", "en", "s0"), // shares 4-grams
+        (2L, "one two three four five six seven", "en", "s0"), // disjoint
+        (3L, "tiny", "en", "s0")) // < n tokens: no gram semantics
+      q.processAllAvailable()
+      val out = spark.table("contam_gate").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Boolean]("is_contaminated")).toMap
+      assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+    } finally q.stop()
+  }
+
+  test("contamGateDocStream: no false negatives vs exact decontaminate (batch duality)") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val flagged = StreamingOps.contamGateDocStream(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(10)) === 0))
+      .where(col("is_contaminated"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val exact = graft.operators.Curation.decontaminate(docs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(exact.subsetOf(flagged),
+      "a bloom gate must never admit a truly contaminated doc")
   }
 
   test("liveHeavyHitters: running summaries converge to exact counts (exact regime)") {
