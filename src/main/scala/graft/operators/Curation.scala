@@ -43,13 +43,7 @@ object Curation {
     // Identical output short of a 2^-64-scale hash collision
     // (spec-asserted equal on the gate corpus); the default stays
     // exact-string so the DuckDB oracle mirrors it literally.
-    val key = graft.functions.TextFunctions.shingleKey(col("z"), n, hashShingles)
-    val sh = documents
-      .withColumn("toks", tokenize(col("text")))
-      .where(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(shingleStructs(col("toks"), n)).as("z"))
-      .select(col("doc_id"), key.as("shingle"))
-      .distinct()
+    val sh = shingleFrame(documents, n, hashShingles)
     val bench = sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) === 0)
       .select(col("shingle")).distinct()
     sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) =!= 0)
@@ -77,13 +71,7 @@ object Curation {
     */
   def contamAttribution(documents: DataFrame, benchmarkEvery: Int = 10,
       n: Int = 4): DataFrame = {
-    val key = graft.functions.TextFunctions.shingleKey(col("z"), n, hashed = false)
-    val sh = documents
-      .withColumn("toks", tokenize(col("text")))
-      .where(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(shingleStructs(col("toks"), n)).as("z"))
-      .select(col("doc_id"), key.as("shingle"))
-      .distinct()
+    val sh = shingleFrame(documents, n, hashed = false)
     val bench = sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) === 0)
       .select(col("doc_id").as("bench_id"), col("shingle"))
     sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) =!= 0)
@@ -121,16 +109,8 @@ object Curation {
     */
   def decontaminateBloom(documents: DataFrame, benchmarkEvery: Int = 10,
       n: Int = 4, fpp: Double = 0.03): DataFrame = {
-    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     graft.GraftFunctions.register(documents.sparkSession)
-    val key = graft.functions.TextFunctions
-      .shingleKey(col("z"), n, hashed = false)
-    val sh = documents
-      .withColumn("toks", tokenize(col("text")))
-      .where(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(shingleStructs(col("toks"), n)).as("z"))
-      .select(col("doc_id"), key.as("shingle"))
-      .distinct()
+    val sh = shingleFrame(documents, n, hashed = false)
     // EAGER, bounded: the benchmark side is eval-suite-sized by
     // construction. localCheckpoint materializes its
     // scan+explode+distinct subplan ONCE for its three consumers
@@ -140,24 +120,56 @@ object Curation {
     val bench = sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) === 0)
       .select(col("shingle")).distinct()
       .localCheckpoint()
-    val nBench = bench.count()
-    // an empty benchmark admits nothing (and Spark's stat.bloomFilter
-    // NPEs on an empty build side) — the literal-false prefilter
+    // an empty benchmark admits nothing — the literal-false prefilter
     // keeps the output schema and the empty result without a bloom
-    val prefilter = if (nBench == 0) lit(false) else {
-      val bf = bench.select(xxhash64(col("shingle")).as("h"))
-        .stat.bloomFilter("h", nBench, fpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      call_function("bloom_contains",
-        lit(bos.toByteArray), xxhash64(col("shingle")))
-    }
+    val prefilter = benchmarkBloom(bench, fpp)
+      .map(bytes => call_function("bloom_contains",
+        lit(bytes), xxhash64(col("shingle"))))
+      .getOrElse(lit(false))
     val candidates = sh
       .where(pmod(col("doc_id"), lit(benchmarkEvery)) =!= 0)
       .where(prefilter)
     candidates.join(bench, "shingle")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The (doc_id, shingle) frame every decontamination-family
+    * operator joins on — ONE definition (tokenize → length guard →
+    * explode → key → distinct) so the four consumers (exact, bloom,
+    * attribution, the streaming gate's benchmark side) cannot drift
+    * from each other or their shared oracles.
+    */
+  private[graft] def shingleFrame(documents: DataFrame, n: Int,
+      hashed: Boolean): DataFrame = {
+    val key = graft.functions.TextFunctions.shingleKey(col("z"), n, hashed)
+    documents
+      .withColumn("toks", tokenize(col("text")))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(shingleStructs(col("toks"), n)).as("z"))
+      .select(col("doc_id"), key.as("shingle"))
+      .distinct()
+  }
+
+  /** Driver-built Bloom filter over a `shingle`-column frame,
+    * serialized for a `bloom_contains` literal; None on an empty
+    * build side (Spark's stat.bloomFilter NPEs there, and an empty
+    * benchmark means "nothing can match" — the callers' literal-false
+    * leg). One definition for the batch reduction and the streaming
+    * ingest gate.
+    */
+  private[graft] def benchmarkBloom(shingles: DataFrame,
+      fpp: Double): Option[Array[Byte]] = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val nBench = shingles.count()
+    if (nBench == 0) None
+    else {
+      val bf = shingles.select(xxhash64(col("shingle")).as("h"))
+        .stat.bloomFilter("h", nBench, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      Some(bos.toByteArray)
+    }
   }
 
   /** Semantic (embedding) decontamination — the OTHER public

@@ -316,34 +316,37 @@ object StreamingOps {
     * trade, and the flag (not a hard filter) is returned so callers
     * can route rejects to a quarantine sink instead of losing them.
     * The filter bits are deterministic (Spark's BloomFilterImpl seeds
-    * are fixed), so replays flag identically. Returns the stream's
-    * (doc_id, lang, source) plus `is_contaminated`.
+    * are fixed), so replays flag identically. Returns EVERY input
+    * column (the rejected document's content included — a quarantine
+    * sink needs it) plus `is_contaminated`.
+    *
+    * The shingle construction and the bloom build are
+    * [[graft.operators.Curation.shingleFrame]] /
+    * [[graft.operators.Curation.benchmarkBloom]] — the same
+    * definitions the batch decontamination family joins on, so the
+    * gate cannot drift from the operators that audit it.
     */
   def contamGateDocStream(docs: DataFrame, benchmark: DataFrame,
       n: Int = 4, fpp: Double = 0.03): DataFrame = {
-    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     graft.GraftFunctions.register(docs.sparkSession)
     import graft.functions.TextFunctions.{shingleKey, shingleStructs, tokenize}
-    val bench = benchmark
-      .withColumn("toks", tokenize(col("text")))
-      .where(size(col("toks")) >= n)
-      .select(explode(shingleStructs(col("toks"), n)).as("z"))
-      .select(shingleKey(col("z"), n, hashed = false).as("shingle"))
-      .distinct()
+    val bench = graft.operators.Curation.shingleFrame(benchmark, n, hashed = false)
+      .select(col("shingle")).distinct()
       .localCheckpoint() // one materialization for count + bloom build
-    val nBench = bench.count()
-    val flag: org.apache.spark.sql.Column = if (nBench == 0) lit(false) else {
-      val bf = bench.select(xxhash64(col("shingle")).as("h"))
-        .stat.bloomFilter("h", nBench, fpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      val bytes = bos.toByteArray
-      size(filter(shingleStructs(tokenize(col("text")), n),
-        z => call_function("bloom_contains", lit(bytes),
-          xxhash64(shingleKey(z, n, hashed = false))))) > 0
-    }
-    docs.select(col("doc_id"), col("lang"), col("source"),
-      (size(tokenize(col("text"))) >= n && flag).as("is_contaminated"))
+    val flag = graft.operators.Curation.benchmarkBloom(bench, fpp)
+      .map(bytes =>
+        // exists() short-circuits on the first bloom hit and
+        // allocates nothing — this predicate runs per row on the
+        // forever-running ingest path
+        exists(shingleStructs(tokenize(col("text")), n),
+          z => call_function("bloom_contains", lit(bytes),
+            xxhash64(shingleKey(z, n, hashed = false)))))
+      .getOrElse(lit(false))
+    // coalesce: a null-text poison row has no gram semantics — flag
+    // it false rather than null (nearDupDocStream's tolerance policy)
+    docs.select(col("*"),
+      coalesce(size(tokenize(col("text"))) >= n && flag, lit(false))
+        .as("is_contaminated"))
   }
 
   /** One document keyed by its minhash LSH band. */

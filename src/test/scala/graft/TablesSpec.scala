@@ -36,6 +36,17 @@ class TablesSpec extends SparkSuite {
       s"refusal must name the conf: ${e.getMessage}")
   }
 
+  test("events NTZ load accepts UTC-EQUIVALENT zone ids (Etc/UTC, GMT, +00:00)") {
+    // zone equivalence, not string equality: these are common
+    // container/JVM defaults with the identical instant mapping
+    Seq("Etc/UTC", "GMT", "+00:00").foreach { z =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.session.timeZone", z)
+      assert(Tables(s2, dir, "events").schema("ts").dataType == TimestampType,
+        s"zone '$z' must load")
+    }
+  }
+
   test("events loads with ts normalized to micros TimestampType") {
     val events = Tables(spark, dir, "events")
     assert(events.schema("ts").dataType == TimestampType)
