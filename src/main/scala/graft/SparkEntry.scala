@@ -124,6 +124,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "q_winnow" -> ((s, d) => TextOps.winnow(t(s, d, "documents"))),
     "q_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(t(s, d, "documents"))),
+    "q_winnow_groups" -> ((s, d) => Dedup.winnowGroups(t(s, d, "documents"))),
     "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(t(s, d, "documents"))),
     "q_corpus_clean" -> ((s, d) => TextOps.cleanCorpus(t(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(t(s, d, "documents"))),
@@ -788,6 +789,40 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    "q_winnow_groups" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, u.pos AS pos, u.h AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(len(toks) - 3),
+        |            i -> {'pos': i, 'h': substr(md5(array_to_string(toks[i + 1:i + 4], ' ')), 1, 15)})) AS u
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 4)
+        |), m AS (
+        |  SELECT doc_id, pos,
+        |    min(h || lpad(CAST(pos AS VARCHAR), 10, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel
+        |  FROM g
+        |), fp AS (
+        |  SELECT DISTINCT doc_id, substr(sel, 1, 15) AS fp
+        |  FROM m WHERE pos >= 4
+        |), rare AS (
+        |  SELECT fp FROM (SELECT fp, COUNT(*) AS nd FROM fp GROUP BY 1)
+        |  WHERE nd <= 64
+        |), f AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+        |pr AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION ALL SELECT b_id, a_id FROM pr
+        |), reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src
+        |)
+        |SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node""".stripMargin,
     "q_tfidf_top" ->
       """WITH toks AS (
         |  SELECT doc_id, tok

@@ -418,6 +418,32 @@ object Dedup {
       .select(col("doc_id"), col("label").as("group_id"))
   }
 
+  /** Canonical grouping over PARTIAL overlap — the winnowing
+    * counterpart of [[dedupGroups]] (which groups by whole-document
+    * near-identity): connected components over
+    * [[graft.operators.TextOps.winnowPairs]]'s shared-fingerprint
+    * edges, so chains of documents stitched together by shared
+    * passages (quote chains, syndicated excerpts, licence-header
+    * families) collapse to one group even when no two END members
+    * share anything directly. Returns (doc_id, group_id) for EVERY
+    * document — group_id = the smallest doc_id in the component,
+    * singletons label themselves.
+    *
+    * Same component engine as dedupGroups ([[connectedComponents]]:
+    * alternating-star rounds, bounded driver union-find finish, loud
+    * unproven-fixpoint failure), same recursive-CTE oracle shape —
+    * only the edge definition differs, and that definition is
+    * winnowPairs' own (shared code AND shared oracle CTE, so the
+    * pairs view and the groups view cannot disagree).
+    */
+  def winnowGroups(documents: DataFrame, k: Int = 4, w: Int = 5,
+      minShared: Int = 2, fpCap: Int = 64, maxIters: Int = 20): DataFrame = {
+    val pairs = TextOps.winnowPairs(documents, k, w, minShared, fpCap)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(documents.select(col("doc_id")), pairs, maxIters)
+      .select(col("id").as("doc_id"), col("label").as("group_id"))
+  }
+
   /** SimHash-64 fingerprint per doc: per-token xxhash64, signed bit
     * contributions summed per bit position, sign → bit — aggregated by
     * the custom [[graft.plans.SimHash64Agg]] (one buffer update per

@@ -316,4 +316,43 @@ class DedupSpec extends SparkSuite {
       ("crawl", "wiki") -> 1L,
       ("mirror", "wiki") -> 1L))
   }
+
+  test("winnowGroups: overlap chains collapse transitively; matches a union-find model") {
+    // A shares run1 with B, B shares run2 with C, A and C share
+    // nothing directly — the chain must still be ONE group
+    val run1 = (1 to 20).map(i => s"p$i").mkString(" ")
+    val run2 = (1 to 20).map(i => s"q$i").mkString(" ")
+    val chain = Seq(
+      (0L, s"a b c d $run1 e f g"),
+      (1L, s"$run1 h i j k $run2"),
+      (2L, s"l m n o $run2 r s t"),
+      (3L, "totally unrelated words about nothing shared with others here")
+    ).toDF("doc_id", "text")
+    val g = graft.operators.Dedup.winnowGroups(chain).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(g == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L), s"got $g")
+    // gate corpus: labels must equal a local union-find over the
+    // operator's own pair view (shared edge definition, so this pins
+    // the component engine, not the pairs)
+    val corpus = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    val pairs = graft.operators.TextOps.winnowPairs(corpus).collect()
+      .map(r => r.getAs[Long]("doc_a") -> r.getAs[Long]("doc_b"))
+    val ids = corpus.collect().map(_.getAs[Long]("doc_id"))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = graft.operators.Dedup.winnowGroups(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(got == expected)
+  }
 }

@@ -61,6 +61,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("fingerprint", TextOps.fingerprint(noDocs))
     assertEmptyOk("winnow", TextOps.winnow(noDocs))
     assertEmptyOk("winnowPairs", TextOps.winnowPairs(noDocs))
+    assertEmptyOk("winnowGroups", Dedup.winnowGroups(noDocs))
     assertEmptyOk("minhashExactVerifiedPairs", Dedup.minhashExactVerifiedPairs(noDocs))
     assertEmptyOk("dedupGroups", Dedup.dedupGroups(noDocs))
     assertEmptyOk("piiScrub", TextOps.piiScrub(noDocs))
