@@ -435,13 +435,54 @@ object Dedup {
     * only the edge definition differs, and that definition is
     * winnowPairs' own (shared code AND shared oracle CTE, so the
     * pairs view and the groups view cannot disagree).
+    *
+    * Exact-dedup-first (r9, default): components iterate over the
+    * REPRESENTATIVE pair graph only ([[graft.operators.TextOps.winnowRepArtifacts]]
+    * — one rep per md5(text) star), then each star composes onto its
+    * rep's component label with one post-join, the dedupGroups
+    * rep-graph pattern. The composition preserves the raw-document
+    * semantics exactly, including the one place they can diverge: a
+    * star's members are connected in the RAW pair graph iff the star
+    * has ANY qualifying cross edge (every member pair across a rep
+    * edge exists directly) OR its text's capped fingerprint count
+    * reaches `minShared` (the within-star bond); an isolated star
+    * below that bond leaves its members as singletons, so only
+    * edge-or-bonded stars compose. group_id stays the smallest doc_id
+    * in the raw component because every rep is its star's minimum.
+    * `repReduce = false` keeps the direct path (equivalence spec runs
+    * both).
     */
   def winnowGroups(documents: DataFrame, k: Int = 4, w: Int = 5,
-      minShared: Int = 2, fpCap: Int = 64, maxIters: Int = 20): DataFrame = {
-    val pairs = TextOps.winnowPairs(documents, k, w, minShared, fpCap)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    connectedComponents(documents.select(col("doc_id")), pairs, maxIters)
-      .select(col("id").as("doc_id"), col("label").as("group_id"))
+      minShared: Int = 2, fpCap: Int = 64, maxIters: Int = 20,
+      repReduce: Boolean = true): DataFrame = {
+    if (!repReduce) {
+      val pairs = TextOps.winnowPairs(documents, k, w, minShared, fpCap)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      return connectedComponents(documents.select(col("doc_id")), pairs, maxIters)
+        .select(col("id").as("doc_id"), col("label").as("group_id"))
+    }
+    // checkpointCapped: this operator is eager anyway (the component
+    // engine runs jobs at construction) and reads the capped
+    // fingerprint frame three times — component edges, touched set,
+    // within-star bond; one materialization beats three evaluations
+    // of the winnow explode+window+self-join chain
+    val r = TextOps.winnowRepArtifacts(documents, k, w, minShared, fpCap,
+      checkpointCapped = true)
+    val edges = r.repPairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
+    val repLabels = connectedComponents(
+      r.stars.select(col("rep_id")), edges, maxIters)
+    val touched = edges.select(col("src").as("rep_id"))
+      .unionByName(edges.select(col("dst").as("rep_id"))).distinct()
+      .withColumn("has_edge", lit(true))
+    val bonded = r.nSelf.where(col("n_self") >= minShared)
+      .select(col("rep_id"), lit(true).as("bonded"))
+    r.members
+      .join(repLabels.withColumnRenamed("id", "rep_id"), "rep_id")
+      .join(touched, Seq("rep_id"), "left")
+      .join(bonded, Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        when(col("has_edge").isNotNull || col("bonded").isNotNull, col("label"))
+          .otherwise(col("doc_id")).as("group_id"))
   }
 
   /** SimHash-64 fingerprint per doc: per-token xxhash64, signed bit

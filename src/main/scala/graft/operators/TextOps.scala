@@ -235,6 +235,75 @@ object TextOps {
         substring(col("sel"), 16, 10).cast("long").as("pos"))
   }
 
+  /** Rep-level winnow artifacts shared by [[winnowPairs]] and
+    * [[graft.operators.Dedup.winnowGroups]] — the exact-dedup-first
+    * reduction (the dedupGroups rep-graph pattern, Dedup.scala):
+    * identical texts tokenize identically and so carry IDENTICAL
+    * fingerprint sets, which makes every downstream quantity
+    * reconstructible from one representative per md5(text) star:
+    *
+    *  - `fpCap` counts DOCUMENTS per fingerprint, so the cap is
+    *    evaluated on sum(star size) over the reps carrying the fp —
+    *    bit-for-bit the raw corpus's exclusion set;
+    *  - a cross-star doc pair shares exactly what its reps share
+    *    (`repPairs.n_shared`), and EVERY member cross pair exists iff
+    *    the rep pair does;
+    *  - a within-star doc pair shares the text's own capped
+    *    fingerprint count (`nSelf.n_self`).
+    *
+    * The expensive stages (winnow explode + window, the fingerprint
+    * self-join) therefore run on reps only — on a clone-heavy corpus
+    * the self-join fan-out shrinks by the duplicate factor SQUARED —
+    * while the declared raw-document semantics are preserved exactly
+    * (spec: `WinnowRepReductionSpec` asserts equality against the
+    * unreduced path on generated dup-heavy corpora).
+    */
+  private[operators] final case class WinnowRep(
+    members: DataFrame, // (doc_id, rep_id): every doc -> its star's min id
+    stars: DataFrame, // (rep_id, cnt): star sizes
+    repPairs: DataFrame, // (rep_a, rep_b, n_shared >= minShared), rep_a < rep_b
+    nSelf: DataFrame) // (rep_id, n_self): capped distinct fps of the text
+
+  /** `checkpointCapped`: materialize the capped rep-fingerprint frame
+    * (localCheckpoint) so eager consumers that traverse it several
+    * times — winnowGroups reads it for the component edges, the
+    * touched-rep set AND the within-star bond — compute the winnow
+    * explode + window + cap chain ONCE. Lazy single-plan consumers
+    * (winnowPairs) leave it false: their one plan lets Catalyst reuse
+    * the exchange, and a checkpoint would force eager jobs at
+    * construction.
+    */
+  private[operators] def winnowRepArtifacts(documents: DataFrame, k: Int,
+      w: Int, minShared: Int, fpCap: Int,
+      checkpointCapped: Boolean = false): WinnowRep = {
+    val docs = documents.select(col("doc_id"), md5(col("text")).as("h"))
+    val starAgg = docs.groupBy("h")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("cnt"))
+    val members = docs.join(starAgg, "h").select(col("doc_id"), col("rep_id"))
+    val reps = documents
+      .join(starAgg.select(col("rep_id").as("doc_id")), "doc_id")
+    val fp = winnow(reps, k, w)
+      .select(col("doc_id").as("rep_id"), col("fp")).distinct()
+    // cap on the DOC count per fp: identical docs carry identical fp
+    // sets, so docs-per-fp = sum of star sizes over the reps that
+    // carry it — the raw corpus's cap semantics, not a rep count
+    val keep = fp
+      .join(starAgg.select(col("rep_id"), col("cnt")), "rep_id")
+      .groupBy("fp").agg(sum(col("cnt")).as("nd"))
+      .where(col("nd") <= fpCap)
+      .select(col("fp"))
+    val f0 = fp.join(keep, "fp")
+    val f = if (checkpointCapped) f0.localCheckpoint() else f0
+    val repPairs = f.as("a").join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.rep_id") < col("b.rep_id"))
+      .groupBy(col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val nSelf = f.groupBy("rep_id").agg(count(lit(1)).as("n_self"))
+    WinnowRep(members, starAgg.select(col("rep_id"), col("cnt")),
+      repPairs, nSelf)
+  }
+
   /** Cross-document partial-overlap pairs over the WINNOWED
     * fingerprint space — what [[winnow]] exists for: join documents
     * on shared fingerprints and keep pairs sharing ≥ `minShared`.
@@ -250,21 +319,56 @@ object TextOps {
     * idiom; join fan-out per fingerprint is then ≤ fpCap², and the
     * cap is part of the declared semantics (mirrored by the oracle),
     * not a silent truncation.
+    *
+    * Exact-dedup-first (r9, default): the fingerprint machinery runs
+    * over one representative per md5(text) star ([[winnowRepArtifacts]]);
+    * member pairs are composed back by two bounded joins. On a
+    * verbatim-clone-heavy corpus (every crawl) the self-join work
+    * shrinks by the duplicate factor squared while the output — and
+    * the oracle — stay bit-for-bit the raw-document semantics: clone
+    * pairs still surface, priced as join fan-out instead of repeated
+    * fingerprint work. `repReduce = false` keeps the direct
+    * raw-document path (the equivalence spec runs both).
     */
   def winnowPairs(documents: DataFrame, k: Int = 4, w: Int = 5,
-      minShared: Int = 2, fpCap: Int = 64): DataFrame = {
-    val fp = winnow(documents, k, w)
-      .select(col("doc_id"), col("fp")).distinct()
-    val rare = fp.groupBy("fp")
-      .agg(count(lit(1)).as("nd"))
-      .where(col("nd") <= fpCap)
-      .select(col("fp"))
-    val f = fp.join(rare, "fp")
-    f.as("a").join(f.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
+      minShared: Int = 2, fpCap: Int = 64,
+      repReduce: Boolean = true): DataFrame = {
+    if (!repReduce) {
+      val fp = winnow(documents, k, w)
+        .select(col("doc_id"), col("fp")).distinct()
+      val rare = fp.groupBy("fp")
+        .agg(count(lit(1)).as("nd"))
+        .where(col("nd") <= fpCap)
+        .select(col("fp"))
+      val f = fp.join(rare, "fp")
+      return f.as("a").join(f.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= minShared)
+    }
+    val r = winnowRepArtifacts(documents, k, w, minShared, fpCap)
+    // cross-star pairs: every (member of rep_a) x (member of rep_b);
+    // doc ids interleave across stars, so order by least/greatest.
+    // A doc pair maps to exactly ONE unordered rep pair — no dups.
+    val cross = r.repPairs
+      .join(r.members.select(col("rep_id").as("rep_a"),
+        col("doc_id").as("da")), "rep_a")
+      .join(r.members.select(col("rep_id").as("rep_b"),
+        col("doc_id").as("db")), "rep_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("n_shared"))
+    // within-star pairs: identical texts share ALL their capped fps,
+    // so each qualifying star contributes every member pair at
+    // n_shared = n_self (absent nSelf row = zero capped fps = no pair)
+    val within = r.members.as("m1").join(r.members.as("m2"),
+        col("m1.rep_id") === col("m2.rep_id") &&
+          col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.rep_id").as("rep_id"), col("m1.doc_id").as("doc_a"),
+        col("m2.doc_id").as("doc_b"))
+      .join(r.nSelf.where(col("n_self") >= minShared), "rep_id")
+      .select(col("doc_a"), col("doc_b"), col("n_self").as("n_shared"))
+    cross.unionByName(within)
   }
 
   /** TF-IDF top terms per document (bounded output side; corpus
