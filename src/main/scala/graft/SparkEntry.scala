@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, Payments, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, MultimodalOps, Payments, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -126,6 +126,14 @@ object SparkEntry {
     "q_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(t(s, d, "documents"))),
     "q_winnow_groups" -> ((s, d) => Dedup.winnowGroups(t(s, d, "documents"))),
     "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(t(s, d, "documents"))),
+    // rows-only (binary raster decode is not SQL-expressible): real
+    // PNG decode -> dHash -> pigeonhole band join; the testdata has no
+    // binary column, so syntheticImages renders one deterministic
+    // token-block PNG per doc (exact-dup texts => hamming-0 pairs,
+    // near-dup texts => small-hamming pairs); fixture spec in
+    // ImageDedupSpec
+    "q_image_dedup" -> ((s, d) => Dedup.imageDedupPairs(
+      MultimodalOps.syntheticImages(t(s, d, "documents")))),
     "q_corpus_clean" -> ((s, d) => TextOps.cleanCorpus(t(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(t(s, d, "documents"))),
     "q_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d, "documents"))),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -514,7 +514,19 @@ object Dedup {
     * so the result is COMPLETE for the requested threshold; narrower
     * bands trade larger candidate buckets for that completeness.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(simhash(documents), maxHamming)
+
+  /** The pigeonhole band machinery itself, over ANY (doc_id, <hash64>)
+    * frame — shared by [[simhashPairs]] (text fingerprints) and
+    * [[imageDedupPairs]] (perceptual image hashes), so the two
+    * surfaces cannot drift: band count = next divisor of 64 above
+    * `maxHamming` (completeness by pigeonhole), candidate join is an
+    * equi-join on (band_idx, band_val) — shuffle O(rows × bands),
+    * never all-pairs — then the exact hamming filter.
+    */
+  private[operators] def hammingBandPairs(hashes: DataFrame,
+      maxHamming: Int): DataFrame = {
     val nBands = Seq(2, 4, 8, 16, 32)
       .find(_ > maxHamming)
       .getOrElse(throw new IllegalArgumentException(
@@ -522,16 +534,18 @@ object Dedup {
           "needs more than 32 bands of a 64-bit fingerprint"))
     val width = 64 / nBands
     val mask = (1L << width) - 1
-    val fp = simhash(documents)
+    val hashCol = hashes.columns(1)
+    val fp = hashes.select(col(hashes.columns.head).as("doc_id"),
+      col(hashCol).as("h64"))
     val bands = (0 until nBands).map(b => struct(lit(b).as("band_idx"),
-      shiftright(col("simhash64"), b * width).bitwiseAND(mask).as("band_val")))
+      shiftright(col("h64"), b * width).bitwiseAND(mask).as("band_val")))
     val banded = fp
-      .select(col("doc_id"), col("simhash64"),
+      .select(col("doc_id"), col("h64"),
         explode(array(bands: _*)).as("bv"))
-      .select(col("doc_id"), col("simhash64"),
+      .select(col("doc_id"), col("h64"),
         col("bv.band_idx"), col("bv.band_val"))
     // SHUFFLE_HASH: self-join sides share the identical shuffle, so
-    // ReuseExchange computes the simhash subtree once (see
+    // ReuseExchange computes the hash subtree once (see
     // candidatesFromSketch for the broadcast-vs-reuse tradeoff)
     banded.as("a").hint("SHUFFLE_HASH")
       .join(banded.as("b"),
@@ -539,9 +553,70 @@ object Dedup {
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        hamming(col("a.simhash64"), col("b.simhash64")).as("hamming"))
+        // long for schema consistency with the family's other pair
+        // counts (bit_count itself yields int)
+        hamming(col("a.h64"), col("b.h64")).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Perceptual-hash IMAGE dedup (r9 — the multimodal pillar's dedup
+    * pass): real raster decode → dHash-64
+    * ([[graft.operators.MultimodalOps.dhash64]]: 9×8 luminance-grid
+    * difference hash, stable under re-encode/resize/small edits) →
+    * the SAME pigeonhole band join the text simhash family uses
+    * ([[hammingBandPairs]]) → exact hamming filter. Returns
+    * (a_id, b_id, hamming) for image pairs within `maxHamming` bits.
+    *
+    * Undecodable / video / over-budget payloads are EXCLUDED before
+    * banding (`decoded = false` from imageHashes): a stub hash would
+    * pair unrelated corrupt files with each other, the one thing a
+    * dedup pass must never do. Decode is partition-local
+    * (mapPartitions), the join shuffles O(images × bands) band keys —
+    * never all-pairs, no cartesian (plan-audited in ImageDedupSpec).
+    *
+    * Exact-dup-first, the winnow-chain pattern made trivial: hamming
+    * depends ONLY on the dhash values, so the band join runs over one
+    * representative per DISTINCT dhash (on a verbatim-duplicated
+    * corpus the bucket fan-out shrinks by the clone factor squared)
+    * and member pairs compose back by two bounded joins — within-star
+    * pairs at hamming 0, cross-star pairs at their reps' hamming.
+    * Output is bit-for-bit the per-image semantics.
+    */
+  def imageDedupPairs(media: Dataset[MultimodalOps.MediaRow],
+      maxHamming: Int = 5,
+      maxPixels: Long = MultimodalOps.DefaultMaxPixels): DataFrame = {
+    // localCheckpoint: the composed plan reads the hash frame from
+    // SIX subtrees (stars, members, band join sides, both expansion
+    // joins) and Catalyst does not reuse the un-exchanged MapPartitions
+    // decode across them — without materialization every raster would
+    // decode repeatedly, the one genuinely expensive stage. The frame
+    // is 16 bytes/image (deliberately decoupled from the payload), so
+    // the checkpoint is bounded; the operator is consequently EAGER at
+    // construction, like the component-based dedup ops.
+    val hashes = MultimodalOps.imageHashes(media, maxPixels)
+      .where(col("decoded"))
+      .select(col("docId").as("doc_id"), col("dhash"))
+      .localCheckpoint()
+    val stars = hashes.groupBy("dhash")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("cnt"))
+    val members = hashes.join(stars, "dhash")
+      .select(col("doc_id"), col("rep_id"))
+    val repPairs = hammingBandPairs(
+      stars.select(col("rep_id").as("doc_id"), col("dhash")), maxHamming)
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("a_id"),
+        col("doc_id").as("da")), "a_id")
+      .join(members.select(col("rep_id").as("b_id"),
+        col("doc_id").as("db")), "b_id")
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"), col("hamming"))
+    val within = members.as("m1").join(members.as("m2"),
+        col("m1.rep_id") === col("m2.rep_id") &&
+          col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("a_id"), col("m2.doc_id").as("b_id"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Exploded-feature set-overlap frame shared by [[jaccardPairs]]

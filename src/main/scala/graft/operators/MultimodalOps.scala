@@ -137,6 +137,126 @@ object MultimodalOps {
     media.mapPartitions(_.grouped(batchSize).flatMap(decodeBatch(_, maxPixels)))
   }
 
+  case class ImageHash(docId: Long, dhash: Long, decoded: Boolean)
+
+  /** dHash-64 over a decoded raster: mean luminance on a 9×8 cell
+    * grid (each cell area-sampled at ≤8×8 probe positions — constant
+    * cost in the image size, like the histogram probe), bit i set iff
+    * cell(x) > cell(x+1) in its row. The classic difference hash:
+    * stable under re-encoding, resizing and small local edits, with
+    * hamming distance as the near-dup measure.
+    */
+  private[operators] def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val gw = 9; val gh = 8
+    val means = Array.ofDim[Double](gh, gw)
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw; val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
+        val y0 = cy * h / gh; val y1 = math.max(y0 + 1, (cy + 1) * h / gh)
+        val sx = math.max(1, (x1 - x0 + 7) / 8)
+        val sy = math.max(1, (y1 - y0 + 7) / 8)
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            n += 1; x += sx
+          }
+          y += sy
+        }
+        means(cy)(cx) = sum.toDouble / n
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L; var i = 0
+    cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < 8) {
+        if (means(cy)(cx) > means(cy)(cx + 1)) bits |= 1L << i
+        i += 1; cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** Perceptual hash per media row: REAL decode (pixel-budget-guarded
+    * like every decode here) → [[dhash64]]. Undecodable / video /
+    * over-budget payloads return `decoded = false` with dhash 0 —
+    * consumers (the dedup band join) must exclude them rather than
+    * pair unrelated garbage on a stub hash. Partition-local map, no
+    * shuffle: the input partitioning is the decode parallelism.
+    */
+  def imageHashes(media: Dataset[MediaRow],
+      maxPixels: Long = DefaultMaxPixels): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.mapPartitions(_.map { m =>
+      val img =
+        if (m.format == "video") None
+        else readImageBounded(m.payload, maxPixels)
+      img match {
+        case Some(i) => ImageHash(m.docId, dhash64(i), decoded = true)
+        case None => ImageHash(m.docId, 0L, decoded = false)
+      }
+    })
+  }
+
+  /** Deterministic token-block image per document — the registry /
+    * fixture bridge: the driver's testdata carries no binary column,
+    * so `q_image_dedup` renders one synthetic PNG per doc and runs the
+    * REAL decode + dHash + band-join machinery over it. Token i colors
+    * block (i mod blocks²) via its JVM string hash, so exact-duplicate
+    * texts render identical images and near-duplicate texts (few
+    * changed tokens) render images differing in few blocks — exactly
+    * the hamming-neighborhood structure a perceptual dedup detects.
+    * Real corpora replace this one method with their binary column.
+    */
+  def syntheticImages(documents: org.apache.spark.sql.DataFrame,
+      blocks: Int = 8, blockPx: Int = 4): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    implicit val enc = Encoders.product[MediaRow]
+    documents.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.split(" ")
+        val side = blocks * blockPx
+        val img = new java.awt.image.BufferedImage(side, side,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var b = 0
+        while (b < blocks * blocks) {
+          // murmur, not String.hashCode: the polynomial hash of short
+          // similar tokens varies mostly in its LOW bits, leaving the
+          // luminance (dominated by the red/green channels) nearly
+          // constant across blocks — a degenerate dHash where
+          // unrelated images land within a few hamming bits. Murmur's
+          // avalanche decorrelates block luminance per token.
+          val color =
+            if (b < toks.length)
+              scala.util.hashing.MurmurHash3.stringHash(toks(b)) & 0xffffff
+            else 0x202020
+          val bx = (b % blocks) * blockPx; val by = (b / blocks) * blockPx
+          var y = by
+          while (y < by + blockPx) {
+            var x = bx
+            while (x < bx + blockPx) { img.setRGB(x, y, color); x += 1 }
+            y += 1
+          }
+          b += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        MediaRow(id, bos.toByteArray, "image")
+      })
+  }
+
   case class ResizedMedia(docId: Long, width: Int, height: Int,
       payload: Array[Byte])
 

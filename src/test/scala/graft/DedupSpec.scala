@@ -119,8 +119,8 @@ class DedupSpec extends SparkSuite {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     assert(pairs.exists(r =>
       r.getAs[Long]("a_id") == 0L && r.getAs[Long]("b_id") == 3L &&
-        r.getAs[Int]("hamming") == 0))
-    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+        r.getAs[Long]("hamming") == 0L))
+    assert(pairs.forall(_.getAs[Long]("hamming") <= 3L))
     assert(!pairs.exists(r =>
       r.getAs[Long]("a_id") == 2L || r.getAs[Long]("b_id") == 2L))
   }

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+
+import graft.operators.{Dedup, MultimodalOps}
+import graft.operators.MultimodalOps.MediaRow
+
+/** Perceptual-hash image dedup (q_image_dedup): real decode → dHash →
+  * pigeonhole band join. Known fixtures: near-identical generated
+  * images must pair up, distinct ones must not, undecodable payloads
+  * must be excluded (never paired on the stub hash), and the plan must
+  * stay an equi-join (no cartesian).
+  */
+class ImageDedupSpec extends SparkSuite {
+
+  /** Gradient image with an optional small square edit — near-dup
+    * fixture: the edit changes a few dHash cells, not the whole hash.
+    */
+  private def gradient(w: Int, h: Int, editAt: Option[(Int, Int)] = None,
+      fmt: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = (x * 255 / math.max(1, w - 1)) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    editAt.foreach { case (ex, ey) =>
+      for (x <- ex until math.min(w, ex + w / 8);
+           y <- ey until math.min(h, ey + h / 8))
+        img.setRGB(x, y, 0xffffff)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  /** Block-noise image deterministic in `seed` — structurally distinct
+    * from the gradient family.
+    */
+  private def noise(seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(seed)
+    for (bx <- 0 until 8; by <- 0 until 8) {
+      val c = rnd.nextInt(0xffffff)
+      for (x <- bx * 8 until bx * 8 + 8; y <- by * 8 until by * 8 + 8)
+        img.setRGB(x, y, c)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def media(rows: (Long, Array[Byte], String)*) = {
+    implicit val enc = Encoders.product[MediaRow]
+    spark.createDataset(rows.map { case (id, p, f) => MediaRow(id, p, f) })
+  }
+
+  private def pairs(ds: org.apache.spark.sql.Dataset[MediaRow],
+      maxHamming: Int = 5) =
+    Dedup.imageDedupPairs(ds, maxHamming).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Long]("hamming")).toMap
+
+  test("identical and near-identical images pair; distinct images do not") {
+    val m = media(
+      (0L, gradient(64, 64), "image"),
+      (1L, gradient(64, 64), "image"), // exact re-encode: hamming 0
+      (2L, gradient(64, 64, editAt = Some(4, 4)), "image"), // small edit
+      (3L, noise(99), "image"), // structurally different
+      (4L, gradient(64, 64, fmt = "bmp"), "image")) // same pixels, other codec
+    val p = pairs(m)
+    assert(p.get((0L, 1L)).contains(0L),
+      s"identical rasters must pair at hamming 0, got $p")
+    assert(p.contains((0L, 2L)),
+      s"a small square edit must stay within the hamming budget, got $p")
+    assert(p.get((0L, 4L)).contains(0L),
+      "the perceptual hash must survive re-encoding to another format")
+    assert(!p.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      s"the noise image pairs with nothing, got $p")
+  }
+
+  test("undecodable payloads are excluded, never paired on the stub hash") {
+    val junk = "definitely not an image at all".getBytes("UTF-8")
+    val m = media(
+      (0L, junk, "image"),
+      (1L, junk, "image"), // identical junk must STILL not pair
+      (2L, gradient(32, 32), "image"),
+      (3L, Array.emptyByteArray, "image"),
+      (4L, gradient(32, 32), "video")) // video: no decode, excluded
+    val p = pairs(m)
+    assert(p.isEmpty, s"only doc 2 is a decodable image; got pairs $p")
+  }
+
+  test("syntheticImages: exact-dup texts render hamming-0 pairs, near-dups small-hamming") {
+    import spark.implicits._
+    val toks = (1 to 64).map(i => s"tok$i")
+    val docs = Seq(
+      (0L, toks.mkString(" ")),
+      (1L, toks.mkString(" ")), // exact duplicate text
+      (2L, toks.updated(10, "CHANGED").mkString(" ")), // one-token edit
+      (3L, (1 to 64).map(i => s"other$i").mkString(" ")) // disjoint text
+    ).toDF("doc_id", "text")
+    val p = pairs(MultimodalOps.syntheticImages(docs), maxHamming = 8)
+    assert(p.get((0L, 1L)).contains(0L),
+      s"exact-duplicate texts must render identical images, got $p")
+    assert(p.contains((0L, 2L)) && p((0L, 2L)) > 0L,
+      s"a one-token edit must land within the hamming budget, got $p")
+    assert(!p.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      s"disjoint text renders an unrelated image, got $p")
+  }
+
+  test("plan: band equi-join, never cartesian") {
+    val m = media((0L, gradient(16, 16), "image"), (1L, noise(7), "image"))
+    val p = Dedup.imageDedupPairs(m).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"image dedup must stay a band equi-join:\n$p")
+  }
+
+  test("dhash64 is deterministic and resize-stable") {
+    val big = gradient(128, 96)
+    val small = gradient(32, 24)
+    implicit val enc = Encoders.product[MediaRow]
+    val hs = MultimodalOps.imageHashes(media(
+      (0L, big, "image"), (1L, big, "image"), (2L, small, "image")))
+      .collect().sortBy(_.docId)
+    assert(hs.forall(_.decoded))
+    assert(hs(0).dhash == hs(1).dhash, "same bytes, same hash")
+    val dist = java.lang.Long.bitCount(hs(0).dhash ^ hs(2).dhash)
+    assert(dist <= 5,
+      s"the same gradient at another resolution must stay close, distance $dist")
+  }
+}
