@@ -129,8 +129,14 @@ object Dedup {
     * frame — split out so pipelines that also need the signatures
     * (e.g. [[minhashVerifiedPairs]]) build the sketch once.
     */
-  def candidatesFromSketch(sigs: DataFrame, numHashes: Int = 64,
-      bands: Int = 16, bucketCap: Int = 10000): DataFrame = {
+  /** (doc_id, band_idx, band_hash) band rows of a signature frame —
+    * the persistable unit of the LSH index, shared by
+    * [[candidatesFromSketch]] and the cross-snapshot
+    * [[writeBandIndex]]/[[dedupAgainst]] pair so the two surfaces
+    * band identically by construction.
+    */
+  private def bandRows(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) exactly")
     val rowsPerBand = numHashes / bands
@@ -140,9 +146,14 @@ object Dedup {
       struct(lit(b).as("band_idx"),
         xxhash64(cols: _*).as("band_hash"))
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("doc_id"), col("bh.band_idx"), col("bh.band_hash"))
+  }
+
+  def candidatesFromSketch(sigs: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, bucketCap: Int = 10000): DataFrame = {
+    val banded = bandRows(sigs, numHashes, bands)
     // Bucket-size cap as a window count over the join key: ONE pass
     // over `banded` (an agg+join formulation would recompute the whole
     // minhash subtree for each branch), and the self-join below reuses
@@ -162,6 +173,76 @@ object Dedup {
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Persist a snapshot's MinHash index — the cross-snapshot dedup
+    * seam (r9): `bands/` holds the [[bandRows]] (doc_id, band_idx,
+    * band_hash) the candidate join needs, `sigs/` the full signatures
+    * for estimate-stage composition, both partitioned parquet via the
+    * corpus-store write discipline. A production crawl writes this
+    * once per snapshot; snapshot N+1 then joins against it with
+    * [[dedupAgainst]] WITHOUT recomputing snapshot N's shingles or
+    * sketches — the index read is a scan of 24-byte rows, not a
+    * re-tokenization of 100 TB.
+    */
+  def writeBandIndex(documents: DataFrame, path: String,
+      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3): Unit = {
+    val sk = minhashSketch(documents, numHashes, shingleLen)
+    // one sketch job feeds both artifacts; sigs first so a partial
+    // write (bands present, sigs missing) cannot masquerade as a
+    // complete index for the candidate path
+    sk.write.mode("overwrite").parquet(s"$path/sigs")
+    bandRows(sk.sparkSession.read.parquet(s"$path/sigs"), numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Incremental dedup of a NEW snapshot against a persisted index
+    * ([[writeBandIndex]]): candidate pairs (a_id, b_id) where at
+    * least one side is a new document — within-new pairs and
+    * new-vs-indexed pairs, never indexed-vs-indexed (those were the
+    * previous run's output; recomputing them is exactly the waste
+    * this operator exists to avoid). Union the result with the
+    * indexed snapshot's own candidate set and you have bit-for-bit
+    * [[minhashCandidates]] of the joint corpus (round-trip
+    * spec-asserted), because banding is deterministic per document
+    * and the `bucketCap` window counts over the UNION frame — the
+    * same counts the joint run sees.
+    *
+    * Caller contract: doc_ids must be unique across snapshots (a
+    * crawl's monotonic or content-addressed ids).
+    *
+    * Plan: stored band rows scan (no text, no sketch recompute) union
+    * the new snapshot's band rows, one window + the capped
+    * SHUFFLE_HASH self-join of the shared machinery, then the
+    * at-least-one-new filter. Shuffle O((old + new) × bands) band
+    * keys; the is_new flag rides the band rows so the filter is a
+    * post-join predicate, not a third join.
+    */
+  def dedupAgainst(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, shingleLen: Int = 3,
+      bucketCap: Int = 10000): DataFrame = {
+    val stored = spark.read.parquet(s"$indexPath/bands")
+      .select(col("doc_id"), col("band_idx"), col("band_hash"),
+        lit(false).as("is_new"))
+    val fresh = bandRows(minhashSketch(newDocs, numHashes, shingleLen),
+        numHashes, bands)
+      .select(col("doc_id"), col("band_idx"), col("band_hash"),
+        lit(true).as("is_new"))
+    val all = stored.unionByName(fresh)
+    val wb = Window.partitionBy("band_idx", "band_hash")
+    val capped = all
+      .withColumn("bucket_n", count(lit(1)).over(wb))
+      .where(col("bucket_n") <= bucketCap)
+      .drop("bucket_n")
+    capped.as("a").hint("SHUFFLE_HASH")
+      .join(capped.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.is_new") || col("b.is_new"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
   }

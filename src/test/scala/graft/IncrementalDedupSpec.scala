@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Cross-snapshot incremental dedup (r9): snapshot A is indexed once
+  * (writeBandIndex), snapshot B dedups against the stored index
+  * (dedupAgainst) without recomputing A's sketches — and the result,
+  * unioned with A's own candidate set, must equal the joint-corpus
+  * run bit-for-bit, including under a tight bucketCap whose counts
+  * only trip on the UNION.
+  */
+class IncrementalDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def base(i: Int) =
+    s"snapshot text number $i with a long shared run of tokens " +
+      s"alpha beta gamma delta epsilon zeta eta theta iota kappa v$i"
+
+  // snapshot A: ids 0-5, two near-dup families
+  private lazy val snapA = Seq(
+    (0L, base(0)), (1L, base(0) + " tail"), (2L, base(1)),
+    (3L, "totally unrelated content about distributed query planning engines"),
+    (4L, base(2)), (5L, base(2) + " coda")
+  ).toDF("doc_id", "text")
+
+  // snapshot B: ids 100+, near-dups of A docs, an internal dup pair,
+  // and a fresh unique doc
+  private lazy val snapB = Seq(
+    (100L, base(0) + " extra"), // near-dup of A's 0/1 family
+    (101L, base(3)), (102L, base(3) + " tail"), // internal near-dup pair
+    (103L, "completely fresh material sharing nothing with any snapshot at all")
+  ).toDF("doc_id", "text")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+
+  private def roundTrip(bucketCap: Int): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandindex")
+      .toString
+    Dedup.writeBandIndex(snapA, dir)
+    val inc = pairSet(Dedup.dedupAgainst(spark, dir, snapB,
+      bucketCap = bucketCap))
+    val withinA = pairSet(Dedup.minhashCandidates(snapA,
+      bucketCap = bucketCap))
+    val joint = pairSet(Dedup.minhashCandidates(
+      snapA.unionByName(snapB), bucketCap = bucketCap))
+    assert((inc & withinA).isEmpty,
+      s"indexed-vs-indexed pairs must not be recomputed: ${inc & withinA}")
+    assert((inc | withinA) == joint,
+      s"incremental + within-A must equal the joint run; " +
+        s"missing=${joint -- (inc | withinA)} extra=${(inc | withinA) -- joint}")
+    assert(inc.exists { case (a, b) => a < 100L && b >= 100L },
+      s"cross-snapshot near-dups must surface, got $inc")
+    assert(inc.contains((101L, 102L)),
+      s"within-new near-dups must surface, got $inc")
+    assert(!inc.exists { case (a, b) => a == 103L || b == 103L },
+      s"the fresh unique doc pairs with nothing, got $inc")
+  }
+
+  test("round trip: index A, dedup B against it, equals the joint-corpus run") {
+    roundTrip(bucketCap = 10000)
+  }
+
+  test("bucketCap counts over the union frame, exactly like the joint run") {
+    // cap = 2: the 0/1/100 family saturates only when B joins the
+    // bucket — the incremental run must see union counts, not
+    // stored-only counts
+    roundTrip(bucketCap = 2)
+  }
+
+  test("dedupAgainst reads the stored bands, never the indexed snapshot's text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandindex")
+      .toString
+    Dedup.writeBandIndex(snapA, dir)
+    val plan = Dedup.dedupAgainst(spark, dir, snapB)
+      .queryExecution.optimizedPlan.toString
+    // exactly one sketch aggregate subtree (the NEW snapshot's);
+    // the stored side must be a parquet scan of the band rows
+    val sketches = "minhash_sketch".r.findAllIn(plan).length
+    assert(sketches == 2, // self-join: the new side appears on both sides
+      s"only the new snapshot may be sketched, found $sketches sketch aggs:\n$plan")
+  }
+}
