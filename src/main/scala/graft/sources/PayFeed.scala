@@ -68,7 +68,7 @@ object PayFeedSource {
   * otherwise just under-parallelize in production.
   */
 private[graft] case class PayFeedConfig(shards: Int, recordsPerRound: Int,
-    rounds: Long, malformedEvery: Int) {
+    rounds: Long, malformedEvery: Int, lifecycle: Boolean = false) {
   require(shards > 0, s"payfeed: shards must be > 0, got $shards")
   require(recordsPerRound > 0,
     s"payfeed: recordsPerRound must be > 0, got $recordsPerRound")
@@ -84,7 +84,8 @@ private[graft] object PayFeedConfig {
       shards = m.getInt("shards", 2),
       recordsPerRound = m.getInt("recordsPerRound", 8),
       rounds = m.getLong("rounds", 1L),
-      malformedEvery = m.getInt("malformedEvery", 0))
+      malformedEvery = m.getInt("malformedEvery", 0),
+      lifecycle = m.getBoolean("lifecycle", false))
   }
 }
 
@@ -160,7 +161,17 @@ private[graft] class PayFeedPartitionReader(p: PayFeedPartition)
       s"{corrupt payfeed record $s" // injected poison pill
     else {
       val ts = Instant.ofEpochSecond(epochBase + s)
-      s"""{"paymentId": $s, "ts": "$ts", "kind": "create"}"""
+      // lifecycle mode: odd seqs carry the `processed` terminal of the
+      // preceding even seq's create — each shard's consecutive seqs
+      // interleave create/terminal, so the full reference loop
+      // (create → poll → resolve) flows through one feed and the
+      // payment-id universe is the even seqs. A corrupt create under
+      // malformedEvery leaves its terminal an orphan — exactly the
+      // delivery-skew case the FSM's orphan buffering absorbs.
+      if (p.cfg.lifecycle && s % 2 == 1)
+        s"""{"paymentId": ${s - 1}, "ts": "$ts", "kind": "processed"}"""
+      else
+        s"""{"paymentId": $s, "ts": "$ts", "kind": "create"}"""
     }
   }
 

@@ -92,4 +92,23 @@ object PaymentConfirm {
       PaymentMonitor.outcomes(PaymentStream.fromFiles(spark, inDir),
         watermarkDelay, expiryMs),
       amounts, outDir, checkpointDir)
+
+  /** The reference's FULL loop as one checkpointed pipeline (r9):
+    * `payfeed` connector ingest → JSON parse → payment FSM → confirm
+    * join → masked idempotent sink — poll → resolve → approve → record
+    * (kinesis-pay.php:232-303 + :487-509) end-to-end. The three seams
+    * are the individually-spec'd ones; this method is the composition,
+    * and PayFeedPipelineSpec kills and resumes it, asserting exactly
+    * one masked confirm per processed payment across the restart (the
+    * connector's replayable offsets + the FSM's resolved-marker state
+    * + the batch-scoped idempotent sink, composed).
+    */
+  def feedPipeline(spark: org.apache.spark.sql.SparkSession,
+      feedOptions: Map[String, String], amounts: DataFrame, outDir: String,
+      checkpointDir: String, watermarkDelay: String = "10 seconds",
+      expiryMs: Long = PaymentMonitor.ExpiryMs): StreamingQuery =
+    confirmStream(
+      PaymentMonitor.outcomes(PaymentStream.fromFeed(spark, feedOptions),
+        watermarkDelay, expiryMs),
+      amounts, outDir, checkpointDir)
 }
