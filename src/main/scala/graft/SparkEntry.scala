@@ -180,6 +180,12 @@ object SparkEntry {
     "q_pmi_top" -> ((s, d) => TextOps.pmiTop(t(s, d, "documents"))),
     "q_blocklist" -> ((s, d) => TextOps.blocklistFilter(t(s, d, "documents"))),
     "q_chunk" -> ((s, d) => Curation.tokenChunks(t(s, d, "documents"))),
+    // boundaries-only twin: identical chunk identities, chunk_text
+    // dropped — the index-rebuild / packing-plan consumer mode whose
+    // output volume is a few longs per chunk instead of ~1.3x the
+    // corpus (scan-speed at 10x, SURVEY §5b)
+    "q_chunk_bounds" -> ((s, d) =>
+      Curation.tokenChunks(t(s, d, "documents"), withText = false)),
     "q_split_leakage" -> ((s, d) => Curation.splitLeakage(t(s, d, "documents"))),
     "q_bigram_logprob" -> ((s, d) => TextOps.bigramLogProb(t(s, d, "documents"))),
     "q_hash_embed" -> ((s, d) => TextOps.hashEmbedSparse(t(s, d, "documents"))),
@@ -1178,6 +1184,17 @@ object SparkEntry {
         |  CAST(tok_start AS BIGINT) AS tok_start,
         |  CAST(len(toks[tok_start + 1:tok_start + 32]) AS BIGINT) AS n_chunk_tok,
         |  array_to_string(toks[tok_start + 1:tok_start + 32], ' ') AS chunk_text
+        |FROM s""".stripMargin,
+    "q_chunk_bounds" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1
+        |), s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS tok_start FROM t
+        |)
+        |SELECT doc_id, CAST(tok_start // 24 AS BIGINT) AS chunk_id,
+        |  CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(len(toks[tok_start + 1:tok_start + 32]) AS BIGINT) AS n_chunk_tok
         |FROM s""".stripMargin,
     "q_split_leakage" ->
       """WITH reps AS (

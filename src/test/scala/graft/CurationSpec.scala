@@ -433,6 +433,19 @@ class CurationSpec extends SparkSuite {
     assert(perDoc == 0L)
   }
 
+  test("tokenChunks: boundaries-only mode emits identical chunks minus the text") {
+    val withText = Curation.tokenChunks(docs, chunkLen = 16, stride = 12)
+    val boundaries = Curation.tokenChunks(docs, chunkLen = 16, stride = 12,
+      withText = false)
+    assert(boundaries.columns.toSeq ==
+      Seq("doc_id", "chunk_id", "tok_start", "n_chunk_tok"),
+      "boundaries mode must drop ONLY chunk_text")
+    // chunk identities are the same rows in both modes
+    assert(withText.drop("chunk_text").exceptAll(boundaries).isEmpty &&
+      boundaries.exceptAll(withText.drop("chunk_text")).isEmpty,
+      "both modes must emit identical chunk boundaries")
+  }
+
   test("splitLeakage: exactly the cross-split near-dup representative pairs") {
     val sf01 = Tables(spark, "/root/testdata/sf0.01", "documents")
     val r = Curation.splitLeakage(sf01).collect()
