@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW instead of relaying it via
+// sbt's logger: the logger prefixes every line with "[info] ", which is
+// exactly what kept the driver's JSON parse of Bench's one stdout line
+// failing (BENCH parsed:null in rounds 6-8). With StdoutOutput the
+// bench line reaches the captured tail as bare JSON.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
