@@ -112,14 +112,18 @@ object Curation {
     graft.GraftFunctions.register(documents.sparkSession)
     val sh = shingleFrame(documents, n, hashed = false)
     // EAGER, bounded: the benchmark side is eval-suite-sized by
-    // construction. localCheckpoint materializes its
-    // scan+explode+distinct subplan ONCE for its three consumers
-    // (count, bloom build, confirm join) — without it each action
-    // re-ran the extraction (the curate_pipeline iterative-stage
-    // precedent); blocks are released with the frame's GC
+    // construction, materialized ONCE for its three consumers (count,
+    // bloom build, confirm join) — without it each action re-ran the
+    // scan+explode+distinct extraction (the curate_pipeline
+    // iterative-stage precedent). persist+count, NOT localCheckpoint
+    // (r9, per ADVICE): a checkpoint discards lineage, so losing an
+    // executor mid-job at scale would make the confirm join's blocks
+    // unrecoverable and fail the run, whereas persisted blocks
+    // recompute from the plan; MEMORY_AND_DISK spills rather than
+    // evicting under pressure. Blocks release with the frame's GC.
     val bench = sh.where(pmod(col("doc_id"), lit(benchmarkEvery)) === 0)
       .select(col("shingle")).distinct()
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // an empty benchmark admits nothing — the literal-false prefilter
     // keeps the output schema and the empty result without a bloom
     val prefilter = benchmarkBloom(bench, fpp)

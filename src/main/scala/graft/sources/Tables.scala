@@ -36,56 +36,86 @@ object Tables {
     require(names.contains(name),
       s"unknown table '$name'; expected one of: ${names.mkString(", ")}")
     if (name == "events") {
-      // Try the plain read first: the MICROS writer generations
-      // (TimestampType / TIMESTAMP_NTZ) need no legacy flag and no
-      // session side effect. Only a TIMESTAMP(NANOS) file throws here
-      // ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))"), and
-      // only THEN does the nanos machinery engage — so the flag
-      // mutation and the refusal below never fire for data that
-      // doesn't need them.
-      try normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
-      catch {
-        // narrow catch: schema inference rejects NANOS with an
-        // AnalysisException naming the type ("Illegal Parquet type:
-        // INT64 (TIMESTAMP(NANOS,...))"); anything else propagates.
-        // The NANOS generation no longer ships in the fixtures, so
-        // this leg is untestable here — it is kept, as narrow as the
-        // reader's error surface allows, for the prior generation.
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage != null && e.getMessage.contains("NANOS") =>
-          // LOUD SIDE EFFECT — parquet TIMESTAMP(NANOS) is readable
-          // ONLY when the SESSION conf
-          // `spark.sql.legacy.parquet.nanosAsLong` is true: a per-read
-          // option cannot work because ParquetFileFormat overwrites
-          // the relation hadoopConf entry from the session SQLConf at
-          // execution (verified against the 4.1.2 bytecode — there is
-          // no per-read escape hatch). The loader sets the session
-          // conf as a convenience for driver-built sessions, but
-          // REFUSES to override an explicit user `false` — that would
-          // silently change the meaning of the user's other
-          // nanos-parquet reads.
-          // NOTE: must distinguish "user explicitly set false" from
-          // "unset": nanosAsLong is a REGISTERED SQLConf entry, so
-          // getOption returns Some("false") (the default) even when
-          // never set. The two-arg get returns the null fallback only
-          // when unset — that is the probe.
-          requireNanosAllowed(spark)
-          spark.conf.set(NanosFlag, "true")
-          normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+      // Writer-generation detection reads the parquet FOOTER logical
+      // type of one data file (r9, per ADVICE: the previous
+      // try/catch matched the reader's exception TEXT for 'NANOS',
+      // which a Spark upgrade could silently re-word — the footer
+      // annotation is the format itself and cannot drift). Only a
+      // genuine TIMESTAMP(NANOS) generation engages the nanos
+      // machinery; the MICROS generations read with no flag and no
+      // session side effect.
+      if (eventsTsIsNanos(spark, s"$dir/$name.parquet")) {
+        // LOUD SIDE EFFECT — parquet TIMESTAMP(NANOS) is readable
+        // ONLY when the SESSION conf
+        // `spark.sql.legacy.parquet.nanosAsLong` is true: a per-read
+        // option cannot work because ParquetFileFormat overwrites
+        // the relation hadoopConf entry from the session SQLConf at
+        // execution (verified against the 4.1.2 bytecode — there is
+        // no per-read escape hatch). The loader sets the session
+        // conf as a convenience for driver-built sessions, but
+        // REFUSES to override an explicit user `false` — that would
+        // silently change the meaning of the user's other
+        // nanos-parquet reads.
+        // NOTE: must distinguish "user explicitly set false" from
+        // "unset": nanosAsLong is a REGISTERED SQLConf entry, so
+        // getOption returns Some("false") (the default) even when
+        // never set. The two-arg get returns the null fallback only
+        // when unset — that is the probe.
+        requireNanosAllowed(spark)
+        spark.conf.set(NanosFlag, "true")
       }
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** True iff the events table's `ts` field is parquet
+    * TIMESTAMP(NANOS), read from the footer of the first data file —
+    * the one place the writer generation is recorded authoritatively.
+    * All data files of one write share one schema, so one footer
+    * decides; a missing/empty table returns false and lets the normal
+    * read surface its own error.
+    */
+  private def eventsTsIsNanos(spark: SparkSession, path: String): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return false
+    val dataFile =
+      if (fs.getFileStatus(p).isFile) Some(p)
+      else fs.listStatus(p).map(_.getPath)
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    dataFile.exists { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") && {
+          schema.getFields.get(schema.getFieldIndex("ts"))
+            .getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          }
+        }
+      } finally reader.close()
+    }
   }
 
   /** Register every table as a temp view so plain `spark.sql` users
     * can query the star schema directly (the SQL front door, paired
     * with `GraftExtensions` for the native functions).
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    // events first: it is the only table whose load can refuse (nanos
-    // flag, non-UTC NTZ session), and a refusal must leave ZERO views
-    // registered, never a half-registered schema
-    names.sortBy(n => if (n == "events") 0 else 1)
-      .foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    // load EVERY frame before registering ANY view (r9, per ADVICE:
+    // the previous events-first ordering only protected against the
+    // events refusal — a missing parquet file later in the list still
+    // left a half-registered schema). `apply` resolves the file and
+    // schema eagerly, so any load failure throws while zero views
+    // exist; registration afterwards is infallible.
+    val loaded = names.map(n => n -> apply(spark, dir, n))
+    loaded.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+  }
 
   /** Refuses to proceed when the user has EXPLICITLY set the nanos
     * flag to false (see the loud note in [[apply]]).

@@ -420,7 +420,14 @@ object StreamingOps {
     * `capacity`-bounded MG summary held in group state, and each
     * micro-batch re-emits the shard's current summary (Update mode:
     * downstream reads the LAST (shard, token) row as the running
-    * estimate).
+    * estimate). A token EVICTED from its shard's summary between
+    * consecutive batches emits one `estCount = 0` TOMBSTONE row (r9,
+    * per ADVICE — tracked entries always carry est ≥ 1, so zero
+    * unambiguously means "no longer tracked"): without it the last
+    * row downstream read for an evicted token was its stale pre-
+    * eviction estimate, indistinguishable from a live one. The MG
+    * undercount bound holds for the tombstone too (an evicted token's
+    * true count is ≤ the decrement total ≤ N_s/(capacity+1)).
     *
     * Guarantees per token (N_s = its shard's stream length so far):
     * est ≤ true ≤ est + N_s/(capacity+1) — TIGHTER than one global
@@ -466,14 +473,19 @@ object StreamingOps {
     */
   private[streaming] def mgShardStep(shard: Long, ts: Iterator[TokShard],
       state: GroupState[MgState], capacity: Int): Iterator[HeavyHitter] = {
-    val buf = scala.collection.mutable.HashMap
-      .from(state.getOption.map(_.entries).getOrElse(Map.empty))
+    val prev = state.getOption.map(_.entries).getOrElse(Map.empty)
+    val buf = scala.collection.mutable.HashMap.from(prev)
     val batch = scala.collection.mutable.HashMap.empty[String, Long]
     ts.foreach(t => batch.update(t.tok, batch.getOrElse(t.tok, 0L) + 1))
     graft.plans.MisraGries.merge(buf, batch, capacity)
     state.update(MgState(buf.toMap))
-    buf.toSeq.sortBy { case (t, c) => (-c, t) }
-      .map { case (t, c) => HeavyHitter(shard, t, c) }
+    // zero-count tombstones for entries the merge evicted since the
+    // last emitted summary — downstream's last-row-wins read then
+    // distinguishes "currently tracked" from "evicted batches ago"
+    val evicted = (prev.keySet -- buf.keySet).toSeq.sorted
+      .map(t => HeavyHitter(shard, t, 0L))
+    (buf.toSeq.sortBy { case (t, c) => (-c, t) }
+      .map { case (t, c) => HeavyHitter(shard, t, c) } ++ evicted)
       .iterator
   }
 

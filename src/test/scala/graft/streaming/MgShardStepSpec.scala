@@ -43,6 +43,27 @@ class MgShardStepSpec extends AnyFunSuite {
     assert(6L - est("a") <= 3L, "undercount bounded by N/(k+1)")
   }
 
+  test("eviction emits a zero-count tombstone; re-admission tracks again") {
+    val st = fresh
+    // batch 1: b and c tracked (capacity 2)
+    StreamingOps.mgShardStep(0L, toks("b", "b", "c"), st, capacity = 2)
+    // batch 2: a floods in — c (count 1) is evicted by the pivot rule
+    val out2 = StreamingOps.mgShardStep(0L, toks("a", "a", "a", "a"), st,
+      capacity = 2).toSeq
+    val est2 = out2.map(h => h.token -> h.estCount).toMap
+    assert(est2.get("c").contains(0L),
+      s"the evicted token must emit an estCount=0 tombstone, got $out2")
+    assert(!st.get.entries.contains("c"),
+      "the tombstoned token is no longer in state")
+    assert(out2.filter(_.estCount > 0L).size <= 2,
+      "tombstones ride alongside the <=capacity live summary")
+    // batch 3: c returns and is tracked again with a live estimate
+    val out3 = StreamingOps.mgShardStep(0L, toks("c", "c", "c", "c", "c"),
+      st, capacity = 2).toSeq
+    assert(out3.exists(h => h.token == "c" && h.estCount > 0L),
+      s"a re-admitted token emits live estimates again, got $out3")
+  }
+
   test("replay determinism: batch fold is iterator-order independent") {
     val a = fresh
     StreamingOps.mgShardStep(0L, toks("x", "y", "x", "z", "y", "x"), a,
