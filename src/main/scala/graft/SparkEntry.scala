@@ -198,6 +198,13 @@ object SparkEntry {
     "q_dsir_score" -> ((s, d) => Curation.dsirScore(t(s, d, "documents"))),
     "q_dsir_select" -> ((s, d) => Curation.dsirSelect(t(s, d, "documents"))),
     "q_source_report" -> ((s, d) => TextOps.sourceReport(t(s, d, "documents"))),
+    // fuzzy decontamination: oracle computes TRUE jaccard pairs among
+    // md5 reps (the exactverify/split_leakage banding-recall contract)
+    "q_decontaminate_fuzzy" -> ((s, d) =>
+      Curation.decontaminateFuzzy(t(s, d, "documents"))),
+    "q_source_kl" -> ((s, d) => TextOps.sourceKl(t(s, d, "documents"))),
+    "q_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(t(s, d, "documents"))),
     "q_ccnet_bucket" -> ((s, d) => Curation.ccnetBuckets(t(s, d, "documents"))),
     "q_gopher_gate" -> ((s, d) => TextOps.gopherGate(t(s, d, "documents")))
   )
@@ -1196,6 +1203,73 @@ object SparkEntry {
         |  CAST(tok_start AS BIGINT) AS tok_start,
         |  CAST(len(toks[tok_start + 1:tok_start + 32]) AS BIGINT) AS n_chunk_tok
         |FROM s""".stripMargin,
+    "q_decontaminate_fuzzy" ->
+      """WITH flags AS (
+        |  SELECT doc_id, md5(text) AS h, doc_id % 10 = 0 AS is_bench FROM documents
+        |), stars AS (
+        |  SELECT h, MIN(doc_id) AS rep_id,
+        |    MAX(CASE WHEN is_bench THEN 1 ELSE 0 END) AS star_has_bench
+        |  FROM flags GROUP BY h
+        |), d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents JOIN (SELECT rep_id AS doc_id FROM stars) USING (doc_id)
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS shingle
+        |  FROM d WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a_id, b_id, jaccard
+        |  FROM (SELECT a_id, b_id,
+        |          CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+        |        FROM inter
+        |        JOIN sizes sa ON a_id = sa.doc_id
+        |        JOIN sizes sb ON b_id = sb.doc_id)
+        |  WHERE jaccard >= 0.8
+        |), rb AS (
+        |  SELECT rep_id, star_has_bench = 1 AS rbench FROM stars
+        |), near AS (
+        |  SELECT CASE WHEN ra.rbench THEN b_id ELSE a_id END AS rep_id, jaccard
+        |  FROM pairs
+        |  JOIN rb ra ON a_id = ra.rep_id
+        |  JOIN rb rbb ON b_id = rbb.rep_id
+        |  WHERE ra.rbench <> rbb.rbench
+        |), nearbyrep AS (
+        |  SELECT rep_id, MAX(jaccard) AS near_j FROM near GROUP BY 1
+        |)
+        |SELECT f.doc_id,
+        |  CASE WHEN s.star_has_bench = 1 THEN CAST(1.0 AS DOUBLE)
+        |       ELSE n.near_j END AS max_jaccard
+        |FROM flags f JOIN stars s USING (h)
+        |LEFT JOIN nearbyrep n ON s.rep_id = n.rep_id
+        |WHERE NOT f.is_bench AND (s.star_has_bench = 1 OR n.rep_id IS NOT NULL)""".stripMargin,
+    "q_source_kl" ->
+      """WITH tf AS (
+        |  SELECT source, tok, COUNT(*) AS tf
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2
+        |), st AS (SELECT source, SUM(tf) AS n_s FROM tf GROUP BY 1),
+        |ct AS (SELECT tok, SUM(tf) AS ctf FROM tf GROUP BY 1),
+        |tot AS (SELECT SUM(ctf) AS n_total FROM ct)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_tok,
+        |  CAST(SUM(CAST(tf AS DECIMAL(12,0)) *
+        |    CAST(round(ln((CAST(tf AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+        |      (CAST(n_s AS DOUBLE) * CAST(ctf AS DOUBLE))), 6) AS DECIMAL(12,6)))
+        |    AS DOUBLE) / CAST(n_s AS DOUBLE) AS kl_nats
+        |FROM tf JOIN ct USING (tok) JOIN st USING (source) CROSS JOIN tot
+        |GROUP BY source, n_s""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 10""".stripMargin,
     "q_split_leakage" ->
       """WITH reps AS (
         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)

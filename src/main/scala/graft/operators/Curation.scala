@@ -81,6 +81,91 @@ object Curation {
         countDistinct(col("shingle")).as("n_shingles_hit"))
   }
 
+  /** FUZZY decontamination (r9) — the near-duplicate leg the n-gram
+    * passes lack: a training doc that paraphrases or lightly edits a
+    * benchmark item shares high set-Jaccard with it even when no
+    * single 4-gram survives verbatim. Published decontamination runs
+    * both legs (exact n-gram overlap AND fuzzy/minhash near-dup);
+    * [[decontaminate]] is the former, this is the latter: flag every
+    * non-benchmark doc whose TRUE 3-shingle Jaccard against any
+    * benchmark doc reaches `threshold`, via the exact-verified
+    * minhash chain ([[Dedup.minhashExactVerifiedPairs]]'s
+    * representative machinery) rather than an all-pairs scan.
+    *
+    * Exact-dup composition (the winnow/dedupGroups star pattern):
+    * pairs run among md5(text) representatives; a rep side counts as
+    * "benchmark" when its star contains ANY benchmark doc; flags
+    * compose back to members — including the degenerate-but-critical
+    * case of a training doc that is a VERBATIM copy of a benchmark
+    * item (same star ⇒ flagged at jaccard 1.0 without any pair
+    * existing). Returns (doc_id, max_jaccard) for flagged
+    * NON-benchmark docs only.
+    *
+    * Oracle semantics: the DuckDB oracle computes TRUE Jaccard pairs
+    * among representatives; equality rides the banding recall the
+    * exactverify chain already spec-asserts (zero missed ≥0.8 pairs
+    * on the gate corpus — the q_dedup_minhash_exactverify /
+    * q_split_leakage contract, deviations documented there).
+    * Scale shape inherited whole: stage-0 exact collapse, bucketed
+    * LSH candidates, in-row set intersection; the composition adds
+    * two star-sized joins.
+    */
+  def decontaminateFuzzy(documents: DataFrame, benchmarkEvery: Int = 10,
+      threshold: Double = 0.8): DataFrame = {
+    val docsH = documents.select(col("doc_id"), md5(col("text")).as("h"),
+      (pmod(col("doc_id"), lit(benchmarkEvery)) === 0).as("is_bench"))
+    val stars = docsH.groupBy("h").agg(min(col("doc_id")).as("rep_id"),
+      max(col("is_bench").cast("int")).as("star_has_bench"))
+    val members = docsH.join(stars, "h")
+    val reps = documents.join(stars.select(col("rep_id").as("doc_id")), "doc_id")
+    val pairs = Dedup.exactVerifiedFromReps(reps, threshold,
+      numHashes = 64, bands = 16, shingleLen = 3, bucketCap = 10000)
+    // side classification is STAR-level: a rep whose star contains a
+    // benchmark doc is a benchmark side even when the rep id itself
+    // is a training doc
+    val repBench = stars.select(col("rep_id"),
+      (col("star_has_bench") === 1).as("rb"))
+    val nearByRep = pairs
+      .join(repBench.select(col("rep_id").as("a_id"), col("rb").as("a_b")), "a_id")
+      .join(repBench.select(col("rep_id").as("b_id"), col("rb").as("b_b")), "b_id")
+      .where(col("a_b") =!= col("b_b"))
+      .select(when(col("a_b"), col("b_id")).otherwise(col("a_id")).as("rep_id"),
+        col("jaccard"))
+      .groupBy("rep_id").agg(max(col("jaccard")).as("near_j"))
+    members.where(!col("is_bench"))
+      .join(nearByRep, Seq("rep_id"), "left")
+      .where(col("star_has_bench") === 1 || col("near_j").isNotNull)
+      .select(col("doc_id"),
+        when(col("star_has_bench") === 1, lit(1.0d))
+          .otherwise(col("near_j")).as("max_jaccard"))
+  }
+
+  /** Deterministic per-stratum uniform sample (r9) — the eval-set /
+    * inspection-set constructor: exactly `k` docs per language (fewer
+    * when the stratum is smaller), chosen by content-independent
+    * salted id-hash order so the draw is uniform w.r.t. content,
+    * rerun-stable, engine-reproducible, and independent of
+    * [[TextOps.trainSplit]] / [[domainMix]] (different salt domain).
+    * [[qualityTopK]] is the "best k per stratum" selection; this is
+    * the "REPRESENTATIVE k per stratum" one.
+    *
+    * Plan: one rank window per lang over the salted hash — Spark 4
+    * rewrites the rank-≤-k filter to two-level WindowGroupLimit, so
+    * the exchange moves O(partitions × k) rows, never the corpus
+    * (the qualityTopK audit covers the shape). Returns
+    * (doc_id, lang, rnk) with rnk the 1-based in-stratum position.
+    */
+  def stratifiedSample(documents: DataFrame, k: Int = 10,
+      salt: String = "strat"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val key = md5(concat_ws(":", lit(salt), col("doc_id").cast("string")))
+    val w = Window.partitionBy("lang").orderBy(col("samp_key"), col("doc_id"))
+    documents.select(col("doc_id"), col("lang"), key.as("samp_key"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+  }
+
   /** [[decontaminate]] with a Bloom-filter semi-join reduction — the
     * 100 TB shuffle shape: the benchmark shingle set is folded into a
     * compact Bloom filter (one driver-bounded build over the SMALL

@@ -525,6 +525,53 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Per-source KL divergence from the corpus unigram distribution
+    * (r9) — the domain-drift diagnostic a mixing pass reads next to
+    * [[sourceReport]]: KL(p_source ‖ p_corpus) = Σ_tok p_s(tok) ·
+    * ln(p_s(tok)/p_c(tok)). A source whose vocabulary usage diverges
+    * from the corpus (templated boilerplate, another register, a
+    * broken scrape) stands out in nats before any per-doc filter
+    * fires; near-zero means the source is distributionally redundant
+    * with the mix. KL ≥ 0 always, and is finite here by construction
+    * (every source token is a corpus token — the support contains it).
+    *
+    * Determinism (the [[unigramLogProb]] recipe): the per-token log
+    * ratio is ONE double expression over exact integer counts with
+    * pinned association, ln((tf·N) / (n_s·ctf)), rounded 6 dp (libm
+    * last-ulp rule), summed as DECIMAL × tf — fold-order-free — and
+    * finished with ONE unrounded IEEE division by the source total
+    * (no final round: the §5b midpoint trap).
+    *
+    * Plan: one (source, tok) aggregate off the token explode; the
+    * corpus distribution and totals derive from THAT bounded frame
+    * (≤ sources × vocab rows — no second corpus pass); everything
+    * after is keyed joins on the token and source keys plus one
+    * single-row broadcast.
+    */
+  def sourceKl(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(tokenize(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    val srcTotals = tf.groupBy("source").agg(sum(col("tf")).as("n_s"))
+    val corpusTok = tf.groupBy("tok").agg(sum(col("tf")).as("ctf"))
+    val total = corpusTok.agg(sum(col("ctf")).as("n_total"))
+    val lnRatio = round(log(
+      (col("tf").cast("double") * col("n_total").cast("double")) /
+        (col("n_s").cast("double") * col("ctf").cast("double"))), 6)
+      .cast("decimal(12,6)")
+    tf.join(corpusTok, "tok")
+      .join(srcTotals, "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_s"),
+        (col("tf").cast("decimal(12,0)") * lnRatio).as("contrib"))
+      .groupBy("source", "n_s")
+      .agg(sum(col("contrib")).as("sum_kl"))
+      .select(col("source"), col("n_s").as("n_tok"),
+        (col("sum_kl").cast("double") / col("n_s").cast("double"))
+          .as("kl_nats"))
+  }
+
   /** Bigram-LM fluency score — one rung up the CCNet ladder from
     * [[unigramLogProb]] (unigram scoring is order-blind: "the the the"
     * and real prose with the same tokens score identically; a bigram

@@ -446,6 +446,74 @@ class CurationSpec extends SparkSuite {
       "both modes must emit identical chunk boundaries")
   }
 
+  test("decontaminateFuzzy: near-dups, verbatim copies, and clone inheritance flagged; unrelated not") {
+    // doc 0 is the benchmark item (id%10==0); 21 tokens => 19 distinct
+    // 3-shingles
+    val base = (1 to 21).map(i => s"w$i").mkString(" ")
+    val near = (1 to 20).map(i => s"w$i").mkString(" ") + " zz" // J = 18/20 = 0.9
+    val d = Seq(
+      (0L, base), // benchmark
+      (1L, near), // near-dup of the benchmark -> flagged at 0.9
+      (2L, base), // VERBATIM copy of the benchmark -> flagged at 1.0
+      (3L, near), // exact copy of the flagged near-dup -> inherits 0.9
+      (4L, (1 to 21).map(i => s"q$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminateFuzzy(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("max_jaccard"))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"flag set wrong: $got")
+    assert(got(2L) == 1.0, "a verbatim benchmark copy is jaccard 1.0")
+    assert(math.abs(got(1L) - 0.9) < 1e-12 && got(1L) == got(3L),
+      s"near-dup jaccard exact and inherited by exact clones: $got")
+  }
+
+  test("sourceKl: zero for a distribution-identical source, positive for a skewed one") {
+    // sources a and b share the corpus distribution scaled 2x; source c
+    // is disjoint vocabulary -> strongly divergent
+    val d = Seq(
+      (1L, "x x y", "a"), (2L, "x x y x x y", "b"),
+      (3L, "z z z", "c")
+    ).toDF("doc_id", "text", "source")
+    val rows = graft.operators.TextOps.sourceKl(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Double]("kl_nats"))).toMap
+    assert(rows("a")._1 == 3L && rows("b")._1 == 6L && rows("c")._1 == 3L)
+    // p_a = p_b = (2/3 x, 1/3 y) but the CORPUS includes c's z mass, so
+    // both diverge from the corpus equally; same distribution -> same KL
+    assert(math.abs(rows("a")._2 - rows("b")._2) < 1e-9,
+      s"identical distributions must have identical KL: $rows")
+    assert(rows.values.forall(_._2 >= 0.0), s"KL is non-negative: $rows")
+    assert(rows("c")._2 > rows("a")._2,
+      s"the disjoint-vocabulary source diverges most: $rows")
+    // local model: KL(p_c || corpus) with p_c(z)=1, corpus(z)=3/12
+    val expectC = math.rint(math.log((3.0 * 12) / (3.0 * 3)) * 1e6) / 1e6
+    assert(math.abs(rows("c")._2 - expectC) < 1e-9,
+      s"KL matches the local model: got ${rows("c")._2}, want $expectC")
+  }
+
+  test("stratifiedSample: exactly k per stratum, rerun-stable, dense ranks") {
+    val r1 = Curation.stratifiedSample(docs, k = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("rnk")))
+    val r2 = Curation.stratifiedSample(docs, k = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("rnk")))
+    assert(r1.sortBy(x => (x._2, x._3)).toSeq == r2.sortBy(x => (x._2, x._3)).toSeq,
+      "the draw is deterministic across runs")
+    r1.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = docs.where(col("lang") === lang).count()
+      assert(rows.length == math.min(5L, n),
+        s"$lang: ${rows.length} sampled of $n")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"$lang ranks dense")
+    }
+    // a different salt draws a different sample (content-independent)
+    val r3 = Curation.stratifiedSample(docs, k = 5, salt = "other").collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(r3 != r1.map(_._1).toSet,
+      "distinct salt domains must not reproduce the same draw")
+  }
+
   test("splitLeakage: exactly the cross-split near-dup representative pairs") {
     val sf01 = Tables(spark, "/root/testdata/sf0.01", "documents")
     val r = Curation.splitLeakage(sf01).collect()

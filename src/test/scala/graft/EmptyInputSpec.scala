@@ -69,6 +69,16 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("topNgramFrac", TextOps.topNgramFrac(noDocs))
     assertEmptyOk("unigramLogProb", TextOps.unigramLogProb(noDocs))
     assertEmptyOk("decontaminate", graft.operators.Curation.decontaminate(noDocs))
+    assertEmptyOk("decontaminateFuzzy",
+      graft.operators.Curation.decontaminateFuzzy(noDocs))
+    assertEmptyOk("sourceKl", TextOps.sourceKl(noDocs))
+    assertEmptyOk("stratifiedSample",
+      graft.operators.Curation.stratifiedSample(noDocs))
+    assertEmptyOk("imageDedupPairs", Dedup.imageDedupPairs {
+      implicit val e = org.apache.spark.sql.Encoders.product[
+        graft.operators.MultimodalOps.MediaRow]
+      spark.emptyDataset[graft.operators.MultimodalOps.MediaRow]
+    })
     assertEmptyOk("decontaminateBloom",
       graft.operators.Curation.decontaminateBloom(noDocs))
     assertEmptyOk("contamAttribution",
