@@ -188,6 +188,14 @@ object MultimodalOps {
     bits
   }
 
+  /** Decode + dHash in one call for row-local consumers (the
+    * streaming image gate): None when the payload is not a decodable
+    * within-budget image.
+    */
+  private[graft] def decodeForHash(payload: Array[Byte],
+      maxPixels: Long = DefaultMaxPixels): Option[Long] =
+    readImageBounded(payload, maxPixels).map(dhash64)
+
   /** Perceptual hash per media row: REAL decode (pixel-budget-guarded
     * like every decode here) → [[dhash64]]. Undecodable / video /
     * over-budget payloads return `decoded = false` with dhash 0 —

@@ -405,6 +405,68 @@ object StreamingOps {
           nearDupStep(band, ds, state, ttlMs))
   }
 
+  /** Streaming IMAGE near-duplicate gate (r9) — the ingest-time dual
+    * of [[graft.operators.Dedup.imageDedupPairs]], and the multimodal
+    * twin of [[nearDupDocStream]]: each arriving image is decoded
+    * row-locally (REAL raster decode, the batch pixel-budget guard),
+    * dHashed, split into the SAME pigeonhole bands as the batch op
+    * (band count = next divisor of 64 above `maxHamming`, so any pair
+    * within the hamming budget shares ≥1 band), and each band row is
+    * flagged when its band was already claimed by a DIFFERENT payload
+    * (md5 of the bytes) inside the TTL horizon. Exact byte-copies are
+    * NOT flagged — an exact-dedup stage owns those — and undecodable/
+    * video payloads are dropped at the gate (no band semantics), the
+    * batch op's exclusion rule.
+    *
+    * Output is one [[NearDupFlag]] row per (image, band); an image is
+    * a near-dup CANDIDATE iff any of its rows is flagged (downstream
+    * aggregates by docId). Honest contract mirrors the text gate: the
+    * comparison is to each band's FIRST claimant inside the TTL, so
+    * this is a cheap ingest-time candidate flag feeding the verified
+    * batch pass — state is one md5 per active band (bounded by
+    * traffic), same [[nearDupStep]] core, same eviction/TTL unit
+    * specs.
+    */
+  def imageDupDocStream(media: Dataset[graft.operators.MultimodalOps.MediaRow],
+      maxHamming: Int = 5, ttlMs: Long = 3600 * 1000L,
+      maxPixels: Long = graft.operators.MultimodalOps.DefaultMaxPixels)
+      : Dataset[NearDupFlag] = {
+    implicit val outEnc = Encoders.product[NearDupFlag]
+    implicit val keyEnc = Encoders.STRING
+    implicit val bdEnc = Encoders.product[BandDoc]
+    implicit val stEnc = Encoders.product[BandState]
+    val nBands = Seq(2, 4, 8, 16, 32)
+      .find(_ > maxHamming)
+      .getOrElse(throw new IllegalArgumentException(
+        s"maxHamming=$maxHamming not supported: pigeonhole completeness " +
+          "needs more than 32 bands of a 64-bit fingerprint"))
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val img =
+          if (m.format == "video" || m.payload.isEmpty) None
+          else graft.operators.MultimodalOps.decodeForHash(m.payload, maxPixels)
+        img match {
+          case None => Iterator.empty // poison tolerance: no band semantics
+          case Some(h) =>
+            digest.reset()
+            val md5hex = digest.digest(m.payload)
+              .map(b => f"$b%02x").mkString
+            (0 until nBands).iterator.map { b =>
+              BandDoc(s"$b:${(h >> (b * width)) & mask}", m.docId, md5hex)
+            }
+        }
+      }
+    }
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout())(
+        (band: String, ds: Iterator[BandDoc], state: GroupState[BandState]) =>
+          nearDupStep(band, ds, state, ttlMs))
+  }
+
   /** One token routed to its owning shard. */
   case class TokShard(shard: Long, tok: String)
   case class HeavyHitter(shard: Long, token: String, estCount: Long)

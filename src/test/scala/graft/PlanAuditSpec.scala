@@ -435,4 +435,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("Exchange")) == 1,
       s"exactly one (summary-sized) exchange expected:\n$p")
   }
+
+  test("stratifiedSample: rank-<=-k rewrites to WindowGroupLimit, no global sort") {
+    val p = plan(graft.operators.Curation.stratifiedSample(
+      Tables(spark, dir, "documents")))
+    assert(p.contains("WindowGroupLimit"),
+      s"the k-per-stratum filter must bound the window input:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-lang sampling must never funnel to one partition:\n$p")
+  }
+
+  test("sourceKl: keyed aggregates + single-row broadcast, no cartesian beyond it") {
+    val p = plan(graft.operators.TextOps.sourceKl(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop join allowed is the broadcast of the
+    // single-row corpus total (the unigramLogProb shape)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"only the single-row total may broadcast-cross:\n$p")
+  }
+
+  test("decontaminateFuzzy: banded equi-joins only, never cartesian") {
+    val p = plan(graft.operators.Curation.decontaminateFuzzy(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the fuzzy chain must stay banded + keyed:\n$p")
+  }
 }

@@ -387,4 +387,59 @@ class StreamingOpsSpec extends SparkSuite {
         8L -> false, 9L -> false), s"got $out")
     } finally q.stop()
   }
+
+  test("imageDupDocStream: edited image flagged, byte-copy and distinct not, junk dropped") {
+    implicit val sqlCtx = spark.sqlContext
+
+    def img(edit: Boolean, seed: Int = 0): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(7 + seed)
+      for (bx <- 0 until 8; by <- 0 until 8) {
+        val c = rnd.nextInt(0xffffff)
+        for (x <- bx * 8 until bx * 8 + 8; y <- by * 8 until by * 8 + 8)
+          im.setRGB(x, y, c)
+      }
+      if (edit) // one block changed: a few dHash bits, not the whole hash
+        for (x <- 0 until 8; y <- 0 until 8) im.setRGB(x, y, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val media = {
+      implicit val enc = org.apache.spark.sql.Encoders.product[
+        graft.operators.MultimodalOps.MediaRow]
+      input.toDF().toDF("docId", "payload", "format")
+        .as[graft.operators.MultimodalOps.MediaRow]
+    }
+    val q = StreamingOps.imageDupDocStream(media)
+      .writeStream.format("memory").queryName("imagedup_stream")
+      .outputMode("update").start()
+    try {
+      def await(n: Int): Map[Long, Boolean] = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var out = Map.empty[Long, Boolean]
+        while (out.size < n && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          out = spark.table("imagedup_stream").collect()
+            .groupBy(_.getAs[Long]("docId"))
+            .map { case (id, rows) =>
+              id -> rows.exists(_.getAs[Boolean]("isNeardup")) }
+        }
+        out
+      }
+      input.addData((1L, img(edit = false), "image"))
+      assert(await(1) == Map(1L -> false))
+      input.addData(
+        (2L, img(edit = false), "image"), // byte-identical: NOT flagged
+        (3L, img(edit = true), "image"), // one-block edit: flagged
+        (4L, img(edit = false, seed = 99), "image"), // distinct: not
+        (5L, "not an image".getBytes("UTF-8"), "image")) // dropped
+      val out = await(4)
+      assert(out == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false),
+        s"got $out")
+    } finally q.stop()
+  }
 }
