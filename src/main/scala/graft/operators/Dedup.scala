@@ -151,31 +151,42 @@ object Dedup {
       .select(col("doc_id"), col("bh.band_idx"), col("bh.band_hash"))
   }
 
-  def candidatesFromSketch(sigs: DataFrame, numHashes: Int = 64,
-      bands: Int = 16, bucketCap: Int = 10000): DataFrame = {
-    val banded = bandRows(sigs, numHashes, bands)
-    // Bucket-size cap as a window count over the join key: ONE pass
-    // over `banded` (an agg+join formulation would recompute the whole
-    // minhash subtree for each branch), and the self-join below reuses
-    // the same hash partitioning.
+  /** Bucket-cap window + SHUFFLE_HASH band self-join over a banded
+    * frame — the second half of the candidate machinery, shared by
+    * [[candidatesFromSketch]] and [[dedupAgainst]] so the in-memory
+    * and incremental surfaces cannot drift (r9 review finding: only
+    * bandRows was shared before). Extra columns on `banded` (the
+    * incremental `is_new` flag) ride through under the `a.`/`b.`
+    * aliases for the caller's post-join predicates.
+    *
+    * Cap as a window count over the join key: ONE pass over `banded`
+    * (an agg+join formulation would recompute the upstream subtree
+    * per branch), and the self-join reuses the same hash
+    * partitioning. SHUFFLE_HASH instead of the planner's broadcast:
+    * both self-join sides then carry the IDENTICAL shuffle exchange
+    * the bucket-cap window already created on the join keys, so
+    * ReuseExchange computes the upstream subtree ONCE (a broadcast
+    * build side is a different exchange node and re-executes it).
+    */
+  private def cappedBandSelfJoin(banded: DataFrame,
+      bucketCap: Int): DataFrame = {
     val wb = Window.partitionBy("band_idx", "band_hash")
     val capped = banded
       .withColumn("bucket_n", count(lit(1)).over(wb))
       .where(col("bucket_n") <= bucketCap)
       .drop("bucket_n")
-    // SHUFFLE_HASH instead of the planner's broadcast: both self-join
-    // sides then carry the IDENTICAL shuffle exchange the bucket-cap
-    // window already created on the join keys, so ReuseExchange
-    // computes the whole sketch→band subtree ONCE (a broadcast build
-    // side is a different exchange node and re-executes it).
     capped.as("a").hint("SHUFFLE_HASH")
       .join(capped.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
+  }
+
+  def candidatesFromSketch(sigs: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, bucketCap: Int = 10000): DataFrame =
+    cappedBandSelfJoin(bandRows(sigs, numHashes, bands), bucketCap)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-  }
 
   /** Persist a snapshot's MinHash index — the cross-snapshot dedup
     * seam (r9): `bands/` holds the [[bandRows]] (doc_id, band_idx,
@@ -203,19 +214,28 @@ object Dedup {
     * least one side is a new document — within-new pairs and
     * new-vs-indexed pairs, never indexed-vs-indexed (those were the
     * previous run's output; recomputing them is exactly the waste
-    * this operator exists to avoid). Union the result with the
-    * indexed snapshot's own candidate set and you have bit-for-bit
-    * [[minhashCandidates]] of the joint corpus (round-trip
-    * spec-asserted), because banding is deterministic per document
-    * and the `bucketCap` window counts over the UNION frame — the
-    * same counts the joint run sees.
+    * this operator exists to avoid).
+    *
+    * EXACT contract (r9 review tightening): this output equals the
+    * joint-corpus [[minhashCandidates]] run's at-least-one-new-side
+    * SUBSET bit-for-bit — banding is deterministic per document and
+    * the `bucketCap` window counts over the UNION frame, the same
+    * counts the joint run sees (round-trip spec-asserted, including
+    * a cap regime that only trips on the union). Note the honest
+    * asymmetry: the PREVIOUS run's old-old pairs are NOT retracted —
+    * an old-old pair whose bucket crosses `bucketCap` only once the
+    * new snapshot joins it would be absent from a joint rerun but
+    * remains in the prior output; incremental consumers carry each
+    * epoch's pairs forward as-of their epoch, they do not re-derive
+    * history (spec pins this divergence case explicitly).
     *
     * Caller contract: doc_ids must be unique across snapshots (a
     * crawl's monotonic or content-addressed ids).
     *
     * Plan: stored band rows scan (no text, no sketch recompute) union
-    * the new snapshot's band rows, one window + the capped
-    * SHUFFLE_HASH self-join of the shared machinery, then the
+    * the new snapshot's band rows, then the SHARED cap-window +
+    * SHUFFLE_HASH self-join ([[cappedBandSelfJoin]] — identical
+    * machinery by construction, not by convention), then the
     * at-least-one-new filter. Shuffle O((old + new) × bands) band
     * keys; the is_new flag rides the band rows so the filter is a
     * post-join predicate, not a third join.
@@ -231,17 +251,7 @@ object Dedup {
         numHashes, bands)
       .select(col("doc_id"), col("band_idx"), col("band_hash"),
         lit(true).as("is_new"))
-    val all = stored.unionByName(fresh)
-    val wb = Window.partitionBy("band_idx", "band_hash")
-    val capped = all
-      .withColumn("bucket_n", count(lit(1)).over(wb))
-      .where(col("bucket_n") <= bucketCap)
-      .drop("bucket_n")
-    capped.as("a").hint("SHUFFLE_HASH")
-      .join(capped.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
+    cappedBandSelfJoin(stored.unionByName(fresh), bucketCap)
       .where(col("a.is_new") || col("b.is_new"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
@@ -542,13 +552,13 @@ object Dedup {
       return connectedComponents(documents.select(col("doc_id")), pairs, maxIters)
         .select(col("id").as("doc_id"), col("label").as("group_id"))
     }
-    // checkpointCapped: this operator is eager anyway (the component
+    // materializeCapped: this operator is eager anyway (the component
     // engine runs jobs at construction) and reads the capped
     // fingerprint frame three times — component edges, touched set,
     // within-star bond; one materialization beats three evaluations
     // of the winnow explode+window+self-join chain
     val r = TextOps.winnowRepArtifacts(documents, k, w, minShared, fpCap,
-      checkpointCapped = true)
+      materializeCapped = true)
     val edges = r.repPairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
     val repLabels = connectedComponents(
       r.stars.select(col("rep_id")), edges, maxIters)
@@ -606,15 +616,27 @@ object Dedup {
     * equi-join on (band_idx, band_val) — shuffle O(rows × bands),
     * never all-pairs — then the exact hamming filter.
     */
-  private[operators] def hammingBandPairs(hashes: DataFrame,
-      maxHamming: Int): DataFrame = {
+  /** Pigeonhole band schedule for a 64-bit hash at a hamming budget:
+    * (nBands, width, mask) with nBands the next divisor of 64 above
+    * `maxHamming` — ONE derivation shared by [[hammingBandPairs]]
+    * (batch) and the streaming image gate
+    * ([[graft.streaming.StreamingOps.imageDupDocStream]]), so the
+    * ingest-time candidate bands and the verified batch bands cannot
+    * drift (r9 review finding: the copy-pasted schedule was held
+    * identical only by hand).
+    */
+  private[graft] def pigeonholeBands(maxHamming: Int): (Int, Int, Long) = {
     val nBands = Seq(2, 4, 8, 16, 32)
       .find(_ > maxHamming)
       .getOrElse(throw new IllegalArgumentException(
         s"maxHamming=$maxHamming not supported: pigeonhole completeness " +
           "needs more than 32 bands of a 64-bit fingerprint"))
-    val width = 64 / nBands
-    val mask = (1L << width) - 1
+    (nBands, 64 / nBands, (1L << (64 / nBands)) - 1)
+  }
+
+  private[operators] def hammingBandPairs(hashes: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val (nBands, width, mask) = pigeonholeBands(maxHamming)
     val hashCol = hashes.columns(1)
     val fp = hashes.select(col(hashes.columns.head).as("doc_id"),
       col(hashCol).as("h64"))
@@ -667,20 +689,26 @@ object Dedup {
   def imageDedupPairs(media: Dataset[MultimodalOps.MediaRow],
       maxHamming: Int = 5,
       maxPixels: Long = MultimodalOps.DefaultMaxPixels): DataFrame = {
-    // localCheckpoint: the composed plan reads the hash frame from
+    // Materialize the hash frame ONCE: the composed plan reads it from
     // SIX subtrees (stars, members, band join sides, both expansion
     // joins) and Catalyst does not reuse the un-exchanged MapPartitions
     // decode across them — without materialization every raster would
     // decode repeatedly, the one genuinely expensive stage. The frame
     // is 16 bytes/image (deliberately decoupled from the payload), so
-    // the checkpoint is bounded; the operator is consequently EAGER at
-    // construction, like the component-based dedup ops.
+    // the cache is bounded. persist+count, NOT localCheckpoint (the
+    // decontaminateBloom ADVICE rule, applied consistently): persisted
+    // blocks recompute from lineage after an executor loss at scale, a
+    // checkpoint's do not; the eager count warms the cache so the one
+    // final job's six subtrees never race to decode a partition. The
+    // operator is consequently EAGER at construction, like the
+    // component-based dedup ops.
     val hashes = MultimodalOps.imageHashes(media, maxPixels)
       .where(col("decoded"))
       .select(col("docId").as("doc_id"), col("dhash"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashes.count()
     val stars = hashes.groupBy("dhash")
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("cnt"))
+      .agg(min(col("doc_id")).as("rep_id"))
     val members = hashes.join(stars, "dhash")
       .select(col("doc_id"), col("rep_id"))
     val repPairs = hammingBandPairs(

@@ -220,11 +220,12 @@ object MultimodalOps {
   /** Deterministic token-block image per document — the registry /
     * fixture bridge: the driver's testdata carries no binary column,
     * so `q_image_dedup` renders one synthetic PNG per doc and runs the
-    * REAL decode + dHash + band-join machinery over it. Token i colors
-    * block (i mod blocks²) via its JVM string hash, so exact-duplicate
-    * texts render identical images and near-duplicate texts (few
-    * changed tokens) render images differing in few blocks — exactly
-    * the hamming-neighborhood structure a perceptual dedup detects.
+    * REAL decode + dHash + band-join machinery over it. Block
+    * (i mod blocks²) folds token i's murmur hash (XOR), so
+    * exact-duplicate texts render identical images and near-duplicate
+    * texts (few changed tokens) render images differing in few
+    * blocks — exactly the hamming-neighborhood structure a perceptual
+    * dedup detects.
     * Real corpora replace this one method with their binary column.
     */
   def syntheticImages(documents: org.apache.spark.sql.DataFrame,
@@ -234,27 +235,40 @@ object MultimodalOps {
     implicit val enc = Encoders.product[MediaRow]
     documents.select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val toks = text.split(" ")
+        // null text = poison row (the sibling operators' tolerance
+        // policy): render the empty-document background image rather
+        // than NPE-ing the whole job
+        val toks = if (text == null) Array.empty[String] else text.split(" ")
         val side = blocks * blockPx
         val img = new java.awt.image.BufferedImage(side, side,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val nBlocks = blocks * blocks
+        // per-block color = XOR of murmur over the tokens at positions
+        // ≡ b (mod blocks²) — EVERY token influences a pixel, so texts
+        // differing only past token blocks² still render apart (r9
+        // review: the first cut ignored the tail, and two docs sharing
+        // a 64-token header rendered byte-identical).
+        // murmur, not String.hashCode: the polynomial hash of short
+        // similar tokens varies mostly in its LOW bits, leaving the
+        // luminance (dominated by the red/green channels) nearly
+        // constant across blocks — a degenerate dHash where unrelated
+        // images land within a few hamming bits. Murmur's avalanche
+        // decorrelates block luminance per token.
+        val colors = Array.fill(nBlocks)(0x202020)
+        var i = 0
+        while (i < toks.length) {
+          val b = i % nBlocks
+          colors(b) = (colors(b) ^
+            scala.util.hashing.MurmurHash3.stringHash(toks(i))) & 0xffffff
+          i += 1
+        }
         var b = 0
-        while (b < blocks * blocks) {
-          // murmur, not String.hashCode: the polynomial hash of short
-          // similar tokens varies mostly in its LOW bits, leaving the
-          // luminance (dominated by the red/green channels) nearly
-          // constant across blocks — a degenerate dHash where
-          // unrelated images land within a few hamming bits. Murmur's
-          // avalanche decorrelates block luminance per token.
-          val color =
-            if (b < toks.length)
-              scala.util.hashing.MurmurHash3.stringHash(toks(b)) & 0xffffff
-            else 0x202020
+        while (b < nBlocks) {
           val bx = (b % blocks) * blockPx; val by = (b / blocks) * blockPx
           var y = by
           while (y < by + blockPx) {
             var x = bx
-            while (x < bx + blockPx) { img.setRGB(x, y, color); x += 1 }
+            while (x < bx + blockPx) { img.setRGB(x, y, colors(b)); x += 1 }
             y += 1
           }
           b += 1

@@ -264,18 +264,20 @@ object TextOps {
     repPairs: DataFrame, // (rep_a, rep_b, n_shared >= minShared), rep_a < rep_b
     nSelf: DataFrame) // (rep_id, n_self): capped distinct fps of the text
 
-  /** `checkpointCapped`: materialize the capped rep-fingerprint frame
-    * (localCheckpoint) so eager consumers that traverse it several
-    * times — winnowGroups reads it for the component edges, the
-    * touched-rep set AND the within-star bond — compute the winnow
-    * explode + window + cap chain ONCE. Lazy single-plan consumers
-    * (winnowPairs) leave it false: their one plan lets Catalyst reuse
-    * the exchange, and a checkpoint would force eager jobs at
-    * construction.
+  /** `materializeCapped`: persist the capped rep-fingerprint frame
+    * (MEMORY_AND_DISK — lineage-preserving, the decontaminateBloom
+    * ADVICE rule; an executor loss recomputes instead of failing) so
+    * eager consumers that traverse it several times — winnowGroups
+    * reads it for the component edges, the touched-rep set AND the
+    * within-star bond — compute the winnow explode + window + cap
+    * chain ONCE (the component engine's first job warms the cache).
+    * Lazy single-plan consumers (winnowPairs) leave it false: their
+    * one plan lets Catalyst reuse the exchange, and a persist would
+    * leak cache blocks from a pure plan-builder.
     */
   private[operators] def winnowRepArtifacts(documents: DataFrame, k: Int,
       w: Int, minShared: Int, fpCap: Int,
-      checkpointCapped: Boolean = false): WinnowRep = {
+      materializeCapped: Boolean = false): WinnowRep = {
     val docs = documents.select(col("doc_id"), md5(col("text")).as("h"))
     val starAgg = docs.groupBy("h")
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("cnt"))
@@ -293,7 +295,10 @@ object TextOps {
       .where(col("nd") <= fpCap)
       .select(col("fp"))
     val f0 = fp.join(keep, "fp")
-    val f = if (checkpointCapped) f0.localCheckpoint() else f0
+    val f =
+      if (materializeCapped)
+        f0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else f0
     val repPairs = f.as("a").join(f.as("b"),
         col("a.fp") === col("b.fp") && col("a.rep_id") < col("b.rep_id"))
       .groupBy(col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"))

@@ -81,10 +81,23 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return false
-    val dataFile =
-      if (fs.getFileStatus(p).isFile) Some(p)
-      else fs.listStatus(p).map(_.getPath)
-        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    // recursive: a partitioned layout nests its data files under
+    // partition directories (r9 review — a top-level-only listing
+    // would miss them and silently skip the nanos machinery)
+    def firstDataFile(q: org.apache.hadoop.fs.Path)
+        : Option[org.apache.hadoop.fs.Path] = {
+      val st = fs.getFileStatus(q)
+      if (st.isFile) {
+        if (q.getName.endsWith(".parquet") && !q.getName.startsWith("_") &&
+          !q.getName.startsWith(".")) Some(q)
+        else None
+      } else fs.listStatus(q).iterator
+        .filter(s => !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(s => firstDataFile(s.getPath))
+        .collectFirst { case Some(f) => f }
+    }
+    val dataFile = firstDataFile(p)
     dataFile.exists { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))

@@ -435,18 +435,19 @@ object StreamingOps {
     implicit val keyEnc = Encoders.STRING
     implicit val bdEnc = Encoders.product[BandDoc]
     implicit val stEnc = Encoders.product[BandState]
-    val nBands = Seq(2, 4, 8, 16, 32)
-      .find(_ > maxHamming)
-      .getOrElse(throw new IllegalArgumentException(
-        s"maxHamming=$maxHamming not supported: pigeonhole completeness " +
-          "needs more than 32 bands of a 64-bit fingerprint"))
-    val width = 64 / nBands
-    val mask = (1L << width) - 1
+    // the batch op's own band schedule — shared derivation, not a copy
+    val (nBands, width, mask) =
+      graft.operators.Dedup.pigeonholeBands(maxHamming)
     media.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { m =>
         val img =
-          if (m.format == "video" || m.payload.isEmpty) None
+          // null payload = poison row (a nullable binary column
+          // deserializes to null): no band semantics, drop — the
+          // sibling gates' tolerance policy, and a bare .isEmpty here
+          // would NPE and kill the forever-running query
+          if (m.payload == null || m.format == "video" || m.payload.isEmpty)
+            None
           else graft.operators.MultimodalOps.decodeForHash(m.payload, maxPixels)
         img match {
           case None => Iterator.empty // poison tolerance: no band semantics

@@ -104,10 +104,23 @@ class ImageDedupSpec extends SparkSuite {
     val p = pairs(MultimodalOps.syntheticImages(docs), maxHamming = 8)
     assert(p.get((0L, 1L)).contains(0L),
       s"exact-duplicate texts must render identical images, got $p")
-    assert(p.contains((0L, 2L)) && p((0L, 2L)) > 0L,
+    // a one-token edit stays WITHIN the hamming budget — possibly at
+    // 0: absorbing small local edits is what a perceptual hash is FOR
+    assert(p.contains((0L, 2L)) && p((0L, 2L)) <= 8L,
       s"a one-token edit must land within the hamming budget, got $p")
     assert(!p.keySet.exists { case (a, b) => a == 3L || b == 3L },
       s"disjoint text renders an unrelated image, got $p")
+    // the r9 review fix made the tail count: texts sharing their first
+    // 64 tokens but diverging afterwards must NOT render identically
+    import spark.implicits._
+    val tail = Seq(
+      (0L, (1 to 80).map(i => s"tok$i").mkString(" ")),
+      (1L, ((1 to 64).map(i => s"tok$i") ++
+        (65 to 80).map(i => s"DIFF$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val th = pairs(MultimodalOps.syntheticImages(tail), maxHamming = 8)
+    assert(th.get((0L, 1L)).forall(_ > 0L),
+      s"a tail edit past blocks^2 must change the rendered image, got $th")
   }
 
   test("plan: band equi-join, never cartesian") {

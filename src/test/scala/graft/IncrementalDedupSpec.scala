@@ -47,9 +47,16 @@ class IncrementalDedupSpec extends SparkSuite {
       snapA.unionByName(snapB), bucketCap = bucketCap))
     assert((inc & withinA).isEmpty,
       s"indexed-vs-indexed pairs must not be recomputed: ${inc & withinA}")
+    // the EXACT contract: dedupAgainst == the joint run's
+    // at-least-one-new-side subset, bit-for-bit
+    val jointNew = joint.filter { case (a, b) => a >= 100L || b >= 100L }
+    assert(inc == jointNew,
+      s"incremental must equal the joint run's new-involving subset; " +
+        s"missing=${jointNew -- inc} extra=${inc -- jointNew}")
     assert((inc | withinA) == joint,
-      s"incremental + within-A must equal the joint run; " +
-        s"missing=${joint -- (inc | withinA)} extra=${(inc | withinA) -- joint}")
+      s"on this corpus (no cap trips on the union alone) the union " +
+        s"equality also holds; missing=${joint -- (inc | withinA)} " +
+        s"extra=${(inc | withinA) -- joint}")
     assert(inc.exists { case (a, b) => a < 100L && b >= 100L },
       s"cross-snapshot near-dups must surface, got $inc")
     assert(inc.contains((101L, 102L)),
@@ -67,6 +74,31 @@ class IncrementalDedupSpec extends SparkSuite {
     // bucket — the incremental run must see union counts, not
     // stored-only counts
     roundTrip(bucketCap = 2)
+  }
+
+  test("old-old pairs are NOT retracted when the union alone trips the cap (documented asymmetry)") {
+    // snapA: two identical docs -> every bucket holds 2 <= cap, so the
+    // prior run emitted (0,1). snapB adds a third identical doc: every
+    // bucket now holds 3 > cap, so the joint rerun emits NOTHING — but
+    // the incremental model keeps each epoch's pairs as-of its epoch.
+    val text = "the same exact document text repeated across snapshots " +
+      "with enough tokens for shingling to engage"
+    val a = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+    val b = Seq((100L, text)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandindex")
+      .toString
+    Dedup.writeBandIndex(a, dir)
+    val inc = pairSet(Dedup.dedupAgainst(spark, dir, b, bucketCap = 2))
+    val withinA = pairSet(Dedup.minhashCandidates(a, bucketCap = 2))
+    val joint = pairSet(Dedup.minhashCandidates(a.unionByName(b),
+      bucketCap = 2))
+    assert(inc.isEmpty, s"union buckets of 3 exceed cap 2: $inc")
+    assert(withinA == Set((0L, 1L)), s"the prior epoch saw buckets of 2: $withinA")
+    assert(joint.isEmpty, "a joint rerun drops the saturated bucket")
+    // i.e. (inc | withinA) != joint here — exactly the divergence the
+    // dedupAgainst scaladoc declares; the exact subset contract still
+    // holds (both sides empty)
+    assert(inc == joint.filter { case (x, y) => x >= 100L || y >= 100L })
   }
 
   test("dedupAgainst reads the stored bands, never the indexed snapshot's text") {
