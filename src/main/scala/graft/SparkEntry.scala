@@ -134,6 +134,11 @@ object SparkEntry {
     // ImageDedupSpec
     "q_image_dedup" -> ((s, d) => Dedup.imageDedupPairs(
       MultimodalOps.syntheticImages(t(s, d, "documents")))),
+    // rows-only (raster decode): the multimodal -> ANN bridge — real
+    // decode -> luminance histogram -> the embedding family's exact
+    // annTopK; ranking fixture in ImageDedupSpec
+    "q_image_ann" -> ((s, d) => MultimodalOps.imageAnnTopK(
+      MultimodalOps.syntheticImages(t(s, d, "documents")))),
     "q_corpus_clean" -> ((s, d) => TextOps.cleanCorpus(t(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(t(s, d, "documents"))),
     "q_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d, "documents"))),

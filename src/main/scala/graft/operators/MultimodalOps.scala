@@ -279,6 +279,26 @@ object MultimodalOps {
       })
   }
 
+  /** Top-k similar images by decoded luminance-feature cosine (r9) —
+    * the multimodal → ANN bridge: REAL decode → 8-bin luminance
+    * histogram ([[extractFeatures]]) → the embedding family's own
+    * [[graft.operators.Similarity.annTopK]] machinery, unchanged
+    * (broadcast queries, codegen cosine kernel, rank through
+    * WindowGroupLimit). [[graft.operators.Dedup.imageDedupPairs]] is
+    * the NEAR-DUPLICATE view (hamming on structure); this is the
+    * SIMILARITY view (cosine on tone distribution) — a histogram is
+    * resolution-invariant, so re-rendered/rescaled variants rank
+    * together even when their dHashes drift. The scale paths
+    * (LSH/IVF/PQ) accept the same (vec_id, embedding) frame.
+    */
+  def imageAnnTopK(media: Dataset[MediaRow], nQueries: Long = 10,
+      k: Int = 5): org.apache.spark.sql.DataFrame =
+    Similarity.annTopK(
+      extractFeatures(media).toDF()
+        .select(org.apache.spark.sql.functions.col("docId").as("vec_id"),
+          org.apache.spark.sql.functions.col("feature").as("embedding")),
+      nQueries, k)
+
   case class ResizedMedia(docId: Long, width: Int, height: Int,
       payload: Array[Byte])
 

@@ -131,6 +131,22 @@ class ImageDedupSpec extends SparkSuite {
       s"image dedup must stay a band equi-join:\n$p")
   }
 
+  test("imageAnnTopK: a rescaled variant outranks an unrelated image") {
+    // histograms are resolution-invariant: the same gradient at
+    // another size shares tone distribution; block noise does not
+    val m = media(
+      (0L, gradient(64, 64), "image"), // the query (vec_id < nQueries)
+      (10L, gradient(128, 96), "image"), // rescaled sibling
+      (11L, noise(42), "image"))
+    val top = MultimodalOps.imageAnnTopK(m, nQueries = 1, k = 1).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_id"), r.getAs[Double]("cos_sim"))).toMap
+    assert(top(0L)._1 == 10L,
+      s"the rescaled sibling must rank first, got $top")
+    assert(top(0L)._2 > 0.9,
+      s"same tone distribution scores near 1, got $top")
+  }
+
   test("dhash64 is deterministic and resize-stable") {
     val big = gradient(128, 96)
     val small = gradient(32, 24)
