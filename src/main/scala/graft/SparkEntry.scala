@@ -114,6 +114,10 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(t(s, d, "embeddings"))),
     "q_ann_ivfpq_learned" -> ((s, d) => Similarity.annIvfPqLearned(t(s, d, "embeddings"))),
     "q_kmeans" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
+    // rows-only (driver-iterated greedy selection); greedy-invariant
+    // + corner-coverage specs in SimilaritySpec
+    "q_diverse_select" -> ((s, d) =>
+      Similarity.diverseSelect(t(s, d, "embeddings"))),
     // rows-only (k-means cells); admitted set re-derived by a local
     // BigDecimal+md5 model in the spec
     "q_cluster_balance" -> ((s, d) =>

@@ -445,6 +445,83 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("int").as("cluster"))
   }
 
+  /** Greedy k-center (farthest-point) DIVERSITY selection (r9) — the
+    * published coreset/data-pruning recipe the balance family lacks:
+    * where [[clusterBalance]] re-weights density, this picks the k
+    * vectors that COVER the embedding space — each round selects the
+    * vector farthest (max over rows of its MIN cosine distance to the
+    * current selection), the classic 2-approximation to the k-center
+    * objective. Dense near-duplicate blobs contribute one
+    * representative; outlying regions are guaranteed a pick — the
+    * "maximize diversity under a budget" selection that seeds eval
+    * sets, active-learning batches and pruning quotas.
+    *
+    * Driver-coordinated like Lloyd's ([[kmeansAssign]]): k−1 rounds,
+    * each ONE distributed aggregate over the corpus — per row the min
+    * distance to ≤k selected literals (typedLit vectors through the
+    * codegen `cosine_sim` kernel, broadcast with the plan, zero
+    * shuffle), then a single max(struct(dist, vec_id)) — map-side
+    * combinable, one aggregate-sized exchange per round. O(n·k²)
+    * kernel work total, k bounded by the centroid-literal budget.
+    * Deterministic: the seed is the smallest vec_id, per-row min runs
+    * in fixed literal order, distances round 4dp (the cosine
+    * fold-order rule) and ties break upward by vec_id via the struct
+    * max.
+    *
+    * Returns (vec_id, sel_rank, min_dist): rank 1..k in selection
+    * order, min_dist = the selected vector's distance to the
+    * selection at pick time (1 − rounded cos; monotonically
+    * non-increasing — the classic coverage-radius curve, so callers
+    * read the marginal coverage each pick buys and stop early when it
+    * flattens). rows-only: driver-iterated selection has no DuckDB
+    * equivalent; spec checks the greedy invariant against a local
+    * model and corner-coverage on a clustered fixture.
+    */
+  def diverseSelect(embeddings: DataFrame, k: Int = 10,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 256,
+      s"k must be in [1, 256] (selection literals ride the plan), got $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = registered(embeddings).select(col("vec_id"), col("embedding"))
+    val first = e.orderBy("vec_id").limit(1)
+      .as[(Long, Array[Float])].collect()
+    if (first.isEmpty) {
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("vec_id", "sel_rank", "min_dist")
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (first.head._1, 1L, 0.0)) // the seed covers itself: dist 0 by convention
+    val pickedVecs = scala.collection.mutable.ArrayBuffer(first.head._2)
+    while (picked.length < k) {
+      // min distance to the current selection, fixed literal order
+      val dcol = pickedVecs.map(v =>
+        lit(1.0) - round(call_function("cosine_sim", col("embedding"),
+          typedLit(v.toSeq)), 4)).reduce(least(_, _))
+      val sel = e.where(!col("vec_id").isInCollection(picked.map(_._1)))
+        .select(col("vec_id"), dcol.as("d"))
+        .agg(max(struct(col("d"), col("vec_id"))).as("m"))
+        .select(col("m.d").as("d"), col("m.vec_id").as("id"))
+        .collect()
+      // max over an empty remainder (k > corpus) yields a null struct:
+      // the corpus is exhausted, return what exists
+      if (sel.isEmpty || sel.head.isNullAt(0)) return selectionDf(spark, picked.toSeq)
+      val d = sel.head.getDouble(0)
+      val id = sel.head.getLong(1)
+      val vec = e.where(col("vec_id") === id)
+        .as[(Long, Array[Float])].collect().head._2
+      picked += ((id, picked.length + 1L, d))
+      pickedVecs += vec
+    }
+    selectionDf(spark, picked.toSeq)
+  }
+
+  private def selectionDf(spark: org.apache.spark.sql.SparkSession,
+      picked: Seq[(Long, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    picked.toDF("vec_id", "sel_rank", "min_dist")
+  }
+
   /** Cluster-balanced resampling — the semantic-space twin of
     * [[graft.operators.Curation.mixApply]] (the published
     * clustering-based curation recipe: k-means the embedding space,

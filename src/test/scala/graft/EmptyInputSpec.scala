@@ -74,6 +74,12 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("sourceKl", TextOps.sourceKl(noDocs))
     assertEmptyOk("stratifiedSample",
       graft.operators.Curation.stratifiedSample(noDocs))
+    assertEmptyOk("diverseSelect", Similarity.diverseSelect(noEmb))
+    assertEmptyOk("imageAnnTopK", graft.operators.MultimodalOps.imageAnnTopK {
+      implicit val e = org.apache.spark.sql.Encoders.product[
+        graft.operators.MultimodalOps.MediaRow]
+      spark.emptyDataset[graft.operators.MultimodalOps.MediaRow]
+    })
     assertEmptyOk("imageDedupPairs", Dedup.imageDedupPairs {
       implicit val e = org.apache.spark.sql.Encoders.product[
         graft.operators.MultimodalOps.MediaRow]

@@ -519,4 +519,66 @@ class SimilaritySpec extends SparkSuite {
       s"learned cells lost recall on the gate corpus: $rLearned vs $rFixed")
     assert(rLearned >= 0.6)
   }
+
+  test("diverseSelect: greedy k-center invariant matches a local model; corners covered") {
+    import spark.implicits._
+    // three tight clusters at orthogonal corners + one distant
+    // singleton: k=4 must pick one per corner + the singleton, never
+    // two from one blob
+    def v(hot: Int, eps: Float): Array[Float] =
+      Array.tabulate(8)(i => if (i == hot) 1f else if (i == (hot + 1) % 8) eps else 0f)
+    val fixture = (
+      (0 until 3).map(j => (j.toLong, v(0, 0.01f * j))) ++
+        (0 until 3).map(j => (10L + j, v(3, 0.01f * j))) ++
+        (0 until 3).map(j => (20L + j, v(6, 0.01f * j))) :+
+        (99L, Array.tabulate(8)(i => if (i == 7) -1f else 0f))
+      ).toDF("vec_id", "embedding")
+    val sel = Similarity.diverseSelect(fixture, k = 4, dim = 8).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sel_rank"),
+        r.getAs[Double]("min_dist"))).sortBy(_._2)
+    assert(sel.head._1 == 0L, "the seed is the smallest vec_id")
+    val blobs = sel.map(_._1).map(id =>
+      if (id < 10) 0 else if (id < 20) 1 else if (id < 30) 2 else 3).toSet
+    assert(blobs == Set(0, 1, 2, 3),
+      s"k-center must cover every corner exactly once, got ${sel.toSeq}")
+    // coverage radius is non-increasing after the seed
+    val dists = sel.drop(1).map(_._3)
+    assert(dists.zip(dists.drop(1)).forall { case (a, b) => b <= a + 1e-12 },
+      s"marginal coverage must not increase: ${sel.toSeq}")
+    // greedy invariant vs a local model over the collected fixture
+    val all = fixture.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    def cosd(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      1.0 - math.rint(dot / (na * nb) * 1e4) / 1e4
+    }
+    var chosen = List(0L)
+    sel.drop(1).foreach { case (id, _, d) =>
+      val best = all.keys.filter(!chosen.contains(_))
+        .map(c => (chosen.map(s => cosd(all(c), all(s))).min, c))
+        .maxBy { case (dist, cid) => (dist, cid) }
+      assert(best._2 == id && math.abs(best._1 - d) < 1e-9,
+        s"greedy step mismatch: local model picked $best, operator ($id, $d)")
+      chosen ::= id
+    }
+    // determinism
+    val again = Similarity.diverseSelect(fixture, k = 4, dim = 8).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sel_rank")))
+    assert(again.sortBy(_._2).map(_._1).toSeq == sel.map(_._1).toSeq)
+  }
+
+  test("diverseSelect: k beyond the corpus returns the whole corpus; diversity beats a prefix") {
+    val sel = Similarity.diverseSelect(emb.limit(40).cache(), k = 12)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(sel.length == 12 && sel.distinct.length == 12)
+    val tiny = {
+      import spark.implicits._
+      Seq((5L, Array(1f, 0f)), (7L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    }
+    val exhausted = Similarity.diverseSelect(tiny, k = 10, dim = 2).collect()
+    assert(exhausted.length == 2, "k > corpus returns every vector once")
+  }
 }
