@@ -456,17 +456,22 @@ object Similarity {
     * "maximize diversity under a budget" selection that seeds eval
     * sets, active-learning batches and pruning quotas.
     *
-    * Driver-coordinated like Lloyd's ([[kmeansAssign]]): k−1 rounds,
-    * each ONE distributed aggregate over the corpus — per row the min
-    * distance to ≤k selected literals (typedLit vectors through the
-    * codegen `cosine_sim` kernel, broadcast with the plan, zero
-    * shuffle), then a single max(struct(dist, vec_id)) — map-side
-    * combinable, one aggregate-sized exchange per round. O(n·k²)
-    * kernel work total, k bounded by the centroid-literal budget.
-    * Deterministic: the seed is the smallest vec_id, per-row min runs
-    * in fixed literal order, distances round 4dp (the cosine
-    * fold-order rule) and ties break upward by vec_id via the struct
-    * max.
+    * Driver-coordinated like Lloyd's ([[kmeansAssign]]), in the
+    * INCREMENTAL farthest-point form: the frame carries each row's
+    * running min distance `d` to the selection, and every round does
+    * ONE kernel call per row — `least(d, dist-to-newest-pick)` (the
+    * pick's vector as a typedLit through the codegen `cosine_sim`
+    * kernel, broadcast with the plan, zero shuffle) — plus a single
+    * map-side-combinable max(struct(d, vec_id)). O(n·k) kernel work
+    * total over a localCheckpointed per-round frame (the
+    * connectedComponents round discipline: without truncation the
+    * plan deepens by one `least` chain per round and Catalyst
+    * re-analysis dominates at large k), instead of 2(k−1) source
+    * rescans. Deterministic: the seed is the smallest vec_id,
+    * distances round 4dp per pairwise term BEFORE the running min
+    * (the cosine fold-order rule — the incremental fold then equals
+    * the min over all picks exactly) and ties break upward by vec_id
+    * via the struct max.
     *
     * Returns (vec_id, sel_rank, min_dist): rank 1..k in selection
     * order, min_dist = the selected vector's distance to the
@@ -492,26 +497,36 @@ object Similarity {
     }
     val picked = scala.collection.mutable.ArrayBuffer(
       (first.head._1, 1L, 0.0)) // the seed covers itself: dist 0 by convention
-    val pickedVecs = scala.collection.mutable.ArrayBuffer(first.head._2)
+    def distTo(v: Array[Float]) =
+      lit(1.0) - round(call_function("cosine_sim", col("embedding"),
+        typedLit(v.toSeq)), 4)
+    // running-min frame: (vec_id, embedding, d); one kernel call per
+    // row per round, checkpoint-truncated lineage per round
+    var cur = e.where(col("vec_id") =!= first.head._1)
+      .select(col("vec_id"), col("embedding"),
+        distTo(first.head._2).as("d"))
+      .localCheckpoint()
     while (picked.length < k) {
-      // min distance to the current selection, fixed literal order
-      val dcol = pickedVecs.map(v =>
-        lit(1.0) - round(call_function("cosine_sim", col("embedding"),
-          typedLit(v.toSeq)), 4)).reduce(least(_, _))
-      val sel = e.where(!col("vec_id").isInCollection(picked.map(_._1)))
-        .select(col("vec_id"), dcol.as("d"))
+      val sel = cur
         .agg(max(struct(col("d"), col("vec_id"))).as("m"))
         .select(col("m.d").as("d"), col("m.vec_id").as("id"))
         .collect()
       // max over an empty remainder (k > corpus) yields a null struct:
       // the corpus is exhausted, return what exists
-      if (sel.isEmpty || sel.head.isNullAt(0)) return selectionDf(spark, picked.toSeq)
+      if (sel.isEmpty || sel.head.isNullAt(0)) {
+        return selectionDf(spark, picked.toSeq)
+      }
       val d = sel.head.getDouble(0)
       val id = sel.head.getLong(1)
-      val vec = e.where(col("vec_id") === id)
-        .as[(Long, Array[Float])].collect().head._2
       picked += ((id, picked.length + 1L, d))
-      pickedVecs += vec
+      if (picked.length < k) {
+        val vec = cur.where(col("vec_id") === id)
+          .select(col("embedding")).as[Array[Float]].collect().head
+        cur = cur.where(col("vec_id") =!= id)
+          .select(col("vec_id"), col("embedding"),
+            least(col("d"), distTo(vec)).as("d"))
+          .localCheckpoint()
+      }
     }
     selectionDf(spark, picked.toSeq)
   }
