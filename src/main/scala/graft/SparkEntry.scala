@@ -215,7 +215,26 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(t(s, d, "documents"))),
     "q_ccnet_bucket" -> ((s, d) => Curation.ccnetBuckets(t(s, d, "documents"))),
-    "q_gopher_gate" -> ((s, d) => TextOps.gopherGate(t(s, d, "documents")))
+    "q_gopher_gate" -> ((s, d) => TextOps.gopherGate(t(s, d, "documents"))),
+    "q_bm25_top" -> ((s, d) => TextOps.bm25Top(t(s, d, "documents"))),
+    "q_gram_novelty" -> ((s, d) => Dedup.gramNovelty(t(s, d, "documents"))),
+    // rows-only (Datasketches HLL unions have no DuckDB twin): the
+    // constant-size-sketch scale path of q_source_overlap; error
+    // bound vs the exact frame spec-asserted in DedupSpec
+    "q_source_overlap_hll" -> ((s, d) =>
+      Dedup.sourceOverlapHll(t(s, d, "documents"))),
+    // rows-only (the oracle engine has no zlib): native codegen
+    // deflate_len; ordering/determinism specs in ExpressionsSpec
+    "q_compress_ratio" -> ((s, d) => TextOps.compressRatio(t(s, d, "documents"))),
+    // rows-only (raster decode): gopherGate for images — named-reason
+    // gate over the real decode, entropy emitted for re-cutting.
+    // minSide 16 / entropy 1.2 fit the 32x32 synthetic block images
+    // (~22% low-entropy drop at sf0.01; production defaults assume
+    // real photos)
+    "q_image_filter" -> ((s, d) => MultimodalOps.imageFilter(
+      MultimodalOps.syntheticImages(t(s, d, "documents")),
+      minSide = 16, minEntropy = 1.2)
+      .toDF("doc_id", "width", "height", "entropy", "keep", "fail_reasons"))
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -226,7 +245,9 @@ object SparkEntry {
     * q_ann_lsh, q_ann_ivf, q_ann_ivf_learned, q_embed_neardup_lsh,
     * q_active_users_approx, q_value_quantiles_approx, q_pq_encode,
     * q_ann_ivfpq, q_ann_ivfpq_learned, q_semdedup, q_curate_pipeline,
-    * q_quality_probe, q_cluster_balance.
+    * q_quality_probe, q_cluster_balance, q_source_overlap_hll,
+    * q_compress_ratio (no zlib in the oracle engine), q_image_dedup,
+    * q_image_ann, q_image_filter (raster decode), q_diverse_select.
     *
     * The hashed-key twins ARE oracled: q_dup_span_hashed and
     * q_decontaminate_hashed swap xxhash64 gram keys into the shuffle
@@ -1545,6 +1566,57 @@ object SparkEntry {
         |    CASE WHEN NOT (CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.8) THEN 'alpha_ratio' END,
         |    CASE WHEN NOT (n_stop >= 2) THEN 'stopwords' END,
         |    CASE WHEN NOT (COALESCE(rep, 0.0) <= 0.3) THEN 'repetition' END) AS fail_reasons
-        |FROM base LEFT JOIN rep USING (doc_id)""".stripMargin
+        |FROM base LEFT JOIN rep USING (doc_id)""".stripMargin,
+    // BM25 float discipline (TextOps.bm25Top scaladoc): 0.25 is the
+    // folded (1 - b) literal, 2.2 the folded (k1 + 1) — in doubles
+    // 1.2 + 1.0 rounds exactly to the 2.2 literal's double, checked —
+    // per-term contribution rounded 6dp after the ln-bearing product,
+    // summed as exact DECIMAL(18,6)
+    "q_bm25_top" ->
+      """WITH dls AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT COUNT(*) AS nd,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dls
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('spark', 'window', 'merge')
+        |  GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+        |), contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(
+        |      ln(1.0 + (CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) /
+        |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))),
+        |      6) AS DECIMAL(18,6)) AS c
+        |  FROM tf JOIN dls USING (doc_id) JOIN df ON tf.tok = df.tok CROSS JOIN stats
+        |)
+        |SELECT doc_id, score, rnk FROM (
+        |  SELECT doc_id, score,
+        |    CAST(RANK() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM contrib GROUP BY 1))
+        |WHERE rnk <= 20""".stripMargin,
+    "q_gram_novelty" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, gram
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 3),
+        |          i -> array_to_string(toks[i + 1:i + 4], ' '))) AS gram
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 4)
+        |), first AS (
+        |  SELECT gram, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+        |)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS novel_frac
+        |FROM sh JOIN first USING (gram)
+        |GROUP BY sh.doc_id""".stripMargin
   )
 }

@@ -61,6 +61,83 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Approximate twin of [[sourceOverlap]] via Datasketches HLL — the
+    * 100 TB path: the exact form shuffles O(distinct (gram, source))
+    * rows into a self-join; this one folds each source's gram set into
+    * a CONSTANT-SIZE sketch (one aggregate, map-side partial merge, no
+    * `distinct` — HLL is duplicate-insensitive by construction) and
+    * estimates every pairwise overlap by inclusion-exclusion
+    * (`|A∩B| ≈ est(A) + est(B) − est(A∪B)`, union via `hll_union`).
+    * The pairwise stage touches only the |sources|-row sketch frame
+    * (broadcast nested-loop on `source_a < source_b`), so the corpus
+    * is scanned exactly once regardless of the source universe.
+    *
+    * Accuracy: relative standard error ≈ 1.04/√2^lgK on each
+    * cardinality (≈0.8% at lgK=14); the DIFFERENCE inherits the union
+    * terms' absolute error, so small overlaps between large sources
+    * are proportionally noisier — the error spec bounds against
+    * est_a + est_b, not the overlap itself. Clamped at 0 (the
+    * estimator can go negative on disjoint pairs).
+    */
+  def sourceOverlapHll(documents: DataFrame, n: Int = 4, lgK: Int = 14): DataFrame = {
+    import graft.functions.TextFunctions.{shingleFromStruct, shingleStructs, tokenize}
+    // persist+count (the imageDedupPairs/decontaminateBloom rule): the
+    // sketch frame feeds BOTH self-join sides; un-materialized, each
+    // side would re-scan the corpus and re-fold every sketch. The
+    // frame is |sources| rows × 2^lgK bytes — bounded — and lineage
+    // survives executor loss, unlike a localCheckpoint. The operator
+    // is consequently EAGER at construction.
+    val sk = documents
+      .withColumn("toks", tokenize(col("text")))
+      .where(size(col("toks")) >= n)
+      .select(col("source"), explode(shingleStructs(col("toks"), n)).as("z"))
+      .select(col("source"), shingleFromStruct(col("z"), n).as("gram"))
+      .groupBy("source")
+      .agg(hll_sketch_agg(col("gram"), lgK).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sk.count()
+    sk.as("a").join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        hll_sketch_estimate(col("a.sk")).as("est_a"),
+        hll_sketch_estimate(col("b.sk")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))).as("est_union"))
+      .select(col("source_a"), col("source_b"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("n_shared_est"))
+  }
+
+  /** Per-document n-gram NOVELTY — the dedup family's marginal-value
+    * diagnostic: what fraction of a document's distinct n-grams make
+    * their FIRST corpus appearance in this document (first = lowest
+    * doc_id, the family's canonical-representative convention)? A
+    * crawl snapshot full of near-zero-novelty docs adds bytes, not
+    * information; the per-source average of this frame is the
+    * data-value curve mix planners act on. Duplicate docs score 0
+    * except the canonical copy; boilerplate-heavy docs score low even
+    * when no single document duplicates them (the same gap
+    * winnowing covers at pair level, here as a per-doc scalar).
+    *
+    * Plan shape: distinct (doc_id, gram) — map-side partial — then a
+    * min-aggregate per gram and ONE keyed equi-join back on the gram;
+    * output one row per doc. No self-join: the corpus-first frame is
+    * O(distinct grams) and every stage is hash-keyed. At 100 TB swap
+    * the gram string for the shared xxhash64
+    * [[graft.functions.TextFunctions.shingleKey]] form (the
+    * decontaminate/dup_span precedent).
+    */
+  def gramNovelty(documents: DataFrame, n: Int = 4): DataFrame = {
+    val sh = shingled(documents, n).distinct()
+    val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novel_frac"))
+  }
+
   /** Tokenize → k-word shingles, exploded via the codegen-friendly
     * zip form (an interpreted `transform` lambda here cost ~10× at
     * 50M shingles — see TextFunctions.shingleStructs). Duplicate

@@ -299,6 +299,49 @@ object MultimodalOps {
           org.apache.spark.sql.functions.col("feature").as("embedding")),
       nQueries, k)
 
+  case class ImageGate(docId: Long, width: Int, height: Int,
+      entropy: Double, keep: Boolean, failReasons: String)
+
+  /** Image quality gate with NAMED failure reasons — the multimodal
+    * pillar's [[TextOps.gopherGate]]: a 100 TB image-text corpus pass
+    * drops thumbnails/trackers (`too_small`), banner strips
+    * (`extreme_aspect`), flat placeholders (`low_entropy` — Shannon
+    * entropy in nats over the decoded 8-bin luminance histogram; a
+    * solid color scores 0) and bytes no decoder accepts
+    * (`undecodable`; video payloads gate as `not_image` — this pass
+    * judges stills only). Real decode, same pixel-budget guard as
+    * every decode here; partition-local map, no shuffle — the named
+    * reasons make the drop AUDITABLE per source, which is the point:
+    * a one-bit gate can't tell a crawl that ships banners from one
+    * that ships placeholders.
+    */
+  def imageFilter(media: Dataset[MediaRow], minSide: Int = 64,
+      maxAspect: Double = 4.0, minEntropy: Double = 0.5,
+      maxPixels: Long = DefaultMaxPixels): Dataset[ImageGate] = {
+    implicit val enc = Encoders.product[ImageGate]
+    media.mapPartitions(_.map { m =>
+      if (m.format == "video")
+        ImageGate(m.docId, 0, 0, 0.0, keep = false, "not_image")
+      else decodeImage(m, maxPixels) match {
+        case None => ImageGate(m.docId, 0, 0, 0.0, keep = false, "undecodable")
+        case Some(f) =>
+          var ent = 0.0
+          f.feature.foreach(p => if (p > 0f) ent -= p * math.log(p.toDouble))
+          // the entropy is EMITTED (4dp), not just thresholded —
+          // consumers re-cut the gate without re-decoding 100 TB
+          val entR = math.rint(ent * 1e4) / 1e4
+          val side = math.min(f.width, f.height)
+          val reasons = Seq(
+            if (side < minSide) "too_small" else "",
+            if (math.max(f.width, f.height).toDouble / side > maxAspect)
+              "extreme_aspect" else "",
+            if (ent < minEntropy) "low_entropy" else "").filter(_.nonEmpty)
+          ImageGate(m.docId, f.width, f.height, entR, reasons.isEmpty,
+            reasons.mkString(","))
+      }
+    })
+  }
+
   case class ResizedMedia(docId: Long, width: Int, height: Int,
       payload: Array[Byte])
 

@@ -1016,6 +1016,92 @@ object TextOps {
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** BM25 retrieval scoring (Robertson/Lucene form) of a fixed query
+    * over the corpus — the pipeline's RETRIEVAL primitive: quality
+    * probes, targeted decontamination sweeps and eval-set mining all
+    * start from "which documents match these terms". Score per doc =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with the
+    * Lucene idf = ln(1 + (N−df+0.5)/(df+0.5)) (always ≥ 0, unlike the
+    * raw Robertson form).
+    *
+    * Plan shape: dl is a pure projection (no token aggregate — the
+    * per-doc length never shuffles the exploded tokens), tf is ONE
+    * (doc, tok) aggregate FILTERED TO THE QUERY TERMS before the
+    * shuffle (O(matching docs × |query|) rows, not O(corpus tokens)),
+    * df derives from tf by a count per term (|query| rows), and
+    * N/avgdl ride in as a single-row broadcast. Top-k by rank through
+    * the two-level WindowGroupLimit rewrite.
+    *
+    * §5b determinism: every float step is pinned — (0.25 + 0.75·x)
+    * written with the folded 0.25 literal in BOTH engines, per-term
+    * contributions rounded 6dp after the one ln-bearing product and
+    * summed as DECIMAL(18,6) (exact), rank over (score desc, doc_id).
+    */
+  def bm25Top(documents: DataFrame, query: Seq[String] = Seq("spark", "window", "merge"),
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
+    require(query.nonEmpty, "bm25Top: empty query")
+    val toks = filter(tokenize(col("text")), t => t =!= "")
+    // dl as a projection; rides the scan, never exploded
+    val dls = documents.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("nd"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = documents
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("tok"))
+      .where(col("tok").isInCollection(query))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(dls, "doc_id") // keyed equi-join: dl rejoins only matching docs
+      .join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(
+          log(lit(1.0) + ((col("nd") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+            ((col("tf").cast("double") * lit(k1 + 1.0)) /
+              (col("tf").cast("double") + lit(k1) *
+                (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))),
+          6).cast("decimal(18,6)").as("c"))
+    // exact decimal sum, then ONE cast to double for the output frame
+    // (6dp-distinct scores of this magnitude stay distinct in double,
+    // so the rank order is unchanged by the cast)
+    val scored = contrib.groupBy("doc_id")
+      .agg(sum(col("c")).cast("double").as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", rank().over(w).cast("long")).where(col("rnk") <= k)
+  }
+
+  /** Compression-ratio quality signal — deflate(text).length /
+    * utf8(text).length via the native codegen
+    * [[graft.plans.DeflateLen]] expression (the JDK's zlib; zero new
+    * dependencies). Both tails are cut, per the published web-corpus
+    * recipes: highly compressible ⇒ templated/repetitive (the
+    * dimension [[repetitionRatio]] sees only partially — zlib catches
+    * LONG-RANGE and sub-token repetition a word-level ratio misses),
+    * incompressible ⇒ binary junk or high-entropy noise. Pure
+    * projection — scan-speed at 100 TB; only the compressed LENGTH
+    * leaves the kernel. Rows-only (the oracle engine has no zlib):
+    * known-corpus ordering + determinism are spec-asserted.
+    */
+  def compressRatio(documents: DataFrame, lowCut: Double = 0.25,
+      highCut: Double = 1.0): DataFrame = {
+    graft.GraftFunctions.register(documents.sparkSession)
+    val nBytes = octet_length(col("text")).cast("long")
+    val base = documents.select(col("doc_id"), nBytes.as("n_bytes"),
+      call_function("deflate_len", col("text")).as("zlib_len"))
+      // the 2-byte zlib header makes 0/0 unreachable, but an EMPTY doc
+      // still has no ratio semantics — exclude, the gopherGate rule
+      .where(col("n_bytes") > 0)
+    val ratio = round(col("zlib_len").cast("double") /
+      col("n_bytes").cast("double"), 6)
+    val pLow = ratio >= lowCut
+    val pHigh = ratio <= highCut
+    base.select(col("doc_id"), col("n_bytes"), col("zlib_len"),
+      ratio.as("ratio"), (pLow && pHigh).as("keep"),
+      concat_ws(",", when(!pLow, lit("too_repetitive")),
+        when(!pHigh, lit("incompressible"))).as("fail_reasons"))
+  }
+
   /** Multimodal-column plumbing: the document body as an opaque
     * `binary` payload plus typed metadata — the oracled METADATA view
     * (schema, projection shape, checksum are the real pipeline

@@ -355,4 +355,52 @@ class DedupSpec extends SparkSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
     assert(got == expected)
   }
+
+  test("gramNovelty: canonical copy owns its grams, clones score zero, partial overlap fractional") {
+    val d = Seq(
+      (0L, "a b c d e f"),      // grams: "a b c d","b c d e","c d e f" — all first here
+      (1L, "a b c d e f"),      // exact clone: every gram first in doc 0
+      (2L, "x y z a b c d w"),  // 5 grams, one ("a b c d") first in doc 0
+      (3L, "p q r")             // < 4 tokens: no gram row
+    ).toDF("doc_id", "text")
+    val r = Dedup.gramNovelty(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_novel"),
+          x.getAs[Double]("novel_frac")))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L))
+    assert(r(0L) == ((3L, 3L, 1.0)))
+    assert(r(1L) == ((3L, 0L, 0.0)))
+    assert(r(2L) == ((5L, 4L, 0.8)))
+  }
+
+  test("sourceOverlapHll: every pair estimated within the sketch error bound of exact") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.{shingleFromStruct, shingleStructs, tokenize}
+    val corpus = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.sourceOverlap(corpus).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b")) ->
+        x.getAs[Long]("n_shared")).toMap
+    // exact per-source distinct-gram cardinalities, for the bound: the
+    // inclusion-exclusion error scales with the SET sizes, not the
+    // overlap (operator scaladoc)
+    val card = corpus
+      .withColumn("toks", tokenize(col("text")))
+      .where(size(col("toks")) >= 4)
+      .select(col("source"), explode(shingleStructs(col("toks"), 4)).as("z"))
+      .select(col("source"), shingleFromStruct(col("z"), 4).as("gram"))
+      .groupBy("source").agg(countDistinct(col("gram")).as("c"))
+      .collect().map(x => x.getAs[String]("source") -> x.getAs[Long]("c")).toMap
+    val est = Dedup.sourceOverlapHll(corpus).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b")) ->
+        x.getAs[Long]("n_shared_est"))
+    val nSources = card.size.toLong
+    assert(est.length == nSources * (nSources - 1) / 2,
+      "one row per unordered source pair")
+    est.foreach { case ((a, b), e) =>
+      val ex = exact.getOrElse((a, b), 0L)
+      val bound = math.max(5.0, 0.02 * (card(a) + card(b)))
+      assert(math.abs(e - ex) <= bound,
+        s"($a,$b): est $e vs exact $ex exceeds ±$bound")
+    }
+  }
 }

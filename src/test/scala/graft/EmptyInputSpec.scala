@@ -119,6 +119,15 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("hashEmbedSparse", TextOps.hashEmbedSparse(noDocs))
     assertEmptyOk("hashEmbed", TextOps.hashEmbed(noDocs))
     assertEmptyOk("zipfSlope", TextOps.zipfSlope(noDocs))
+    assertEmptyOk("bm25Top", TextOps.bm25Top(noDocs))
+    assertEmptyOk("gramNovelty", Dedup.gramNovelty(noDocs))
+    assertEmptyOk("sourceOverlapHll", Dedup.sourceOverlapHll(noDocs))
+    assertEmptyOk("compressRatio", TextOps.compressRatio(noDocs))
+    assertEmptyOk("imageFilter", graft.operators.MultimodalOps.imageFilter {
+      implicit val e = org.apache.spark.sql.Encoders.product[
+        graft.operators.MultimodalOps.MediaRow]
+      spark.emptyDataset[graft.operators.MultimodalOps.MediaRow]
+    }.toDF())
   }
 
   test("similarity operators tolerate empty input") {

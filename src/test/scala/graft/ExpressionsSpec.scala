@@ -83,7 +83,7 @@ class ExpressionsSpec extends SparkSuite {
       import spark.implicits._
       rows.toDF("a", "b", "s", "k")
         .selectExpr("cosine_sim(a, b) AS c", "dot_f32(a, b) AS d",
-          "hmac_sha256_hex(s, k) AS h")
+          "hmac_sha256_hex(s, k) AS h", "deflate_len(s) AS z")
         .collect().map(_.toString).toSeq
     }
     val viaCodegen = run()
@@ -97,6 +97,31 @@ class ExpressionsSpec extends SparkSuite {
       spark.conf.unset("spark.sql.codegen.wholeStage")
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
+  }
+
+  test("deflate_len matches a direct JDK Deflater reference, null-safe") {
+    GraftFunctions.register(spark)
+    import java.util.zip.Deflater
+    def ref(s: String): Long = {
+      val d = new Deflater(6)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val inputs = Seq("", "spam " * 500, "unicode é中文 text",
+      (0 until 300).map(i => s"w${i * 7919}").mkString(" "))
+    val got = inputs.toDF("s")
+      .select(call_function("deflate_len", col("s")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == inputs.map(ref), "deflate_len must equal the JDK zlib at level 6")
+    // repetition compresses far below diversity at equal length
+    assert(ref("spam " * 500) < ref((0 until 500).map(i => s"w$i").mkString(" ")))
+    val nulls = Seq(Some("x"), None).toDF("s")
+      .select(call_function("deflate_len", col("s")).as("z"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(nulls.count(_.isEmpty) == 1 && nulls.count(_.isDefined) == 1)
   }
 
   test("cosine_sim matches hand-computed value") {

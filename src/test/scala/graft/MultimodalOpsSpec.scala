@@ -110,4 +110,43 @@ class MultimodalOpsSpec extends SparkSuite {
     // sampled indices step by 4
     assert(frames.forall(_.frameIdx % 4 == 0))
   }
+
+  /** Gray-gradient PNG: v = (x·53 + y·97) mod 256 in all channels —
+    * luminance spreads across the full 8-bin histogram (high entropy),
+    * deterministically.
+    */
+  private def grayImage(w: Int, h: Int, flat: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = if (flat) 128 else (x * 53 + y * 97) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+    bos.toByteArray
+  }
+
+  test("imageFilter: one named reason per failure mode, entropy emitted for re-cutting") {
+    implicit val enc = Encoders.product[MediaRow]
+    val m = spark.createDataset(Seq(
+      MediaRow(0L, grayImage(128, 128), "image"),              // keep
+      MediaRow(1L, grayImage(8, 8), "image"),                  // too_small
+      MediaRow(2L, grayImage(512, 64), "image"),               // extreme_aspect
+      MediaRow(3L, grayImage(128, 128, flat = true), "image"), // low_entropy
+      MediaRow(4L, "not an image".getBytes("UTF-8"), "image"), // undecodable
+      MediaRow(5L, grayImage(128, 128), "video")))             // not_image
+    val g = MultimodalOps.imageFilter(m).collect().sortBy(_.docId)
+    assert(g.map(_.failReasons).toSeq == Seq("", "too_small", "extreme_aspect",
+      "low_entropy", "undecodable", "not_image"))
+    assert(g.map(_.keep).toSeq == Seq(true, false, false, false, false, false))
+    // the keep image's dimensions come from the real bitstream
+    assert(g(0).width == 128 && g(0).height == 128)
+    // entropy is the audit column: gradient near ln(8), flat exactly 0
+    assert(g(0).entropy > 1.8 && g(3).entropy == 0.0)
+    // thresholds are knobs: lowering minEntropy re-admits the flat image
+    val relaxed = MultimodalOps.imageFilter(m, minEntropy = 0.0)
+      .collect().sortBy(_.docId)
+    assert(relaxed(3).keep)
+  }
 }

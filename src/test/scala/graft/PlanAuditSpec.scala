@@ -462,4 +462,61 @@ class PlanAuditSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"the fuzzy chain must stay banded + keyed:\n$p")
   }
+
+  test("bm25Top: query filter precedes the tf shuffle; df/stats ride as broadcasts") {
+    val df = graft.operators.TextOps.bm25Top(Tables(spark, dir, "documents"))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "df must broadcast onto tf")
+    // the single-row stats frame is the only nested-loop broadcast
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    // the IN(query) filter must sit BELOW every aggregate in the
+    // optimized tree: the exploded token stream shrinks to
+    // O(matching docs x |query|) BEFORE it shuffles
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val optimized = df.queryExecution.optimizedPlan
+    val hasQueryFilterBelowAgg = optimized.collect {
+      case a: Aggregate => a.collectLeaves().nonEmpty && a.exists {
+        case f: Filter => f.condition.toString.contains("spark")
+        case _ => false
+      }
+    }
+    assert(hasQueryFilterBelowAgg.exists(identity),
+      s"IN-query filter must feed the tf aggregate from below:\n$optimized")
+  }
+
+  test("gramNovelty: keyed gram aggregates, no cartesian, no global window") {
+    val p = plan(graft.operators.Dedup.gramNovelty(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SinglePartition"))
+    // explode->distinct, first-doc agg, gram join-back, per-doc agg:
+    // every exchange is hash-keyed and bounded
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 5, p)
+  }
+
+  test("sourceOverlapHll: sketch frame materialized once; pairwise stage never rescans the corpus") {
+    val p = plan(graft.operators.Dedup.sourceOverlapHll(
+      Tables(spark, dir, "documents")))
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"both self-join sides must read the persisted sketch frame:\n$p")
+    // the only FileScan allowed is INSIDE the cached relation's stored
+    // build plan — the pairwise stage itself must start from the cache
+    val firstScan = p.linesIterator.indexWhere(_.contains("FileScan"))
+    val firstCache = p.linesIterator.indexWhere(_.contains("InMemoryTableScan"))
+    assert(firstScan == -1 || firstCache < firstScan,
+      s"pairwise stage must not rescan the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("compressRatio: pure projection — zero exchanges, codegen'd deflate kernel") {
+    val p = plan(graft.operators.TextOps.compressRatio(
+      Tables(spark, dir, "documents")))
+    assert(!p.contains("Exchange"), s"scan-speed op must not shuffle:\n$p")
+    // '*(n)' node prefixes are the WholeStageCodegen stage markers in
+    // the executedPlan rendering — the deflate projection must carry one
+    assert(p.linesIterator.exists(l => l.contains("*(1)") && l.contains("deflate_len")),
+      s"deflate_len must stay inside codegen:\n$p")
+  }
 }

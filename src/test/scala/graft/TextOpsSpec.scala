@@ -569,4 +569,60 @@ class TextOpsSpec extends SparkSuite {
       } else assert(!r.contains(lang))
     }
   }
+
+  test("bm25Top matches a local reference model exactly and cuts at k") {
+    val docs = Seq(
+      (0L, "cat dog cat"),      // tf(cat)=2, tf(dog)=1, dl=3
+      (1L, "cat mouse"),        // tf(cat)=1, dl=2
+      (2L, "dog mouse bird"),   // tf(dog)=1, dl=3
+      (3L, "cat cat cat cat"),  // tf(cat)=4, dl=4
+      (4L, "fish fowl")         // no query terms: absent
+    ).toDF("doc_id", "text")
+    val query = Seq("cat", "dog")
+    val r = TextOps.bm25Top(docs, query = query, k = 3).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Double]("score"),
+        x.getAs[Long]("rnk"))).sortBy(_._3)
+
+    // local model: the SAME double operations in the SAME order
+    val n = 5; val avgdl = (3 + 2 + 3 + 4 + 2).toDouble / 5.0
+    val tf = Map((0L, "cat") -> 2L, (0L, "dog") -> 1L, (1L, "cat") -> 1L,
+      (2L, "dog") -> 1L, (3L, "cat") -> 4L)
+    val dl = Map(0L -> 3L, 1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val df = Map("cat" -> 3L, "dog" -> 2L)
+    def contrib(d: Long, t: String): BigDecimal = {
+      val idf = math.log(1.0 + ((n - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5))
+      val c = idf * ((tf((d, t)).toDouble * 2.2) /
+        (tf((d, t)).toDouble + 1.2 * (0.25 + 0.75 * (dl(d).toDouble / avgdl))))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val model = tf.keys.map(_._1).toSeq.distinct
+      .map(d => d -> query.filter(t => tf.contains((d, t))).map(contrib(d, _)).sum.toDouble)
+      .sortBy { case (d, s) => (-s, d) }
+    assert(r.length == 3, "k cuts the frame")
+    r.zip(model.take(3)).foreach { case ((gd, gs, _), (md, ms)) =>
+      assert(gd == md && gs == ms, s"got ($gd,$gs) want ($md,$ms)")
+    }
+    // the multi-term doc outranks every single-term doc of equal tf
+    assert(r.head._1 == 0L, "doc 0 matches both terms")
+  }
+
+  test("compressRatio: repetitive text gates low, diverse text passes, empty excluded") {
+    val rep = Array.fill(200)("spam").mkString(" ")
+    val div = (0 until 200).map(i => s"w${i * 7919}").mkString(" ")
+    val docs = Seq((0L, rep), (1L, div), (2L, "")).toDF("doc_id", "text")
+    val r = TextOps.compressRatio(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Double]("ratio"), x.getAs[Boolean]("keep"),
+          x.getAs[String]("fail_reasons")))).toMap
+    assert(r.keySet == Set(0L, 1L), "empty doc has no ratio semantics")
+    val (ratioRep, keepRep, whyRep) = r(0L)
+    val (ratioDiv, keepDiv, whyDiv) = r(1L)
+    assert(ratioRep < ratioDiv, "zlib must compress repetition harder")
+    assert(!keepRep && whyRep == "too_repetitive")
+    assert(keepDiv && whyDiv == "")
+    // deterministic across runs (thread-local deflater state resets)
+    val again = TextOps.compressRatio(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("ratio")).toMap
+    assert(again(0L) == ratioRep && again(1L) == ratioDiv)
+  }
 }
