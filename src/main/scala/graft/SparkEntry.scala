@@ -223,6 +223,23 @@ object SparkEntry {
     // bound vs the exact frame spec-asserted in DedupSpec
     "q_source_overlap_hll" -> ((s, d) =>
       Dedup.sourceOverlapHll(t(s, d, "documents"))),
+    // rows-only (simhash is not SQL-expressible): components over the
+    // pigeonhole band edges with distinct-hash rep reduction;
+    // direct-path equivalence spec in DedupSpec
+    "q_simhash_groups" -> ((s, d) => Dedup.simhashGroups(t(s, d, "documents"))),
+    // cross-snapshot incremental novelty: snapshot split at
+    // floor(max(doc_id)/2) — the append-only-crawl shape the
+    // noveltyAgainst contract targets (SQL-oracled)
+    "q_novelty_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max}
+      val docs = t(s, d, "documents")
+      val cut = docs.agg(floor(max(col("doc_id")) / lit(2.0)).cast("long").as("cut"))
+      def side(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        docs.crossJoin(broadcast(cut)).where(p(col("cut"))).drop("cut")
+      Dedup.noveltyAgainst(
+        Dedup.gramIndex(side(c => col("doc_id") < c)),
+        side(c => col("doc_id") >= c))
+    }),
     // rows-only (the oracle engine has no zlib): native codegen
     // deflate_len; ordering/determinism specs in ExpressionsSpec
     "q_compress_ratio" -> ((s, d) => TextOps.compressRatio(t(s, d, "documents"))),
@@ -247,7 +264,8 @@ object SparkEntry {
     * q_ann_ivfpq, q_ann_ivfpq_learned, q_semdedup, q_curate_pipeline,
     * q_quality_probe, q_cluster_balance, q_source_overlap_hll,
     * q_compress_ratio (no zlib in the oracle engine), q_image_dedup,
-    * q_image_ann, q_image_filter (raster decode), q_diverse_select.
+    * q_image_ann, q_image_filter (raster decode), q_diverse_select,
+    * q_simhash_groups.
     *
     * The hashed-key twins ARE oracled: q_dup_span_hashed and
     * q_decontaminate_hashed swap xxhash64 gram keys into the shuffle
@@ -1602,6 +1620,33 @@ object SparkEntry {
         |    CAST(RANK() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
         |  FROM (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM contrib GROUP BY 1))
         |WHERE rnk <= 20""".stripMargin,
+    "q_novelty_incr" ->
+      """WITH cut AS (
+        |  SELECT CAST(FLOOR(MAX(doc_id) / 2.0) AS BIGINT) AS c FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, gram
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 3),
+        |          i -> array_to_string(toks[i + 1:i + 4], ' '))) AS gram
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM documents CROSS JOIN cut WHERE doc_id >= c)
+        |        WHERE len(toks) >= 4)
+        |), old AS (
+        |  SELECT DISTINCT gram
+        |  FROM (SELECT unnest(list_transform(range(len(toks) - 3),
+        |          i -> array_to_string(toks[i + 1:i + 4], ' '))) AS gram
+        |        FROM (SELECT string_split(text, ' ') AS toks
+        |              FROM documents CROSS JOIN cut WHERE doc_id < c)
+        |        WHERE len(toks) >= 4)
+        |), first AS (
+        |  SELECT gram, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+        |)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN o.gram IS NULL AND first_doc = sh.doc_id
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN o.gram IS NULL AND first_doc = sh.doc_id
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novel_frac
+        |FROM sh JOIN first USING (gram) LEFT JOIN old o ON sh.gram = o.gram
+        |GROUP BY sh.doc_id""".stripMargin,
     "q_gram_novelty" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, gram

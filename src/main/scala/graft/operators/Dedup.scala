@@ -138,6 +138,51 @@ object Dedup {
           .as("novel_frac"))
   }
 
+  /** Distinct n-gram set of a corpus — the persistable unit of
+    * cross-snapshot novelty: `writeGramIndex` stores it, and
+    * [[noveltyAgainst]] scores a NEW snapshot against it without
+    * touching the old corpus again (the [[writeBandIndex]] /
+    * [[dedupAgainst]] pattern, at gram granularity).
+    */
+  def gramIndex(documents: DataFrame, n: Int = 4): DataFrame =
+    shingled(documents, n).select(col("shingle").as("gram")).distinct()
+
+  /** Persist a snapshot's distinct-gram index ([[gramIndex]]) as
+    * parquet for the next crawl's incremental novelty pass.
+    */
+  def writeGramIndex(documents: DataFrame, path: String, n: Int = 4): Unit =
+    gramIndex(documents, n).write.mode("overwrite").parquet(path)
+
+  /** Cross-snapshot INCREMENTAL novelty — [[gramNovelty]]'s
+    * operational form: score snapshot N+1 against snapshot N's
+    * persisted gram index instead of re-shingling the joint corpus. A
+    * new doc's gram is novel iff it is absent from the INDEX and
+    * first (lowest doc_id) within the NEW snapshot.
+    *
+    * EXACT contract (spec-asserted): when every indexed doc_id is
+    * below every new doc_id — the append-only crawl invariant — the
+    * output equals the joint-corpus [[gramNovelty]] restricted to the
+    * new snapshot's rows, bit-for-bit. Plan shape: the new snapshot
+    * shingles once; the index arrives as one keyed anti-ish left
+    * join — O(new grams + index grams) shuffle, nothing pairwise,
+    * old corpus never re-read.
+    */
+  def noveltyAgainst(index: DataFrame, newDocs: DataFrame, n: Int = 4): DataFrame = {
+    val sh = shingled(newDocs, n).distinct()
+    val firstNew = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+    val old = index.select(col("gram").as("shingle")).distinct()
+      .withColumn("in_old", lit(true))
+    sh.join(firstNew, "shingle")
+      .join(old, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("in_old").isNull && col("first_doc") === col("doc_id"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novel_frac"))
+  }
+
   /** Tokenize → k-word shingles, exploded via the codegen-friendly
     * zip form (an interpreted `transform` lambda here cost ~10× at
     * 50M shingles — see TextFunctions.shingleStructs). Duplicate
@@ -684,6 +729,38 @@ object Dedup {
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
     hammingBandPairs(simhash(documents), maxHamming)
+
+  /** Canonical GROUP assignment over simhash near-duplicates —
+    * completes the family's pairs → groups symmetry (exact →
+    * dedupGroups, winnow → winnowGroups, simhash → here): connected
+    * components over the pigeonhole band-join edges, group_id = the
+    * smallest doc_id reachable through hamming-≤`maxHamming` links.
+    *
+    * Exact-dedup-first is FREE here, the imageDedupPairs argument:
+    * hamming depends only on the simhash value, so the band join and
+    * the component rounds run over ONE representative per DISTINCT
+    * simhash (on a clone-heavy corpus the bucket fan-out shrinks by
+    * the clone factor squared) and same-hash members inherit their
+    * rep's label unconditionally (hamming 0 is always ≤ the budget).
+    * Identical labels to components over the raw per-doc pair set, by
+    * construction. Eager at construction (the component engine runs
+    * jobs), hash frame persisted+counted once for its three readers.
+    */
+  def simhashGroups(documents: DataFrame, maxHamming: Int = 3,
+      maxRounds: Int = 25): DataFrame = {
+    val hashes = simhash(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashes.count()
+    val stars = hashes.groupBy("simhash64").agg(min(col("doc_id")).as("rep_id"))
+    val members = hashes.join(stars, "simhash64")
+      .select(col("doc_id"), col("rep_id"))
+    val edges = hammingBandPairs(
+      stars.select(col("rep_id").as("doc_id"), col("simhash64")), maxHamming)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val labels = connectedComponents(stars.select(col("rep_id")), edges, maxRounds)
+    members.join(labels.withColumnRenamed("id", "rep_id"), "rep_id")
+      .select(col("doc_id"), col("label").as("group_id"))
+  }
 
   /** The pigeonhole band machinery itself, over ANY (doc_id, <hash64>)
     * frame — shared by [[simhashPairs]] (text fingerprints) and

@@ -356,6 +356,43 @@ class DedupSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("simhashGroups: rep-reduced components equal a local union-find over the per-doc pairs") {
+    val corpus = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.simhashPairs(corpus).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+    }
+    // canonical label = min id in component (two find passes: unions
+    // above may leave stale roots on the first)
+    ids.foreach(find)
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.simhashGroups(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(got == expected)
+  }
+
+  test("simhashGroups: identical texts share a group even with zero band edges") {
+    val d = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "alpha beta gamma delta epsilon zeta"), // exact clone of 7
+      (11L, "utterly disjoint vocabulary everywhere")
+    ).toDF("doc_id", "text")
+    val g = Dedup.simhashGroups(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(g(7L) == 7L && g(9L) == 7L, "clones collapse to the min id rep")
+    assert(g(11L) == 11L)
+  }
+
   test("gramNovelty: canonical copy owns its grams, clones score zero, partial overlap fractional") {
     val d = Seq(
       (0L, "a b c d e f"),      // grams: "a b c d","b c d e","c d e f" — all first here

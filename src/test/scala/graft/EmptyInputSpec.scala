@@ -121,6 +121,9 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("zipfSlope", TextOps.zipfSlope(noDocs))
     assertEmptyOk("bm25Top", TextOps.bm25Top(noDocs))
     assertEmptyOk("gramNovelty", Dedup.gramNovelty(noDocs))
+    assertEmptyOk("simhashGroups", Dedup.simhashGroups(noDocs))
+    assertEmptyOk("noveltyAgainst",
+      Dedup.noveltyAgainst(Dedup.gramIndex(noDocs), noDocs))
     assertEmptyOk("sourceOverlapHll", Dedup.sourceOverlapHll(noDocs))
     assertEmptyOk("compressRatio", TextOps.compressRatio(noDocs))
     assertEmptyOk("imageFilter", graft.operators.MultimodalOps.imageFilter {

@@ -113,4 +113,31 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(sketches == 2, // self-join: the new side appears on both sides
       s"only the new snapshot may be sketched, found $sketches sketch aggs:\n$plan")
   }
+
+  test("noveltyAgainst: equals the joint-corpus gramNovelty restricted to the new snapshot") {
+    // the append-only contract: every indexed id below every new id
+    val joint = snapA.unionByName(snapB)
+    val expected = Dedup.gramNovelty(joint).collect()
+      .filter(_.getAs[Long]("doc_id") >= 100L)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novel_frac"))).toSet
+    val got = Dedup.noveltyAgainst(Dedup.gramIndex(snapA), snapB).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novel_frac"))).toSet
+    assert(got == expected, s"incremental vs joint:\n$got\n$expected")
+    assert(got.nonEmpty)
+    // the persisted round trip produces the same frame as the
+    // in-memory index
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramindex").toString
+    Dedup.writeGramIndex(snapA, dir)
+    val viaDisk = Dedup.noveltyAgainst(spark.read.parquet(dir), snapB).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novel_frac"))).toSet
+    assert(viaDisk == expected)
+    // the fresh doc is fully novel; the near-dup of an indexed family
+    // is mostly not
+    val byId = got.map(t => t._1 -> t._4).toMap
+    assert(byId(103L) == 1.0, "fresh content must score 1.0")
+    assert(byId(100L) < 0.5, "a near-dup of indexed content must score low")
+  }
 }

@@ -496,6 +496,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 5, p)
   }
 
+  test("noveltyAgainst (q_novelty_incr): keyed gram joins; only the cut broadcast crosses") {
+    val p = plan(SparkEntry.queries("q_novelty_incr")(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    // every nested-loop join must be the single-row cut broadcast
+    // (it feeds three subtrees: index side, new-side shingles,
+    // new-side first-doc agg); the gram joins themselves stay
+    // hash-keyed — assert no BNLJ beyond those three
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 3, p)
+    assert(p.contains("BroadcastHashJoin"), "gram joins must be hash joins")
+    // the only SinglePartition exchange allowed is the one-row
+    // max(doc_id) cut aggregate, never a corpus-sized stage
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) <=
+      p.linesIterator.count(_.contains("partial_max")), p)
+  }
+
   test("sourceOverlapHll: sketch frame materialized once; pairwise stage never rescans the corpus") {
     val p = plan(graft.operators.Dedup.sourceOverlapHll(
       Tables(spark, dir, "documents")))
