@@ -116,6 +116,17 @@ object SparkEntry {
     "q_kmeans" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
     // rows-only (driver-iterated greedy selection); greedy-invariant
     // + corner-coverage specs in SimilaritySpec
+    // rows-only (LSH bucketing): recall@k audit of the approximate
+    // path vs the exact baseline as a frame; identity + agreement
+    // specs in SimilaritySpec
+    "q_ann_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.annRecall(Similarity.annTopK(e), Similarity.annLsh(e))
+    }),
+    // rows-only (learned cells): label purity per k-means cell;
+    // separable-fixture spec in SimilaritySpec
+    "q_cluster_purity" -> ((s, d) =>
+      Similarity.clusterPurity(t(s, d, "embeddings"))),
     "q_diverse_select" -> ((s, d) =>
       Similarity.diverseSelect(t(s, d, "embeddings"))),
     // rows-only (k-means cells); admitted set re-derived by a local
@@ -265,7 +276,7 @@ object SparkEntry {
     * q_quality_probe, q_cluster_balance, q_source_overlap_hll,
     * q_compress_ratio (no zlib in the oracle engine), q_image_dedup,
     * q_image_ann, q_image_filter (raster decode), q_diverse_select,
-    * q_simhash_groups.
+    * q_simhash_groups, q_ann_recall, q_cluster_purity.
     *
     * The hashed-key twins ARE oracled: q_dup_span_hashed and
     * q_decontaminate_hashed swap xxhash64 gram keys into the shuffle

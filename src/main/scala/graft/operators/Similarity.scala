@@ -1173,4 +1173,60 @@ object Similarity {
     }
     e.select(col("vec_id"), array(outs: _*).as("proj_d"))
   }
+
+  /** Recall@k of an approximate ANN result frame against the exact
+    * baseline, AS A FRAME — the index-quality audit a production ANN
+    * deployment runs as a scheduled job, not a unit test: per query,
+    * the fraction of the exact top-k the approximate path recovered.
+    * Both inputs are (q_id, n_id, ...) frames at rank ≤ k — any of
+    * [[annLsh]]/[[annIvf]]/[[annIvfPq]] against [[annTopK]], or
+    * yesterday's index against today's. One keyed left join + one
+    * aggregate: O(queries × k) rows end-to-end, so the audit can run
+    * over a large sampled query set at negligible cost next to the
+    * index build itself.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("q_id"), col("n_id"))
+    val a = approx.select(col("q_id"), col("n_id"))
+      .withColumn("hit", lit(true))
+    e.join(a, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
+  /** Label purity per learned k-means cell — the clustering-quality
+    * audit for every consumer of [[kmeansAssign]]'s cells
+    * (clusterBalance quotas, SemDeDup cell dedup, IVF cell routing):
+    * per cluster, its size, dominant `label`, and the dominant-label
+    * share. A purity collapse after a re-train is the signal that the
+    * cells stopped tracking the label structure the quotas assume.
+    * Shapes: the assign pass (driver-coordinated Lloyd's, documented
+    * at [[kmeansAssign]]) + one (cluster, label) count aggregate +
+    * a per-cluster WindowGroupLimit argmax — nothing touches the
+    * vectors after assignment. Dominant-label ties break on the
+    * smaller label id (deterministic).
+    */
+  def clusterPurity(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val assign = kmeansAssign(embeddings, k, iters, dim)
+    val labeled = assign
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+    val cellLabel = labeled.groupBy("cluster", "label")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("cluster").orderBy(col("n").desc, col("label"))
+    val top = cellLabel.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("cluster"), col("label").as("dominant_label"),
+        col("n").as("n_dominant"))
+    val sizes = cellLabel.groupBy("cluster").agg(sum(col("n")).as("n_vecs"))
+    top.join(sizes, "cluster")
+      .select(col("cluster"), col("n_vecs"), col("dominant_label"),
+        col("n_dominant"),
+        round(col("n_dominant").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("purity"))
+  }
 }

@@ -1051,7 +1051,10 @@ object TextOps {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val contrib = tf
-      .join(dls, "doc_id") // keyed equi-join: dl rejoins only matching docs
+      // keyed equi-join on doc_id: the dl frame is two longs per doc —
+      // it shuffles once at corpus width, which is the bounded cost
+      // that buys never shuffling the exploded token stream
+      .join(dls, "doc_id")
       .join(broadcast(df), "tok")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
@@ -1083,6 +1086,25 @@ object TextOps {
     * leaves the kernel. Rows-only (the oracle engine has no zlib):
     * known-corpus ordering + determinism are spec-asserted.
     */
+  /** The 6dp deflate ratio over a `zlib_len`/`n_bytes` pair — ONE
+    * definition shared by the batch [[compressRatio]] and the
+    * streaming ingest gate
+    * ([[graft.streaming.StreamingOps.compressGateDocStream]]), so the
+    * two surfaces cannot drift; same for the tail verdicts.
+    */
+  private[graft] def zlibRatioCol: org.apache.spark.sql.Column =
+    round(col("zlib_len").cast("double") / col("n_bytes").cast("double"), 6)
+
+  private[graft] def zlibVerdict(ratio: org.apache.spark.sql.Column,
+      lowCut: Double, highCut: Double)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val pLow = ratio >= lowCut
+    val pHigh = ratio <= highCut
+    ((pLow && pHigh),
+      concat_ws(",", when(!pLow, lit("too_repetitive")),
+        when(!pHigh, lit("incompressible"))))
+  }
+
   def compressRatio(documents: DataFrame, lowCut: Double = 0.25,
       highCut: Double = 1.0): DataFrame = {
     graft.GraftFunctions.register(documents.sparkSession)
@@ -1092,14 +1114,10 @@ object TextOps {
       // the 2-byte zlib header makes 0/0 unreachable, but an EMPTY doc
       // still has no ratio semantics — exclude, the gopherGate rule
       .where(col("n_bytes") > 0)
-    val ratio = round(col("zlib_len").cast("double") /
-      col("n_bytes").cast("double"), 6)
-    val pLow = ratio >= lowCut
-    val pHigh = ratio <= highCut
+    val ratio = zlibRatioCol
+    val (keep, why) = zlibVerdict(ratio, lowCut, highCut)
     base.select(col("doc_id"), col("n_bytes"), col("zlib_len"),
-      ratio.as("ratio"), (pLow && pHigh).as("keep"),
-      concat_ws(",", when(!pLow, lit("too_repetitive")),
-        when(!pHigh, lit("incompressible"))).as("fail_reasons"))
+      ratio.as("ratio"), keep.as("keep"), why.as("fail_reasons"))
   }
 
   /** Multimodal-column plumbing: the document body as an opaque

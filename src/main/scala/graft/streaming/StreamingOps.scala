@@ -349,6 +349,39 @@ object StreamingOps {
         .as("is_contaminated"))
   }
 
+  /** Row-local ingest-time COMPRESSION gate — the streaming face of
+    * [[graft.operators.TextOps.compressRatio]]: per arriving document,
+    * the zlib deflate ratio (the codegen `deflate_len` kernel) and the
+    * same two-tail verdict, with NO state, no watermark, no shuffle —
+    * a pure projection the forever-running ingest path absorbs at
+    * scan speed. Ratio and verdicts are the batch operator's own
+    * column definitions ([[graft.operators.TextOps.zlibRatioCol]] /
+    * `zlibVerdict`), so gate and audit cannot drift (the
+    * contamGateDocStream discipline). Returns EVERY input column (a
+    * quarantine sink needs the rejected content) plus `ratio`, `keep`,
+    * `fail_reasons`; a null/empty-text poison row has no ratio
+    * semantics and gates keep=false, reason `empty` — a quarantine
+    * decision must be total.
+    */
+  def compressGateDocStream(docs: DataFrame, lowCut: Double = 0.25,
+      highCut: Double = 1.0): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val nBytes = octet_length(col("text")).cast("long")
+    val measured = docs.select(col("*"), nBytes.as("n_bytes"),
+      call_function("deflate_len", col("text")).as("zlib_len"))
+    // the division must sit INSIDE the n_bytes guard: ANSI mode makes
+    // x/0 an error, not an Inf, and the verdict comparisons would
+    // otherwise evaluate it for the empty row (null ratio propagates
+    // null verdicts, which the keep coalesce resolves to false)
+    val ratio = when(col("n_bytes") > 0, graft.operators.TextOps.zlibRatioCol)
+    val (keep, why) = graft.operators.TextOps.zlibVerdict(ratio, lowCut, highCut)
+    measured.select(col("*"),
+      ratio.as("ratio"),
+      coalesce(col("n_bytes") > 0 && keep, lit(false)).as("keep"),
+      when(col("n_bytes") > 0, why).otherwise(lit("empty")).as("fail_reasons"))
+      .drop("n_bytes", "zlib_len")
+  }
+
   /** One document keyed by its minhash LSH band. */
   case class BandDoc(band: String, docId: Long, md5: String)
   case class NearDupFlag(docId: Long, isNeardup: Boolean, band: String)

@@ -153,5 +153,8 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("annIvfPq", Similarity.annIvfPq(noEmb))
     assertEmptyOk("annIvfPqLearned", Similarity.annIvfPqLearned(noEmb))
     assertEmptyOk("semDeDup", Similarity.semDeDup(noEmb))
+    assertEmptyOk("annRecall",
+      Similarity.annRecall(Similarity.annTopK(noEmb), Similarity.annLsh(noEmb)))
+    assertEmptyOk("clusterPurity", Similarity.clusterPurity(noEmb))
   }
 }

@@ -581,4 +581,43 @@ class SimilaritySpec extends SparkSuite {
     val exhausted = Similarity.diverseSelect(tiny, k = 10, dim = 2).collect()
     assert(exhausted.length == 2, "k > corpus returns every vector once")
   }
+
+  test("annRecall: exact-vs-exact is identically 1.0; the frame agrees with the set computation") {
+    val exact = Similarity.annTopK(emb, nQueries = 10, k = 5)
+    val self = Similarity.annRecall(exact, exact).collect()
+    assert(self.nonEmpty)
+    assert(self.forall(r => r.getAs[Double]("recall") == 1.0 &&
+      r.getAs[Long]("n_hit") == r.getAs[Long]("n_exact")))
+    val approx = Similarity.annLsh(emb, nQueries = 10, k = 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (es, as) = (pairs(exact), pairs(approx))
+    val frame = Similarity.annRecall(exact, approx).collect()
+    val gotMean = frame.map(_.getAs[Long]("n_hit")).sum.toDouble /
+      frame.map(_.getAs[Long]("n_exact")).sum
+    val wantMean = (es & as).size.toDouble / es.size
+    assert(math.abs(gotMean - wantMean) < 1e-12,
+      s"frame recall $gotMean vs set recall $wantMean")
+    // one row per query, even a query the approx path fully missed
+    assert(frame.map(_.getAs[Long]("q_id")).toSet == es.map(_._1))
+  }
+
+  test("clusterPurity: weighted purity >= the single-cluster baseline; bitwise deterministic") {
+    def run() = Similarity.clusterPurity(emb).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_vecs"),
+        r.getAs[Int]("dominant_label"), r.getAs[Long]("n_dominant"),
+        r.getAs[Double]("purity"))).sortBy(_._1).toSeq
+    val p1 = run()
+    assert(p1 == run(), "purity frame must be rerun-stable")
+    assert(p1.map(_._2).sum == emb.count(), "cells partition the corpus")
+    assert(p1.forall(t => t._5 > 0.0 && t._5 <= 1.0))
+    // per-cell dominant count >= any single label's count in that
+    // cell, so the weighted purity can never fall below the share of
+    // the globally dominant label (the k=1 baseline)
+    val globalTop = emb.groupBy("label").count().collect()
+      .map(_.getAs[Long]("count")).max.toDouble / emb.count()
+    val weighted = p1.map(_._4).sum.toDouble / p1.map(_._2).sum
+    assert(weighted >= globalTop - 1e-12,
+      s"weighted purity $weighted below the k=1 baseline $globalTop")
+  }
 }

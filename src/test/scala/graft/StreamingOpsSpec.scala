@@ -283,6 +283,40 @@ class StreamingOpsSpec extends SparkSuite {
       "a bloom gate must never admit a truly contaminated doc")
   }
 
+  test("compressGateDocStream: verdicts equal the batch compressRatio; poison rows gate total") {
+    implicit val sqlCtx = spark.sqlContext
+    val rep = Array.fill(120)("spam").mkString(" ")
+    val div = (0 until 120).map(i => s"w${i * 7919}").mkString(" ")
+    val input = MemoryStream[(Long, String, String, String)]
+    val df = input.toDF().toDF("doc_id", "text", "lang", "source")
+    val q = StreamingOps.compressGateDocStream(df)
+      .writeStream.format("memory").queryName("zlib_gate")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, rep, "en", "s0"), (1L, div, "en", "s0"),
+        (2L, "", "en", "s0"))
+      q.processAllAvailable()
+      val out = spark.table("zlib_gate").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("keep"), r.getAs[String]("fail_reasons"),
+            Option(r.getAs[java.lang.Double]("ratio"))))).toMap
+      // batch duality: same verdicts and SAME ratios as the audit op
+      val batch = graft.operators.TextOps.compressRatio(
+        Seq((0L, rep), (1L, div)).toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("keep"), r.getAs[String]("fail_reasons"),
+            r.getAs[Double]("ratio")))).toMap
+      assert(out(0L)._1 == batch(0L)._1 && out(0L)._2 == batch(0L)._2 &&
+        out(0L)._3.contains(batch(0L)._3))
+      assert(out(1L)._1 == batch(1L)._1 && out(1L)._3.contains(batch(1L)._3))
+      // the batch op EXCLUDES empty docs; the gate must still decide
+      assert(out(2L) == ((false, "empty", None)))
+      // every input column survives (quarantine needs the content)
+      assert(spark.table("zlib_gate").columns.toSet ==
+        Set("doc_id", "text", "lang", "source", "ratio", "keep", "fail_reasons"))
+    } finally q.stop()
+  }
+
   test("liveHeavyHitters: running summaries converge to exact counts (exact regime)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
