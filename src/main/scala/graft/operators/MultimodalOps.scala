@@ -292,12 +292,20 @@ object MultimodalOps {
     * (LSH/IVF/PQ) accept the same (vec_id, embedding) frame.
     */
   def imageAnnTopK(media: Dataset[MediaRow], nQueries: Long = 10,
-      k: Int = 5): org.apache.spark.sql.DataFrame =
-    Similarity.annTopK(
-      extractFeatures(media).toDF()
-        .select(org.apache.spark.sql.functions.col("docId").as("vec_id"),
-          org.apache.spark.sql.functions.col("feature").as("embedding")),
-      nQueries, k)
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    // persist+count the feature frame (the imageDedupPairs rule):
+    // annTopK reads it from BOTH the query and the corpus subtree, and
+    // Catalyst does not reuse an un-exchanged MapPartitions decode —
+    // un-materialized, every raster decodes twice. The frame is
+    // 8 floats/image, decoupled from the payload, so the cache is
+    // bounded; eager at construction like the dedup siblings.
+    val feats = extractFeatures(media).toDF()
+      .select(org.apache.spark.sql.functions.col("docId").as("vec_id"),
+        org.apache.spark.sql.functions.col("feature").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    feats.count()
+    Similarity.annTopK(feats, nQueries, k)
+  }
 
   case class ImageGate(docId: Long, width: Int, height: Int,
       entropy: Double, keep: Boolean, failReasons: String)
