@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, MultimodalOps, Payments, Similarity, TextOps}
+import graft.operators.{AudioOps, Curation, Dedup, MultimodalOps, Payments, Similarity, TextOps, VideoOps}
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -262,7 +262,53 @@ object SparkEntry {
     "q_image_filter" -> ((s, d) => MultimodalOps.imageFilter(
       MultimodalOps.syntheticImages(t(s, d, "documents")),
       minSide = 16, minEntropy = 1.2)
-      .toDF("doc_id", "width", "height", "entropy", "keep", "fail_reasons"))
+      .toDF("doc_id", "width", "height", "entropy", "keep", "fail_reasons")),
+    // rows-only (binary RIFF decode is not SQL-expressible): the audio
+    // leg of the multimodal pillar — the testdata has no binary
+    // column, so syntheticAudio renders one deterministic
+    // token-segment PCM-16 WAV per doc and the REAL chunk-parse /
+    // feature / hash machinery runs over it; fixture specs in
+    // AudioOpsSpec
+    "q_audio_meta" -> ((s, d) => AudioOps.extractAudioFeatures(
+      AudioOps.syntheticAudio(t(s, d, "documents"))).toDF(
+      "doc_id", "sample_rate", "channels", "n_samples", "duration_ms",
+      "rms", "zcr", "silence_ratio", "peak", "decoded", "envelope")),
+    // real decode -> energy-delta hash -> the simhash family's
+    // pigeonhole band join. The synthetic clips are all-distinct
+    // (texts are), so gainVariants injects re-encoded gain-scaled
+    // copies (1/37 of docs) — the volume-normalized-re-upload shape a
+    // production corpus carries natively — to keep the match path
+    // exercised end-to-end
+    "q_audio_dedup" -> ((s, d) => {
+      val base = AudioOps.syntheticAudio(t(s, d, "documents"))
+      Dedup.audioDedupPairs(base.union(AudioOps.gainVariants(base)))
+    }),
+    // gopherGate for clips: named-reason gate over the real decode;
+    // duration/rms/peak emitted for re-cutting. Token-free segments
+    // render silent, so short docs exercise the silent reason
+    // naturally
+    "q_audio_filter" -> ((s, d) => AudioOps.audioFilter(
+      AudioOps.syntheticAudio(t(s, d, "documents")))
+      .toDF("doc_id", "duration_ms", "rms", "peak", "keep", "fail_reasons")),
+    // the audio -> ANN bridge: real decode -> 8-bin time-energy
+    // envelope -> the embedding family's exact annTopK
+    "q_audio_ann" -> ((s, d) => AudioOps.audioAnnTopK(
+      AudioOps.syntheticAudio(t(s, d, "documents")))),
+    // rows-only (binary AVI parse): REAL video decode — AVI/MJPEG
+    // container parse + per-frame JPEG decode; the testdata has no
+    // binary column, so syntheticVideos packs one deterministic
+    // 6-frame token-block MJPEG per doc; fixture specs in VideoOpsSpec
+    "q_video_meta" -> ((s, d) => VideoOps.videoMeta(
+      VideoOps.syntheticVideos(t(s, d, "documents"))).toDF(
+      "doc_id", "width", "height", "n_frames", "fps", "decoded")),
+    // scene-change keyframe selection over real per-frame histograms
+    "q_video_keyframes" -> ((s, d) => VideoOps.videoKeyframes(
+      VideoOps.syntheticVideos(t(s, d, "documents")))
+      .toDF("doc_id", "frame_idx", "delta")),
+    // temporal perceptual dedup: per-frame dHash banding + aligned-
+    // frame verification (near-dup text families pair up)
+    "q_video_dedup" -> ((s, d) => Dedup.videoDedupPairs(
+      VideoOps.syntheticVideos(t(s, d, "documents"))))
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -275,7 +321,10 @@ object SparkEntry {
     * q_ann_ivfpq, q_ann_ivfpq_learned, q_semdedup, q_curate_pipeline,
     * q_quality_probe, q_cluster_balance, q_source_overlap_hll,
     * q_compress_ratio (no zlib in the oracle engine), q_image_dedup,
-    * q_image_ann, q_image_filter (raster decode), q_diverse_select,
+    * q_image_ann, q_image_filter (raster decode), q_audio_meta,
+    * q_audio_dedup, q_audio_filter, q_audio_ann (RIFF decode),
+    * q_video_meta, q_video_keyframes, q_video_dedup (AVI/MJPEG decode),
+    * q_diverse_select,
     * q_simhash_groups, q_ann_recall, q_cluster_purity.
     *
     * The hashed-key twins ARE oracled: q_dup_span_hashed and

@@ -861,12 +861,151 @@ object Dedup {
       .select(col("docId").as("doc_id"), col("dhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashes.count()
-    val stars = hashes.groupBy("dhash")
+    perceptualPairs(hashes, "dhash", maxHamming)
+  }
+
+  /** Perceptual-hash AUDIO dedup — the clip twin of
+    * [[imageDedupPairs]], byte-for-byte the same composition with the
+    * modality swapped: real RIFF/WAV decode → 64-bit energy-delta
+    * hash ([[graft.operators.AudioOps.energyHash64]]: gain- and
+    * duration-invariant frame-energy sign profile, stable under
+    * re-encode / volume normalization / small local edits) → the
+    * shared [[hammingBandPairs]] pigeonhole band join → exact hamming
+    * filter. Returns (a_id, b_id, hamming) for clip pairs within
+    * `maxHamming` bits.
+    *
+    * Undecodable / non-audio / too-short / digitally-silent payloads
+    * are EXCLUDED before banding (`decoded = false` from audioHashes):
+    * all four hash degenerately (an all-zero or all-tie energy
+    * profile) and would pair unrelated clips, the one thing a dedup
+    * pass must never do. Decode is partition-local, the join shuffles
+    * O(clips × bands) band keys — never all-pairs, no cartesian
+    * (plan-audited in AudioOpsSpec). Exact-dup-first via the shared
+    * distinct-hash rep reduction ([[perceptualPairs]]), same
+    * persist+count-not-checkpoint discipline as the image op.
+    */
+  def audioDedupPairs(audio: Dataset[AudioOps.AudioRow],
+      maxHamming: Int = 5,
+      maxSamples: Long = AudioOps.DefaultMaxSamples): DataFrame = {
+    val hashes = AudioOps.audioHashes(audio, maxSamples)
+      .where(col("decoded"))
+      .select(col("docId").as("doc_id"), col("ahash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashes.count()
+    perceptualPairs(hashes, "ahash", maxHamming)
+  }
+
+  /** Near-duplicate VIDEO pairs — the temporal member of the
+    * perceptual family: real AVI/MJPEG parse → per-frame dHash
+    * ([[graft.operators.VideoOps.frameHashes]], bounded to the
+    * leading `maxHashFrames` frames) → pigeonhole band join PER
+    * ALIGNED FRAME INDEX (one matching frame is enough to surface a
+    * candidate pair — the pigeonhole completeness argument applies
+    * frame-wise) → exact verification over ALL aligned frames of each
+    * candidate: keep pairs whose mean aligned-frame hamming ≤
+    * `maxHamming` AND whose aligned-frame count covers ≥ `minFrac` of
+    * the shorter clip. Returns (a_id, b_id, avg_hamming, n_matched).
+    *
+    * Re-encoded / lightly-edited copies align frame-for-frame and
+    * pass both gates; a clip sharing one still with an otherwise
+    * different clip surfaces as a candidate but dies on the mean and
+    * coverage gates. Clips with no hashable frames are excluded
+    * (never paired). Scale shape: the band join shuffles
+    * O(clips × frames × bands) keyed rows — never all-pairs, no
+    * cartesian (plan-audited in VideoOpsSpec); verification joins are
+    * keyed on the candidate set only. Exact-dup-first reduction:
+    * clips with IDENTICAL frame-hash sequences collapse to one
+    * representative before banding (the [[perceptualPairs]] argument
+    * lifted to sequences — hamming relations depend only on the hash
+    * sequence), members compose back at avg 0 / full coverage.
+    */
+  def videoDedupPairs(media: Dataset[MultimodalOps.MediaRow],
+      maxHamming: Int = 5, minFrac: Double = 0.5,
+      maxHashFrames: Int = 64,
+      maxPixels: Long = MultimodalOps.DefaultMaxPixels): DataFrame = {
+    // materialize ONCE (the imageDedupPairs rule): the plan below
+    // reads the frame-hash frame from seven subtrees, and every
+    // un-materialized read re-parses + re-decodes every frame
+    val fh = VideoOps.frameHashes(media, maxHashFrames, maxPixels).toDF()
+      .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
+        col("fhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fh.count()
+    // clip signature = xxhash64 over the ordered frame hashes: the
+    // star key for the exact-dup-first reduction
+    val sigs = fh.groupBy("doc_id")
+      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("frame_idx"), col("fhash")))))).as("sig"),
+        count(lit(1)).as("nf"))
+    val stars = sigs.groupBy("sig").agg(min(col("doc_id")).as("rep_id"))
+    val members = sigs.join(stars, "sig")
+      .select(col("doc_id"), col("rep_id"), col("nf"))
+    val repFh = fh.join(stars.select(col("rep_id").as("doc_id")), "doc_id")
+    val (nBands, width, mask) = pigeonholeBands(maxHamming)
+    val bandCols = (0 until nBands).map(b => struct(lit(b).as("band_idx"),
+      shiftright(col("fhash"), b * width).bitwiseAND(mask).as("band_val")))
+    val banded = repFh
+      .select(col("doc_id"), col("frame_idx"), col("fhash"),
+        explode(array(bandCols: _*)).as("bv"))
+      .select(col("doc_id"), col("frame_idx"),
+        col("bv.band_idx"), col("bv.band_val"))
+    val cand = banded.as("a").hint("SHUFFLE_HASH")
+      .join(banded.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
+      .distinct()
+    val va = repFh.select(col("doc_id").as("ra"), col("frame_idx"),
+      col("fhash").as("ha"))
+    val vb = repFh.select(col("doc_id").as("rb"), col("frame_idx"),
+      col("fhash").as("hb"))
+    val counts = members.select(col("rep_id"), col("nf")).distinct()
+    val repPairs = cand.join(va, "ra").join(vb, Seq("rb", "frame_idx"))
+      .groupBy("ra", "rb")
+      // sum(long)/count is exact-then-one-divide: order-independent
+      .agg((sum(hamming(col("ha"), col("hb")).cast("long")) /
+        count(lit(1))).as("avg_hamming"), count(lit(1)).as("n_matched"))
+      .join(counts.select(col("rep_id").as("ra"), col("nf").as("na")), "ra")
+      .join(counts.select(col("rep_id").as("rb"), col("nf").as("nb")), "rb")
+      .where(col("avg_hamming") <= maxHamming &&
+        col("n_matched") >= ceil(least(col("na"), col("nb")) * lit(minFrac)))
+      .select(col("ra"), col("rb"), col("avg_hamming"), col("n_matched"))
+    val m = members.select(col("doc_id"), col("rep_id"))
+    val cross = repPairs
+      .join(m.select(col("rep_id").as("ra"), col("doc_id").as("da")), "ra")
+      .join(m.select(col("rep_id").as("rb"), col("doc_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"),
+        col("avg_hamming"), col("n_matched"))
+    val within = members.as("m1").join(members.as("m2"),
+        col("m1.rep_id") === col("m2.rep_id") &&
+          col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("a_id"), col("m2.doc_id").as("b_id"),
+        lit(0.0).as("avg_hamming"), col("m1.nf").as("n_matched"))
+    cross.unionByName(within)
+  }
+
+  /** Shared distinct-hash rep reduction + band join + member
+    * composition behind [[imageDedupPairs]] and [[audioDedupPairs]]:
+    * hamming depends ONLY on the hash value, so the band join runs
+    * over one representative per DISTINCT hash (on a
+    * verbatim-duplicated corpus the bucket fan-out shrinks by the
+    * clone factor squared) and member pairs compose back by two
+    * bounded joins — within-star pairs at hamming 0, cross-star pairs
+    * at their reps' hamming. Output is bit-for-bit the per-row
+    * semantics. `hashes` must be a MATERIALIZED (doc_id, hashCol)
+    * frame: the composed plan reads it from six subtrees.
+    */
+  private def perceptualPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    val stars = hashes.groupBy(hashCol)
       .agg(min(col("doc_id")).as("rep_id"))
-    val members = hashes.join(stars, "dhash")
+    val members = hashes.join(stars, hashCol)
       .select(col("doc_id"), col("rep_id"))
     val repPairs = hammingBandPairs(
-      stars.select(col("rep_id").as("doc_id"), col("dhash")), maxHamming)
+      stars.select(col("rep_id").as("doc_id"), col(hashCol)), maxHamming)
     val cross = repPairs
       .join(members.select(col("rep_id").as("a_id"),
         col("doc_id").as("da")), "a_id")

@@ -90,8 +90,17 @@ object MultimodalOps {
     * in the image size.
     */
   private def decodeImage(m: MediaRow, maxPixels: Long): Option[MediaFeatures] =
+    decodeWithHistogram(m.payload, maxPixels).map { case (w, h, hist) =>
+      MediaFeatures(m.docId, w, h, 1, hist)
+    }
+
+  /** Payload-level decode + histogram — shared by [[decodeImage]] and
+    * [[graft.operators.VideoOps.videoKeyframes]]' per-frame deltas.
+    */
+  private[operators] def decodeWithHistogram(payload: Array[Byte],
+      maxPixels: Long = DefaultMaxPixels): Option[(Int, Int, Array[Float])] =
     try {
-      val img = readImageBounded(m.payload, maxPixels).orNull
+      val img = readImageBounded(payload, maxPixels).orNull
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -112,9 +121,14 @@ object MultimodalOps {
           y += sy
         }
         if (n > 0) { var i = 0; while (i < 8) { hist(i) /= n; i += 1 } }
-        Some(MediaFeatures(m.docId, w, h, 1, hist))
+        Some((w, h, hist))
       }
     } catch { case _: Exception => None }
+
+  /** The 8-bin luminance histogram alone (pixel-budget-guarded). */
+  private[operators] def decodeForHistogram(payload: Array[Byte],
+      maxPixels: Long = DefaultMaxPixels): Option[Array[Float]] =
+    decodeWithHistogram(payload, maxPixels).map(_._3)
 
   /** Decode one batch: real image decode (pixel-budget-guarded), stub
     * for video/undecodable/over-budget.
@@ -239,44 +253,57 @@ object MultimodalOps {
         // policy): render the empty-document background image rather
         // than NPE-ing the whole job
         val toks = if (text == null) Array.empty[String] else text.split(" ")
-        val side = blocks * blockPx
-        val img = new java.awt.image.BufferedImage(side, side,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val nBlocks = blocks * blocks
-        // per-block color = XOR of murmur over the tokens at positions
-        // ≡ b (mod blocks²) — EVERY token influences a pixel, so texts
-        // differing only past token blocks² still render apart (r9
-        // review: the first cut ignored the tail, and two docs sharing
-        // a 64-token header rendered byte-identical).
-        // murmur, not String.hashCode: the polynomial hash of short
-        // similar tokens varies mostly in its LOW bits, leaving the
-        // luminance (dominated by the red/green channels) nearly
-        // constant across blocks — a degenerate dHash where unrelated
-        // images land within a few hamming bits. Murmur's avalanche
-        // decorrelates block luminance per token.
-        val colors = Array.fill(nBlocks)(0x202020)
-        var i = 0
-        while (i < toks.length) {
-          val b = i % nBlocks
-          colors(b) = (colors(b) ^
-            scala.util.hashing.MurmurHash3.stringHash(toks(i))) & 0xffffff
-          i += 1
-        }
-        var b = 0
-        while (b < nBlocks) {
-          val bx = (b % blocks) * blockPx; val by = (b / blocks) * blockPx
-          var y = by
-          while (y < by + blockPx) {
-            var x = bx
-            while (x < bx + blockPx) { img.setRGB(x, y, colors(b)); x += 1 }
-            y += 1
-          }
-          b += 1
-        }
+        val img = renderTokenBlocks(toks, blocks, blockPx,
+          seed = scala.util.hashing.MurmurHash3.stringSeed)
         val bos = new ByteArrayOutputStream()
         ImageIO.write(img, "png", bos)
         MediaRow(id, bos.toByteArray, "image")
       })
+  }
+
+  /** The token-block raster behind [[syntheticImages]] and
+    * [[graft.operators.VideoOps.syntheticVideos]] (which varies
+    * `seed` per frame). Per-block color = XOR of murmur over the
+    * tokens at positions ≡ b (mod blocks²) — EVERY token influences a
+    * pixel, so texts differing only past token blocks² still render
+    * apart (r9 review: the first cut ignored the tail, and two docs
+    * sharing a 64-token header rendered byte-identical).
+    * murmur, not String.hashCode: the polynomial hash of short
+    * similar tokens varies mostly in its LOW bits, leaving the
+    * luminance (dominated by the red/green channels) nearly constant
+    * across blocks — a degenerate dHash where unrelated images land
+    * within a few hamming bits. Murmur's avalanche decorrelates block
+    * luminance per token. The murmur SEED distinguishes frames: the
+    * same text renders a different (but equally token-determined)
+    * raster per seed.
+    */
+  private[operators] def renderTokenBlocks(toks: Array[String],
+      blocks: Int, blockPx: Int,
+      seed: Int): java.awt.image.BufferedImage = {
+    val side = blocks * blockPx
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val nBlocks = blocks * blocks
+    val colors = Array.fill(nBlocks)(0x202020)
+    var i = 0
+    while (i < toks.length) {
+      val b = i % nBlocks
+      colors(b) = (colors(b) ^
+        scala.util.hashing.MurmurHash3.stringHash(toks(i), seed)) & 0xffffff
+      i += 1
+    }
+    var b = 0
+    while (b < nBlocks) {
+      val bx = (b % blocks) * blockPx; val by = (b / blocks) * blockPx
+      var y = by
+      while (y < by + blockPx) {
+        var x = bx
+        while (x < bx + blockPx) { img.setRGB(x, y, colors(b)); x += 1 }
+        y += 1
+      }
+      b += 1
+    }
+    img
   }
 
   /** Top-k similar images by decoded luminance-feature cosine (r9) —

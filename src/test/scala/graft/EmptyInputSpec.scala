@@ -85,6 +85,30 @@ class EmptyInputSpec extends SparkSuite {
         graft.operators.MultimodalOps.MediaRow]
       spark.emptyDataset[graft.operators.MultimodalOps.MediaRow]
     })
+    def noAudio = {
+      implicit val e = org.apache.spark.sql.Encoders.product[
+        graft.operators.AudioOps.AudioRow]
+      spark.emptyDataset[graft.operators.AudioOps.AudioRow]
+    }
+    assertEmptyOk("audioDedupPairs", Dedup.audioDedupPairs(noAudio))
+    def noMedia = {
+      implicit val e = org.apache.spark.sql.Encoders.product[
+        graft.operators.MultimodalOps.MediaRow]
+      spark.emptyDataset[graft.operators.MultimodalOps.MediaRow]
+    }
+    assertEmptyOk("videoDedupPairs", Dedup.videoDedupPairs(noMedia))
+    assertEmptyOk("videoMeta",
+      graft.operators.VideoOps.videoMeta(noMedia).toDF())
+    assertEmptyOk("videoKeyframes",
+      graft.operators.VideoOps.videoKeyframes(noMedia).toDF())
+    assertEmptyOk("videoFrameSample",
+      graft.operators.VideoOps.frameSample(noMedia).toDF())
+    assertEmptyOk("audioAnnTopK",
+      graft.operators.AudioOps.audioAnnTopK(noAudio))
+    assertEmptyOk("extractAudioFeatures",
+      graft.operators.AudioOps.extractAudioFeatures(noAudio).toDF())
+    assertEmptyOk("audioFilter",
+      graft.operators.AudioOps.audioFilter(noAudio).toDF())
     assertEmptyOk("decontaminateBloom",
       graft.operators.Curation.decontaminateBloom(noDocs))
     assertEmptyOk("contamAttribution",

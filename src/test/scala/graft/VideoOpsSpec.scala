@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+
+import graft.operators.{Dedup, MultimodalOps, VideoOps}
+import graft.operators.MultimodalOps.MediaRow
+
+/** Real AVI/MJPEG video decode: container round trip, metadata,
+  * frame sampling into the image family, keyframe (scene-change)
+  * selection, the temporal perceptual dedup, and the bomb-clamp /
+  * degrade contracts the other modalities established.
+  */
+class VideoOpsSpec extends SparkSuite {
+
+  private def jpeg(fill: Int, w: Int = 32, h: Int = 32,
+      noiseSeed: Int = -1): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var st = noiseSeed
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = if (noiseSeed < 0) fill
+      else { st = st * 1103515245 + 12345; st >>> 8 & 0xffffff }
+      img.setRGB(x, y, c)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+    bos.toByteArray
+  }
+
+  private def rows(rs: (Long, Array[Byte], String)*) = {
+    implicit val enc = Encoders.product[MediaRow]
+    spark.createDataset(rs.map { case (id, p, f) => MediaRow(id, p, f) })
+  }
+
+  test("writeAviMjpeg -> decodeAvi round trip preserves header and frames") {
+    val frames = Seq(jpeg(0x336699), jpeg(0x996633), jpeg(0x119922))
+    val avi = VideoOps.writeAviMjpeg(frames, 32, 32, fps = 10)
+    val a = VideoOps.decodeAvi(avi).get
+    assert(a.width == 32 && a.height == 32 && a.usPerFrame == 100000)
+    assert(a.frames.length == 3)
+    assert(a.frames.map(_.toSeq) == frames.map(_.toSeq))
+  }
+
+  test("videoMeta: real parse for videos, degrade for everything else") {
+    val avi = VideoOps.writeAviMjpeg(Seq(jpeg(0x112233), jpeg(0x445566)),
+      32, 32, fps = 5)
+    val m = rows((0L, avi, "video"),
+      (1L, "not a container".getBytes("UTF-8"), "video"),
+      (2L, avi, "image"), // format says image: the AVI path must not run
+      (3L, Array.emptyByteArray, "video"))
+    val meta = VideoOps.videoMeta(m).collect().sortBy(_.docId)
+    assert(meta(0).decoded && meta(0).nFrames == 2 &&
+      meta(0).width == 32 && meta(0).height == 32 &&
+      math.abs(meta(0).fps - 5.0) < 1e-9)
+    assert(!meta(1).decoded && !meta(2).decoded && !meta(3).decoded)
+  }
+
+  test("frameSample: every-Nth real frame, decodable by the image family") {
+    val frames = (0 until 7).map(i => jpeg(0x101010 * (i + 1)))
+    val avi = VideoOps.writeAviMjpeg(frames, 32, 32, fps = 10)
+    val out = VideoOps.frameSample(rows((0L, avi, "video"),
+      (1L, "junk".getBytes("UTF-8"), "video")), everyN = 3)
+      .collect().sortBy(_.frameIdx)
+    assert(out.map(_.frameIdx).toSeq == Seq(0, 3, 6))
+    assert(out.forall(_.docId == 0L), "undecodable contributed frames")
+    out.foreach { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.payload))
+      assert(img != null && img.getWidth == 32 && img.getHeight == 32)
+    }
+  }
+
+  test("videoKeyframes: scene changes emit, still runs collapse") {
+    val black = jpeg(0x000000)
+    val white = jpeg(0xffffff)
+    val avi = VideoOps.writeAviMjpeg(
+      Seq(black, black, black, white, white, black), 32, 32, fps = 10)
+    val kf = VideoOps.videoKeyframes(rows((0L, avi, "video")),
+      threshold = 0.5).collect().sortBy(_.frameIdx)
+    assert(kf.map(_.frameIdx).toSeq == Seq(0, 3, 5), s"got ${kf.toSeq}")
+    assert(kf(0).delta == 2.0) // sentinel: first frame always emits
+    assert(kf(1).delta > 1.5 && kf(2).delta > 1.5)
+  }
+
+  test("decodeAvi bomb clamp: forged chunk sizes cannot read past the payload") {
+    val avi = VideoOps.writeAviMjpeg(Seq(jpeg(0x223344)), 32, 32, 10)
+    // forge the movi LIST size field to 2 GB: locate "movi" and patch
+    // the size 4 bytes before it
+    val idx = avi.indexOfSlice("movi".getBytes("US-ASCII"))
+    val forged = avi.clone()
+    java.nio.ByteBuffer.wrap(forged).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(idx - 4, Int.MaxValue)
+    val a = VideoOps.decodeAvi(forged)
+    assert(a.isDefined && a.get.frames.length == 1, "clamped parse")
+    // frame-count cap: a 100-frame clip hashes only the leading budget
+    val many = VideoOps.writeAviMjpeg(
+      (0 until 20).map(_ => jpeg(0x554433)), 32, 32, 10)
+    assert(VideoOps.decodeAvi(many, maxFrames = 8).get.frames.length == 8)
+  }
+
+  test("videoDedupPairs: re-encode-identical clips pair, shared-still clips do not") {
+    val a1 = jpeg(0, noiseSeed = 7); val a2 = jpeg(0, noiseSeed = 8)
+    val a3 = jpeg(0, noiseSeed = 9)
+    val b1 = jpeg(0, noiseSeed = 107); val b2 = jpeg(0, noiseSeed = 108)
+    val b3 = jpeg(0, noiseSeed = 109)
+    val cloneA = VideoOps.writeAviMjpeg(Seq(a1, a2, a3), 32, 32, 10)
+    val unrelated = VideoOps.writeAviMjpeg(Seq(b1, b2, b3), 32, 32, 10)
+    // shares ONE aligned still with A but nothing else: candidate via
+    // the band join, must die on the mean/coverage gates
+    val sharedStill = VideoOps.writeAviMjpeg(Seq(a1, b2, b3), 32, 32, 10)
+    val m = rows((0L, cloneA, "video"), (1L, cloneA, "video"),
+      (2L, unrelated, "video"), (3L, sharedStill, "video"),
+      (4L, "garbage".getBytes("UTF-8"), "video"),
+      (5L, "garbage".getBytes("UTF-8"), "video"))
+    val out = Dedup.videoDedupPairs(m, maxHamming = 5, minFrac = 0.6)
+    val pairs = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(pairs.get((0L, 1L)).exists { case (avg, n) =>
+      avg == 0.0 && n == 3 }, s"clone pair: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L), "unrelated")
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)),
+      "one shared still must not suffice")
+    assert(!pairs.contains((4L, 5L)), "undecodable paired")
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+  }
+
+  test("syntheticVideos: dup texts pack identical containers; near-dups pair in dedup") {
+    import spark.implicits._
+    val a = (0 until 80).map(i => s"tok$i").mkString(" ")
+    val aEdit = (0 until 80).map(i =>
+      if (i == 11) "EDITED" else s"tok$i").mkString(" ")
+    val b = (0 until 80).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, a, "en", "s"), (1L, a, "en", "s"),
+      (2L, aEdit, "en", "s"), (3L, b, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val vids = VideoOps.syntheticVideos(docs).collect().sortBy(_.docId)
+    assert(vids(0).payload.toSeq == vids(1).payload.toSeq)
+    assert(vids(0).payload.toSeq != vids(2).payload.toSeq)
+    val meta = VideoOps.videoMeta(VideoOps.syntheticVideos(docs))
+      .collect().sortBy(_.docId)
+    assert(meta.forall(v => v.decoded && v.nFrames == 6))
+    val pairs = Dedup.videoDedupPairs(VideoOps.syntheticVideos(docs),
+      maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "dup-text clips must pair")
+    assert(pairs.contains((0L, 2L)), s"near-dup-text clips must pair: $pairs")
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((2L, 3L)),
+      "unrelated texts paired")
+  }
+}
