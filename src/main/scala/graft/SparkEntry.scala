@@ -280,8 +280,16 @@ object SparkEntry {
     // production corpus carries natively — to keep the match path
     // exercised end-to-end
     "q_audio_dedup" -> ((s, d) => {
-      val base = AudioOps.syntheticAudio(t(s, d, "documents"))
-      Dedup.audioDedupPairs(base.union(AudioOps.gainVariants(base)))
+      import org.apache.spark.sql.functions.{col, lit}
+      val docs = t(s, d, "documents")
+      val base = AudioOps.syntheticAudio(docs)
+      // render the variant branch from the 1/37 doc subset directly:
+      // gainVariants' own docId filter is idempotent on it, and the
+      // synthetic render (the dominant cost) runs over 1/37 of the
+      // corpus instead of all of it
+      val variantSrc = AudioOps.syntheticAudio(
+        docs.where(col("doc_id") % lit(37) === 0))
+      Dedup.audioDedupPairs(base.union(AudioOps.gainVariants(variantSrc)))
     }),
     // gopherGate for clips: named-reason gate over the real decode;
     // duration/rms/peak emitted for re-cutting. Token-free segments

@@ -367,6 +367,70 @@ object AudioOps {
         }))
   }
 
+  /** Resample to `targetRate` — the audio analog of
+    * [[MultimodalOps.resize]], the uniform-sample-rate pass a
+    * training pipeline runs before batching: real decode → linear
+    * interpolation over the mono signal → PCM-16 WAV re-encode.
+    * Undecodable / non-audio payloads are dropped (flatMap; the
+    * resize stub policy does not apply — a fabricated clip has no
+    * consumer). Partition-local map, no shuffle. Output length is
+    * round(n · target/src) samples; a clip already at `targetRate`
+    * still round-trips through re-encode (idempotent re-runs produce
+    * identical bytes — spec-asserted).
+    */
+  def resample(audio: Dataset[AudioRow], targetRate: Int,
+      maxSamples: Long = DefaultMaxSamples): Dataset[AudioRow] = {
+    require(targetRate > 0, s"targetRate must be positive, got $targetRate")
+    implicit val enc = Encoders.product[AudioRow]
+    audio.mapPartitions(_.flatMap(m =>
+      (if (m.format == "audio") decodeWav(m.payload, maxSamples)
+       else None).flatMap { p =>
+        val n = p.mono.length
+        val outN = math.round(n.toDouble * targetRate / p.sampleRate).toInt
+        if (outN <= 0 || outN > maxSamples) None
+        else {
+          val out = Array.ofDim[Short](outN)
+          var i = 0
+          while (i < outN) {
+            val pos = i.toDouble * p.sampleRate / targetRate
+            val i0 = math.min(n - 1, pos.toInt)
+            val i1 = math.min(n - 1, i0 + 1)
+            val frac = pos - i0
+            val s = p.mono(i0) * (1 - frac) + p.mono(i1) * frac
+            out(i) = math.max(-32768, math.min(32767,
+              math.rint(s * 32768.0))).toInt.toShort
+            i += 1
+          }
+          Some(AudioRow(m.docId, writeWav(out, targetRate), "audio"))
+        }
+      }))
+  }
+
+  /** Peak-normalize to `targetPeak` (default 0.9) — the loudness-
+    * normalization pass published audio pipelines run before feature
+    * extraction, and a direct consumer of the dedup family's
+    * gain-invariance: a normalized corpus and its raw original carry
+    * IDENTICAL energy-delta hashes (spec-asserted). Digitally-silent
+    * clips pass through unchanged (no gain is defined). Undecodable /
+    * non-audio dropped. Partition-local, no shuffle.
+    */
+  def normalizeGain(audio: Dataset[AudioRow], targetPeak: Double = 0.9,
+      maxSamples: Long = DefaultMaxSamples): Dataset[AudioRow] = {
+    require(targetPeak > 0 && targetPeak <= 1.0,
+      s"targetPeak must be in (0, 1], got $targetPeak")
+    implicit val enc = Encoders.product[AudioRow]
+    audio.mapPartitions(_.flatMap(m =>
+      (if (m.format == "audio") decodeWav(m.payload, maxSamples)
+       else None).map { p =>
+        var peak = 0.0
+        p.mono.foreach(s => peak = math.max(peak, math.abs(s)))
+        val g = if (peak > 0) targetPeak / peak else 1.0
+        val out = p.mono.map(s => math.max(-32768, math.min(32767,
+          math.rint(s * g * 32768.0))).toInt.toShort)
+        AudioRow(m.docId, writeWav(out, p.sampleRate), "audio")
+      }))
+  }
+
   /** Canonical 44-byte-header mono PCM-16 WAV writer (fixtures +
     * syntheticAudio).
     */

@@ -910,7 +910,13 @@ object Dedup {
     * pass both gates; a clip sharing one still with an otherwise
     * different clip surfaces as a candidate but dies on the mean and
     * coverage gates. Clips with no hashable frames are excluded
-    * (never paired). Scale shape: the band join shuffles
+    * (never paired). Stated limitation: alignment is by frame INDEX,
+    * so a copy with frames dropped/inserted (or trimmed from the
+    * front) shifts out of alignment and is missed — the
+    * temporal-warp-robust upgrade is banding on (dHash, hash-gram of
+    * neighboring frame hashes) instead of (frame_idx, band), the
+    * winnow idea lifted to frames; not built because no fixture
+    * format here produces warped copies. Scale shape: the band join shuffles
     * O(clips × frames × bands) keyed rows — never all-pairs, no
     * cartesian (plan-audited in VideoOpsSpec); verification joins are
     * keyed on the candidate set only. Exact-dup-first reduction:

@@ -501,6 +501,59 @@ object StreamingOps {
           nearDupStep(band, ds, state, ttlMs))
   }
 
+  /** Streaming AUDIO near-duplicate gate (r9 session 4) — the
+    * ingest-time dual of [[graft.operators.Dedup.audioDedupPairs]],
+    * completing the per-modality gate family (text
+    * [[nearDupDocStream]], image [[imageDupDocStream]], this): each
+    * arriving clip is decoded row-locally (REAL RIFF/WAV parse, the
+    * batch bomb clamps), energy-delta hashed, split into the SAME
+    * pigeonhole bands as the batch op, and flagged when a band was
+    * already claimed by a DIFFERENT payload inside the TTL horizon.
+    * Exact byte-copies are NOT flagged (an exact-dedup stage owns
+    * those); undecodable / non-audio / too-short / digitally-silent
+    * clips are dropped at the gate — the batch op's degenerate-hash
+    * exclusion rule, which matters MORE live: an all-tie hash would
+    * claim every band for the first silent clip and flag every later
+    * one. Same TTL/first-claimant honesty contract and bounded state
+    * as the siblings (shared [[nearDupStep]]).
+    */
+  def audioDupDocStream(audio: Dataset[graft.operators.AudioOps.AudioRow],
+      maxHamming: Int = 5, ttlMs: Long = 3600 * 1000L,
+      maxSamples: Long = graft.operators.AudioOps.DefaultMaxSamples)
+      : Dataset[NearDupFlag] = {
+    implicit val outEnc = Encoders.product[NearDupFlag]
+    implicit val keyEnc = Encoders.STRING
+    implicit val bdEnc = Encoders.product[BandDoc]
+    implicit val stEnc = Encoders.product[BandState]
+    val (nBands, width, mask) =
+      graft.operators.Dedup.pigeonholeBands(maxHamming)
+    audio.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val h =
+          if (m.payload == null || m.format != "audio" || m.payload.isEmpty)
+            None
+          else graft.operators.AudioOps.decodeWav(m.payload, maxSamples)
+            .flatMap(p => graft.operators.AudioOps.energyHash64(p.mono))
+        h match {
+          case None => Iterator.empty // poison tolerance: no band semantics
+          case Some(v) =>
+            digest.reset()
+            val md5hex = digest.digest(m.payload)
+              .map(b => f"$b%02x").mkString
+            (0 until nBands).iterator.map { b =>
+              BandDoc(s"$b:${(v >> (b * width)) & mask}", m.docId, md5hex)
+            }
+        }
+      }
+    }
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout())(
+        (band: String, ds: Iterator[BandDoc], state: GroupState[BandState]) =>
+          nearDupStep(band, ds, state, ttlMs))
+  }
+
   /** One token routed to its owning shard. */
   case class TokShard(shard: Long, tok: String)
   case class HeavyHitter(shard: Long, token: String, estCount: Long)

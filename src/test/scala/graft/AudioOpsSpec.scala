@@ -224,6 +224,59 @@ class AudioOpsSpec extends SparkSuite {
     assert(ham(hashes(0).ahash, hashes(3).ahash) > 5, "unrelated too close")
   }
 
+  test("resample: rate conversion preserves duration and tone; idempotent at same rate") {
+    val m = rows((0L, wav(sine(440, 1.0, 0.5)), "audio"),
+      (1L, "junk".getBytes("UTF-8"), "audio"))
+    val down = AudioOps.resample(m, 4000).collect()
+    assert(down.map(_.docId).toSeq == Seq(0L), "undecodable dropped")
+    val f = AudioOps.extractAudioFeatures(
+      rows((0L, down(0).payload, "audio"))).collect()(0)
+    assert(f.sampleRate == 4000 && f.nSamples == 4000)
+    assert(math.abs(f.durationMs - 1000.0) < 1e-6, "duration preserved")
+    // 440 Hz tone at 4 kHz: zcr doubles in per-sample terms
+    assert(math.abs(f.zcr - 2 * 440.0 / 4000) < 0.02, s"zcr ${f.zcr}")
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 0.01, "level preserved")
+    // same-rate resample is byte-idempotent after one round trip
+    val once = AudioOps.resample(m, 8000).collect()(0).payload
+    val twice = AudioOps.resample(
+      rows((0L, once, "audio")), 8000).collect()(0).payload
+    assert(once.toSeq == twice.toSeq)
+  }
+
+  test("normalizeGain: peak lands on target, dedup hash survives, silence passes through") {
+    // energy-VARIED quiet clip (amp-seeded noise segments): near-tie
+    // frame energies of a flat tone could flip delta bits under
+    // requantization; distinct segment amplitudes make the hash's
+    // sign structure robust, which is the dedup contract being
+    // consumed here
+    val rnd = new scala.util.Random(3)
+    val quiet = Array.ofDim[Short](6400)
+    for (s <- 0 until 64) {
+      val amp = 300 + rnd.nextInt(2500)
+      for (j <- 0 until 100)
+        quiet(s * 100 + j) = (rnd.nextInt(2 * amp + 1) - amp).toShort
+    }
+    val m = rows((0L, wav(quiet), "audio"),
+      (1L, wav(Array.fill[Short](4000)(0)), "audio"))
+    val out = AudioOps.normalizeGain(m, targetPeak = 0.9).collect()
+      .sortBy(_.docId)
+    val f = AudioOps.extractAudioFeatures(
+      rows((0L, out(0).payload, "audio"))).collect()(0)
+    assert(math.abs(f.peak - 0.9) < 0.01, s"peak ${f.peak}")
+    // gain-invariance consumed: raw and normalized hash within
+    // requantization tolerance (same budget the gainVariants spec pins)
+    val h1 = AudioOps.decodeWav(wav(quiet)).flatMap(p =>
+      AudioOps.energyHash64(p.mono))
+    val h2 = AudioOps.decodeWav(out(0).payload).flatMap(p =>
+      AudioOps.energyHash64(p.mono))
+    assert(h1.isDefined && h2.isDefined)
+    assert(java.lang.Long.bitCount(h1.get ^ h2.get) <= 2,
+      s"hamming ${java.lang.Long.bitCount(h1.get ^ h2.get)}")
+    // silence: no gain defined, bytes unchanged
+    assert(out(1).payload.toSeq ==
+      wav(Array.fill[Short](4000)(0)).toSeq)
+  }
+
   test("gainVariants: requantized gain-scaled copies pair with their source") {
     import spark.implicits._
     val docs = (0L until 5L).map(i =>

@@ -422,6 +422,64 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("audioDupDocStream: edited clip flagged, byte-copy and distinct not, junk and silence dropped") {
+    implicit val sqlCtx = spark.sqlContext
+
+    def clip(edit: Boolean, seed: Int = 0): Array[Byte] = {
+      val rnd = new scala.util.Random(11 + seed)
+      // 64 noise-burst segments, amplitudes seeded — the energy-delta
+      // hash's native structure; the edit boosts one segment (a few
+      // delta bits, not the whole hash)
+      val pcm = Array.ofDim[Short](64 * 100)
+      for (s <- 0 until 64) {
+        val amp = 3000 + rnd.nextInt(12000)
+        val r2 = new scala.util.Random(1000 + s)
+        for (j <- 0 until 100)
+          pcm(s * 100 + j) = (r2.nextInt(2 * amp + 1) - amp).toShort
+      }
+      if (edit) for (j <- 0 until 100)
+        pcm(3200 + j) = (pcm(3200 + j) * 2).toShort
+      graft.operators.AudioOps.writeWav(pcm, 8000)
+    }
+
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val audio = {
+      implicit val enc = org.apache.spark.sql.Encoders.product[
+        graft.operators.AudioOps.AudioRow]
+      input.toDF().toDF("docId", "payload", "format")
+        .as[graft.operators.AudioOps.AudioRow]
+    }
+    val q = StreamingOps.audioDupDocStream(audio)
+      .writeStream.format("memory").queryName("audiodup_stream")
+      .outputMode("update").start()
+    try {
+      def await(n: Int): Map[Long, Boolean] = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var out = Map.empty[Long, Boolean]
+        while (out.size < n && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          out = spark.table("audiodup_stream").collect()
+            .groupBy(_.getAs[Long]("docId"))
+            .map { case (id, rows) =>
+              id -> rows.exists(_.getAs[Boolean]("isNeardup")) }
+        }
+        out
+      }
+      input.addData((1L, clip(edit = false), "audio"))
+      assert(await(1) == Map(1L -> false))
+      input.addData(
+        (2L, clip(edit = false), "audio"), // byte-identical: NOT flagged
+        (3L, clip(edit = true), "audio"), // one-segment boost: flagged
+        (4L, clip(edit = false, seed = 99), "audio"), // distinct: not
+        (5L, "not audio".getBytes("UTF-8"), "audio"), // dropped
+        (6L, graft.operators.AudioOps.writeWav( // silence: dropped
+          Array.fill[Short](4000)(0), 8000), "audio"))
+      val out = await(4)
+      assert(out == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false),
+        s"got $out")
+    } finally q.stop()
+  }
+
   test("imageDupDocStream: edited image flagged, byte-copy and distinct not, junk dropped") {
     implicit val sqlCtx = spark.sqlContext
 
