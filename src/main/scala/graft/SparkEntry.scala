@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AudioOps, Curation, Dedup, MultimodalOps, Payments, Similarity, TextOps, VideoOps}
+import graft.operators.{AudioOps, Curation, Dedup, MediaPipeline, MultimodalOps, Payments, Similarity, TextOps, VideoOps}
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -316,7 +316,20 @@ object SparkEntry {
     // temporal perceptual dedup: per-frame dHash banding + aligned-
     // frame verification (near-dup text families pair up)
     "q_video_dedup" -> ((s, d) => Dedup.videoDedupPairs(
-      VideoOps.syntheticVideos(t(s, d, "documents"))))
+      VideoOps.syntheticVideos(t(s, d, "documents")))),
+    // the composed multimodal capstone (gates -> dedup keep-first per
+    // modality, one inventory row per (doc, modality)); runs on the
+    // deterministic doc_id%3 slice — the full-corpus variants already
+    // run standalone as q_image_*/q_audio_*/q_video_*, so the
+    // composition demo does not pay the whole render+decode bill twice
+    "q_media_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val docs = t(s, d, "documents").where(col("doc_id") % lit(3) === 0)
+      MediaPipeline.curateMedia(
+        MultimodalOps.syntheticImages(docs),
+        AudioOps.syntheticAudio(docs),
+        VideoOps.syntheticVideos(docs))
+    })
   )
 
   /** DuckDB oracle SQL per SQL-expressible key (SURVEY.md §2 "oracle"
@@ -332,6 +345,7 @@ object SparkEntry {
     * q_image_ann, q_image_filter (raster decode), q_audio_meta,
     * q_audio_dedup, q_audio_filter, q_audio_ann (RIFF decode),
     * q_video_meta, q_video_keyframes, q_video_dedup (AVI/MJPEG decode),
+    * q_media_pipeline (composed multimodal decode capstone),
     * q_diverse_select,
     * q_simhash_groups, q_ann_recall, q_cluster_purity.
     *

@@ -1227,20 +1227,26 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(shingleStructs(col("toks"), n)).as(Seq("pos", "z")))
       .select(col("doc_id"), col("pos"), shingleFromStruct(col("z"), n).as("gram"))
-    val dupg = sh.select("doc_id", "gram").distinct()
-      .groupBy("gram").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= minDocs).select("gram")
-    val dupOcc = sh.join(dupg, Seq("gram"))
-    // the globally first (doc_id, pos) occurrence per gram — struct
-    // min is lexicographic, so this is exactly the old
-    // row_number-over-(doc_id, pos) owner, minus the skew funnel
-    val owners = dupOcc.groupBy("gram")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
-      .select(col("gram"), col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
-    val marked = dupOcc.join(owners, Seq("gram", "doc_id", "pos"), "left_anti")
-      .select(col("doc_id"), col("pos"))
-    val unmarked = sh.select("doc_id", "pos")
-      .join(marked, Seq("doc_id", "pos"), "left_anti")
+    // duplicated-gram detection AND ownership in ONE gram-keyed
+    // aggregate (r9: was distinct → count → join → min → two
+    // anti-joins, three more exchanges for the same answer): nd =
+    // distinct docs per gram (the Expand-based distinct-agg — its 2×
+    // row duplication is cheaper than the separate distinct shuffle
+    // it replaces), o = the globally first (doc_id, pos) occurrence
+    // (struct min is lexicographic = the old row_number owner, minus
+    // the skew funnel). An occurrence survives iff its gram is not
+    // duplicated (left join misses) or it IS the owner — one left
+    // join on gram replaces both anti-joins, and the join probes the
+    // same gram-keyed exchange the aggregate built.
+    val gstats = sh.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("pos"))).as("o"))
+      .where(col("nd") >= minDocs)
+      .select(col("gram"), col("o.doc_id").as("odoc"), col("o.pos").as("opos"))
+    val unmarked = sh.join(gstats, Seq("gram"), "left")
+      .where(col("odoc").isNull ||
+        (col("doc_id") === col("odoc") && col("pos") === col("opos")))
+      .select("doc_id", "pos")
     val keptIdx = unmarked
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))

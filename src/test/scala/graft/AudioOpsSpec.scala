@@ -277,6 +277,28 @@ class AudioOpsSpec extends SparkSuite {
       wav(Array.fill[Short](4000)(0)).toSeq)
   }
 
+  test("decodeWav fuzz: byte mutations and truncations never throw") {
+    val base = wav(sine(300, 0.5, 0.5))
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { i =>
+      val mutated = base.clone()
+      i % 3 match {
+        case 0 => // flip random bytes (headers included)
+          (0 until 8).foreach(_ =>
+            mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte)
+          AudioOps.decodeWav(mutated).foreach(p => assert(p.mono != null))
+        case 1 => // truncate at a random offset
+          val cut = java.util.Arrays.copyOf(mutated, rnd.nextInt(mutated.length))
+          AudioOps.decodeWav(cut).foreach(p => assert(p.mono != null))
+        case 2 => // forge a random header int field
+          val bb = java.nio.ByteBuffer.wrap(mutated)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.putInt(4 * rnd.nextInt(11), rnd.nextInt())
+          AudioOps.decodeWav(mutated).foreach(p => assert(p.mono != null))
+      }
+    }
+  }
+
   test("gainVariants: requantized gain-scaled copies pair with their source") {
     import spark.implicits._
     val docs = (0L until 5L).map(i =>

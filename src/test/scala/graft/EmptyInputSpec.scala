@@ -103,6 +103,8 @@ class EmptyInputSpec extends SparkSuite {
       graft.operators.VideoOps.videoKeyframes(noMedia).toDF())
     assertEmptyOk("videoFrameSample",
       graft.operators.VideoOps.frameSample(noMedia).toDF())
+    assertEmptyOk("curateMedia",
+      graft.operators.MediaPipeline.curateMedia(noMedia, noAudio, noMedia))
     assertEmptyOk("audioAnnTopK",
       graft.operators.AudioOps.audioAnnTopK(noAudio))
     assertEmptyOk("extractAudioFeatures",

@@ -98,6 +98,29 @@ class VideoOpsSpec extends SparkSuite {
     assert(VideoOps.decodeAvi(many, maxFrames = 8).get.frames.length == 8)
   }
 
+  test("decodeAvi fuzz: byte mutations and truncations never throw") {
+    val base = VideoOps.writeAviMjpeg(
+      Seq(jpeg(0x123456), jpeg(0x654321)), 32, 32, 10)
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { i =>
+      val mutated = base.clone()
+      i % 3 match {
+        case 0 =>
+          (0 until 8).foreach(_ =>
+            mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte)
+          VideoOps.decodeAvi(mutated).foreach(a => assert(a.frames != null))
+        case 1 =>
+          val cut = java.util.Arrays.copyOf(mutated, rnd.nextInt(mutated.length))
+          VideoOps.decodeAvi(cut).foreach(a => assert(a.frames != null))
+        case 2 =>
+          val bb = java.nio.ByteBuffer.wrap(mutated)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.putInt(4 * rnd.nextInt(20), rnd.nextInt())
+          VideoOps.decodeAvi(mutated).foreach(a => assert(a.frames != null))
+      }
+    }
+  }
+
   test("videoDedupPairs: re-encode-identical clips pair, shared-still clips do not") {
     val a1 = jpeg(0, noiseSeed = 7); val a2 = jpeg(0, noiseSeed = 8)
     val a3 = jpeg(0, noiseSeed = 9)
