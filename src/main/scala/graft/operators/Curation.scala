@@ -622,10 +622,20 @@ object Curation {
       .select(col("doc_id"),
         graft.functions.TextFunctions.shingleFromStruct(col("z"), 2).as("f"))
     val isTarget = col("doc_id") % targetEvery === targetRem
+    // persist+count the hashed-feature frame (the imageDedupPairs /
+    // ccnetBuckets rule): the plan reads it from BOTH the global
+    // ratio aggregates and the final per-doc score join, and the
+    // uni+bi feature explode — the expensive stage — would otherwise
+    // run twice (measured 2.7 s → 1.6 s at sf0.1). Rows are
+    // docs × distinct-buckets-per-doc (≤ `buckets`), three numeric
+    // columns; MEMORY_AND_DISK spills rather than fails at scale,
+    // and lineage recomputes on executor loss.
     val tf = uni.unionByName(bi)
       .select(col("doc_id"),
         graft.functions.TextFunctions.hashBucket(col("f"), buckets).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count()
     val bcnt = tf.select(col("b"), isTarget.as("t"), col("tf"))
       .groupBy("b", "t").agg(sum(col("tf")).as("c"))
     val byB = bcnt.groupBy("b").agg(

@@ -504,10 +504,18 @@ object TextOps {
     * fold-order-free in both engines; the final mean divides as double.
     */
   def unigramLogProb(documents: DataFrame): DataFrame = {
+    // persist+count the per-(doc, token) frame (the imageDedupPairs /
+    // ccnetBuckets rule): the corpus frequency aggregate AND the
+    // final per-doc score join both read it, and the token explode
+    // would otherwise run twice. Rows ≈ distinct tokens per doc,
+    // three narrow columns; MEMORY_AND_DISK spills at scale and
+    // lineage recomputes on executor loss.
     val tf = documents
       .select(col("doc_id"), explode(tokenize(col("text"))).as("tok"))
       .where(col("tok") =!= "")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count()
     val freq = tf.groupBy("tok").agg(sum(col("tf")).as("n_tok"))
     val total = freq.agg(sum(col("n_tok")).as("n_total"))
     val lp = round(log(col("n_tok").cast("double") / col("n_total").cast("double")), 6)
@@ -612,7 +620,12 @@ object TextOps {
       .select(col("doc_id"), explode(shingleStructs(toks, 2)).as("z"))
       .select(col("doc_id"), col("z").getField("0").as("w1"),
         col("z").getField("1").as("w2"))
+    // same persist rule as unigramLogProb: the pair-frequency chain
+    // and the final join both read tf — un-materialized, the bigram
+    // explode runs twice
     val tf = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count()
     val pairFreq = tf.groupBy("w1", "w2").agg(sum(col("tf")).as("n_pair"))
     val firstFreq = pairFreq.groupBy("w1").agg(sum(col("n_pair")).as("n_first"))
     val vocab = documents.select(explode(toks).as("tok"))
