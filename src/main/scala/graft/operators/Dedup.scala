@@ -461,6 +461,16 @@ object Dedup {
     // candidates × shingles exploded rows.
     val sets = shingled(reps, shingleLen)
       .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+      // persist+count (the imageDedupPairs rule): BOTH sides of the
+      // candidate verification join fetch from this frame, and the
+      // shingle explode + collect_set would otherwise run twice —
+      // measured q_split_leakage 2.14 s → ~1.5 s at sf0.1; the other
+      // consumers sit within host noise (the one extra count job
+      // costs ~0.2 s, the saved explode ~0.5 s and grows with the
+      // corpus). One packed array row per representative; spills at
+      // scale, lineage recomputes.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count()
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
