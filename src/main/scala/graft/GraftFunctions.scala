@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSim, DeflateLen, DotF32, HmacSha256Hex, MinHashSketch, MisraGriesAgg, SimHash64Agg, VectorMeanAgg}
+import graft.plans.{CosineSim, DeflateLen, DotF32, HmacSha256Hex, MinHashSketch, MisraGriesAgg, SimHash64Agg, VectorMeanAgg, VectorMomentsAgg}
 
 /** Registers graft's native expressions as SQL functions on a session.
   *
@@ -71,6 +71,10 @@ object GraftFunctions {
     Fn("vector_mean", { args =>
       require(args.length == 1 || args.length == 2, "vector_mean(v[, dim])")
       VectorMeanAgg(args(0), intLit(args, 1, "vector_mean dim", 64))
+    }),
+    Fn("vector_moments", { args =>
+      require(args.length == 1 || args.length == 2, "vector_moments(v[, dim])")
+      VectorMomentsAgg(args(0), intLit(args, 1, "vector_moments dim", 64))
     }),
     Fn("deflate_len", { args =>
       require(args.length == 1, "deflate_len(text)")

@@ -114,6 +114,12 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(t(s, d, "embeddings"))),
     "q_ann_ivfpq_learned" -> ((s, d) => Similarity.annIvfPqLearned(t(s, d, "embeddings"))),
     "q_kmeans" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
+    // rows-only (driver Jacobi eigensolve): one-pass moments aggregate
+    // + projection onto the top-k axes; fixture/orthonormality/
+    // variance-conservation specs in SimilaritySpec
+    "q_embed_pca" -> ((s, d) => Similarity.embedPca(t(s, d, "embeddings"))),
+    // rows-only (same fit): the explained-variance curve, k bounded rows
+    "q_pca_variance" -> ((s, d) => Similarity.pcaVariance(t(s, d, "embeddings"))),
     // rows-only (driver-iterated greedy selection); greedy-invariant
     // + corner-coverage specs in SimilaritySpec
     // rows-only (LSH bucketing): recall@k audit of the approximate

@@ -1229,4 +1229,245 @@ object Similarity {
         round(col("n_dominant").cast("double") / col("n_vecs").cast("double"), 6)
           .as("purity"))
   }
+
+  /** The PCA model: sample count, mean vector, eigenvalues of the
+    * covariance matrix (descending), and the matching unit
+    * eigenvectors (rows of `components`, the principal axes).
+    */
+  private[graft] case class PcaModel(n: Long, mean: Array[Double],
+      eigvals: Array[Double], components: Array[Array[Double]])
+
+  /** Fit PCA over the embedding column in ONE corpus pass — the
+    * linear-projection family's learned dual of [[randomProject]]:
+    * where JL signs are data-independent, PCA aims the `k` axes at
+    * the directions the corpus actually varies in, which is what
+    * embedding whitening / decorrelation / dimensionality reduction
+    * ahead of an ANN index or a clustering pass wants.
+    *
+    * Plan shape at 100 TB: the corpus contributes exactly one
+    * aggregate — [[graft.plans.VectorMomentsAgg]] folds each vector
+    * into a dim + dim·(dim+1)/2 + 1 double buffer (≈17 KB at dim=64,
+    * map-side combined, one buffer per mapper shuffled) — and the
+    * eigensolve happens on the DRIVER over the 64×64 covariance
+    * (cyclic Jacobi, microseconds; the k-rows-back discipline of
+    * [[kmeansAssign]]'s centroid update). No corpus data ever reaches
+    * the driver and no second pass exists in the fit.
+    *
+    * Determinism (§5b rules): the covariance entries are rounded to
+    * 9 dp BEFORE the eigensolve — the only fold-order-sensitive
+    * doubles in the pipeline are the aggregate's partial sums, and
+    * their ~1e-15-relative jitter is absorbed by the rounding, after
+    * which cyclic Jacobi is a fixed arithmetic sequence. Eigenpairs
+    * sort by (rounded eigenvalue desc, then first differing
+    * component); each eigenvector's sign is fixed by making its
+    * largest-|component| entry (lowest index on ties) positive.
+    *
+    * Degenerate-vector contract: rows that are null, wrong-`dim`, or
+    * carry a null element are skipped by the moments aggregate — the
+    * [[VectorMeanAgg]] / CosUtil rule, so the fitted axes see exactly
+    * the vectors every other similarity operator sees.
+    */
+  private[graft] def pcaModel(embeddings: DataFrame, dim: Int = 64): Option[PcaModel] = {
+    val e = registered(embeddings)
+    val momRow = e.agg(
+      call_function("vector_moments", col("embedding"), lit(dim)).as("m"))
+      .select(col("m")).collect()
+    if (momRow.isEmpty || momRow.head.isNullAt(0)) return None
+    val m = momRow.head.getSeq[Double](0).toArray
+    val tri = dim * (dim + 1) / 2
+    val n = m(dim + tri)
+    val mean = Array.tabulate(dim)(i => m(i) / n)
+    // cov = S/n − μμᵀ (population covariance — the scatter the
+    // projection variance spec checks against), rounded 9 dp so the
+    // aggregation fold order cannot reach the eigensolve
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = math.rint((m(t) / n - mean(i) * mean(j)) * 1e9) / 1e9
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    // sort desc by rounded eigenvalue; stable tie-break on the vector
+    // contents keeps the order engine-independent even for repeated
+    // eigenvalues of a degenerate (e.g. isotropic) covariance
+    val order = (0 until dim).sortBy(c => (-math.rint(vals(c) * 1e9) / 1e9,
+      vecs(c).toSeq.map(x => -math.abs(x)).mkString(",")))
+    val sorted = order.map(c => (vals(c), signFixed(vecs(c))))
+    Some(PcaModel(n.toLong, mean, sorted.map(_._1).toArray,
+      sorted.map(_._2).toArray))
+  }
+
+  /** Largest-|component| entry (lowest index on exact ties) made
+    * positive — the standard eigenvector sign convention; without it
+    * the sign is an artifact of the rotation sequence.
+    */
+  private def signFixed(v: Array[Double]): Array[Double] = {
+    var best = 0
+    var i = 1
+    while (i < v.length) {
+      if (math.abs(v(i)) > math.abs(v(best))) best = i
+      i += 1
+    }
+    if (v(best) < 0) v.map(-_) else v
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvectors as ROWS, aligned by index). Sweeps
+    * all (p,q) pairs in a fixed order until the off-diagonal Frobenius
+    * mass drops below 1e-18 (or 100 sweeps — quadratic convergence
+    * makes ~8 typical at dim=64). Deterministic: no pivot search, no
+    * RNG, a fixed arithmetic sequence for a given input.
+    */
+  private[graft] def jacobiEigen(
+      aIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = aIn.length
+    val a = Array.tabulate(n, n)((i, j) => aIn(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 100 && off() > 1e-18) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) { // A ← GᵀAG, columns then rows (A symmetric)
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)),
+      Array.tabulate(n)(cIdx => Array.tabulate(n)(r => v(r)(cIdx))))
+  }
+
+  /** PCA projection of every (valid) vector onto the top-`k`
+    * principal axes — fit via [[pcaModel]] (one corpus aggregate +
+    * driver Jacobi), then apply as a PURE projection: per component,
+    * one codegen `dot_f32` against the axis as a float typedLit
+    * riding the plan, minus the precomputed scalar μ·axis (the mean
+    * centering folded into a literal — the corpus never materializes
+    * a centered copy). `whiten = true` additionally divides each
+    * coordinate by √eigenvalue, the decorrelate-to-unit-variance form
+    * downstream Mahalanobis / cosine consumers want; axes with
+    * eigenvalue ≤ 1e-12 whiten to 0.0 by convention (a direction the
+    * corpus does not vary in carries no signal — stated, not NaN).
+    *
+    * Output (vec_id, pc1..pck) rounded 4 dp (the cosine rounding
+    * rule: axis components cast to float for the kernel, so the raw
+    * doubles are engine-fold sensitive below that). rows-only: the
+    * eigensolve has no DuckDB equivalent; specs pin a known
+    * anisotropic fixture (pc1 ∝ the planted long axis), basis
+    * orthonormality, per-axis projection variance ≈ eigenvalue, total
+    * variance conservation at k=dim, whitened variance ≈ 1, and rerun
+    * determinism.
+    */
+  def embedPca(embeddings: DataFrame, k: Int = 8, dim: Int = 64,
+      whiten: Boolean = false): DataFrame = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
+    val spark = embeddings.sparkSession
+    val model = pcaModel(embeddings, dim).getOrElse {
+      import spark.implicits._
+      return Seq.empty[Long].toDF("vec_id")
+        .select(col("vec_id") +: (1 to k).map(j =>
+          lit(0.0).as(s"pc$j")): _*).limit(0)
+    }
+    val valid = col("embedding").isNotNull && size(col("embedding")) === dim &&
+      !exists(col("embedding"), _.isNull)
+    val cols = (0 until k).map { j =>
+      val axisF = model.components(j).map(_.toFloat)
+      // mean offset with the SAME float-rounded axis the kernel sees,
+      // so centering is exact w.r.t. the kernel's arithmetic inputs
+      val offset = {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += model.mean(i) * axisF(i); i += 1 }
+        s
+      }
+      val raw = call_function("dot_f32", col("embedding"),
+        typedLit(axisF.toSeq)) - lit(offset)
+      val ev = model.eigvals(j)
+      val out =
+        if (!whiten) raw
+        else if (ev > 1e-12) raw / lit(math.sqrt(ev))
+        else lit(0.0)
+      round(out, 4).as(s"pc${j + 1}")
+    }
+    registered(embeddings).where(valid)
+      .select(col("vec_id") +: cols: _*)
+  }
+
+  /** The explained-variance audit frame for [[embedPca]] — the
+    * "how many axes do I actually need" curve (component, eigenvalue,
+    * var_share, cum_share), `k` bounded rows from the same one-pass
+    * fit. A production reduction picks k where cum_share flattens;
+    * publishing the curve as a frame makes that a query, not a
+    * notebook. Zero-variance corpora (n ≤ 1, or all-identical
+    * vectors) emit var_share 0.0 rather than NaN — stated.
+    */
+  def pcaVariance(embeddings: DataFrame, k: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    pcaModel(embeddings, dim) match {
+      case None =>
+        Seq.empty[(Long, Double, Double, Double)]
+          .toDF("component", "eigenvalue", "var_share", "cum_share")
+      case Some(model) =>
+        val total = model.eigvals.map(math.max(_, 0.0)).sum
+        var cum = 0.0 // unrounded accumulator: rounding only at emit,
+        val rows = (0 until k).map { j => // so cum_share cannot drift
+          val ev = model.eigvals(j)
+          val share = if (total > 0) math.max(ev, 0.0) / total else 0.0
+          cum += share
+          (j + 1L, math.rint(ev * 1e6) / 1e6,
+            math.rint(share * 1e6) / 1e6, math.rint(cum * 1e6) / 1e6)
+        }
+        rows.toDF("component", "eigenvalue", "var_share", "cum_share")
+    }
+  }
 }

@@ -167,6 +167,8 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("annIvf", Similarity.annIvf(noEmb))
     assertEmptyOk("annIvfLearned", Similarity.annIvfLearned(noEmb))
     assertEmptyOk("nearDupPairsLsh", Similarity.nearDupPairsLsh(noEmb))
+    assertEmptyOk("embedPca", Similarity.embedPca(noEmb))
+    assertEmptyOk("pcaVariance", Similarity.pcaVariance(noEmb))
     assertEmptyOk("semanticDecontaminate",
       graft.operators.Curation.semanticDecontaminate(noEmb))
     assertEmptyOk("quantizeEmbeddings", Similarity.quantizeEmbeddings(noEmb))

@@ -214,6 +214,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Join"), s"no join belongs in a projection:\n$p")
   }
 
+  test("embedPca: after the one-aggregate fit, the projection is pure — " +
+      "zero exchanges, kernel dots against literal axes") {
+    val p = plan(graft.operators.Similarity.embedPca(
+      Tables(spark, dir, "embeddings"), k = 4))
+    assert(!p.contains("Exchange"),
+      s"the PCA apply pass must run at scan speed:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a projection:\n$p")
+    assert(p.contains("dot_f32"),
+      "projection must ride the codegen dot kernel")
+    assert(!p.contains("label"), "scan must prune unused columns")
+  }
+
   test("tokenBudget: histogram side broadcasts; corpus never globally sorts") {
     val p = plan(graft.operators.Curation.tokenBudget(
       Tables(spark, dir, "documents")))
@@ -266,8 +278,21 @@ class PlanAuditSpec extends SparkSuite {
   test("wordEntropy: two keyed aggregates, both map-side partial, no joins") {
     val p = plan(graft.operators.TextOps.wordEntropy(
       Tables(spark, dir, "documents")))
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
-      s"expected exactly (doc,tok) + doc aggregate exchanges:\n$p")
+    // wordEntropy's (doc, tok) tf subtree is logically identical to the
+    // frame unigramLogProb persists, so when that operator ran earlier
+    // in the session the cache manager substitutes the InMemoryRelation
+    // (whose nested build plan re-lists its own exchange under both AQE
+    // sections). Audit the region ABOVE the cache boundary in that case
+    // — one doc-keyed exchange — and the uncached two-exchange shape
+    // otherwise.
+    if (p.contains("InMemoryTableScan")) {
+      val outer = p.linesIterator.takeWhile(!_.contains("InMemoryRelation")).toSeq
+      assert(outer.count(_.contains("Exchange hashpartitioning")) == 1,
+        s"expected exactly the doc aggregate exchange above the cached tf:\n$p")
+    } else {
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+        s"expected exactly (doc,tok) + doc aggregate exchanges:\n$p")
+    }
     assert(!p.contains("Join"), "entropy needs no join")
     assert(p.contains("partial"), "aggregates must combine map-side")
   }
