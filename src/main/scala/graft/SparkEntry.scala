@@ -167,6 +167,15 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(t(s, d, "documents"))),
     "q_train_split" -> ((s, d) => TextOps.trainSplit(t(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) => TextOps.vocabTopK(t(s, d, "documents"))),
+    // rows-only (driver-iterated merge training): spec re-derives the
+    // merge table with an independent local model (BpeSpec)
+    "q_bpe_learn" -> ((s, d) => TextOps.bpeLearn(t(s, d, "documents"))),
+    // rows-only (needs the learned table): per-doc fertility under the
+    // merges learned on the same corpus
+    "q_bpe_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.bpeTokens(docs, TextOps.bpeLearn(docs))
+    }),
     // oracle-checked in the exact regime only: capacity 256 exceeds
     // the gate vocabulary (~31), where Misra-Gries provably never
     // decrements and the summary equals exact counts; the sketch

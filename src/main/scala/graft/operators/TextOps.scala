@@ -918,6 +918,160 @@ object TextOps {
       .where(col("rnk") <= k)
   }
 
+  /** BPE merge LEARNING (Sennrich et al. 2016, the word-level form) —
+    * the tokenizer-training pass of a data pipeline, in the shape
+    * that scales: the corpus is touched exactly ONCE (the whitespace
+    * word-frequency aggregate [[vocabTopK]] also starts from), and
+    * every merge round then iterates over the VOCABULARY-sized
+    * (word, count, symbols) frame only — pair counts are one
+    * adjacent-pair explode + sum(wc) aggregate over that frame, the
+    * argmax pair is a single row back to the driver (the
+    * [[graft.operators.Similarity.kmeansAssign]] round-trip
+    * discipline), and the merge applies as a declarative left-fold
+    * over each word's symbol array. At web scale the vocabulary is
+    * millions of rows where the corpus is billions of documents, so
+    * `nMerges` rounds cost `nMerges` small shuffles, not `nMerges`
+    * corpus scans.
+    *
+    * Semantics (mirrored bit-for-bit by the spec's local reference
+    * model): symbols start as single characters plus a terminal
+    * `</w>`; each round counts every adjacent symbol pair (OVERLAPPING
+    * occurrences count, the subword-nmt convention: "aaa" contributes
+    * (a,a) twice) weighted by word frequency, picks the max with
+    * (count desc, left asc, right asc) tie-break, and merges
+    * leftmost-first non-overlapping within every word (the fold:
+    * "aaaa" + (a,a) → [aa][aa]). Learning stops early when no pair
+    * reaches `minPairCount` — a rank below that is tokenizer noise.
+    *
+    * Per-round plan: the fold guard uses `try_element_at` (null on
+    * the empty accumulator — ANSI `element_at` would throw) and each
+    * round `localCheckpoint`s the re-written vocab frame (the
+    * connectedComponents round discipline: without truncation every
+    * round nests another fold into the plan and Catalyst re-analysis
+    * dominates). Returns (rank, left, right, pair_count), `rank`
+    * 1-based in merge order — the artifact a tokenizer build persists.
+    * rows-only: driver-iterated training has no DuckDB equivalent;
+    * the spec re-derives the full merge table with an independent
+    * local model on randomized corpora.
+    *
+    * Character set note: symbols split by Java code unit (the
+    * `split(w, "")` convention shared with the n-gram family);
+    * astral-plane text would pair surrogates — acceptable for the
+    * byte/char-level tokenizers this models, stated not hidden.
+    */
+  def bpeLearn(documents: DataFrame, nMerges: Int = 32,
+      minPairCount: Long = 2): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 512,
+      s"nMerges must be in [1, 512], got $nMerges")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // the ONE corpus pass: whitespace word frequencies
+    var words = documents
+      .select(explode(tokenize(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val top = words
+        .select(col("wc"), explode(
+          transform(slice(col("syms"), lit(1), size(col("syms")) - 1),
+            (s, i) => struct(s.as("l"),
+              element_at(col("syms"), i + lit(2)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < minPairCount) {
+        done = true
+      } else {
+        val l = top.head.getAs[String]("l")
+        val r = top.head.getAs[String]("r")
+        merges += ((merges.length + 1L, l, r, top.head.getAs[Long]("cnt")))
+        val mergedTok = lit(l + r)
+        words = words
+          .withColumn("syms",
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) =>
+                // try_element_at: null on the empty accumulator → the
+                // when-condition is null → append branch (no ANSI throw)
+                when(try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(mergedTok)))
+                  .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Apply a learned BPE merge table ([[bpeLearn]]'s output) and
+    * report per-doc token statistics — the fertility audit (BPE
+    * tokens per whitespace word) a tokenizer build runs per corpus
+    * slice before committing to a vocab: a language or source whose
+    * fertility spikes is one the tokenizer under-serves.
+    *
+    * Plan shape: the merge loop runs over the DISTINCT-WORD frame
+    * only — one per-doc (doc, word) tf aggregate (the only corpus
+    * shuffle), a distinct on its word column, an imperative
+    * rank-order merge application per distinct word (a typed map over
+    * the vocabulary-sized frame — the rung-(d) escape hatch, justified
+    * because the sequential merge scan has no declarative form and
+    * the frame it touches is vocab-sized, not corpus-sized), then one
+    * keyed join back and a per-doc sum. The word→subtoken-count join
+    * is left to Catalyst/AQE stats (the pmiTop rule: vocabulary
+    * frames outgrow any broadcast limit at exactly the scale this is
+    * for). Returns (doc_id, n_words, n_bpe_tokens, fertility 6dp);
+    * docs with zero words emit no row (no 0/0 — the wordEntropy
+    * convention).
+    */
+  def bpeTokens(documents: DataFrame, merges: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // bounded collect: the merge table is ≤ nMerges (≤512) rows
+    val ms = merges.orderBy("rank")
+      .select(col("left"), col("right")).as[(String, String)].collect()
+    val docWords = documents
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val subCounts = docWords.select("w").distinct().as[String]
+      .map(w => (w, bpeApply(w, ms).length.toLong)).toDF("w", "n_sub")
+    docWords.join(subCounts, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("n_sub")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"))
+  }
+
+  /** Rank-order BPE encode of one word: chars + `</w>`, then each
+    * merge applied leftmost-first non-overlapping — the exact
+    * per-round fold [[bpeLearn]] trains with, so training-corpus
+    * words re-encode to their training segmentation.
+    */
+  private[graft] def bpeApply(w: String,
+      merges: Array[(String, String)]): Array[String] = {
+    var syms = (w.map(_.toString) :+ "</w>").toArray
+    merges.foreach { case (l, r) =>
+      if (syms.length > 1) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    syms
+  }
+
   /** Heavy-hitter tokens via a Misra-Gries summary
     * ([[graft.plans.MisraGriesAgg]]) — the constant-memory dual of
     * [[vocabTopK]]: where vocabTopK shuffles the FULL (token, count)

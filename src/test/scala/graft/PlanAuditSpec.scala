@@ -450,6 +450,17 @@ class PlanAuditSpec extends SparkSuite {
       s"the fp key must drive a hash equi-join:\n$p")
   }
 
+  test("bpeTokens: word-keyed equi-join only, never cartesian; " +
+      "tf aggregate combines map-side") {
+    val docs = Tables(spark, dir, "documents")
+    val merges = graft.operators.TextOps.bpeLearn(docs, nMerges = 2)
+    val p = plan(graft.operators.TextOps.bpeTokens(docs, merges))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"fertility join must stay keyed:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "the (doc, word) tf aggregate must combine map-side")
+  }
+
   test("heavyHitters: Misra-Gries aggregate combines map-side partials") {
     val p = plan(graft.operators.TextOps.heavyHitters(
       Tables(spark, dir, "documents")))
