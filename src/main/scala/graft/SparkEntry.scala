@@ -155,6 +155,25 @@ object SparkEntry {
     // ImageDedupSpec
     "q_image_dedup" -> ((s, d) => Dedup.imageDedupPairs(
       MultimodalOps.syntheticImages(t(s, d, "documents")))),
+    // rows-only (raster decode): cross-snapshot incremental image
+    // dedup — old half's dHashes play the persisted index (the
+    // q_novelty_incr split convention), new half dedups against it
+    // without re-decoding; joint-equality + parquet round-trip specs
+    // in IncrementalDedupSpec
+    "q_image_dedup_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max}
+      val docs = t(s, d, "documents")
+      val hashes = MultimodalOps.imageHashes(
+        MultimodalOps.syntheticImages(docs))
+        .where(col("decoded"))
+        .select(col("docId").as("doc_id"), col("dhash"))
+      val cut = docs.agg(
+        floor(max(col("doc_id")) / lit(2.0)).cast("long").as("cut"))
+      def side(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        hashes.crossJoin(broadcast(cut)).where(p(col("cut"))).drop("cut")
+      Dedup.perceptualDedupAgainst(
+        side(c => col("doc_id") < c), side(c => col("doc_id") >= c))
+    }),
     // rows-only (raster decode): the multimodal -> ANN bridge — real
     // decode -> luminance histogram -> the embedding family's exact
     // annTopK; ranking fixture in ImageDedupSpec

@@ -1003,6 +1003,68 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Persist a snapshot's perceptual-hash index — the MEDIA twin of
+    * [[writeBandIndex]] (r9 session 5): 16-byte (doc_id, h64) rows,
+    * modality-agnostic (image dHashes, audio energy hashes, video
+    * clip signatures — any 64-bit perceptual fingerprint). A
+    * production crawl writes this once per snapshot; the next
+    * snapshot dedups against it via [[perceptualDedupAgainst]]
+    * WITHOUT re-decoding a single stored payload — decode is the
+    * expensive stage for media (SURVEY §5b: the video family is
+    * decode-bound), and the index turns the old corpus's share of it
+    * into a scan of 16-byte rows.
+    */
+  def writePerceptualIndex(hashes: DataFrame, path: String): Unit =
+    hashes.select(col(hashes.columns.head).cast("long").as("doc_id"),
+      col(hashes.columns(1)).cast("long").as("h64"))
+      .write.mode("overwrite").parquet(s"$path/hashes")
+
+  /** Read a [[writePerceptualIndex]] artifact back as the index frame
+    * [[perceptualDedupAgainst]] consumes.
+    */
+  def perceptualIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(s"$path/hashes")
+
+  /** Incremental perceptual dedup of a NEW snapshot's hash frame
+    * against a stored index: pairs (a_id, b_id, hamming ≤
+    * `maxHamming`) where at least one side is new — within-new and
+    * new-vs-indexed, never indexed-vs-indexed (the previous epoch's
+    * output; recomputing it is the waste this avoids).
+    *
+    * EXACT contract, stronger than the minhash twin's: hamming
+    * depends only on the stored hash values and the band schedule has
+    * no bucketCap analog, so this output equals the joint-corpus
+    * [[perceptualPairs]] run's at-least-one-new-side subset
+    * bit-for-bit with NO divergence cases (round-trip spec-asserted
+    * through the parquet artifact). Caller contract: doc_ids unique
+    * across snapshots; hash frames pre-filtered to decoded rows (the
+    * [[imageDedupPairs]] exclusion rule — a degenerate hash in the
+    * index would pair unrelated corrupt files forever after).
+    *
+    * Plan: stored-hash scan union the new frame (persist+count — the
+    * shared-frame rule: [[perceptualPairs]] reads it from six
+    * subtrees), the shared rep-reduced band join, then the old-old
+    * filter as two keyed left joins against the index's id column on
+    * the candidate-pair frame (bounded), not the corpus.
+    */
+  def perceptualDedupAgainst(index: DataFrame, newHashes: DataFrame,
+      maxHamming: Int = 5): DataFrame = {
+    def norm(df: DataFrame) =
+      df.select(col(df.columns.head).cast("long").as("doc_id"),
+        col(df.columns(1)).cast("long").as("h64"))
+    val stored = norm(index)
+    val union = stored.unionByName(norm(newHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    union.count()
+    val pairs = perceptualPairs(union, "h64", maxHamming)
+    val aOld = stored.select(col("doc_id").as("a_id"), lit(true).as("a_old"))
+    val bOld = stored.select(col("doc_id").as("b_id"), lit(true).as("b_old"))
+    pairs.join(aOld, Seq("a_id"), "left").join(bOld, Seq("b_id"), "left")
+      .where(!(coalesce(col("a_old"), lit(false)) &&
+        coalesce(col("b_old"), lit(false))))
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Shared distinct-hash rep reduction + band join + member
     * composition behind [[imageDedupPairs]] and [[audioDedupPairs]]:
     * hamming depends ONLY on the hash value, so the band join runs

@@ -554,6 +554,70 @@ object StreamingOps {
           nearDupStep(band, ds, state, ttlMs))
   }
 
+  /** Streaming VIDEO near-duplicate gate (r9 session 5) — the
+    * ingest-time dual of [[graft.operators.Dedup.videoDedupPairs]],
+    * completing the per-modality gate family across all four
+    * modalities (text, image, audio, this): each arriving clip is
+    * container-parsed row-locally (REAL AVI/MJPEG decode, the batch
+    * bomb clamps), its leading ≤ `maxFrames` frames are dHashed
+    * through the image pixel-budget guard, and every (frameIdx, band)
+    * of each frame hash claims a key in the shared
+    * [[nearDupStep]] state — the batch op's banding PER ALIGNED FRAME
+    * INDEX, live: a clip sharing any frame-level band with a
+    * DIFFERENT payload inside the TTL horizon is flagged a candidate.
+    * Exact byte-copies are NOT flagged (exact dedup owns those);
+    * non-AVI / undecodable clips and clips with zero hashable frames
+    * drop at the gate (no band semantics — the batch exclusion rule).
+    *
+    * Honesty contract mirrors the siblings: this is the CANDIDATE
+    * stage only — the batch op's mean-hamming + coverage verification
+    * is what kills one-shared-still false positives, so downstream
+    * routes flagged clips into [[graft.operators.Dedup.videoDedupPairs]]
+    * rather than dropping on the flag. State is one md5 per active
+    * (frame, band) key — `maxFrames × nBands` per distinct clip
+    * prefix, TTL-evicted like every sibling gate.
+    */
+  def videoDupDocStream(media: Dataset[graft.operators.MultimodalOps.MediaRow],
+      maxHamming: Int = 5, ttlMs: Long = 3600 * 1000L, maxFrames: Int = 64,
+      maxPixels: Long = graft.operators.MultimodalOps.DefaultMaxPixels)
+      : Dataset[NearDupFlag] = {
+    implicit val outEnc = Encoders.product[NearDupFlag]
+    implicit val keyEnc = Encoders.STRING
+    implicit val bdEnc = Encoders.product[BandDoc]
+    implicit val stEnc = Encoders.product[BandState]
+    val (nBands, width, mask) =
+      graft.operators.Dedup.pigeonholeBands(maxHamming)
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val frames =
+          if (m.payload == null || m.format != "video" || m.payload.isEmpty)
+            Seq.empty
+          else graft.operators.VideoOps.decodeAvi(m.payload, maxFrames)
+            .map(_.frames).getOrElse(Seq.empty)
+        val hashes = frames.iterator.zipWithIndex.flatMap { case (f, i) =>
+          graft.operators.MultimodalOps.decodeForHash(f, maxPixels)
+            .map(h => (i, h)).iterator
+        }.toSeq
+        if (hashes.isEmpty) Iterator.empty // poison/degenerate tolerance
+        else {
+          digest.reset()
+          val md5hex = digest.digest(m.payload).map(b => f"$b%02x").mkString
+          hashes.iterator.flatMap { case (i, h) =>
+            (0 until nBands).iterator.map { b =>
+              BandDoc(s"f$i:$b:${(h >> (b * width)) & mask}", m.docId, md5hex)
+            }
+          }
+        }
+      }
+    }
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout())(
+        (band: String, ds: Iterator[BandDoc], state: GroupState[BandState]) =>
+          nearDupStep(band, ds, state, ttlMs))
+  }
+
   /** One token routed to its owning shard. */
   case class TokShard(shard: Long, tok: String)
   case class HeavyHitter(shard: Long, token: String, estCount: Long)

@@ -140,4 +140,83 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(byId(103L) == 1.0, "fresh content must score 1.0")
     assert(byId(100L) < 0.5, "a near-dup of indexed content must score low")
   }
+
+  test("perceptualDedupAgainst: equals the joint image run's new-involving " +
+      "subset, exact; parquet round trip; old payloads never re-decoded") {
+    import graft.operators.MultimodalOps
+    import graft.operators.MultimodalOps.MediaRow
+    import org.apache.spark.sql.functions.col
+
+    // 64×64 block images: same seed → same blocks; edit e ∈ {1,2}
+    // repaints one corner block (a few dHash grid cells, well inside
+    // maxHamming=5); distinct seeds are ~32 bits apart
+    def img(seed: Int, edit: Int = 0): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(7 + seed)
+      for (bx <- 0 until 8; by <- 0 until 8) {
+        val c = rnd.nextInt(0xffffff)
+        for (x <- bx * 8 until bx * 8 + 8; y <- by * 8 until by * 8 + 8)
+          im.setRGB(x, y, c)
+      }
+      if (edit > 0) {
+        val c = if (edit == 1) 0xffffff else 0x000000
+        for (x <- 0 until 8; y <- 0 until 8) im.setRGB(x, y, c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    def media(rs: (Long, Array[Byte])*) = {
+      implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+      spark.createDataset(rs.map { case (id, p) => MediaRow(id, p, "image") })
+    }
+    def hashesOf(m: org.apache.spark.sql.Dataset[MediaRow]) =
+      MultimodalOps.imageHashes(m).where(col("decoded"))
+        .select(col("docId").as("doc_id"), col("dhash"))
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming"))).toSet
+
+    // snapshot A: a near-dup family (0,1) + a distinct image
+    val rowsA = Seq((0L, img(1)), (1L, img(1, edit = 1)), (2L, img(9)))
+    // snapshot B: a cross-snapshot edit of the A family, a fresh
+    // image, and its byte-copy (within-new exact pair)
+    val fresh = img(33)
+    val rowsB = Seq((100L, img(1, edit = 2)), (101L, fresh), (102L, fresh))
+    val idx = hashesOf(media(rowsA: _*))
+    val inc = triples(Dedup.perceptualDedupAgainst(idx,
+      hashesOf(media(rowsB: _*))))
+    val joint = triples(Dedup.imageDedupPairs(media((rowsA ++ rowsB): _*)))
+    val jointNew = joint.filter { case (a, b, _) => a >= 100L || b >= 100L }
+    assert(inc == jointNew,
+      s"missing=${jointNew -- inc} extra=${inc -- jointNew}")
+    assert(inc.forall { case (a, b, _) => a >= 100L || b >= 100L },
+      "indexed-vs-indexed pairs must not be recomputed")
+    assert(inc.exists { case (a, b, _) => a < 100L && b == 100L },
+      "the cross-snapshot near-dup must surface")
+    assert(inc.exists { case (a, b, h) => a == 101L && b == 102L && h == 0L },
+      "the within-new byte-copy pair must surface at hamming 0")
+    // persisted round trip: identical output through the parquet index
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-phashindex").toString
+    Dedup.writePerceptualIndex(idx, dir)
+    val viaDisk = triples(Dedup.perceptualDedupAgainst(
+      Dedup.perceptualIndex(spark, dir), hashesOf(media(rowsB: _*))))
+    assert(viaDisk == inc)
+    // the stored side is a 16-byte-row scan: no decode subtree (the
+    // mapPartitions marker) may hang off the parquet index read
+    val plan = Dedup.perceptualDedupAgainst(
+      Dedup.perceptualIndex(spark, dir), hashesOf(media(rowsB: _*)))
+      .queryExecution.optimizedPlan.toString
+    // the union frame is persisted before the band join, so decode
+    // (the MapPartitions subtree) may appear only INSIDE the cached
+    // relation's build listing — the live join region above the first
+    // cache boundary must be free of it, and it belongs to the NEW
+    // side only (the stored side is a parquet scan)
+    val live = plan.linesIterator
+      .takeWhile(!_.contains("InMemoryRelation")).toSeq
+    assert(!live.exists(_.contains("MapPartitions")),
+      s"no decode may run inside the incremental join plan:\n$plan")
+  }
 }

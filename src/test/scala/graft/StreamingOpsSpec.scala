@@ -534,4 +534,68 @@ class StreamingOpsSpec extends SparkSuite {
         s"got $out")
     } finally q.stop()
   }
+
+  test("videoDupDocStream: frame-sharing clip flagged, byte-copy and " +
+      "disjoint not, junk dropped") {
+    implicit val sqlCtx = spark.sqlContext
+
+    def jpeg(seed: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var st = seed
+      for (y <- 0 until 32; x <- 0 until 32) {
+        st = st * 1103515245 + 12345
+        im.setRGB(x, y, st >>> 8 & 0xffffff)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    // shared frame FIXTURES (byte-identical across clips → identical
+    // frame dHashes → identical band keys at the same frame index)
+    val f = (1 to 7).map(jpeg).toArray
+    def avi(frames: Array[Byte]*): Array[Byte] =
+      graft.operators.VideoOps.writeAviMjpeg(frames.toSeq, 32, 32, fps = 10)
+
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val media = {
+      implicit val enc = org.apache.spark.sql.Encoders.product[
+        graft.operators.MultimodalOps.MediaRow]
+      input.toDF().toDF("docId", "payload", "format")
+        .as[graft.operators.MultimodalOps.MediaRow]
+    }
+    // maxHamming=2 → 4 bands of 16 bits: byte-identical shared frames
+    // still collide on every band, while accidental 16-bit band
+    // collisions between unrelated noise frames are ~4/65536 per pair
+    // (the flake the 8-bit default schedule would reintroduce)
+    val q = StreamingOps.videoDupDocStream(media, maxHamming = 2)
+      .writeStream.format("memory").queryName("videodup_stream")
+      .outputMode("update").start()
+    try {
+      def await(n: Int): Map[Long, Boolean] = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var out = Map.empty[Long, Boolean]
+        while (out.size < n && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          out = spark.table("videodup_stream").collect()
+            .groupBy(_.getAs[Long]("docId"))
+            .map { case (id, rows) =>
+              id -> rows.exists(_.getAs[Boolean]("isNeardup")) }
+        }
+        out
+      }
+      val clipA = avi(f(0), f(1), f(2))
+      input.addData((1L, clipA, "video"))
+      assert(await(1) == Map(1L -> false))
+      input.addData(
+        (2L, clipA, "video"), // byte-identical container: NOT flagged
+        (3L, avi(f(0), f(1), f(3)), "video"), // shares frames 0,1: flagged
+        (4L, avi(f(4), f(5), f(6)), "video"), // disjoint frames: not
+        (5L, "not a container".getBytes("UTF-8"), "video"), // dropped
+        (6L, f(0), "image")) // image format: the AVI path must not run
+      val out = await(4)
+      assert(out == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false),
+        s"got $out")
+    } finally q.stop()
+  }
 }
