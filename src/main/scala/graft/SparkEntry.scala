@@ -105,6 +105,26 @@ object SparkEntry {
     // the dense float array is the pipeline API
     "q_random_project" -> ((s, d) => Similarity.randomProjectFlat(t(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(t(s, d, "embeddings"))),
+    // rows-only (LSH + parquet index round trip): cross-snapshot
+    // incremental embedding near-dup — old half's vectors+buckets
+    // persist as the LSH index, new half dedups against it; the
+    // loose-threshold dense opt-in mirrors q_embed_neardup_lsh (this
+    // corpus tops out at cos ~0.5); joint-equality spec in
+    // IncrementalDedupSpec
+    "q_embed_dedup_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max}
+      val emb = t(s, d, "embeddings")
+      val cut = emb.agg(
+        floor(max(col("vec_id")) / lit(2.0)).cast("long").as("cut"))
+      def side(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        emb.crossJoin(broadcast(cut)).where(p(col("cut"))).drop("cut")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lshindex").toString
+      Similarity.writeLshIndex(side(c => col("vec_id") < c), dir,
+        nTables = 8, nPlanes = 3)
+      Similarity.embedDedupAgainst(s, dir, side(c => col("vec_id") >= c),
+        threshold = 0.35, nTables = 8, nPlanes = 3, allowDense = true)
+    }),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "q_ann_ivf_learned" -> ((s, d) => Similarity.annIvfLearned(t(s, d, "embeddings"))),
     // rows-only (Lloyd's-trained codebooks are not SQL-expressible);

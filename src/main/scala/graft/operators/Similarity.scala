@@ -163,15 +163,8 @@ object Similarity {
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double = 0.9,
       nTables: Int = 4, nPlanes: Int = 12, bucketCap: Int = 10000,
       allowDense: Boolean = false, minSelectivity: Double = 4.0): DataFrame = {
-    val pNear = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
-    val selectivity = math.pow(pNear / 0.5, nPlanes)
-    require(allowDense || selectivity >= minSelectivity,
-      f"nearDupPairsLsh: threshold=$threshold%.2f (collision p=$pNear%.3f) at " +
-        f"nPlanes=$nPlanes gives selectivity (p/0.5)^b = $selectivity%.2f < " +
-        f"$minSelectivity%.1f over brute force - candidate work is " +
-        "near-quadratic at this parameterization. Raise threshold/nPlanes, " +
-        "use nearDupPairs' bounded kernel for loose exploratory sweeps, or " +
-        "pass allowDense = true to own the dense enumeration explicitly.")
+    requireSelectivity("nearDupPairsLsh", threshold, nPlanes, allowDense,
+      minSelectivity)
     val b = lshBuckets(embeddings, nTables, nPlanes)
     val wb = Window.partitionBy("table_id", "bucket")
     val capped = b
@@ -188,6 +181,111 @@ object Similarity {
         cos("a.embedding", "b.embedding").as("cos_sim"))
       .where(!isnan(col("cos_sim")) && col("cos_sim") > threshold)
       .distinct() // a pair can collide in several tables
+  }
+
+  /** The dense-parameterization refusal shared by [[nearDupPairsLsh]]
+    * and [[embedDedupAgainst]] — one formula, so the batch and
+    * incremental paths cannot drift on what "dense" means.
+    */
+  private def requireSelectivity(op: String, threshold: Double, nPlanes: Int,
+      allowDense: Boolean, minSelectivity: Double): Unit = {
+    val pNear = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
+    val selectivity = math.pow(pNear / 0.5, nPlanes)
+    require(allowDense || selectivity >= minSelectivity,
+      f"$op: threshold=$threshold%.2f (collision p=$pNear%.3f) at " +
+        f"nPlanes=$nPlanes gives selectivity (p/0.5)^b = $selectivity%.2f < " +
+        f"$minSelectivity%.1f over brute force - candidate work is " +
+        "near-quadratic at this parameterization. Raise threshold/nPlanes, " +
+        "use nearDupPairs' bounded kernel for loose exploratory sweeps, or " +
+        "pass allowDense = true to own the dense enumeration explicitly.")
+  }
+
+  /** Persist a snapshot's embedding LSH index — the EMBEDDING member
+    * of the cross-snapshot seam family (r9 session 5; text grams →
+    * `Dedup.writeGramIndex`, minhash bands → `Dedup.writeBandIndex`,
+    * perceptual hashes → `Dedup.writePerceptualIndex`, this):
+    * `vecs/` holds (vec_id, embedding), `buckets/` the [[lshBuckets]]
+    * rows derived FROM the written vecs (the writeBandIndex
+    * discipline — one artifact feeds the other, so a partial write
+    * cannot leave buckets that disagree with vectors, and `buckets/`
+    * existing implies `vecs/` does). The hyperplanes are md5-seeded
+    * literals, so the stored buckets are reproducible by any session
+    * with the same (nTables, nPlanes) — parameters the caller must
+    * hold fixed across snapshots (stated; a mismatch makes stored and
+    * fresh buckets incomparable).
+    */
+  def writeLshIndex(embeddings: DataFrame, path: String, nTables: Int = 4,
+      nPlanes: Int = 12, dim: Int = 64): Unit = {
+    val spark = embeddings.sparkSession
+    embeddings
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vecs")
+    lshBuckets(spark.read.parquet(s"$path/vecs"), nTables, nPlanes, dim)
+      .select("vec_id", "table_id", "bucket")
+      .write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  /** Incremental embedding near-dup of a NEW snapshot against a
+    * stored [[writeLshIndex]]: cosine pairs > `threshold` where at
+    * least one side is new — within-new and new-vs-indexed, never
+    * indexed-vs-indexed (the previous epoch's output). The stored
+    * side contributes a scan of its bucket rows, NOT a re-hash (and
+    * its vectors are read only for the exact verify of surviving
+    * candidates).
+    *
+    * EXACT contract, the [[graft.operators.Dedup.dedupAgainst]]
+    * shape: bucketCap counts over the UNION frame — the same counts
+    * the joint [[nearDupPairsLsh]] run sees — so this equals the
+    * joint run's at-least-one-new-side subset bit-for-bit
+    * (spec-asserted through the parquet round trip), with the same
+    * honest asymmetry: prior-epoch old-old pairs are not retracted
+    * when the union alone trips a cap. Same dense-parameterization
+    * refusal as the batch op (shared [[requireSelectivity]]); same
+    * caller contract (ids unique across snapshots, parameters fixed).
+    *
+    * Plan: stored-bucket scan union the new snapshot's buckets (the
+    * is_new flag rides the rows — the filter is a post-join
+    * predicate, not a third join), shared cap window + SHUFFLE_HASH
+    * self-join, distinct candidate ids, then ONE exact-cosine verify
+    * join against stored ∪ new vectors keyed per side. Shuffle
+    * O((old + new) × tables) bucket keys.
+    */
+  def embedDedupAgainst(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newEmbeddings: DataFrame, threshold: Double = 0.9,
+      nTables: Int = 4, nPlanes: Int = 12, bucketCap: Int = 10000,
+      allowDense: Boolean = false, minSelectivity: Double = 4.0,
+      dim: Int = 64): DataFrame = {
+    requireSelectivity("embedDedupAgainst", threshold, nPlanes, allowDense,
+      minSelectivity)
+    val stored = spark.read.parquet(s"$indexPath/buckets")
+      .select(col("vec_id"), col("table_id"), col("bucket"),
+        lit(false).as("is_new"))
+    val newVecs = newEmbeddings
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val fresh = lshBuckets(newVecs, nTables, nPlanes, dim)
+      .select(col("vec_id"), col("table_id"), col("bucket"),
+        lit(true).as("is_new"))
+    val wb = Window.partitionBy("table_id", "bucket")
+    val capped = stored.unionByName(fresh)
+      .withColumn("bucket_n", count(lit(1)).over(wb))
+      .where(col("bucket_n") <= bucketCap)
+      .drop("bucket_n")
+    val cand = capped.as("a").hint("SHUFFLE_HASH").join(capped.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .where(col("a.is_new") || col("b.is_new"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val vecs = spark.read.parquet(s"$indexPath/vecs").unionByName(newVecs)
+    cand
+      .join(vecs.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb")), "a_id")
+      .join(vecs.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        cos("a_emb", "b_emb").as("cos_sim"))
+      .where(!isnan(col("cos_sim")) && col("cos_sim") > threshold)
   }
 
   /** Int8 embedding quantization — the storage-reduction pass of a

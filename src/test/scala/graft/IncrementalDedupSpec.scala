@@ -219,4 +219,69 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(!live.exists(_.contains("MapPartitions")),
       s"no decode may run inside the incremental join plan:\n$plan")
   }
+
+  test("embedDedupAgainst: equals the joint LSH run's new-involving " +
+      "subset through the parquet index; stored buckets scanned, not " +
+      "re-hashed") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+
+    // deterministic unit-ish vectors: family members are small
+    // perturbations of a shared base (cos > 0.97), strangers are
+    // independent draws (cos ~ 0 at dim 64)
+    def vec(seed: Int, perturb: Int = -1): Array[Float] = {
+      val rnd = new scala.util.Random(101 + seed)
+      val v = Array.fill(64)(rnd.nextGaussian())
+      if (perturb >= 0) {
+        val p = new scala.util.Random(9000 + perturb)
+        for (i <- v.indices) v(i) += 0.1 * p.nextGaussian()
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def frame(rs: (Long, Array[Float])*) = {
+      import spark.implicits._
+      rs.toSeq.toDF("vec_id", "embedding")
+    }
+    // snapshot A: a near-dup family (0,1) + a loner; snapshot B: a
+    // cross-snapshot member of the family, a fresh pair, a loner
+    val snapA = frame((0L, vec(1)), (1L, vec(1, perturb = 1)),
+      (2L, vec(50)))
+    val snapB = frame((100L, vec(1, perturb = 2)),
+      (101L, vec(60)), (102L, vec(60, perturb = 3)), (103L, vec(70)))
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos_sim"))).toSet
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lshindex-spec").toString
+    Similarity.writeLshIndex(snapA, dir)
+    val inc = triples(Similarity.embedDedupAgainst(spark, dir, snapB))
+    val joint = triples(Similarity.nearDupPairsLsh(
+      snapA.unionByName(snapB)))
+    val jointNew = joint.filter { case (a, b, _) => a >= 100L || b >= 100L }
+    assert(inc == jointNew,
+      s"missing=${jointNew -- inc} extra=${inc -- jointNew}")
+    assert(inc.forall { case (a, b, _) => a >= 100L || b >= 100L },
+      "indexed-vs-indexed pairs must not be recomputed")
+    assert(inc.exists { case (a, b, _) => a < 100L && b == 100L },
+      "the cross-snapshot family member must pair with the indexed docs")
+    assert(inc.exists { case (a, b, _) => a == 101L && b == 102L },
+      "the within-new family must pair")
+    assert(!inc.exists { case (a, b, _) => b == 103L || a == 103L },
+      "the fresh loner must not pair")
+    // the stored side enters as parquet scans of the two index
+    // artifacts — the live plan must read buckets/, not re-derive them
+    // executedPlan: the optimized plan elides scan paths
+    val plan = Similarity.embedDedupAgainst(spark, dir, snapB)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(s"$dir/buckets") && plan.contains(s"$dir/vecs"),
+      s"stored buckets and vectors must be scans of the index:\n$plan")
+    // the dense refusal is shared with the batch op
+    val err = intercept[IllegalArgumentException] {
+      Similarity.embedDedupAgainst(spark, dir, snapB, threshold = 0.35,
+        nTables = 8, nPlanes = 3)
+    }
+    assert(err.getMessage.contains("embedDedupAgainst"))
+  }
 }
