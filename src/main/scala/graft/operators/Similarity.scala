@@ -159,28 +159,117 @@ object Similarity {
     * its corpus tops out at cos ≈ 0.5, so the win case would be
     * vacuous there). NaN cosines (degenerate vectors) are excluded
     * explicitly, as in [[nearDupPairs]].
+    *
+    * EXACT-DUP-FIRST (r9 session 5 — the family-wide pattern, here
+    * made trivial because cosine depends ONLY on the vector values):
+    * identical vectors collapse to one representative per distinct
+    * embedding before the bucket join (on a verbatim-duplicated
+    * corpus the bucket fan-out shrinks by the clone factor SQUARED —
+    * measured on the 10× clone corpus: the incremental twin fell
+    * 127 s → seconds), member pairs compose back by two bounded
+    * joins, and within-star pairs score exactly 1.0 (the kernel's own
+    * value on identical non-degenerate vectors, rounded 4 dp — spec'd
+    * equal to the direct path). `bucketCap` consequently counts
+    * DISTINCT vectors per bucket — precisely the documented intent
+    * ("a hot bucket means near-constant vectors better handled by
+    * exact dedup first": that dedup now happens inside). The operator
+    * is EAGER at construction (star/member frames persist+count, the
+    * imageDedupPairs discipline — four subtrees read them).
     */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double = 0.9,
       nTables: Int = 4, nPlanes: Int = 12, bucketCap: Int = 10000,
       allowDense: Boolean = false, minSelectivity: Double = 4.0): DataFrame = {
     requireSelectivity("nearDupPairsLsh", threshold, nPlanes, allowDense,
       minSelectivity)
-    val b = lshBuckets(embeddings, nTables, nPlanes)
+    val e0 = registered(embeddings).where(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val (stars, members) = starFrames(e0)
+    val starBuckets = lshBuckets(
+      stars.select(col("rep_id").as("vec_id"), col("embedding")),
+      nTables, nPlanes)
+      .select(col("vec_id").as("rep_id"), col("table_id"), col("bucket"),
+        col("embedding"))
+    lshComposedPairs(starBuckets, members, stars, threshold, bucketCap,
+      requireNew = false)
+  }
+
+  /** Distinct-vector star reduction shared by [[nearDupPairsLsh]] and
+    * [[embedDedupAgainst]]: one representative (smallest vec_id) per
+    * DISTINCT embedding value, plus the member → rep assignment. Both
+    * frames persist+count (read from several subtrees of the composed
+    * plan; spillable, lineage-preserving). Grouping on the array
+    * column uses Spark's NaN/-0.0-normalized key equality, which
+    * matches the kernel's NaN-exclusion contract downstream. Any
+    * extra columns on the input (e.g. an is_new flag) ride through to
+    * `members`.
+    */
+  private def starFrames(e0: DataFrame): (DataFrame, DataFrame) = {
+    val stars = e0.groupBy("embedding")
+      .agg(min(col("vec_id")).as("rep_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stars.count()
+    val members = e0
+      .join(stars.select(col("embedding"), col("rep_id")), "embedding")
+      .drop("embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    members.count()
+    (stars.select(col("rep_id"), col("embedding")), members)
+  }
+
+  /** The capped rep-bucket self-join + member composition behind the
+    * LSH pair family: `starBuckets` (rep_id, table_id, bucket,
+    * embedding) enters the shared cap window (counting DISTINCT
+    * vectors per bucket), rep pairs score through the codegen cosine
+    * kernel, and member pairs compose back — cross-star pairs at
+    * their reps' cosine, within-star pairs at exactly 1.0 gated on a
+    * non-degenerate vector (NaN self-cosine = the zero-norm /
+    * non-finite / mismatched-dim vectors the direct path drops) and
+    * on `threshold < 1` (the strict `>` filter a literal 1.0 must
+    * also pass). `requireNew = true` keeps only pairs with at least
+    * one `is_new` member (the incremental form's post-join predicate).
+    */
+  private def lshComposedPairs(starBuckets: DataFrame, members: DataFrame,
+      stars: DataFrame, threshold: Double, bucketCap: Int,
+      requireNew: Boolean): DataFrame = {
     val wb = Window.partitionBy("table_id", "bucket")
-    val capped = b
+    val capped = starBuckets
       .withColumn("bucket_n", count(lit(1)).over(wb))
       .where(col("bucket_n") <= bucketCap)
       .drop("bucket_n")
     // SHUFFLE_HASH: the self-join sides then share the bucket-cap
     // window's shuffle via ReuseExchange (one bucketing pass, not two)
-    capped.as("a").hint("SHUFFLE_HASH").join(capped.as("b"),
+    val repPairs = capped.as("a").hint("SHUFFLE_HASH").join(capped.as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("ra"), col("b.rep_id").as("rb"),
         cos("a.embedding", "b.embedding").as("cos_sim"))
       .where(!isnan(col("cos_sim")) && col("cos_sim") > threshold)
-      .distinct() // a pair can collide in several tables
+      .distinct() // a rep pair can collide in several tables
+    val flag = (c: Column) =>
+      if (members.columns.contains("is_new")) c else lit(true)
+    val ma = members.select(col("rep_id").as("ra"), col("vec_id").as("da"),
+      flag(col("is_new")).as("na"))
+    val mb = members.select(col("rep_id").as("rb"), col("vec_id").as("db"),
+      flag(col("is_new")).as("nb"))
+    val cross = repPairs.join(ma, "ra").join(mb, "rb")
+      .where(if (requireNew) col("na") || col("nb") else lit(true))
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"), col("cos_sim"))
+    if (threshold >= 1.0) return cross
+    val validReps = stars
+      .where(!isnan(round(call_function("cosine_sim",
+        col("embedding"), col("embedding")), 4)))
+      .select(col("rep_id"))
+    val within = members.join(validReps, "rep_id").as("m1")
+      .join(members.join(validReps, "rep_id").as("m2"),
+        col("m1.rep_id") === col("m2.rep_id") &&
+          col("m1.vec_id") < col("m2.vec_id"))
+      .where(if (requireNew) flag(col("m1.is_new")) || flag(col("m2.is_new"))
+        else lit(true))
+      .select(col("m1.vec_id").as("a_id"), col("m2.vec_id").as("b_id"),
+        lit(1.0).as("cos_sim"))
+    cross.unionByName(within)
   }
 
   /** The dense-parameterization refusal shared by [[nearDupPairsLsh]]
@@ -234,21 +323,25 @@ object Similarity {
     * candidates).
     *
     * EXACT contract, the [[graft.operators.Dedup.dedupAgainst]]
-    * shape: bucketCap counts over the UNION frame — the same counts
-    * the joint [[nearDupPairsLsh]] run sees — so this equals the
-    * joint run's at-least-one-new-side subset bit-for-bit
-    * (spec-asserted through the parquet round trip), with the same
-    * honest asymmetry: prior-epoch old-old pairs are not retracted
-    * when the union alone trips a cap. Same dense-parameterization
-    * refusal as the batch op (shared [[requireSelectivity]]); same
-    * caller contract (ids unique across snapshots, parameters fixed).
+    * shape: the rep-form star reduction and its bucket-cap window run
+    * over the UNION — the same stars and the same counts the joint
+    * [[nearDupPairsLsh]] run sees — so this equals the joint run's
+    * at-least-one-new-side subset bit-for-bit (spec-asserted through
+    * the parquet round trip), with the same honest asymmetry:
+    * prior-epoch old-old pairs are not retracted when the union alone
+    * trips a cap. Same dense-parameterization refusal as the batch op
+    * (shared [[requireSelectivity]]); same caller contract (ids
+    * unique across snapshots, parameters fixed, and — for the index
+    * to be fully effective — indexed ids below new ids; see the
+    * in-body note on why a violation costs only re-hashing).
     *
-    * Plan: stored-bucket scan union the new snapshot's buckets (the
-    * is_new flag rides the rows — the filter is a post-join
-    * predicate, not a third join), shared cap window + SHUFFLE_HASH
-    * self-join, distinct candidate ids, then ONE exact-cosine verify
-    * join against stored ∪ new vectors keyed per side. Shuffle
-    * O((old + new) × tables) bucket keys.
+    * Plan: union vecs → shared [[starFrames]] reduction → old-rep
+    * stars pull their bucket rows FROM the index scan, all-new stars
+    * hash fresh → the shared [[lshComposedPairs]] cap window +
+    * SHUFFLE_HASH rep self-join + member composition, with
+    * `requireNew` keeping only pairs carrying at least one new
+    * member. Shuffle O(distinct-vector stars × tables) bucket keys —
+    * the clone factor squared smaller on a duplicated corpus.
     */
   def embedDedupAgainst(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, newEmbeddings: DataFrame, threshold: Double = 0.9,
@@ -257,35 +350,35 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     requireSelectivity("embedDedupAgainst", threshold, nPlanes, allowDense,
       minSelectivity)
-    val stored = spark.read.parquet(s"$indexPath/buckets")
-      .select(col("vec_id"), col("table_id"), col("bucket"),
-        lit(false).as("is_new"))
-    val newVecs = newEmbeddings
-      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-    val fresh = lshBuckets(newVecs, nTables, nPlanes, dim)
-      .select(col("vec_id"), col("table_id"), col("bucket"),
+    val storedVecs = spark.read.parquet(s"$indexPath/vecs")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), lit(false).as("is_new"))
+    val newVecs = registered(newEmbeddings)
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
         lit(true).as("is_new"))
-    val wb = Window.partitionBy("table_id", "bucket")
-    val capped = stored.unionByName(fresh)
-      .withColumn("bucket_n", count(lit(1)).over(wb))
-      .where(col("bucket_n") <= bucketCap)
-      .drop("bucket_n")
-    val cand = capped.as("a").hint("SHUFFLE_HASH").join(capped.as("b"),
-        col("a.table_id") === col("b.table_id") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .where(col("a.is_new") || col("b.is_new"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct()
-    val vecs = spark.read.parquet(s"$indexPath/vecs").unionByName(newVecs)
-    cand
-      .join(vecs.select(col("vec_id").as("a_id"),
-        col("embedding").as("a_emb")), "a_id")
-      .join(vecs.select(col("vec_id").as("b_id"),
-        col("embedding").as("b_emb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        cos("a_emb", "b_emb").as("cos_sim"))
-      .where(!isnan(col("cos_sim")) && col("cos_sim") > threshold)
+    // rep-form over the UNION (the batch op's exact-dup-first shape,
+    // so the joint-equality contract survives the reduction): a star's
+    // rep is its smallest id — under the append-only contract (indexed
+    // ids below new ids) any star touching the index has an OLD rep,
+    // whose bucket rows are read from `buckets/`; all-new stars hash
+    // fresh. A violated contract only costs re-hashing (rep lands on
+    // a new id and the stored rows for that star go unused) — the
+    // output is identical either way, hashing being deterministic.
+    val (stars, members) = starFrames(storedVecs.unionByName(newVecs))
+    val storedBuckets = spark.read.parquet(s"$indexPath/buckets")
+    val oldRepBuckets = storedBuckets
+      .join(stars, storedBuckets("vec_id") === stars("rep_id"))
+      .select(col("rep_id"), col("table_id"), col("bucket"), col("embedding"))
+    val newRepStars = stars.join(
+      newVecs.select(col("vec_id").as("rep_id")), Seq("rep_id"), "left_semi")
+    val newRepBuckets = lshBuckets(
+      newRepStars.select(col("rep_id").as("vec_id"), col("embedding")),
+      nTables, nPlanes, dim)
+      .select(col("vec_id").as("rep_id"), col("table_id"), col("bucket"),
+        col("embedding"))
+    lshComposedPairs(oldRepBuckets.unionByName(newRepBuckets), members,
+      stars, threshold, bucketCap, requireNew = true)
   }
 
   /** Int8 embedding quantization — the storage-reduction pass of a

@@ -366,6 +366,35 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.7)
   }
 
+  test("nearDupPairsLsh: exact-dup-first composition — clone corpus " +
+      "output equals the per-vector semantics built from the base run") {
+    import org.apache.spark.sql.functions.col
+    val base = emb.where(col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        r.getAs[Double]("cos_sim"))).toMap
+    val basePairs = pairs(Similarity.nearDupPairsLsh(base, threshold = 0.35,
+      nTables = 8, nPlanes = 3, allowDense = true))
+    assert(basePairs.nonEmpty)
+    // every base vector cloned once at id+10000: the rep reduction
+    // must band the 60 distinct vectors only, then compose — expected
+    // output is each base pair times the 2×2 member combinations at
+    // the SAME cosine, plus one within-star pair per vector at 1.0
+    val cloned = base.unionByName(
+      base.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+    val got = pairs(Similarity.nearDupPairsLsh(cloned, threshold = 0.35,
+      nTables = 8, nPlanes = 3, allowDense = true))
+    val expected = basePairs.flatMap { case ((a, b), c) =>
+      for (x <- Seq(a, a + 10000L); y <- Seq(b, b + 10000L))
+        yield (math.min(x, y), math.max(x, y)) -> c
+    } ++ (0L until 60L).map(i => (i, i + 10000L) -> 1.0).toMap
+    assert(got == expected,
+      s"missing=${expected.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- expected.keySet} " +
+        s"cosDiff=${got.collect { case (k, v) if expected.get(k).exists(_ != v) => k }}")
+  }
+
   test("nearDupPairsLsh: dense parameterization refuses without allowDense") {
     // threshold 0.35 at b=3: (p/0.5)^b ~ 1.9x < 4 -> near-quadratic by
     // the operator's own math; must refuse at plan build
