@@ -215,6 +215,12 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       TextOps.bpeTokens(docs, TextOps.bpeLearn(docs))
     }),
+    // rows-only: the learned subword inventory with corpus
+    // frequencies; conservation spec vs q_bpe_tokens in BpeSpec
+    "q_bpe_vocab" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.bpeVocab(docs, TextOps.bpeLearn(docs))
+    }),
     // oracle-checked in the exact regime only: capacity 256 exceeds
     // the gate vocabulary (~31), where Misra-Gries provably never
     // decrements and the summary equals exact counts; the sketch

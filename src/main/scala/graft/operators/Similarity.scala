@@ -1607,8 +1607,12 @@ object Similarity {
         .select(col("vec_id") +: (1 to k).map(j =>
           lit(0.0).as(s"pc$j")): _*).limit(0)
     }
+    // mirror the moments aggregate's skip rule exactly — including the
+    // finiteness leg, so a vector the fit excluded never emits a
+    // NaN/Inf projection row (abs(x) <= MaxValue is false for ±Inf)
     val valid = col("embedding").isNotNull && size(col("embedding")) === dim &&
-      !exists(col("embedding"), _.isNull)
+      forall(col("embedding"), x => x.isNotNull && !isnan(x) &&
+        abs(x) <= lit(Float.MaxValue))
     val cols = (0 until k).map { j =>
       val axisF = model.components(j).map(_.toFloat)
       // mean offset with the SAME float-rounded axis the kernel sees,

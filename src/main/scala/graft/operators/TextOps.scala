@@ -1062,6 +1062,46 @@ object TextOps {
           col("n_words").cast("double"), 6).as("fertility"))
   }
 
+  /** The learned BPE VOCABULARY with corpus frequencies — the
+    * artifact a tokenizer build actually ships ([[bpeLearn]] gives
+    * the merge table, this gives the resulting subword inventory):
+    * one row per distinct subtoken with its total corpus occurrence
+    * count and the number of distinct words it appears in. The
+    * frequency tail is what vocab-size decisions and UNK-rate
+    * estimates read.
+    *
+    * Plan shape: the corpus contributes ONE word-frequency aggregate;
+    * the rank-order encode then runs per DISTINCT word (the
+    * [[bpeTokens]] vocab-frame discipline) and subtoken rows
+    * aggregate from that bounded frame — O(distinct words × avg
+    * subtokens) rows, never corpus-sized. Conservation invariant
+    * (spec'd): sum(n_occurrences) over the vocabulary equals
+    * sum(n_bpe_tokens) over [[bpeTokens]] for the same merges.
+    */
+  def bpeVocab(documents: DataFrame, merges: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ms = merges.orderBy("rank")
+      .select(col("left"), col("right")).as[(String, String)].collect()
+    documents
+      .select(explode(tokenize(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .as[(String, Long)]
+      .flatMap { case (w, wc) =>
+        // one row per (word, DISTINCT subtoken): occurrences fold the
+        // within-word multiplicity ("aaa" unmerged carries 'a' three
+        // times but is one word containing it)
+        bpeApply(w, ms).groupBy(identity).map { case (t, occ) =>
+          (t, occ.length.toLong * wc, 1L)
+        }
+      }
+      .toDF("subtoken", "occ", "one")
+      .groupBy("subtoken")
+      .agg(sum(col("occ")).as("n_occurrences"),
+        sum(col("one")).as("n_words"))
+  }
+
   /** Rank-order BPE encode of one word: chars + `</w>`, then each
     * merge applied leftmost-first non-overlapping — the exact
     * per-round fold [[bpeLearn]] trains with, so training-corpus

@@ -26,9 +26,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * consumers.
   *
   * Rows that are null, not exactly `dim` elements, or contain a null
-  * element are skipped — the same degenerate-vector contract as
-  * [[VectorMeanAgg]] / CosUtil, so PCA sees exactly the vectors the
-  * rest of the similarity family sees.
+  * or NON-FINITE element are skipped. The null/dim legs are the
+  * [[VectorMeanAgg]] / CosUtil contract; the finiteness leg is
+  * stricter, borrowed from randomProject's gate, because this
+  * aggregate feeds a GLOBAL model: one NaN element would turn the
+  * whole covariance — and with it every eigenvector and every
+  * projected row — into NaN, where a per-pair kernel merely drops
+  * that pair.
   */
 case class VectorMomentsAgg(
     child: Expression, dim: Int = 64,
@@ -72,19 +76,28 @@ case class VectorMomentsAgg(
       if (arr.numElements() == dim && !(mayHaveNulls && hasNullElement(arr))) {
         // decode once into a local double array: the product loop reads
         // each element dim/2 times on average and ArrayData.getFloat is
-        // not free
+        // not free. The same pass rejects non-finite elements.
         val x = new Array[Double](dim)
         var i = 0
-        while (i < dim) { x(i) = arr.getFloat(i).toDouble; i += 1 }
-        i = 0
-        var t = dim
+        var finite = true
         while (i < dim) {
-          buf(i) += x(i)
-          var j = i
-          while (j < dim) { buf(t) += x(i) * x(j); j += 1; t += 1 }
+          val f = arr.getFloat(i)
+          if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
+            finite = false
+          x(i) = f.toDouble
           i += 1
         }
-        buf(len - 1) += 1.0
+        if (finite) {
+          i = 0
+          var t = dim
+          while (i < dim) {
+            buf(i) += x(i)
+            var j = i
+            while (j < dim) { buf(t) += x(i) * x(j); j += 1; t += 1 }
+            i += 1
+          }
+          buf(len - 1) += 1.0
+        }
       }
     }
     buf

@@ -139,6 +139,34 @@ class BpeSpec extends SparkSuite {
     assert(a == run())
   }
 
+  test("bpeVocab: conservation vs bpeTokens, within-word multiplicity " +
+      "folded, known fixture inventory") {
+    val texts = Seq("aaa ab aaa", "ab ba aaa")
+    val d = df(texts)
+    val merges = TextOps.bpeLearn(d, nMerges = 2)
+    val vocab = TextOps.bpeVocab(d, merges).collect()
+      .map(r => r.getAs[String]("subtoken") ->
+        (r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_words"))).toMap
+    // conservation: vocabulary occurrences == total emitted tokens
+    val totalTokens = TextOps.bpeTokens(d, merges).collect()
+      .map(_.getAs[Long]("n_bpe_tokens")).sum
+    assert(vocab.values.map(_._1).sum == totalTokens,
+      s"vocab mass ${vocab.values.map(_._1).sum} vs tokens $totalTokens")
+    // local re-derivation: encode each distinct word, fold by hand
+    val ms = merges.orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    val wc = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val expect = wc.toSeq.flatMap { case (w, c) =>
+      TextOps.bpeApply(w, ms).groupBy(identity).map { case (t, occ) =>
+        (t, occ.length * c, 1L)
+      }
+    }.groupBy(_._1).map { case (t, rows) =>
+      t -> (rows.map(_._2).sum, rows.map(_._3).sum)
+    }
+    assert(vocab == expect, s"got $vocab expect $expect")
+  }
+
   test("early stop below minPairCount; empty corpus learns nothing") {
     // every word unique and length 2 → every pair count 1 < default 2
     val m = TextOps.bpeLearn(df(Seq("ab cd ef gh")), nMerges = 5)
@@ -147,6 +175,8 @@ class BpeSpec extends SparkSuite {
     val empty = df(Seq.empty)
     assert(TextOps.bpeLearn(empty, nMerges = 3).count() == 0)
     assert(TextOps.bpeTokens(empty,
+      TextOps.bpeLearn(empty, nMerges = 3)).count() == 0)
+    assert(TextOps.bpeVocab(empty,
       TextOps.bpeLearn(empty, nMerges = 3)).count() == 0)
   }
 }

@@ -149,13 +149,21 @@ class PcaSpec extends SparkSuite {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.embedPca(empty, k = 2).isEmpty)
     assert(Similarity.pcaVariance(empty, k = 2).isEmpty)
-    // a wrong-dim row neither shifts the fit nor appears in the output
-    val mixed = planted.union(
-      Seq((9999L, Array(1f, 2f))).toDF("vec_id", "embedding"))
+    // wrong-dim, NaN-element and Inf-element rows neither shift the
+    // fit (a single NaN would poison the WHOLE covariance) nor appear
+    // in the output
+    val mixed = planted.union(Seq(
+      (9999L, Array(1f, 2f)),
+      (9998L, Array(1f, Float.NaN, 0f, 0f)),
+      (9997L, Array(1f, Float.PositiveInfinity, 0f, 0f))
+    ).toDF("vec_id", "embedding"))
     val m = Similarity.pcaModel(mixed, dim = 4).get
     assert(m.n == 210)
+    assert(m.eigvals.forall(v => !v.isNaN),
+      "degenerate rows must not reach the covariance")
     val ids = Similarity.embedPca(mixed, k = 2, dim = 4).collect()
       .map(_.getAs[Long]("vec_id")).toSet
-    assert(!ids.contains(9999L) && ids.size == 210)
+    assert(ids.size == 210 &&
+      Seq(9997L, 9998L, 9999L).forall(!ids.contains(_)))
   }
 }
