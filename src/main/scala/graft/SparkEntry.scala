@@ -55,6 +55,10 @@ object SparkEntry {
       t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
     "q_value_quantiles" -> ((s, d) => Payments.valueQuantiles(t(s, d, "events"))),
     "q_active_users" -> ((s, d) => Payments.activeUsers(t(s, d, "events"))),
+    // the join-key skew audit run ahead of a 100 TB join: hottest
+    // keys, their share, and the saltedJoin factor they'd want
+    "q_skew_report" -> ((s, d) =>
+      graft.functions.Skew.skewReport(t(s, d, "events"), "user_id")),
     // approx (100 TB) variants: sketch aggregates, rows-only (HLL++ /
     // Greenwald-Khanna have no DuckDB equivalent); error bounds vs the
     // exact forms are spec-asserted (PaymentsSpec)
@@ -111,6 +115,13 @@ object SparkEntry {
     // loose-threshold dense opt-in mirrors q_embed_neardup_lsh (this
     // corpus tops out at cos ~0.5); joint-equality spec in
     // IncrementalDedupSpec
+    // rows-only (LSH components): canonical groups over the embedding
+    // near-dup graph — rep-graph components, members inherit; the
+    // loose-threshold dense opt-in mirrors the pair key;
+    // union-find-equivalence spec in SimilaritySpec
+    "q_embed_dedup_groups" -> ((s, d) => Similarity.embedDedupGroups(
+      t(s, d, "embeddings"), threshold = 0.35, nTables = 8, nPlanes = 3,
+      allowDense = true)),
     "q_embed_dedup_incr" -> ((s, d) => {
       import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max}
       val emb = t(s, d, "embeddings")
@@ -174,6 +185,11 @@ object SparkEntry {
     // near-dup texts => small-hamming pairs); fixture spec in
     // ImageDedupSpec
     "q_image_dedup" -> ((s, d) => Dedup.imageDedupPairs(
+      MultimodalOps.syntheticImages(t(s, d, "documents")))),
+    // rows-only (raster decode): canonical groups over the image
+    // near-dup graph (components on the distinct-dhash rep edges);
+    // union-find-equivalence spec in ImageDedupSpec
+    "q_image_dedup_groups" -> ((s, d) => Dedup.imageDedupGroups(
       MultimodalOps.syntheticImages(t(s, d, "documents")))),
     // rows-only (raster decode): cross-snapshot incremental image
     // dedup — old half's dHashes play the persisted index (the
@@ -550,6 +566,18 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day,
         |  COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1
+        |), s AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c)
+        |SELECT key, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(FLOOR(cnt * 1000000 / total) AS BIGINT) AS share_ppm,
+        |  CAST(FLOOR(cnt * n_keys * 1000 / total) AS BIGINT) AS skew_milli,
+        |  CAST(LEAST(32, CEIL(cnt * n_keys / total)) AS BIGINT)
+        |    AS salt_factor
+        |FROM c, s
+        |QUALIFY RANK() OVER (ORDER BY cnt DESC, key) <= 20""".stripMargin,
     "q_retention" ->
       """WITH weeks AS (
         |  SELECT user_id, epoch_us(ts) // 1000000 // 604800 AS week FROM events

@@ -226,12 +226,40 @@ object AudioOps {
       minRms: Double = 0.005, maxClipFrac: Double = 0.1,
       maxSamples: Long = DefaultMaxSamples): Dataset[AudioGate] = {
     implicit val enc = Encoders.product[AudioGate]
+    // one source of truth: the gate is a projection of the fused
+    // profile (the energy hash it also computes is one O(samples)
+    // pass next to the decode it shares)
+    audioProfile(audio, minMs, minRms, maxClipFrac, maxSamples)
+      .map(p => AudioGate(p.docId, p.durationMs, p.rms, p.peak, p.keep,
+        p.failReasons))
+  }
+
+  /** One row per clip from ONE decode: the gate fields of
+    * [[audioFilter]] AND the perceptual energy hash of
+    * [[audioHashes]] — the audio member of the decode-once profile
+    * family ([[MultimodalOps.imageProfile]]). `hashValid` carries
+    * [[energyHash64]]'s own degeneracy rule (too-short /
+    * digitally-silent clips hash to None and must be excluded from
+    * banding even when the gate thresholds are caller-loosened).
+    * Gate thresholds and emitted columns are byte-identical to
+    * audioFilter's.
+    */
+  case class AudioProfile(docId: Long, decoded: Boolean, durationMs: Double,
+      rms: Double, peak: Double, ehash: Long, hashValid: Boolean,
+      keep: Boolean, failReasons: String)
+
+  def audioProfile(audio: Dataset[AudioRow], minMs: Double = 250.0,
+      minRms: Double = 0.005, maxClipFrac: Double = 0.1,
+      maxSamples: Long = DefaultMaxSamples): Dataset[AudioProfile] = {
+    implicit val enc = Encoders.product[AudioProfile]
     audio.mapPartitions(_.map { m =>
       if (m.format != "audio")
-        AudioGate(m.docId, 0.0, 0.0, 0.0, keep = false, "not_audio")
+        AudioProfile(m.docId, decoded = false, 0.0, 0.0, 0.0, 0L,
+          hashValid = false, keep = false, "not_audio")
       else decodeWav(m.payload, maxSamples) match {
         case None =>
-          AudioGate(m.docId, 0.0, 0.0, 0.0, keep = false, "undecodable")
+          AudioProfile(m.docId, decoded = false, 0.0, 0.0, 0.0, 0L,
+            hashValid = false, keep = false, "undecodable")
         case Some(p) =>
           val n = p.mono.length
           var sumSq = 0.0; var peak = 0.0; var clipped = 0L
@@ -250,8 +278,10 @@ object AudioOps {
             if (rms < minRms) "silent" else "",
             if (n > 0 && clipped.toDouble / n > maxClipFrac) "clipped"
             else "").filter(_.nonEmpty)
-          AudioGate(m.docId, durMs,
+          val h = energyHash64(p.mono)
+          AudioProfile(m.docId, decoded = true, durMs,
             math.rint(rms * 1e6) / 1e6, math.rint(peak * 1e6) / 1e6,
+            h.getOrElse(0L), h.isDefined,
             reasons.isEmpty, reasons.mkString(","))
       }
     })

@@ -1003,6 +1003,68 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Perceptual-hash pairs from a PRECOMPUTED hash frame (first two
+    * columns = id, 64-bit hash) — the public door for callers that
+    * already decoded, e.g. [[graft.operators.MediaPipeline]]'s fused
+    * profile pass or a stored [[perceptualIndex]]: the same
+    * distinct-hash rep reduction + pigeonhole band join + member
+    * composition as [[imageDedupPairs]]/[[audioDedupPairs]], without
+    * re-decoding anything. Persists+counts the two-column frame (the
+    * composed plan reads it from six subtrees); callers must
+    * pre-exclude degenerate hashes (the modality ops' `decoded` /
+    * `hashValid` flags) — a stub hash would pair unrelated corrupt
+    * payloads.
+    */
+  def perceptualPairsFrom(hashes: DataFrame, maxHamming: Int = 5): DataFrame = {
+    val h = hashes.select(
+      col(hashes.columns.head).cast("long").as("doc_id"),
+      col(hashes.columns(1)).cast("long").as("h64"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    h.count()
+    perceptualPairs(h, "h64", maxHamming)
+  }
+
+  /** Canonical GROUPS over perceptual near-duplicates — the media
+    * member of the pairs→groups symmetry, over ANY precomputed
+    * (id, hash64) frame: connected components on the distinct-hash
+    * rep graph's band edges ([[simhashGroups]]' engine with the hash
+    * column generalized), group_id = smallest reachable id. Callers
+    * pre-exclude degenerate hashes (the [[perceptualPairsFrom]]
+    * contract). A re-upload CHAIN — a~b~c where the endpoints drifted
+    * past `maxHamming` — collapses to one group, which the pairwise
+    * keep-first in [[MediaPipeline.curateMedia]] deliberately does
+    * not do (stated there; this is the upgrade it points at).
+    */
+  def perceptualGroups(hashes: DataFrame, maxHamming: Int = 5,
+      maxRounds: Int = 25): DataFrame = {
+    val h = hashes.select(
+      col(hashes.columns.head).cast("long").as("doc_id"),
+      col(hashes.columns(1)).cast("long").as("h64"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    h.count()
+    val stars = h.groupBy("h64").agg(min(col("doc_id")).as("rep_id"))
+    val members = h.join(stars, "h64").select(col("doc_id"), col("rep_id"))
+    val edges = hammingBandPairs(
+      stars.select(col("rep_id").as("doc_id"), col("h64")), maxHamming)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val labels = connectedComponents(stars.select(col("rep_id")), edges,
+      maxRounds)
+    members.join(labels.withColumnRenamed("id", "rep_id"), "rep_id")
+      .select(col("doc_id"), col("label").as("group_id"))
+  }
+
+  /** [[perceptualGroups]] over the real image decode — the group form
+    * of [[imageDedupPairs]] (same hashes, same exclusion rule).
+    */
+  def imageDedupGroups(media: Dataset[MultimodalOps.MediaRow],
+      maxHamming: Int = 5, maxRounds: Int = 25,
+      maxPixels: Long = MultimodalOps.DefaultMaxPixels): DataFrame =
+    perceptualGroups(
+      MultimodalOps.imageHashes(media, maxPixels)
+        .where(col("decoded"))
+        .select(col("docId"), col("dhash")),
+      maxHamming, maxRounds)
+
   /** Persist a snapshot's perceptual-hash index — the MEDIA twin of
     * [[writeBandIndex]] (r9 session 5): 16-byte (doc_id, h64) rows,
     * modality-agnostic (image dHashes, audio energy hashes, video

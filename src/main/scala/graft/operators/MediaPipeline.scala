@@ -45,32 +45,47 @@ object MediaPipeline {
           .otherwise(lit("")).as("reason"))
   }
 
-  /** Full three-modality run. Each modality's dedup consumes only its
-    * gate survivors (join before the hash/band machinery), so gate
-    * rejects never pay decode twice and degenerate payloads are
-    * excluded twice over (gate + the dedup's own exclusion).
+  /** Full three-modality run. Image and audio decode exactly ONCE:
+    * the fused profile pass ([[MultimodalOps.imageProfile]] /
+    * [[AudioOps.audioProfile]]) emits gate fields AND perceptual hash
+    * from the same decode, the profile frame persists (small rows,
+    * decoupled from payloads), and the dedup consumes gate SURVIVORS'
+    * hashes via [[Dedup.perceptualPairsFrom]] — no payload is
+    * re-touched after the profile (the first cut ran gate and dedup
+    * as separate operators and decoded every surviving raster/clip
+    * twice; measured 9.3 s → see SURVEY §5b). Degenerate hashes are
+    * excluded twice over (gate + the profile's own validity flag).
+    * Video still parses its container in both the meta gate and the
+    * frame-hash pass — the expensive per-frame JPEG decode runs once,
+    * in the dedup only.
     */
   def curateMedia(images: Dataset[MultimodalOps.MediaRow],
       audio: Dataset[AudioOps.AudioRow],
       videos: Dataset[MultimodalOps.MediaRow],
       imgMinSide: Int = 16, imgMinEntropy: Double = 1.2,
       maxHamming: Int = 5): DataFrame = {
-    val imgGate = MultimodalOps.imageFilter(images, minSide = imgMinSide,
-        minEntropy = imgMinEntropy).toDF()
-      .select(col("docId").as("doc_id"), col("keep"), col("failReasons").as("fail_reasons"))
-    val imgIds = images.toDF().select(col("docId").as("doc_id"))
-    val imgKeepSet = imgGate.where(col("keep")).select("doc_id")
-    val imgPairs = Dedup.imageDedupPairs(
-      images.join(imgKeepSet.withColumnRenamed("doc_id", "docId"), "docId")
-        .as(images.encoder), maxHamming)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val imgProfile = MultimodalOps.imageProfile(images,
+      minSide = imgMinSide, minEntropy = imgMinEntropy).toDF()
+      .persist(lvl)
+    imgProfile.count()
+    val imgGate = imgProfile
+      .select(col("docId").as("doc_id"), col("keep"),
+        col("failReasons").as("fail_reasons"))
+    val imgIds = imgProfile.select(col("docId").as("doc_id"))
+    val imgPairs = Dedup.perceptualPairsFrom(
+      imgProfile.where(col("keep") && col("decoded"))
+        .select(col("docId"), col("dhash")), maxHamming)
 
-    val audGate = AudioOps.audioFilter(audio).toDF()
-      .select(col("docId").as("doc_id"), col("keep"), col("failReasons").as("fail_reasons"))
-    val audIds = audio.toDF().select(col("docId").as("doc_id"))
-    val audKeepSet = audGate.where(col("keep")).select("doc_id")
-    val audPairs = Dedup.audioDedupPairs(
-      audio.join(audKeepSet.withColumnRenamed("doc_id", "docId"), "docId")
-        .as(audio.encoder), maxHamming)
+    val audProfile = AudioOps.audioProfile(audio).toDF().persist(lvl)
+    audProfile.count()
+    val audGate = audProfile
+      .select(col("docId").as("doc_id"), col("keep"),
+        col("failReasons").as("fail_reasons"))
+    val audIds = audProfile.select(col("docId").as("doc_id"))
+    val audPairs = Dedup.perceptualPairsFrom(
+      audProfile.where(col("keep") && col("hashValid"))
+        .select(col("docId"), col("ehash")), maxHamming)
 
     // video gate = real container parse succeeding with >= 1 frame
     val vidGate = VideoOps.videoMeta(videos).toDF()

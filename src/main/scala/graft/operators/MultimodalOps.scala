@@ -97,32 +97,39 @@ object MultimodalOps {
   /** Payload-level decode + histogram — shared by [[decodeImage]] and
     * [[graft.operators.VideoOps.videoKeyframes]]' per-frame deltas.
     */
+  /** 8-bin luminance histogram of an already-decoded raster — split
+    * out of [[decodeWithHistogram]] so [[imageProfile]] can derive
+    * histogram AND dHash from ONE decode.
+    */
+  private[operators] def histogramOf(
+      img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val hist = new Array[Float](8)
+    // ceil division keeps the probe grid genuinely <= 64x64 (floor
+    // would sample up to 127 per axis for sizes in [65, 127])
+    val sx = math.max(1, (w + 63) / 64); val sy = math.max(1, (h + 63) / 64)
+    var n = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum >> 5) += 1f
+        n += 1; x += sx
+      }
+      y += sy
+    }
+    if (n > 0) { var i = 0; while (i < 8) { hist(i) /= n; i += 1 } }
+    hist
+  }
+
   private[operators] def decodeWithHistogram(payload: Array[Byte],
       maxPixels: Long = DefaultMaxPixels): Option[(Int, Int, Array[Float])] =
     try {
       val img = readImageBounded(payload, maxPixels).orNull
       if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        val hist = new Array[Float](8)
-        // ceil division keeps the probe grid genuinely <= 64x64 (floor
-        // would sample up to 127 per axis for sizes in [65, 127])
-        val sx = math.max(1, (w + 63) / 64); val sy = math.max(1, (h + 63) / 64)
-        var n = 0; var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
-            hist(lum >> 5) += 1f
-            n += 1; x += sx
-          }
-          y += sy
-        }
-        if (n > 0) { var i = 0; while (i < 8) { hist(i) /= n; i += 1 } }
-        Some((w, h, hist))
-      }
+      else Some((img.getWidth, img.getHeight, histogramOf(img)))
     } catch { case _: Exception => None }
 
   /** The 8-bin luminance histogram alone (pixel-budget-guarded). */
@@ -354,25 +361,60 @@ object MultimodalOps {
       maxAspect: Double = 4.0, minEntropy: Double = 0.5,
       maxPixels: Long = DefaultMaxPixels): Dataset[ImageGate] = {
     implicit val enc = Encoders.product[ImageGate]
+    // one source of truth: the gate is a projection of the fused
+    // profile (the dHash it also computes costs ≤72 grid cells × ≤64
+    // probes next to the decode it shares)
+    imageProfile(media, minSide, maxAspect, minEntropy, maxPixels)
+      .map(p => ImageGate(p.docId, p.width, p.height, p.entropy, p.keep,
+        p.failReasons))
+  }
+
+  /** One row per image from ONE decode: the gate fields of
+    * [[imageFilter]] AND the perceptual dHash of [[imageHashes]] —
+    * the "decode once, derive everything, never re-touch payloads"
+    * shape a 100 TB media pass needs (running gate and hash as
+    * separate operators decodes every raster twice; measured on
+    * [[MediaPipeline.curateMedia]]). `decoded` mirrors imageHashes'
+    * exclusion flag; gate thresholds and emitted columns are
+    * byte-identical to imageFilter's (which is now a projection of
+    * this).
+    */
+  case class ImageProfile(docId: Long, decoded: Boolean, width: Int,
+      height: Int, entropy: Double, dhash: Long, keep: Boolean,
+      failReasons: String)
+
+  def imageProfile(media: Dataset[MediaRow], minSide: Int = 64,
+      maxAspect: Double = 4.0, minEntropy: Double = 0.5,
+      maxPixels: Long = DefaultMaxPixels): Dataset[ImageProfile] = {
+    implicit val enc = Encoders.product[ImageProfile]
     media.mapPartitions(_.map { m =>
       if (m.format == "video")
-        ImageGate(m.docId, 0, 0, 0.0, keep = false, "not_image")
-      else decodeImage(m, maxPixels) match {
-        case None => ImageGate(m.docId, 0, 0, 0.0, keep = false, "undecodable")
-        case Some(f) =>
+        ImageProfile(m.docId, decoded = false, 0, 0, 0.0, 0L,
+          keep = false, "not_image")
+      else {
+        val img =
+          try readImageBounded(m.payload, maxPixels).orNull
+          catch { case _: Exception => null }
+        if (img == null)
+          ImageProfile(m.docId, decoded = false, 0, 0, 0.0, 0L,
+            keep = false, "undecodable")
+        else {
+          val hist = histogramOf(img)
           var ent = 0.0
-          f.feature.foreach(p => if (p > 0f) ent -= p * math.log(p.toDouble))
+          hist.foreach(p => if (p > 0f) ent -= p * math.log(p.toDouble))
           // the entropy is EMITTED (4dp), not just thresholded —
           // consumers re-cut the gate without re-decoding 100 TB
           val entR = math.rint(ent * 1e4) / 1e4
-          val side = math.min(f.width, f.height)
+          val w = img.getWidth; val h = img.getHeight
+          val side = math.min(w, h)
           val reasons = Seq(
             if (side < minSide) "too_small" else "",
-            if (math.max(f.width, f.height).toDouble / side > maxAspect)
+            if (math.max(w, h).toDouble / side > maxAspect)
               "extreme_aspect" else "",
             if (ent < minEntropy) "low_entropy" else "").filter(_.nonEmpty)
-          ImageGate(m.docId, f.width, f.height, entR, reasons.isEmpty,
-            reasons.mkString(","))
+          ImageProfile(m.docId, decoded = true, w, h, entR, dhash64(img),
+            reasons.isEmpty, reasons.mkString(","))
+        }
       }
     })
   }

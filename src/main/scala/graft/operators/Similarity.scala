@@ -184,13 +184,64 @@ object Similarity {
     val e0 = registered(embeddings).where(col("embedding").isNotNull)
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     val (stars, members) = starFrames(e0)
-    val starBuckets = lshBuckets(
-      stars.select(col("rep_id").as("vec_id"), col("embedding")),
-      nTables, nPlanes)
+    lshComposedPairs(starBucketsOf(stars, nTables, nPlanes), members, stars,
+      threshold, bucketCap, requireNew = false)
+  }
+
+  /** Bucket rows for the star reps — shared by [[nearDupPairsLsh]]
+    * and [[embedDedupGroups]].
+    */
+  private def starBucketsOf(stars: DataFrame, nTables: Int, nPlanes: Int,
+      dim: Int = 64): DataFrame =
+    lshBuckets(stars.select(col("rep_id").as("vec_id"), col("embedding")),
+      nTables, nPlanes, dim)
       .select(col("vec_id").as("rep_id"), col("table_id"), col("bucket"),
         col("embedding"))
-    lshComposedPairs(starBuckets, members, stars, threshold, bucketCap,
-      requireNew = false)
+
+  /** Canonical GROUPS over embedding near-duplicates — the embedding
+    * member of the pairs→groups symmetry (exact→dedupGroups,
+    * winnow→winnowGroups, simhash→simhashGroups, perceptual→
+    * [[graft.operators.Dedup.perceptualGroups]], this): connected
+    * components over [[nearDupPairsLsh]]'s rep-pair edges, group_id =
+    * smallest reachable vec_id. Components iterate the REP graph only
+    * (the exact-dup-first reduction — identical vectors inherit their
+    * rep's label unconditionally at `threshold < 1`), the
+    * simhashGroups shape with cosine edges. Members of a DEGENERATE
+    * star (zero-norm / non-finite — NaN self-cosine) are emitted as
+    * their OWN singletons: such vectors pair with nothing in the pair
+    * view, so grouping same-star siblings would invent links the pair
+    * semantics denies. At `threshold ≥ 1` even identical vectors
+    * don't pair (strict `>`), so everything is a singleton — same
+    * rule. Same dense-parameterization refusal as the pair op; spec'd
+    * equal to a local union-find over the operator's own pair view.
+    */
+  def embedDedupGroups(embeddings: DataFrame, threshold: Double = 0.9,
+      nTables: Int = 4, nPlanes: Int = 12, bucketCap: Int = 10000,
+      allowDense: Boolean = false, minSelectivity: Double = 4.0,
+      maxRounds: Int = 25): DataFrame = {
+    requireSelectivity("embedDedupGroups", threshold, nPlanes, allowDense,
+      minSelectivity)
+    val e0 = registered(embeddings).where(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val (stars, members) = starFrames(e0)
+    if (threshold >= 1.0) {
+      return members.select(col("vec_id"), col("vec_id").as("group_id"))
+    }
+    val edges = lshRepPairs(starBucketsOf(stars, nTables, nPlanes),
+      threshold, bucketCap)
+      .select(col("ra").as("src"), col("rb").as("dst"))
+    val labels = graft.operators.Dedup.connectedComponents(
+      stars.select(col("rep_id")), edges, maxRounds)
+      .withColumnRenamed("id", "rep_id")
+    val valid = stars
+      .where(!isnan(round(call_function("cosine_sim",
+        col("embedding"), col("embedding")), 4)))
+      .select(col("rep_id"))
+    val grouped = members.join(valid, "rep_id").join(labels, "rep_id")
+      .select(col("vec_id"), col("label").as("group_id"))
+    val degenerate = members.join(valid, Seq("rep_id"), "left_anti")
+      .select(col("vec_id"), col("vec_id").as("group_id"))
+    grouped.unionByName(degenerate)
   }
 
   /** Distinct-vector star reduction shared by [[nearDupPairsLsh]] and
@@ -228,9 +279,13 @@ object Similarity {
     * also pass). `requireNew = true` keeps only pairs with at least
     * one `is_new` member (the incremental form's post-join predicate).
     */
-  private def lshComposedPairs(starBuckets: DataFrame, members: DataFrame,
-      stars: DataFrame, threshold: Double, bucketCap: Int,
-      requireNew: Boolean): DataFrame = {
+  /** Capped rep-bucket self-join → (ra, rb, cos_sim) rep pairs —
+    * split out of [[lshComposedPairs]] so [[embedDedupGroups]] can
+    * run components over the REP graph without composing member
+    * pairs first.
+    */
+  private def lshRepPairs(starBuckets: DataFrame, threshold: Double,
+      bucketCap: Int): DataFrame = {
     val wb = Window.partitionBy("table_id", "bucket")
     val capped = starBuckets
       .withColumn("bucket_n", count(lit(1)).over(wb))
@@ -238,7 +293,7 @@ object Similarity {
       .drop("bucket_n")
     // SHUFFLE_HASH: the self-join sides then share the bucket-cap
     // window's shuffle via ReuseExchange (one bucketing pass, not two)
-    val repPairs = capped.as("a").hint("SHUFFLE_HASH").join(capped.as("b"),
+    capped.as("a").hint("SHUFFLE_HASH").join(capped.as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.rep_id") < col("b.rep_id"))
@@ -246,6 +301,12 @@ object Similarity {
         cos("a.embedding", "b.embedding").as("cos_sim"))
       .where(!isnan(col("cos_sim")) && col("cos_sim") > threshold)
       .distinct() // a rep pair can collide in several tables
+  }
+
+  private def lshComposedPairs(starBuckets: DataFrame, members: DataFrame,
+      stars: DataFrame, threshold: Double, bucketCap: Int,
+      requireNew: Boolean): DataFrame = {
+    val repPairs = lshRepPairs(starBuckets, threshold, bucketCap)
     val flag = (c: Column) =>
       if (members.columns.contains("is_new")) c else lit(true)
     val ma = members.select(col("rep_id").as("ra"), col("vec_id").as("da"),

@@ -178,6 +178,32 @@ class AudioOpsSpec extends SparkSuite {
     assert(g(0).rms > 0.3 && g(0).peak > 0.45)
   }
 
+  test("audioProfile: one decode yields exactly audioFilter's gate AND " +
+      "audioHashes' hash/validity") {
+    val m = rows(
+      (0L, wav(sine(300, 0.5, 0.5)), "audio"),
+      (1L, wav(sine(300, 0.05, 0.5)), "audio"), // too short: hash refused
+      (2L, wav(Array.fill[Short](4000)(0)), "audio"), // silent: refused
+      (3L, "junk".getBytes("UTF-8"), "audio"),
+      (4L, wav(sine(440, 0.4, 0.3)), "video"))
+    val p = AudioOps.audioProfile(m).collect().map(r => r.docId -> r).toMap
+    val g = AudioOps.audioFilter(m).collect().map(r => r.docId -> r).toMap
+    val h = AudioOps.audioHashes(m).collect().map(r => r.docId -> r).toMap
+    (0L to 4L).foreach { id =>
+      assert((p(id).durationMs, p(id).rms, p(id).peak, p(id).keep,
+        p(id).failReasons) ==
+        (g(id).durationMs, g(id).rms, g(id).peak, g(id).keep,
+          g(id).failReasons), s"gate drift at $id")
+      // audioHashes folds decode failure AND hash degeneracy into one
+      // `decoded` flag; the profile separates them — the conjunction
+      // must agree
+      assert((p(id).decoded && p(id).hashValid) == h(id).decoded,
+        s"hash-validity drift at $id")
+      if (h(id).decoded)
+        assert(p(id).ehash == h(id).ahash, s"ehash drift at $id")
+    }
+  }
+
   test("audioAnnTopK: a volume-normalized variant is its twin's nearest neighbor") {
     val a = sine(220, 1.0, 0.8)
     val aQuiet = a.map(s => (s / 3).toShort)

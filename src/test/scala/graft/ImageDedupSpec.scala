@@ -92,6 +92,35 @@ class ImageDedupSpec extends SparkSuite {
     assert(p.isEmpty, s"only doc 2 is a decodable image; got pairs $p")
   }
 
+  test("imageDedupGroups: equals a local union-find over the pair view; " +
+      "chains collapse to one group") {
+    val m = media(
+      (0L, gradient(64, 64), "image"),
+      (1L, gradient(64, 64), "image"), // clone of 0
+      (2L, gradient(64, 64, editAt = Some(4, 4)), "image"), // near 0
+      (3L, noise(99), "image"), // unrelated singleton
+      (4L, noise(7), "image"),
+      (5L, noise(7), "image"), // clone of 4
+      (6L, "junk".getBytes("UTF-8"), "image")) // excluded entirely
+    val p = pairs(m).keySet
+    val groups = Dedup.imageDedupGroups(m).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_id"))).toMap
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val v = parent.getOrElse(x, x)
+      if (v == x) x else { val r = find(v); parent(x) = r; r }
+    }
+    p.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = (0L to 5L).map(i => i -> find(i)).toMap
+    assert(groups == expect, s"got $groups expect $expect")
+    assert(groups(1L) == 0L && groups(2L) == 0L, "family collapses to rep 0")
+    assert(groups(5L) == 4L && groups(3L) == 3L)
+    assert(!groups.contains(6L), "excluded payloads emit no group row")
+  }
+
   test("syntheticImages: exact-dup texts render hamming-0 pairs, near-dups small-hamming") {
     import spark.implicits._
     val toks = (1 to 64).map(i => s"tok$i")

@@ -149,4 +149,30 @@ class MultimodalOpsSpec extends SparkSuite {
       .collect().sortBy(_.docId)
     assert(relaxed(3).keep)
   }
+
+  test("imageProfile: one decode yields exactly imageFilter's gate AND " +
+      "imageHashes' dhash") {
+    implicit val enc = Encoders.product[MediaRow]
+    val m = spark.createDataset(Seq(
+      MediaRow(0L, grayImage(128, 128), "image"),
+      MediaRow(1L, grayImage(8, 8), "image"),
+      MediaRow(2L, grayImage(128, 128, flat = true), "image"),
+      MediaRow(3L, "not an image".getBytes("UTF-8"), "image"),
+      MediaRow(4L, grayImage(64, 64), "video")))
+    val p = MultimodalOps.imageProfile(m).collect()
+      .map(r => r.docId -> r).toMap
+    val g = MultimodalOps.imageFilter(m).collect()
+      .map(r => r.docId -> r).toMap
+    val h = MultimodalOps.imageHashes(m).collect()
+      .map(r => r.docId -> r).toMap
+    (0L to 4L).foreach { id =>
+      assert((p(id).width, p(id).height, p(id).entropy, p(id).keep,
+        p(id).failReasons) ==
+        (g(id).width, g(id).height, g(id).entropy, g(id).keep,
+          g(id).failReasons), s"gate drift at $id")
+      assert(p(id).decoded == h(id).decoded, s"decoded drift at $id")
+      if (h(id).decoded)
+        assert(p(id).dhash == h(id).dhash, s"dhash drift at $id")
+    }
+  }
 }

@@ -395,6 +395,44 @@ class SimilaritySpec extends SparkSuite {
         s"cosDiff=${got.collect { case (k, v) if expected.get(k).exists(_ != v) => k }}")
   }
 
+  test("embedDedupGroups: equals a local union-find over the operator's " +
+      "own pair view; degenerate vectors stay singletons") {
+    import org.apache.spark.sql.functions.col
+    val base = emb.where(col("vec_id") < 80)
+      .select(col("vec_id"), col("embedding"))
+    // clones (exact-dup stars) + a degenerate zero-vector pair
+    val withClones = base.unionByName(
+      base.where(col("vec_id") < 10)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+      .unionByName(spark.createDataFrame(Seq(
+        (20001L, Array.fill(64)(0f)), (20002L, Array.fill(64)(0f))))
+        .toDF("vec_id", "embedding"))
+    val pairs = Similarity.nearDupPairsLsh(withClones, threshold = 0.35,
+      nTables = 8, nPlanes = 3, allowDense = true).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val groups = Similarity.embedDedupGroups(withClones, threshold = 0.35,
+      nTables = 8, nPlanes = 3, allowDense = true).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("group_id"))).toMap
+    // local union-find with path compression over the pair view
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val ids = withClones.collect().map(_.getAs[Long]("vec_id"))
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = ids.map(i => i -> find(i)).toMap
+    assert(groups == expect,
+      s"drift: ${groups.toSet.diff(expect.toSet).take(5)}")
+    // the zero vectors pair with nothing and must not group together
+    assert(groups(20001L) == 20001L && groups(20002L) == 20002L)
+    // clones share their base's group
+    assert(groups(10000L) == groups(0L))
+  }
+
   test("nearDupPairsLsh: dense parameterization refuses without allowDense") {
     // threshold 0.35 at b=3: (p/0.5)^b ~ 1.9x < 4 -> near-quadratic by
     // the operator's own math; must refuse at plan build

@@ -31,4 +31,27 @@ class SkewSpec extends SparkSuite {
     assert(salts > 1, "salting must distribute rows across buckets")
     assert(Skew.saltedJoin(fact, dim, "k", 8).count() == 1000)
   }
+
+  test("skewReport: hot key surfaces with exact integer share/skew and " +
+      "the salt factor saltedJoin would want") {
+    // key 0 carries 900 of 1000 rows over 11 keys: share 900000 ppm,
+    // skew 900*11/1000 = 9.9 -> 9900 milli, salt ceil(9.9) = 10
+    val df = ((0 until 900).map(i => (0L, i)) ++
+      (0 until 100).map(i => ((i % 10 + 1).toLong, i))).toDF("k", "v")
+    val r = Skew.skewReport(df, "k", k = 3).collect()
+      .map(x => (x.getAs[String]("key"), x.getAs[Long]("cnt"),
+        x.getAs[Long]("share_ppm"), x.getAs[Long]("skew_milli"),
+        x.getAs[Long]("salt_factor")))
+    assert(r.head == (("0", 900L, 900000L, 9900L, 10L)), s"got ${r.head}")
+    // rank ties on cnt=10 break by key string; k bounds the output
+    assert(r.length == 3 && r(1)._2 == 10L && r(1)._1 < r(2)._1)
+    // the cap: skew = cnt·n_keys/total ≈ 100000·101/101000 ≈ 100 → 32
+    val mega = ((0 until 100000).map(i => (0L, i)) ++
+      (1 to 100).map(k => (k.toLong, 0))).toDF("k", "v")
+    val m = Skew.skewReport(mega, "k", k = 1).collect().head
+    assert(m.getAs[Long]("salt_factor") == 32L)
+    // empty input: empty report, not a crash
+    assert(Skew.skewReport(Seq.empty[(Long, Int)].toDF("k", "v"), "k")
+      .count() == 0)
+  }
 }
