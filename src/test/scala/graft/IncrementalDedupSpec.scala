@@ -220,6 +220,34 @@ class IncrementalDedupSpec extends SparkSuite {
       s"no decode may run inside the incremental join plan:\n$plan")
   }
 
+  test("simhash rides the perceptual index seam: indexed text fingerprints " +
+      "dedup a new snapshot, equals the joint simhashPairs subset") {
+    // simhash64 is a 64-bit hash like any other: the modality-agnostic
+    // perceptual index is the cross-snapshot form of simhashPairs with
+    // NO new machinery — asserted here so the claim stays true
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-simhashindex").toString
+    Dedup.writePerceptualIndex(Dedup.simhash(snapA), dir)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming"))).toSet
+    // 104 re-crawls snapA doc 0 verbatim: identical token multiset ⇒
+    // identical simhash ⇒ a guaranteed hamming-0 cross pair (the text
+    // families' one-token edits land wherever the weighted bits fall,
+    // which a hamming-3 budget does not promise to catch)
+    val snapB2 = snapB.unionByName(Seq((104L, base(0))).toDF("doc_id", "text"))
+    val inc = triples(Dedup.perceptualDedupAgainst(
+      Dedup.perceptualIndex(spark, dir), Dedup.simhash(snapB2),
+      maxHamming = 3))
+    val joint = triples(Dedup.simhashPairs(snapA.unionByName(snapB2),
+      maxHamming = 3))
+    val jointNew = joint.filter { case (a, b, _) => a >= 100L || b >= 100L }
+    assert(inc == jointNew,
+      s"missing=${jointNew -- inc} extra=${inc -- jointNew}")
+    assert(inc.exists { case (a, b, _) => a < 100L && b >= 100L },
+      "the cross-snapshot near-dup family must surface")
+  }
+
   test("embedDedupAgainst: equals the joint LSH run's new-involving " +
       "subset through the parquet index; stored buckets scanned, not " +
       "re-hashed") {
