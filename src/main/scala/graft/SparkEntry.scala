@@ -572,9 +572,9 @@ object SparkEntry {
         |  FROM events GROUP BY 1
         |), s AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c)
         |SELECT key, CAST(cnt AS BIGINT) AS cnt,
-        |  CAST(FLOOR(cnt * 1000000 / total) AS BIGINT) AS share_ppm,
-        |  CAST(FLOOR(cnt * n_keys * 1000 / total) AS BIGINT) AS skew_milli,
-        |  CAST(LEAST(32, CEIL(cnt * n_keys / total)) AS BIGINT)
+        |  CAST(FLOOR(cnt / total * 1000000) AS BIGINT) AS share_ppm,
+        |  CAST(FLOOR(cnt / total * n_keys * 1000) AS BIGINT) AS skew_milli,
+        |  CAST(LEAST(32, CEIL(cnt / total * n_keys)) AS BIGINT)
         |    AS salt_factor
         |FROM c, s
         |QUALIFY RANK() OVER (ORDER BY cnt DESC, key) <= 20""".stripMargin,

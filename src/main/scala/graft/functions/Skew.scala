@@ -58,12 +58,17 @@ object Skew {
     counts.withColumn("rnk", rank().over(w)).where(col("rnk") <= k)
       .crossJoin(broadcast(stats))
       .select(col("key"), col("cnt"),
-        floor(col("cnt") * lit(1000000L) / col("total")).cast("long")
+        // DIVISION FIRST, then scale: the integer products
+        // (cnt·n_keys·1000) overflow BIGINT under ANSI at 10^12-row
+        // scale, while (cnt/total) is one IEEE division both engines
+        // compute identically and the double multiplies that follow
+        // are exact-operand IEEE ops — overflow-free at any scale
+        floor(col("cnt") / col("total") * lit(1000000L)).cast("long")
           .as("share_ppm"),
-        floor(col("cnt") * col("n_keys") * lit(1000L) / col("total"))
+        floor(col("cnt") / col("total") * col("n_keys") * lit(1000L))
           .cast("long").as("skew_milli"),
         least(lit(32L),
-          ceil(col("cnt") * col("n_keys") / col("total")).cast("long"))
+          ceil(col("cnt") / col("total") * col("n_keys")).cast("long"))
           .as("salt_factor"))
   }
 }

@@ -85,6 +85,11 @@ class EmptyInputSpec extends SparkSuite {
         graft.operators.MultimodalOps.MediaRow]
       spark.emptyDataset[graft.operators.MultimodalOps.MediaRow]
     })
+    assertEmptyOk("imageDedupGroups", Dedup.imageDedupGroups {
+      implicit val e = org.apache.spark.sql.Encoders.product[
+        graft.operators.MultimodalOps.MediaRow]
+      spark.emptyDataset[graft.operators.MultimodalOps.MediaRow]
+    })
     def noAudio = {
       implicit val e = org.apache.spark.sql.Encoders.product[
         graft.operators.AudioOps.AudioRow]
@@ -169,6 +174,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("nearDupPairsLsh", Similarity.nearDupPairsLsh(noEmb))
     assertEmptyOk("embedPca", Similarity.embedPca(noEmb))
     assertEmptyOk("pcaVariance", Similarity.pcaVariance(noEmb))
+    assertEmptyOk("embedDedupGroups", Similarity.embedDedupGroups(noEmb))
     assertEmptyOk("semanticDecontaminate",
       graft.operators.Curation.semanticDecontaminate(noEmb))
     assertEmptyOk("quantizeEmbeddings", Similarity.quantizeEmbeddings(noEmb))
