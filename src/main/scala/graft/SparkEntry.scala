@@ -81,6 +81,9 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(t(s, d, "documents"))),
     "q_dedup_minhash_verified" -> ((s, d) => Dedup.minhashVerifiedPairs(t(s, d, "documents"))),
     "q_dedup_minhash_exactverify" -> ((s, d) => Dedup.minhashExactVerifiedPairs(t(s, d, "documents"))),
+    // rows-only (sketch estimates): per-candidate est-vs-true Jaccard
+    // error audit; consistency + binomial-bound specs in DedupSpec
+    "q_minhash_err" -> ((s, d) => Dedup.minhashEstError(t(s, d, "documents"))),
     "q_dedup_groups" -> ((s, d) => Dedup.dedupGroups(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),

@@ -481,6 +481,52 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** MinHash estimation-error AUDIT frame (r9 session 5 — the text
+    * side's "measure, don't guess" member beside
+    * [[graft.operators.Similarity.annRecall]]): per banded candidate
+    * pair, the signature-agreement ESTIMATE next to the TRUE distinct-
+    * shingle Jaccard and their absolute error — the frame that tells
+    * a production run whether its (numHashes, bands) budget actually
+    * delivers the estimator variance the thresholds assume
+    * (σ ≈ √(J(1−J)/numHashes); a fatter observed error means broken
+    * sketches or adversarial content, caught as a query not an
+    * incident). Same stage-0 exact collapse + capped banding as the
+    * verified ops (reps only — exact clones estimate trivially), one
+    * signature join pair + one packed-set join pair over the bounded
+    * candidate frame. rows-only (sketches have no DuckDB form): specs
+    * pin cross-operator consistency (est ≡ minhashVerifiedPairs' own
+    * estimates, true ≡ minhashExactVerifiedPairs' own Jaccard at
+    * threshold 0) and the binomial error bound on the gate corpus.
+    */
+  def minhashEstError(documents: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, shingleLen: Int = 3,
+      bucketCap: Int = 10000): DataFrame = {
+    val reps = documents.join(
+      exact(documents).select(col("keep_id").as("doc_id")), "doc_id")
+    val sigs = minhashSketch(reps, numHashes, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val cand = candidatesFromSketch(sigs, numHashes, bands, bucketCap)
+    val sets = shingled(reps, shingleLen)
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count()
+    cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), b -> b))") /
+          lit(numHashes.toDouble))
+      .withColumn("n_inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("true_jaccard", col("n_inter").cast("double") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("n_inter")).cast("double"))
+      .select(col("a_id"), col("b_id"), col("est_jaccard"),
+        col("true_jaccard"),
+        abs(col("est_jaccard") - col("true_jaccard")).as("abs_err"))
+  }
+
   /** Distributed connected components over an undirected edge list —
     * the alternating large-star/small-star rounds (the public
     * MapReduce-components construction): each round is two

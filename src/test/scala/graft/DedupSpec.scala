@@ -410,6 +410,38 @@ class DedupSpec extends SparkSuite {
     assert(r(2L) == ((5L, 4L, 0.8)))
   }
 
+  test("minhashEstError: estimates/truth consistent with the verified ops; " +
+      "errors inside the binomial bound on the real corpus") {
+    val corpus = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents")
+    def byPair(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double](c)).toMap
+    val audit = Dedup.minhashEstError(corpus).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        (r.getAs[Double]("est_jaccard"), r.getAs[Double]("true_jaccard"),
+          r.getAs[Double]("abs_err"))).toMap
+    assert(audit.nonEmpty)
+    // cross-operator consistency: at threshold 0 the verified ops emit
+    // the same candidate set with the same numbers
+    val est = byPair(Dedup.minhashVerifiedPairs(corpus, threshold = 0.0),
+      "est_jaccard")
+    val truth = byPair(
+      Dedup.minhashExactVerifiedPairs(corpus, threshold = 0.0), "jaccard")
+    assert(audit.keySet == est.keySet && audit.keySet == truth.keySet)
+    audit.foreach { case (p, (e, t, err)) =>
+      assert(e == est(p) && t == truth(p), s"drift at $p")
+      assert(math.abs(err - math.abs(e - t)) < 1e-12)
+    }
+    // binomial estimator: σ ≤ 0.5/√64 = 0.0625 per pair; the MEAN
+    // absolute error over the candidate set sits well inside 2σ, and
+    // no pair strays past 6σ (both deterministic on this fixed corpus)
+    val errs = audit.values.map(_._3)
+    assert(errs.sum / errs.size <= 0.125,
+      s"mean |est-true| = ${errs.sum / errs.size}")
+    assert(errs.max <= 0.375, s"max |est-true| = ${errs.max}")
+  }
+
   test("sourceOverlapHll: every pair estimated within the sketch error bound of exact") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.{shingleFromStruct, shingleStructs, tokenize}
