@@ -268,6 +268,9 @@ object SparkEntry {
       Curation.contamAttribution(t(s, d, "documents"))),
     "q_domain_mix" -> ((s, d) => Curation.domainMix(t(s, d, "documents"))),
     "q_mix_weights" -> ((s, d) => Curation.mixWeights(t(s, d, "documents"))),
+    // data-constrained epoch planning: per-source repeat factors under
+    // a token budget (desired share vs available, capped epochs)
+    "q_epoch_plan" -> ((s, d) => Curation.epochPlan(t(s, d, "documents"))),
     "q_mix_apply" -> ((s, d) => Curation.mixApply(t(s, d, "documents"))),
     "q_semantic_decontaminate" -> ((s, d) =>
       Curation.semanticDecontaminate(t(s, d, "embeddings"))),
@@ -1241,6 +1244,37 @@ object SparkEntry {
         |    LEAST(1.0, CAST(p6 AS DOUBLE) / CAST(sp AS DOUBLE) * 100000.0 / CAST(n_tokens AS DOUBLE))
         |  ELSE 0.0 END AS admit_rate
         |FROM p CROSS JOIN s""".stripMargin,
+    "q_epoch_plan" ->
+      """WITH pl AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM pl),
+        |p AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |    CAST(ROUND(pow(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 0.3), 6) AS DECIMAL(18,6)) AS p6
+        |  FROM pl CROSS JOIN t
+        |), s AS (SELECT CAST(SUM(p6) AS DECIMAL(28,6)) AS sp FROM p),
+        |d AS (
+        |  SELECT source, n_docs, n_tokens, share,
+        |    CAST(p6 AS DOUBLE) / CAST(sp AS DOUBLE) AS alpha_weight,
+        |    CAST(p6 AS DOUBLE) / CAST(sp AS DOUBLE) * 500000.0 AS desired
+        |  FROM p CROSS JOIN s
+        |)
+        |SELECT source, n_docs, n_tokens, share, alpha_weight,
+        |  CAST(FLOOR(desired) AS BIGINT) AS desired_tokens,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    CAST(FLOOR(LEAST(4000.0, desired / CAST(n_tokens AS DOUBLE) * 1000.0)) AS BIGINT)
+        |  ELSE 0 END AS epochs_milli,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    CAST(FLOOR(LEAST(CAST(n_tokens AS DOUBLE) * 4.0, desired)) AS BIGINT)
+        |  ELSE 0 END AS effective_tokens,
+        |  GREATEST(0, CAST(FLOOR(desired) AS BIGINT) -
+        |    (CASE WHEN n_tokens > 0 THEN
+        |       CAST(FLOOR(LEAST(CAST(n_tokens AS DOUBLE) * 4.0, desired)) AS BIGINT)
+        |     ELSE 0 END)) AS shortfall_tokens
+        |FROM d""".stripMargin,
     "q_mix_apply" ->
       """WITH pl AS (
         |  SELECT lang,

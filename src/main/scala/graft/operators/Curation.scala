@@ -759,6 +759,61 @@ object Curation {
           .otherwise(lit(0.0)).as("admit_rate"))
   }
 
+  /** Data-constrained EPOCH planning (r9 session 5 — the published
+    * repeat-budget recipe for when the α-temperature target mix wants
+    * MORE tokens from a source than it has: repeating unique data up
+    * to ~4 epochs is near-free, beyond that it decays): per source,
+    * its α-weight share of `budgetTokens` (the [[mixWeights]]
+    * arithmetic on the source axis), the repeat factor
+    * min(`maxEpochs`, desired/available) in exact milli units
+    * (< 1000 = subsample, the admit-rate regime; > 1000 = repeat),
+    * the effective tokens the plan actually yields, and the shortfall
+    * the epoch cap leaves unrecoverable — the frame a training run
+    * reads to decide whether to relax α, raise the cap, or go find
+    * more data. Σ effective ≤ budget by construction (each source's
+    * effective ≤ its desired share).
+    *
+    * Plan shape: one (source)-keyed token aggregate + two single-row
+    * broadcasts — [[mixWeights]]' exact shape. Determinism (§5b):
+    * the pow/round-6/DECIMAL-sum weight discipline shared with
+    * mixWeights, then FLOORed integer token/milli outputs (one IEEE
+    * chain in the same op order as the oracle — no round-mode traps).
+    */
+  def epochPlan(documents: DataFrame, alpha: Double = 0.3,
+      budgetTokens: Long = 500000L, maxEpochs: Double = 4.0): DataFrame = {
+    val toks = org.apache.spark.sql.functions.filter(
+      tokenize(col("text")), t => t =!= "")
+    val perSrc = documents
+      .select(col("source"), size(toks).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot"))
+    val p = perSrc.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_tokens").cast("double") / col("tot").cast("double"))
+      .withColumn("p6",
+        round(pow(col("share"), lit(alpha)), 6).cast("decimal(18,6)"))
+    val s = p.agg(sum(col("p6")).cast("decimal(28,6)").as("sp"))
+    p.crossJoin(broadcast(s))
+      .withColumn("desired", col("p6").cast("double") /
+        col("sp").cast("double") * lit(budgetTokens.toDouble))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        (col("p6").cast("double") / col("sp").cast("double"))
+          .as("alpha_weight"),
+        floor(col("desired")).cast("long").as("desired_tokens"),
+        when(col("n_tokens") > 0,
+          floor(least(lit(maxEpochs * 1000.0),
+            col("desired") / col("n_tokens").cast("double") * lit(1000.0)))
+            .cast("long"))
+          .otherwise(lit(0L)).as("epochs_milli"),
+        when(col("n_tokens") > 0,
+          floor(least(col("n_tokens").cast("double") * lit(maxEpochs),
+            col("desired"))).cast("long"))
+          .otherwise(lit(0L)).as("effective_tokens"))
+      .withColumn("shortfall_tokens",
+        greatest(lit(0L), col("desired_tokens") - col("effective_tokens")))
+  }
+
   /** Apply [[mixWeights]]'s admission rates as an ACTUAL corpus
     * resample — the step the mixture recipe ends with: every document
     * of language ℓ is admitted iff its content-hash bucket falls

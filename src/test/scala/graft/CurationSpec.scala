@@ -104,6 +104,35 @@ class CurationSpec extends SparkSuite {
     assert(w0("de")._3 == 1.0)
   }
 
+  test("epochPlan: scarce source repeats up to the cap with shortfall, " +
+      "abundant source subsamples; effective never exceeds the budget") {
+    // source A: 1 doc x 100 tokens (scarce); source B: 10 x 1000
+    // (abundant). alpha=0.3 wants far more of A than it has.
+    val d = ((0 until 1).map(i => (i.toLong,
+        (1 to 100).map(_ => "w").mkString(" "), "en", "A")) ++
+      (0 until 10).map(i => (100L + i,
+        (1 to 1000).map(_ => "w").mkString(" "), "en", "B")))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Curation.epochPlan(d, alpha = 0.3, budgetTokens = 20000L)
+      .collect().map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("desired_tokens"),
+          x.getAs[Long]("epochs_milli"), x.getAs[Long]("effective_tokens"),
+          x.getAs[Long]("shortfall_tokens")))).toMap
+    val (ntA, desA, epA, effA, shA) = r("A")
+    val (ntB, desB, epB, effB, shB) = r("B")
+    assert(ntA == 100L && ntB == 10000L)
+    // A's alpha-share of 20k dwarfs its 100 tokens: capped at 4 epochs
+    assert(epA == 4000L, s"scarce source must hit the cap, got $epA")
+    assert(effA == 400L && shA == desA - 400L && shA > 0L)
+    // B repeats mildly (~1.6 epochs) and is never cut short
+    assert(epB > 1000L && epB < 4000L && effB == desB && shB == 0L,
+      s"abundant source must not shortfall: $r")
+    // plan-level conservation: effective mass never exceeds the budget
+    assert(effA + effB <= 20000L)
+    // weights normalize and desired splits the budget
+    assert(math.abs((desA + desB) - 20000L) <= 2L)
+  }
+
   test("probeScore: deterministic weights, in-sample separation, scores in (0,1)") {
     val r1 = Curation.probeScore(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_target"),
