@@ -271,6 +271,10 @@ object SparkEntry {
     // data-constrained epoch planning: per-source repeat factors under
     // a token budget (desired share vs available, capped epochs)
     "q_epoch_plan" -> ((s, d) => Curation.epochPlan(t(s, d, "documents"))),
+    // the plan APPLIED: per-doc materialized (doc, epoch) replicas —
+    // floor(epochs) copies + one more under the fractional milli
+    // hash-admission (the mixApply primitive lifted above 1)
+    "q_epoch_apply" -> ((s, d) => Curation.epochApply(t(s, d, "documents"))),
     "q_mix_apply" -> ((s, d) => Curation.mixApply(t(s, d, "documents"))),
     "q_semantic_decontaminate" -> ((s, d) =>
       Curation.semanticDecontaminate(t(s, d, "embeddings"))),
@@ -1275,6 +1279,35 @@ object SparkEntry {
         |       CAST(FLOOR(LEAST(CAST(n_tokens AS DOUBLE) * 4.0, desired)) AS BIGINT)
         |     ELSE 0 END)) AS shortfall_tokens
         |FROM d""".stripMargin,
+    "q_epoch_apply" ->
+      """WITH pl AS (
+        |  SELECT source,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM pl),
+        |p AS (
+        |  SELECT source, n_tokens,
+        |    CAST(ROUND(pow(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 0.3), 6) AS DECIMAL(18,6)) AS p6
+        |  FROM pl CROSS JOIN t
+        |), s AS (SELECT CAST(SUM(p6) AS DECIMAL(28,6)) AS sp FROM p),
+        |e AS (
+        |  SELECT source,
+        |    CASE WHEN n_tokens > 0 THEN
+        |      CAST(FLOOR(LEAST(4000.0,
+        |        CAST(p6 AS DOUBLE) / CAST(sp AS DOUBLE) * 500000.0
+        |          / CAST(n_tokens AS DOUBLE) * 1000.0)) AS BIGINT)
+        |    ELSE 0 END AS em
+        |  FROM p CROSS JOIN s
+        |), n AS (
+        |  SELECT d.doc_id, d.lang, d.source,
+        |    em // 1000 +
+        |      (CASE WHEN CAST('0x' || substr(md5('epochapply:' || d.text), 1, 8) AS BIGINT) % 1000
+        |            < em % 1000 THEN 1 ELSE 0 END) AS n_copies
+        |  FROM documents d JOIN e ON d.source = e.source
+        |)
+        |SELECT doc_id, lang, source,
+        |  CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS epoch
+        |FROM n WHERE n_copies > 0""".stripMargin,
     "q_mix_apply" ->
       """WITH pl AS (
         |  SELECT lang,

@@ -814,6 +814,43 @@ object Curation {
         greatest(lit(0L), col("desired_tokens") - col("effective_tokens")))
   }
 
+  /** Apply [[epochPlan]]'s repeat factors as an ACTUAL materialized
+    * resample — the plan→apply symmetry [[mixWeights]]/[[mixApply]]
+    * established, lifted to factors ABOVE 1: every document of source
+    * s replicates ⌊epochs_s⌋ times plus one more iff its salted
+    * content-hash bucket (mod 1000) falls under the fractional milli
+    * remainder — so each source's expected token mass equals the
+    * plan's effective_tokens exactly, each doc's copy count is
+    * deterministic in its text alone (engine-portable, rerun-stable,
+    * independent of the mixApply/domainMix/trainSplit salts), and the
+    * subsample regime (epochs < 1) degrades to exactly mixApply's
+    * hash-admission rule. Returns (doc_id, lang, source, epoch) with
+    * epoch 1..n — the `epoch` column is what downstream shuffles/
+    * packing use to keep replicas from colliding in dedup passes.
+    *
+    * Plan shape: the plan frame is sources-sized and broadcast; the
+    * corpus side explodes a `sequence(1, n_copies)` per row in ONE
+    * scan — no shuffle of documents; output mass is the plan's
+    * Σ effective, by construction ≤ the budget.
+    */
+  def epochApply(documents: DataFrame, alpha: Double = 0.3,
+      budgetTokens: Long = 500000L, maxEpochs: Double = 4.0,
+      salt: String = "epochapply:"): DataFrame = {
+    val plan = epochPlan(documents, alpha, budgetTokens, maxEpochs)
+      .select(col("source"), col("epochs_milli"))
+    val bucket = graft.functions.TextFunctions.hashBucket(col("text"),
+      1000, salt)
+    documents
+      .join(broadcast(plan), "source")
+      .withColumn("n_copies",
+        (col("epochs_milli") / lit(1000L)).cast("long") +
+          when(bucket < pmod(col("epochs_milli"), lit(1000L)), 1L)
+            .otherwise(0L))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+  }
+
   /** Apply [[mixWeights]]'s admission rates as an ACTUAL corpus
     * resample — the step the mixture recipe ends with: every document
     * of language ℓ is admitted iff its content-hash bucket falls

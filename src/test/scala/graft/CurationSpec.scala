@@ -133,6 +133,40 @@ class CurationSpec extends SparkSuite {
     assert(math.abs((desA + desB) - 20000L) <= 2L)
   }
 
+  test("epochApply: per-doc copy counts re-derived exactly from the plan " +
+      "+ md5 admission; epochs dense from 1") {
+    val d = ((0 until 1).map(i => (i.toLong,
+        (1 to 100).map(j => s"w$j").mkString(" "), "en", "A")) ++
+      (0 until 10).map(i => (100L + i,
+        (1 to 500).map(j => s"t$i-$j").mkString(" "), "en", "B")))
+      .toDF("doc_id", "text", "lang", "source")
+    val plan = Curation.epochPlan(d, alpha = 0.3, budgetTokens = 8000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("epochs_milli")).toMap
+    val got = Curation.epochApply(d, alpha = 0.3, budgetTokens = 8000L)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rows) =>
+        id -> rows.map(_.getAs[Long]("epoch")).sorted.toSeq }
+    // local re-derivation of the admission rule, bit for bit
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(text: String): Long = {
+      md.reset()
+      val hex = md.digest(("epochapply:" + text).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1000L
+    }
+    d.collect().foreach { r =>
+      val em = plan(r.getAs[String]("source"))
+      val expect = em / 1000L +
+        (if (bucket(r.getAs[String]("text")) < em % 1000L) 1L else 0L)
+      val copies = got.getOrElse(r.getAs[Long]("doc_id"), Seq.empty)
+      assert(copies == (1L to expect),
+        s"doc ${r.getAs[Long]("doc_id")}: copies $copies vs em=$em")
+    }
+    // the scarce source hit the 4-epoch cap: every A doc appears 4x
+    assert(plan("A") == 4000L && got(0L) == (1L to 4L))
+  }
+
   test("probeScore: deterministic weights, in-sample separation, scores in (0,1)") {
     val r1 = Curation.probeScore(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_target"),
