@@ -174,6 +174,9 @@ object SparkEntry {
     "q_cluster_balance" -> ((s, d) =>
       Similarity.clusterBalance(t(s, d, "embeddings"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    // the heuristic's accuracy audit: confusion matrix vs the labeled
+    // lang column, per-true-lang shares in floored ppm
+    "q_lang_confusion" -> ((s, d) => TextOps.langConfusion(t(s, d, "documents"))),
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
@@ -881,6 +884,28 @@ object SparkEntry {
         |        len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et','est','dans'))) AS s_fr,
         |        len(list_filter(string_split(text, ' '), t -> t IN ('el','los','y','es','con'))) AS s_es
         |      FROM documents)""".stripMargin,
+    "q_lang_confusion" ->
+      """WITH pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |         WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |         WHEN s_es > 0 THEN 'es'
+        |         ELSE 'unknown' END AS pred_lang
+        |  FROM (SELECT doc_id,
+        |          len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |          len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |          len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et','est','dans'))) AS s_fr,
+        |          len(list_filter(string_split(text, ' '), t -> t IN ('el','los','y','es','con'))) AS s_es
+        |        FROM documents)
+        |), cells AS (
+        |  SELECT d.lang, p.pred_lang, COUNT(*) AS n
+        |  FROM documents d JOIN pred p USING (doc_id)
+        |  GROUP BY 1, 2
+        |), totals AS (SELECT lang, SUM(n) AS n_lang FROM cells GROUP BY 1)
+        |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(n / n_lang * 1000000) AS BIGINT) AS share_ppm
+        |FROM cells JOIN totals USING (lang)""".stripMargin,
     "q_text_quality" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,

@@ -34,6 +34,31 @@ object TextOps {
       en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"))
   }
 
+  /** Language-ID CONFUSION audit against the labeled `lang` column
+    * (r9 session 5 — the accuracy frame every heuristic classifier in
+    * the pipeline owes its consumers; the [[langId]] stopword
+    * heuristic is cheap precisely because one can MEASURE where it
+    * is wrong and route those slices to a heavier model): one row per
+    * (true lang, predicted lang) with the count and the row's share
+    * of its true-lang total — the confusion matrix as a query. The
+    * diagonal shares are per-language recall; columns off the
+    * diagonal say which languages the heuristic confuses. share is
+    * emitted as FLOORed ppm (the skewReport integer-units rule).
+    * Plan: the langId projection + one (lang, pred) count aggregate +
+    * a lang-keyed totals join — aggregate-sized everything after the
+    * scan.
+    */
+  def langConfusion(documents: DataFrame): DataFrame = {
+    val pred = langId(documents).select(col("doc_id"), col("pred_lang"))
+    val joined = documents.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+    val cells = joined.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+    cells.join(totals, "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        floor(col("n") / col("n_lang") * lit(1000000L)).cast("long")
+          .as("share_ppm"))
+  }
+
   /** Quality scoring per source: doc counts plus corpus-level
     * chars-per-token, punctuation and stopword ratios. Integer sums
     * (exact) divided as doubles — identical bits in the DuckDB oracle.

@@ -22,6 +22,30 @@ class TextOpsSpec extends SparkSuite {
     assert(r == Map(0L -> "en", 1L -> "de", 2L -> "fr", 3L -> "es", 4L -> "unknown"))
   }
 
+  test("langConfusion: cells partition the corpus, shares are per-true-" +
+      "lang ppm, diagonal carries the recall") {
+    val d = Seq(
+      (0L, "the cat is on a mat", "en", "s"), // correct en
+      (1L, "the dog is a pet and", "en", "s"), // correct en
+      (2L, "der hund und die katze ist", "en", "s"), // mislabeled: pred de
+      (3L, "le chat est dans la maison", "fr", "s"), // correct fr
+      (4L, "zzz qqq www", "fr", "s") // unknown
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextOps.langConfusion(d).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("pred_lang")) ->
+        (x.getAs[Long]("n"), x.getAs[Long]("share_ppm"))).toMap
+    assert(r.values.map(_._1).sum == 5L, "cells must partition the corpus")
+    assert(r(("en", "en")) == ((2L, 666666L)))
+    assert(r(("en", "de"))._1 == 1L)
+    assert(r(("fr", "fr")) == ((1L, 500000L)))
+    assert(r(("fr", "unknown")) == ((1L, 500000L)))
+    // floored ppm shares sum to <= 1e6 per true lang, within cells-1
+    Seq("en", "fr").foreach { l =>
+      val s = r.collect { case ((`l`, _), (_, ppm)) => ppm }.sum
+      assert(s <= 1000000L && s >= 1000000L - r.size)
+    }
+  }
+
   test("topNgramFrac: most frequent 3-gram, deterministic tie-break, exact frac") {
     val d = Seq(
       // 3-grams: "a b a" x2, "b a b" x2, "a b x" x1 — count tie broken
