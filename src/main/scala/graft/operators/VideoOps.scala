@@ -219,6 +219,9 @@ object VideoOps {
         }
         MediaRow(id, writeAviMjpeg(frames, side, side, fps = 10), "video")
       })
+      // fixture-render cache marker — the syntheticImages rationale;
+      // the AVI render dominated q_video_meta (~85% measured, §5b)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Minimal canonical AVI/MJPEG writer (fixtures + syntheticVideos):
