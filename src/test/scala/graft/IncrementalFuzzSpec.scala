@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+/** Randomized differential fuzz for the cross-snapshot exactness
+  * contracts: over generated corpora with planted families, verbatim
+  * clones and degenerate rows, the incremental ops must equal the
+  * joint run's at-least-one-new-side subset BIT FOR BIT on every
+  * trial — the single-fixture specs in IncrementalDedupSpec prove the
+  * machinery once; this hunts the composition edges (multi-member
+  * stars straddling snapshots, clone-only news, degenerate hashes).
+  */
+class IncrementalFuzzSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("embedDedupAgainst == joint nearDupPairsLsh new-involving subset " +
+      "over randomized corpora") {
+    val rnd = new scala.util.Random(1234)
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def perturb(base: Array[Float], seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = base.map(x => x + 0.08 * r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    (0 until 5).foreach { trial =>
+      val nFam = 2 + rnd.nextInt(3)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      var id = 0L
+      // families: a base + 2-4 perturbations + 0-2 verbatim clones
+      (0 until nFam).foreach { f =>
+        val base = unit(trial * 100 + f)
+        rows += ((id, base)); id += 1
+        (0 until 2 + rnd.nextInt(3)).foreach { p =>
+          rows += ((id, perturb(base, trial * 1000 + f * 10 + p))); id += 1
+        }
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          // clone of a random existing family member
+          rows += ((id, rows(rnd.nextInt(rows.size))._2)); id += 1
+        }
+      }
+      // strangers + one degenerate zero vector
+      (0 until 5).foreach { s2 =>
+        rows += ((id, unit(99000 + trial * 10 + s2))); id += 1
+      }
+      rows += ((id, Array.fill(64)(0f))); id += 1
+      // random snapshot split: old = ids below a cut (append-only)
+      val cut = 1L + rnd.nextInt(rows.size - 1)
+      val old = rows.filter(_._1 < cut).toSeq.toDF("vec_id", "embedding")
+      val news = rows.filter(_._1 >= cut).toSeq.toDF("vec_id", "embedding")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz-lsh-$trial").toString
+      Similarity.writeLshIndex(old, dir)
+      def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Double]("cos_sim"))).toSet
+      val inc = triples(Similarity.embedDedupAgainst(spark, dir, news))
+      val joint = triples(Similarity.nearDupPairsLsh(
+        old.unionByName(news)))
+        .filter { case (a, b, _) => a >= cut || b >= cut }
+      assert(inc == joint,
+        s"trial $trial (cut=$cut, n=${rows.size}): " +
+          s"missing=${joint -- inc} extra=${inc -- joint}")
+    }
+  }
+
+  test("perceptualDedupAgainst == joint perceptualPairsFrom new-involving " +
+      "subset over randomized hash corpora") {
+    val rnd = new scala.util.Random(77)
+    (0 until 5).foreach { trial =>
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var id = 0L
+      (0 until 3 + rnd.nextInt(3)).foreach { f =>
+        val base = rnd.nextLong()
+        rows += ((id, base)); id += 1
+        // near members: flip 1-4 random bits
+        (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+          var h = base
+          (0 until 1 + rnd.nextInt(4)).foreach(_ =>
+            h ^= 1L << rnd.nextInt(64))
+          rows += ((id, h)); id += 1
+        }
+        // verbatim hash clones
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          rows += ((id, rows(rnd.nextInt(rows.size))._2)); id += 1
+        }
+      }
+      (0 until 4).foreach { _ => rows += ((id, rnd.nextLong())); id += 1 }
+      val cut = 1L + rnd.nextInt(rows.size - 1)
+      val old = rows.filter(_._1 < cut).toSeq.toDF("doc_id", "h64")
+      val news = rows.filter(_._1 >= cut).toSeq.toDF("doc_id", "h64")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz-ph-$trial").toString
+      Dedup.writePerceptualIndex(old, dir)
+      def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Long]("hamming"))).toSet
+      val inc = triples(Dedup.perceptualDedupAgainst(
+        Dedup.perceptualIndex(spark, dir), news))
+      val joint = triples(Dedup.perceptualPairsFrom(
+        old.unionByName(news)))
+        .filter { case (a, b, _) => a >= cut || b >= cut }
+      assert(inc == joint,
+        s"trial $trial (cut=$cut, n=${rows.size}): " +
+          s"missing=${joint -- inc} extra=${inc -- joint}")
+    }
+  }
+}
