@@ -116,6 +116,7 @@ object SparkEntry {
     // error audit; consistency + binomial-bound specs in DedupSpec
     "q_minhash_err" -> ((s, d) => Dedup.minhashEstError(t(s, d, "documents"))),
     "q_dedup_groups" -> ((s, d) => Dedup.dedupGroups(t(s, d, "documents"))),
+    "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),
@@ -313,6 +314,11 @@ object SparkEntry {
     "q_semantic_decontaminate" -> ((s, d) =>
       Curation.semanticDecontaminate(t(s, d, "embeddings"))),
     "q_pack_sequences" -> ((s, d) => Curation.packSequences(t(s, d, "documents"))),
+    "q_pack_stats" -> ((s, d) => Curation.packStats(t(s, d, "documents"))),
+    "q_snapshot_diff" -> ((s, d) => {
+      val (o, n) = Curation.snapshotPair(t(s, d, "documents"))
+      Curation.snapshotDiff(o, n)
+    }),
     "q_token_budget" -> ((s, d) => Curation.tokenBudget(t(s, d, "documents"))),
     "q_word_entropy" -> ((s, d) => TextOps.wordEntropy(t(s, d, "documents"))),
     "q_oov_rate" -> ((s, d) => TextOps.oovRate(t(s, d, "documents"))),
@@ -800,6 +806,51 @@ object SparkEntry {
         |  SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src
         |)
         |SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node""".stripMargin,
+    "q_dedup_apply" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents
+        |), reps AS (
+        |  SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h
+        |), dd AS (
+        |  SELECT d.doc_id, string_split(d.text, ' ') AS toks
+        |  FROM documents d JOIN reps r ON md5(d.text) = r.h AND d.doc_id = r.keep_id
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS shingle
+        |  FROM dd WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), near AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON a_id = sa.doc_id
+        |  JOIN sizes sb ON b_id = sb.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+        |), ex AS (
+        |  SELECT bb.doc_id AS e_src, rr.keep_id AS e_dst
+        |  FROM base bb JOIN reps rr USING (h) WHERE bb.doc_id <> rr.keep_id
+        |), edges AS (
+        |  SELECT e_src AS src, e_dst AS dst FROM ex
+        |  UNION ALL SELECT e_dst, e_src FROM ex
+        |  UNION ALL SELECT a_id, b_id FROM near
+        |  UNION ALL SELECT b_id, a_id FROM near
+        |), reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM base
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src
+        |), grp AS (
+        |  SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node
+        |), gsz AS (
+        |  SELECT group_id, COUNT(*) AS group_size FROM grp GROUP BY 1
+        |)
+        |SELECT g.doc_id, d.lang, d.source, CAST(s.group_size AS BIGINT) AS group_size
+        |FROM grp g
+        |JOIN gsz s USING (group_id)
+        |JOIN documents d USING (doc_id)
+        |WHERE g.doc_id = g.group_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
         |toks AS (
@@ -1431,6 +1482,45 @@ object SparkEntry {
         |            FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
         |                  FROM documents)))
         |GROUP BY shard, bin""".stripMargin,
+    "q_pack_stats" ->
+      """WITH bins AS (
+        |  SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        |  FROM (SELECT shard, CAST((cum - n_tok) // 256 AS BIGINT) AS bin, n_tok
+        |        FROM (SELECT doc_id % 32 AS shard, n_tok,
+        |                SUM(n_tok) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |              FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        |                    FROM documents)))
+        |  GROUP BY shard, bin
+        |)
+        |SELECT shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(sum_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(GREATEST(256 - sum_tokens, 0)) AS BIGINT) AS pad_tokens,
+        |  CAST(SUM(CASE WHEN sum_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+        |  CAST((SUM(sum_tokens) * 1000) // (COUNT(*) * 256) AS BIGINT) AS fill_milli
+        |FROM bins GROUP BY shard""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, source,
+        |    CAST('0x' || substr(md5('snap:' || text), 1, 8) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |), oldsnap AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM b WHERE bucket >= 3
+        |), newsnap AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN bucket >= 50 AND bucket < 60
+        |             THEN text || ' snapshot-rev' ELSE text END) AS h
+        |  FROM b WHERE bucket < 97
+        |)
+        |SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+        |  COALESCE(n.source, o.source) AS source,
+        |  CASE WHEN o.h IS NULL THEN 'added'
+        |       WHEN n.h IS NULL THEN 'removed'
+        |       WHEN o.h <> n.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
     // states the SEMANTICS as the naive one-window form; the Spark
     // plan is the histogram-cutoff equivalent (Curation.tokenBudget)
     "q_token_budget" ->

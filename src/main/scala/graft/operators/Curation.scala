@@ -356,6 +356,40 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
   }
 
+  /** Packing-efficiency audit — the measure-don't-guess frame for
+    * [[packSequences]] (the [[Similarity.annRecall]] /
+    * [[skewReport]] pattern applied to the packing step): per shard,
+    * how many bins the first-fit stream opened, how much of the
+    * nominal bin capacity is padding, and how many bins a
+    * boundary-straddling document pushed past the budget. A training
+    * run's step count and wasted FLOPs come straight off this frame,
+    * so it is the number that decides whether the packing policy (or
+    * the budget) needs to change — guessed fill rates routinely miss
+    * short-document tails by 2×.
+    *
+    * All columns are integer-exact (the §6 determinism rule):
+    * `fill_milli` is the shard's fill rate in milli-units computed by
+    * one integer division at the end, and `pad_tokens` counts only
+    * genuine padding (`GREATEST(budget − bin_tokens, 0)` — an
+    * overflowing bin pads nothing). Scale shape: one aggregate over
+    * packSequences' bin frame (bins ≈ tokens/budget rows, already
+    * shuffled on the shard key) — nothing new touches the corpus.
+    */
+  def packStats(documents: DataFrame, budget: Int = 256,
+      shards: Int = 32): DataFrame =
+    packSequences(documents, budget, shards)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_tokens")).as("sum_tokens"),
+        sum(greatest(lit(budget.toLong) - col("sum_tokens"), lit(0L)))
+          .as("pad_tokens"),
+        sum(when(col("sum_tokens") > budget, 1L).otherwise(0L))
+          .as("n_overflow"))
+      .withColumn("fill_milli",
+        expr(s"(sum_tokens * 1000) div (n_bins * $budget)"))
+
   /** Token-budget selection: admit documents per language, in a
     * deterministic content-hash order, until the language's token
     * budget is reached — the "sample each domain to N tokens" step
@@ -1086,5 +1120,68 @@ object Curation {
     decon.join(reps, "doc_id")
       .withColumn("split", TextOps.splitOf(valPct, testPct))
       .select("doc_id", "text", "lang", "source", "n_tok", "split")
+  }
+
+  /** Crawl-snapshot diff — the audit frame the incremental family
+    * ([[Dedup.dedupAgainst]] / [[Dedup.noveltyAgainst]] /
+    * [[Dedup.perceptualDedupAgainst]]) acts on: per document id,
+    * whether snapshot N+1 `added`, `removed`, `changed` or kept it
+    * `unchanged` relative to snapshot N, by content identity
+    * (md5(text) — the house exact-dup key), with `source` taken from
+    * the side that has the row (the new snapshot wins when both do —
+    * a re-crawled doc reports its CURRENT provenance). A production
+    * pipeline runs THIS first: only `added`/`changed` rows need
+    * sketching/indexing, `removed` rows need index retraction, and
+    * the status counts are the crawl-health dashboard (a crawl where
+    * 40% "changed" is usually a parser change, not the web).
+    *
+    * Scale shape: two scans (each snapshot hashed at its own scan —
+    * only doc_id/source/md5 leave the scan, text never shuffles) and
+    * ONE full-outer sort-merge join keyed on doc_id. No window, no
+    * driver state; at 100 TB the join is exactly the snapshot-sized
+    * keyed shuffle the problem requires, and nothing else.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), col("source").as("o_source"),
+      md5(col("text")).as("o_h"))
+    val n = newDocs.select(col("doc_id"), col("source").as("n_source"),
+      md5(col("text")).as("n_h"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_source"), col("o_source")).as("source"),
+        when(col("o_h").isNull, "added")
+          .when(col("n_h").isNull, "removed")
+          .when(col("o_h") =!= col("n_h"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Deterministic synthetic snapshot pair over one corpus — the
+    * fixture derivation [[snapshotDiff]]'s registry entry and oracle
+    * share (the gainVariants pattern: the test data has one
+    * generation, so the second snapshot is derived, md5-bucketed so
+    * DuckDB reproduces it bit-for-bit). Buckets of
+    * `hashBucket(text, 100, "snap:")`: `[0, addedPct)` exists only in
+    * the NEW snapshot (crawled later), `[100-removedPct, 100)` only
+    * in the OLD (dropped), `[changedLo, changedHi)` appears in both
+    * with the new text revised (a fixed suffix — content identity
+    * changes, the id does not). Everything else is identical in both.
+    */
+  def snapshotPair(documents: DataFrame, addedPct: Int = 3,
+      removedPct: Int = 3, changedLo: Int = 50,
+      changedHi: Int = 60): (DataFrame, DataFrame) = {
+    val bucket =
+      graft.functions.TextFunctions.hashBucket(col("text"), 100, "snap:")
+    val base = documents.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), bucket.as("snap_bucket"))
+    val old = base.where(col("snap_bucket") >= addedPct)
+      .drop("snap_bucket")
+    val newer = base.where(col("snap_bucket") < 100 - removedPct)
+      .withColumn("text",
+        when(col("snap_bucket") >= changedLo &&
+          col("snap_bucket") < changedHi,
+          concat(col("text"), lit(" snapshot-rev")))
+          .otherwise(col("text")))
+      .drop("snap_bucket")
+    (old, newer)
   }
 }

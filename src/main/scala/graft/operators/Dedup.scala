@@ -331,6 +331,44 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bands")
   }
 
+  /** Maintain a persisted MinHash index across a RE-crawl — the
+    * index-update leg [[graft.operators.Curation.snapshotDiff]]
+    * drives: `retractIds` (the diff's `removed` + `changed` ids)
+    * drop out of the stored signatures, `addedDocs` (the `added` +
+    * `changed` documents — a changed doc re-enters under its own id
+    * with fresh content) are sketched and appended, and the result is
+    * written to `outPath` as a complete [[writeBandIndex]]-shaped
+    * index. EXACT contract (spec-asserted): the updated index's
+    * `sigs` and `bands` row SETS equal a scratch
+    * [[writeBandIndex]] over the post-diff corpus — sketching is
+    * deterministic per document, so surgery on the stored rows and a
+    * full rebuild cannot disagree; the saving is that only the
+    * CHANGED slice is ever re-tokenized (the stored corpus's text is
+    * never read, just its 24-byte index rows).
+    *
+    * `outPath` must differ from `indexPath` (parquet cannot overwrite
+    * its own scan; production versions indexes by snapshot anyway —
+    * the corpus-store discipline) — violating this throws before any
+    * write.
+    */
+  def updateBandIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String, retractIds: DataFrame,
+      addedDocs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      shingleLen: Int = 3): Unit = {
+    require(outPath != indexPath,
+      s"updateBandIndex cannot overwrite the index it reads ($indexPath)")
+    val retract = retractIds
+      .select(col(retractIds.columns.head).cast("long").as("doc_id"))
+    val kept = spark.read.parquet(s"$indexPath/sigs")
+      .join(retract, Seq("doc_id"), "left_anti")
+    kept.unionByName(minhashSketch(addedDocs, numHashes, shingleLen))
+      .write.mode("overwrite").parquet(s"$outPath/sigs")
+    // bands re-derive from the WRITTEN sigs (the writeBandIndex
+    // partial-write discipline: sigs first, bands from disk)
+    bandRows(spark.read.parquet(s"$outPath/sigs"), numHashes, bands)
+      .write.mode("overwrite").parquet(s"$outPath/bands")
+  }
+
   /** Incremental dedup of a NEW snapshot against a persisted index
     * ([[writeBandIndex]]): candidate pairs (a_id, b_id) where at
     * least one side is a new document — within-new pairs and
@@ -685,6 +723,40 @@ object Dedup {
     docs.join(repIds, "h")
       .join(repLabels.withColumnRenamed("id", "keep_id"), "keep_id")
       .select(col("doc_id"), col("label").as("group_id"))
+  }
+
+  /** The deduplicated corpus itself — [[dedupGroups]]' keep-policy
+    * MATERIALIZED: one surviving document per near-duplicate
+    * component (the group representative, `doc_id = group_id` — the
+    * smallest id, so the policy is deterministic and stable across
+    * reruns), annotated with how many documents it stands for
+    * (`group_size`, 1 for singletons). Downstream training reads THIS
+    * frame; the groups view is the audit trail, this is the corpus
+    * that ships. Reference scope: the reference dedups by exact key
+    * only (kinesis-pay.php:515-549 reconciles on exact invoice
+    * identity); the near-dup extension is the LLM-pipeline mandate.
+    *
+    * Scale shape: everything up to the group assignment is
+    * dedupGroups' plan (rep-graph components, never all-pairs); the
+    * materialization adds one count aggregate over the assignment
+    * frame (doc-count rows, keyed by group_id) and one keyed join
+    * back to `documents` for the survivors' metadata — both shuffle
+    * on ids, no new window, no driver round-trip beyond the component
+    * iteration already paid. Survivor count ≤ doc count, so the
+    * output join is the SMALL side of the pipeline, not a second
+    * corpus pass.
+    */
+  def dedupApply(documents: DataFrame, threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+      bucketCap: Int = 10000, maxIters: Int = 20): DataFrame = {
+    val groups = dedupGroups(documents, threshold, numHashes, bands,
+      shingleLen, bucketCap, maxIters)
+    val sizes = groups.groupBy("group_id")
+      .agg(count(lit(1)).as("group_size"))
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(groups.where(col("doc_id") === col("group_id")), "doc_id")
+      .join(sizes, "group_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("group_size"))
   }
 
   /** Canonical grouping over PARTIAL overlap — the winnowing

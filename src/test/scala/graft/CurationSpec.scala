@@ -305,6 +305,68 @@ class CurationSpec extends SparkSuite {
       (1L, 1L) -> (1L, 5L)), s"got $r")
   }
 
+  test("packStats: per-shard audit reconciles with the bin frame, integer-exact") {
+    // same fixture as the packing test above: shard 0 = one overflowing
+    // bin {9 tok}, shard 1 = bins {10, 5} under budget 7
+    val budget = 7
+    val d = Seq(
+      (0L, "a b c"), (2L, "d e f"), (4L, "g h i"),
+      (1L, "a b c d e"), (3L, "f g h i j"), (5L, "k l m n o")
+    ).toDF("doc_id", "text")
+    val r = Curation.packStats(d, budget = budget, shards = 2).collect()
+      .map(x => x.getAs[Long]("shard") ->
+        ((x.getAs[Long]("n_bins"), x.getAs[Long]("n_docs"),
+          x.getAs[Long]("sum_tokens"), x.getAs[Long]("pad_tokens"),
+          x.getAs[Long]("n_overflow"), x.getAs[Long]("fill_milli")))).toMap
+    assert(r == Map(
+      // 9 tokens in 1×7 capacity: no pad (overflow), fill 9000/7 = 1285
+      0L -> ((1L, 3L, 9L, 0L, 1L, 1285L)),
+      // 15 tokens in 2×7: bin {10} overflows, bin {5} pads 2, fill 1071
+      1L -> ((2L, 3L, 15L, 2L, 1L, 1071L))), s"got $r")
+  }
+
+  test("snapshotDiff: all four statuses by content identity; new snapshot's source wins") {
+    val old = Seq(
+      (1L, "alpha text", "en", "web"),
+      (2L, "beta text", "en", "web"),
+      (3L, "gamma text", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val newer = Seq(
+      (2L, "beta text", "en", "wiki"),   // same content, re-attributed
+      (3L, "gamma text revised", "en", "web"),
+      (4L, "delta text", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.snapshotDiff(old, newer).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[String]("status")))).toMap
+    assert(out == Map(
+      1L -> (("web", "removed")),
+      2L -> (("wiki", "unchanged")), // status is CONTENT identity; source is current
+      3L -> (("web", "changed")),
+      4L -> (("web", "added"))), s"got $out")
+  }
+
+  test("snapshotPair: derived statuses match the bucket rule doc-for-doc") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.range(0, 400).selectExpr("id AS doc_id",
+      "concat('doc body number ', id, ' filler tokens') AS text",
+      "'en' AS lang", "'web' AS source")
+    val (old, newer) = Curation.snapshotPair(docs)
+    val got = Curation.snapshotDiff(old, newer).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val buckets = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.hashBucket(col("text"), 100, "snap:")
+        .as("b")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("b")).toMap
+    val want = buckets.map { case (id, b) =>
+      id -> (if (b < 3) "added" else if (b >= 97) "removed"
+      else if (b >= 50 && b < 60) "changed" else "unchanged")
+    }
+    assert(got == want)
+    // the derivation must exercise every status on a 400-doc corpus
+    assert(got.values.toSet == Set("added", "removed", "changed", "unchanged"))
+  }
+
   test("packSequences matches a sequential reference packer (property)") {
     val rnd = new scala.util.Random(11)
     (1 to 5).foreach { _ =>

@@ -63,6 +63,25 @@ class DedupSpec extends SparkSuite {
     assert(groups == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L))
   }
 
+  test("dedupApply: one survivor per group, group sizes account for every doc") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest today", "en", "web"),
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest tonight", "en", "wiki"),
+      (2L, "completely different text about spark distributed query engines operating at warehouse scale with shuffles", "fr", "web"),
+      (3L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest today", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.dedupApply(d, threshold = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[String]("source"),
+          r.getAs[Long]("group_size")))).toMap
+    // groups: {0,1,3} (0↔3 exact, 0↔1 near) and {2} → survivors are the
+    // group minima, each carrying its own metadata and the member count
+    assert(out == Map(0L -> (("en", "web", 3L)), 2L -> (("fr", "web", 1L))),
+      s"got $out")
+    assert(out.values.map(_._3).sum == d.count(),
+      "group sizes must partition the corpus")
+  }
+
   test("connectedComponents matches union-find on random graphs (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

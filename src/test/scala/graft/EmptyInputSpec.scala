@@ -64,6 +64,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("winnowGroups", Dedup.winnowGroups(noDocs))
     assertEmptyOk("minhashExactVerifiedPairs", Dedup.minhashExactVerifiedPairs(noDocs))
     assertEmptyOk("dedupGroups", Dedup.dedupGroups(noDocs))
+    assertEmptyOk("dedupApply", Dedup.dedupApply(noDocs))
     assertEmptyOk("piiScrub", TextOps.piiScrub(noDocs))
     assertEmptyOk("repetitionRatio", TextOps.repetitionRatio(noDocs))
     assertEmptyOk("topNgramFrac", TextOps.topNgramFrac(noDocs))
@@ -122,6 +123,13 @@ class EmptyInputSpec extends SparkSuite {
       graft.operators.Curation.contamAttribution(noDocs))
     assertEmptyOk("domainMix", graft.operators.Curation.domainMix(noDocs))
     assertEmptyOk("packSequences", graft.operators.Curation.packSequences(noDocs))
+    assertEmptyOk("packStats", graft.operators.Curation.packStats(noDocs))
+    assertEmptyOk("snapshotDiff",
+      graft.operators.Curation.snapshotDiff(noDocs, noDocs))
+    assertEmptyOk("snapshotPair._1",
+      graft.operators.Curation.snapshotPair(noDocs)._1)
+    assertEmptyOk("snapshotPair._2",
+      graft.operators.Curation.snapshotPair(noDocs)._2)
     assertEmptyOk("containmentPairs", Dedup.containmentPairs(noDocs))
     assertEmptyOk("dupSpan", Dedup.dupSpan(noDocs))
     assertEmptyOk("dupSpanMerge", Dedup.dupSpanMerge(noDocs))

@@ -114,6 +114,50 @@ class IncrementalDedupSpec extends SparkSuite {
       s"only the new snapshot may be sketched, found $sketches sketch aggs:\n$plan")
   }
 
+  test("updateBandIndex: snapshotDiff-driven surgery equals a scratch rebuild") {
+    import org.apache.spark.sql.functions.col
+    // re-crawl of snapA: id 3 dropped, id 1 revised, id 6 new
+    val snapA4 = snapA.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("web"))
+    val recrawl = Seq(
+      (0L, base(0), "en", "web"),
+      (1L, base(0) + " revised tail entirely", "en", "web"),
+      (2L, base(1), "en", "web"),
+      (4L, base(2), "en", "web"), (5L, base(2) + " coda", "en", "web"),
+      (6L, "a brand new page crawled this epoch about parquet readers", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val diff = graft.operators.Curation.snapshotDiff(snapA4, recrawl)
+    val statuses = diff.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(statuses == Map(0L -> "unchanged", 1L -> "changed",
+      2L -> "unchanged", 3L -> "removed", 4L -> "unchanged",
+      5L -> "unchanged", 6L -> "added"), s"got $statuses")
+    val retract = diff.where(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    val readd = recrawl.join(
+      diff.where(col("status").isin("added", "changed")).select("doc_id"),
+      "doc_id")
+    val dirA = java.nio.file.Files.createTempDirectory("graft-idx-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-idx-b").toString
+    val dirC = java.nio.file.Files.createTempDirectory("graft-idx-c").toString
+    Dedup.writeBandIndex(snapA4, dirA)
+    Dedup.updateBandIndex(spark, dirA, dirB, retract, readd)
+    Dedup.writeBandIndex(recrawl, dirC)
+    def sigRows(p: String) = spark.read.parquet(s"$p/sigs").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toList).toSet
+    def bandRowsOf(p: String) = spark.read.parquet(s"$p/bands").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band_idx"),
+        r.getAs[Long]("band_hash"))).toSet
+    assert(sigRows(dirB) == sigRows(dirC),
+      "updated sigs must equal the scratch rebuild's")
+    assert(bandRowsOf(dirB) == bandRowsOf(dirC),
+      "updated bands must equal the scratch rebuild's")
+    // self-overwrite is refused before any write happens
+    intercept[IllegalArgumentException] {
+      Dedup.updateBandIndex(spark, dirA, dirA, retract, readd)
+    }
+  }
+
   test("noveltyAgainst: equals the joint-corpus gramNovelty restricted to the new snapshot") {
     // the append-only contract: every indexed id below every new id
     val joint = snapA.unionByName(snapB)

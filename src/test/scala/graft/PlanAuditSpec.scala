@@ -136,6 +136,44 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("hashpartitioning(shard"), s"expected shard-keyed window:\n$p")
   }
 
+  test("packStats: the audit adds no exchange beyond packSequences' shard shuffle") {
+    val p = plan(graft.operators.Curation.packStats(
+      Tables(spark, dir, "documents")))
+    // window on shard, groupBy(shard, bin), groupBy(shard): the shard
+    // hash satisfies every downstream clustering — exactly ONE shuffle
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"the whole audit must ride the single shard exchange:\n$p")
+    assert(!p.contains("SinglePartition"), s"no global stage:\n$p")
+  }
+
+  test("snapshotDiff: one keyed full-outer join; text is hashed below it") {
+    val (o, n) = graft.operators.Curation.snapshotPair(
+      Tables(spark, dir, "documents"))
+    val p = plan(graft.operators.Curation.snapshotDiff(o, n))
+    assert(p.contains("FullOuter"), s"diff must be a full-outer join:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"diff join must stay keyed on doc_id:\n$p")
+    // the md5 projection runs scan-side, so only (doc_id, source, h)
+    // rows shuffle — the corpus text itself never crosses the exchange.
+    // Textual check (AdaptiveSparkPlanExec is a leaf, so a structural
+    // collect cannot see inside): the node each Exchange reads from
+    // must be a Project that hashes text (md5-in-expression is fine)
+    // without emitting it as a bare column.
+    val lines = p.linesIterator.toVector
+    val exIdx = lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning")).map(_._2)
+    assert(exIdx.nonEmpty, s"expected keyed exchanges:\n$p")
+    exIdx.foreach { i =>
+      val feeder = lines(i + 1)
+      // a BARE text output sits at the projection's top level (after
+      // '[' or ', '); text consumed inside an expression is preceded
+      // by '(' and is exactly the hashed-below-the-shuffle shape
+      assert(feeder.contains("Project [") &&
+        !feeder.matches(""".*(\[|, )text#\d+[,\]].*"""),
+        s"shuffled rows must not carry raw text:\n$p")
+    }
+  }
+
   test("decontaminate: shingle join is a hash join, never cartesian") {
     val p = plan(graft.operators.Curation.decontaminate(
       Tables(spark, dir, "documents")))
