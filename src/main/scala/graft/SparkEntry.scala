@@ -443,6 +443,11 @@ object SparkEntry {
     // frame verification (near-dup text families pair up)
     "q_video_dedup" -> ((s, d) => Dedup.videoDedupPairs(
       videosOf(s, d))),
+    // warp-robust variant: content-banded candidates + modal-shift
+    // re-alignment (catches trimmed/re-timed copies the aligned
+    // verification misses)
+    "q_video_dedup_warp" -> ((s, d) => Dedup.videoDedupPairsWarp(
+      videosOf(s, d))),
     // the composed multimodal capstone (gates -> dedup keep-first per
     // modality, one inventory row per (doc, modality)); runs on the
     // deterministic doc_id%3 slice — the full-corpus variants already

@@ -1040,11 +1040,11 @@ object Dedup {
     * coverage gates. Clips with no hashable frames are excluded
     * (never paired). Stated limitation: alignment is by frame INDEX,
     * so a copy with frames dropped/inserted (or trimmed from the
-    * front) shifts out of alignment and is missed — the
-    * temporal-warp-robust upgrade is banding on (dHash, hash-gram of
-    * neighboring frame hashes) instead of (frame_idx, band), the
-    * winnow idea lifted to frames; not built because no fixture
-    * format here produces warped copies. Scale shape: the band join shuffles
+    * front) shifts out of alignment and is missed —
+    * [[videoDedupPairsWarp]] closes exactly this case
+    * (content-banded candidates + modal-shift re-alignment); this
+    * aligned form stays the cheaper default when copies are
+    * re-encodes, not re-edits. Scale shape: the band join shuffles
     * O(clips × frames × bands) keyed rows — never all-pairs, no
     * cartesian (plan-audited in VideoOpsSpec); verification joins are
     * keyed on the candidate set only. Exact-dup-first reduction:
@@ -1065,16 +1065,7 @@ object Dedup {
         col("fhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fh.count()
-    // clip signature = xxhash64 over the ordered frame hashes: the
-    // star key for the exact-dup-first reduction
-    val sigs = fh.groupBy("doc_id")
-      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("frame_idx"), col("fhash")))))).as("sig"),
-        count(lit(1)).as("nf"))
-    val stars = sigs.groupBy("sig").agg(min(col("doc_id")).as("rep_id"))
-    val members = sigs.join(stars, "sig")
-      .select(col("doc_id"), col("rep_id"), col("nf"))
-    val repFh = fh.join(stars.select(col("rep_id").as("doc_id")), "doc_id")
+    val (members, repFh, counts) = clipStarFrames(fh)
     val (nBands, width, mask) = pigeonholeBands(maxHamming)
     val bandCols = (0 until nBands).map(b => struct(lit(b).as("band_idx"),
       shiftright(col("fhash"), b * width).bitwiseAND(mask).as("band_val")))
@@ -1095,7 +1086,6 @@ object Dedup {
       col("fhash").as("ha"))
     val vb = repFh.select(col("doc_id").as("rb"), col("frame_idx"),
       col("fhash").as("hb"))
-    val counts = members.select(col("rep_id"), col("nf")).distinct()
     val repPairs = cand.join(va, "ra").join(vb, Seq("rb", "frame_idx"))
       .groupBy("ra", "rb")
       // sum(long)/count is exact-then-one-divide: order-independent
@@ -1118,6 +1108,126 @@ object Dedup {
           col("m1.doc_id") < col("m2.doc_id"))
       .select(col("m1.doc_id").as("a_id"), col("m2.doc_id").as("b_id"),
         lit(0.0).as("avg_hamming"), col("m1.nf").as("n_matched"))
+    cross.unionByName(within)
+  }
+
+  /** Exact-dup-first star frames over a clip FRAME-HASH frame
+    * (doc_id, frame_idx, fhash) — the [[videoDedupPairs]] reduction
+    * factored so the aligned and warp-robust variants share it
+    * verbatim: clip signature = xxhash64 over the ordered frame
+    * hashes (hamming relations depend only on the hash sequence, so
+    * identical sequences are interchangeable), one representative
+    * per signature, members compose back post-join. Returns
+    * (members(doc_id, rep_id, nf), repFh — the reps' frame rows,
+    * counts(rep_id, nf)).
+    */
+  private def clipStarFrames(
+      fh: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val sigs = fh.groupBy("doc_id")
+      .agg(xxhash64(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("frame_idx"), col("fhash")))))).as("sig"),
+        count(lit(1)).as("nf"))
+    val stars = sigs.groupBy("sig").agg(min(col("doc_id")).as("rep_id"))
+    val members = sigs.join(stars, "sig")
+      .select(col("doc_id"), col("rep_id"), col("nf"))
+    val repFh = fh.join(stars.select(col("rep_id").as("doc_id")), "doc_id")
+    val counts = members.select(col("rep_id"), col("nf")).distinct()
+    (members, repFh, counts)
+  }
+
+  /** Temporal-WARP-robust video near-dup pairs — the variant
+    * [[videoDedupPairs]]' scaladoc names as its stated limitation:
+    * index-aligned verification misses a copy trimmed from the front
+    * or re-timed by dropped/inserted frames. Here candidates band on
+    * frame CONTENT alone (the per-frame pigeonhole join with the
+    * frame index demoted from join key to payload), each candidate
+    * frame pair votes for its implied temporal shift
+    * (`posA − posB`), the modal shift wins (ties break toward the
+    * smallest — deterministic), and verification re-aligns the clips
+    * AT THAT SHIFT: mean aligned-frame hamming ≤ `maxHamming` over
+    * ≥ `minFrac` of the overlap window. Returns
+    * (a_id, b_id, shift, avg_hamming, n_matched) with `shift`
+    * oriented as a_id's frame index minus b_id's (negated when star
+    * composition swaps the pair's orientation).
+    *
+    * Dropping frame_idx from the join key is what buys the recall,
+    * and it is also the cost: a static/black frame shared by many
+    * clips now lands every clip in one band bucket, so the join runs
+    * through the SHARED [[cappedBandSelfJoin]] guard (`bucketCap`
+    * rows per (band_idx, band_hash) bucket, the minhash machinery —
+    * one code path, one discipline). Votes are counted once per
+    * distinct frame PAIR (a multi-band match is one vote). Same
+    * exact-dup-first star reduction, decode-once persist, and member
+    * composition as the aligned op ([[clipStarFrames]] — shared
+    * code, the views cannot drift). A single-frame overlap still
+    * surfaces a candidate but dies on the coverage gate, exactly as
+    * in the aligned op.
+    */
+  def videoDedupPairsWarp(media: Dataset[MultimodalOps.MediaRow],
+      maxHamming: Int = 5, minFrac: Double = 0.5,
+      maxHashFrames: Int = 64, bucketCap: Int = 10000,
+      maxPixels: Long = MultimodalOps.DefaultMaxPixels): DataFrame = {
+    val fh = VideoOps.frameHashes(media, maxHashFrames, maxPixels).toDF()
+      .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
+        col("fhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fh.count()
+    val (members, repFh, counts) = clipStarFrames(fh)
+    val (nBands, width, mask) = pigeonholeBands(maxHamming)
+    val bandCols = (0 until nBands).map(b => struct(lit(b).as("band_idx"),
+      shiftright(col("fhash"), b * width).bitwiseAND(mask).as("band_hash")))
+    val banded = repFh
+      .select(col("doc_id"), col("frame_idx"),
+        explode(array(bandCols: _*)).as("bv"))
+      .select(col("doc_id"), col("bv.band_idx"), col("bv.band_hash"),
+        col("frame_idx"))
+    val framePairs = cappedBandSelfJoin(banded, bucketCap)
+      .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"),
+        col("a.frame_idx").as("pa"), col("b.frame_idx").as("pb"))
+      .distinct()
+    val best = framePairs
+      .groupBy(col("ra"), col("rb"), (col("pa") - col("pb")).as("shift"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("ra", "rb")
+      .agg(max(struct(col("votes"), (-col("shift")).as("negshift")))
+        .as("m"))
+      .select(col("ra"), col("rb"), (-col("m.negshift")).as("shift"))
+    val va = repFh.select(col("doc_id").as("ra"),
+      col("frame_idx").as("pa"), col("fhash").as("ha"))
+    val vb = repFh.select(col("doc_id").as("rb"),
+      col("frame_idx").as("pb"), col("fhash").as("hb"))
+    val repPairs = best.join(va, "ra")
+      .withColumn("pb", col("pa") - col("shift"))
+      .join(vb, Seq("rb", "pb"))
+      .groupBy("ra", "rb", "shift")
+      .agg((sum(hamming(col("ha"), col("hb")).cast("long")) /
+        count(lit(1))).as("avg_hamming"), count(lit(1)).as("n_matched"))
+      .join(counts.select(col("rep_id").as("ra"), col("nf").as("na")), "ra")
+      .join(counts.select(col("rep_id").as("rb"), col("nf").as("nb")), "rb")
+      // frames of a span [0, na), of b [0, nb); at shift s the index
+      // windows overlap on min(na, nb + s) − max(0, s) positions
+      .withColumn("overlap",
+        least(col("na"), col("nb") + col("shift")) -
+          greatest(col("shift").cast("long"), lit(0L)))
+      .where(col("avg_hamming") <= maxHamming &&
+        col("n_matched") >= ceil(col("overlap") * lit(minFrac)))
+      .select(col("ra"), col("rb"), col("shift"), col("avg_hamming"),
+        col("n_matched"))
+    val m = members.select(col("doc_id"), col("rep_id"))
+    val cross = repPairs
+      .join(m.select(col("rep_id").as("ra"), col("doc_id").as("da")), "ra")
+      .join(m.select(col("rep_id").as("rb"), col("doc_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"),
+        when(col("da") <= col("db"), col("shift"))
+          .otherwise(-col("shift")).as("shift"),
+        col("avg_hamming"), col("n_matched"))
+    val within = members.as("m1").join(members.as("m2"),
+        col("m1.rep_id") === col("m2.rep_id") &&
+          col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("a_id"), col("m2.doc_id").as("b_id"),
+        lit(0).as("shift"), lit(0.0).as("avg_hamming"),
+        col("m1.nf").as("n_matched"))
     cross.unionByName(within)
   }
 

@@ -103,6 +103,7 @@ class EmptyInputSpec extends SparkSuite {
       spark.emptyDataset[graft.operators.MultimodalOps.MediaRow]
     }
     assertEmptyOk("videoDedupPairs", Dedup.videoDedupPairs(noMedia))
+    assertEmptyOk("videoDedupPairsWarp", Dedup.videoDedupPairsWarp(noMedia))
     assertEmptyOk("videoMeta",
       graft.operators.VideoOps.videoMeta(noMedia).toDF())
     assertEmptyOk("videoKeyframes",

@@ -149,6 +149,66 @@ class VideoOpsSpec extends SparkSuite {
       .contains("CartesianProduct"))
   }
 
+  test("videoDedupPairsWarp: trimmed copy aligns at its shift; aligned op misses it") {
+    // six distinct frames; the copy is trimmed from the front by 2
+    val fs = (0 until 6).map(i => jpeg(0, noiseSeed = 20 + i))
+    val full = VideoOps.writeAviMjpeg(fs, 32, 32, 10)
+    val trimmed = VideoOps.writeAviMjpeg(fs.drop(2), 32, 32, 10)
+    val unrelated = VideoOps.writeAviMjpeg(
+      (0 until 6).map(i => jpeg(0, noiseSeed = 120 + i)), 32, 32, 10)
+    val m = rows((0L, full, "video"), (1L, trimmed, "video"),
+      (2L, unrelated, "video"))
+    // aligned verification: frame i of the trim is frame i+2 of the
+    // original — no index ever matches, the stated limitation
+    val aligned = Dedup.videoDedupPairs(m, maxHamming = 5, minFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!aligned.contains((0L, 1L)),
+      s"aligned op unexpectedly caught the trimmed copy: $aligned")
+    val warp = Dedup.videoDedupPairsWarp(m, maxHamming = 5, minFrac = 0.5)
+    val pairs = warp.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getInt(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(pairs.get((0L, 1L)).exists { case (shift, avg, n) =>
+      shift == 2 && avg == 0.0 && n == 4 },
+      s"warp op must align the trim at shift 2 over its 4 frames: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated clip paired: $pairs")
+    assert(!warp.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+  }
+
+  test("videoDedupPairsWarp: star members inherit the rep shift with correct orientation") {
+    val fs = (0 until 5).map(i => jpeg(0, noiseSeed = 40 + i))
+    val full = VideoOps.writeAviMjpeg(fs, 32, 32, 10)
+    val trimmed = VideoOps.writeAviMjpeg(fs.drop(1), 32, 32, 10)
+    // 0 and 3 are byte-identical (one star); 1 is the trim. The star
+    // rep is 0, so the (1, 3) pair composes across the star with the
+    // orientation SWAPPED relative to the rep pair (0, 1).
+    val m = rows((0L, full, "video"), (1L, trimmed, "video"),
+      (3L, full, "video"))
+    val pairs = Dedup.videoDedupPairsWarp(m, maxHamming = 5,
+      minFrac = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((0L, 3L)).contains(0), s"within-star shift 0: $pairs")
+    assert(pairs.get((0L, 1L)).contains(1),
+      s"full leads the trim by 1: $pairs")
+    assert(pairs.get((1L, 3L)).contains(-1),
+      s"swapped orientation must negate the shift: $pairs")
+  }
+
+  test("videoDedupPairsWarp: one shared still is a candidate but dies on the gates") {
+    val a = (0 until 4).map(i => jpeg(0, noiseSeed = 60 + i))
+    val b = (0 until 4).map(i => jpeg(0, noiseSeed = 80 + i))
+    val clipA = VideoOps.writeAviMjpeg(a, 32, 32, 10)
+    // shares exactly a(0) at position 2 — the modal shift -2 aligns
+    // one true frame plus one noise pair, so the mean-hamming gate
+    // (noise dHashes differ by ~32 bits) kills the pair
+    val clipB = VideoOps.writeAviMjpeg(Seq(b(0), b(1), a(0), b(3)), 32, 32, 10)
+    val m = rows((0L, clipA, "video"), (1L, clipB, "video"))
+    val pairs = Dedup.videoDedupPairsWarp(m, maxHamming = 5,
+      minFrac = 0.75).collect()
+    assert(pairs.isEmpty, s"one still must not pair clips: ${pairs.toSeq}")
+  }
+
   test("syntheticVideos: dup texts pack identical containers; near-dups pair in dedup") {
     import spark.implicits._
     val a = (0 until 80).map(i => s"tok$i").mkString(" ")
