@@ -445,9 +445,15 @@ object SparkEntry {
       videosOf(s, d))),
     // warp-robust variant: content-banded candidates + modal-shift
     // re-alignment (catches trimmed/re-timed copies the aligned
-    // verification misses)
+    // verification misses). Runs on the deterministic doc_id%3 slice
+    // (the q_media_pipeline precedent): q_video_dedup already
+    // exercises the full-corpus decode, and the warp machinery's
+    // full-corpus behavior is spec- and scale-measured — the
+    // registry entry demonstrates the operator, not a second decode
+    // of the same rasters
     "q_video_dedup_warp" -> ((s, d) => Dedup.videoDedupPairsWarp(
-      videosOf(s, d))),
+      videosOf(s, d).filter(org.apache.spark.sql.functions
+        .col("docId") % 3 === 0))),
     // the composed multimodal capstone (gates -> dedup keep-first per
     // modality, one inventory row per (doc, modality)); runs on the
     // deterministic doc_id%3 slice — the full-corpus variants already

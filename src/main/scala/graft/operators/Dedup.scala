@@ -1135,6 +1135,34 @@ object Dedup {
     (members, repFh, counts)
   }
 
+  /** Drop SATURATED band buckets — the scale-invariant twin of
+    * [[cappedBandSelfJoin]]'s absolute cap, for banded frames whose
+    * value distribution is structurally low-entropy (perceptual-hash
+    * bit segments: real imagery has sky gradients and black borders,
+    * so some 10-bit segments are near-constant corpus-wide, and a
+    * near-constant segment's bucket is quadratic dead weight carrying
+    * zero discrimination). A bucket is hot iff it holds more than
+    * `frac` of its band's rows AND more than `floor` rows — the
+    * fraction makes the rule scale-invariant (10× data, same
+    * verdict), the floor keeps small corpora intact (at 15 fixture
+    * rows every bucket exceeds any useful fraction). Band totals are
+    * a 6-row aggregate broadcast back; the hot list is a broadcast
+    * anti-join — no window over a band-sized partition (that window
+    * would itself be the scale-killer at 100 TB).
+    */
+  private def dropSaturatedBuckets(banded: DataFrame, frac: Double,
+      floor: Long): DataFrame = {
+    val totals = banded.groupBy("band_idx")
+      .agg(count(lit(1)).as("band_total"))
+    val hot = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .join(broadcast(totals), "band_idx")
+      .where(col("bucket_n") > col("band_total") * frac &&
+        col("bucket_n") > floor)
+      .select("band_idx", "band_hash")
+    banded.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+  }
+
   /** Temporal-WARP-robust video near-dup pairs — the variant
     * [[videoDedupPairs]]' scaladoc names as its stated limitation:
     * index-aligned verification misses a copy trimmed from the front
@@ -1153,10 +1181,21 @@ object Dedup {
     * Dropping frame_idx from the join key is what buys the recall,
     * and it is also the cost: a static/black frame shared by many
     * clips now lands every clip in one band bucket, so the join runs
-    * through the SHARED [[cappedBandSelfJoin]] guard (`bucketCap`
+    * through TWO guards — [[dropSaturatedBuckets]] first (measured:
+    * the dHash's near-constant high-bit segments put ~25% of ALL
+    * frames into one bucket per affected band at sf0.1, ~116M of the
+    * 125M join pairs for zero discrimination; the fraction rule is
+    * scale-invariant and cost the op 56 s → its post-fix wall), then
+    * the SHARED [[cappedBandSelfJoin]] absolute cap (`bucketCap`
     * rows per (band_idx, band_hash) bucket, the minhash machinery —
-    * one code path, one discipline). Votes are counted once per
-    * distinct frame PAIR (a multi-band match is one vote). Same
+    * one code path, one discipline). Recall degrades gracefully: a
+    * true warped copy's frame pair agrees in EVERY band the noise
+    * spares, so losing a saturated (hence uninformative) band almost
+    * never loses the pair — the spec's trim fixture still aligns.
+    * Votes are counted once per
+    * distinct frame PAIR (a multi-band match is one vote), and a
+    * candidate needs `minVotes` agreeing votes (default 2) before
+    * verification runs — see the inline rationale. Same
     * exact-dup-first star reduction, decode-once persist, and member
     * composition as the aligned op ([[clipStarFrames]] — shared
     * code, the views cannot drift). A single-frame overlap still
@@ -1165,14 +1204,21 @@ object Dedup {
     */
   def videoDedupPairsWarp(media: Dataset[MultimodalOps.MediaRow],
       maxHamming: Int = 5, minFrac: Double = 0.5,
-      maxHashFrames: Int = 64, bucketCap: Int = 10000,
+      maxHashFrames: Int = 64, bucketCap: Int = 10000, minVotes: Int = 2,
       maxPixels: Long = MultimodalOps.DefaultMaxPixels): DataFrame = {
     val fh = VideoOps.frameHashes(media, maxHashFrames, maxPixels).toDF()
       .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
         col("fhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fh.count()
-    val (members, repFh, counts) = clipStarFrames(fh)
+    val (members, repFh0, counts) = clipStarFrames(fh)
+    // the warp plan reads the rep frame rows from FIVE subtrees
+    // (band totals, the hot-bucket aggregate, the banded anti-join
+    // input, and both verification sides) — materialize the 20-byte
+    // rows once, per the imageDedupPairs rule
+    val repFh = repFh0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    repFh.count()
     val (nBands, width, mask) = pigeonholeBands(maxHamming)
     val bandCols = (0 until nBands).map(b => struct(lit(b).as("band_idx"),
       shiftright(col("fhash"), b * width).bitwiseAND(mask).as("band_hash")))
@@ -1181,13 +1227,23 @@ object Dedup {
         explode(array(bandCols: _*)).as("bv"))
       .select(col("doc_id"), col("bv.band_idx"), col("bv.band_hash"),
         col("frame_idx"))
-    val framePairs = cappedBandSelfJoin(banded, bucketCap)
+    val informative = dropSaturatedBuckets(banded, frac = 0.02, floor = 100L)
+    val framePairs = cappedBandSelfJoin(informative, bucketCap)
       .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"),
         col("a.frame_idx").as("pa"), col("b.frame_idx").as("pb"))
       .distinct()
     val best = framePairs
       .groupBy(col("ra"), col("rb"), (col("pa") - col("pb")).as("shift"))
       .agg(count(lit(1)).as("votes"))
+      // two INDEPENDENT frame pairs must agree on the shift before a
+      // candidate reaches verification: a random band collision
+      // (10-bit values over a 6-band explode produce millions at
+      // corpus scale) almost never lands the same shift twice, while
+      // any pair that could pass the coverage gate has ≥2 true
+      // aligned frames, each an exact band match, hence ≥2 votes —
+      // measured at sf0.1 this is the difference between verifying
+      // ~2.6M random candidates and the real ones
+      .where(col("votes") >= minVotes)
       .groupBy("ra", "rb")
       .agg(max(struct(col("votes"), (-col("shift")).as("negshift")))
         .as("m"))

@@ -199,9 +199,10 @@ class VideoOpsSpec extends SparkSuite {
     val a = (0 until 4).map(i => jpeg(0, noiseSeed = 60 + i))
     val b = (0 until 4).map(i => jpeg(0, noiseSeed = 80 + i))
     val clipA = VideoOps.writeAviMjpeg(a, 32, 32, 10)
-    // shares exactly a(0) at position 2 — the modal shift -2 aligns
-    // one true frame plus one noise pair, so the mean-hamming gate
-    // (noise dHashes differ by ~32 bits) kills the pair
+    // shares exactly a(0) at position 2 — a single frame is one
+    // shift vote, below minVotes, so the pair never even reaches
+    // verification (and would die on the mean-hamming gate if it did:
+    // noise dHashes differ by ~32 bits)
     val clipB = VideoOps.writeAviMjpeg(Seq(b(0), b(1), a(0), b(3)), 32, 32, 10)
     val m = rows((0L, clipA, "video"), (1L, clipB, "video"))
     val pairs = Dedup.videoDedupPairsWarp(m, maxHamming = 5,
