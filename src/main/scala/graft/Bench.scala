@@ -78,8 +78,13 @@ object Bench {
       entries.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     // full-precision per-query twin: the complete record lives in a
-    // file artifact, where no capture window can cut it
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // file artifact, where no capture window can cut it. A dev
+    // SUBSET run (SPARK_GRAFT_ONLY) writes a SEPARATE default file —
+    // bench_full.json is the committed whole-suite round record, and
+    // a focused run silently overwriting it with 3 queries reads as
+    // a 60× regression-or-speedup in the next diff (bit this once)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_subset.json" else "bench_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (s"""{"metric":"total","value":$total,"unit":"sec",$onlyField""" +
         s""""queries":${mapJson(results, _.toString)},""" +

@@ -894,8 +894,10 @@ object Dedup {
     * frame — shared by [[simhashPairs]] (text fingerprints) and
     * [[imageDedupPairs]] (perceptual image hashes), so the two
     * surfaces cannot drift: band count = next divisor of 64 above
-    * `maxHamming` (completeness by pigeonhole), candidate join is an
-    * equi-join on (band_idx, band_val) — shuffle O(rows × bands),
+    * `maxHamming` (completeness by pigeonhole — unconditional at
+    * `maxBucketFrac = 0`, modulo saturated buckets when the caller
+    * engages the guard; see the inline rationale), candidate join is
+    * an equi-join on (band_idx, band_val) — shuffle O(rows × bands),
     * never all-pairs — then the exact hamming filter.
     */
   /** Pigeonhole band schedule for a 64-bit hash at a hamming budget:
@@ -917,18 +919,37 @@ object Dedup {
   }
 
   private[operators] def hammingBandPairs(hashes: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucketFrac: Double = 0.0): DataFrame = {
     val (nBands, width, mask) = pigeonholeBands(maxHamming)
     val hashCol = hashes.columns(1)
     val fp = hashes.select(col(hashes.columns.head).as("doc_id"),
       col(hashCol).as("h64"))
     val bands = (0 until nBands).map(b => struct(lit(b).as("band_idx"),
       shiftright(col("h64"), b * width).bitwiseAND(mask).as("band_val")))
-    val banded = fp
+    val raw = fp
       .select(col("doc_id"), col("h64"),
         explode(array(bands: _*)).as("bv"))
       .select(col("doc_id"), col("h64"),
         col("bv.band_idx"), col("bv.band_val"))
+    // maxBucketFrac > 0 engages the saturation guard for hash
+    // families with STRUCTURAL low-entropy segments (perceptual
+    // dHash / energy hashes: sky gradients, black borders, silence
+    // make some bit segments near-constant corpus-wide, and that
+    // segment's bucket grows WITH the corpus — quadratic dead weight
+    // no absolute cap catches). The price is the pigeonhole
+    // completeness guarantee at the hamming BOUNDARY: a pair whose
+    // ONLY agreeing band is saturated is missed, which requires its
+    // errors to hit every other band — near-dups agree almost
+    // everywhere, so in practice the loss is confined to pairs at
+    // exactly maxHamming. simhash callers keep 0.0 (majority-sign
+    // bits are near-uniform: the guard would be a no-op bought with
+    // an extra aggregate, and their completeness contract stays
+    // unconditional).
+    val banded =
+      if (maxBucketFrac > 0)
+        dropSaturatedBuckets(raw, "band_val", maxBucketFrac,
+          SaturatedBucketFloor)
+      else raw
     // SHUFFLE_HASH: self-join sides share the identical shuffle, so
     // ReuseExchange computes the hash subtree once (see
     // candidatesFromSketch for the broadcast-vs-reuse tradeoff)
@@ -1150,17 +1171,26 @@ object Dedup {
     * anti-join — no window over a band-sized partition (that window
     * would itself be the scale-killer at 100 TB).
     */
-  private def dropSaturatedBuckets(banded: DataFrame, frac: Double,
-      floor: Long): DataFrame = {
+  /** Shared saturation thresholds: a bucket is "hot" above BOTH the
+    * band-row fraction (scale-invariant) and the absolute floor
+    * (keeps spec-sized corpora exact). One pair of constants for the
+    * warp video op AND the perceptual pair/group family, so the
+    * guard cannot drift across modalities.
+    */
+  private[operators] val SaturatedBucketFrac = 0.02
+  private[operators] val SaturatedBucketFloor = 100L
+
+  private def dropSaturatedBuckets(banded: DataFrame, valCol: String,
+      frac: Double, floor: Long): DataFrame = {
     val totals = banded.groupBy("band_idx")
       .agg(count(lit(1)).as("band_total"))
-    val hot = banded.groupBy("band_idx", "band_hash")
+    val hot = banded.groupBy("band_idx", valCol)
       .agg(count(lit(1)).as("bucket_n"))
       .join(broadcast(totals), "band_idx")
       .where(col("bucket_n") > col("band_total") * frac &&
         col("bucket_n") > floor)
-      .select("band_idx", "band_hash")
-    banded.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+      .select("band_idx", valCol)
+    banded.join(broadcast(hot), Seq("band_idx", valCol), "left_anti")
   }
 
   /** Temporal-WARP-robust video near-dup pairs — the variant
@@ -1227,7 +1257,8 @@ object Dedup {
         explode(array(bandCols: _*)).as("bv"))
       .select(col("doc_id"), col("bv.band_idx"), col("bv.band_hash"),
         col("frame_idx"))
-    val informative = dropSaturatedBuckets(banded, frac = 0.02, floor = 100L)
+    val informative = dropSaturatedBuckets(banded, "band_hash",
+      SaturatedBucketFrac, SaturatedBucketFloor)
     val framePairs = cappedBandSelfJoin(informative, bucketCap)
       .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"),
         col("a.frame_idx").as("pa"), col("b.frame_idx").as("pb"))
@@ -1328,8 +1359,11 @@ object Dedup {
     h.count()
     val stars = h.groupBy("h64").agg(min(col("doc_id")).as("rep_id"))
     val members = h.join(stars, "h64").select(col("doc_id"), col("rep_id"))
+    // the guard setting MUST match perceptualPairs' — the pairs view
+    // and the groups view share one candidate frame or they drift
     val edges = hammingBandPairs(
-      stars.select(col("rep_id").as("doc_id"), col("h64")), maxHamming)
+      stars.select(col("rep_id").as("doc_id"), col("h64")), maxHamming,
+      maxBucketFrac = SaturatedBucketFrac)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val labels = connectedComponents(stars.select(col("rep_id")), edges,
       maxRounds)
@@ -1429,7 +1463,8 @@ object Dedup {
     val members = hashes.join(stars, hashCol)
       .select(col("doc_id"), col("rep_id"))
     val repPairs = hammingBandPairs(
-      stars.select(col("rep_id").as("doc_id"), col(hashCol)), maxHamming)
+      stars.select(col("rep_id").as("doc_id"), col(hashCol)), maxHamming,
+      maxBucketFrac = SaturatedBucketFrac)
     val cross = repPairs
       .join(members.select(col("rep_id").as("a_id"),
         col("doc_id").as("da")), "a_id")
