@@ -224,6 +224,13 @@ object SparkEntry {
     // ImageDedupSpec
     "q_image_dedup" -> ((s, d) => Dedup.imageDedupPairs(
       imagesOf(s, d))),
+    // rows-only (raster decode): the band-saturation audit over the
+    // corpus's image dHashes — the measurement that decides whether
+    // the perceptual guard is needed for a hash family
+    "q_band_saturation" -> ((s, d) => Dedup.bandSaturation(
+      graft.operators.MultimodalOps.imageHashes(imagesOf(s, d))
+        .where(org.apache.spark.sql.functions.col("decoded"))
+        .select("docId", "dhash"))),
     // rows-only (raster decode): canonical groups over the image
     // near-dup graph (components on the distinct-dhash rep edges);
     // union-find-equivalence spec in ImageDedupSpec

@@ -1160,7 +1160,7 @@ object Dedup {
     * [[cappedBandSelfJoin]]'s absolute cap, for banded frames whose
     * value distribution is structurally low-entropy (perceptual-hash
     * bit segments: real imagery has sky gradients and black borders,
-    * so some 10-bit segments are near-constant corpus-wide, and a
+    * so some 8-bit segments are near-constant corpus-wide, and a
     * near-constant segment's bucket is quadratic dead weight carrying
     * zero discrimination). A bucket is hot iff it holds more than
     * `frac` of its band's rows AND more than `floor` rows — the
@@ -1179,6 +1179,48 @@ object Dedup {
     */
   private[operators] val SaturatedBucketFrac = 0.02
   private[operators] val SaturatedBucketFloor = 100L
+
+  /** Band-saturation audit — the measure-don't-guess frame behind
+    * [[dropSaturatedBuckets]], published as a query (the skewReport /
+    * annRecall pattern): per pigeonhole band of a (id, hash64) frame,
+    * how concentrated the value distribution actually is — bucket
+    * count, top-bucket share in exact ppm (one integer division at
+    * the end), and how many buckets (and rows) the shared saturation
+    * thresholds would drop. THIS is the number that decides whether a
+    * hash family needs the guard: a healthy family (simhash,
+    * xxhash-mixed keys) shows top shares near uniform; a perceptual
+    * family shows a band holding 20%+ of the corpus in one value.
+    * Run it on a sample before configuring a 100 TB dedup pass.
+    *
+    * Plan: one (band_idx, band_val) count aggregate (map-side
+    * combinable), a 6-row totals broadcast, one final 6-row group —
+    * nothing after the first aggregate touches corpus-sized data.
+    */
+  def bandSaturation(hashes: DataFrame, maxHamming: Int = 5): DataFrame = {
+    val (nBands, width, mask) = pigeonholeBands(maxHamming)
+    val h = hashes.select(col(hashes.columns(1)).cast("long").as("h64"))
+    val buckets = h.select(explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftright(col("h64"), b * width).bitwiseAND(mask)
+            .as("band_val"))): _*)).as("bv"))
+      .select(col("bv.band_idx"), col("bv.band_val"))
+      .groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("n"))
+    val totals = buckets.groupBy("band_idx")
+      .agg(sum(col("n")).as("band_total"),
+        count(lit(1)).as("n_buckets"), max(col("n")).as("top_bucket_rows"))
+    val sat = col("n") > col("band_total") * SaturatedBucketFrac &&
+      col("n") > SaturatedBucketFloor
+    buckets.join(broadcast(totals), "band_idx")
+      .groupBy("band_idx")
+      .agg(max(col("n_buckets")).as("n_buckets"),
+        max(col("band_total")).as("band_total"),
+        max(col("top_bucket_rows")).as("top_bucket_rows"),
+        sum(when(sat, 1L).otherwise(0L)).as("n_saturated"),
+        sum(when(sat, col("n")).otherwise(0L)).as("rows_saturated"))
+      .withColumn("top_share_ppm",
+        expr("(top_bucket_rows * 1000000) div band_total"))
+  }
 
   private def dropSaturatedBuckets(banded: DataFrame, valCol: String,
       frac: Double, floor: Long): DataFrame = {
@@ -1268,7 +1310,7 @@ object Dedup {
       .agg(count(lit(1)).as("votes"))
       // two INDEPENDENT frame pairs must agree on the shift before a
       // candidate reaches verification: a random band collision
-      // (10-bit values over a 6-band explode produce millions at
+      // (8-bit values over an 8-band explode produce millions at
       // corpus scale) almost never lands the same shift twice, while
       // any pair that could pass the coverage gate has ≥2 true
       // aligned frames, each an exact band match, hence ≥2 votes —

@@ -82,6 +82,36 @@ class DedupSpec extends SparkSuite {
       "group sizes must partition the corpus")
   }
 
+  test("bandSaturation: planted constant segments read as saturated, varied ones do not") {
+    import spark.implicits._
+    // the maxHamming=5 layout is 8 bands × 8 bits (next divisor of
+    // 64). 256 hashes whose only varying bits are 8..15 (band 1):
+    // bands 0 and 2..7 are constant-zero → saturated (256 rows >
+    // floor 100, share 100%); band 1 is 256 distinct single-row
+    // buckets → top share 1/256
+    val planted = (0 until 256).map(i => (i.toLong, (i.toLong & 0xff) << 8))
+      .toDF("doc_id", "h64")
+    val r = Dedup.bandSaturation(planted).collect()
+      .map(x => x.getAs[Int]("band_idx") ->
+        ((x.getAs[Long]("n_buckets"), x.getAs[Long]("top_share_ppm"),
+          x.getAs[Long]("n_saturated"), x.getAs[Long]("rows_saturated"))))
+      .toMap
+    assert(r.keySet == (0 until 8).toSet, s"got ${r.keySet}")
+    ((0 until 8).toSet - 1).foreach { b =>
+      assert(r(b) == ((1L, 1000000L, 1L, 256L)),
+        s"band $b should be one fully saturated bucket: ${r(b)}")
+    }
+    assert(r(1) == ((256L, 3906L, 0L, 0L)),
+      s"the varied band must show uniform shares and no saturation: ${r(1)}")
+    // uniform control: xxhash-mixed values never saturate
+    val uniform = (0 until 256).map(i => (i.toLong, i.toLong))
+      .toDF("doc_id", "x")
+      .selectExpr("doc_id", "xxhash64(x) AS h64")
+    val u = Dedup.bandSaturation(uniform).collect()
+    assert(u.forall(_.getAs[Long]("n_saturated") == 0L),
+      "mixed hashes must not saturate any band")
+  }
+
   test("connectedComponents matches union-find on random graphs (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

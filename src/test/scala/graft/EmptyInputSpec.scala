@@ -65,6 +65,8 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("minhashExactVerifiedPairs", Dedup.minhashExactVerifiedPairs(noDocs))
     assertEmptyOk("dedupGroups", Dedup.dedupGroups(noDocs))
     assertEmptyOk("dedupApply", Dedup.dedupApply(noDocs))
+    assertEmptyOk("bandSaturation", Dedup.bandSaturation(
+      Seq.empty[(Long, Long)].toDF("doc_id", "h64")))
     assertEmptyOk("piiScrub", TextOps.piiScrub(noDocs))
     assertEmptyOk("repetitionRatio", TextOps.repetitionRatio(noDocs))
     assertEmptyOk("topNgramFrac", TextOps.topNgramFrac(noDocs))
