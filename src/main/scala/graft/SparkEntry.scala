@@ -117,6 +117,8 @@ object SparkEntry {
     "q_minhash_err" -> ((s, d) => Dedup.minhashEstError(t(s, d, "documents"))),
     "q_dedup_groups" -> ((s, d) => Dedup.dedupGroups(t(s, d, "documents"))),
     "q_dedup_apply" -> ((s, d) => Dedup.dedupApply(t(s, d, "documents"))),
+    "q_dedup_rate" -> ((s, d) =>
+      Dedup.dedupRateBySource(t(s, d, "documents"))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),
@@ -869,6 +871,50 @@ object SparkEntry {
         |JOIN gsz s USING (group_id)
         |JOIN documents d USING (doc_id)
         |WHERE g.doc_id = g.group_id""".stripMargin,
+    "q_dedup_rate" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents
+        |), reps AS (
+        |  SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h
+        |), dd AS (
+        |  SELECT d.doc_id, string_split(d.text, ' ') AS toks
+        |  FROM documents d JOIN reps r ON md5(d.text) = r.h AND d.doc_id = r.keep_id
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS shingle
+        |  FROM dd WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), near AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON a_id = sa.doc_id
+        |  JOIN sizes sb ON b_id = sb.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+        |), ex AS (
+        |  SELECT bb.doc_id AS e_src, rr.keep_id AS e_dst
+        |  FROM base bb JOIN reps rr USING (h) WHERE bb.doc_id <> rr.keep_id
+        |), edges AS (
+        |  SELECT e_src AS src, e_dst AS dst FROM ex
+        |  UNION ALL SELECT e_dst, e_src FROM ex
+        |  UNION ALL SELECT a_id, b_id FROM near
+        |  UNION ALL SELECT b_id, a_id FROM near
+        |), reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM base
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src
+        |), grp AS (
+        |  SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node
+        |)
+        |SELECT d.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT g.group_id) AS BIGINT) AS n_groups,
+        |  CAST(((COUNT(*) - COUNT(DISTINCT g.group_id)) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM grp g JOIN documents d USING (doc_id)
+        |GROUP BY d.source""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
         |toks AS (

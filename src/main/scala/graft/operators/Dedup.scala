@@ -759,6 +759,33 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("group_size"))
   }
 
+  /** Per-source duplication rate — the crawl-source scorecard over
+    * [[dedupGroups]]' assignment (the sourceReport pattern at dedup
+    * granularity): for each source, document count, the number of
+    * DISTINCT near-dup groups its documents belong to (global group
+    * ids — a group spanning two sources counts for both, which is
+    * the point: a mirror shows up as a source whose groups are
+    * mostly shared), and the redundancy rate
+    * `(n_docs − n_groups) / n_docs` in exact ppm (one integer
+    * division at the end, §6). A source at 900k ppm is a mirror or
+    * a template farm — drop it at the crawl list, not one document
+    * at a time. Adds one source-keyed aggregate over the assignment
+    * frame to dedupGroups' plan; nothing new touches text.
+    */
+  def dedupRateBySource(documents: DataFrame, threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+      bucketCap: Int = 10000, maxIters: Int = 20): DataFrame = {
+    val groups = dedupGroups(documents, threshold, numHashes, bands,
+      shingleLen, bucketCap, maxIters)
+    documents.select(col("doc_id"), col("source"))
+      .join(groups, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_id")).as("n_groups"))
+      .withColumn("dup_ppm",
+        expr("((n_docs - n_groups) * 1000000) div n_docs"))
+  }
+
   /** Canonical grouping over PARTIAL overlap — the winnowing
     * counterpart of [[dedupGroups]] (which groups by whole-document
     * near-identity): connected components over

@@ -82,6 +82,24 @@ class DedupSpec extends SparkSuite {
       "group sizes must partition the corpus")
   }
 
+  test("dedupRateBySource: cross-source groups count for both; ppm is integer-exact") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest today", "en", "web"),
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest tonight", "en", "wiki"),
+      (2L, "completely different text about spark distributed query engines operating at warehouse scale with shuffles", "fr", "web"),
+      (3L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest today", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.dedupRateBySource(d, threshold = 0.5).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("n_groups"),
+          x.getAs[Long]("dup_ppm")))).toMap
+    // groups: {0,1,3} and {2}. web sees docs {0,2,3} in groups {0,2}
+    // → 1 redundant of 3 = 333333 ppm; wiki's single doc sits in the
+    // shared group 0 (counted for wiki too) → zero redundancy
+    assert(r == Map("web" -> ((3L, 2L, 333333L)),
+      "wiki" -> ((1L, 1L, 0L))), s"got $r")
+  }
+
   test("bandSaturation: planted constant segments read as saturated, varied ones do not") {
     import spark.implicits._
     // the maxHamming=5 layout is 8 bands × 8 bits (next divisor of

@@ -65,6 +65,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("minhashExactVerifiedPairs", Dedup.minhashExactVerifiedPairs(noDocs))
     assertEmptyOk("dedupGroups", Dedup.dedupGroups(noDocs))
     assertEmptyOk("dedupApply", Dedup.dedupApply(noDocs))
+    assertEmptyOk("dedupRateBySource", Dedup.dedupRateBySource(noDocs))
     assertEmptyOk("bandSaturation", Dedup.bandSaturation(
       Seq.empty[(Long, Long)].toDF("doc_id", "h64")))
     assertEmptyOk("piiScrub", TextOps.piiScrub(noDocs))
