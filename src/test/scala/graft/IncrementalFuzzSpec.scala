@@ -110,4 +110,60 @@ class IncrementalFuzzSpec extends SparkSuite {
           s"missing=${joint -- inc} extra=${inc -- joint}")
     }
   }
+
+  test("updateBandIndex surgery == scratch rebuild over randomized re-crawls " +
+      "(snapshotDiff-driven)") {
+    val rnd = new scala.util.Random(777)
+    def doc(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until 20 + r.nextInt(20)).map(_ => s"w${r.nextInt(40)}").mkString(" ")
+    }
+    (0 until 6).foreach { trial =>
+      // corpus with clone pairs so retraction can hit a non-rep star
+      // member (the surgery must still equal the rebuild)
+      val base = (0 until 12 + rnd.nextInt(8)).map { i =>
+        (i.toLong, doc(trial * 100 + i), "en", "web")
+      }
+      val withClones = base ++ (0 until 3).map { c =>
+        val src = base(rnd.nextInt(base.size))
+        ((base.size + c).toLong, src._2, "en", "mirror")
+      }
+      val old = withClones.toDF("doc_id", "text", "lang", "source")
+      // random re-crawl: drop some ids, revise some, add some new
+      val ids = withClones.map(_._1)
+      val removed = rnd.shuffle(ids).take(1 + rnd.nextInt(3)).toSet
+      val changed = rnd.shuffle(ids.filterNot(removed)).take(rnd.nextInt(3)).toSet
+      val recrawl = (withClones.filterNot(r => removed(r._1)).map {
+        case (i, t, l, s2) =>
+          (i, if (changed(i)) t + s" rev$trial" else t, l, s2)
+      } ++ (0 until rnd.nextInt(3)).map { a =>
+        ((100 + a).toLong, doc(9000 + trial * 10 + a), "en", "web")
+      }).toDF("doc_id", "text", "lang", "source")
+      val diff = graft.operators.Curation.snapshotDiff(old, recrawl)
+      import org.apache.spark.sql.functions.col
+      val retract = diff.where(col("status").isin("removed", "changed"))
+        .select("doc_id")
+      val readd = recrawl.join(
+        diff.where(col("status").isin("added", "changed")).select("doc_id"),
+        "doc_id")
+      val dirA = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz-idx-a$trial").toString
+      val dirB = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz-idx-b$trial").toString
+      val dirC = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz-idx-c$trial").toString
+      Dedup.writeBandIndex(old, dirA)
+      Dedup.updateBandIndex(spark, dirA, dirB, retract, readd)
+      Dedup.writeBandIndex(recrawl, dirC)
+      def sigRows(p: String) = spark.read.parquet(s"$p/sigs").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toList).toSet
+      def bandRowsOf(p: String) = spark.read.parquet(s"$p/bands").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band_idx"),
+          r.getAs[Long]("band_hash"))).toSet
+      assert(sigRows(dirB) == sigRows(dirC),
+        s"trial $trial (removed=$removed changed=$changed): sigs diverged")
+      assert(bandRowsOf(dirB) == bandRowsOf(dirC),
+        s"trial $trial (removed=$removed changed=$changed): bands diverged")
+    }
+  }
 }
