@@ -1310,6 +1310,19 @@ object Dedup {
         col("fhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fh.count()
+    warpPairsFromFrameHashes(fh, maxHamming, minFrac, bucketCap, minVotes)
+  }
+
+  /** The warp machinery over a PRECOMPUTED (doc_id, frame_idx,
+    * fhash) frame — split out so the randomized model spec can drive
+    * it with synthetic hash corpora (no codec in the loop) and so a
+    * caller with stored frame hashes (a [[perceptualIndex]]-style
+    * artifact) skips the decode. `fh` must be materialized (the
+    * videoDedupPairsWarp contract).
+    */
+  private[graft] def warpPairsFromFrameHashes(fh: DataFrame,
+      maxHamming: Int, minFrac: Double, bucketCap: Int,
+      minVotes: Int): DataFrame = {
     val (members, repFh0, counts) = clipStarFrames(fh)
     // the warp plan reads the rep frame rows from FIVE subtrees
     // (band totals, the hot-bucket aggregate, the banded anti-join
