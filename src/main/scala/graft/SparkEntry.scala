@@ -104,6 +104,9 @@ object SparkEntry {
       t(s, d, "customer"), t(s, d, "orders"), t(s, d, "nation"))),
     "q_mask_log" -> ((s, d) => Payments.maskLog(t(s, d, "events"))),
     "q_txn_unique" -> ((s, d) => Payments.txnUniqueViolations(t(s, d, "events"))),
+    "q_data_quality" -> ((s, d) => Payments.dataQuality(
+      t(s, d, "orders"), t(s, d, "lineitem"), t(s, d, "customer"),
+      t(s, d, "events"))),
     "q_payment_confirm" -> ((s, d) => Payments.confirmAmounts(t(s, d, "events"))),
     "q_secure_lookup" -> ((s, d) => Payments.secureLookup(t(s, d, "orders"))),
     "q_hmac_sign" -> ((s, d) => Payments.hmacSign(t(s, d, "events"))),
@@ -746,6 +749,27 @@ object SparkEntry {
         |  COUNT(*) AS n_txn, MIN(event_id) AS first_event_id
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "q_data_quality" ->
+      """SELECT 'orphan_lineitem' AS rule, CAST(COUNT(*) AS BIGINT) AS n_violations
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orphan_order_customer', CAST(COUNT(*) AS BIGINT)
+        |FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'dup_lineitem_key', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+        |FROM (SELECT COUNT(*) AS n FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'nonpositive_price', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem WHERE l_extendedprice <= 0
+        |UNION ALL
+        |SELECT 'negative_event_value', CAST(COUNT(*) AS BIGINT)
+        |FROM events WHERE value < 0
+        |UNION ALL
+        |SELECT 'null_event_user', CAST(COUNT(*) AS BIGINT)
+        |FROM events WHERE user_id IS NULL""".stripMargin,
     "q_payment_confirm" ->
       """SELECT event_id, currency,
         |  CAST(amt AS VARCHAR) || ' ' || currency AS amount_paid

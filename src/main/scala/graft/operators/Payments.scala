@@ -589,4 +589,50 @@ object Payments {
       .select(col("event_id"),
         call_function("hmac_sha256_hex", col("message"), lit(secret)).as("signature"))
   }
+
+  /** Ingest expectations audit — the constraint checks a 100 TB load
+    * runs before anything downstream trusts the tables (the
+    * reference reconciles invoices one at a time,
+    * kinesis-pay.php:515-549; at warehouse scale the same trust
+    * question is asked of whole tables): one row per named rule with
+    * its violation count, all six from keyed anti-joins / keyed
+    * aggregates / scan-local predicates — no rule shuffles more than
+    * its own join key, and the six scalar counts union into an
+    * always-six-row frame (zero violations is a result, not an empty
+    * frame — an empty audit is indistinguishable from one that did
+    * not run).
+    *
+    * Rules: `orphan_lineitem` (lineitem → missing order),
+    * `orphan_order_customer` (order → missing customer),
+    * `dup_lineitem_key` (rows in excess of one per
+    * (l_orderkey, l_linenumber)), `nonpositive_price`,
+    * `negative_event_value`, `null_event_user`.
+    */
+  def dataQuality(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame, events: DataFrame): DataFrame = {
+    def scalar(rule: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_violations"))
+        .select(lit(rule).as("rule"), col("n_violations"))
+    val orphanLine = scalar("orphan_lineitem",
+      lineitem.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti"))
+    val orphanOrder = scalar("orphan_order_customer",
+      orders.select(col("o_custkey"))
+        .join(customer.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti"))
+    val dupKeys = lineitem.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n")).where(col("n") > 1)
+      .agg(coalesce(sum(col("n") - 1), lit(0L)).cast("long")
+        .as("n_violations"))
+      .select(lit("dup_lineitem_key").as("rule"), col("n_violations"))
+    val badPrice = scalar("nonpositive_price",
+      lineitem.where(col("l_extendedprice") <= 0))
+    val badValue = scalar("negative_event_value",
+      events.where(col("value") < 0))
+    val nullUser = scalar("null_event_user",
+      events.where(col("user_id").isNull))
+    orphanLine.unionByName(orphanOrder).unionByName(dupKeys)
+      .unionByName(badPrice).unionByName(badValue).unionByName(nullUser)
+  }
 }

@@ -48,6 +48,12 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("orderPriority", Payments.orderPriority(noOrders, noLineitem))
     assertEmptyOk("shipPriority",
       Payments.shipPriority(noCust, noOrders, noLineitem))
+    // dataQuality on empty inputs is six ZERO rows, not zero rows —
+    // asserted directly (the assertEmptyOk contract is inverted here)
+    val dq = Payments.dataQuality(noOrders, noLineitem, noCust, noEvents)
+      .collect()
+    assert(dq.length == 6 && dq.forall(_.getAs[Long]("n_violations") == 0L),
+      "dataQuality must report six zero rules on empty inputs")
   }
 
   test("dedup/text operators tolerate empty input") {

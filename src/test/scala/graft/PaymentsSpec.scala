@@ -176,4 +176,39 @@ class PaymentsSpec extends SparkSuite {
     val sig = Payments.hmacSign(e).collect().head.getAs[String]("signature")
     assert(sig.matches("[0-9A-F]{64}"))
   }
+
+  test("dataQuality: every rule counts exactly its planted violations; clean rules report zero") {
+    val customer = Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+    val orders = Seq(
+      (10L, 1L), (11L, 2L),
+      (12L, 9L) // customer 9 missing → orphan_order_customer
+    ).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (10L, 1, 5.0), (10L, 2, 7.5),
+      (11L, 1, 7.5), (11L, 1, 2.0), (11L, 1, 3.0), // key triplicated → 2 excess
+      (99L, 1, 1.0), // order 99 missing → orphan_lineitem
+      (12L, 1, -4.0), (12L, 2, 0.0) // two nonpositive prices
+    ).toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+    val events = Seq(
+      (Some(1L), 1.0), (Some(2L), -2.5), (None, 3.0), (None, -1.0)
+    ).map { case (u, v) => (u, v) }
+      .toDF("user_id", "value")
+    val r = Payments.dataQuality(orders, lineitem, customer, events)
+      .collect().map(x => x.getAs[String]("rule") ->
+        x.getAs[Long]("n_violations")).toMap
+    assert(r == Map(
+      "orphan_lineitem" -> 1L,
+      "orphan_order_customer" -> 1L,
+      "dup_lineitem_key" -> 2L,
+      "nonpositive_price" -> 2L,
+      "negative_event_value" -> 2L,
+      "null_event_user" -> 2L), s"got $r")
+    // a clean corpus reports six zeros, never an empty frame
+    val clean = Payments.dataQuality(
+      Seq((10L, 1L)).toDF("o_orderkey", "o_custkey"),
+      Seq((10L, 1, 5.0)).toDF("l_orderkey", "l_linenumber", "l_extendedprice"),
+      customer, ev((1L, "2024-01-01 10:00:00", 7L, "purchase", 1.0)))
+      .collect()
+    assert(clean.length == 6 && clean.forall(_.getAs[Long]("n_violations") == 0L))
+  }
 }
