@@ -158,6 +158,54 @@ class IncrementalDedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental crawl epoch end-to-end: diff -> index surgery -> dedupAgainst " +
+      "equals the scratch joint run's changed-involving subset") {
+    import org.apache.spark.sql.functions.col
+    val snapA4 = snapA
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("web"))
+    // re-crawl: 3 dropped, 1 revised into a near-dup of the 0-family,
+    // 6 added as a near-dup of the 2-family — both mutations must
+    // surface pairs against UNCHANGED docs through the updated index
+    val recrawl = Seq(
+      (0L, base(0), "en", "web"),
+      (1L, base(0) + " tail revised", "en", "web"),
+      (2L, base(1), "en", "web"),
+      (4L, base(2), "en", "web"), (5L, base(2) + " coda", "en", "web"),
+      (6L, base(2) + " fresh epoch coda", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val diff = graft.operators.Curation.snapshotDiff(snapA4, recrawl)
+    val changedIds = diff.where(col("status").isin("added", "changed"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(changedIds == Set(1L, 6L), s"got $changedIds")
+    val retract = diff.where(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    val readd = recrawl.join(
+      diff.where(col("status").isin("added", "changed")).select("doc_id"),
+      "doc_id")
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-epoch-a").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-epoch-b").toString
+    Dedup.writeBandIndex(snapA4, dirA)
+    // processing order within the epoch: dedup the changed slice
+    // against the RETRACT-ONLY index (re-adding first would put the
+    // changed docs' band rows on BOTH sides of the union), then the
+    // full surgery (retract + re-add) produces the N+2 index — the
+    // fuzz spec covers that leg
+    Dedup.updateBandIndex(spark, dirA, dirB, retract, readd.limit(0))
+    // the epoch's incremental dedup: ONLY the changed slice is
+    // sketched live; everything else rides the updated index
+    val inc = pairSet(Dedup.dedupAgainst(spark, dirB, readd))
+    val joint = pairSet(Dedup.minhashCandidates(recrawl))
+      .filter { case (a, b) => changedIds(a) || changedIds(b) }
+    assert(inc == joint,
+      s"missing=${joint -- inc} extra=${inc -- joint}")
+    // the mutations genuinely connect to unchanged docs (non-vacuous)
+    assert(inc.exists { case (a, b) =>
+      changedIds(a) ^ changedIds(b) }, s"no cross pair in $inc")
+  }
+
   test("noveltyAgainst: equals the joint-corpus gramNovelty restricted to the new snapshot") {
     // the append-only contract: every indexed id below every new id
     val joint = snapA.unionByName(snapB)
