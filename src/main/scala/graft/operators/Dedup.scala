@@ -350,6 +350,13 @@ object Dedup {
     * its own scan; production versions indexes by snapshot anyway —
     * the corpus-store discipline) — violating this throws before any
     * write.
+    *
+    * Epoch processing order (spec-pinned end-to-end): run
+    * [[dedupAgainst]] for the changed slice against the RETRACT-ONLY
+    * index (this call with an empty `addedDocs`) — re-adding first
+    * would put the changed docs' band rows on both sides of the
+    * union join — then apply the full surgery to produce the next
+    * epoch's index.
     */
   def updateBandIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, outPath: String, retractIds: DataFrame,
