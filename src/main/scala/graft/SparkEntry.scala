@@ -107,6 +107,8 @@ object SparkEntry {
     "q_data_quality" -> ((s, d) => Payments.dataQuality(
       t(s, d, "orders"), t(s, d, "lineitem"), t(s, d, "customer"),
       t(s, d, "events"))),
+    "q_kanon_revenue" -> ((s, d) => Payments.suppressedRevenue(
+      t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
     "q_payment_confirm" -> ((s, d) => Payments.confirmAmounts(t(s, d, "events"))),
     "q_secure_lookup" -> ((s, d) => Payments.secureLookup(t(s, d, "orders"))),
     "q_hmac_sign" -> ((s, d) => Payments.hmacSign(t(s, d, "events"))),
@@ -637,6 +639,19 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_kanon_revenue" ->
+      """SELECT n_name, nc < 5 AS suppressed,
+        |  CASE WHEN nc >= 5 THEN nc END AS n_customers,
+        |  CASE WHEN nc >= 5 THEN no END AS n_orders,
+        |  CASE WHEN nc >= 5 THEN rev END AS revenue
+        |FROM (SELECT n_name,
+        |        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nc,
+        |        CAST(COUNT(*) AS BIGINT) AS no,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+        |      FROM orders
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      GROUP BY n_name)""".stripMargin,
     "q_active_users" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events

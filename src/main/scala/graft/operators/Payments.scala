@@ -590,6 +590,34 @@ object Payments {
         call_function("hmac_sha256_hex", col("message"), lit(secret)).as("signature"))
   }
 
+  /** Small-cell-suppressed revenue report — the privacy-threshold
+    * discipline every published aggregate table applies (suppress
+    * cells backed by fewer than `k` distinct customers; a one-
+    * customer nation row IS that customer's spend): per nation,
+    * distinct-customer count, order count and exact-DECIMAL revenue,
+    * with ALL THREE nulled and `suppressed = true` below the
+    * threshold — the row inventory survives (consumers can see what
+    * was withheld and why) while no small-cell statistic leaks, and
+    * the counts themselves are masked too (n=1 identifies as surely
+    * as the amount). One keyed aggregate + broadcast dims; the
+    * suppression is a pure projection over it.
+    */
+  def suppressedRevenue(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, k: Int = 5): DataFrame = {
+    val agg = orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(countDistinct(col("o_custkey")).as("nc"),
+        count(lit(1)).as("no"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("rev"))
+    val ok = col("nc") >= k
+    agg.select(col("n_name"), (!ok).as("suppressed"),
+      when(ok, col("nc")).as("n_customers"),
+      when(ok, col("no")).as("n_orders"),
+      when(ok, col("rev")).as("revenue"))
+  }
+
   /** Ingest expectations audit — the constraint checks a 100 TB load
     * runs before anything downstream trusts the tables (the
     * reference reconciles invoices one at a time,

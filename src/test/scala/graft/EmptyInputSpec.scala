@@ -48,6 +48,10 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("orderPriority", Payments.orderPriority(noOrders, noLineitem))
     assertEmptyOk("shipPriority",
       Payments.shipPriority(noCust, noOrders, noLineitem))
+    assertEmptyOk("suppressedRevenue",
+      Payments.suppressedRevenue(noOrders, noCust,
+        Seq.empty[(Int, String, Int)]
+          .toDF("n_nationkey", "n_name", "n_regionkey")))
     // dataQuality on empty inputs is six ZERO rows, not zero rows —
     // asserted directly (the assertEmptyOk contract is inverted here)
     val dq = Payments.dataQuality(noOrders, noLineitem, noCust, noEvents)

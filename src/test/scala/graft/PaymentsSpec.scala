@@ -177,6 +177,25 @@ class PaymentsSpec extends SparkSuite {
     assert(sig.matches("[0-9A-F]{64}"))
   }
 
+  test("suppressedRevenue: small cells masked entirely, large cells exact") {
+    val nation = Seq((1, "GERMANY", 1), (2, "FRANCE", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((1L, 1), (2L, 1), (3L, 2))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (10L, 1L, 100.0), (11L, 2L, 50.0), // GERMANY: 2 customers
+      (12L, 3L, 75.0), (13L, 3L, 25.0)   // FRANCE: 1 customer
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r = Payments.suppressedRevenue(orders, customer, nation, k = 2)
+      .collect().map(x => x.getAs[String]("n_name") ->
+        ((x.getAs[Boolean]("suppressed"), Option(x.get(2)),
+          Option(x.get(3)), Option(x.get(4))))).toMap
+    assert(r("GERMANY") == ((false, Some(2L), Some(2L), Some(150.0))),
+      s"got $r")
+    // the one-customer cell leaks nothing — not even its counts
+    assert(r("FRANCE") == ((true, None, None, None)), s"got $r")
+  }
+
   test("dataQuality: every rule counts exactly its planted violations; clean rules report zero") {
     val customer = Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
     val orders = Seq(
