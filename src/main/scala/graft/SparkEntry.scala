@@ -333,6 +333,10 @@ object SparkEntry {
       val (o, n) = Curation.snapshotPair(t(s, d, "documents"))
       Curation.snapshotDiff(o, n)
     }),
+    "q_snapshot_drift" -> ((s, d) => {
+      val (o, n) = Curation.snapshotPair(t(s, d, "documents"))
+      Curation.snapshotDrift(o, n)
+    }),
     "q_token_budget" -> ((s, d) => Curation.tokenBudget(t(s, d, "documents"))),
     "q_word_entropy" -> ((s, d) => TextOps.wordEntropy(t(s, d, "documents"))),
     "q_oov_rate" -> ((s, d) => TextOps.oovRate(t(s, d, "documents"))),
@@ -1624,6 +1628,42 @@ object SparkEntry {
         |       WHEN o.h <> n.h THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
+    "q_snapshot_drift" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, source,
+        |    CAST('0x' || substr(md5('snap:' || text), 1, 8) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |), oldsnap AS (
+        |  SELECT source, text FROM b WHERE bucket >= 3
+        |), newsnap AS (
+        |  SELECT source,
+        |    CASE WHEN bucket >= 50 AND bucket < 60
+        |         THEN text || ' snapshot-rev' ELSE text END AS text
+        |  FROM b WHERE bucket < 97
+        |), tfo AS (
+        |  SELECT source, tok, COUNT(*) AS tf_o
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM oldsnap)
+        |  WHERE tok <> '' GROUP BY 1, 2
+        |), tfn AS (
+        |  SELECT source, tok, COUNT(*) AS tf_n
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM newsnap)
+        |  WHERE tok <> '' GROUP BY 1, 2
+        |), j AS (
+        |  SELECT COALESCE(o.source, n.source) AS source,
+        |    COALESCE(o.tf_o, 0) AS tf_o, COALESCE(n.tf_n, 0) AS tf_n
+        |  FROM tfo o FULL OUTER JOIN tfn n
+        |    ON o.source = n.source AND o.tok = n.tok
+        |), tot AS (
+        |  SELECT source, SUM(tf_o) AS n_o, SUM(tf_n) AS n_n FROM j GROUP BY 1
+        |)
+        |SELECT source, CAST(n_o AS BIGINT) AS n_tok_old,
+        |  CAST(n_n AS BIGINT) AS n_tok_new,
+        |  CAST(SUM(ABS(CAST(tf_n AS HUGEINT) * CAST(n_o AS HUGEINT) -
+        |                CAST(tf_o AS HUGEINT) * CAST(n_n AS HUGEINT))) AS DOUBLE) /
+        |    (2.0 * CAST(n_o AS DOUBLE) * CAST(n_n AS DOUBLE)) AS drift_tv
+        |FROM j JOIN tot USING (source)
+        |WHERE n_o > 0 AND n_n > 0
+        |GROUP BY source, n_o, n_n""".stripMargin,
     // states the SEMANTICS as the naive one-window form; the Spark
     // plan is the histogram-cutoff equivalent (Curation.tokenBudget)
     "q_token_budget" ->

@@ -1155,6 +1155,59 @@ object Curation {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Content-distribution drift between crawl snapshots — the
+    * crawl-health complement to [[snapshotDiff]] (the diff counts
+    * WHAT changed; this measures whether the surviving content's
+    * CHARACTER moved): per source present in both snapshots, the
+    * total-variation distance between the two unigram distributions,
+    * TV = ½ Σ_tok |p_new(tok) − p_old(tok)| ∈ [0, 1]. A parser
+    * change, template swap or register shift moves TV sharply even
+    * when the diff says "mostly unchanged"; near-zero means the
+    * re-crawl is distributionally the same corpus.
+    *
+    * TV instead of KL deliberately: KL needs smoothing the moment a
+    * new token appears (infinite otherwise) and drags the §5b log-
+    * determinism machinery in; TV is EXACT in integers — per token
+    * |tf_new·N_old − tf_old·N_new| as DECIMAL(18,0) cross-products
+    * (precision 37 products, fold-order-free DECIMAL sum — the ANSI
+    * BIGINT product trap from skewReport avoided by construction),
+    * finished with ONE unrounded IEEE division by 2·N_old·N_new —
+    * bit-identical across engines with no rounding step anywhere.
+    *
+    * Plan: one (source, tok) count aggregate per snapshot, one
+    * full-outer join on that key, per-source totals derived from the
+    * SAME joined frame (no second corpus pass) — shuffle O(distinct
+    * (source, tok)), never corpus-sized rows past the scans. Sources
+    * present in only one snapshot are omitted (drift against an
+    * empty distribution is the diff's added/removed story, not a
+    * distance).
+    */
+  def snapshotDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def tf(df: DataFrame, name: String) = df
+      .select(col("source"),
+        explode(tokenize(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as(name))
+    val joined = tf(oldDocs, "tf_o")
+      .join(tf(newDocs, "tf_n"), Seq("source", "tok"), "full_outer")
+      .na.fill(0L, Seq("tf_o", "tf_n"))
+    val totals = joined.groupBy("source")
+      .agg(sum(col("tf_o")).as("n_o"), sum(col("tf_n")).as("n_n"))
+    val d18 = "decimal(18,0)"
+    joined.join(totals, "source")
+      .where(col("n_o") > 0 && col("n_n") > 0)
+      .select(col("source"), col("n_o"), col("n_n"),
+        abs(col("tf_n").cast(d18) * col("n_o").cast(d18) -
+          col("tf_o").cast(d18) * col("n_n").cast(d18)).as("num"))
+      .groupBy("source", "n_o", "n_n")
+      .agg(sum(col("num")).as("s"))
+      .select(col("source"),
+        col("n_o").as("n_tok_old"), col("n_n").as("n_tok_new"),
+        (col("s").cast("double") /
+          (lit(2.0) * col("n_o").cast("double") * col("n_n").cast("double")))
+          .as("drift_tv"))
+  }
+
   /** Deterministic synthetic snapshot pair over one corpus — the
     * fixture derivation [[snapshotDiff]]'s registry entry and oracle
     * share (the gainVariants pattern: the test data has one

@@ -346,6 +346,28 @@ class CurationSpec extends SparkSuite {
       4L -> (("web", "added"))), s"got $out")
   }
 
+  test("snapshotDrift: hand-computed TV per source; one-sided sources omitted; self-drift zero") {
+    val old = Seq(
+      (1L, "a a b b", "en", "s"),
+      (2L, "x y", "en", "t"),
+      (3L, "only old", "en", "u")
+    ).toDF("doc_id", "text", "lang", "source")
+    val newer = Seq(
+      (1L, "a a a b", "en", "s"), // p(a) .5 -> .75: TV = 0.25
+      (2L, "x y", "en", "t"),     // unchanged: TV = 0
+      (4L, "only new", "en", "v")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Curation.snapshotDrift(old, newer).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_tok_old"), x.getAs[Long]("n_tok_new"),
+          x.getAs[Double]("drift_tv")))).toMap
+    assert(r == Map("s" -> ((4L, 4L, 0.25)), "t" -> ((2L, 2L, 0.0))),
+      s"got $r")
+    // identity: a snapshot drifts zero against itself, every source
+    val self = Curation.snapshotDrift(old, old).collect()
+    assert(self.length == 3 && self.forall(_.getAs[Double]("drift_tv") == 0.0))
+  }
+
   test("snapshotPair: derived statuses match the bucket rule doc-for-doc") {
     import org.apache.spark.sql.functions.col
     val docs = spark.range(0, 400).selectExpr("id AS doc_id",

@@ -140,6 +140,8 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("packStats", graft.operators.Curation.packStats(noDocs))
     assertEmptyOk("snapshotDiff",
       graft.operators.Curation.snapshotDiff(noDocs, noDocs))
+    assertEmptyOk("snapshotDrift",
+      graft.operators.Curation.snapshotDrift(noDocs, noDocs))
     assertEmptyOk("snapshotPair._1",
       graft.operators.Curation.snapshotPair(noDocs)._1)
     assertEmptyOk("snapshotPair._2",
