@@ -636,6 +636,19 @@ object Payments {
     * (l_orderkey, l_linenumber)), `nonpositive_price`,
     * `negative_event_value`, `null_event_user`.
     */
+  /** The scan-local event validity rules — ONE definition shared by
+    * [[dataQuality]] (table-level counts) and
+    * [[graft.streaming.StreamingOps.validityGateEventStream]]
+    * (per-row ingest tags), so the batch audit and the live gate
+    * cannot drift. The referential rules are deliberately NOT here:
+    * a stateless stream cannot ask "does this order's customer
+    * exist" without the dimension at hand — those stay batch-only.
+    */
+  private[graft] def eventValidityRules
+      : Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "negative_event_value" -> (col("value") < 0),
+    "null_event_user" -> col("user_id").isNull)
+
   def dataQuality(orders: DataFrame, lineitem: DataFrame,
       customer: DataFrame, events: DataFrame): DataFrame = {
     def scalar(rule: String, df: DataFrame): DataFrame =
@@ -656,11 +669,11 @@ object Payments {
       .select(lit("dup_lineitem_key").as("rule"), col("n_violations"))
     val badPrice = scalar("nonpositive_price",
       lineitem.where(col("l_extendedprice") <= 0))
-    val badValue = scalar("negative_event_value",
-      events.where(col("value") < 0))
-    val nullUser = scalar("null_event_user",
-      events.where(col("user_id").isNull))
-    orphanLine.unionByName(orphanOrder).unionByName(dupKeys)
-      .unionByName(badPrice).unionByName(badValue).unionByName(nullUser)
+    val eventRules = eventValidityRules.map { case (name, cond) =>
+      scalar(name, events.where(cond))
+    }
+    eventRules.foldLeft(
+      orphanLine.unionByName(orphanOrder).unionByName(dupKeys)
+        .unionByName(badPrice))(_ unionByName _)
   }
 }

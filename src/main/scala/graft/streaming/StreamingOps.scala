@@ -382,6 +382,27 @@ object StreamingOps {
       .drop("n_bytes", "zlib_len")
   }
 
+  /** Streaming event-validity gate — the per-row ingest dual of
+    * [[graft.operators.Payments.dataQuality]]'s scan-local rules
+    * (shared rule definitions — the two surfaces cannot drift; the
+    * referential rules stay batch-only, see the rules' scaladoc):
+    * each arriving event carries `keep` and a comma-joined
+    * `fail_reasons` naming every violated rule, so a quarantine
+    * sink routes rejects with their WHY attached. Stateless pure
+    * projection (codegen when-chains through concat_ws, which skips
+    * the null non-failures — no higher-order array functions, the
+    * §5b interpreted-lambda trap), appendable behind any source,
+    * no watermark needed.
+    */
+  def validityGateEventStream(events: DataFrame): DataFrame = {
+    val rules = graft.operators.Payments.eventValidityRules
+    val why = concat_ws(",", rules.map { case (name, cond) =>
+      when(coalesce(cond, lit(false)), lit(name))
+    }: _*)
+    events.select(col("*"), why.as("fail_reasons"))
+      .withColumn("keep", col("fail_reasons") === "")
+  }
+
   /** One document keyed by its minhash LSH band. */
   case class BandDoc(band: String, docId: Long, md5: String)
   case class NearDupFlag(docId: Long, isNeardup: Boolean, band: String)

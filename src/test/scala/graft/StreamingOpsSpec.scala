@@ -317,6 +317,48 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("validityGateEventStream: per-row verdicts reconcile with the batch dataQuality counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Option[Long], Double)]
+    val df = input.toDF().toDF("event_id", "user_id", "value")
+    val q = StreamingOps.validityGateEventStream(df)
+      .writeStream.format("memory").queryName("validity_gate")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, Some(7L), 1.0), (2L, Some(8L), -2.5),
+        (3L, None, 3.0), (4L, None, -1.0))
+      q.processAllAvailable()
+      val out = spark.table("validity_gate").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Boolean]("keep"), r.getAs[String]("fail_reasons"))))
+        .toMap
+      assert(out == Map(
+        1L -> ((true, "")),
+        2L -> ((false, "negative_event_value")),
+        3L -> ((false, "null_event_user")),
+        4L -> ((false, "negative_event_value,null_event_user"))), s"got $out")
+      // batch duality: the gate's per-rule reject counts equal
+      // dataQuality's scan-local rule counts over the same rows
+      import spark.implicits._
+      val events = Seq((1L, Some(7L), 1.0), (2L, Some(8L), -2.5),
+        (3L, Option.empty[Long], 3.0), (4L, Option.empty[Long], -1.0))
+        .toDF("event_id", "user_id", "value")
+      val none = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+      val noneL = Seq.empty[(Long, Int, Double)]
+        .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+      val noneC = Seq.empty[(Long, Int)].toDF("c_custkey", "c_nationkey")
+      val batch = graft.operators.Payments
+        .dataQuality(none, noneL, noneC, events).collect()
+        .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations"))
+        .toMap
+      val gateCounts = Seq("negative_event_value", "null_event_user")
+        .map(rule => rule -> out.values.count(_._2.split(",").contains(rule)).toLong)
+        .toMap
+      assert(gateCounts == batch.view.filterKeys(gateCounts.keySet).toMap,
+        s"gate $gateCounts vs batch $batch")
+    } finally q.stop()
+  }
+
   test("liveHeavyHitters: running summaries converge to exact counts (exact regime)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
