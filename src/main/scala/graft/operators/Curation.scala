@@ -1140,6 +1140,11 @@ object Curation {
     * ONE full-outer sort-merge join keyed on doc_id. No window, no
     * driver state; at 100 TB the join is exactly the snapshot-sized
     * keyed shuffle the problem requires, and nothing else.
+    *
+    * Caller contract: `doc_id` is unique WITHIN each snapshot (the
+    * crawl key) — duplicate ids would multiply through the join and
+    * report one id several times; run [[graft.operators.Dedup.exact]]
+    * first if the crawl cannot guarantee it.
     */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     val o = oldDocs.select(col("doc_id"), col("source").as("o_source"),
