@@ -755,9 +755,20 @@ object Dedup {
     */
   def dedupApply(documents: DataFrame, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
-      bucketCap: Int = 10000, maxIters: Int = 20): DataFrame = {
-    val groups = dedupGroups(documents, threshold, numHashes, bands,
-      shingleLen, bucketCap, maxIters)
+      bucketCap: Int = 10000, maxIters: Int = 20): DataFrame =
+    dedupApplyFromGroups(documents,
+      dedupGroups(documents, threshold, numHashes, bands,
+        shingleLen, bucketCap, maxIters))
+
+  /** [[dedupApply]] over a PRECOMPUTED (doc_id, group_id) assignment
+    * — the production composition door: the expensive component run
+    * happens once, and the materialized corpus, the
+    * [[dedupRateBySource]] scorecard, and any other consumer derive
+    * from the same frame (compute-once, read-many — the
+    * perceptualPairsFrom pattern applied to the dedup capstone).
+    */
+  def dedupApplyFromGroups(documents: DataFrame,
+      groups: DataFrame): DataFrame = {
     val sizes = groups.groupBy("group_id")
       .agg(count(lit(1)).as("group_size"))
     documents.select(col("doc_id"), col("lang"), col("source"))
@@ -781,9 +792,15 @@ object Dedup {
     */
   def dedupRateBySource(documents: DataFrame, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
-      bucketCap: Int = 10000, maxIters: Int = 20): DataFrame = {
-    val groups = dedupGroups(documents, threshold, numHashes, bands,
-      shingleLen, bucketCap, maxIters)
+      bucketCap: Int = 10000, maxIters: Int = 20): DataFrame =
+    dedupRateFromGroups(documents,
+      dedupGroups(documents, threshold, numHashes, bands,
+        shingleLen, bucketCap, maxIters))
+
+  /** [[dedupRateBySource]] over a precomputed assignment — the
+    * compute-once door, see [[dedupApplyFromGroups]]. */
+  def dedupRateFromGroups(documents: DataFrame,
+      groups: DataFrame): DataFrame =
     documents.select(col("doc_id"), col("source"))
       .join(groups, "doc_id")
       .groupBy("source")
@@ -791,7 +808,6 @@ object Dedup {
         countDistinct(col("group_id")).as("n_groups"))
       .withColumn("dup_ppm",
         expr("((n_docs - n_groups) * 1000000) div n_docs"))
-  }
 
   /** Canonical grouping over PARTIAL overlap — the winnowing
     * counterpart of [[dedupGroups]] (which groups by whole-document

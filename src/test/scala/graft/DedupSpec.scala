@@ -82,6 +82,22 @@ class DedupSpec extends SparkSuite {
       "group sizes must partition the corpus")
   }
 
+  test("compute-once doors: apply/rate from a shared groups frame equal the one-shot forms") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest today", "en", "web"),
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest tonight", "en", "wiki"),
+      (2L, "completely different text about spark distributed query engines operating at warehouse scale with shuffles", "fr", "web"),
+      (3L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest today", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val groups = Dedup.dedupGroups(d, threshold = 0.5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.dedupApplyFromGroups(d, groups)) ==
+      rows(Dedup.dedupApply(d, threshold = 0.5)))
+    assert(rows(Dedup.dedupRateFromGroups(d, groups)) ==
+      rows(Dedup.dedupRateBySource(d, threshold = 0.5)))
+  }
+
   test("dedupRateBySource: cross-source groups count for both; ppm is integer-exact") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark quiet forest today", "en", "web"),
