@@ -472,6 +472,13 @@ object SparkEntry {
     "q_video_dedup_warp" -> ((s, d) => Dedup.videoDedupPairsWarp(
       videosOf(s, d).filter(org.apache.spark.sql.functions
         .col("docId") % 3 === 0))),
+    // rows-only (frame decode): the video -> ANN bridge (mean
+    // sampled-frame histogram -> annTopK), completing the
+    // three-modality symmetry; doc_id%3 slice (q_video_dedup pays
+    // the full-corpus decode already)
+    "q_video_ann" -> ((s, d) => graft.operators.VideoOps.videoAnnTopK(
+      videosOf(s, d).filter(org.apache.spark.sql.functions
+        .col("docId") % 3 === 0))),
     // the composed multimodal capstone (gates -> dedup keep-first per
     // modality, one inventory row per (doc, modality)); runs on the
     // deterministic doc_id%3 slice — the full-corpus variants already

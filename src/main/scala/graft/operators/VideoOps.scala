@@ -5,6 +5,7 @@ import java.io.ByteArrayOutputStream
 import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
 
 import graft.operators.MultimodalOps.MediaRow
 
@@ -126,6 +127,50 @@ object VideoOps {
         case None => Iterator.empty
       }
     })
+  }
+
+  /** Top-k similar clips by mean sampled-frame luminance histogram —
+    * the video → ANN bridge completing the three-modality symmetry
+    * ([[MultimodalOps.imageAnnTopK]] / [[AudioOps.audioAnnTopK]]):
+    * every `everyN`-th frame decodes through the image family's OWN
+    * feature extractor, the per-frame 8-bin histograms average into
+    * one clip vector (resolution- and trim-robust: dropping leading
+    * frames moves a mean far less than it shifts every index — the
+    * similarity-view complement to [[Dedup.videoDedupPairsWarp]]'s
+    * exact re-alignment), and the embedding family's
+    * [[Similarity.annTopK]] ranks it unchanged. All-zero clip vectors
+    * (no sampled frame decoded to content) are excluded — cosine
+    * against a zero vector ranks arbitrarily. A frame that fails
+    * decode contributes the deterministic stub histogram (bounded
+    * per-frame influence on the mean; the dedup ops DROP such frames
+    * because a hash must never fake, a mean may degrade — stated
+    * difference). The 8-float clip frame persists + counts before
+    * ranking (the imageDedupPairs rule: annTopK reads it from both
+    * the query and corpus subtrees). The mean assembles through an
+    * 8-element `transform` — interpreted, but over the CLIP-sized
+    * aggregate frame, never per frame (the §5b lambda rule).
+    */
+  def videoAnnTopK(media: Dataset[MultimodalOps.MediaRow],
+      nQueries: Long = 10, k: Int = 5, everyN: Int = 4,
+      maxFrames: Int = DefaultMaxFrames,
+      maxPixels: Long = MultimodalOps.DefaultMaxPixels): DataFrame = {
+    val spark = media.sparkSession
+    implicit val enc = Encoders.product[MultimodalOps.MediaRow]
+    val frameImgs = frameSample(media, everyN, maxFrames)
+      .map(f => MultimodalOps.MediaRow(f.docId, f.payload, "image"))
+    val clipVecs = MultimodalOps.extractFeatures(frameImgs, maxPixels = maxPixels)
+      .toDF()
+      .select(col("docId"), posexplode(col("feature")).as(Seq("bin", "v")))
+      .groupBy("docId", "bin").agg(avg(col("v")).as("mv"))
+      .groupBy("docId")
+      .agg(sort_array(collect_list(struct(col("bin"), col("mv")))).as("z"))
+      .select(col("docId").as("vec_id"),
+        expr("transform(z, x -> cast(x.mv as float))").as("embedding"))
+      .where(expr(
+        "aggregate(embedding, cast(0.0 as double), (a, x) -> a + x) > 0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    clipVecs.count()
+    Similarity.annTopK(clipVecs, nQueries, k)
   }
 
   case class FrameHash(docId: Long, frameIdx: Int, fhash: Long)

@@ -117,6 +117,8 @@ class EmptyInputSpec extends SparkSuite {
     }
     assertEmptyOk("videoDedupPairs", Dedup.videoDedupPairs(noMedia))
     assertEmptyOk("videoDedupPairsWarp", Dedup.videoDedupPairsWarp(noMedia))
+    assertEmptyOk("videoAnnTopK",
+      graft.operators.VideoOps.videoAnnTopK(noMedia))
     assertEmptyOk("videoMeta",
       graft.operators.VideoOps.videoMeta(noMedia).toDF())
     assertEmptyOk("videoKeyframes",

@@ -210,6 +210,24 @@ class VideoOpsSpec extends SparkSuite {
     assert(pairs.isEmpty, s"one still must not pair clips: ${pairs.toSeq}")
   }
 
+  test("videoAnnTopK: a trimmed tonal variant ranks first; tonally opposite clips rank behind") {
+    // tone-distinct fixtures (noise frames would all share a flat
+    // histogram): dark clip, its front-trimmed variant, bright clip
+    val dark = (0 until 4).map(_ => jpeg(0x101010))
+    val clipA = VideoOps.writeAviMjpeg(dark, 32, 32, 10)
+    val clipATrim = VideoOps.writeAviMjpeg(dark.drop(1), 32, 32, 10)
+    val bright = VideoOps.writeAviMjpeg(
+      (0 until 4).map(_ => jpeg(0xF0F0F0)), 32, 32, 10)
+    val m = rows((0L, clipA, "video"), (1L, clipATrim, "video"),
+      (2L, bright, "video"))
+    val out = VideoOps.videoAnnTopK(m, nQueries = 1, k = 2, everyN = 1)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+      .map(r => r.getAs[Long]("n_id"))
+    assert(out.head == 1L,
+      s"the trimmed variant must be clip 0's nearest neighbor: ${out.toSeq}")
+    assert(!out.headOption.contains(2L))
+  }
+
   test("syntheticVideos: dup texts pack identical containers; near-dups pair in dedup") {
     import spark.implicits._
     val a = (0 until 80).map(i => s"tok$i").mkString(" ")
