@@ -174,6 +174,32 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("dataQuality: referential rules are anti-joins, never cartesian") {
+    val p = plan(graft.operators.Payments.dataQuality(
+      Tables(spark, dir, "orders"), Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "events")))
+    assert(p.contains("LeftAnti"), s"orphan checks must be anti-joins:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"no rule may scan cross products:\n$p")
+  }
+
+  test("suppressedRevenue: dims broadcast; suppression adds no exchange") {
+    val p = plan(graft.operators.Payments.suppressedRevenue(
+      Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      Tables(spark, dir, "nation")))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"customer/nation must broadcast:\n$p")
+  }
+
+  test("snapshotDrift: one keyed full-outer join on (source, tok), never cartesian") {
+    val (o, n) = graft.operators.Curation.snapshotPair(
+      Tables(spark, dir, "documents"))
+    val p = plan(graft.operators.Curation.snapshotDrift(o, n))
+    assert(p.contains("FullOuter"), s"expected the full-outer tf join:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"drift must stay keyed:\n$p")
+  }
+
   test("decontaminate: shingle join is a hash join, never cartesian") {
     val p = plan(graft.operators.Curation.decontaminate(
       Tables(spark, dir, "documents")))
