@@ -368,6 +368,52 @@ class CurationSpec extends SparkSuite {
     assert(self.length == 3 && self.forall(_.getAs[Double]("drift_tv") == 0.0))
   }
 
+  test("snapshotDrift equals an exact BigInt reference on randomized corpora") {
+    val rnd = new scala.util.Random(9090)
+    def corpus(nDocs: Int, seedBase: Int): Seq[(Long, String, String, String)] =
+      (0 until nDocs).map { i =>
+        val r = new scala.util.Random(seedBase + i)
+        val src = s"s${r.nextInt(3)}"
+        val text = (0 until 3 + r.nextInt(12))
+          .map(_ => s"t${r.nextInt(15)}").mkString(" ")
+        (i.toLong, text, "en", src)
+      }
+    def model(old: Seq[(Long, String, String, String)],
+        newer: Seq[(Long, String, String, String)]): Map[String, Double] = {
+      def tf(rows: Seq[(Long, String, String, String)]) = rows
+        .flatMap { case (_, text, _, src) =>
+          text.split(" ").filter(_.nonEmpty).map(t => (src, t)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val o = tf(old); val n = tf(newer)
+      val srcs = (o.keySet ++ n.keySet).map(_._1)
+      srcs.flatMap { s =>
+        val no = o.collect { case ((`s`, _), c) => c }.sum
+        val nn = n.collect { case ((`s`, _), c) => c }.sum
+        if (no == 0 || nn == 0) None
+        else {
+          val toks = (o.keySet ++ n.keySet).collect { case (`s`, t) => t }
+          val sum = toks.toSeq.map { t =>
+            (BigInt(n.getOrElse((s, t), 0L)) * no -
+              BigInt(o.getOrElse((s, t), 0L)) * nn).abs
+          }.sum
+          // the op's exact division order: s / (2.0 * no * nn)
+          Some(s -> sum.toDouble / (2.0 * no.toDouble * nn.toDouble))
+        }
+      }.toMap
+    }
+    (0 until 5).foreach { trial =>
+      val old = corpus(8 + rnd.nextInt(10), trial * 1000)
+      val newer = corpus(8 + rnd.nextInt(10), trial * 1000 + 500)
+      val got = Curation.snapshotDrift(
+        old.toDF("doc_id", "text", "lang", "source"),
+        newer.toDF("doc_id", "text", "lang", "source")).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Double]("drift_tv"))
+        .toMap
+      assert(got == model(old, newer),
+        s"trial $trial: got $got want ${model(old, newer)}")
+    }
+  }
+
   test("snapshotPair: derived statuses match the bucket rule doc-for-doc") {
     import org.apache.spark.sql.functions.col
     val docs = spark.range(0, 400).selectExpr("id AS doc_id",
