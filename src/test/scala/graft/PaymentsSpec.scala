@@ -196,6 +196,51 @@ class PaymentsSpec extends SparkSuite {
     assert(r("FRANCE") == ((true, None, None, None)), s"got $r")
   }
 
+  test("dataQuality equals a local rule model on randomized corpora") {
+    val rnd = new scala.util.Random(6161)
+    (0 until 4).foreach { trial =>
+      val customers = (1L to (3 + rnd.nextInt(4))).map(i => (i, 1)).toSeq
+      val custKeys = customers.map(_._1)
+      val orders = (10L until (10L + 6 + rnd.nextInt(8))).map { o =>
+        // ~1 in 4 orders points at a missing customer
+        val c = if (rnd.nextInt(4) == 0) 900L + rnd.nextInt(5)
+        else custKeys(rnd.nextInt(custKeys.size))
+        (o, c)
+      }.toSeq
+      val orderKeys = orders.map(_._1)
+      val lineitem = (0 until 12 + rnd.nextInt(10)).map { _ =>
+        val o = if (rnd.nextInt(5) == 0) 800L + rnd.nextInt(3)
+        else orderKeys(rnd.nextInt(orderKeys.size))
+        // duplicate keys arise naturally from the small linenumber range
+        (o, 1 + rnd.nextInt(3),
+          (rnd.nextInt(9) - 2).toDouble) // some nonpositive prices
+      }.toSeq
+      val events = (0 until 8 + rnd.nextInt(8)).map { i =>
+        (i.toLong,
+          if (rnd.nextInt(4) == 0) Option.empty[Long] else Some(rnd.nextInt(5).toLong),
+          (rnd.nextInt(7) - 2).toDouble)
+      }.toSeq
+      val want = Map(
+        "orphan_lineitem" ->
+          lineitem.count(l => !orderKeys.contains(l._1)).toLong,
+        "orphan_order_customer" ->
+          orders.count(o => !custKeys.contains(o._2)).toLong,
+        "dup_lineitem_key" -> lineitem.groupBy(l => (l._1, l._2))
+          .values.map(g => (g.size - 1).toLong).sum,
+        "nonpositive_price" -> lineitem.count(_._3 <= 0).toLong,
+        "negative_event_value" -> events.count(_._3 < 0).toLong,
+        "null_event_user" -> events.count(_._2.isEmpty).toLong)
+      val got = Payments.dataQuality(
+        orders.toDF("o_orderkey", "o_custkey"),
+        lineitem.toDF("l_orderkey", "l_linenumber", "l_extendedprice"),
+        customers.toDF("c_custkey", "c_nationkey"),
+        events.toDF("event_id", "user_id", "value")).collect()
+        .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations"))
+        .toMap
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
   test("dataQuality: every rule counts exactly its planted violations; clean rules report zero") {
     val customer = Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
     val orders = Seq(
