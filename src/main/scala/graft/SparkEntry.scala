@@ -32,26 +32,93 @@ object SparkEntry {
     * with the renderers' own persist markers — makes a bench/verify
     * session render each modality once and every consumer after the
     * first measure the real stage (decode), exactly the production
-    * shape. Keyed weakly by session so a stopped session's entries
-    * are collectable.
+    * shape. Keyed by the session OBJECT (an identityHashCode key could
+    * hand one session another's Dataset on hash collision — r9
+    * advice); entries of STOPPED sessions are evicted on the next memo
+    * call from any session, which bounds the retention to one stopped
+    * session's worth between calls (a true weak keying can't work
+    * here: the cached Dataset strongly references its session, so a
+    * WeakHashMap entry would never clear, and a weak VALUE could drop
+    * the shared instance mid-session and re-render per query).
     */
-  private val mediaCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), AnyRef]
+  private val mediaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), AnyRef]
 
   private def memo[T <: AnyRef](s: SparkSession, d: String, kind: String)(
-      build: => T): T =
-    mediaCache.getOrElseUpdate(
-      (System.identityHashCode(s), d, kind), build).asInstanceOf[T]
+      build: => T): T = {
+    for (k <- mediaCache.keysIterator if k._1.sparkContext.isStopped)
+      mediaCache.remove(k)
+    mediaCache.getOrElseUpdate((s, d, kind), build).asInstanceOf[T]
+  }
+
+  /** Deterministic scratch path for registry-built index artifacts —
+    * one fixed location per (data dir, kind) under java.io.tmpdir,
+    * written in overwrite mode, so repeated bench/verify runs reuse
+    * one directory instead of leaking a fresh createTempDirectory
+    * each invocation (r9 advice).
+    */
+  private def indexScratchPath(d: String, kind: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(d.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft-$kind-$h"
+  }
+
+  /** The embeddings split at the vec_id median — the registry's
+    * two-snapshot stand-in (old half = "indexed snapshot", new half =
+    * "this crawl") shared by q_embed_dedup_incr and the index fixtures.
+    */
+  private def embedHalf(s: SparkSession, d: String,
+      old: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max}
+    val emb = t(s, d, "embeddings")
+    val cut = emb.agg(
+      floor(max(col("vec_id")) / lit(2.0)).cast("long").as("cut"))
+    emb.crossJoin(broadcast(cut))
+      .where(if (old) col("vec_id") < col("cut")
+        else col("vec_id") >= col("cut"))
+      .drop("cut")
+  }
+
+  /** Memoized old-half embedding LSH index (one deterministic
+    * overwrite-mode path per session/dir — no temp-dir leak, r9
+    * advice); q_embed_dedup_incr dedups the new half against it and
+    * q_index_stats audits it.
+    */
+  private def lshIndexOf(s: SparkSession, d: String): String =
+    memo(s, d, "lshindex-path") {
+      val p = indexScratchPath(d, "lshindex")
+      Similarity.writeLshIndex(embedHalf(s, d, old = true), p,
+        nTables = 8, nPlanes = 3)
+      p
+    }
+
+  /** Memoized full-corpus IVF-PQ index — q_ann_serve serves against
+    * it, q_index_stats audits its cell balance.
+    */
+  private def annIndexOf(s: SparkSession, d: String): String =
+    memo(s, d, "annindex-path") {
+      val p = indexScratchPath(d, "annindex")
+      Similarity.writeAnnIndex(t(s, d, "embeddings"), p)
+      p
+    }
+
+  // the persist markers live HERE, on the shared memoized instances —
+  // not inside the library renderers, where every call would register
+  // a cached plan the caller can't unpersist (r9 advice)
+  private val FixtureLvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
   private def imagesOf(s: SparkSession, d: String) =
     memo(s, d, "images")(
-      MultimodalOps.syntheticImages(t(s, d, "documents")))
+      MultimodalOps.syntheticImages(t(s, d, "documents")).persist(FixtureLvl))
 
   private def audioOf(s: SparkSession, d: String) =
-    memo(s, d, "audio")(AudioOps.syntheticAudio(t(s, d, "documents")))
+    memo(s, d, "audio")(
+      AudioOps.syntheticAudio(t(s, d, "documents")).persist(FixtureLvl))
 
   private def videosOf(s: SparkSession, d: String) =
-    memo(s, d, "videos")(VideoOps.syntheticVideos(t(s, d, "documents")))
+    memo(s, d, "videos")(
+      VideoOps.syntheticVideos(t(s, d, "documents")).persist(FixtureLvl))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -164,19 +231,38 @@ object SparkEntry {
     "q_embed_dedup_groups" -> ((s, d) => Similarity.embedDedupGroups(
       t(s, d, "embeddings"), threshold = 0.35, nTables = 8, nPlanes = 3,
       allowDense = true)),
-    "q_embed_dedup_incr" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max}
-      val emb = t(s, d, "embeddings")
-      val cut = emb.agg(
-        floor(max(col("vec_id")) / lit(2.0)).cast("long").as("cut"))
-      def side(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        emb.crossJoin(broadcast(cut)).where(p(col("cut"))).drop("cut")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lshindex").toString
-      Similarity.writeLshIndex(side(c => col("vec_id") < c), dir,
-        nTables = 8, nPlanes = 3)
-      Similarity.embedDedupAgainst(s, dir, side(c => col("vec_id") >= c),
-        threshold = 0.35, nTables = 8, nPlanes = 3, allowDense = true)
+    "q_embed_dedup_incr" -> ((s, d) =>
+      Similarity.embedDedupAgainst(s, lshIndexOf(s, d),
+        embedHalf(s, d, old = false),
+        threshold = 0.35, nTables = 8, nPlanes = 3, allowDense = true)),
+    // rows-only (served ANN): train-once/serve-many — the index
+    // artifacts (learned IVF centroids + PQ codebooks + encoded
+    // corpus) persist via writeAnnIndex ONCE per session/dir (memo);
+    // the registered query is the SERVE path only, scoring through
+    // the stored artifacts with no Lloyd's/PQ retraining (round-trip
+    // equality vs the in-memory build spec'd in SimilaritySpec)
+    "q_ann_serve" -> ((s, d) =>
+      Similarity.annFromIndex(s, annIndexOf(s, d), t(s, d, "embeddings"))),
+    // rows-only (index artifact audit): the read-side health view of
+    // the persisted index family — rows / distinct docs / bands /
+    // saturation share / hottest-bucket ppm per artifact, payloads
+    // never scanned. Four kinds over the session's own memoized
+    // indexes (band + gram over documents, LSH + IVF-PQ over
+    // embeddings); two-snapshot surgery spec in IncrementalDedupSpec
+    "q_index_stats" -> ((s, d) => {
+      val band = memo(s, d, "bandindex-path") {
+        val p = indexScratchPath(d, "bandindex")
+        Dedup.writeBandIndex(t(s, d, "documents"), p); p
+      }
+      val gram = memo(s, d, "gramindex-path") {
+        val p = indexScratchPath(d, "gramindex")
+        Dedup.writeGramIndex(t(s, d, "documents"), p); p
+      }
+      Dedup.indexStats(s, Seq(
+        ("documents_bands", "band", band),
+        ("documents_grams", "gram", gram),
+        ("embeddings_lsh", "lsh", lshIndexOf(s, d)),
+        ("embeddings_ann", "ann", annIndexOf(s, d))))
     }),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "q_ann_ivf_learned" -> ((s, d) => Similarity.annIvfLearned(t(s, d, "embeddings"))),
@@ -333,6 +419,16 @@ object SparkEntry {
       val (o, n) = Curation.snapshotPair(t(s, d, "documents"))
       Curation.snapshotDiff(o, n)
     }),
+    // rows-only (composed epoch: index writes + surgery are not
+    // SQL-expressible): the incremental crawl epoch end-to-end —
+    // diff -> retract-only surgery -> dedupAgainst(changed slice) ->
+    // full surgery -> incremental novelty — returning the per-stage
+    // scorecard; stage counts spec'd ≡ the standalone operators
+    // (IncrementalDedupSpec)
+    "q_incr_pipeline" -> ((s, d) => {
+      val (o, n) = Curation.snapshotPair(t(s, d, "documents"))
+      Dedup.incrEpoch(s, o, n, indexScratchPath(d, "increpoch"))
+    }),
     "q_snapshot_drift" -> ((s, d) => {
       val (o, n) = Curation.snapshotPair(t(s, d, "documents"))
       Curation.snapshotDrift(o, n)
@@ -413,10 +509,19 @@ object SparkEntry {
     // token-segment PCM-16 WAV per doc and the REAL chunk-parse /
     // feature / hash machinery runs over it; fixture specs in
     // AudioOpsSpec
-    "q_audio_meta" -> ((s, d) => AudioOps.extractAudioFeatures(
-      audioOf(s, d)).toDF(
-      "doc_id", "sample_rate", "channels", "n_samples", "duration_ms",
-      "rms", "zcr", "silence_ratio", "peak", "decoded", "envelope")),
+    // envelope is flattened to csv in the REGISTERED view only (the
+    // q_embed_quantize precedent: array columns crash the driver's
+    // pandas row sort) — pipelines keep the array via
+    // AudioOps.extractAudioFeatures directly
+    "q_audio_meta" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{array_join, col, transform}
+      AudioOps.extractAudioFeatures(audioOf(s, d)).toDF(
+        "doc_id", "sample_rate", "channels", "n_samples", "duration_ms",
+        "rms", "zcr", "silence_ratio", "peak", "decoded", "envelope")
+        .withColumn("envelope_csv",
+          array_join(transform(col("envelope"), _.cast("string")), ","))
+        .drop("envelope")
+    }),
     // real decode -> energy-delta hash -> the simhash family's
     // pigeonhole band join. The synthetic clips are all-distinct
     // (texts are), so gainVariants injects re-encoded gain-scaled
@@ -431,8 +536,8 @@ object SparkEntry {
       // gainVariants' own docId filter is idempotent on it, and the
       // synthetic render (the dominant cost) runs over 1/37 of the
       // corpus instead of all of it
-      val variantSrc = AudioOps.syntheticAudio(
-        docs.where(col("doc_id") % lit(37) === 0))
+      val variantSrc = memo(s, d, "audio%37")(AudioOps.syntheticAudio(
+        docs.where(col("doc_id") % lit(37) === 0)).persist(FixtureLvl))
       Dedup.audioDedupPairs(base.union(AudioOps.gainVariants(variantSrc)))
     }),
     // gopherGate for clips: named-reason gate over the real decode;
@@ -452,7 +557,8 @@ object SparkEntry {
     // 6-frame token-block MJPEG per doc; fixture specs in VideoOpsSpec
     "q_video_meta" -> ((s, d) => VideoOps.videoMeta(
       videosOf(s, d)).toDF(
-      "doc_id", "width", "height", "n_frames", "fps", "decoded")),
+      "doc_id", "width", "height", "n_frames", "fps", "duration_ms",
+      "codec", "decoded")),
     // scene-change keyframe selection over real per-frame histograms
     "q_video_keyframes" -> ((s, d) => VideoOps.videoKeyframes(
       videosOf(s, d))
@@ -487,12 +593,17 @@ object SparkEntry {
     "q_media_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, lit}
       // the %3 slice renders its own (smaller) media frames — the
-      // memoized full-corpus fixtures don't apply to a sliced input
-      val docs = t(s, d, "documents").where(col("doc_id") % lit(3) === 0)
+      // memoized full-corpus fixtures don't apply to a sliced input;
+      // the slices are memoized + persisted themselves (one cached
+      // plan per session/dir, not per invocation — r9 advice)
+      def docs = t(s, d, "documents").where(col("doc_id") % lit(3) === 0)
       MediaPipeline.curateMedia(
-        MultimodalOps.syntheticImages(docs),
-        AudioOps.syntheticAudio(docs),
-        VideoOps.syntheticVideos(docs))
+        memo(s, d, "images%3")(
+          MultimodalOps.syntheticImages(docs).persist(FixtureLvl)),
+        memo(s, d, "audio%3")(
+          AudioOps.syntheticAudio(docs).persist(FixtureLvl)),
+        memo(s, d, "videos%3")(
+          VideoOps.syntheticVideos(docs).persist(FixtureLvl)))
     })
   )
 

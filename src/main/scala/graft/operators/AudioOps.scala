@@ -370,10 +370,8 @@ object AudioOps {
         }
         AudioRow(id, writeWav(pcm, sampleRate), "audio")
       })
-      // fixture-render cache marker — the syntheticImages rationale:
-      // only the first consumer in a session renders; the rest
-      // measure the real stage (decode)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NO persist here (r9 advice, the syntheticImages rationale):
+    // the SparkEntry memoized fixtures persist the shared instance.
   }
 
   /** Re-encoded duplicate injector for the dedup fixtures/registry: a

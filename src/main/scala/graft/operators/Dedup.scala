@@ -241,11 +241,60 @@ object Dedup {
     * or template docs) better collapsed by [[exact]] dedup first — so
     * those buckets are dropped before the join rather than exploded
     * into a quadratic hot partition.
+    *
+    * STAR-COMPRESSED by default (r9 verdict item): exact copies
+    * collapse to one representative per distinct text FIRST (stage 0,
+    * [[exact]] — the same load-bearing order as
+    * [[minhashVerifiedPairs]]), and the output is candidate pairs
+    * among REPRESENTATIVES only. On a corpus that is 90% verbatim
+    * copies the raw member-level enumeration is quadratic in the clone
+    * factor as pure OUTPUT physics (measured 60× wall at 100× data);
+    * the rep form carries the identical information (the member map is
+    * [[exact]]'s keep_id assignment) at O(distinct-text pairs).
+    * `composeMembers = true` restores the full member-level
+    * enumeration — rep pairs expanded through the member map plus
+    * within-copy-group pairs (identical text ⇒ identical signature ⇒
+    * every band agrees) for groups whose text is long enough to sketch
+    * (`size(tokens) ≥ shingleLen`; shorter docs never sketch, so their
+    * copies never paired in the raw form either). Spec-asserted equal
+    * to the raw enumeration on the gate corpus; the one documented
+    * shift is that `bucketCap` now counts DISTINCT texts per bucket,
+    * not member rows (the [[graft.operators.Similarity.nearDupPairsLsh]]
+    * star-reduction convention).
     */
   def minhashCandidates(documents: DataFrame, numHashes: Int = 64,
-      bands: Int = 16, shingleLen: Int = 3, bucketCap: Int = 10000): DataFrame =
-    candidatesFromSketch(minhashSketch(documents, numHashes, shingleLen),
-      numHashes, bands, bucketCap)
+      bands: Int = 16, shingleLen: Int = 3, bucketCap: Int = 10000,
+      composeMembers: Boolean = false): DataFrame = {
+    val reps = documents.join(
+      exact(documents).select(col("keep_id").as("doc_id")), "doc_id")
+    val repPairs = candidatesFromSketch(
+      minhashSketch(reps, numHashes, shingleLen), numHashes, bands, bucketCap)
+    if (!composeMembers) repPairs
+    else {
+      import graft.functions.TextFunctions.tokenize
+      // member map: every doc → its exact-group rep (keep_id). Persist
+      // +count (the starFrames rule): three subtrees read it below.
+      val members = documents
+        .select(col("doc_id"), md5(col("text")).as("text_hash"),
+          (size(tokenize(col("text"))) >= shingleLen).as("sketchable"))
+        .join(exact(documents).select(col("text_hash"), col("keep_id")
+          .as("rep_id")), "text_hash")
+        .select(col("doc_id"), col("rep_id"), col("sketchable"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      members.count()
+      val ma = members.select(col("rep_id").as("a_id"), col("doc_id").as("da"))
+      val mb = members.select(col("rep_id").as("b_id"), col("doc_id").as("db"))
+      val cross = repPairs.join(ma, "a_id").join(mb, "b_id")
+        .select(least(col("da"), col("db")).as("a_id"),
+          greatest(col("da"), col("db")).as("b_id"))
+      val sk = members.where(col("sketchable"))
+      val within = sk.as("m1").join(sk.as("m2"),
+          col("m1.rep_id") === col("m2.rep_id") &&
+            col("m1.doc_id") < col("m2.doc_id"))
+        .select(col("m1.doc_id").as("a_id"), col("m2.doc_id").as("b_id"))
+      cross.unionByName(within).distinct()
+    }
+  }
 
   /** Banding + bucket-capped self-join over a precomputed signature
     * frame — split out so pipelines that also need the signatures
@@ -422,6 +471,91 @@ object Dedup {
       .where(col("a.is_new") || col("b.is_new"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** The composed INCREMENTAL CRAWL EPOCH — the capstone that runs the
+    * cross-snapshot machinery end-to-end as one registered operation
+    * (r9 verdict item #6; the pieces are individually spec'd, this is
+    * what a production user actually runs each crawl):
+    * [[graft.operators.Curation.snapshotDiff]] classifies the
+    * re-crawl → retract/re-add slices derive from the statuses → the
+    * stored band index takes RETRACT-ONLY surgery
+    * ([[updateBandIndex]]) → the changed slice dedups against it
+    * ([[dedupAgainst]] — the epoch processing order the
+    * updateBandIndex scaladoc pins: re-adding first would put the
+    * changed docs' band rows on both sides of the union) → the FULL
+    * surgery produces the next epoch's index → the changed slice
+    * scores novelty against the stored gram index
+    * ([[noveltyAgainst]]). Returns the per-stage counts frame
+    * `(stage, metric, value)` — the epoch scorecard; every stage
+    * count is spec-asserted equal to the standalone operators run by
+    * hand (IncrementalDedupSpec).
+    *
+    * `workDir` holds the epoch artifacts (`idx0` the prior index —
+    * rebuilt here from `oldDocs` for self-containment; a production
+    * caller passes the previous epoch's `idx1` location —
+    * `idx_retract`, `idx1`, `grams`), all overwrite-mode. EAGER by
+    * nature: index surgery is a write, and the scorecard is counts.
+    * Scale shape: every stage is the underlying operator's own plan —
+    * only the CHANGED slice is ever re-tokenized, the stored corpus
+    * contributes 24-byte index rows.
+    */
+  def incrEpoch(spark: org.apache.spark.sql.SparkSession,
+      oldDocs: DataFrame, newDocs: DataFrame, workDir: String,
+      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
+      gramN: Int = 4, bucketCap: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val diff = Curation.snapshotDiff(oldDocs, newDocs).persist(lvl)
+    val statusCounts = diff.groupBy("status").count().collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("count")).toMap
+    val retract = diff.where(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    val readd = newDocs.join(
+      diff.where(col("status").isin("added", "changed")).select("doc_id"),
+      "doc_id")
+    writeBandIndex(oldDocs, s"$workDir/idx0", numHashes, bands, shingleLen)
+    writeGramIndex(oldDocs, s"$workDir/grams", gramN)
+    // retract-only surgery first, dedup the changed slice against it
+    updateBandIndex(spark, s"$workDir/idx0", s"$workDir/idx_retract",
+      retract, readd.limit(0), numHashes, bands, shingleLen)
+    val pairs = dedupAgainst(spark, s"$workDir/idx_retract", readd,
+      numHashes, bands, shingleLen, bucketCap).persist(lvl)
+    val nPairs = pairs.count()
+    val changedIdFrame = diff
+      .where(col("status").isin("added", "changed")).select("doc_id")
+    val nCross = pairs
+      .join(changedIdFrame.select(col("doc_id").as("a_id"))
+        .withColumn("a_new", lit(true)), Seq("a_id"), "left")
+      .join(changedIdFrame.select(col("doc_id").as("b_id"))
+        .withColumn("b_new", lit(true)), Seq("b_id"), "left")
+      .where(coalesce(col("a_new"), lit(false)) =!=
+        coalesce(col("b_new"), lit(false)))
+      .count()
+    // full surgery -> the next epoch's index
+    updateBandIndex(spark, s"$workDir/idx0", s"$workDir/idx1",
+      retract, readd, numHashes, bands, shingleLen)
+    val sigRows = spark.read.parquet(s"$workDir/idx1/sigs").count()
+    val bandRowsN = spark.read.parquet(s"$workDir/idx1/bands").count()
+    // novelty of the changed slice vs the STORED gram index
+    val nov = noveltyAgainst(spark.read.parquet(s"$workDir/grams"),
+      readd, gramN).persist(lvl)
+    val novDocs = nov.count()
+    val novGrams = if (novDocs == 0) 0L
+      else nov.agg(sum(col("n_novel"))).collect()(0).getLong(0)
+    diff.unpersist(); pairs.unpersist(); nov.unpersist()
+    Seq(
+      ("diff", "added", statusCounts.getOrElse("added", 0L)),
+      ("diff", "removed", statusCounts.getOrElse("removed", 0L)),
+      ("diff", "changed", statusCounts.getOrElse("changed", 0L)),
+      ("diff", "unchanged", statusCounts.getOrElse("unchanged", 0L)),
+      ("dedup", "pairs", nPairs),
+      ("dedup", "cross_pairs", nCross),
+      ("index", "sigs_rows", sigRows),
+      ("index", "band_rows", bandRowsN),
+      ("novelty", "docs", novDocs),
+      ("novelty", "novel_grams", novGrams)
+    ).toDF("stage", "metric", "value")
   }
 
   /** Stage 2 of MinHash dedup: estimate Jaccard for each candidate
@@ -1041,7 +1175,8 @@ object Dedup {
     */
   def imageDedupPairs(media: Dataset[MultimodalOps.MediaRow],
       maxHamming: Int = 5,
-      maxPixels: Long = MultimodalOps.DefaultMaxPixels): DataFrame = {
+      maxPixels: Long = MultimodalOps.DefaultMaxPixels,
+      maxBucketFrac: Double = SaturatedBucketFrac): DataFrame = {
     // Materialize the hash frame ONCE: the composed plan reads it from
     // SIX subtrees (stars, members, band join sides, both expansion
     // joins) and Catalyst does not reuse the un-exchanged MapPartitions
@@ -1060,7 +1195,7 @@ object Dedup {
       .select(col("docId").as("doc_id"), col("dhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashes.count()
-    perceptualPairs(hashes, "dhash", maxHamming)
+    perceptualPairs(hashes, "dhash", maxHamming, maxBucketFrac)
   }
 
   /** Perceptual-hash AUDIO dedup — the clip twin of
@@ -1085,13 +1220,14 @@ object Dedup {
     */
   def audioDedupPairs(audio: Dataset[AudioOps.AudioRow],
       maxHamming: Int = 5,
-      maxSamples: Long = AudioOps.DefaultMaxSamples): DataFrame = {
+      maxSamples: Long = AudioOps.DefaultMaxSamples,
+      maxBucketFrac: Double = SaturatedBucketFrac): DataFrame = {
     val hashes = AudioOps.audioHashes(audio, maxSamples)
       .where(col("decoded"))
       .select(col("docId").as("doc_id"), col("ahash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashes.count()
-    perceptualPairs(hashes, "ahash", maxHamming)
+    perceptualPairs(hashes, "ahash", maxHamming, maxBucketFrac)
   }
 
   /** Near-duplicate VIDEO pairs — the temporal member of the
@@ -1435,13 +1571,14 @@ object Dedup {
     * `hashValid` flags) — a stub hash would pair unrelated corrupt
     * payloads.
     */
-  def perceptualPairsFrom(hashes: DataFrame, maxHamming: Int = 5): DataFrame = {
+  def perceptualPairsFrom(hashes: DataFrame, maxHamming: Int = 5,
+      maxBucketFrac: Double = SaturatedBucketFrac): DataFrame = {
     val h = hashes.select(
       col(hashes.columns.head).cast("long").as("doc_id"),
       col(hashes.columns(1)).cast("long").as("h64"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     h.count()
-    perceptualPairs(h, "h64", maxHamming)
+    perceptualPairs(h, "h64", maxHamming, maxBucketFrac)
   }
 
   /** Canonical GROUPS over perceptual near-duplicates — the media
@@ -1456,7 +1593,8 @@ object Dedup {
     * not do (stated there; this is the upgrade it points at).
     */
   def perceptualGroups(hashes: DataFrame, maxHamming: Int = 5,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25,
+      maxBucketFrac: Double = SaturatedBucketFrac): DataFrame = {
     val h = hashes.select(
       col(hashes.columns.head).cast("long").as("doc_id"),
       col(hashes.columns(1)).cast("long").as("h64"))
@@ -1468,7 +1606,7 @@ object Dedup {
     // and the groups view share one candidate frame or they drift
     val edges = hammingBandPairs(
       stars.select(col("rep_id").as("doc_id"), col("h64")), maxHamming,
-      maxBucketFrac = SaturatedBucketFrac)
+      maxBucketFrac = maxBucketFrac)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val labels = connectedComponents(stars.select(col("rep_id")), edges,
       maxRounds)
@@ -1481,12 +1619,13 @@ object Dedup {
     */
   def imageDedupGroups(media: Dataset[MultimodalOps.MediaRow],
       maxHamming: Int = 5, maxRounds: Int = 25,
-      maxPixels: Long = MultimodalOps.DefaultMaxPixels): DataFrame =
+      maxPixels: Long = MultimodalOps.DefaultMaxPixels,
+      maxBucketFrac: Double = SaturatedBucketFrac): DataFrame =
     perceptualGroups(
       MultimodalOps.imageHashes(media, maxPixels)
         .where(col("decoded"))
         .select(col("docId"), col("dhash")),
-      maxHamming, maxRounds)
+      maxHamming, maxRounds, maxBucketFrac)
 
   /** Persist a snapshot's perceptual-hash index — the MEDIA twin of
     * [[writeBandIndex]] (r9 session 5): 16-byte (doc_id, h64) rows,
@@ -1509,6 +1648,98 @@ object Dedup {
     */
   def perceptualIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(s"$path/hashes")
+
+  /** Index lifecycle audit — the READ-side health view of the
+    * persisted index family (r9 verdict item #5: write and surgery
+    * exist; this answers "how big is my index, how skewed are its
+    * buckets, when do I compact" without scanning payloads). One row
+    * per index: `(index_id, kind, n_rows, n_docs, n_bands,
+    * saturated_rows, top_share_ppm)` where `saturated_rows` counts
+    * rows in buckets past the shared saturation rule
+    * (> [[SaturatedBucketFrac]] of their band AND >
+    * `SaturatedBucketFloor` rows — q_band_saturation's integers) and
+    * `top_share_ppm` is the hottest bucket's parts-per-million share
+    * of its band. Kinds and their artifact layouts:
+    * `band` → `path/bands` ([[writeBandIndex]]), `gram` → `path`
+    * ([[writeGramIndex]]; no doc/bucket structure — rows only),
+    * `perceptual` → `path/hashes` ([[writePerceptualIndex]]; banded
+    * through the same default-budget pigeonhole schedule the query
+    * path uses), `lsh` → `path/buckets`
+    * ([[graft.operators.Similarity.writeLshIndex]]), `ann` →
+    * `path/codes` ([[graft.operators.Similarity.writeAnnIndex]];
+    * "buckets" are the IVF cells, so top_share_ppm IS the
+    * inverted-list balance audit). Unknown kinds are refused loudly.
+    *
+    * Scale shape: each index contributes one scan + one
+    * (band, bucket)-keyed aggregate — never the payload tables, never
+    * a join between indexes; the per-index one-row frames union at
+    * the end (|indexes| is config-sized).
+    */
+  def indexStats(spark: org.apache.spark.sql.SparkSession,
+      indexes: Seq[(String, String, String)]): DataFrame = {
+    require(indexes.nonEmpty, "indexStats: no indexes given")
+    val frames = indexes.map { case (id, kind, path) =>
+      val (docs, banded): (DataFrame, Option[DataFrame]) = kind match {
+        case "band" =>
+          val b = spark.read.parquet(s"$path/bands")
+          (b.select(col("doc_id")),
+            Some(b.select(col("band_idx").cast("long").as("band_idx"),
+              col("band_hash").cast("long").as("band_val"))))
+        case "gram" =>
+          (spark.read.parquet(path).select(lit(0L).as("doc_id")), None)
+        case "perceptual" =>
+          val h = spark.read.parquet(s"$path/hashes")
+          val (nBands, width, mask) = pigeonholeBands(5)
+          (h.select(col("doc_id")),
+            Some(h.select(explode(array((0 until nBands).map(b =>
+                struct(lit(b.toLong).as("band_idx"),
+                  shiftright(col("h64"), b * width).bitwiseAND(mask)
+                    .as("band_val"))): _*)).as("bv"))
+              .select(col("bv.band_idx"), col("bv.band_val"))))
+        case "lsh" =>
+          val b = spark.read.parquet(s"$path/buckets")
+          (b.select(col("vec_id").as("doc_id")),
+            Some(b.select(col("table_id").cast("long").as("band_idx"),
+              col("bucket").cast("long").as("band_val"))))
+        case "ann" =>
+          val c = spark.read.parquet(s"$path/codes")
+          (c.select(col("vec_id").as("doc_id")),
+            Some(c.select(lit(0L).as("band_idx"),
+              col("cell").cast("long").as("band_val"))))
+        case other => throw new IllegalArgumentException(
+          s"indexStats: unknown index kind '$other' for '$id' " +
+            "(want band|gram|perceptual|lsh|ann)")
+      }
+      val counts =
+        if (kind == "gram")
+          docs.agg(count(lit(1)).as("n_rows"), lit(0L).as("n_docs"))
+        else docs.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      val bandStats = banded match {
+        case None => counts.sparkSession.range(1)
+          .select(lit(0L).as("n_bands"), lit(0L).as("saturated_rows"),
+            lit(0L).as("top_share_ppm"))
+        case Some(b) =>
+          val buckets = b.groupBy("band_idx", "band_val")
+            .agg(count(lit(1)).as("n"))
+          val totals = buckets.groupBy("band_idx")
+            .agg(sum(col("n")).as("band_total"))
+          buckets.join(broadcast(totals), "band_idx")
+            .agg(countDistinct(col("band_idx")).as("n_bands"),
+              coalesce(sum(when(
+                col("n") > col("band_total") * SaturatedBucketFrac &&
+                  col("n") > SaturatedBucketFloor, col("n"))
+                .otherwise(0L)), lit(0L)).as("saturated_rows"),
+              coalesce(max(expr("(n * 1000000) div band_total")), lit(0L))
+                .as("top_share_ppm"))
+      }
+      counts.crossJoin(bandStats)
+        .select(lit(id).as("index_id"), lit(kind).as("kind"),
+          col("n_rows"), col("n_docs"), col("n_bands"),
+          col("saturated_rows"), col("top_share_ppm"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
 
   /** Incremental perceptual dedup of a NEW snapshot's hash frame
     * against a stored index: pairs (a_id, b_id, hamming ≤
@@ -1533,7 +1764,8 @@ object Dedup {
     * the candidate-pair frame (bounded), not the corpus.
     */
   def perceptualDedupAgainst(index: DataFrame, newHashes: DataFrame,
-      maxHamming: Int = 5): DataFrame = {
+      maxHamming: Int = 5,
+      maxBucketFrac: Double = SaturatedBucketFrac): DataFrame = {
     def norm(df: DataFrame) =
       df.select(col(df.columns.head).cast("long").as("doc_id"),
         col(df.columns(1)).cast("long").as("h64"))
@@ -1541,7 +1773,7 @@ object Dedup {
     val union = stored.unionByName(norm(newHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     union.count()
-    val pairs = perceptualPairs(union, "h64", maxHamming)
+    val pairs = perceptualPairs(union, "h64", maxHamming, maxBucketFrac)
     val aOld = stored.select(col("doc_id").as("a_id"), lit(true).as("a_old"))
     val bOld = stored.select(col("doc_id").as("b_id"), lit(true).as("b_old"))
     pairs.join(aOld, Seq("a_id"), "left").join(bOld, Seq("b_id"), "left")
@@ -1562,14 +1794,15 @@ object Dedup {
     * frame: the composed plan reads it from six subtrees.
     */
   private def perceptualPairs(hashes: DataFrame, hashCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      maxBucketFrac: Double = SaturatedBucketFrac): DataFrame = {
     val stars = hashes.groupBy(hashCol)
       .agg(min(col("doc_id")).as("rep_id"))
     val members = hashes.join(stars, hashCol)
       .select(col("doc_id"), col("rep_id"))
     val repPairs = hammingBandPairs(
       stars.select(col("rep_id").as("doc_id"), col(hashCol)), maxHamming,
-      maxBucketFrac = SaturatedBucketFrac)
+      maxBucketFrac = maxBucketFrac)
     val cross = repPairs
       .join(members.select(col("rep_id").as("a_id"),
         col("doc_id").as("da")), "a_id")

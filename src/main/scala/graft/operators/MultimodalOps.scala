@@ -266,15 +266,12 @@ object MultimodalOps {
         ImageIO.write(img, "png", bos)
         MediaRow(id, bos.toByteArray, "image")
       })
-      // persist marker (lazy): the render is FIXTURE cost a real
-      // corpus never pays — payloads there come from storage, not a
-      // per-query PNG encode. Marking the rendered frame cached lets
-      // the session's cache manager substitute it into every
-      // consumer with the same input plan, so only the first query
-      // in a bench/verify session renders and the rest measure the
-      // real stage (decode). Spillable; a lone query pays one
-      // materialization, same as before.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NO persist here (r9 advice): a marker inside the library
+    // renderer registers a new cached plan per CALL that the caller
+    // cannot unpersist — block-manager bookkeeping grows unbounded
+    // over a long bench/verify session. Callers that share the
+    // instance across consumers (the SparkEntry memoized fixtures)
+    // persist it themselves.
   }
 
   /** The token-block raster behind [[syntheticImages]] and

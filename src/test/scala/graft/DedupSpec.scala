@@ -19,11 +19,41 @@ class DedupSpec extends SparkSuite {
     assert(dup.getAs[Long]("keep_id") == 0L)
   }
 
-  test("minhash LSH candidates include exact dup, exclude unrelated") {
-    val pairs = Dedup.minhashCandidates(docs)
+  test("minhash LSH candidates: star-compressed default, composed form " +
+      "includes exact dups, both exclude unrelated") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
-    assert(pairs.contains((0L, 3L))) // identical signature
-    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+    // default: exact copies collapse to their rep (0) — the (0,3)
+    // member pair is stage 0's, not this op's
+    val rep = pairs(Dedup.minhashCandidates(docs))
+    assert(!rep.exists { case (a, b) => a == 3L || b == 3L },
+      s"non-rep member must not appear in the star-compressed form: $rep")
+    // composed: the full member-level enumeration (the pre-r10 raw
+    // semantics) — identical signature pairs reappear
+    val full = pairs(Dedup.minhashCandidates(docs, composeMembers = true))
+    assert(full.contains((0L, 3L)))
+    assert(!full.exists { case (a, b) => a == 2L || b == 2L })
+    // composed == raw enumeration when no cap trips
+    val raw = pairs(Dedup.candidatesFromSketch(Dedup.minhashSketch(docs)))
+    assert(full == raw, s"missing=${raw -- full} extra=${full -- raw}")
+  }
+
+  test("minhash composed form: short-doc copies never sketch, so their " +
+      "pairs are absent from both raw and composed forms") {
+    // "tiny doc" has 2 tokens < shingleLen 3: its copies have no
+    // signature, so the raw form never paired them — the composed
+    // within-group expansion must respect that gate
+    val d = Seq(
+      (0L, "tiny doc", "en"), (1L, "tiny doc", "en"),
+      (2L, "a long enough document with plenty of tokens to shingle", "en"),
+      (3L, "a long enough document with plenty of tokens to shingle", "en")
+    ).toDF("doc_id", "text", "lang")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val full = pairs(Dedup.minhashCandidates(d, composeMembers = true))
+    val raw = pairs(Dedup.candidatesFromSketch(Dedup.minhashSketch(d)))
+    assert(full == raw, s"missing=${raw -- full} extra=${full -- raw}")
+    assert(full.contains((2L, 3L)) && !full.contains((0L, 1L)))
   }
 
   test("simhash: identical docs identical, near-dup closer than unrelated") {
@@ -215,7 +245,7 @@ class DedupSpec extends SparkSuite {
     // truth in the SAME feature space the signatures hash: 3-shingles
     val truth = pairs(Dedup.jaccardPairs(docs, bound = Long.MaxValue,
       threshold = 0.8, shingleLen = 3))
-    val cand = pairs(Dedup.minhashCandidates(docs))
+    val cand = pairs(Dedup.minhashCandidates(docs, composeMembers = true))
     assert(truth.nonEmpty, "test data should contain high-jaccard near-dups")
     val missed = truth -- cand
     assert(missed.isEmpty,

@@ -35,15 +35,23 @@ class IncrementalDedupSpec extends SparkSuite {
     df.collect().map(r =>
       (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
 
+  /** The RAW member-level candidate enumeration — dedupAgainst's joint
+    * reference semantics (the batch minhashCandidates default is
+    * star-compressed since r10, which is a different — smaller — frame).
+    */
+  private def rawCandidates(docs: org.apache.spark.sql.DataFrame,
+      bucketCap: Int = 10000) =
+    Dedup.candidatesFromSketch(Dedup.minhashSketch(docs),
+      bucketCap = bucketCap)
+
   private def roundTrip(bucketCap: Int): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bandindex")
       .toString
     Dedup.writeBandIndex(snapA, dir)
     val inc = pairSet(Dedup.dedupAgainst(spark, dir, snapB,
       bucketCap = bucketCap))
-    val withinA = pairSet(Dedup.minhashCandidates(snapA,
-      bucketCap = bucketCap))
-    val joint = pairSet(Dedup.minhashCandidates(
+    val withinA = pairSet(rawCandidates(snapA, bucketCap = bucketCap))
+    val joint = pairSet(rawCandidates(
       snapA.unionByName(snapB), bucketCap = bucketCap))
     assert((inc & withinA).isEmpty,
       s"indexed-vs-indexed pairs must not be recomputed: ${inc & withinA}")
@@ -89,9 +97,8 @@ class IncrementalDedupSpec extends SparkSuite {
       .toString
     Dedup.writeBandIndex(a, dir)
     val inc = pairSet(Dedup.dedupAgainst(spark, dir, b, bucketCap = 2))
-    val withinA = pairSet(Dedup.minhashCandidates(a, bucketCap = 2))
-    val joint = pairSet(Dedup.minhashCandidates(a.unionByName(b),
-      bucketCap = 2))
+    val withinA = pairSet(rawCandidates(a, bucketCap = 2))
+    val joint = pairSet(rawCandidates(a.unionByName(b), bucketCap = 2))
     assert(inc.isEmpty, s"union buckets of 3 exceed cap 2: $inc")
     assert(withinA == Set((0L, 1L)), s"the prior epoch saw buckets of 2: $withinA")
     assert(joint.isEmpty, "a joint rerun drops the saturated bucket")
@@ -197,13 +204,132 @@ class IncrementalDedupSpec extends SparkSuite {
     // the epoch's incremental dedup: ONLY the changed slice is
     // sketched live; everything else rides the updated index
     val inc = pairSet(Dedup.dedupAgainst(spark, dirB, readd))
-    val joint = pairSet(Dedup.minhashCandidates(recrawl))
+    val joint = pairSet(rawCandidates(recrawl))
       .filter { case (a, b) => changedIds(a) || changedIds(b) }
     assert(inc == joint,
       s"missing=${joint -- inc} extra=${inc -- joint}")
     // the mutations genuinely connect to unchanged docs (non-vacuous)
     assert(inc.exists { case (a, b) =>
       changedIds(a) ^ changedIds(b) }, s"no cross pair in $inc")
+  }
+
+  test("incrEpoch: composed epoch stage counts equal the standalone operators") {
+    import org.apache.spark.sql.functions.col
+    val snapA4 = snapA
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("web"))
+    val recrawl = Seq(
+      (0L, base(0), "en", "web"),
+      (1L, base(0) + " tail revised", "en", "web"),
+      (2L, base(1), "en", "web"),
+      (4L, base(2), "en", "web"), (5L, base(2) + " coda", "en", "web"),
+      (6L, base(2) + " fresh epoch coda", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val wd = java.nio.file.Files
+      .createTempDirectory("graft-increpoch-spec").toString
+    val card = Dedup.incrEpoch(spark, snapA4, recrawl, wd).collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[String]("metric")) ->
+        r.getAs[Long]("value")).toMap
+
+    // standalone references
+    val diff = graft.operators.Curation.snapshotDiff(snapA4, recrawl)
+    val statuses = diff.collect()
+      .groupBy(_.getAs[String]("status")).view.mapValues(_.length.toLong)
+    assert(card(("diff", "added")) == statuses.getOrElse("added", 0L))
+    assert(card(("diff", "removed")) == statuses.getOrElse("removed", 0L))
+    assert(card(("diff", "changed")) == statuses.getOrElse("changed", 0L))
+    assert(card(("diff", "unchanged")) == statuses.getOrElse("unchanged", 0L))
+
+    val retract = diff.where(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    val readd = recrawl.join(
+      diff.where(col("status").isin("added", "changed")).select("doc_id"),
+      "doc_id")
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-increpoch-ref-a").toString
+    val dirR = java.nio.file.Files
+      .createTempDirectory("graft-increpoch-ref-r").toString
+    Dedup.writeBandIndex(snapA4, dirA)
+    Dedup.updateBandIndex(spark, dirA, dirR, retract, readd.limit(0))
+    val refPairs = pairSet(Dedup.dedupAgainst(spark, dirR, readd))
+    assert(card(("dedup", "pairs")) == refPairs.size.toLong)
+    val changed = Set(1L, 6L)
+    assert(card(("dedup", "cross_pairs")) ==
+      refPairs.count { case (a, b) => changed(a) ^ changed(b) }.toLong)
+
+    // the produced next-epoch index equals a scratch rebuild's row counts
+    val dirC = java.nio.file.Files
+      .createTempDirectory("graft-increpoch-ref-c").toString
+    Dedup.writeBandIndex(recrawl, dirC)
+    assert(card(("index", "sigs_rows")) ==
+      spark.read.parquet(s"$dirC/sigs").count())
+    assert(card(("index", "band_rows")) ==
+      spark.read.parquet(s"$dirC/bands").count())
+
+    val refNov = Dedup.noveltyAgainst(Dedup.gramIndex(snapA4), readd)
+      .collect()
+    assert(card(("novelty", "docs")) == refNov.length.toLong)
+    assert(card(("novelty", "novel_grams")) ==
+      refNov.map(_.getAs[Long]("n_novel")).sum)
+  }
+
+  test("indexStats: sizes and surgery deltas over a two-snapshot band index; " +
+      "kinds audited; unknown kind refused") {
+    import org.apache.spark.sql.functions.col
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-idxstats-a").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-idxstats-b").toString
+    Dedup.writeBandIndex(snapA, dirA)
+    // surgery: retract doc 3, add a new doc 6
+    val add = Seq((6L, base(9))).toDF("doc_id", "text")
+    Dedup.updateBandIndex(spark, dirA, dirB,
+      Seq(3L).toDF("doc_id"), add)
+    def statsOf(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getAs[String]("index_id") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_bands"), r.getAs[Long]("saturated_rows"),
+          r.getAs[Long]("top_share_ppm"))).toMap
+    val st = statsOf(Dedup.indexStats(spark, Seq(
+      ("epoch0", "band", dirA), ("epoch1", "band", dirB))).collect())
+    val (r0, d0, b0, _, _) = st("epoch0")
+    val (r1, d1, b1, _, _) = st("epoch1")
+    assert(d0 == 6L, s"snapA has 6 docs, got $d0")
+    assert(d1 == 6L, s"epoch1: 6 - 1 retracted + 1 added = 6, got $d1")
+    assert(b0 == 16L && b1 == 16L, "16 bands at the defaults")
+    assert(r0 == 6L * 16 && r1 == 6L * 16,
+      s"16 band rows per doc: $r0 / $r1")
+    // gram kind: rows only, no doc/bucket structure
+    val gdir = java.nio.file.Files
+      .createTempDirectory("graft-idxstats-g").toString
+    Dedup.writeGramIndex(snapA, gdir)
+    val gs = statsOf(Dedup.indexStats(spark,
+      Seq(("grams", "gram", gdir))).collect())
+    assert(gs(("grams"))._1 == Dedup.gramIndex(snapA).count())
+    assert(gs(("grams"))._2 == 0L && gs(("grams"))._3 == 0L)
+    // perceptual kind: banded through the query path's own schedule —
+    // two identical hashes + one distinct = 2 distinct values per band
+    val pdir = java.nio.file.Files
+      .createTempDirectory("graft-idxstats-p").toString
+    // -1L differs from 42L in EVERY 8-bit band (0xff vs 0x2a / 0x00),
+    // so each band holds buckets of {2, 1} rows — the hottest is the
+    // 42-pair's 2/3; a low-band-only difference (42 vs 7) would leave
+    // the high bands all-identical and the top share at 3/3
+    Dedup.writePerceptualIndex(
+      Seq((0L, 42L), (1L, 42L), (2L, -1L)).toDF("doc_id", "h64"), pdir)
+    val ps = statsOf(Dedup.indexStats(spark,
+      Seq(("phash", "perceptual", pdir))).collect())
+    assert(ps(("phash"))._1 == 3L && ps(("phash"))._2 == 3L)
+    assert(ps(("phash"))._3 ==
+      Dedup.pigeonholeBands(5)._1.toLong,
+      "the audit must band through the query path's own schedule " +
+        "(pigeonholeBands(5) = 8: first power of two above the budget)")
+    // the hottest bucket (the 42-pair) holds 2/3 of every band
+    assert(ps(("phash"))._5 == 666666L, s"got ${ps(("phash"))._5}")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.indexStats(spark, Seq(("x", "bogus", dirA)))
+    }
+    assert(err.getMessage.contains("bogus"))
   }
 
   test("noveltyAgainst: equals the joint-corpus gramNovelty restricted to the new snapshot") {

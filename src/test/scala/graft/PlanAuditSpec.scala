@@ -18,6 +18,33 @@ class PlanAuditSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_audio_meta registered view: envelope csv-flattened losslessly, " +
+      "no array column survives (driver row-sort contract)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.ArrayType
+    val df = SparkEntry.queries("q_audio_meta")(spark, dir)
+    // the driver's pandas comparator crashes sorting array cells
+    // (CORRECTNESS_r09's one red row) — the registered view must be
+    // scalar-only
+    assert(!df.schema.exists(_.dataType.isInstanceOf[ArrayType]),
+      s"array column in the registered view: ${df.schema.treeString}")
+    assert(df.columns.contains("envelope_csv"))
+    // lossless vs the array API: csv cells parse back to the exact
+    // float values (cast("string") of FloatType round-trips)
+    val viaCsv = df.select(col("doc_id"), col("envelope_csv")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("envelope_csv").split(",").map(_.toFloat).toSeq)
+      .toMap
+    val viaArr = graft.operators.AudioOps.extractAudioFeatures(
+      graft.operators.AudioOps.syntheticAudio(
+        Tables(spark, dir, "documents")))
+      .collect().map(f => f.docId -> f.envelope.toSeq).toMap
+    assert(viaCsv.keySet == viaArr.keySet)
+    assert(viaCsv.forall { case (id, v) => v == viaArr(id) },
+      "csv flatten must be lossless vs the array API")
+    assert(df.count() > 0)
+  }
+
   test("q1_agg: shipdate filter and column pruning reach the parquet scan") {
     val p = plan(Payments.pricingSummary(Tables(spark, dir, "lineitem")))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))

@@ -52,7 +52,99 @@ class VideoOpsSpec extends SparkSuite {
     assert(meta(0).decoded && meta(0).nFrames == 2 &&
       meta(0).width == 32 && meta(0).height == 32 &&
       math.abs(meta(0).fps - 5.0) < 1e-9)
+    // r10: the AVI leg now also carries duration (2 frames at 5 fps =
+    // 400 ms) and the stream's fccHandler
+    assert(math.abs(meta(0).durationMs - 400.0) < 1e-9 &&
+      meta(0).codec == "MJPG")
     assert(!meta(1).decoded && !meta(2).decoded && !meta(3).decoded)
+  }
+
+  // ── minimal ISO-BMFF packer (spec-local: main only PARSES mp4) ──
+  private def mp4box(typ: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+    bb.array()
+  }
+  private def beBytes(parts: (Int, Int)*): Array[Byte] = {
+    // (value, byteLen) pairs, big-endian
+    val bb = java.nio.ByteBuffer.allocate(parts.map(_._2).sum)
+    parts.foreach {
+      case (v, 4) => bb.putInt(v)
+      case (v, 2) => bb.putShort(v.toShort)
+      case (v, 1) => bb.put(v.toByte)
+      case (v, n) => (0 until n).foreach(_ => bb.put(0.toByte))
+    }
+    bb.array()
+  }
+  private def packMp4(w: Int = 640, h: Int = 360, timescale: Int = 1000,
+      duration: Int = 2500, samples: Int = 75,
+      codec: String = "avc1"): Array[Byte] = {
+    val ftyp = mp4box("ftyp",
+      "isom".getBytes("US-ASCII") ++ beBytes((0, 4)) ++
+        "isom".getBytes("US-ASCII"))
+    val mvhd = mp4box("mvhd", beBytes((0, 4), (0, 4), (0, 4),
+      (timescale, 4), (duration, 4)))
+    // tkhd v0: width/height as 16.16 fixed at body offsets 76/80
+    val tkhdBody = new Array[Byte](84)
+    System.arraycopy(beBytes((w << 16, 4), (h << 16, 4)), 0, tkhdBody, 76, 8)
+    val tkhd = mp4box("tkhd", tkhdBody)
+    val hdlr = mp4box("hdlr", beBytes((0, 4), (0, 4)) ++
+      "vide".getBytes("US-ASCII"))
+    val stsd = mp4box("stsd", beBytes((0, 4), (1, 4), (16, 4)) ++
+      codec.getBytes("US-ASCII"))
+    val stsz = mp4box("stsz", beBytes((0, 4), (0, 4), (samples, 4)))
+    val stbl = mp4box("stbl", stsd ++ stsz)
+    val minf = mp4box("minf", stbl)
+    val mdia = mp4box("mdia", hdlr ++ minf)
+    val trak = mp4box("trak", tkhd ++ mdia)
+    val moov = mp4box("moov", mvhd ++ trak)
+    ftyp ++ moov
+  }
+
+  test("videoMeta: mp4 atom walk emits dims/duration/codec; frame decode " +
+      "stays out of scope") {
+    val mp4 = packMp4()
+    val m = rows((0L, mp4, "video"))
+    val v = VideoOps.videoMeta(m).collect().head
+    assert(v.decoded, "a well-formed mp4 must parse")
+    assert(v.width == 640 && v.height == 360, s"${v.width}x${v.height}")
+    assert(math.abs(v.durationMs - 2500.0) < 1e-9, s"${v.durationMs}")
+    assert(v.nFrames == 75 && math.abs(v.fps - 30.0) < 1e-9,
+      s"${v.nFrames} @ ${v.fps}")
+    assert(v.codec == "avc1")
+    // no JDK h264 decoder: the frame family yields ZERO rows for mp4
+    assert(VideoOps.frameSample(m).count() == 0L)
+    assert(VideoOps.frameHashes(m).count() == 0L)
+  }
+
+  test("decodeMp4Meta: truncated / garbage / bomb atoms degrade, never crash") {
+    val mp4 = packMp4()
+    // truncation anywhere inside moov: clamped walk, None (or a
+    // partial parse that still refuses without a video trak)
+    for (cut <- Seq(10, 40, mp4.length / 2, mp4.length - 4)) {
+      val t = java.util.Arrays.copyOfRange(mp4, 0, cut)
+      VideoOps.decodeMp4Meta(t) // must not throw
+    }
+    // garbage that merely LOOKS like a box stream
+    assert(VideoOps.decodeMp4Meta("not a container at all".getBytes).isEmpty)
+    assert(VideoOps.decodeMp4Meta(Array.emptyByteArray).isEmpty)
+    // declared size beyond the payload clamps (bomb guard) — a moov
+    // whose size field claims 2 GB parses what is present
+    val bomb = packMp4()
+    // overwrite moov's 4-byte size field (right before its tag) with MAX
+    val moovOff = bomb.indexOfSlice("moov".getBytes("US-ASCII")) - 4
+    val bb = java.nio.ByteBuffer.wrap(bomb)
+    bb.putInt(moovOff, Int.MaxValue)
+    val v = VideoOps.decodeMp4Meta(bomb)
+    assert(v.nonEmpty && v.get.width == 640,
+      "clamped oversize moov must still yield the metadata present")
+    // an mp4 with no video track (hdlr = soun) is refused
+    val audioOnly = {
+      val s = packMp4()
+      val idx = s.indexOfSlice("vide".getBytes("US-ASCII"))
+      val c = s.clone(); System.arraycopy("soun".getBytes, 0, c, idx, 4); c
+    }
+    assert(VideoOps.decodeMp4Meta(audioOnly).isEmpty)
   }
 
   test("frameSample: every-Nth real frame, decodable by the image family") {
