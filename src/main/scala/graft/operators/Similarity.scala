@@ -1400,6 +1400,55 @@ object Similarity {
     adcSearch(centroids, books, corpus, e, nQueries, k, nProbe, rerank, dim)
   }
 
+  /** Index SURGERY for the persisted ANN family — the
+    * [[graft.operators.Dedup.updateBandIndex]] discipline applied to
+    * [[writeAnnIndex]] artifacts: `retractIds` drop from the stored
+    * codes (one anti-join over 10-byte rows; the retracted vectors'
+    * full precision is never read), `addedVecs` encode against the
+    * STORED centroids + codebooks and append. Deliberately NO
+    * retraining: between full retrains a production deployment keeps
+    * codebooks frozen so stored codes stay comparable — new vectors
+    * must score through the same geometry the existing corpus was
+    * encoded with (retraining is [[writeAnnIndex]]'s job, a separate
+    * scheduled event; the drift between frozen artifacts and the
+    * evolving corpus is what [[graft.operators.Dedup.indexStats]]'
+    * cell-balance row and q_ann_recall exist to watch). Artifacts are
+    * copied to `outPath` FIRST and the new codes derive from the
+    * copies read back off disk — the partial-write rule: `codes/`
+    * existing implies the artifacts it was encoded with do.
+    * Self-overwrite refused (the update reads what it would clobber).
+    *
+    * EXACT contract (spec-asserted): the updated `codes/` row set
+    * equals encoding the post-diff corpus with the SAME stored
+    * artifacts — surgery and a frozen-artifact re-encode cannot
+    * disagree because cell assignment and PQ encoding are
+    * deterministic in (artifacts, vector).
+    */
+  def updateAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String, retractIds: DataFrame,
+      addedVecs: DataFrame, dim: Int = 64): Unit = {
+    require(outPath != indexPath,
+      s"updateAnnIndex cannot overwrite the index it reads ($indexPath)")
+    spark.read.parquet(s"$indexPath/centroids")
+      .repartition(1).write.mode("overwrite").parquet(s"$outPath/centroids")
+    spark.read.parquet(s"$indexPath/codebooks")
+      .repartition(1).write.mode("overwrite").parquet(s"$outPath/codebooks")
+    val (cs, bks) = readAnnArtifacts(spark, outPath)
+    require(cs.nonEmpty && cs.head.length == dim,
+      s"updateAnnIndex: stored centroids are dim=${cs.headOption
+        .map(_.length).getOrElse(0)}, caller asked dim=$dim")
+    val retract = retractIds
+      .select(col(retractIds.columns.head).cast("long").as("vec_id"))
+    val kept = spark.read.parquet(s"$indexPath/codes")
+      .join(retract, Seq("vec_id"), "left_anti")
+    val added = registered(addedVecs)
+      .select(col("vec_id"), col("embedding")).where(pqEncodable(dim))
+    kept.unionByName(cellsFor(added, cs, nProbe = 1)
+        .select(col("vec_id"), col("cell"),
+          pqCodeArray(bks, col("embedding"), dim).as("codes")))
+      .write.mode("overwrite").parquet(s"$outPath/codes")
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket with the query in any
     * table; exact cosine re-rank over the deduped candidate set. At
     * scale the join key is (table, bucket) — shuffle is O(n × tables),

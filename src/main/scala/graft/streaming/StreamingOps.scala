@@ -639,6 +639,55 @@ object StreamingOps {
           nearDupStep(band, ds, state, ttlMs))
   }
 
+  /** Streaming EMBEDDING near-duplicate gate (r10) — completes the
+    * per-modality ingest gate family (text / image / audio / video /
+    * embeddings): each arriving vector is keyed by its hyperplane-LSH
+    * buckets through [[graft.operators.Similarity.lshBuckets]] ITSELF
+    * (the batch op is a pure per-row projection — literal planes,
+    * codegen `dot_f32`, zero aggregation state — so the stream runs
+    * the identical bucket derivation, not a copy), and each
+    * (vec, table) row is flagged when its bucket was already claimed
+    * by a DIFFERENT vector content (md5 over the exact float values)
+    * inside the TTL horizon. Exact copies are NOT flagged (identical
+    * values ⇒ identical md5 — an exact-dedup stage owns those); null /
+    * wrong-dim / non-finite vectors are dropped at the gate (no
+    * bucket semantics, and a NaN dot would claim arbitrary buckets).
+    *
+    * Honest contract (the sibling gates' rule): one table catches a
+    * pair with probability p(cos)^nPlanes and the comparison is to
+    * the bucket's FIRST claimant, so this is an ingest-time CANDIDATE
+    * flag feeding the exact-cosine batch verification
+    * ([[graft.operators.Similarity.nearDupPairsLsh]] remains the
+    * authority); state is one md5 per active (table, bucket) —
+    * bounded by traffic, same [[nearDupStep]] core and TTL/eviction
+    * unit specs.
+    */
+  def embedDupVecStream(embeddings: DataFrame, nTables: Int = 8,
+      nPlanes: Int = 3, dim: Int = 64,
+      ttlMs: Long = 3600 * 1000L): Dataset[NearDupFlag] = {
+    implicit val outEnc = Encoders.product[NearDupFlag]
+    implicit val keyEnc = Encoders.STRING
+    implicit val bdEnc = Encoders.product[BandDoc]
+    implicit val stEnc = Encoders.product[BandState]
+    val clean = embeddings.where(
+      col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) === dim &&
+        forall(col("embedding"), v => !isnan(v) && !v.isNull))
+    graft.operators.Similarity.lshBuckets(clean, nTables, nPlanes, dim)
+      .select(
+        concat_ws("_", col("table_id").cast("string"),
+          col("bucket").cast("string")).as("band"),
+        col("vec_id").cast("long").as("docId"),
+        md5(concat_ws(",", transform(col("embedding"),
+          v => v.cast("string")))).as("md5"))
+      .as[BandDoc]
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout())(
+        (band: String, ds: Iterator[BandDoc], state: GroupState[BandState]) =>
+          nearDupStep(band, ds, state, ttlMs))
+  }
+
   /** One token routed to its owning shard. */
   case class TokShard(shard: Long, tok: String)
   case class HeavyHitter(shard: Long, token: String, estCount: Long)

@@ -744,4 +744,46 @@ class SimilaritySpec extends SparkSuite {
     }
     assert(err.getMessage.contains("dim"))
   }
+
+  test("updateAnnIndex: surgery equals a frozen-artifact re-encode of the " +
+      "post-diff corpus; artifacts copied verbatim; self-overwrite refused") {
+    import org.apache.spark.sql.functions.col
+    def codeSet(p: String) = spark.read.parquet(s"$p/codes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getSeq[Int](r.fieldIndex("codes")).toList)).toSet
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annupd-base").toString
+    val oldHalf = emb.where(col("vec_id") < 250)
+    val newHalf = emb.where(col("vec_id") >= 250)
+    Similarity.writeAnnIndex(oldHalf, base)
+    // epoch: retract a slice of the indexed half, add the new half
+    val retract = oldHalf.where(col("vec_id") % 5 === 0).select("vec_id")
+    val upd = java.nio.file.Files
+      .createTempDirectory("graft-annupd-upd").toString
+    Similarity.updateAnnIndex(spark, base, upd, retract, newHalf)
+    // reference: retract EVERYTHING stored, re-add the whole post-diff
+    // corpus — pure frozen-artifact encode through the same door
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft-annupd-ref").toString
+    Similarity.updateAnnIndex(spark, base, ref,
+      spark.read.parquet(s"$base/codes").select("vec_id"),
+      oldHalf.where(col("vec_id") % 5 =!= 0).unionByName(newHalf))
+    assert(codeSet(upd) == codeSet(ref),
+      "surgery and frozen-artifact re-encode disagree")
+    // retracted ids are gone, added ids are present
+    val ids = codeSet(upd).map(_._1)
+    assert(retract.collect().map(_.getLong(0)).forall(!ids.contains(_)))
+    assert(ids.exists(_ >= 250))
+    // artifacts byte-identical to the source index (no retraining)
+    def arts(p: String, sub: String) = spark.read.parquet(s"$p/$sub")
+      .collect().map(_.toString).sorted.toSeq
+    assert(arts(upd, "centroids") == arts(base, "centroids"))
+    assert(arts(upd, "codebooks") == arts(base, "codebooks"))
+    // the updated index serves through the standard door
+    assert(Similarity.annFromIndex(spark, upd, emb).count() > 0)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.updateAnnIndex(spark, base, base, retract, newHalf)
+    }
+    assert(err.getMessage.contains("overwrite"))
+  }
 }

@@ -464,6 +464,50 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("embedDupVecStream: scaled copy flagged, exact copy and first " +
+      "claimants not, degenerate vectors dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val df = input.toDF().toDF("vec_id", "embedding")
+    val q = StreamingOps.embedDupVecStream(df, dim = 4)
+      .writeStream.format("memory").queryName("neardup_vecs")
+      .outputMode("update").start()
+    try {
+      def await(ids: Set[Long]): Map[Long, Boolean] = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var out = Map.empty[Long, Boolean]
+        while (!ids.subsetOf(out.keySet) && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          out = spark.table("neardup_vecs").collect()
+            .groupBy(_.getAs[Long]("docId"))
+            // a vector is a candidate iff ANY of its (table, bucket)
+            // rows is flagged — the per-band output contract
+            .map { case (id, rows) =>
+              id -> rows.exists(_.getAs[Boolean]("isNeardup")) }
+        }
+        out
+      }
+      val v1 = Array(1.0f, 0.2f, -0.3f, 0.5f)
+      // v5 is ANTIPODAL to v1: every hyperplane sign flips, so the
+      // two deterministically share no bucket in any table (a merely
+      // "different" direction can share a 3-bit bucket by chance)
+      val v5 = v1.map(x => -3.0f * x)
+      input.addData((1L, v1), (5L, v5))
+      val first = await(Set(1L, 5L))
+      assert(first == Map(1L -> false, 5L -> false), s"got $first")
+      input.addData(
+        (7L, v1.map(_ * 2.0f)), // same direction, new values: flagged
+        (8L, v1), // exact copy of v1: same md5, NOT flagged
+        (9L, v1.map(-_)), // v5's direction, new values: flagged
+        (2L, Array(1.0f, 2.0f)), // wrong dim: dropped
+        (3L, Array(Float.NaN, 1.0f, 1.0f, 1.0f))) // NaN: dropped
+      val out = await(Set(7L, 8L, 9L))
+      assert(out == Map(1L -> false, 5L -> false, 7L -> true,
+        8L -> false, 9L -> true), s"got $out")
+      assert(!out.contains(2L) && !out.contains(3L))
+    } finally q.stop()
+  }
+
   test("audioDupDocStream: edited clip flagged, byte-copy and distinct not, junk and silence dropped") {
     implicit val sqlCtx = spark.sqlContext
 
