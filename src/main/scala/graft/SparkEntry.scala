@@ -116,6 +116,39 @@ object SparkEntry {
     memo(s, d, "audio")(
       AudioOps.syntheticAudio(t(s, d, "documents")).persist(FixtureLvl))
 
+  /** Memoized decoded image-hash frame — the compute-once door for
+    * the four registry consumers of the corpus's dHashes (pairs,
+    * groups, saturation audit, incremental split): decode runs once
+    * per session/dir, 16-byte rows persist, every consumer reads the
+    * cache (the r10 10× sweep measured the per-query re-decode at
+    * ~10 s/op on the 10× corpus).
+    */
+  private def imageHashesOf(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "imagehashes")(
+      MultimodalOps.imageHashes(imagesOf(s, d))
+        .where(org.apache.spark.sql.functions.col("decoded"))
+        .select(org.apache.spark.sql.functions.col("docId").as("doc_id"),
+          org.apache.spark.sql.functions.col("dhash"))
+        .persist(FixtureLvl))
+
+  /** Memoized per-frame video hash frame — the video twin of
+    * [[imageHashesOf]]: the aligned and warp dedup entries both read
+    * it through their precomputed-hash doors, so the per-frame JPEG
+    * decode runs once per session/dir instead of once per dedup
+    * variant (the warp entry's %3 slice is a FILTER on the cached
+    * frame, not a second decode).
+    */
+  private def videoFrameHashesOf(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "videoframehashes") {
+      import org.apache.spark.sql.functions.col
+      val fh = VideoOps.frameHashes(videosOf(s, d)).toDF()
+        .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
+          col("fhash"))
+        .persist(FixtureLvl)
+      fh.count() // the doors' materialized-input contract
+      fh
+    }
+
   private def videosOf(s: SparkSession, d: String) =
     memo(s, d, "videos")(
       VideoOps.syntheticVideos(t(s, d, "documents")).persist(FixtureLvl))
@@ -314,21 +347,23 @@ object SparkEntry {
     // binary column, so syntheticImages renders one deterministic
     // token-block PNG per doc (exact-dup texts => hamming-0 pairs,
     // near-dup texts => small-hamming pairs); fixture spec in
-    // ImageDedupSpec
-    "q_image_dedup" -> ((s, d) => Dedup.imageDedupPairs(
-      imagesOf(s, d))),
+    // ImageDedupSpec. All four image-family consumers below read the
+    // SHARED memoized hash frame (imageHashesOf) through the public
+    // precomputed-hash doors — one decode pass per session/dir, not
+    // one per invocation (the r10 10x sweep measured the per-query
+    // re-decode at ~10s/op on the 10x corpus)
+    "q_image_dedup" -> ((s, d) => Dedup.perceptualPairsFrom(
+      imageHashesOf(s, d))),
     // rows-only (raster decode): the band-saturation audit over the
     // corpus's image dHashes — the measurement that decides whether
     // the perceptual guard is needed for a hash family
     "q_band_saturation" -> ((s, d) => Dedup.bandSaturation(
-      graft.operators.MultimodalOps.imageHashes(imagesOf(s, d))
-        .where(org.apache.spark.sql.functions.col("decoded"))
-        .select("docId", "dhash"))),
+      imageHashesOf(s, d))),
     // rows-only (raster decode): canonical groups over the image
     // near-dup graph (components on the distinct-dhash rep edges);
     // union-find-equivalence spec in ImageDedupSpec
-    "q_image_dedup_groups" -> ((s, d) => Dedup.imageDedupGroups(
-      imagesOf(s, d))),
+    "q_image_dedup_groups" -> ((s, d) => Dedup.perceptualGroups(
+      imageHashesOf(s, d))),
     // rows-only (raster decode): cross-snapshot incremental image
     // dedup — old half's dHashes play the persisted index (the
     // q_novelty_incr split convention), new half dedups against it
@@ -337,10 +372,7 @@ object SparkEntry {
     "q_image_dedup_incr" -> ((s, d) => {
       import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max}
       val docs = t(s, d, "documents")
-      val hashes = MultimodalOps.imageHashes(
-        imagesOf(s, d))
-        .where(col("decoded"))
-        .select(col("docId").as("doc_id"), col("dhash"))
+      val hashes = imageHashesOf(s, d)
       val cut = docs.agg(
         floor(max(col("doc_id")) / lit(2.0)).cast("long").as("cut"))
       def side(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
@@ -565,8 +597,8 @@ object SparkEntry {
       .toDF("doc_id", "frame_idx", "delta")),
     // temporal perceptual dedup: per-frame dHash banding + aligned-
     // frame verification (near-dup text families pair up)
-    "q_video_dedup" -> ((s, d) => Dedup.videoDedupPairs(
-      videosOf(s, d))),
+    "q_video_dedup" -> ((s, d) => Dedup.videoDedupPairsFrom(
+      videoFrameHashesOf(s, d))),
     // warp-robust variant: content-banded candidates + modal-shift
     // re-alignment (catches trimmed/re-timed copies the aligned
     // verification misses). Runs on the deterministic doc_id%3 slice
@@ -575,9 +607,10 @@ object SparkEntry {
     // full-corpus behavior is spec- and scale-measured — the
     // registry entry demonstrates the operator, not a second decode
     // of the same rasters
-    "q_video_dedup_warp" -> ((s, d) => Dedup.videoDedupPairsWarp(
-      videosOf(s, d).filter(org.apache.spark.sql.functions
-        .col("docId") % 3 === 0))),
+    "q_video_dedup_warp" -> ((s, d) => Dedup.warpPairsFromFrameHashes(
+      videoFrameHashesOf(s, d).filter(org.apache.spark.sql.functions
+        .col("doc_id") % 3 === 0),
+      maxHamming = 5, minFrac = 0.5, bucketCap = 10000, minVotes = 2)),
     // rows-only (frame decode): the video -> ANN bridge (mean
     // sampled-frame histogram -> annTopK), completing the
     // three-modality symmetry; doc_id%3 slice (q_video_dedup pays

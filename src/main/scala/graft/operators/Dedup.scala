@@ -1272,6 +1272,19 @@ object Dedup {
         col("fhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fh.count()
+    videoDedupPairsFrom(fh, maxHamming, minFrac)
+  }
+
+  /** The aligned-frame dedup over a PRECOMPUTED (doc_id, frame_idx,
+    * fhash) frame — the [[warpPairsFromFrameHashes]] twin for the
+    * aligned op: a caller holding stored or shared frame hashes (the
+    * registry's memoized decode-once frame; a [[perceptualIndex]]-
+    * style artifact) skips the decode entirely. `fh` must be
+    * MATERIALIZED (persist+count) — the plan reads it from seven
+    * subtrees.
+    */
+  def videoDedupPairsFrom(fh: DataFrame, maxHamming: Int = 5,
+      minFrac: Double = 0.5): DataFrame = {
     val (members, repFh, counts) = clipStarFrames(fh)
     val (nBands, width, mask) = pigeonholeBands(maxHamming)
     val bandCols = (0 until nBands).map(b => struct(lit(b).as("band_idx"),

@@ -213,6 +213,27 @@ class VideoOpsSpec extends SparkSuite {
     }
   }
 
+  test("decodeMp4Meta fuzz: byte mutations and truncations never throw") {
+    val base = packMp4()
+    val rnd = new scala.util.Random(4242)
+    (0 until 300).foreach { i =>
+      val mutated = base.clone()
+      i % 3 match {
+        case 0 => // random byte flips anywhere
+          (0 until 8).foreach(_ =>
+            mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte)
+          VideoOps.decodeMp4Meta(mutated).foreach(m => assert(m.width >= 0))
+        case 1 => // truncation at a random offset
+          val cut = java.util.Arrays.copyOf(mutated, rnd.nextInt(mutated.length))
+          VideoOps.decodeMp4Meta(cut).foreach(m => assert(m.width >= 0))
+        case 2 => // corrupt a 4-byte big-endian size field in the header
+          val bb = java.nio.ByteBuffer.wrap(mutated)
+          bb.putInt(4 * rnd.nextInt(mutated.length / 4), rnd.nextInt())
+          VideoOps.decodeMp4Meta(mutated).foreach(m => assert(m.width >= 0))
+      }
+    }
+  }
+
   test("videoDedupPairs: re-encode-identical clips pair, shared-still clips do not") {
     val a1 = jpeg(0, noiseSeed = 7); val a2 = jpeg(0, noiseSeed = 8)
     val a3 = jpeg(0, noiseSeed = 9)
