@@ -80,6 +80,32 @@ object SparkEntry {
       .drop("cut")
   }
 
+  /** The documents split at the doc_id median — the q_novelty_incr
+    * split convention as a shared helper (old half = "indexed
+    * snapshot", new half = "this crawl").
+    */
+  private def docHalf(s: SparkSession, d: String, old: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max}
+    val docs = t(s, d, "documents")
+    val cut = docs.agg(
+      floor(max(col("doc_id")) / lit(2.0)).cast("long").as("cut"))
+    docs.crossJoin(broadcast(cut))
+      .where(if (old) col("doc_id") < col("cut")
+        else col("doc_id") >= col("cut"))
+      .drop("cut")
+  }
+
+  /** Memoized old-half winnow fingerprint index — q_winnow_incr
+    * overlaps the new half against it, q_index_stats audits its
+    * boilerplate concentration.
+    */
+  private def winnowIndexOf(s: SparkSession, d: String): String =
+    memo(s, d, "winnowindex-path") {
+      val p = indexScratchPath(d, "winnowindex")
+      TextOps.writeWinnowIndex(docHalf(s, d, old = true), p)
+      p
+    }
+
   /** Memoized old-half embedding LSH index (one deterministic
     * overwrite-mode path per session/dir — no temp-dir leak, r9
     * advice); q_embed_dedup_incr dedups the new half against it and
@@ -294,6 +320,7 @@ object SparkEntry {
       Dedup.indexStats(s, Seq(
         ("documents_bands", "band", band),
         ("documents_grams", "gram", gram),
+        ("documents_winnow", "winnow", winnowIndexOf(s, d)),
         ("embeddings_lsh", "lsh", lshIndexOf(s, d)),
         ("embeddings_ann", "ann", annIndexOf(s, d))))
     }),
@@ -340,6 +367,16 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "q_winnow" -> ((s, d) => TextOps.winnow(t(s, d, "documents"))),
     "q_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(t(s, d, "documents"))),
+    // cross-snapshot incremental winnow overlap (r10 — the WINNOW
+    // member of the index-seam family): old half's fingerprints play
+    // the persisted index (the q_novelty_incr split convention), the
+    // new half winnows live and joins the stored ~23-byte fp rows;
+    // SQL oracle = the joint winnow-pairs CTE restricted to
+    // at-least-one-new-side pairs (doc_b >= cut suffices: doc_a <
+    // doc_b, so any new-involving pair has its b side new)
+    "q_winnow_incr" -> ((s, d) =>
+      TextOps.winnowAgainst(s, winnowIndexOf(s, d),
+        docHalf(s, d, old = false))),
     "q_winnow_groups" -> ((s, d) => Dedup.winnowGroups(t(s, d, "documents"))),
     "q_multimodal_meta" -> ((s, d) => TextOps.multimodalMeta(t(s, d, "documents"))),
     // rows-only (binary raster decode is not SQL-expressible): real
@@ -1404,6 +1441,37 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+    // the joint winnow-pairs computation restricted to pairs with at
+    // least one side in the new (>= cut) half: doc_a < doc_b, so
+    // doc_b >= cut is exactly "some side is new"
+    "q_winnow_incr" ->
+      """WITH cut AS (
+        |  SELECT CAST(FLOOR(MAX(doc_id) / 2.0) AS BIGINT) AS c FROM documents
+        |), g AS (
+        |  SELECT doc_id, u.pos AS pos, u.h AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(len(toks) - 3),
+        |            i -> {'pos': i, 'h': substr(md5(array_to_string(toks[i + 1:i + 4], ' ')), 1, 15)})) AS u
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 4)
+        |), m AS (
+        |  SELECT doc_id, pos,
+        |    min(h || lpad(CAST(pos AS VARCHAR), 10, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel
+        |  FROM g
+        |), fp AS (
+        |  SELECT DISTINCT doc_id, substr(sel, 1, 15) AS fp
+        |  FROM m WHERE pos >= 4
+        |), rare AS (
+        |  SELECT fp FROM (SELECT fp, COUNT(*) AS nd FROM fp GROUP BY 1)
+        |  WHERE nd <= 64
+        |), f AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |WHERE b.doc_id >= (SELECT c FROM cut)
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "q_winnow_groups" ->
       """WITH RECURSIVE g AS (

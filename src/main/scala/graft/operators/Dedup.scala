@@ -1714,6 +1714,15 @@ object Dedup {
           (b.select(col("vec_id").as("doc_id")),
             Some(b.select(col("table_id").cast("long").as("band_idx"),
               col("bucket").cast("long").as("band_val"))))
+        case "winnow" =>
+          // one logical band; bucket = the fingerprint itself, so the
+          // top-share/saturation columns read as boilerplate
+          // concentration (how many docs the hottest fingerprint sits
+          // in — the fpCap audit)
+          val f = spark.read.parquet(s"$path/fps")
+          (f.select(col("doc_id")),
+            Some(f.select(lit(0L).as("band_idx"),
+              xxhash64(col("fp")).as("band_val"))))
         case "ann" =>
           val c = spark.read.parquet(s"$path/codes")
           (c.select(col("vec_id").as("doc_id")),
@@ -1721,7 +1730,7 @@ object Dedup {
               col("cell").cast("long").as("band_val"))))
         case other => throw new IllegalArgumentException(
           s"indexStats: unknown index kind '$other' for '$id' " +
-            "(want band|gram|perceptual|lsh|ann)")
+            "(want band|gram|perceptual|lsh|ann|winnow)")
       }
       val counts =
         if (kind == "gram")

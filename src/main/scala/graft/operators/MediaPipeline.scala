@@ -16,23 +16,46 @@ import org.apache.spark.sql.functions._
   * dedup drops — the audit frame a 100 TB media-curation run ends
   * with (counts per (modality, reason) are one groupBy away).
   *
-  * Keep-first here is the PAIRWISE rule: a row is dropped iff it
-  * near-dups a smaller-id gate survivor (its `dup_of` names the
-  * smallest such partner). This is the published greedy keep-first,
-  * NOT connected-components canonicalization — a chain a~b~c with
-  * a≁c keeps a AND c (both drop nothing they pair with) while the
-  * component rule would keep only a; the components upgrade is
-  * [[Dedup.dedupGroups]]' engine pointed at these pair frames, left
-  * composable by design.
+  * Keep-first (the default) is the PAIRWISE rule: a row is dropped
+  * iff it near-dups ANY smaller-id gate survivor, whether or not
+  * that partner itself survives dedup (`dup_of` names the smallest
+  * such partner) — the published greedy rule. Its divergence from
+  * canonicalization is the STAR shape: variants 0~2 and 1~2 with
+  * 0≁1 keep BOTH 0 and 1 (neither pairs with a smaller id).
+  * `canonical = true` (r10) switches the dedup stage to
+  * connected-components canonicalization — [[Dedup.dedupGroups]]'
+  * engine pointed at the same pair frames: each component keeps
+  * exactly its smallest id and `dup_of` names the component
+  * representative, so variant stars and re-upload chains collapse
+  * to one survivor. The gate stage and the pair frames are
+  * IDENTICAL under both rules (spec-asserted); only the drop rule
+  * changes.
   */
 object MediaPipeline {
 
-  private def inventory(ids: DataFrame, gate: DataFrame,
-      pairs: DataFrame, modality: String): DataFrame = {
-    // smallest near-dup partner per dropped doc: pairs carry
-    // a_id < b_id, so the b side is the drop candidate
-    val dupOf = pairs.groupBy(col("b_id").as("doc_id"))
-      .agg(min(col("a_id")).as("dup_src"))
+  private[graft] def inventory(ids: DataFrame, gate: DataFrame,
+      pairs: DataFrame, modality: String,
+      canonical: Boolean = false): DataFrame = {
+    val dupOf =
+      if (canonical) {
+        // components canonicalization (the upgrade the keep-first
+        // scaladoc names): each near-dup component keeps exactly its
+        // smallest id; a chain a~b~c with a≁c keeps ONLY a, and
+        // dup_of names the component representative (the group_id),
+        // not the nearest partner — dedupGroups' engine pointed at
+        // this pair frame
+        val verts = pairs.select(col("a_id").as("id"))
+          .unionByName(pairs.select(col("b_id").as("id"))).distinct()
+        Dedup.connectedComponents(verts,
+            pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+          .where(col("label") =!= col("id"))
+          .select(col("id").as("doc_id"), col("label").as("dup_src"))
+      } else
+        // published greedy keep-first: smallest near-dup partner per
+        // dropped doc (pairs carry a_id < b_id, so the b side is the
+        // drop candidate); a~b~c with a≁c keeps a AND c
+        pairs.groupBy(col("b_id").as("doc_id"))
+          .agg(min(col("a_id")).as("dup_src"))
     ids.join(gate, Seq("doc_id"), "left")
       .join(dupOf, Seq("doc_id"), "left")
       .select(col("doc_id"), lit(modality).as("modality"),
@@ -63,7 +86,7 @@ object MediaPipeline {
       audio: Dataset[AudioOps.AudioRow],
       videos: Dataset[MultimodalOps.MediaRow],
       imgMinSide: Int = 16, imgMinEntropy: Double = 1.2,
-      maxHamming: Int = 5): DataFrame = {
+      maxHamming: Int = 5, canonical: Boolean = false): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val imgProfile = MultimodalOps.imageProfile(images,
       minSide = imgMinSide, minEntropy = imgMinEntropy).toDF()
@@ -99,9 +122,10 @@ object MediaPipeline {
         .as(videos.encoder), maxHamming)
       .select("a_id", "b_id")
 
-    inventory(imgIds, imgGate, imgPairs.select("a_id", "b_id"), "image")
+    inventory(imgIds, imgGate, imgPairs.select("a_id", "b_id"), "image",
+        canonical)
       .unionByName(inventory(audIds, audGate,
-        audPairs.select("a_id", "b_id"), "audio"))
-      .unionByName(inventory(vidIds, vidGate, vidPairs, "video"))
+        audPairs.select("a_id", "b_id"), "audio", canonical))
+      .unionByName(inventory(vidIds, vidGate, vidPairs, "video", canonical))
   }
 }

@@ -401,6 +401,71 @@ object TextOps {
     cross.unionByName(within)
   }
 
+  /** Persist a snapshot's winnow fingerprint index — the WINNOW
+    * member of the cross-snapshot index family
+    * ([[graft.operators.Dedup.writeBandIndex]] for minhash bands,
+    * writeGramIndex for novelty, writePerceptualIndex for media,
+    * writeLshIndex/writeAnnIndex for embeddings): `fps/` holds the
+    * per-doc DISTINCT selected fingerprints (doc_id + 15-hex-char
+    * fp, ~23-byte rows) — everything [[winnowAgainst]] needs to
+    * join a future snapshot without ever re-tokenizing this one.
+    * Geometry (k, w) is baked into the stored fingerprints; the
+    * caller contract is to query with the same parameters (a
+    * mismatch produces fingerprints from a different scheme that
+    * simply never collide — empty output, not corruption).
+    */
+  def writeWinnowIndex(documents: DataFrame, path: String, k: Int = 4,
+      w: Int = 5): Unit =
+    winnow(documents, k, w).select(col("doc_id"), col("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$path/fps")
+
+  /** Incremental partial-overlap detection of a NEW snapshot against
+    * a persisted [[writeWinnowIndex]]: shared-fingerprint pairs
+    * (doc_a, doc_b, n_shared ≥ minShared) where at least one side is
+    * new — within-new and new-vs-indexed, never indexed-vs-indexed
+    * (the previous epoch's output). Only the NEW snapshot is
+    * tokenized and winnowed; the stored corpus contributes its
+    * ~23-byte fingerprint rows.
+    *
+    * EXACT contract (the [[graft.operators.Dedup.dedupAgainst]]
+    * discipline): fingerprinting is per-doc deterministic and the
+    * `fpCap` boilerplate exclusion counts over the UNION frame — the
+    * same counts a joint [[winnowPairs]] run sees — so this output
+    * equals the joint run's at-least-one-new-side subset bit-for-bit
+    * (round-trip spec-asserted, including a cap regime that only
+    * trips on the union; the SQL oracle computes exactly this
+    * restriction). Same honest asymmetry as dedupAgainst: prior
+    * epochs' old-old pairs are not retracted when the union pushes a
+    * fingerprint past `fpCap`. Caller contract: doc_ids unique
+    * across snapshots.
+    */
+  def winnowAgainst(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame, k: Int = 4, w: Int = 5,
+      minShared: Int = 2, fpCap: Int = 64): DataFrame = {
+    val stored = spark.read.parquet(s"$indexPath/fps")
+      .select(col("doc_id").cast("long").as("doc_id"), col("fp"))
+    val fresh = winnow(newDocs, k, w).select(col("doc_id"), col("fp"))
+      .distinct()
+    val union = stored.unionByName(fresh)
+    val rare = union.groupBy("fp").agg(count(lit(1)).as("nd"))
+      .where(col("nd") <= fpCap).select(col("fp"))
+    val f = union.join(rare, "fp")
+    val pairs = f.as("a").join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    // the old-old filter probes the BOUNDED pair frame, not the corpus
+    val aOld = stored.select(col("doc_id").as("doc_a")).distinct()
+      .withColumn("a_old", lit(true))
+    val bOld = stored.select(col("doc_id").as("doc_b")).distinct()
+      .withColumn("b_old", lit(true))
+    pairs.join(aOld, Seq("doc_a"), "left").join(bOld, Seq("doc_b"), "left")
+      .where(!(coalesce(col("a_old"), lit(false)) &&
+        coalesce(col("b_old"), lit(false))))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+  }
+
   /** TF-IDF top terms per document (bounded output side; corpus
     * statistics stay global): tf = per-doc term counts, df = exact
     * distinct-doc counts, score = tf·ln(N/df) rounded 6dp BEFORE the

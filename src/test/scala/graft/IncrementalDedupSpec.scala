@@ -326,6 +326,19 @@ class IncrementalDedupSpec extends SparkSuite {
         "(pigeonholeBands(5) = 8: first power of two above the budget)")
     // the hottest bucket (the 42-pair) holds 2/3 of every band
     assert(ps(("phash"))._5 == 666666L, s"got ${ps(("phash"))._5}")
+    // winnow kind: one logical band, bucket = fingerprint — the
+    // top-share column reads as boilerplate concentration
+    val wdir = java.nio.file.Files
+      .createTempDirectory("graft-idxstats-w").toString
+    graft.operators.TextOps.writeWinnowIndex(snapA, wdir)
+    val ws = statsOf(Dedup.indexStats(spark,
+      Seq(("winnow", "winnow", wdir))).collect())
+    val fpFrame = graft.operators.TextOps.winnow(snapA)
+      .select("doc_id", "fp").distinct()
+    assert(ws(("winnow"))._1 == fpFrame.count())
+    assert(ws(("winnow"))._2 ==
+      fpFrame.select("doc_id").distinct().count())
+    assert(ws(("winnow"))._3 == 1L, "winnow audits one logical band")
     val err = intercept[IllegalArgumentException] {
       Dedup.indexStats(spark, Seq(("x", "bogus", dirA)))
     }

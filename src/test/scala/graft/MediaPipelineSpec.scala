@@ -91,6 +91,58 @@ class MediaPipelineSpec extends SparkSuite {
     assert(inv.size == 11)
   }
 
+  test("inventory drop rules: keep-first keeps both arms of a variant " +
+      "star, canonical collapses the component; clone cliques agree") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val gate = ids.withColumn("keep", lit(true))
+      .withColumn("fail_reasons", lit(""))
+    // the star: variants 0 and 1 each near-dup the common 2, but not
+    // each other; 3 is unrelated
+    val star = Seq((0L, 2L), (1L, 2L)).toDF("a_id", "b_id")
+    def inv(pairs: org.apache.spark.sql.DataFrame, canonical: Boolean) =
+      graft.operators.MediaPipeline.inventory(ids, gate, pairs, "image",
+        canonical).collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
+    val greedy = inv(star, canonical = false)
+    assert(greedy == Map(0L -> (true, ""), 1L -> (true, ""),
+      2L -> (false, "dup_of:0"), 3L -> (true, "")), s"got $greedy")
+    val canon = inv(star, canonical = true)
+    assert(canon == Map(0L -> (true, ""), 1L -> (false, "dup_of:0"),
+      2L -> (false, "dup_of:0"), 3L -> (true, "")), s"got $canon")
+    // a clone CLIQUE (all pairs present): the two rules agree exactly
+    val clique = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("a_id", "b_id")
+    assert(inv(clique, canonical = false) == inv(clique, canonical = true))
+    // a CHAIN 0~2~3: both rules keep only 0; labels differ by design
+    // (greedy names the nearest smaller partner, canonical the rep)
+    val chain = Seq((0L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val gChain = inv(chain, canonical = false)
+    val cChain = inv(chain, canonical = true)
+    assert(gChain.view.mapValues(_._1).toMap ==
+      cChain.view.mapValues(_._1).toMap)
+    assert(gChain(3L) == (false, "dup_of:2") && cChain(3L) == (false, "dup_of:0"))
+  }
+
+  test("curateMedia canonical: same gates and keep-set on the clone " +
+      "fixture as keep-first (clones are cliques)") {
+    implicit val mEnc = Encoders.product[MediaRow]
+    implicit val aEnc = Encoders.product[AudioRow]
+    val images = spark.createDataset(Seq(
+      MediaRow(0L, png(1), "image"), MediaRow(1L, png(1), "image"),
+      MediaRow(2L, png(1), "image"), // three byte-clones: one clique
+      MediaRow(3L, "junk".getBytes("UTF-8"), "image")))
+    val audio = spark.emptyDataset[AudioRow]
+    val videos = spark.emptyDataset[MediaRow]
+    def run(canonical: Boolean) = MediaPipeline.curateMedia(
+        images, audio, videos, imgMinSide = 16, imgMinEntropy = 0.5,
+        canonical = canonical)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0)) ->
+        (r.getBoolean(2), r.getString(3))).toSet
+    assert(run(canonical = false) == run(canonical = true))
+  }
+
   test("curateMedia: gate rejects never reach the dedup stage") {
     implicit val mEnc = Encoders.product[MediaRow]
     implicit val aEnc = Encoders.product[AudioRow]

@@ -108,6 +108,56 @@ class WinnowRepReductionSpec extends SparkSuite {
     assert(groupMap(Dedup.winnowGroups(d, repReduce = false)) == g)
   }
 
+  test("winnowAgainst: round-trip equals the joint run's " +
+      "at-least-one-new-side subset on random dup-heavy corpora") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 11 to 13) {
+      val d = corpus(seed, nBase = 8, maxClones = 5).cache()
+      val cut = d.agg(org.apache.spark.sql.functions
+        .floor(org.apache.spark.sql.functions.max(col("doc_id")) / 2.0))
+        .collect()(0).getLong(0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-winnowidx").toString
+      TextOps.writeWinnowIndex(d.where(col("doc_id") < cut), dir)
+      val inc = pairSet(TextOps.winnowAgainst(spark, dir,
+        d.where(col("doc_id") >= cut)))
+      val joint = pairSet(TextOps.winnowPairs(d))
+        .filter { case (a, b, _) => a >= cut || b >= cut }
+      assert(inc == joint,
+        s"seed $seed: missing=${joint -- inc} extra=${inc -- joint}")
+      // never indexed-vs-indexed
+      assert(!inc.exists { case (a, b, _) => a < cut && b < cut })
+      d.unpersist()
+    }
+  }
+
+  test("winnowAgainst: fpCap counts over the UNION — a fingerprint " +
+      "saturated only by the join of both snapshots is excluded") {
+    import org.apache.spark.sql.functions.col
+    // three old + one new doc all share one passage; fpCap = 3 admits
+    // the old trio alone but the union of four crosses the cap
+    val run = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, s"a0 b0 c0 d0 e0 $run"), (1L, s"a1 b1 c1 d1 e1 $run"),
+      (2L, s"a2 b2 c2 d2 e2 $run"), (10L, s"a9 b9 c9 d9 e9 $run")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-winnowidx-cap").toString
+    TextOps.writeWinnowIndex(d.where(col("doc_id") < 10), dir)
+    val inc = pairSet(TextOps.winnowAgainst(spark, dir,
+      d.where(col("doc_id") >= 10), fpCap = 3))
+    val joint = pairSet(TextOps.winnowPairs(d, fpCap = 3))
+      .filter { case (a, b, _) => a >= 10 || b >= 10 }
+    assert(inc == joint, s"missing=${joint -- inc} extra=${inc -- joint}")
+    // the shared-run fingerprints sit in 4 > 3 docs on the union:
+    // the new doc must NOT pair into the old trio through them
+    assert(inc.isEmpty, s"union-saturated fps must be excluded: $inc")
+    // ...while the prior epoch (old trio alone, 3 <= 3) did pair
+    val withinOld = pairSet(TextOps.winnowPairs(
+      d.where(col("doc_id") < 10), fpCap = 3))
+    assert(withinOld.nonEmpty)
+  }
+
   test("clone stars bridged by a shared passage collapse to one group") {
     // two distinct texts sharing a long run, each cloned; ids
     // interleaved so the star minimum is not the corpus minimum
