@@ -119,6 +119,42 @@ object SparkEntry {
       p
     }
 
+  /** Memoized old-half frozen bigram LM — q_lm_serve scores the new
+    * half under it (the CCNet reference-model deployment shape).
+    */
+  private def lmIndexOf(s: SparkSession, d: String): String =
+    memo(s, d, "lmindex-path") {
+      val p = indexScratchPath(d, "lmindex")
+      TextOps.writeLmIndex(docHalf(s, d, old = true), p)
+      p
+    }
+
+  /** Memoized old-half frozen BPE tokenizer — q_bpe_serve encodes the
+    * new half under it with zero training rounds.
+    */
+  private def bpeIndexOf(s: SparkSession, d: String): String =
+    memo(s, d, "bpeindex-path") {
+      val p = indexScratchPath(d, "bpeindex")
+      TextOps.writeBpeIndex(docHalf(s, d, old = true), p)
+      p
+    }
+
+  /** Memoized full-corpus BPE merge table — bpeLearn's driver-looped
+    * rounds are deterministic, so q_bpe_learn/tokens/vocab share ONE
+    * training run per (session, dir). The tiny (≤512-row) result is
+    * collected and re-created as a local frame: the memo must not
+    * hand later queries a lineage chained through the training
+    * session's checkpoints.
+    */
+  private def bpeMergesOf(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "bpe-merges") {
+      import s.implicits._
+      TextOps.bpeLearn(t(s, d, "documents")).collect()
+        .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"),
+          r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+        .toSeq.toDF("rank", "left", "right", "pair_count")
+    }
+
   /** Memoized full-corpus IVF-PQ index — q_ann_serve serves against
     * it, q_index_stats audits its cell balance.
     */
@@ -430,20 +466,39 @@ object SparkEntry {
     "q_train_split" -> ((s, d) => TextOps.trainSplit(t(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) => TextOps.vocabTopK(t(s, d, "documents"))),
     // rows-only (driver-iterated merge training): spec re-derives the
-    // merge table with an independent local model (BpeSpec)
-    "q_bpe_learn" -> ((s, d) => TextOps.bpeLearn(t(s, d, "documents"))),
+    // merge table with an independent local model (BpeSpec). The
+    // learned table is memoized per (session, dir) — training is
+    // deterministic and three registry keys read it; re-running the
+    // serial argmax rounds per key was pure waste (the fixture-memo
+    // rule applied to a driver-trained artifact)
+    "q_bpe_learn" -> ((s, d) => bpeMergesOf(s, d)),
     // rows-only (needs the learned table): per-doc fertility under the
     // merges learned on the same corpus
-    "q_bpe_tokens" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      TextOps.bpeTokens(docs, TextOps.bpeLearn(docs))
-    }),
+    "q_bpe_tokens" -> ((s, d) =>
+      TextOps.bpeTokens(t(s, d, "documents"), bpeMergesOf(s, d))),
     // rows-only: the learned subword inventory with corpus
     // frequencies; conservation spec vs q_bpe_tokens in BpeSpec
-    "q_bpe_vocab" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      TextOps.bpeVocab(docs, TextOps.bpeLearn(docs))
-    }),
+    "q_bpe_vocab" -> ((s, d) =>
+      TextOps.bpeVocab(t(s, d, "documents"), bpeMergesOf(s, d))),
+    // rows-only (the serve leg of driver-iterated training): fertility
+    // of the NEW doc half under the PERSISTED tokenizer trained on the
+    // old half — zero training rounds on the serve path; round-trip
+    // spec in BpeSpec
+    "q_bpe_serve" -> ((s, d) =>
+      TextOps.bpeTokensFrom(s, bpeIndexOf(s, d),
+        docHalf(s, d, old = false))),
+    // frozen-LM scoring (the CCNet reference-model shape): new half
+    // scored under the PERSISTED old-half bigram model — unseen
+    // bigrams take the Laplace floor; SQL oracle recomputes the
+    // stored model from the old half
+    "q_lm_serve" -> ((s, d) =>
+      TextOps.lmScoreFrom(s, lmIndexOf(s, d),
+        docHalf(s, d, old = false))),
+    // seeded reproducible epoch order: per-shard positions from
+    // differently-salted md5 keys of (seed, doc_id) — no RNG state,
+    // no global sort
+    "q_train_order" -> ((s, d) =>
+      Curation.trainOrder(t(s, d, "documents"))),
     // oracle-checked in the exact regime only: capacity 256 exceeds
     // the gate vocabulary (~31), where Misra-Gries provably never
     // decrements and the summary equals exact counts; the sketch
@@ -2129,6 +2184,58 @@ object SparkEntry {
         |    AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS avg_logprob
         |FROM tf JOIN pair USING (w1, w2) JOIN firsts USING (w1) CROSS JOIN vocab
         |GROUP BY doc_id""".stripMargin,
+    // the stored old-half model recomputed inline (writeLmIndex is
+    // deterministic, so the serve output equals scoring against a
+    // fresh old-half model); LEFT joins + COALESCE are the Laplace
+    // floor for bigrams the frozen model never saw
+    "q_lm_serve" ->
+      """WITH cut AS (
+        |  SELECT CAST(FLOOR(MAX(doc_id) / 2.0) AS BIGINT) AS c FROM documents
+        |), olddocs AS (
+        |  SELECT * FROM documents WHERE doc_id < (SELECT c FROM cut)
+        |), newdocs AS (
+        |  SELECT * FROM documents WHERE doc_id >= (SELECT c FROM cut)
+        |), obg AS (
+        |  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+        |  FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i
+        |        FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |              FROM olddocs)
+        |        WHERE len(toks) >= 2)
+        |), pair AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM obg GROUP BY 1, 2
+        |), firsts AS (
+        |  SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_first FROM pair GROUP BY 1
+        |), vocab AS (
+        |  SELECT COUNT(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM olddocs)
+        |  WHERE tok <> ''
+        |), nbg AS (
+        |  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |              FROM newdocs)
+        |        WHERE len(toks) >= 2)
+        |), tf AS (
+        |  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM nbg GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CAST(tf AS DECIMAL(10,0)) *
+        |      CAST(ROUND(ln(CAST(COALESCE(n_pair, 0) + 1 AS DOUBLE) /
+        |                    CAST(COALESCE(n_first, 0) + v AS DOUBLE)), 6) AS DECIMAL(12,6)))
+        |    AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS avg_logprob
+        |FROM tf LEFT JOIN pair USING (w1, w2) LEFT JOIN firsts USING (w1) CROSS JOIN vocab
+        |GROUP BY doc_id""".stripMargin,
+    "q_train_order" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('shard:0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+        |    md5('0:' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents
+        |)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+        |FROM keyed""".stripMargin,
     "q_hash_embed" ->
       """WITH counts AS (
         |  SELECT doc_id,

@@ -1242,4 +1242,37 @@ object Curation {
       .drop("snap_bucket")
     (old, newer)
   }
+
+  /** Seeded deterministic training order — the epoch shuffle a
+    * training run needs to be REPRODUCIBLE at 100 TB: every doc gets
+    * a (shard, pos) coordinate from content-free hashes of
+    * (seed, doc_id), so any worker can materialize its shard's exact
+    * read order independently (no global RNG state, no driver-side
+    * permutation array — the q_domain_mix hash-not-RNG discipline
+    * applied to ordering). Different seeds give independent epoch
+    * orders; the same seed replays bit-for-bit, which is what makes
+    * loss-spike forensics ("which batch was that") possible.
+    *
+    * Shard and order derive from DIFFERENTLY-SALTED md5 keys
+    * (engine-portable, the [[graft.functions.TextFunctions.hashBucket]]
+    * convention) so a shard never correlates with its internal order.
+    *
+    * Plan shape: one projection + ONE window partitioned by shard
+    * (never a global sort — `pos` is per-shard, and shards are the
+    * parallel read unit; a consumer wanting one stream reads shards
+    * round-robin). O(n/nShards) rows per window partition, no joins.
+    */
+  def trainOrder(documents: DataFrame, seed: Long = 0,
+      nShards: Int = 8): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    val key = concat(lit(s"$seed:"), col("doc_id").cast("string"))
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    documents
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.hashBucket(key, nShards, "shard:")
+          .as("shard"),
+        md5(key).as("ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -735,6 +735,100 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Persist a corpus's add-one-smoothed bigram LM — the frozen
+    * reference model a production quality filter actually scores
+    * against (the CCNet/KenLM deployment shape: the LM is trained
+    * ONCE on a trusted reference corpus, then every crawl snapshot is
+    * scored under it; [[bigramLogProb]]'s self-trained form is the
+    * audit variant, this is the serve variant — the
+    * [[graft.operators.Similarity.writeAnnIndex]] train-once/
+    * serve-many discipline applied to the LM family). Artifacts:
+    * `pairs/` = (w1, w2, n_pair) corpus bigram counts, `firsts/` =
+    * (w1, n_first) the w1 marginals DERIVED FROM THE WRITTEN pairs
+    * (read back, so a partial write cannot carry inconsistent
+    * marginals), `meta/` = one row (vocab_size) counted over the
+    * corpus token stream — everything [[lmScoreFrom]] needs, at
+    * O(distinct bigrams) rows, with the training text never re-read.
+    */
+  def writeLmIndex(documents: DataFrame, path: String): Unit = {
+    val spark = documents.sparkSession
+    val toks = filter(tokenize(col("text")), t => t =!= "")
+    documents
+      .where(size(toks) >= 2)
+      .select(explode(shingleStructs(toks, 2)).as("z"))
+      .select(col("z").getField("0").as("w1"),
+        col("z").getField("1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .write.mode("overwrite").parquet(s"$path/pairs")
+    spark.read.parquet(s"$path/pairs")
+      .groupBy("w1").agg(sum(col("n_pair")).as("n_first"))
+      .write.mode("overwrite").parquet(s"$path/firsts")
+    documents.select(explode(toks).as("tok"))
+      .where(col("tok") =!= "")
+      .agg(countDistinct(col("tok")).as("vocab_size"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score a NEW snapshot under a persisted [[writeLmIndex]] model:
+    * per-doc mean ln P(w2|w1) with the STORED corpus counts and
+    * vocabulary — P(w2|w1) = (n_pair + 1) / (n_first + V), where a
+    * bigram or first-word the frozen model never saw contributes its
+    * Laplace floor (n_pair→0 / n_first→0 via left joins — the
+    * smoothing exists exactly so unseen events stay finite). Scored
+    * docs play NO part in the probabilities: two snapshots scored
+    * against the same artifacts are on one scale, which is what makes
+    * per-snapshot quality-drift comparisons meaningful (the
+    * self-trained [[bigramLogProb]] re-normalizes per corpus).
+    *
+    * Determinism: the [[bigramLogProb]] recipe verbatim — exact
+    * integer adds inside one 6-dp-rounded ln per distinct scored
+    * bigram, DECIMAL × tf summation, ONE unrounded IEEE division.
+    *
+    * Plan: the scored snapshot contributes one (doc, w1, w2) tf
+    * aggregate; the model contributes two keyed parquet scans (no
+    * training stage — the serve path's defining property) and one
+    * single-row broadcast. Shuffle O(distinct scored bigrams).
+    */
+  /** The frozen-model Laplace log-probability over joined
+    * (n_pair, n_first) columns — ONE definition shared by the batch
+    * [[lmScoreFrom]] and the streaming
+    * [[graft.streaming.StreamingOps.lmScoreDocStream]] gate (the
+    * gate/audit no-drift discipline): ln((n_pair+1)/(n_first+V))
+    * with null joins coalesced to the unseen floor, rounded 6 dp
+    * (the libm last-ulp rule) and cast DECIMAL so any summation
+    * order is exact.
+    */
+  private[graft] def lmLogProb(vocabSize: Column): Column =
+    round(log(
+        (coalesce(col("n_pair"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("n_first"), lit(0L)) + vocabSize).cast("double")), 6)
+      .cast("decimal(12,6)")
+
+  def lmScoreFrom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame): DataFrame = {
+    val toks = filter(tokenize(col("text")), t => t =!= "")
+    val tf = newDocs
+      .where(size(toks) >= 2)
+      .select(col("doc_id"), explode(shingleStructs(toks, 2)).as("z"))
+      .select(col("doc_id"), col("z").getField("0").as("w1"),
+        col("z").getField("1").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val pairs = spark.read.parquet(s"$indexPath/pairs")
+    val firsts = spark.read.parquet(s"$indexPath/firsts")
+    val meta = spark.read.parquet(s"$indexPath/meta")
+    val lp = lmLogProb(col("vocab_size"))
+    tf.join(pairs, Seq("w1", "w2"), "left")
+      .join(firsts, Seq("w1"), "left")
+      .crossJoin(broadcast(meta))
+      .select(col("doc_id"), col("tf"),
+        (col("tf").cast("decimal(10,0)") * lp).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("contrib")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_lp").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_logprob"))
+  }
+
   /** Feature-hashing document vectorizer, sparse form — the text →
     * vector bridge that needs NO trained model (the public HashingTF
     * recipe): each token lands in bucket md5(token) mod dim via the
@@ -1191,6 +1285,40 @@ object TextOps {
       .agg(sum(col("occ")).as("n_occurrences"),
         sum(col("one")).as("n_words"))
   }
+
+  /** Persist a trained BPE tokenizer — the artifact hand-off a
+    * tokenizer build ships ([[bpeLearn]]'s merge table written once;
+    * `vocab/` derives from the WRITTEN merges read back, the
+    * [[writeLmIndex]] partial-write discipline): a production
+    * pipeline trains the tokenizer ONCE on a reference snapshot and
+    * every later corpus slice tokenizes under the frozen merges —
+    * retraining per slice would silently change the token ids the
+    * model was trained on. `merges/` = (rank, left, right,
+    * pair_count); `vocab/` = the training corpus's resulting subword
+    * inventory ([[bpeVocab]]) for UNK/coverage audits.
+    */
+  def writeBpeIndex(documents: DataFrame, path: String, nMerges: Int = 32,
+      minPairCount: Long = 2): Unit = {
+    val spark = documents.sparkSession
+    bpeLearn(documents, nMerges, minPairCount)
+      .write.mode("overwrite").parquet(s"$path/merges")
+    bpeVocab(documents, spark.read.parquet(s"$path/merges"))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Per-doc fertility of a NEW snapshot under a persisted
+    * [[writeBpeIndex]] tokenizer — the serve leg: the stored merge
+    * table (≤512 rows) loads as a bounded driver artifact and the
+    * NEW snapshot encodes under it with ZERO training rounds (no
+    * per-round argmax jobs — the [[bpeLearn]] driver loop never
+    * runs; plan equals [[bpeTokens]] with a frozen table). Fertility
+    * drift between snapshots scored against the SAME artifacts is
+    * the tokenizer-rot audit: a rising fertility means the corpus is
+    * moving away from what the tokenizer was trained on.
+    */
+  def bpeTokensFrom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame): DataFrame =
+    bpeTokens(newDocs, spark.read.parquet(s"$indexPath/merges"))
 
   /** Rank-order BPE encode of one word: chars + `</w>`, then each
     * merge applied leftmost-first non-overlapping — the exact

@@ -382,6 +382,51 @@ object StreamingOps {
       .drop("n_bytes", "zlib_len")
   }
 
+  /** Ingest-time quality scoring under a persisted frozen bigram LM
+    * ([[graft.operators.TextOps.writeLmIndex]]) — the CCNet-style
+    * reference-model filter deployed AT THE STREAM HEAD: every
+    * arriving snapshot scores on the SAME scale because the model
+    * never retrains on the stream. Each document's bigrams left-join
+    * the stored model (stream-static — stateless, no stream state for
+    * the join side), the vocabulary size loads ONCE as a driver
+    * literal at plan build (the contamGateDocStream eager-artifact
+    * rule), and ONE watermarked per-(window, doc) aggregation emits
+    * (win_start, doc_id, n_bigrams, avg_logprob) as windows close.
+    *
+    * Batch duality (spec-asserted): rows equal
+    * [[graft.operators.TextOps.lmScoreFrom]] on the same documents
+    * bit-for-bit — the log-prob column is the SHARED
+    * `TextOps.lmLogProb` definition, and per-occurrence DECIMAL
+    * summation is fold-order-free, so stream batching cannot shift a
+    * score. Docs with < 2 tokens emit no row (the batch contract).
+    */
+  def lmScoreDocStream(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, docs: DataFrame, windowLen: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.{shingleStructs, tokenize}
+    val vocab = spark.read.parquet(s"$indexPath/meta")
+      .collect()(0).getAs[Long]("vocab_size")
+    val pairs = spark.read.parquet(s"$indexPath/pairs")
+    val firsts = spark.read.parquet(s"$indexPath/firsts")
+    val toks = filter(tokenize(col("text")), t => t =!= "")
+    docs
+      .withWatermark("ingest_ts", watermarkDelay)
+      .where(size(toks) >= 2)
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(shingleStructs(toks, 2)).as("z"))
+      .select(col("doc_id"), col("ingest_ts"),
+        col("z").getField("0").as("w1"), col("z").getField("1").as("w2"))
+      .join(pairs, Seq("w1", "w2"), "left")
+      .join(firsts, Seq("w1"), "left")
+      .groupBy(window(col("ingest_ts"), windowLen), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(graft.operators.TextOps.lmLogProb(lit(vocab))).as("sum_lp"))
+      .select(col("window.start").as("win_start"), col("doc_id"),
+        col("n_bigrams"),
+        (col("sum_lp").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_logprob"))
+  }
+
   /** Streaming event-validity gate — the per-row ingest dual of
     * [[graft.operators.Payments.dataQuality]]'s scan-local rules
     * (shared rule definitions — the two surfaces cannot drift; the

@@ -179,4 +179,39 @@ class BpeSpec extends SparkSuite {
     assert(TextOps.bpeVocab(empty,
       TextOps.bpeLearn(empty, nMerges = 3)).count() == 0)
   }
+
+  test("writeBpeIndex/bpeTokensFrom: the serve leg equals in-memory " +
+      "learn+encode, and the vocab artifact matches the written merges") {
+    val train = df(Seq(
+      "low low low low lower lower lowest",
+      "new new newer newest low"))
+    val fresh = df(Seq("lowest newest low", "brand new words here"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bpeidx").toString
+    TextOps.writeBpeIndex(train, dir, nMerges = 8)
+    def fert(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"),
+          r.getAs[Double]("fertility")))).toMap
+    val served = fert(TextOps.bpeTokensFrom(spark, dir, fresh))
+    val mem = fert(TextOps.bpeTokens(fresh, TextOps.bpeLearn(train, 8)))
+    assert(served == mem, s"served=$served mem=$mem")
+    // merges/ round-trips the learned table exactly
+    val storedMerges = spark.read.parquet(s"$dir/merges").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSet
+    val memMerges = TextOps.bpeLearn(train, 8).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSet
+    assert(storedMerges == memMerges && storedMerges.nonEmpty)
+    // vocab/ derives from the written merges over the TRAINING corpus
+    val storedVocab = spark.read.parquet(s"$dir/vocab").collect()
+      .map(r => r.getAs[String]("subtoken") ->
+        ((r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_words")))).toMap
+    val memVocab = TextOps.bpeVocab(train, TextOps.bpeLearn(train, 8))
+      .collect()
+      .map(r => r.getAs[String]("subtoken") ->
+        ((r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_words")))).toMap
+    assert(storedVocab == memVocab)
+  }
 }

@@ -217,4 +217,22 @@ class EmptyInputSpec extends SparkSuite {
       Similarity.annRecall(Similarity.annTopK(noEmb), Similarity.annLsh(noEmb)))
     assertEmptyOk("clusterPurity", Similarity.clusterPurity(noEmb))
   }
+
+  test("serve/order operators tolerate an empty new snapshot") {
+    val train = Seq((0L, "a b a b c", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val lm = java.nio.file.Files
+      .createTempDirectory("graft-empty-lm").toString
+    TextOps.writeLmIndex(train, lm)
+    assertEmptyOk("lmScoreFrom", TextOps.lmScoreFrom(spark, lm, noDocs))
+    val bpe = java.nio.file.Files
+      .createTempDirectory("graft-empty-bpe").toString
+    TextOps.writeBpeIndex(train, bpe, nMerges = 4, minPairCount = 1)
+    assertEmptyOk("bpeTokensFrom", TextOps.bpeTokensFrom(spark, bpe, noDocs))
+    val wn = java.nio.file.Files
+      .createTempDirectory("graft-empty-wn").toString
+    TextOps.writeWinnowIndex(train, wn)
+    assertEmptyOk("winnowAgainst", TextOps.winnowAgainst(spark, wn, noDocs))
+    assertEmptyOk("trainOrder", graft.operators.Curation.trainOrder(noDocs))
+  }
 }

@@ -317,6 +317,48 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("lmScoreDocStream: closed-window scores equal the batch " +
+      "lmScoreFrom bit-for-bit; short docs emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen model trained on a batch reference corpus
+    val train = Seq((100L, "a b a b c"), (101L, "a b c d"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lmstream").toString
+    graft.operators.TextOps.writeLmIndex(train, dir)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = StreamingOps.lmScoreDocStream(spark, dir, df, "1 minute",
+        "0 seconds")
+      .writeStream.format("memory").queryName("lm_gate")
+      .outputMode("append").start()
+    try {
+      val scored = Seq(
+        (0L, "a b c a"),        // all-seen bigrams
+        (1L, "x y z"),          // all-unseen: pure Laplace floor
+        (2L, "a q b c"),        // mixed seen/unseen
+        (3L, "single"), (4L, "")) // < 2 tokens: no row
+      input.addData(scored.map { case (id, t) =>
+        (id, t, ts("2024-01-01 09:00:10")) }: _*)
+      q.processAllAvailable()
+      // a next-window doc advances the watermark, closing 09:00
+      input.addData((9L, "a b", ts("2024-01-01 09:05:00")))
+      q.processAllAvailable()
+      val live = spark.table("lm_gate").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))))
+        .toMap
+      val batch = graft.operators.TextOps.lmScoreFrom(spark, dir,
+          scored.toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))))
+        .toMap
+      assert(live == batch, s"live $live != batch $batch")
+      assert(!live.contains(3L) && !live.contains(4L))
+      assert(live.keySet == Set(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("validityGateEventStream: per-row verdicts reconcile with the batch dataQuality counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Option[Long], Double)]

@@ -649,4 +649,50 @@ class TextOpsSpec extends SparkSuite {
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("ratio")).toMap
     assert(again(0L) == ratioRep && again(1L) == ratioDiv)
   }
+
+  private def lmScores(d: org.apache.spark.sql.DataFrame) =
+    d.collect().map(x => x.getAs[Long]("doc_id") ->
+      ((x.getAs[Long]("n_bigrams"), x.getAs[Double]("avg_logprob")))).toMap
+
+  test("lmScoreFrom: the training corpus scored under its own stored " +
+      "model equals the self-trained bigramLogProb bit-for-bit") {
+    val d = Seq(
+      (0L, "a b a b c"), (1L, "a b c d e"), (2L, "b c b c a b"),
+      (3L, "single"), (4L, "")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lmidx").toString
+    TextOps.writeLmIndex(d, dir)
+    val served = lmScores(TextOps.lmScoreFrom(spark, dir, d))
+    val self = lmScores(TextOps.bigramLogProb(d))
+    assert(served == self, s"served=$served self=$self")
+  }
+
+  test("lmScoreFrom: unseen bigrams take the Laplace floor, and a " +
+      "doc's frozen-model score is batch-independent") {
+    // training corpus: vocab = {a, b, c} (V = 3); firsts: a→2, b→2
+    val train = Seq((0L, "a b c"), (1L, "a b")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lmidx2").toString
+    TextOps.writeLmIndex(train, dir)
+    // novel tokens: n_pair→0, n_first→0 ⇒ ln(1 / V)
+    val novel = Seq((10L, "x y")).toDF("doc_id", "text")
+    val floor = BigDecimal(math.log(1.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = lmScores(TextOps.lmScoreFrom(spark, dir, novel))(10L)
+    assert(got == ((1L, floor)), s"got $got want (1, $floor)")
+    // seen first-word, unseen continuation: ln((0+1)/(n_first(a)+V))
+    val half = Seq((11L, "a c")).toDF("doc_id", "text")
+    val partial = BigDecimal(math.log(1.0 / (2 + 3).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(lmScores(TextOps.lmScoreFrom(spark, dir, half))(11L) ==
+      ((1L, partial)))
+    // frozen scale: the same doc scores identically alone and in a
+    // batch with other docs (bigramLogProb, self-trained, would
+    // re-normalize — the property that distinguishes the serve leg)
+    val batch = novel.unionByName(half)
+      .unionByName(Seq((12L, "a b a b")).toDF("doc_id", "text"))
+    val inBatch = lmScores(TextOps.lmScoreFrom(spark, dir, batch))
+    assert(inBatch(10L) == got && inBatch(11L) == ((1L, partial)))
+  }
 }
