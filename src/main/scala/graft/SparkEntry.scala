@@ -338,6 +338,21 @@ object SparkEntry {
     // equality vs the in-memory build spec'd in SimilaritySpec)
     "q_ann_serve" -> ((s, d) =>
       Similarity.annFromIndex(s, annIndexOf(s, d), t(s, d, "embeddings"))),
+    // rows-only (served through the stored index): metadata-filtered
+    // vector search — allowed ids semi-join the stored codes BEFORE
+    // ADC scoring, so top-k ranks count label-3 candidates only
+    // (filter-pushdown + true-filter-identity specs in SimilaritySpec)
+    "q_ann_filtered" -> ((s, d) =>
+      Similarity.annFromIndex(s, annIndexOf(s, d), t(s, d, "embeddings"),
+        candidateFilter = Some(
+          org.apache.spark.sql.functions.col("label") === 3))),
+    // rows-only (stored Lloyd's centroids): per-cell mass shift of
+    // the new embedding half vs the old under the FROZEN stored
+    // centroids — the "when do I retrain" audit (hand-computed
+    // assignment + dead-cell + TV specs in SimilaritySpec)
+    "q_embed_drift" -> ((s, d) =>
+      Similarity.embedDrift(s, annIndexOf(s, d),
+        embedHalf(s, d, old = true), embedHalf(s, d, old = false))),
     // rows-only (index artifact audit): the read-side health view of
     // the persisted index family — rows / distinct docs / bands /
     // saturation share / hottest-bucket ppm per artifact, payloads

@@ -1387,14 +1387,30 @@ object Similarity {
     */
   def annFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       source: DataFrame, nQueries: Long = 10, k: Int = 5, nProbe: Int = 4,
-      rerank: Int = 50, dim: Int = 64): DataFrame = {
+      rerank: Int = 50, dim: Int = 64,
+      candidateFilter: Option[Column] = None): DataFrame = {
     val (centroids, books) = readAnnArtifacts(spark, path)
     require(centroids.nonEmpty && books.nonEmpty,
       s"annFromIndex: empty index artifacts at $path")
     require(centroids.head.length == dim,
       s"annFromIndex: stored centroids are dim=${centroids.head.length}, " +
         s"caller asked dim=$dim")
-    val corpus = spark.read.parquet(s"$path/codes")
+    // filtered vector search ("nearest neighbors WHERE lang = …" —
+    // the metadata+vector query a curation pipeline actually runs):
+    // PRE-filtering, the standard recipe when the predicate is
+    // row-metadata — the allowed id set semi-joins the stored codes
+    // BEFORE the ADC join, so disallowed candidates never reach
+    // scoring and top-k ranks count allowed rows only. Known honest
+    // cost: a probed cell holding few allowed members yields fewer
+    // candidates (raise nProbe for very selective filters). Queries
+    // themselves are NOT filtered — "find allowed neighbors of any
+    // query" is the contract.
+    val corpus0 = spark.read.parquet(s"$path/codes")
+    val corpus = candidateFilter match {
+      case None => corpus0
+      case Some(p) => corpus0.join(
+        registered(source).where(p).select(col("vec_id")), "vec_id")
+    }
     val e = registered(source).select(col("vec_id"), col("embedding"))
       .where(pqEncodable(dim))
     adcSearch(centroids, books, corpus, e, nQueries, k, nProbe, rerank, dim)
@@ -1447,6 +1463,62 @@ object Similarity {
         .select(col("vec_id"), col("cell"),
           pqCodeArray(bks, col("embedding"), dim).as("codes")))
       .write.mode("overwrite").parquet(s"$outPath/codes")
+  }
+
+  /** Per-cell distribution drift of a NEW embedding snapshot vs a
+    * REFERENCE snapshot under the FROZEN stored ANN centroids
+    * ([[writeAnnIndex]]) — the "when do I retrain" audit completing
+    * the index lifecycle ([[graft.operators.Dedup.indexStats]]: how
+    * big / when do I compact; [[annRecall]]: is recall still there;
+    * this: has the corpus MOVED under the frozen geometry). Both
+    * snapshots assign to the SAME stored centroids (argmax cell —
+    * where the index would file them), so the per-cell mass
+    * comparison is apples-to-apples; a reference that re-derived its
+    * own centroids would hide exactly the drift being measured.
+    *
+    * One row per stored cell — including cells NEITHER snapshot hits
+    * (a dead cell is a retraining signal too): (cell, n_ref, n_new,
+    * share_ref_ppm, share_new_ppm, drift_ppm), shares exact integer
+    * ppm of their snapshot totals (empty snapshot → 0), drift_ppm =
+    * |share_new − share_ref|. Σ drift_ppm / 2e6 is the
+    * total-variation distance, one aggregate away.
+    *
+    * Plan: one scan + argmax projection + nCells-row aggregate per
+    * snapshot; everything after is joins over nCells-row frames +
+    * two single-row broadcasts. Scan-bound, no shuffle wider than
+    * the cell key.
+    */
+  def embedDrift(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, refVecs: DataFrame, newVecs: DataFrame,
+      dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val (centroids, _) = readAnnArtifacts(spark, indexPath)
+    require(centroids.nonEmpty && centroids.head.length == dim,
+      s"embedDrift: stored centroids are dim=${centroids.headOption
+        .map(_.length).getOrElse(0)}, caller asked dim=$dim")
+    def cellCounts(vecs: DataFrame, name: String) =
+      cellsFor(registered(vecs).select(col("vec_id"), col("embedding"))
+          .where(pqEncodable(dim)), centroids, nProbe = 1)
+        .groupBy("cell").agg(count(lit(1)).as(name))
+    val ref = cellCounts(refVecs, "n_ref")
+    val fresh = cellCounts(newVecs, "n_new")
+    val allCells = centroids.indices.toDF("cell")
+    val totals = allCells
+      .join(ref, Seq("cell"), "left").join(fresh, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val sums = totals.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_new")).as("t_new"))
+    // exact integer ppm (the q_dedup_rate `div` convention): counts
+    // ≤ ~1e12 rows × 1e6 stays far inside long range
+    def ppm(n: String, t: String) =
+      when(col(t) > 0, expr(s"($n * 1000000) div $t")).otherwise(lit(0L))
+    totals.crossJoin(broadcast(sums))
+      .select(col("cell"), col("n_ref"), col("n_new"),
+        ppm("n_ref", "t_ref").as("share_ref_ppm"),
+        ppm("n_new", "t_new").as("share_new_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("share_new_ppm") - col("share_ref_ppm")))
   }
 
   /** LSH-bucketed ANN: candidates share a bucket with the query in any

@@ -751,22 +751,84 @@ object TextOps {
     * O(distinct bigrams) rows, with the training text never re-read.
     */
   def writeLmIndex(documents: DataFrame, path: String): Unit = {
-    val spark = documents.sparkSession
     val toks = filter(tokenize(col("text")), t => t =!= "")
-    documents
+    val pairCounts = documents
       .where(size(toks) >= 2)
       .select(explode(shingleStructs(toks, 2)).as("z"))
       .select(col("z").getField("0").as("w1"),
         col("z").getField("1").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-      .write.mode("overwrite").parquet(s"$path/pairs")
+    val vocabCounts = documents.select(explode(toks).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n_occ"))
+    writeLmArtifacts(documents.sparkSession, path, pairCounts, vocabCounts)
+  }
+
+  /** The write half shared by [[writeLmIndex]] and [[updateLmIndex]]:
+    * pairs first, then marginals and the vocab-size scalar DERIVED
+    * FROM THE WRITTEN artifacts (a partial write cannot carry
+    * inconsistent marginals or a stale V). `vocab/` keeps per-token
+    * occurrence COUNTS, not just the distinct count — counts are
+    * what makes retraction exact (a token fully retracted must leave
+    * V, and only its count knows when).
+    */
+  private def writeLmArtifacts(spark: org.apache.spark.sql.SparkSession,
+      path: String, pairCounts: DataFrame, vocabCounts: DataFrame): Unit = {
+    pairCounts.write.mode("overwrite").parquet(s"$path/pairs")
+    vocabCounts.write.mode("overwrite").parquet(s"$path/vocab")
     spark.read.parquet(s"$path/pairs")
       .groupBy("w1").agg(sum(col("n_pair")).as("n_first"))
       .write.mode("overwrite").parquet(s"$path/firsts")
-    documents.select(explode(toks).as("tok"))
-      .where(col("tok") =!= "")
-      .agg(countDistinct(col("tok")).as("vocab_size"))
+    spark.read.parquet(s"$path/vocab")
+      .agg(count(lit(1)).as("vocab_size"))
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Maintain a persisted LM across a re-crawl — the index-surgery
+    * leg ([[graft.operators.Dedup.updateBandIndex]]'s seam) with a
+    * property the sketch families don't have: bigram and token
+    * counts form an exact MONOID, so retract = subtract, add = add,
+    * and the surgered index is BIT-EQUAL to a scratch
+    * [[writeLmIndex]] over the post-diff corpus (spec-asserted) —
+    * not "equal under frozen artifacts", actually equal. Pass the
+    * retracted slice's DOCUMENTS (the snapshotDiff `removed` +
+    * `changed` old rows — only the changed slices are ever
+    * re-tokenized; the stored corpus contributes its count rows) and
+    * the added slice. Counts reaching zero DROP their rows: a fully
+    * retracted token must leave the vocabulary (V), and an absent
+    * pair row scores identically to a zero row by the
+    * [[lmLogProb]] coalesce — pruning keeps the artifacts
+    * rebuild-identical. `outPath` must differ from `indexPath`
+    * (parquet cannot overwrite its own scan — the corpus-store
+    * versioning discipline).
+    */
+  def updateLmIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String, retractDocs: DataFrame,
+      addedDocs: DataFrame): Unit = {
+    require(outPath != indexPath,
+      s"updateLmIndex cannot overwrite the index it reads ($indexPath)")
+    val toks = filter(tokenize(col("text")), t => t =!= "")
+    def pairDelta(docs: DataFrame, sign: Int) = docs
+      .where(size(toks) >= 2)
+      .select(explode(shingleStructs(toks, 2)).as("z"))
+      .select(col("z").getField("0").as("w1"),
+        col("z").getField("1").as("w2"))
+      .groupBy("w1", "w2").agg((count(lit(1)) * sign).as("n_pair"))
+    def vocabDelta(docs: DataFrame, sign: Int) = docs
+      .select(explode(toks).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg((count(lit(1)) * sign).as("n_occ"))
+    val pairs = spark.read.parquet(s"$indexPath/pairs")
+      .unionByName(pairDelta(retractDocs, -1))
+      .unionByName(pairDelta(addedDocs, 1))
+      .groupBy("w1", "w2").agg(sum(col("n_pair")).as("n_pair"))
+      .where(col("n_pair") > 0)
+    val vocab = spark.read.parquet(s"$indexPath/vocab")
+      .unionByName(vocabDelta(retractDocs, -1))
+      .unionByName(vocabDelta(addedDocs, 1))
+      .groupBy("tok").agg(sum(col("n_occ")).as("n_occ"))
+      .where(col("n_occ") > 0)
+    writeLmArtifacts(spark, outPath, pairs, vocab)
   }
 
   /** Score a NEW snapshot under a persisted [[writeLmIndex]] model:

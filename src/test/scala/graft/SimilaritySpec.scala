@@ -745,6 +745,89 @@ class SimilaritySpec extends SparkSuite {
     assert(err.getMessage.contains("dim"))
   }
 
+  test("annFromIndex candidateFilter: neighbors all satisfy the " +
+      "predicate, a true filter is the identity, ranks stay dense") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annfilter-spec").toString
+    Similarity.writeAnnIndex(emb, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Long]("rnk"))).toSet
+    // a tautological filter routes through the join leg yet must be
+    // the unfiltered serve bit-for-bit (same stored codes survive)
+    assert(rows(Similarity.annFromIndex(spark, dir, emb,
+        candidateFilter = Some(lit(true)))) ==
+      rows(Similarity.annFromIndex(spark, dir, emb)))
+    // a selective filter: every served neighbor satisfies it
+    val allowed = emb.where(col("label") === 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(allowed.nonEmpty && allowed.size < emb.count())
+    val filtered = Similarity.annFromIndex(spark, dir, emb,
+      candidateFilter = Some(col("label") === 3))
+    val got = rows(filtered)
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, n, _, _) => allowed.contains(n) },
+      s"disallowed neighbors served: ${got.filterNot(t => allowed(t._2))}")
+    // ranking runs AMONG allowed candidates (rank 1 present per
+    // query, all ranks ≤ k) — not sparse survivors of an unfiltered
+    // ranking, which would start above 1 for most queries
+    got.groupBy(_._1).foreach { case (q, ts) =>
+      val rnks = ts.map(_._4)
+      assert(rnks.min == 1L && rnks.max <= 5L, s"query $q ranks $rnks")
+    }
+  }
+
+  test("embedDrift: self-drift is zero with cells matching the stored " +
+      "codes histogram; a point mass lands 1e6 ppm in one cell; dim guard") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drift-spec").toString
+    Similarity.writeAnnIndex(emb, dir)
+    def driftMap(ref: org.apache.spark.sql.DataFrame,
+        fresh: org.apache.spark.sql.DataFrame) =
+      Similarity.embedDrift(spark, dir, ref, fresh).collect()
+        .map(r => r.getAs[Int]("cell") ->
+          ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_new"),
+            r.getAs[Long]("share_ref_ppm"), r.getAs[Long]("share_new_ppm"),
+            r.getAs[Long]("drift_ppm")))).toMap
+    // 1. the corpus drifted against ITSELF: zero drift everywhere, and
+    // the per-cell masses must equal the histogram of the cells the
+    // index actually FILED those vectors in (codes/ was encoded via
+    // the same argmax over the same read-back centroids — an exact
+    // expectation with no reimplementation of the float kernel)
+    val self = driftMap(emb, emb)
+    val stored = spark.read.parquet(s"$dir/codes")
+      .groupBy("cell").count().collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("count")).toMap
+    assert(self.keySet == (0 until 8).toSet, "one row per stored cell")
+    for ((cell, (nr, nn, sr, sn, dp)) <- self) {
+      assert(nr == stored.getOrElse(cell, 0L), s"cell $cell vs codes/")
+      assert(nn == nr && sr == sn && dp == 0L)
+    }
+    val tRef = self.values.map(_._1).sum
+    // exact integer ppm, recomputable from the output itself
+    for ((_, (nr, _, sr, _, _)) <- self)
+      assert(sr == nr * 1000000L / tRef)
+    assert(self.values.map(_._3).sum <= 1000000L)
+    // 2. a one-vector new snapshot: exactly one cell carries the whole
+    // new mass at 1e6 ppm; every other cell's drift is its ref share
+    val one = emb.where(col("vec_id") === 7L)
+    val point = driftMap(emb, one)
+    val hit = point.filter(_._2._2 > 0)
+    assert(hit.size == 1 && hit.head._2._2 == 1L &&
+      hit.head._2._4 == 1000000L, s"got $hit")
+    for ((cell, (_, nn, sr, sn, dp)) <- point if nn == 0)
+      assert(sn == 0L && dp == sr, s"cell $cell")
+    // TV distance from drift_ppm is a valid probability distance
+    assert(point.values.map(_._5).sum / 2.0 <= 1000000.0)
+    // 3. dim mismatch refused loudly (the annFromIndex guard)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.embedDrift(spark, dir, emb, emb, dim = 32)
+    }
+    assert(err.getMessage.contains("dim"))
+  }
+
   test("updateAnnIndex: surgery equals a frozen-artifact re-encode of the " +
       "post-diff corpus; artifacts copied verbatim; self-overwrite refused") {
     import org.apache.spark.sql.functions.col

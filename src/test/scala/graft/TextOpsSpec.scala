@@ -695,4 +695,43 @@ class TextOpsSpec extends SparkSuite {
     val inBatch = lmScores(TextOps.lmScoreFrom(spark, dir, batch))
     assert(inBatch(10L) == got && inBatch(11L) == ((1L, partial)))
   }
+
+  test("updateLmIndex: count surgery is BIT-EQUAL to a scratch " +
+      "rebuild of the post-diff corpus, and fully retracted tokens " +
+      "leave the vocabulary") {
+    val snapA = Seq(
+      (0L, "a b a b c"), (1L, "a b c d"), (2L, "q r q r"), // 2 retracts
+      (3L, "b c a")
+    ).toDF("doc_id", "text")
+    // doc 2 retracted (its q/r tokens exist nowhere else — they must
+    // leave V), doc 1 changed (retract old, add new), docs 10-11 added
+    val retract = snapA.where(col("doc_id").isin(1L, 2L))
+    val added = Seq(
+      (1L, "a b c d e"), (10L, "c d c d"), (11L, "z z a")
+    ).toDF("doc_id", "text")
+    val postDiff = snapA.where(!col("doc_id").isin(1L, 2L))
+      .unionByName(added)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-lmsurgery").toString
+    TextOps.writeLmIndex(snapA, s"$idx/v0")
+    TextOps.updateLmIndex(spark, s"$idx/v0", s"$idx/v1", retract, added)
+    TextOps.writeLmIndex(postDiff, s"$idx/scratch")
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(_.toSeq).toSet
+    for (part <- Seq("pairs", "firsts", "vocab", "meta"))
+      assert(rows(s"$idx/v1/$part") == rows(s"$idx/scratch/$part"),
+        s"artifact $part diverged")
+    // q/r never re-added: V must have dropped them
+    val vocab = spark.read.parquet(s"$idx/v1/vocab").collect()
+      .map(_.getAs[String]("tok")).toSet
+    assert(!vocab.contains("q") && !vocab.contains("r"))
+    // and scoring through the surgered index equals the rebuild
+    val probe = Seq((20L, "a b q r")).toDF("doc_id", "text")
+    assert(lmScores(TextOps.lmScoreFrom(spark, s"$idx/v1", probe)) ==
+      lmScores(TextOps.lmScoreFrom(spark, s"$idx/scratch", probe)))
+    val err = intercept[IllegalArgumentException] {
+      TextOps.updateLmIndex(spark, s"$idx/v1", s"$idx/v1", retract, added)
+    }
+    assert(err.getMessage.contains("cannot overwrite"))
+  }
 }
