@@ -80,20 +80,27 @@ object SparkEntry {
       .drop("cut")
   }
 
-  /** The documents split at the doc_id median — the q_novelty_incr
-    * split convention as a shared helper (old half = "indexed
-    * snapshot", new half = "this crawl").
+  /** ANY doc_id-keyed frame split at the documents table's doc_id
+    * median — THE two-snapshot split convention (old half = "indexed
+    * snapshot", new half = "this crawl"), shared by every
+    * documents-derived incremental fixture so the cut cannot drift
+    * between operators (review finding: three inline copies
+    * coexisted).
     */
-  private def docHalf(s: SparkSession, d: String, old: Boolean): DataFrame = {
+  private def halfBy(s: SparkSession, d: String, frame: DataFrame,
+      old: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max}
-    val docs = t(s, d, "documents")
-    val cut = docs.agg(
+    val cut = t(s, d, "documents").agg(
       floor(max(col("doc_id")) / lit(2.0)).cast("long").as("cut"))
-    docs.crossJoin(broadcast(cut))
+    frame.crossJoin(broadcast(cut))
       .where(if (old) col("doc_id") < col("cut")
         else col("doc_id") >= col("cut"))
       .drop("cut")
   }
+
+  /** [[halfBy]] over the documents table itself. */
+  private def docHalf(s: SparkSession, d: String, old: Boolean): DataFrame =
+    halfBy(s, d, t(s, d, "documents"), old)
 
   /** Memoized old-half winnow fingerprint index — q_winnow_incr
     * overlaps the new half against it, q_index_stats audits its
@@ -135,7 +142,10 @@ object SparkEntry {
   private def bpeIndexOf(s: SparkSession, d: String): String =
     memo(s, d, "bpeindex-path") {
       val p = indexScratchPath(d, "bpeindex")
-      TextOps.writeBpeIndex(docHalf(s, d, old = true), p)
+      // serve-only build: q_bpe_serve reads merges/ alone, so the
+      // vocab inventory's second encode pass is skipped here
+      TextOps.writeBpeIndex(docHalf(s, d, old = true), p,
+        writeVocab = false)
       p
     }
 
@@ -356,9 +366,10 @@ object SparkEntry {
     // rows-only (index artifact audit): the read-side health view of
     // the persisted index family — rows / distinct docs / bands /
     // saturation share / hottest-bucket ppm per artifact, payloads
-    // never scanned. Four kinds over the session's own memoized
-    // indexes (band + gram over documents, LSH + IVF-PQ over
-    // embeddings); two-snapshot surgery spec in IncrementalDedupSpec
+    // never scanned. Five entries over the session's own memoized
+    // indexes (band + gram + winnow over documents, LSH + IVF-PQ
+    // over embeddings); two-snapshot surgery spec in
+    // IncrementalDedupSpec
     "q_index_stats" -> ((s, d) => {
       val band = memo(s, d, "bandindex-path") {
         val p = indexScratchPath(d, "bandindex")
@@ -457,17 +468,9 @@ object SparkEntry {
     // q_novelty_incr split convention), new half dedups against it
     // without re-decoding; joint-equality + parquet round-trip specs
     // in IncrementalDedupSpec
-    "q_image_dedup_incr" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max}
-      val docs = t(s, d, "documents")
-      val hashes = imageHashesOf(s, d)
-      val cut = docs.agg(
-        floor(max(col("doc_id")) / lit(2.0)).cast("long").as("cut"))
-      def side(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        hashes.crossJoin(broadcast(cut)).where(p(col("cut"))).drop("cut")
-      Dedup.perceptualDedupAgainst(
-        side(c => col("doc_id") < c), side(c => col("doc_id") >= c))
-    }),
+    "q_image_dedup_incr" -> ((s, d) => Dedup.perceptualDedupAgainst(
+      halfBy(s, d, imageHashesOf(s, d), old = true),
+      halfBy(s, d, imageHashesOf(s, d), old = false))),
     // rows-only (raster decode): the multimodal -> ANN bridge — real
     // decode -> luminance histogram -> the embedding family's exact
     // annTopK; ranking fixture in ImageDedupSpec
@@ -511,9 +514,11 @@ object SparkEntry {
         docHalf(s, d, old = false))),
     // seeded reproducible epoch order: per-shard positions from
     // differently-salted md5 keys of (seed, doc_id) — no RNG state,
-    // no global sort
+    // no global sort. nShards pinned to 8 for the 500-row gate
+    // corpus (the oracle's % 8); the library default is the
+    // 1024-shard scale geometry
     "q_train_order" -> ((s, d) =>
-      Curation.trainOrder(t(s, d, "documents"))),
+      Curation.trainOrder(t(s, d, "documents"), seed = 0, nShards = 8)),
     // oracle-checked in the exact regime only: capacity 256 exceeds
     // the gate vocabulary (~31), where Misra-Gries provably never
     // decrements and the summary equals exact counts; the sketch
@@ -620,16 +625,9 @@ object SparkEntry {
     // cross-snapshot incremental novelty: snapshot split at
     // floor(max(doc_id)/2) — the append-only-crawl shape the
     // noveltyAgainst contract targets (SQL-oracled)
-    "q_novelty_incr" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{broadcast, col, floor, lit, max}
-      val docs = t(s, d, "documents")
-      val cut = docs.agg(floor(max(col("doc_id")) / lit(2.0)).cast("long").as("cut"))
-      def side(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        docs.crossJoin(broadcast(cut)).where(p(col("cut"))).drop("cut")
-      Dedup.noveltyAgainst(
-        Dedup.gramIndex(side(c => col("doc_id") < c)),
-        side(c => col("doc_id") >= c))
-    }),
+    "q_novelty_incr" -> ((s, d) => Dedup.noveltyAgainst(
+      Dedup.gramIndex(docHalf(s, d, old = true)),
+      docHalf(s, d, old = false))),
     // rows-only (the oracle engine has no zlib): native codegen
     // deflate_len; ordering/determinism specs in ExpressionsSpec
     "q_compress_ratio" -> ((s, d) => TextOps.compressRatio(t(s, d, "documents"))),

@@ -1260,10 +1260,14 @@ object Curation {
     * Plan shape: one projection + ONE window partitioned by shard
     * (never a global sort — `pos` is per-shard, and shards are the
     * parallel read unit; a consumer wanting one stream reads shards
-    * round-robin). O(n/nShards) rows per window partition, no joins.
+    * round-robin). O(n/nShards) rows per window partition, no joins —
+    * so nShards IS the per-task sort size knob: the 1024 default
+    * keeps a billion-doc corpus under ~1M rows per window task; size
+    * it to corpus/desired-task-rows, not to reader count (a reader
+    * can own many shards).
     */
   def trainOrder(documents: DataFrame, seed: Long = 0,
-      nShards: Int = 8): DataFrame = {
+      nShards: Int = 1024): DataFrame = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
     val key = concat(lit(s"$seed:"), col("doc_id").cast("string"))
     val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))

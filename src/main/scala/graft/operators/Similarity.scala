@@ -1493,9 +1493,11 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     import spark.implicits._
     val (centroids, _) = readAnnArtifacts(spark, indexPath)
-    require(centroids.nonEmpty && centroids.head.length == dim,
-      s"embedDrift: stored centroids are dim=${centroids.headOption
-        .map(_.length).getOrElse(0)}, caller asked dim=$dim")
+    require(centroids.nonEmpty,
+      s"embedDrift: empty index artifacts at $indexPath")
+    require(centroids.head.length == dim,
+      s"embedDrift: stored centroids are dim=${centroids.head.length}, " +
+        s"caller asked dim=$dim")
     def cellCounts(vecs: DataFrame, name: String) =
       cellsFor(registered(vecs).select(col("vec_id"), col("embedding"))
           .where(pqEncodable(dim)), centroids, nProbe = 1)

@@ -442,27 +442,27 @@ object TextOps {
   def winnowAgainst(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, newDocs: DataFrame, k: Int = 4, w: Int = 5,
       minShared: Int = 2, fpCap: Int = 64): DataFrame = {
+    // is_new rides the fingerprint rows (the dedupAgainst plan
+    // verbatim): the at-least-one-new filter lands immediately after
+    // the fp join, BEFORE pair aggregation — old-old pairs (the
+    // dominant share on a large index) are never grouped, and no
+    // second scan of the stored index is needed to classify sides
     val stored = spark.read.parquet(s"$indexPath/fps")
-      .select(col("doc_id").cast("long").as("doc_id"), col("fp"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("fp"),
+        lit(false).as("is_new"))
     val fresh = winnow(newDocs, k, w).select(col("doc_id"), col("fp"))
       .distinct()
+      .withColumn("is_new", lit(true))
     val union = stored.unionByName(fresh)
     val rare = union.groupBy("fp").agg(count(lit(1)).as("nd"))
       .where(col("nd") <= fpCap).select(col("fp"))
     val f = union.join(rare, "fp")
-    val pairs = f.as("a").join(f.as("b"),
+    f.as("a").join(f.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.is_new") || col("b.is_new"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-    // the old-old filter probes the BOUNDED pair frame, not the corpus
-    val aOld = stored.select(col("doc_id").as("doc_a")).distinct()
-      .withColumn("a_old", lit(true))
-    val bOld = stored.select(col("doc_id").as("doc_b")).distinct()
-      .withColumn("b_old", lit(true))
-    pairs.join(aOld, Seq("doc_a"), "left").join(bOld, Seq("doc_b"), "left")
-      .where(!(coalesce(col("a_old"), lit(false)) &&
-        coalesce(col("b_old"), lit(false))))
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
   }
 
@@ -831,6 +831,40 @@ object TextOps {
     writeLmArtifacts(spark, outPath, pairs, vocab)
   }
 
+  /** The frozen-model Laplace log-probability over joined
+    * (n_pair, n_first) columns — ONE definition shared by the batch
+    * [[lmScoreFrom]] and the streaming
+    * [[graft.streaming.StreamingOps.lmScoreDocStream]] gate (the
+    * gate/audit no-drift discipline): ln((n_pair+1)/(n_first+V))
+    * with null joins coalesced to the unseen floor, rounded 6 dp
+    * (the libm last-ulp rule) and cast DECIMAL so any summation
+    * order is exact.
+    */
+  private[graft] def lmLogProb(vocabSize: Column): Column =
+    round(log(
+        (coalesce(col("n_pair"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("n_first"), lit(0L)) + vocabSize).cast("double")), 6)
+      .cast("decimal(12,6)")
+
+  /** The stored [[writeLmIndex]] model frames, with a loud guard on
+    * a degenerate model (the [[graft.operators.Similarity
+    * .annFromIndex]] empty-artifact discipline): a vocab_size of 0 —
+    * an empty or all-blank training corpus — would otherwise make
+    * every score ln(x/0) → NULL silently. Shared by the batch and
+    * streaming serve legs.
+    */
+  private[graft] def readLmArtifacts(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String)
+      : (DataFrame, DataFrame, Long) = {
+    val vocabSize = spark.read.parquet(s"$indexPath/meta")
+      .collect()(0).getAs[Long]("vocab_size")
+    require(vocabSize > 0,
+      s"lm index at $indexPath has an empty vocabulary " +
+        "(trained on an empty or all-blank corpus?)")
+    (spark.read.parquet(s"$indexPath/pairs"),
+      spark.read.parquet(s"$indexPath/firsts"), vocabSize)
+  }
+
   /** Score a NEW snapshot under a persisted [[writeLmIndex]] model:
     * per-doc mean ln P(w2|w1) with the STORED corpus counts and
     * vocabulary — P(w2|w1) = (n_pair + 1) / (n_first + V), where a
@@ -851,21 +885,6 @@ object TextOps {
     * training stage — the serve path's defining property) and one
     * single-row broadcast. Shuffle O(distinct scored bigrams).
     */
-  /** The frozen-model Laplace log-probability over joined
-    * (n_pair, n_first) columns — ONE definition shared by the batch
-    * [[lmScoreFrom]] and the streaming
-    * [[graft.streaming.StreamingOps.lmScoreDocStream]] gate (the
-    * gate/audit no-drift discipline): ln((n_pair+1)/(n_first+V))
-    * with null joins coalesced to the unseen floor, rounded 6 dp
-    * (the libm last-ulp rule) and cast DECIMAL so any summation
-    * order is exact.
-    */
-  private[graft] def lmLogProb(vocabSize: Column): Column =
-    round(log(
-        (coalesce(col("n_pair"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("n_first"), lit(0L)) + vocabSize).cast("double")), 6)
-      .cast("decimal(12,6)")
-
   def lmScoreFrom(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, newDocs: DataFrame): DataFrame = {
     val toks = filter(tokenize(col("text")), t => t =!= "")
@@ -875,13 +894,10 @@ object TextOps {
       .select(col("doc_id"), col("z").getField("0").as("w1"),
         col("z").getField("1").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
-    val pairs = spark.read.parquet(s"$indexPath/pairs")
-    val firsts = spark.read.parquet(s"$indexPath/firsts")
-    val meta = spark.read.parquet(s"$indexPath/meta")
-    val lp = lmLogProb(col("vocab_size"))
+    val (pairs, firsts, vocabSize) = readLmArtifacts(spark, indexPath)
+    val lp = lmLogProb(lit(vocabSize))
     tf.join(pairs, Seq("w1", "w2"), "left")
       .join(firsts, Seq("w1"), "left")
-      .crossJoin(broadcast(meta))
       .select(col("doc_id"), col("tf"),
         (col("tf").cast("decimal(10,0)") * lp).as("contrib"))
       .groupBy("doc_id")
@@ -1360,12 +1376,16 @@ object TextOps {
     * inventory ([[bpeVocab]]) for UNK/coverage audits.
     */
   def writeBpeIndex(documents: DataFrame, path: String, nMerges: Int = 32,
-      minPairCount: Long = 2): Unit = {
+      minPairCount: Long = 2, writeVocab: Boolean = true): Unit = {
     val spark = documents.sparkSession
     bpeLearn(documents, nMerges, minPairCount)
       .write.mode("overwrite").parquet(s"$path/merges")
-    bpeVocab(documents, spark.read.parquet(s"$path/merges"))
-      .write.mode("overwrite").parquet(s"$path/vocab")
+    // the vocab inventory re-encodes the training corpus — an audit
+    // artifact [[bpeTokensFrom]] never reads, so a serve-only build
+    // can skip the second pass (review finding)
+    if (writeVocab)
+      bpeVocab(documents, spark.read.parquet(s"$path/merges"))
+        .write.mode("overwrite").parquet(s"$path/vocab")
   }
 
   /** Per-doc fertility of a NEW snapshot under a persisted

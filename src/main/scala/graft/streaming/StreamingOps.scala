@@ -404,10 +404,8 @@ object StreamingOps {
       indexPath: String, docs: DataFrame, windowLen: String = "1 minute",
       watermarkDelay: String = "10 minutes"): DataFrame = {
     import graft.functions.TextFunctions.{shingleStructs, tokenize}
-    val vocab = spark.read.parquet(s"$indexPath/meta")
-      .collect()(0).getAs[Long]("vocab_size")
-    val pairs = spark.read.parquet(s"$indexPath/pairs")
-    val firsts = spark.read.parquet(s"$indexPath/firsts")
+    val (pairs, firsts, vocab) =
+      graft.operators.TextOps.readLmArtifacts(spark, indexPath)
     val toks = filter(tokenize(col("text")), t => t =!= "")
     docs
       .withWatermark("ingest_ts", watermarkDelay)
