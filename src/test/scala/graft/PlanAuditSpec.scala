@@ -670,4 +670,48 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.linesIterator.exists(l => l.contains("*(1)") && l.contains("deflate_len")),
       s"deflate_len must stay inside codegen:\n$p")
   }
+
+  test("trainOrder: doc_id-only scan, exactly one shuffle (the shard " +
+      "key), window partitioned by shard — never a global sort") {
+    val p = plan(graft.operators.Curation.trainOrder(
+      Tables(spark, dir, "documents"), seed = 0, nShards = 8))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan must prune to doc_id alone:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"one hashpartitioning exchange on shard, nothing else:\n$p")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("rangepartitioning"),
+      s"a global sort would serialize the epoch order:\n$p")
+  }
+
+  test("lmScoreFrom: the serve plan scans the stored model parquet " +
+      "and joins it — no training aggregate over the model side") {
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-lmplan").toString
+    val docs = Tables(spark, dir, "documents")
+    graft.operators.TextOps.writeLmIndex(docs, dir2)
+    val p = plan(graft.operators.TextOps.lmScoreFrom(spark, dir2, docs))
+    assert(p.contains(s"$dir2/pairs") && p.contains(s"$dir2/firsts"),
+      s"serve path must read the stored artifacts:\n$p")
+    // vocab_size rides as a driver literal — no meta-side crossjoin
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"V must be a literal, not a joined frame:\n$p")
+  }
+
+  test("q_media_pipeline slice: filters the SHARED persisted media " +
+      "fixtures instead of rendering its own (decode-once discipline)") {
+    val df = SparkEntry.queries("q_media_pipeline")(spark, dir)
+    val p = plan(df)
+    // all three modality legs must start from cached fixture scans;
+    // a slice-private render would show as mapPartitions over a
+    // FileScan of documents OUTSIDE any InMemoryTableScan
+    assert(p.contains("InMemoryTableScan"),
+      s"slice must reuse the persisted fixtures:\n$p")
+    val firstScan = p.linesIterator.indexWhere(_.contains("FileScan"))
+    val firstCache = p.linesIterator.indexWhere(_.contains("InMemoryTableScan"))
+    assert(firstScan == -1 || firstCache < firstScan,
+      s"the %3 slice must not re-render from the documents scan:\n$p")
+    assert(df.count() > 0)
+  }
 }
