@@ -136,6 +136,29 @@ object SparkEntry {
       p
     }
 
+  /** Memoized old-half frozen DSIR importance model — q_dsir_serve
+    * scores the new half under it (the paper's fit-once/score-every-
+    * shard deployment shape).
+    */
+  private def dsirIndexOf(s: SparkSession, d: String): String =
+    memo(s, d, "dsirindex-path") {
+      val p = indexScratchPath(d, "dsirindex")
+      Curation.writeDsirIndex(docHalf(s, d, old = true), p)
+      p
+    }
+
+  /** Memoized old-half frozen quality probe — q_probe_serve scores
+    * the new half under it (the classifier member of the
+    * train-once/serve-many family); q_probe_eval and
+    * q_probe_calibration audit the served scores.
+    */
+  private def probeIndexOf(s: SparkSession, d: String): String =
+    memo(s, d, "probeindex-path") {
+      val p = indexScratchPath(d, "probeindex")
+      Curation.writeProbeIndex(docHalf(s, d, old = true), p)
+      p
+    }
+
   /** Memoized old-half frozen BPE tokenizer — q_bpe_serve encodes the
     * new half under it with zero training rounds.
     */
@@ -534,6 +557,26 @@ object SparkEntry {
     // rows-only (driver-trained logistic weights are not
     // SQL-expressible); determinism + separation spec in CurationSpec
     "q_quality_probe" -> ((s, d) => Curation.probeScore(t(s, d, "documents"))),
+    // frozen-classifier serving (the probe member of the
+    // train-once/serve-many family): new half scored under the
+    // PERSISTED old-half weights — no sampling sort, no gradient
+    // rounds on the serve path (plan-audited); round-trip spec in
+    // ProbeSpec
+    "q_probe_serve" -> ((s, d) =>
+      Curation.probeScoreFrom(s, probeIndexOf(s, d),
+        docHalf(s, d, old = false))),
+    // rows-only (1 row): confusion counts + tie-corrected rank AUC of
+    // the SERVED scores vs the stand-in labels — the classifier's
+    // "measure, don't guess" audit; hand-computed fixture + tie
+    // specs in ProbeSpec
+    "q_probe_eval" -> ((s, d) =>
+      Curation.probeEval(Curation.probeScoreFrom(s, probeIndexOf(s, d),
+        docHalf(s, d, old = false)))),
+    // rows-only (≤10 rows): reliability buckets of the served scores
+    // — observed positive rate vs mean score per decile, exact ppm
+    "q_probe_calibration" -> ((s, d) =>
+      Curation.probeCalibration(Curation.probeScoreFrom(s,
+        probeIndexOf(s, d), docHalf(s, d, old = false)))),
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(t(s, d, "documents"))),
     // rows-only (xxhash64 join keys have no DuckDB equivalent); the
     // spec asserts result identity with the exact-string path
@@ -601,6 +644,14 @@ object SparkEntry {
       Similarity.semDeDup(t(s, d, "embeddings"), threshold = 0.4)),
     "q_dsir_score" -> ((s, d) => Curation.dsirScore(t(s, d, "documents"))),
     "q_dsir_select" -> ((s, d) => Curation.dsirSelect(t(s, d, "documents"))),
+    // frozen-DSIR scoring (the importance-model member of
+    // train-once/serve-many): new half scored under the PERSISTED
+    // old-half ratio rows — unseen buckets take the add-one floor
+    // through the same rounded-ln expression; oracle recomputes the
+    // stored model from the old half (the q_lm_serve convention)
+    "q_dsir_serve" -> ((s, d) =>
+      Curation.dsirScoreFrom(s, dsirIndexOf(s, d),
+        docHalf(s, d, old = false))),
     "q_source_report" -> ((s, d) => TextOps.sourceReport(t(s, d, "documents"))),
     // fuzzy decontamination: oracle computes TRUE jaccard pairs among
     // md5 reps (the exactverify/split_leakage banding-recall contract)
@@ -2371,6 +2422,65 @@ object SparkEntry {
         |              sel.log_weight + gum.g AS gumbel_key
         |            FROM sel JOIN gum USING (doc_id)))
         |WHERE rnk <= 50""".stripMargin,
+    "q_dsir_serve" ->
+      """WITH cut AS (
+        |  SELECT CAST(FLOOR(MAX(doc_id) / 2.0) AS BIGINT) AS c FROM documents
+        |), otoks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents WHERE doc_id < (SELECT c FROM cut)
+        |), otf AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS b,
+        |    COUNT(*) AS tf
+        |  FROM (
+        |    SELECT doc_id, f FROM (SELECT doc_id, unnest(ts) AS f FROM otoks)
+        |    WHERE f <> ''
+        |    UNION ALL
+        |    SELECT doc_id, ts[i + 1] || ' ' || ts[i + 2] AS f
+        |    FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i
+        |          FROM otoks WHERE len(ts) >= 2))
+        |  GROUP BY 1, 2
+        |), byb AS (
+        |  SELECT b,
+        |    CAST(SUM(tf) FILTER (WHERE doc_id % 10 = 7) AS BIGINT) AS ct,
+        |    CAST(SUM(tf) FILTER (WHERE doc_id % 10 <> 7) AS BIGINT) AS cr
+        |  FROM otf GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(COALESCE(SUM(tf) FILTER (WHERE doc_id % 10 = 7), 0) AS BIGINT) AS nt,
+        |    CAST(COALESCE(SUM(tf) FILTER (WHERE doc_id % 10 <> 7), 0) AS BIGINT) AS nr
+        |  FROM otf
+        |), ratio AS (
+        |  SELECT b, CAST(ROUND(ln(
+        |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE)) /
+        |      (CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE))), 6)
+        |    AS DECIMAL(12,6)) AS lr
+        |  FROM byb CROSS JOIN tot
+        |), flr AS (
+        |  SELECT CAST(ROUND(ln(
+        |      (CAST(0 + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE)) /
+        |      (CAST(0 + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE))), 6)
+        |    AS DECIMAL(12,6)) AS floor_lr
+        |  FROM tot
+        |), ntoks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents WHERE doc_id >= (SELECT c FROM cut)
+        |), ntf AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS b,
+        |    COUNT(*) AS tf
+        |  FROM (
+        |    SELECT doc_id, f FROM (SELECT doc_id, unnest(ts) AS f FROM ntoks)
+        |    WHERE f <> ''
+        |    UNION ALL
+        |    SELECT doc_id, ts[i + 1] || ' ' || ts[i + 2] AS f
+        |    FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i
+        |          FROM ntoks WHERE len(ts) >= 2))
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, doc_id % 10 = 7 AS is_target,
+        |  CAST(SUM(tf) AS BIGINT) AS n_feat,
+        |  CAST(SUM(CAST(tf AS DECIMAL(10,0)) * COALESCE(lr, floor_lr)) AS DOUBLE)
+        |    AS log_weight
+        |FROM ntf LEFT JOIN ratio USING (b) CROSS JOIN flr
+        |GROUP BY doc_id""".stripMargin,
     "q_source_report" ->
       """WITH d AS (
         |  SELECT source, COUNT(*) AS n_docs,

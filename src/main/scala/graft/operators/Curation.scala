@@ -648,13 +648,6 @@ object Curation {
     */
   def dsirScore(documents: DataFrame, buckets: Int = 1024,
       targetEvery: Int = 10, targetRem: Int = 7): DataFrame = {
-    val toks = filter(tokenize(col("text")), t => t =!= "")
-    val uni = documents.select(col("doc_id"), explode(toks).as("f"))
-      .where(col("f") =!= "")
-    val bi = documents.where(size(toks) >= 2)
-      .select(col("doc_id"), explode(shingleStructs(toks, 2)).as("z"))
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.shingleFromStruct(col("z"), 2).as("f"))
     val isTarget = col("doc_id") % targetEvery === targetRem
     // persist+count the hashed-feature frame (the imageDedupPairs /
     // ccnetBuckets rule): the plan reads it from BOTH the global
@@ -664,33 +657,144 @@ object Curation {
     // docs × distinct-buckets-per-doc (≤ `buckets`), three numeric
     // columns; MEMORY_AND_DISK spills rather than fails at scale,
     // and lineage recomputes on executor loss.
-    val tf = uni.unionByName(bi)
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.hashBucket(col("f"), buckets).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    val tf = dsirFeatures(documents, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tf.count()
-    val bcnt = tf.select(col("b"), isTarget.as("t"), col("tf"))
-      .groupBy("b", "t").agg(sum(col("tf")).as("c"))
-    val byB = bcnt.groupBy("b").agg(
-      sum(when(col("t"), col("c")).otherwise(0L)).as("ct"),
-      sum(when(!col("t"), col("c")).otherwise(0L)).as("cr"))
-    val tot = bcnt.agg(
-      sum(when(col("t"), col("c")).otherwise(0L)).as("nt"),
-      sum(when(!col("t"), col("c")).otherwise(0L)).as("nr"))
-    val lr = round(log(
-      ((col("ct") + 1).cast("double") /
-        (col("nt") + buckets).cast("double")) /
-        ((col("cr") + 1).cast("double") /
-          (col("nr") + buckets).cast("double"))), 6)
-      .cast("decimal(12,6)")
-    val ratio = byB.crossJoin(broadcast(tot)).select(col("b"), lr.as("lr"))
+    val (ratio, _) = dsirRatio(tf, buckets, targetEvery, targetRem)
     tf.join(ratio, "b")
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_feat"),
         sum(col("tf").cast("decimal(10,0)") * col("lr")).as("sum_lw"))
       .select(col("doc_id"), isTarget.as("is_target"), col("n_feat"),
         col("sum_lw").cast("double").as("log_weight"))
+  }
+
+  /** The DSIR hashed-feature frame — (doc_id, b, tf) over unioned
+    * unigram+bigram md5 buckets; the shared front half of
+    * [[dsirScore]], [[dsirSelect]] and [[writeDsirIndex]] (one
+    * definition, the serve leg cannot drift). Callers persist.
+    */
+  private[operators] def dsirFeatures(documents: DataFrame,
+      buckets: Int): DataFrame = {
+    val toks = filter(tokenize(col("text")), t => t =!= "")
+    val uni = documents.select(col("doc_id"), explode(toks).as("f"))
+      .where(col("f") =!= "")
+    val bi = documents.where(size(toks) >= 2)
+      .select(col("doc_id"), explode(shingleStructs(toks, 2)).as("z"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingleFromStruct(col("z"), 2).as("f"))
+    uni.unionByName(bi)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.hashBucket(col("f"), buckets).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+  }
+
+  /** The per-bucket add-one-smoothed log importance ratio frame
+    * (b, lr) plus the (nt, nr) totals frame, derived from a
+    * [[dsirFeatures]] frame — the model half shared by the
+    * self-trained score and the persisted index build.
+    */
+  private def dsirRatio(tf: DataFrame, buckets: Int, targetEvery: Int,
+      targetRem: Int): (DataFrame, DataFrame) = {
+    val isTarget = col("doc_id") % targetEvery === targetRem
+    val bcnt = tf.select(col("b"), isTarget.as("t"), col("tf"))
+      .groupBy("b", "t").agg(sum(col("tf")).as("c"))
+    val byB = bcnt.groupBy("b").agg(
+      sum(when(col("t"), col("c")).otherwise(0L)).as("ct"),
+      sum(when(!col("t"), col("c")).otherwise(0L)).as("cr"))
+    val tot = bcnt.agg(
+      coalesce(sum(when(col("t"), col("c")).otherwise(0L)), lit(0L))
+        .as("nt"),
+      coalesce(sum(when(!col("t"), col("c")).otherwise(0L)), lit(0L))
+        .as("nr"))
+    val lr = dsirLrExpr(col("ct"), col("cr"), col("nt"), col("nr"), buckets)
+    (byB.crossJoin(broadcast(tot)).select(col("b"), lr.as("lr")), tot)
+  }
+
+  /** The ONE smoothed log-ratio expression —
+    * round₆(ln(((ct+1)/(nt+B)) / ((cr+1)/(nr+B)))) cast DECIMAL —
+    * shared by the trained ratio rows and the serve leg's
+    * unseen-bucket floor (ct = cr = 0 through the SAME pipeline, so
+    * the floor is the expression's own value, not a second
+    * driver-side libm formula).
+    */
+  private def dsirLrExpr(ct: org.apache.spark.sql.Column,
+      cr: org.apache.spark.sql.Column, nt: org.apache.spark.sql.Column,
+      nr: org.apache.spark.sql.Column, buckets: Int)
+      : org.apache.spark.sql.Column =
+    round(log(
+      ((ct + 1).cast("double") / (nt + buckets).cast("double")) /
+        ((cr + 1).cast("double") / (nr + buckets).cast("double"))), 6)
+      .cast("decimal(12,6)")
+
+  /** Persist the DSIR importance model — the ≤`buckets` (b, lr)
+    * ratio rows plus the (buckets, target_every, target_rem,
+    * n_target, n_raw) meta row — as the DSIR member of the
+    * train-once/serve-many family: the paper's deployment fits the
+    * importance weights ONCE on a labeled sample and scores every
+    * raw shard against them. `meta/` is written LAST (the
+    * [[writeProbeIndex]] commit-marker discipline). EAGER — the
+    * feature aggregate and both writes run immediately.
+    */
+  def writeDsirIndex(documents: DataFrame, path: String,
+      buckets: Int = 1024, targetEvery: Int = 10,
+      targetRem: Int = 7): Unit = {
+    val spark = documents.sparkSession
+    val tf = dsirFeatures(documents, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count()
+    try {
+      val (ratio, tot) = dsirRatio(tf, buckets, targetEvery, targetRem)
+      ratio.write.mode("overwrite").parquet(s"$path/ratio")
+      val t = tot.collect()(0)
+      import spark.implicits._
+      Seq((buckets, targetEvery, targetRem,
+          t.getAs[Long]("nt"), t.getAs[Long]("nr")))
+        .toDF("buckets", "target_every", "target_rem", "n_target", "n_raw")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally tf.unpersist()
+  }
+
+  /** Score a NEW snapshot under a persisted [[writeDsirIndex]] model:
+    * the snapshot's hashed features LEFT-join the stored ≤`buckets`
+    * ratio rows (broadcast at any corpus size), and a bucket the
+    * frozen model never saw takes the add-one floor — [[dsirLrExpr]]
+    * with ct = cr = 0 over the STORED totals, computed through the
+    * identical rounded-ln pipeline (one single-row broadcast, no
+    * driver libm). Scored docs play no part in the weights: two
+    * snapshots served against one index are on one importance scale
+    * (the [[lmScoreFrom]] property). Bit-for-bit equal to
+    * [[dsirScore]] on the training corpus itself — every bucket the
+    * training corpus hits has a stored row, so the floor never fires
+    * on the round-trip (spec).
+    *
+    * Plan: one snapshot feature aggregate (the only corpus-sized
+    * stage), one broadcast LEFT join, one broadcast of the floor row,
+    * one per-doc DECIMAL aggregate — no ratio recomputation, no
+    * training-corpus scan.
+    */
+  def dsirScoreFrom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val buckets = meta.getAs[Int]("buckets")
+    val targetEvery = meta.getAs[Int]("target_every")
+    val targetRem = meta.getAs[Int]("target_rem")
+    val ratio = spark.read.parquet(s"$indexPath/ratio")
+    val floorRow = spark.read.parquet(s"$indexPath/meta")
+      .select(dsirLrExpr(lit(0L), lit(0L), col("n_target"), col("n_raw"),
+        buckets).as("floor_lr"))
+    dsirFeatures(newDocs, buckets)
+      .join(ratio, Seq("b"), "left")
+      .crossJoin(broadcast(floorRow))
+      .select(col("doc_id"), col("tf"),
+        coalesce(col("lr"), col("floor_lr")).as("lr"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_feat"),
+        sum(col("tf").cast("decimal(10,0)") * col("lr")).as("sum_lw"))
+      .select(col("doc_id"),
+        probeTargetExpr(col("doc_id"), targetEvery, targetRem)
+          .as("is_target"),
+        col("n_feat"), col("sum_lw").cast("double").as("log_weight"))
   }
 
   /** DSIR's SELECTION step — the resampling that gives Data Selection
@@ -1045,16 +1149,200 @@ object Curation {
       dim: Int = 64, targetEvery: Int = 10, targetRem: Int = 7): DataFrame = {
     graft.GraftFunctions.register(documents.sparkSession)
     require(w.length == dim, s"weights dim ${w.length} != features dim $dim")
-    val isTarget = pmod(col("doc_id"), lit(targetEvery)) === lit(targetRem)
-    val wLit = typedLit(w.map(_.toFloat).toSeq)
     TextOps.hashEmbed(documents, dim)
-      .select(col("doc_id"), isTarget.as("is_target"),
-        least(greatest(
-          round(lit(1.0) / (lit(1.0) +
-            exp(-(call_function("dot_f32", col("embedding"), wLit)
-              .cast("double") + lit(b)))), 6),
-          lit(1e-6)), lit(1.0 - 1e-6)).as("score"))
+      .select(col("doc_id"),
+        probeTargetExpr(col("doc_id"), targetEvery, targetRem)
+          .as("is_target"),
+        probeScoreExpr(col("embedding"), w, b).as("score"))
   }
+
+  /** The ONE probe scoring expression — sigmoid(w·x + b) through the
+    * codegen `dot_f32` kernel, 6-dp rounded then clamped strictly
+    * into (0, 1) — shared by the batch serve leg and the streaming
+    * ingest gate (the gate/audit no-drift discipline: two surfaces,
+    * one definition).
+    */
+  private[graft] def probeScoreExpr(embedding: org.apache.spark.sql.Column,
+      w: Array[Double], b: Double): org.apache.spark.sql.Column = {
+    val wLit = typedLit(w.map(_.toFloat).toSeq)
+    least(greatest(
+      round(lit(1.0) / (lit(1.0) +
+        exp(-(call_function("dot_f32", embedding, wLit)
+          .cast("double") + lit(b)))), 6),
+      lit(1e-6)), lit(1.0 - 1e-6))
+  }
+
+  /** The stand-in label rule (`doc_id % targetEvery == targetRem`),
+    * shared for the same no-drift reason. */
+  private[graft] def probeTargetExpr(docId: org.apache.spark.sql.Column,
+      targetEvery: Int, targetRem: Int): org.apache.spark.sql.Column =
+    pmod(docId, lit(targetEvery)) === lit(targetRem)
+
+  /** Persist the trained quality probe — the [[trainProbe]] weights,
+    * bias and the feature/label geometry they were fit under — as the
+    * probe family's train-once/serve-many artifact (the
+    * `writeLmIndex` / `writeBpeIndex` / `writeAnnIndex` discipline
+    * applied to the classifier): a production pipeline fits the
+    * quality model on ONE labeled sample and scores every later crawl
+    * snapshot against the frozen weights, so snapshots land on one
+    * comparable score scale (re-training per snapshot moves the scale
+    * under the thresholds). Layout: `weights/` holds dim
+    * (feature, weight) rows; `meta/` holds one
+    * (bias, dim, target_every, target_rem) row and is written LAST —
+    * the commit marker: a reader that finds meta but a weight frame
+    * whose row count disagrees with `dim` sees a loud require, never
+    * a silently truncated model ([[readProbeArtifacts]]).
+    *
+    * EAGER — training collects the bounded hash-ordered sample
+    * ([[trainProbe]]'s contract) and the write runs immediately.
+    */
+  def writeProbeIndex(documents: DataFrame, path: String, dim: Int = 64,
+      targetEvery: Int = 10, targetRem: Int = 7,
+      sampleBound: Long = 5000, iters: Int = 300,
+      step: Double = 1.0, l2: Double = 1e-3): Unit = {
+    val (w, b) = trainProbe(documents, dim, targetEvery, targetRem,
+      sampleBound, iters, step, l2)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    w.toSeq.zipWithIndex.map { case (wt, i) => (i, wt) }
+      .toDF("feature", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    Seq((b, dim, targetEvery, targetRem))
+      .toDF("bias", "dim", "target_every", "target_rem")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The stored [[writeProbeIndex]] model, with the loud
+    * partial-write guard: the weight frame's row count must equal the
+    * meta row's `dim` (a crash between the two writes, or a reader
+    * pointed at a half-copied index, fails here instead of scoring
+    * 100 TB under a truncated model). Constant-size driver traffic —
+    * dim + 1 rows. Shared by the batch serve leg and the streaming
+    * ingest gate.
+    */
+  private[graft] def readProbeArtifacts(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String)
+      : (Array[Double], Double, Int, Int, Int) = {
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val dim = meta.getAs[Int]("dim")
+    val rows = spark.read.parquet(s"$indexPath/weights").collect()
+    require(rows.length == dim,
+      s"probe index at $indexPath holds ${rows.length} weights but " +
+        s"meta declares dim=$dim (partial write or corrupted copy)")
+    val w = new Array[Double](dim)
+    rows.foreach(r => w(r.getAs[Int]("feature")) = r.getAs[Double]("weight"))
+    (w, meta.getAs[Double]("bias"), dim,
+      meta.getAs[Int]("target_every"), meta.getAs[Int]("target_rem"))
+  }
+
+  /** Score a NEW snapshot under a persisted [[writeProbeIndex]] model
+    * — the serve half of the probe family: the stored weights ride as
+    * one float-array literal through the codegen `dot_f32` kernel
+    * (the [[scoreWithProbe]] plan verbatim), so the serve path
+    * contains NO sampling sort, NO gradient iterations and NO scan of
+    * the index parquet — its only jobs are the two constant-size
+    * artifact reads at plan-build time. Scored snapshots play no part
+    * in the weights: two crawls served against one index are on one
+    * scale (the [[lmScoreFrom]] property, which is the point of
+    * persisting the model at all). Bit-for-bit equal to
+    * [[probeScore]] run with the same geometry on the training corpus
+    * (round-trip spec).
+    */
+  def probeScoreFrom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame): DataFrame = {
+    val (w, b, dim, targetEvery, targetRem) =
+      readProbeArtifacts(spark, indexPath)
+    scoreWithProbe(newDocs, w, b, dim, targetEvery, targetRem)
+  }
+
+  /** Classifier accuracy AUDIT over a scored frame — the probe
+    * family's "measure, don't guess" member (the
+    * [[graft.operators.Similarity.annRecall]] /
+    * [[graft.operators.TextOps.langConfusion]] analog): one row of
+    * exact confusion counts at `threshold` plus the tie-corrected
+    * rank AUC, computed distributedly from the
+    * (doc_id, is_target, score) frame [[probeScore]] /
+    * [[probeScoreFrom]] emit.
+    *
+    * AUC is the Mann-Whitney form with average ranks on ties: scores
+    * aggregate to per-distinct-score (c_pos, c_neg) counts FIRST, so
+    * the one unpartitioned cumulative window runs over a frame
+    * bounded by the score codomain (scores are 6-dp rounded into
+    * [1e-6, 1−1e-6] — ≤ 1e6 rows by construction, never corpus-sized).
+    * All rank algebra stays in exact integers/decimals
+    * (2·Σranks_pos = Σ c_pos·(2·below + c + 1) avoids the half-rank
+    * fraction); the final AUC and the ppm metrics are single
+    * divisions of exact values. Degenerate inputs stay defined:
+    * one-class frames yield NULL auc (nullif), an empty positive
+    * prediction set yields NULL precision_ppm.
+    *
+    * Returns one row: (n_pos, n_neg, tp, fp, fn, tn, precision_ppm,
+    * recall_ppm, f1_ppm, auc).
+    */
+  def probeEval(scored: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val byScore = scored.groupBy(col("score"))
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("c_neg"))
+      .withColumn("c", col("c_pos") + col("c_neg"))
+    val cum = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byScore
+      .withColumn("below", sum(col("c")).over(cum) - col("c"))
+    // coalesce(·, 0): a global aggregate over zero rows yields NULL
+    // sums — an empty scored frame (a pruned scan upstream) must
+    // report zeros, not nulls (the dataQuality empty-input contract)
+    val agg = ranked.agg(
+      coalesce(sum(col("c_pos")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("c_neg")), lit(0L)).as("n_neg"),
+      coalesce(sum(when(col("score") >= threshold, col("c_pos"))
+        .otherwise(0L)), lit(0L)).as("tp"),
+      coalesce(sum(when(col("score") >= threshold, col("c_neg"))
+        .otherwise(0L)), lit(0L)).as("fp"),
+      coalesce(sum(col("c_pos").cast("decimal(38,0)") *
+          (lit(2L) * col("below") + col("c") + lit(1L))
+            .cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("two_rank_pos"))
+    agg.select(
+      col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+      (col("n_pos") - col("tp")).as("fn"),
+      (col("n_neg") - col("fp")).as("tn"),
+      floor(lit(1000000L) * col("tp") /
+        nullif(col("tp") + col("fp"), lit(0L))).cast("long")
+        .as("precision_ppm"),
+      floor(lit(1000000L) * col("tp") / nullif(col("n_pos"), lit(0L)))
+        .cast("long").as("recall_ppm"),
+      floor(lit(2000000L) * col("tp") /
+        nullif(lit(2L) * col("tp") + (col("n_pos") - col("tp")) +
+          col("fp"), lit(0L))).cast("long").as("f1_ppm"),
+      ((col("two_rank_pos") -
+          (col("n_pos").cast("decimal(38,0)") *
+            (col("n_pos") + 1).cast("decimal(38,0)"))).cast("double") /
+        nullif(lit(2L).cast("decimal(38,0)") *
+            col("n_pos").cast("decimal(38,0)") *
+            col("n_neg").cast("decimal(38,0)"), lit(0L).cast("decimal(38,0)"))
+          .cast("double")).as("auc"))
+  }
+
+  /** Calibration (reliability) audit over a scored frame: scores fall
+    * into `nBuckets` equal-width buckets (the top edge clamps into
+    * the last bucket) and each emits its count, positive count, exact
+    * mean score in ppm and observed positive rate in ppm — the frame
+    * that says whether "score 0.9" means 90% (a calibrated probe) or
+    * merely "higher than 0.8" (a ranker). One groupBy over ≤ nBuckets
+    * keys; the mean stays exact because 6-dp scores become integral
+    * micro-units under round(score·1e6) before the BIGINT sum.
+    */
+  def probeCalibration(scored: DataFrame, nBuckets: Int = 10): DataFrame =
+    scored
+      .groupBy(least(floor(col("score") * nBuckets), lit(nBuckets - 1))
+        .cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("n_pos"),
+        floor(sum(round(col("score") * 1000000.0).cast("long")) /
+          count(lit(1))).cast("long").as("mean_score_ppm"),
+        floor(lit(1000000L) *
+          sum(when(col("is_target"), 1L).otherwise(0L)) /
+          count(lit(1))).cast("long").as("pos_rate_ppm"))
 
   /** End-to-end corpus curation — the pipeline a user of this library
     * actually runs, composed from the individually-oracled stages into

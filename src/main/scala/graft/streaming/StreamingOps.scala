@@ -425,6 +425,60 @@ object StreamingOps {
           .as("avg_logprob"))
   }
 
+  /** Streaming quality-probe gate — the frozen classifier
+    * ([[graft.operators.Curation.writeProbeIndex]]) applied at
+    * ingest: each arriving document is scored sigmoid(w·x + b) under
+    * the STORED weights and flagged `keep = score >= minScore`. The
+    * sixth ingest-gate modality, and the simplest shape of all of
+    * them: a stateless pure projection — no state, no watermark, no
+    * shuffle — because the hashed-count embedding is computed
+    * row-LOCALLY (per bucket, a count over the token array) instead
+    * of through [[graft.operators.TextOps.hashEmbed]]'s two batch
+    * aggregates, and the weights ride as a literal through the same
+    * codegen `dot_f32` kernel.
+    *
+    * No-drift discipline: the per-row embedding is spec-asserted
+    * bit-equal to the batch hashEmbed (same md5 bucketing, same
+    * exact-integer norm², same 6-dp round-then-float), and the score
+    * and label expressions ARE the batch definitions
+    * ([[graft.operators.Curation.probeScoreExpr]] /
+    * [[graft.operators.Curation.probeTargetExpr]]) — so the gate's
+    * admit decision equals what the batch audit
+    * ([[graft.operators.Curation.probeEval]]) would grade. The
+    * row-local build pays O(dim · tokens) interpreted lambda work per
+    * document — the price of statelessness; the batch serve leg keeps
+    * the aggregate shape for full-corpus scoring.
+    *
+    * Tokenless documents (every token empty) are dropped, matching
+    * hashEmbed's no-row contract. Returns
+    * (doc_id, ingest_ts, is_target, score, keep).
+    */
+  def probeGateDocStream(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, docs: DataFrame,
+      minScore: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions.{hashBucket, tokenize}
+    graft.GraftFunctions.register(spark)
+    val (w, b, dim, targetEvery, targetRem) =
+      graft.operators.Curation.readProbeArtifacts(spark, indexPath)
+    val toks = filter(tokenize(col("text")), t => t =!= "")
+    docs
+      .where(size(toks) >= 1)
+      .withColumn("cnts", transform(sequence(lit(0), lit(dim - 1)),
+        j => size(filter(toks, t => hashBucket(t, dim) === j)).cast("long")))
+      .withColumn("norm2",
+        aggregate(col("cnts"), lit(0L), (acc, c) => acc + c * c))
+      .withColumn("embedding", transform(col("cnts"), c =>
+        round(c.cast("double") / sqrt(col("norm2").cast("double")), 6)
+          .cast("float")))
+      .select(col("doc_id"), col("ingest_ts"),
+        graft.operators.Curation
+          .probeTargetExpr(col("doc_id"), targetEvery, targetRem)
+          .as("is_target"),
+        graft.operators.Curation.probeScoreExpr(col("embedding"), w, b)
+          .as("score"))
+      .withColumn("keep", col("score") >= minScore)
+  }
+
   /** Streaming event-validity gate — the per-row ingest dual of
     * [[graft.operators.Payments.dataQuality]]'s scan-local rules
     * (shared rule definitions — the two surfaces cannot drift; the

@@ -781,6 +781,58 @@ class CurationSpec extends SparkSuite {
     assert(r(101L)._2 < 0, "off-distribution doc must score negative")
   }
 
+  test("writeDsirIndex/dsirScoreFrom: served scores equal the " +
+      "self-trained dsirScore bit-for-bit (round-trip — every " +
+      "training bucket has a stored row, the floor never fires)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dsiridx").toString
+    Curation.writeDsirIndex(docs, dir)
+    def tuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_target"),
+        r.getAs[Long]("n_feat"), r.getAs[Double]("log_weight")))
+      .sortBy(_._1)
+    val served = tuples(Curation.dsirScoreFrom(spark, dir, docs))
+    val self = tuples(Curation.dsirScore(docs))
+    assert(served.nonEmpty && served.sameElements(self))
+  }
+
+  test("dsirScoreFrom: a bucket the frozen model never saw takes the " +
+      "add-one floor; snapshots served against one index share the " +
+      "scale") {
+    import spark.implicits._
+    val train = (Seq(7L, 17L).map(_ -> "alpha beta alpha") ++
+      Seq(100L -> "alpha gamma", 101L -> "beta gamma gamma"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dsirfloor").toString
+    Curation.writeDsirIndex(train, dir)
+    // meta carries the stored totals the floor derives from
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    val (nt, nr) = (meta.getAs[Long]("n_target"), meta.getAs[Long]("n_raw"))
+    val floorDec = new java.math.BigDecimal(math.log(
+        (1.0 / (nt + 1024)) / (1.0 / (nr + 1024))))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    // "zzz unseen" holds two unigrams + one bigram, all absent from
+    // the training corpus (no token overlap), so EVERY feature takes
+    // the floor: log_weight = decimal(3 · floor) exactly
+    val novel = Seq(200L -> "zzz unseen").toDF("doc_id", "text")
+    val r = Curation.dsirScoreFrom(spark, dir, novel).collect()(0)
+    val want = floorDec.multiply(new java.math.BigDecimal(3)).doubleValue()
+    assert(r.getAs[Long]("n_feat") == 3)
+    assert(r.getAs[Double]("log_weight") == want,
+      s"got ${r.getAs[Double]("log_weight")} want $want")
+    // one-scale property: the same doc in two served snapshots
+    val snapA = Seq(300L -> "alpha beta", 301L -> "beta beta")
+      .toDF("doc_id", "text")
+    val snapB = Seq(300L -> "alpha beta", 302L -> "gamma")
+      .toDF("doc_id", "text")
+    val a = Curation.dsirScoreFrom(spark, dir, snapA).collect()
+      .find(_.getAs[Long]("doc_id") == 300L).get.getAs[Double]("log_weight")
+    val b = Curation.dsirScoreFrom(spark, dir, snapB).collect()
+      .find(_.getAs[Long]("doc_id") == 300L).get.getAs[Double]("log_weight")
+    assert(a == b, "frozen model must put both snapshots on one scale")
+  }
+
   test("dsirScore matches an in-memory hashed-feature reference") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val r = Curation.dsirScore(docs).collect()

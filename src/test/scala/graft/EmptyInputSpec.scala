@@ -234,5 +234,36 @@ class EmptyInputSpec extends SparkSuite {
     TextOps.writeWinnowIndex(train, wn)
     assertEmptyOk("winnowAgainst", TextOps.winnowAgainst(spark, wn, noDocs))
     assertEmptyOk("trainOrder", graft.operators.Curation.trainOrder(noDocs))
+    val dsir = java.nio.file.Files
+      .createTempDirectory("graft-empty-dsir").toString
+    graft.operators.Curation.writeDsirIndex(train, dsir)
+    assertEmptyOk("dsirScoreFrom",
+      graft.operators.Curation.dsirScoreFrom(spark, dsir, noDocs))
+  }
+
+  test("probe family tolerates empty input") {
+    // writeProbeIndex on an empty corpus: the sample has no classes,
+    // so training degrades to the untrained prior (w = 0) — the index
+    // still writes and serves, scoring everything 0.5
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-empty-probe").toString
+    graft.operators.Curation.writeProbeIndex(noDocs, dir)
+    assertEmptyOk("probeScoreFrom",
+      graft.operators.Curation.probeScoreFrom(spark, dir, noDocs))
+    val one = Seq((1L, "alpha beta", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val served = graft.operators.Curation.probeScoreFrom(spark, dir, one)
+      .collect()
+    assert(served.length == 1 && served(0).getAs[Double]("score") == 0.5)
+    // probeEval over zero scored rows: one row of ZEROS (the
+    // dataQuality empty-input contract), null-ppm metrics, null auc
+    val noScored = Seq.empty[(Long, Boolean, Double)]
+      .toDF("doc_id", "is_target", "score")
+    val ev = graft.operators.Curation.probeEval(noScored).collect()
+    assert(ev.length == 1)
+    assert(ev(0).getAs[Long]("n_pos") == 0 && ev(0).getAs[Long]("tp") == 0)
+    assert(ev(0).isNullAt(ev(0).fieldIndex("auc")))
+    assertEmptyOk("probeCalibration",
+      graft.operators.Curation.probeCalibration(noScored))
   }
 }

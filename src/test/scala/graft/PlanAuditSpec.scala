@@ -699,6 +699,44 @@ class PlanAuditSpec extends SparkSuite {
       s"V must be a literal, not a joined frame:\n$p")
   }
 
+  test("q_probe_serve: the serve plan carries the weights as a " +
+      "literal — no sampling sort, no gradient rounds, no scan of " +
+      "the index parquet") {
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-probeplan").toString
+    val docs = Tables(spark, dir, "documents")
+    graft.operators.Curation.writeProbeIndex(docs, dir2)
+    val df = graft.operators.Curation.probeScoreFrom(spark, dir2, docs)
+    val p = plan(df)
+    // trainProbe's bounded sample is a TakeOrderedAndProject over
+    // xxhash64 — its presence in the serve plan would mean the serve
+    // path retrains (the pre-r10 probeScore shape)
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("xxhash64"),
+      s"serve plan must not contain the training sample sort:\n$p")
+    assert(!p.contains(dir2),
+      s"weights must ride as a literal, not a parquet scan:\n$p")
+    // the physical aggregate elides its result projection, so the
+    // kernel call is asserted on the optimized logical plan
+    val lp = df.queryExecution.optimizedPlan.toString
+    assert(lp.contains("dot_f32"),
+      s"scoring must go through the codegen kernel:\n$lp")
+  }
+
+  test("q_probe_eval: the AUC window runs over the score-aggregated " +
+      "frame (bounded by the 6-dp codomain), never the corpus") {
+    val df = SparkEntry.queries("q_probe_eval")(spark, dir)
+    val p = plan(df)
+    // the single-partition window is legal ONLY because a groupBy
+    // on score runs first: assert the aggregate sits below the window
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggBelow = lines.drop(winIdx).exists(l =>
+      l.contains("HashAggregate") && l.contains("score"))
+    assert(winIdx >= 0 && aggBelow,
+      s"window must consume the per-score aggregate, not raw rows:\n$p")
+    assert(df.count() == 1)
+  }
+
   test("q_media_pipeline slice: filters the SHARED persisted media " +
       "fixtures instead of rendering its own (decode-once discipline)") {
     val df = SparkEntry.queries("q_media_pipeline")(spark, dir)

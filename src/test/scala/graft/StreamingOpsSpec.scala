@@ -726,4 +726,47 @@ class StreamingOpsSpec extends SparkSuite {
         s"got $out")
     } finally q.stop()
   }
+
+  test("probeGateDocStream: row-local scores equal the batch serve " +
+      "bit-for-bit; tokenless docs drop; keep tracks the threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen probe trained on a batch corpus with both stand-in
+    // classes (ids 7 and 17 are positives under the % 10 == 7 rule)
+    val train = (0L until 20L).map(i =>
+      (i, if (i % 10 == 7) s"good trusted article number $i"
+        else s"spam junk page $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-probestream").toString
+    graft.operators.Curation.writeProbeIndex(train, dir)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = StreamingOps.probeGateDocStream(spark, dir, df)
+      .writeStream.format("memory").queryName("probe_gate")
+      .outputMode("append").start()
+    try {
+      val arriving = Seq(
+        (7L, "good trusted article number 7"),
+        (3L, "spam junk page 3"),
+        (21L, "an unseen mixture of good and junk words"),
+        (5L, ""), (6L, "   ")) // tokenless: hashEmbed's no-row contract
+      input.addData(arriving.map { case (id, t) =>
+        (id, t, ts("2024-01-01 09:00:10")) }: _*)
+      q.processAllAvailable()
+      val live = spark.table("probe_gate").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("is_target"), r.getAs[Double]("score"),
+            r.getAs[Boolean]("keep"))))
+        .toMap
+      val batch = graft.operators.Curation.probeScoreFrom(spark, dir,
+          arriving.toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("is_target"), r.getAs[Double]("score"))))
+        .toMap
+      assert(live.keySet == Set(7L, 3L, 21L), s"got ${live.keySet}")
+      assert(live.view.mapValues(v => (v._1, v._2)).toMap == batch,
+        s"live $live != batch $batch")
+      live.values.foreach { case (_, score, keep) =>
+        assert(keep == (score >= 0.5)) }
+    } finally q.stop()
+  }
 }
