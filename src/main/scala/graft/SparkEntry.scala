@@ -652,6 +652,18 @@ object SparkEntry {
     "q_dsir_serve" -> ((s, d) =>
       Curation.dsirScoreFrom(s, dsirIndexOf(s, d),
         docHalf(s, d, old = false))),
+    // contrastive triplet mining for embedding-model training:
+    // positives = verified near-dup rep pairs, negatives = the
+    // content-hash ring successor (negBuckets pinned 8 for the
+    // 500-row gate corpus, the trainOrder nShards convention; the
+    // library default is the 65536-bucket scale geometry)
+    "q_mine_triplets" -> ((s, d) =>
+      Curation.mineTriplets(t(s, d, "documents"), negBuckets = 8)),
+    // rows-only (signature-agreement estimates have no DuckDB form):
+    // hard negatives — the anchor's most-similar banded candidate
+    // strictly below hardMax, ring fallback where none exists
+    "q_mine_triplets_hard" -> ((s, d) =>
+      Curation.mineTripletsHard(t(s, d, "documents"), negBuckets = 8)),
     "q_source_report" -> ((s, d) => TextOps.sourceReport(t(s, d, "documents"))),
     // fuzzy decontamination: oracle computes TRUE jaccard pairs among
     // md5 reps (the exactverify/split_leakage banding-recall contract)
@@ -2481,6 +2493,53 @@ object SparkEntry {
         |    AS log_weight
         |FROM ntf LEFT JOIN ratio USING (b) CROSS JOIN flr
         |GROUP BY doc_id""".stripMargin,
+    "q_mine_triplets" ->
+      """WITH reps AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents JOIN reps USING (doc_id)
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS shingle
+        |  FROM d WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a_id, b_id, jaccard
+        |  FROM (SELECT a_id, b_id,
+        |          CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+        |        FROM inter
+        |        JOIN sizes sa ON a_id = sa.doc_id
+        |        JOIN sizes sb ON b_id = sb.doc_id)
+        |  WHERE jaccard >= 0.8
+        |), ring AS (
+        |  SELECT doc_id, th,
+        |    COALESCE(lead(doc_id, 1) OVER w,
+        |      FIRST_VALUE(doc_id) OVER wf) AS neg_id,
+        |    COALESCE(lead(th, 1) OVER w,
+        |      FIRST_VALUE(th) OVER wf) AS neg_th
+        |  FROM (SELECT doc_id, md5(text) AS th,
+        |          CAST('0x' || substr(md5('neg:' || text), 1, 8) AS BIGINT) % 8 AS bkt
+        |        FROM documents)
+        |  WINDOW w AS (PARTITION BY bkt ORDER BY th, doc_id),
+        |    wf AS (PARTITION BY bkt ORDER BY th, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), ath AS (
+        |  SELECT doc_id AS a_id, md5(text) AS a_th FROM documents
+        |), bth AS (
+        |  SELECT doc_id AS b_id, md5(text) AS b_th FROM documents
+        |)
+        |SELECT a_id AS anchor_id, b_id AS pos_id, neg_id, jaccard
+        |FROM pairs
+        |JOIN (SELECT doc_id AS a_id, neg_id, neg_th FROM ring) USING (a_id)
+        |JOIN ath USING (a_id) JOIN bth USING (b_id)
+        |WHERE neg_id <> a_id AND neg_id <> b_id
+        |  AND neg_th <> a_th AND neg_th <> b_th""".stripMargin,
     "q_source_report" ->
       """WITH d AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -773,16 +773,28 @@ object Curation {
     * one per-doc DECIMAL aggregate — no ratio recomputation, no
     * training-corpus scan.
     */
-  def dsirScoreFrom(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, newDocs: DataFrame): DataFrame = {
+  /** The stored [[writeDsirIndex]] serve frames — the ratio rows, the
+    * single-row floor frame ([[dsirLrExpr]] with ct = cr = 0 over the
+    * stored totals) and the model geometry. Shared by the batch serve
+    * leg and the streaming [[graft.streaming.StreamingOps
+    * .dsirScoreDocStream]] gate (the no-drift discipline).
+    */
+  private[graft] def readDsirServeFrames(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String)
+      : (DataFrame, DataFrame, Int, Int, Int) = {
     val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
     val buckets = meta.getAs[Int]("buckets")
-    val targetEvery = meta.getAs[Int]("target_every")
-    val targetRem = meta.getAs[Int]("target_rem")
-    val ratio = spark.read.parquet(s"$indexPath/ratio")
     val floorRow = spark.read.parquet(s"$indexPath/meta")
       .select(dsirLrExpr(lit(0L), lit(0L), col("n_target"), col("n_raw"),
         buckets).as("floor_lr"))
+    (spark.read.parquet(s"$indexPath/ratio"), floorRow, buckets,
+      meta.getAs[Int]("target_every"), meta.getAs[Int]("target_rem"))
+  }
+
+  def dsirScoreFrom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame): DataFrame = {
+    val (ratio, floorRow, buckets, targetEvery, targetRem) =
+      readDsirServeFrames(spark, indexPath)
     dsirFeatures(newDocs, buckets)
       .join(ratio, Seq("b"), "left")
       .crossJoin(broadcast(floorRow))
@@ -1343,6 +1355,119 @@ object Curation {
         floor(lit(1000000L) *
           sum(when(col("is_target"), 1L).otherwise(0L)) /
           count(lit(1))).cast("long").as("pos_rate_ppm"))
+
+  /** Contrastive triplet mining — (anchor, positive, negative) rows
+    * for embedding-model training, the data-assembly step behind
+    * retriever/embedder pipelines (anchor–positive from NEAR-DUP
+    * pairs, the public "co-occurring or duplicated text is a positive
+    * pair" recipe; negative drawn deterministically from the rest of
+    * the corpus):
+    *
+    *   - positives: [[Dedup.minhashExactVerifiedPairs]] at
+    *     `threshold` — verified true-Jaccard rep pairs, never
+    *     all-pairs;
+    *   - negatives: each anchor's successor in a content-hash RING —
+    *     docs bucket by salted-md5 into `negBuckets`, order within a
+    *     bucket by md5(text) (doc_id tie-break), and the negative is
+    *     the next doc in the bucket (wrapping to the first) — a
+    *     deterministic, engine-stable stand-in for "random negative"
+    *     (the [[dsirSelect]] no-RNG convention). Rows whose ring
+    *     successor IS the anchor or the positive (by text identity or
+    *     id — singleton buckets wrap to self) are dropped rather than
+    *     silently emitting a false negative.
+    *
+    * `negBuckets` sets the per-bucket window size: the gate registry
+    * pins 8 for the 500-row corpus; production geometry is
+    * corpus-size / ~10⁵ so each sorted bucket stays task-sized (the
+    * [[trainOrder]] nShards convention). Returns
+    * (anchor_id, pos_id, neg_id, jaccard).
+    */
+  def mineTriplets(documents: DataFrame, threshold: Double = 0.8,
+      negBuckets: Int = 65536): DataFrame = {
+    val pairs = Dedup.minhashExactVerifiedPairs(documents, threshold)
+    tripletsFromRing(documents, pairs, negBuckets)
+      .select(col("a_id").as("anchor_id"), col("b_id").as("pos_id"),
+        col("neg_id"), col("jaccard"))
+  }
+
+  /** The content-hash-ring negative join shared by [[mineTriplets]]
+    * and [[mineTripletsHard]]'s fallback: pairs gain (neg_id, neg_th)
+    * from the anchor's ring successor, with the self/positive/
+    * text-collision rows dropped.
+    */
+  private def tripletsFromRing(documents: DataFrame, pairs: DataFrame,
+      negBuckets: Int): DataFrame = {
+    val bkt = graft.functions.TextFunctions
+      .hashBucket(col("text"), negBuckets, "neg:")
+    val w = Window.partitionBy("bkt").orderBy(col("th"), col("doc_id"))
+    val ring = Window.partitionBy("bkt").orderBy(col("th"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val negs = documents
+      .select(col("doc_id"), md5(col("text")).as("th"), bkt.as("bkt"))
+      .select(col("doc_id"), col("th"),
+        coalesce(lead(col("doc_id"), 1).over(w),
+          first(col("doc_id")).over(ring)).as("neg_id"),
+        coalesce(lead(col("th"), 1).over(w),
+          first(col("th")).over(ring)).as("neg_th"))
+    val aTh = documents.select(col("doc_id").as("a_id"),
+      md5(col("text")).as("a_th"))
+    val bTh = documents.select(col("doc_id").as("b_id"),
+      md5(col("text")).as("b_th"))
+    pairs
+      .join(negs.select(col("doc_id").as("a_id"), col("neg_id"),
+        col("neg_th")), "a_id")
+      .join(aTh, "a_id").join(bTh, "b_id")
+      .where(col("neg_id") =!= col("a_id") &&
+        col("neg_id") =!= col("b_id") &&
+        col("neg_th") =!= col("a_th") && col("neg_th") =!= col("b_th"))
+  }
+
+  /** [[mineTriplets]] with HARD negatives where they exist: the
+    * negative is the anchor's most-similar NON-duplicate — the
+    * banded-LSH candidate with the highest signature-agreement
+    * estimate strictly below `hardMax` (candidates share a band by
+    * construction, so they are "close but not duplicate", the
+    * published hard-negative shape that makes contrastive training
+    * converge). Candidates come from the same capped banding as the
+    * dedup family (never all-pairs); per-anchor argmax is one
+    * partitioned row_number window over the candidate frame. An
+    * anchor with NO sub-hardMax candidate — common in clone-heavy
+    * corpora, where banding only surfaces near-dups — falls back to
+    * the [[mineTriplets]] content-hash-ring negative instead of
+    * silently vanishing; `neg_kind` says which path each row took
+    * ('banded' with its estimate, 'ring' with NULL). rows-only:
+    * signature estimates have no DuckDB form. Returns (anchor_id,
+    * pos_id, neg_id, neg_est, neg_kind, jaccard).
+    */
+  def mineTripletsHard(documents: DataFrame, threshold: Double = 0.8,
+      hardMax: Double = 0.5, negBuckets: Int = 65536): DataFrame = {
+    val pairs = Dedup.minhashExactVerifiedPairs(documents, threshold)
+    val cands = Dedup.minhashVerifiedPairs(documents, threshold = 0.0)
+      .where(col("est_jaccard") < hardMax)
+    val bidir = cands.select(col("a_id").as("anchor"), col("b_id").as("neg"),
+        col("est_jaccard"))
+      .unionByName(cands.select(col("b_id").as("anchor"),
+        col("a_id").as("neg"), col("est_jaccard")))
+    val w = Window.partitionBy("anchor")
+      .orderBy(col("est_jaccard").desc, col("neg"))
+    val hardest = bidir.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("anchor").as("a_id"), col("neg").as("hard_id"),
+        col("est_jaccard").as("hard_est"))
+    tripletsFromRing(documents, pairs, negBuckets)
+      .join(hardest, Seq("a_id"), "left")
+      // a hard candidate that IS the positive is not a negative —
+      // treat it as absent and take the ring fallback
+      .withColumn("use_hard",
+        col("hard_id").isNotNull && col("hard_id") =!= col("b_id"))
+      .select(col("a_id").as("anchor_id"), col("b_id").as("pos_id"),
+        when(col("use_hard"), col("hard_id")).otherwise(col("neg_id"))
+          .as("neg_id"),
+        when(col("use_hard"), col("hard_est")).as("neg_est"),
+        when(col("use_hard"), lit("banded")).otherwise(lit("ring"))
+          .as("neg_kind"),
+        col("jaccard"))
+  }
 
   /** End-to-end corpus curation — the pipeline a user of this library
     * actually runs, composed from the individually-oracled stages into

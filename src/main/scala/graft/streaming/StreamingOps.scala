@@ -425,6 +425,54 @@ object StreamingOps {
           .as("avg_logprob"))
   }
 
+  /** Streaming frozen-DSIR importance scoring — the
+    * [[graft.operators.Curation.dsirScoreFrom]] serve leg run at the
+    * stream head (the [[lmScoreDocStream]] shape): each arriving
+    * document's hashed unigram+bigram features LEFT-join the STORED
+    * ratio rows (stream-static join, broadcast at any scale), unseen
+    * buckets take the same add-one floor row, and ONE watermarked
+    * window aggregate assembles the per-doc DECIMAL sum — so an
+    * ingest-time sampler can admit documents ∝ exp(log_weight) under
+    * exactly the weights the batch pipeline trained. Feature
+    * construction and the floor ARE the batch definitions
+    * ([[graft.operators.Curation.dsirFeatures]]' expressions /
+    * [[graft.operators.Curation.readDsirServeFrames]]) — closed
+    * windows are bit-equal to dsirScoreFrom (spec).
+    *
+    * State is O(open windows × docs-in-window), bounded by the
+    * watermark; the model side is static and never grows.
+    */
+  def dsirScoreDocStream(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, docs: DataFrame, windowLen: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.{hashBucket, shingleStructs, shingleFromStruct, tokenize}
+    val (ratio, floorRow, buckets, targetEvery, targetRem) =
+      graft.operators.Curation.readDsirServeFrames(spark, indexPath)
+    val toks = filter(tokenize(col("text")), t => t =!= "")
+    val uni = docs.select(col("doc_id"), col("ingest_ts"),
+        explode(toks).as("f"))
+      .where(col("f") =!= "")
+    val bi = docs.where(size(toks) >= 2)
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(shingleStructs(toks, 2)).as("z"))
+      .select(col("doc_id"), col("ingest_ts"),
+        shingleFromStruct(col("z"), 2).as("f"))
+    uni.unionByName(bi)
+      .select(col("doc_id"), col("ingest_ts"),
+        hashBucket(col("f"), buckets).as("b"))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .join(ratio, Seq("b"), "left")
+      .crossJoin(broadcast(floorRow))
+      .groupBy(window(col("ingest_ts"), windowLen), col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        sum(coalesce(col("lr"), col("floor_lr"))).as("sum_lw"))
+      .select(col("window.start").as("win_start"), col("doc_id"),
+        graft.operators.Curation
+          .probeTargetExpr(col("doc_id"), targetEvery, targetRem)
+          .as("is_target"),
+        col("n_feat"), col("sum_lw").cast("double").as("log_weight"))
+  }
+
   /** Streaming quality-probe gate — the frozen classifier
     * ([[graft.operators.Curation.writeProbeIndex]]) applied at
     * ingest: each arriving document is scored sigmoid(w·x + b) under

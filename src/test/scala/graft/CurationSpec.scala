@@ -833,6 +833,102 @@ class CurationSpec extends SparkSuite {
     assert(a == b, "frozen model must put both snapshots on one scale")
   }
 
+  test("mineTriplets: anchors/positives are exactly the verified " +
+      "near-dup pairs, negatives are never the pair or its text, " +
+      "and the mining is rerun-deterministic") {
+    val r1 = Curation.mineTriplets(docs, negBuckets = 8).collect()
+      .map(x => (x.getAs[Long]("anchor_id"), x.getAs[Long]("pos_id"),
+        x.getAs[Long]("neg_id"), x.getAs[Double]("jaccard")))
+      .sortBy(t => (t._1, t._2))
+    assert(r1.nonEmpty, "gate corpus must yield triplets")
+    val r2 = Curation.mineTriplets(docs, negBuckets = 8).collect()
+      .map(x => (x.getAs[Long]("anchor_id"), x.getAs[Long]("pos_id"),
+        x.getAs[Long]("neg_id"), x.getAs[Double]("jaccard")))
+      .sortBy(t => (t._1, t._2))
+    assert(r1.sameElements(r2), "ring negatives must be deterministic")
+    val verified = Dedup.minhashExactVerifiedPairs(docs).collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"))).toSet
+    val texts = docs.collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text")).toMap
+    r1.foreach { case (a, p, n, j) =>
+      assert(verified.contains((a, p)), s"($a,$p) not a verified pair")
+      assert(n != a && n != p)
+      assert(texts(n) != texts(a) && texts(n) != texts(p),
+        s"negative $n text-collides with the pair ($a,$p)")
+      assert(j >= 0.8)
+    }
+  }
+
+  test("mineTripletsHard: banded rows carry the anchor's " +
+      "highest-estimate candidate below hardMax, anchors without " +
+      "one fall back to the ring negative") {
+    val r = Curation.mineTripletsHard(docs, negBuckets = 8).collect()
+      .map(x => (x.getAs[Long]("anchor_id"), x.getAs[Long]("pos_id"),
+        x.getAs[Long]("neg_id"),
+        Option(x.getAs[java.lang.Double]("neg_est")).map(_.toDouble),
+        x.getAs[String]("neg_kind")))
+    assert(r.nonEmpty, "gate corpus must yield triplets")
+    // every verified pair survives as a triplet (the fallback is
+    // what makes the op total)
+    val ringTrip = Curation.mineTriplets(docs, negBuckets = 8).collect()
+      .map(x => (x.getAs[Long]("anchor_id"), x.getAs[Long]("pos_id")))
+      .toSet
+    assert(r.map(t => (t._1, t._2)).toSet == ringTrip,
+      "hard mining must keep exactly the ring op's (anchor, pos) rows")
+    // all banded candidates with their estimates, bidirectional
+    val cands = Dedup.minhashVerifiedPairs(docs, threshold = 0.0).collect()
+      .flatMap { x =>
+        val (a, b, e) = (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"),
+          x.getAs[Double]("est_jaccard"))
+        Seq((a, b, e), (b, a, e))
+      }
+    val below = cands.filter(_._3 < 0.5)
+      .groupBy(_._1).view.mapValues(_.map(c => (c._3, c._2)).max).toMap
+    r.foreach { case (a, p, n, e, kind) =>
+      assert(n != p && n != a)
+      kind match {
+        case "banded" =>
+          assert(e.exists(_ < 0.5), s"banded est $e must be below hardMax")
+          assert(e.contains(below(a)._1),
+            s"anchor $a: neg est $e but the hardest candidate has ${below(a)._1}")
+        case "ring" =>
+          assert(e.isEmpty)
+          // ring fires only when no usable banded candidate exists
+          assert(!below.get(a).exists(_._2 != p),
+            s"anchor $a fell back to ring despite a banded candidate")
+        case other => fail(s"unknown neg_kind $other")
+      }
+    }
+    info(s"${r.count(_._5 == "banded")} banded / " +
+      s"${r.count(_._5 == "ring")} ring of ${r.length}")
+  }
+
+  test("mineTripletsHard: a crafted near-miss candidate IS taken as " +
+      "the banded hard negative") {
+    import spark.implicits._
+    // 1-2: verified near-dup pair (true J = 10/11); 3 shares a long
+    // prefix with 1 (true J = 8/12; the fixed hash family estimates
+    // it 0.71875 — banded, below hardMax 0.75); 100-103: ring filler
+    val base = (1 to 12).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      1L -> base,
+      2L -> (base + " t13"),
+      3L -> ((1 to 10).map(i => s"t$i").mkString(" ") + " x1 x2"),
+      100L -> "alpha beta gamma delta epsilon",
+      101L -> "one two three four five six",
+      102L -> "red green blue yellow purple",
+      103L -> "north south east west centre").toDF("doc_id", "text")
+    val r = Curation.mineTripletsHard(d, hardMax = 0.75, negBuckets = 2)
+      .collect()
+      .map(x => (x.getAs[Long]("anchor_id"), x.getAs[Long]("pos_id"),
+        x.getAs[Long]("neg_id"), x.getAs[String]("neg_kind")))
+    assert(r.length == 1, s"got ${r.toSeq}")
+    val (a, p, n, kind) = r(0)
+    assert(a == 1L && p == 2L)
+    assert(n == 3L && kind == "banded",
+      s"doc 3 must be the banded hard negative, got ($n, $kind)")
+  }
+
   test("dsirScore matches an in-memory hashed-feature reference") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val r = Curation.dsirScore(docs).collect()

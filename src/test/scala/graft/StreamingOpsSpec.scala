@@ -727,6 +727,49 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dsirScoreDocStream: closed-window scores equal the batch " +
+      "dsirScoreFrom bit-for-bit; unseen buckets take the floor") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = (Seq(7L, 17L).map(_ -> "alpha beta alpha") ++
+      Seq(100L -> "alpha gamma", 101L -> "beta gamma gamma"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dsirstream").toString
+    graft.operators.Curation.writeDsirIndex(train, dir)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = StreamingOps.dsirScoreDocStream(spark, dir, df, "1 minute",
+        "0 seconds")
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    try {
+      val scored = Seq(
+        (0L, "alpha beta gamma"),   // all-seen features
+        (7L, "zzz unseen tokens"),  // all-unseen: pure floor
+        (2L, "alpha zzz"),          // mixed
+        (3L, ""))                   // tokenless: no row
+      input.addData(scored.map { case (id, t) =>
+        (id, t, ts("2024-01-01 09:00:10")) }: _*)
+      q.processAllAvailable()
+      input.addData((9L, "alpha", ts("2024-01-01 09:05:00")))
+      q.processAllAvailable()
+      val live = spark.table("dsir_gate").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("is_target"), r.getAs[Long]("n_feat"),
+            r.getAs[Double]("log_weight"))))
+        .toMap
+      val batch = graft.operators.Curation.dsirScoreFrom(spark, dir,
+          scored.toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("is_target"), r.getAs[Long]("n_feat"),
+            r.getAs[Double]("log_weight"))))
+        .toMap
+      assert(live.keySet == Set(0L, 7L, 2L), s"got ${live.keySet}")
+      assert(live == batch, s"live $live != batch $batch")
+      assert(live(7L)._1, "doc 7 carries the stand-in target label")
+    } finally q.stop()
+  }
+
   test("probeGateDocStream: row-local scores equal the batch serve " +
       "bit-for-bit; tokenless docs drop; keep tracks the threshold") {
     implicit val sqlCtx = spark.sqlContext
