@@ -797,7 +797,11 @@ object SparkEntry {
       // fixtures (the q_video_ann door) — rendering a second
       // slice-only frame per modality paid the synthetic encode
       // twice per suite run; a filter on the shared persisted
-      // instance pays it zero extra times
+      // instance pays it zero extra times. Honest trade: a
+      // SPARK_GRAFT_ONLY=q_media_pipeline standalone run renders the
+      // full corpus for a 1/3 slice — the suite (the driver's mode)
+      // is what this optimizes, and a real corpus scans a payload
+      // table instead of rendering at all
       def slice[T](ds: org.apache.spark.sql.Dataset[T]) =
         ds.filter(col("docId") % lit(3) === 0)
       MediaPipeline.curateMedia(

@@ -675,19 +675,47 @@ object Curation {
     * definition, the serve leg cannot drift). Callers persist.
     */
   private[operators] def dsirFeatures(documents: DataFrame,
-      buckets: Int): DataFrame = {
+      buckets: Int): DataFrame =
+    dsirFeatureRows(documents, buckets)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+
+  /** One (carry..., doc_id, b) row per hashed feature OCCURRENCE —
+    * the unaggregated form under [[dsirFeatures]], exposed so the
+    * streaming gate ([[graft.streaming.StreamingOps
+    * .dsirScoreDocStream]]) shares the exact feature construction
+    * (carrying `ingest_ts` through) instead of re-implementing it —
+    * one definition, the serve surfaces cannot drift.
+    */
+  private[graft] def dsirFeatureRows(documents: DataFrame, buckets: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val carry = carryCols.map(col)
     val toks = filter(tokenize(col("text")), t => t =!= "")
-    val uni = documents.select(col("doc_id"), explode(toks).as("f"))
+    val uni = documents
+      .select(carry :+ col("doc_id") :+ explode(toks).as("f"): _*)
       .where(col("f") =!= "")
     val bi = documents.where(size(toks) >= 2)
-      .select(col("doc_id"), explode(shingleStructs(toks, 2)).as("z"))
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.shingleFromStruct(col("z"), 2).as("f"))
+      .select(carry :+ col("doc_id") :+
+        explode(shingleStructs(toks, 2)).as("z"): _*)
+      .select(carry :+ col("doc_id") :+
+        graft.functions.TextFunctions.shingleFromStruct(col("z"), 2)
+          .as("f"): _*)
     uni.unionByName(bi)
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.hashBucket(col("f"), buckets).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      .select(carry :+ col("doc_id") :+
+        graft.functions.TextFunctions.hashBucket(col("f"), buckets)
+          .as("b"): _*)
   }
+
+  /** The DSIR stand-in label rule — the SIGNED remainder
+    * `doc_id % targetEvery == targetRem` (what [[dsirScore]] trains
+    * and the DuckDB oracle computes), shared by the serve legs so the
+    * served label cannot drift from the label the model was fit
+    * under. NOT [[probeTargetExpr]]'s pmod: the two families'
+    * conventions differ on negative ids, and each serve leg must
+    * match ITS trainer.
+    */
+  private[graft] def dsirTargetExpr(docId: org.apache.spark.sql.Column,
+      targetEvery: Int, targetRem: Int): org.apache.spark.sql.Column =
+    docId % targetEvery === targetRem
 
   /** The per-bucket add-one-smoothed log importance ratio frame
     * (b, lr) plus the (nt, nr) totals frame, derived from a
@@ -784,8 +812,13 @@ object Curation {
       : (DataFrame, DataFrame, Int, Int, Int) = {
     val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
     val buckets = meta.getAs[Int]("buckets")
-    val floorRow = spark.read.parquet(s"$indexPath/meta")
-      .select(dsirLrExpr(lit(0L), lit(0L), col("n_target"), col("n_raw"),
+    // the floor derives from the ALREADY-collected meta row — no
+    // second scan of the index (each footer read is a network round
+    // trip on object-store paths); the expression pipeline is still
+    // dsirLrExpr, so the floor equals a stored ct=cr=0 row bit-for-bit
+    val floorRow = spark.range(1)
+      .select(dsirLrExpr(lit(0L), lit(0L),
+        lit(meta.getAs[Long]("n_target")), lit(meta.getAs[Long]("n_raw")),
         buckets).as("floor_lr"))
     (spark.read.parquet(s"$indexPath/ratio"), floorRow, buckets,
       meta.getAs[Int]("target_every"), meta.getAs[Int]("target_rem"))
@@ -804,7 +837,7 @@ object Curation {
       .agg(sum(col("tf")).as("n_feat"),
         sum(col("tf").cast("decimal(10,0)") * col("lr")).as("sum_lw"))
       .select(col("doc_id"),
-        probeTargetExpr(col("doc_id"), targetEvery, targetRem)
+        dsirTargetExpr(col("doc_id"), targetEvery, targetRem)
           .as("is_target"),
         col("n_feat"), col("sum_lw").cast("double").as("log_weight"))
   }
@@ -1385,41 +1418,46 @@ object Curation {
   def mineTriplets(documents: DataFrame, threshold: Double = 0.8,
       negBuckets: Int = 65536): DataFrame = {
     val pairs = Dedup.minhashExactVerifiedPairs(documents, threshold)
-    tripletsFromRing(documents, pairs, negBuckets)
+    tripletsWithRing(documents, pairs, negBuckets)
+      .where(col("ring_ok"))
       .select(col("a_id").as("anchor_id"), col("b_id").as("pos_id"),
         col("neg_id"), col("jaccard"))
   }
 
   /** The content-hash-ring negative join shared by [[mineTriplets]]
     * and [[mineTripletsHard]]'s fallback: pairs gain (neg_id, neg_th)
-    * from the anchor's ring successor, with the self/positive/
-    * text-collision rows dropped.
+    * from the anchor's ring successor plus a `ring_ok` verdict —
+    * false when the successor IS the anchor or the positive (by id or
+    * text identity; a singleton bucket wraps to self). Callers decide
+    * what an invalid ring means: [[mineTriplets]] drops the row,
+    * [[mineTripletsHard]] only needs the ring when no banded
+    * candidate exists. The corpus is hashed ONCE — the (doc_id, th)
+    * projection feeds the ring window and both pair-side text-hash
+    * lookups.
     */
-  private def tripletsFromRing(documents: DataFrame, pairs: DataFrame,
+  private def tripletsWithRing(documents: DataFrame, pairs: DataFrame,
       negBuckets: Int): DataFrame = {
     val bkt = graft.functions.TextFunctions
       .hashBucket(col("text"), negBuckets, "neg:")
+    val hashed = documents
+      .select(col("doc_id"), md5(col("text")).as("th"), bkt.as("bkt"))
     val w = Window.partitionBy("bkt").orderBy(col("th"), col("doc_id"))
     val ring = Window.partitionBy("bkt").orderBy(col("th"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val negs = documents
-      .select(col("doc_id"), md5(col("text")).as("th"), bkt.as("bkt"))
+    val negs = hashed
       .select(col("doc_id"), col("th"),
         coalesce(lead(col("doc_id"), 1).over(w),
           first(col("doc_id")).over(ring)).as("neg_id"),
         coalesce(lead(col("th"), 1).over(w),
           first(col("th")).over(ring)).as("neg_th"))
-    val aTh = documents.select(col("doc_id").as("a_id"),
-      md5(col("text")).as("a_th"))
-    val bTh = documents.select(col("doc_id").as("b_id"),
-      md5(col("text")).as("b_th"))
     pairs
-      .join(negs.select(col("doc_id").as("a_id"), col("neg_id"),
-        col("neg_th")), "a_id")
-      .join(aTh, "a_id").join(bTh, "b_id")
-      .where(col("neg_id") =!= col("a_id") &&
-        col("neg_id") =!= col("b_id") &&
-        col("neg_th") =!= col("a_th") && col("neg_th") =!= col("b_th"))
+      .join(negs.select(col("doc_id").as("a_id"), col("th").as("a_th"),
+        col("neg_id"), col("neg_th")), "a_id")
+      .join(hashed.select(col("doc_id").as("b_id"), col("th").as("b_th")),
+        "b_id")
+      .withColumn("ring_ok",
+        col("neg_id") =!= col("a_id") && col("neg_id") =!= col("b_id") &&
+          col("neg_th") =!= col("a_th") && col("neg_th") =!= col("b_th"))
   }
 
   /** [[mineTriplets]] with HARD negatives where they exist: the
@@ -1441,25 +1479,44 @@ object Curation {
     */
   def mineTripletsHard(documents: DataFrame, threshold: Double = 0.8,
       hardMax: Double = 0.5, negBuckets: Int = 65536): DataFrame = {
-    val pairs = Dedup.minhashExactVerifiedPairs(documents, threshold)
-    val cands = Dedup.minhashVerifiedPairs(documents, threshold = 0.0)
-      .where(col("est_jaccard") < hardMax)
+    // ONE sketch/banding pipeline for both frames (the
+    // exactVerifiedFromReps aggregate-once rule): minhashEstError
+    // carries each candidate's estimate AND true Jaccard, so the
+    // verified positives and the near-miss candidates are two filters
+    // of the same frame — not two full sketch builds
+    val audit = Dedup.minhashEstError(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    audit.count() // three consumers below (the imageDedupPairs rule)
+    val pairs = audit.where(col("true_jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        col("true_jaccard").as("jaccard"))
+    val cands = audit.where(col("est_jaccard") < hardMax)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
     val bidir = cands.select(col("a_id").as("anchor"), col("b_id").as("neg"),
         col("est_jaccard"))
       .unionByName(cands.select(col("b_id").as("anchor"),
         col("a_id").as("neg"), col("est_jaccard")))
+    // a verified positive of the anchor is NEVER a negative, whatever
+    // its estimate says — exclude BEFORE the argmax so the rank-2
+    // candidate steps up instead of falling to the ring
+    val posBidir = pairs.select(col("a_id").as("anchor"),
+        col("b_id").as("neg"))
+      .unionByName(pairs.select(col("b_id").as("anchor"),
+        col("a_id").as("neg")))
     val w = Window.partitionBy("anchor")
       .orderBy(col("est_jaccard").desc, col("neg"))
-    val hardest = bidir.withColumn("rn", row_number().over(w))
+    val hardest = bidir.join(posBidir, Seq("anchor", "neg"), "left_anti")
+      .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("anchor").as("a_id"), col("neg").as("hard_id"),
         col("est_jaccard").as("hard_est"))
-    tripletsFromRing(documents, pairs, negBuckets)
+    tripletsWithRing(documents, pairs, negBuckets)
       .join(hardest, Seq("a_id"), "left")
-      // a hard candidate that IS the positive is not a negative —
-      // treat it as absent and take the ring fallback
-      .withColumn("use_hard",
-        col("hard_id").isNotNull && col("hard_id") =!= col("b_id"))
+      .withColumn("use_hard", col("hard_id").isNotNull)
+      // a row is dropped ONLY when neither path yields a negative —
+      // an anchor with a valid banded candidate survives a colliding
+      // (e.g. singleton-bucket) ring
+      .where(col("use_hard") || col("ring_ok"))
       .select(col("a_id").as("anchor_id"), col("b_id").as("pos_id"),
         when(col("use_hard"), col("hard_id")).otherwise(col("neg_id"))
           .as("neg_id"),

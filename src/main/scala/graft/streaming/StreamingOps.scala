@@ -445,21 +445,12 @@ object StreamingOps {
   def dsirScoreDocStream(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, docs: DataFrame, windowLen: String = "1 minute",
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    import graft.functions.TextFunctions.{hashBucket, shingleStructs, shingleFromStruct, tokenize}
     val (ratio, floorRow, buckets, targetEvery, targetRem) =
       graft.operators.Curation.readDsirServeFrames(spark, indexPath)
-    val toks = filter(tokenize(col("text")), t => t =!= "")
-    val uni = docs.select(col("doc_id"), col("ingest_ts"),
-        explode(toks).as("f"))
-      .where(col("f") =!= "")
-    val bi = docs.where(size(toks) >= 2)
-      .select(col("doc_id"), col("ingest_ts"),
-        explode(shingleStructs(toks, 2)).as("z"))
-      .select(col("doc_id"), col("ingest_ts"),
-        shingleFromStruct(col("z"), 2).as("f"))
-    uni.unionByName(bi)
-      .select(col("doc_id"), col("ingest_ts"),
-        hashBucket(col("f"), buckets).as("b"))
+    // the batch serve leg's own feature construction, with ingest_ts
+    // carried through (one definition — the surfaces cannot drift)
+    graft.operators.Curation
+      .dsirFeatureRows(docs, buckets, carryCols = Seq("ingest_ts"))
       .withWatermark("ingest_ts", watermarkDelay)
       .join(ratio, Seq("b"), "left")
       .crossJoin(broadcast(floorRow))
@@ -468,7 +459,7 @@ object StreamingOps {
         sum(coalesce(col("lr"), col("floor_lr"))).as("sum_lw"))
       .select(col("window.start").as("win_start"), col("doc_id"),
         graft.operators.Curation
-          .probeTargetExpr(col("doc_id"), targetEvery, targetRem)
+          .dsirTargetExpr(col("doc_id"), targetEvery, targetRem)
           .as("is_target"),
         col("n_feat"), col("sum_lw").cast("double").as("log_weight"))
   }
