@@ -755,32 +755,86 @@ object Curation {
         ((cr + 1).cast("double") / (nr + buckets).cast("double"))), 6)
       .cast("decimal(12,6)")
 
-  /** Persist the DSIR importance model — the ≤`buckets` (b, lr)
-    * ratio rows plus the (buckets, target_every, target_rem,
+  /** Persist the DSIR importance model — the ≤`buckets` (b, ct, cr)
+    * COUNT rows (the monoid state surgery needs), the derived (b, lr)
+    * ratio rows, and the (buckets, target_every, target_rem,
     * n_target, n_raw) meta row — as the DSIR member of the
     * train-once/serve-many family: the paper's deployment fits the
     * importance weights ONCE on a labeled sample and scores every
-    * raw shard against them. `meta/` is written LAST (the
-    * [[writeProbeIndex]] commit-marker discipline). EAGER — the
-    * feature aggregate and both writes run immediately.
+    * raw shard against them. Write order is the `writeLmArtifacts`
+    * partial-write discipline: counts first, then ratio and meta
+    * DERIVED FROM THE WRITTEN counts (a crash between writes cannot
+    * leave a ratio inconsistent with its counts), meta last as the
+    * commit marker. EAGER — the feature aggregate and all writes run
+    * immediately.
     */
   def writeDsirIndex(documents: DataFrame, path: String,
       buckets: Int = 1024, targetEvery: Int = 10,
       targetRem: Int = 7): Unit = {
     val spark = documents.sparkSession
-    val tf = dsirFeatures(documents, buckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tf.count()
-    try {
-      val (ratio, tot) = dsirRatio(tf, buckets, targetEvery, targetRem)
-      ratio.write.mode("overwrite").parquet(s"$path/ratio")
-      val t = tot.collect()(0)
-      import spark.implicits._
-      Seq((buckets, targetEvery, targetRem,
-          t.getAs[Long]("nt"), t.getAs[Long]("nr")))
-        .toDF("buckets", "target_every", "target_rem", "n_target", "n_raw")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    } finally tf.unpersist()
+    val isTarget = dsirTargetExpr(col("doc_id"), targetEvery, targetRem)
+    val counts = dsirFeatures(documents, buckets)
+      .groupBy("b").agg(
+        sum(when(isTarget, col("tf")).otherwise(0L)).as("ct"),
+        sum(when(!isTarget, col("tf")).otherwise(0L)).as("cr"))
+    writeDsirArtifacts(spark, path, counts, buckets, targetEvery, targetRem)
+  }
+
+  /** The write half shared by [[writeDsirIndex]] and
+    * [[updateDsirIndex]]: counts land first; totals, the ratio rows
+    * and meta all derive from the READ-BACK counts.
+    */
+  private def writeDsirArtifacts(spark: org.apache.spark.sql.SparkSession,
+      path: String, counts: DataFrame, buckets: Int, targetEvery: Int,
+      targetRem: Int): Unit = {
+    counts.write.mode("overwrite").parquet(s"$path/counts")
+    val stored = spark.read.parquet(s"$path/counts")
+    val t = stored.agg(
+      coalesce(sum(col("ct")), lit(0L)).as("nt"),
+      coalesce(sum(col("cr")), lit(0L)).as("nr")).collect()(0)
+    val (nt, nr) = (t.getAs[Long]("nt"), t.getAs[Long]("nr"))
+    stored.select(col("b"),
+        dsirLrExpr(col("ct"), col("cr"), lit(nt), lit(nr), buckets)
+          .as("lr"))
+      .write.mode("overwrite").parquet(s"$path/ratio")
+    import spark.implicits._
+    Seq((buckets, targetEvery, targetRem, nt, nr))
+      .toDF("buckets", "target_every", "target_rem", "n_target", "n_raw")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Maintain a persisted DSIR model across a re-crawl — the
+    * index-surgery leg, with the [[TextOps.updateLmIndex]] property:
+    * per-bucket target/raw counts form an exact MONOID, so retract =
+    * subtract, add = add, and the surgered index is BIT-EQUAL to a
+    * scratch [[writeDsirIndex]] over the post-diff corpus
+    * (spec-asserted) — not "equal under frozen artifacts", actually
+    * equal, totals and fully-retracted buckets included. Pass the
+    * retracted slice's DOCUMENTS (the [[snapshotDiff]] removed +
+    * changed-old rows); only the changed slices are re-featurized,
+    * the stored corpus contributes its ≤`buckets` count rows.
+    */
+  def updateDsirIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String, retractDocs: DataFrame,
+      addedDocs: DataFrame): Unit = {
+    require(outPath != indexPath,
+      s"updateDsirIndex cannot overwrite the index it reads ($indexPath)")
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val buckets = meta.getAs[Int]("buckets")
+    val targetEvery = meta.getAs[Int]("target_every")
+    val targetRem = meta.getAs[Int]("target_rem")
+    val isTarget = dsirTargetExpr(col("doc_id"), targetEvery, targetRem)
+    def delta(docs: DataFrame, sign: Int) =
+      dsirFeatures(docs, buckets).groupBy("b").agg(
+        (sum(when(isTarget, col("tf")).otherwise(0L)) * sign).as("ct"),
+        (sum(when(!isTarget, col("tf")).otherwise(0L)) * sign).as("cr"))
+    val counts = spark.read.parquet(s"$indexPath/counts")
+      .unionByName(delta(retractDocs, -1))
+      .unionByName(delta(addedDocs, 1))
+      .groupBy("b").agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+      .where(col("ct") > 0 || col("cr") > 0)
+    writeDsirArtifacts(spark, outPath, counts, buckets, targetEvery,
+      targetRem)
   }
 
   /** Score a NEW snapshot under a persisted [[writeDsirIndex]] model:

@@ -929,6 +929,53 @@ class CurationSpec extends SparkSuite {
       s"doc 3 must be the banded hard negative, got ($n, $kind)")
   }
 
+  test("updateDsirIndex: surgery is BIT-EQUAL to a scratch rebuild " +
+      "over the post-diff corpus, fully-retracted buckets leave") {
+    import spark.implicits._
+    val oldCorpus = Seq(
+      7L -> "alpha beta alpha", 17L -> "alpha gamma beta",
+      100L -> "alpha delta", 101L -> "epsilon zeta zeta",
+      102L -> "qqq www")                 // 102 fully retracts: its
+      .toDF("doc_id", "text")            // buckets must leave
+    val removed = Seq(102L -> "qqq www").toDF("doc_id", "text")
+    val added = Seq(27L -> "alpha alpha theta", 103L -> "iota kappa")
+      .toDF("doc_id", "text")
+    val post = oldCorpus.where("doc_id <> 102").unionByName(added)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-dsirsurg").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-dsirsurg-out").toString
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-dsirsurg-scr").toString
+    Curation.writeDsirIndex(oldCorpus, idx)
+    Curation.updateDsirIndex(spark, idx, out, removed, added)
+    Curation.writeDsirIndex(post, scratch)
+    def frames(p: String) = (
+      spark.read.parquet(s"$p/counts").collect()
+        .map(r => (r.getAs[Long]("b"), r.getAs[Long]("ct"),
+          r.getAs[Long]("cr"))).sortBy(_._1).toSeq,
+      spark.read.parquet(s"$p/ratio").collect()
+        .map(r => (r.getAs[Long]("b"),
+          r.getAs[java.math.BigDecimal]("lr"))).sortBy(_._1).toSeq,
+      spark.read.parquet(s"$p/meta").collect()(0).toSeq)
+    assert(frames(out) == frames(scratch),
+      "surgered artifacts must equal the scratch rebuild bit-for-bit")
+    // the surgered index SERVES identically too
+    val probeDocs = Seq(1L -> "alpha beta qqq", 2L -> "zzz")
+      .toDF("doc_id", "text")
+    val a = Curation.dsirScoreFrom(spark, out, probeDocs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("log_weight")))
+      .sortBy(_._1).toSeq
+    val b = Curation.dsirScoreFrom(spark, scratch, probeDocs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("log_weight")))
+      .sortBy(_._1).toSeq
+    assert(a == b)
+    // guard: surgery must not write over the index it reads
+    intercept[IllegalArgumentException] {
+      Curation.updateDsirIndex(spark, idx, idx, removed, added)
+    }
+  }
+
   test("dsirScore matches an in-memory hashed-feature reference") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val r = Curation.dsirScore(docs).collect()

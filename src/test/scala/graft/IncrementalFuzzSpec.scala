@@ -166,4 +166,62 @@ class IncrementalFuzzSpec extends SparkSuite {
         s"trial $trial (removed=$removed changed=$changed): bands diverged")
     }
   }
+
+  test("updateDsirIndex surgery == scratch rebuild over randomized " +
+      "re-crawls (snapshotDiff-driven, count-monoid exactness)") {
+    val rnd = new scala.util.Random(4242)
+    def doc(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until 5 + r.nextInt(15)).map(_ => s"w${r.nextInt(30)}").mkString(" ")
+    }
+    (0 until 6).foreach { trial =>
+      // ids span the % 10 == 7 target class; include clones and a
+      // short doc (no bigrams) so deltas hit every feature shape
+      val base = (0 until 14 + rnd.nextInt(6)).map { i =>
+        (i.toLong, if (i == 3) "solo" else doc(trial * 100 + i), "en", "web")
+      }
+      val old = base.toDF("doc_id", "text", "lang", "source")
+      val ids = base.map(_._1)
+      val removed = rnd.shuffle(ids).take(1 + rnd.nextInt(3)).toSet
+      val changed = rnd.shuffle(ids.filterNot(removed)).take(rnd.nextInt(3)).toSet
+      val recrawl = (base.filterNot(r => removed(r._1)).map {
+        case (i, t, l, s2) =>
+          (i, if (changed(i)) t + s" rev$trial" else t, l, s2)
+      } ++ (0 until rnd.nextInt(3)).map { a =>
+        // new ids land in BOTH label classes across trials
+        ((97 + a).toLong, doc(9000 + trial * 10 + a), "en", "web")
+      }).toDF("doc_id", "text", "lang", "source")
+      val diff = graft.operators.Curation.snapshotDiff(old, recrawl)
+      import org.apache.spark.sql.functions.col
+      val retract = old.join(
+        diff.where(col("status").isin("removed", "changed"))
+          .select("doc_id"), "doc_id")
+      val readd = recrawl.join(
+        diff.where(col("status").isin("added", "changed")).select("doc_id"),
+        "doc_id")
+      val dirA = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz-dsir-a$trial").toString
+      val dirB = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz-dsir-b$trial").toString
+      val dirC = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz-dsir-c$trial").toString
+      graft.operators.Curation.writeDsirIndex(old, dirA)
+      graft.operators.Curation.updateDsirIndex(spark, dirA, dirB,
+        retract, readd)
+      graft.operators.Curation.writeDsirIndex(recrawl, dirC)
+      def counts(p: String) = spark.read.parquet(s"$p/counts").collect()
+        .map(r => (r.getAs[Long]("b"), r.getAs[Long]("ct"),
+          r.getAs[Long]("cr"))).toSet
+      def ratio(p: String) = spark.read.parquet(s"$p/ratio").collect()
+        .map(r => (r.getAs[Long]("b"),
+          r.getAs[java.math.BigDecimal]("lr"))).toSet
+      def meta(p: String) = spark.read.parquet(s"$p/meta").collect()(0).toSeq
+      assert(counts(dirB) == counts(dirC),
+        s"trial $trial (removed=$removed changed=$changed): counts diverged")
+      assert(ratio(dirB) == ratio(dirC),
+        s"trial $trial: ratio diverged")
+      assert(meta(dirB) == meta(dirC),
+        s"trial $trial: meta diverged")
+    }
+  }
 }

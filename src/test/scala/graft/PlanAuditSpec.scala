@@ -722,6 +722,26 @@ class PlanAuditSpec extends SparkSuite {
       s"scoring must go through the codegen kernel:\n$lp")
   }
 
+  test("q_dsir_serve: the serve plan scans the stored ratio rows " +
+      "only — no counts scan, no training ratio aggregate, floor " +
+      "from a local one-row frame") {
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-dsirplan").toString
+    val docs = Tables(spark, dir, "documents")
+    graft.operators.Curation.writeDsirIndex(docs, dir2)
+    val p = plan(graft.operators.Curation.dsirScoreFrom(spark, dir2, docs))
+    assert(p.contains(s"$dir2/ratio"),
+      s"serve must read the stored ratio artifact:\n$p")
+    assert(!p.contains(s"$dir2/counts") && !p.contains(s"$dir2/meta"),
+      s"serve must not scan the monoid state or re-read meta:\n$p")
+    // the floor rides as a broadcast one-row frame (often
+    // constant-folded to a literal inside coalesce) — never a ratio
+    // re-aggregation: no aggregate keyed on the label column exists
+    assert(!p.contains("hashpartitioning(b#") ||
+      !p.contains("partial_sum(ct"),
+      s"serve must not recompute the trained counts:\n$p")
+  }
+
   test("q_probe_eval: the AUC window runs over the score-aggregated " +
       "frame (bounded by the 6-dp codomain), never the corpus") {
     val df = SparkEntry.queries("q_probe_eval")(spark, dir)
