@@ -159,6 +159,15 @@ object SparkEntry {
       p
     }
 
+  /** Memoized new-half scores under the frozen old-half probe — ONE
+    * scoring pass per (session, dir) shared by q_probe_serve and its
+    * two audits (persisted: three consumers, corpus-sized frame).
+    */
+  private def probeServedOf(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "probe-served")(
+      Curation.probeScoreFrom(s, probeIndexOf(s, d),
+        docHalf(s, d, old = false)).persist(FixtureLvl))
+
   /** Memoized old-half frozen BPE tokenizer — q_bpe_serve encodes the
     * new half under it with zero training rounds.
     */
@@ -561,22 +570,21 @@ object SparkEntry {
     // train-once/serve-many family): new half scored under the
     // PERSISTED old-half weights — no sampling sort, no gradient
     // rounds on the serve path (plan-audited); round-trip spec in
-    // ProbeSpec
-    "q_probe_serve" -> ((s, d) =>
-      Curation.probeScoreFrom(s, probeIndexOf(s, d),
-        docHalf(s, d, old = false))),
+    // ProbeSpec. The served frame is memoized + persisted ONCE per
+    // (session, dir) — the eval and calibration audits read the same
+    // instance instead of re-scoring the corpus per key (the
+    // bpeMergesOf fixture-memo rule; measured 22.8/26.7 s → agg-only
+    // at the 100× sweep)
+    "q_probe_serve" -> ((s, d) => probeServedOf(s, d)),
     // rows-only (1 row): confusion counts + tie-corrected rank AUC of
     // the SERVED scores vs the stand-in labels — the classifier's
     // "measure, don't guess" audit; hand-computed fixture + tie
     // specs in ProbeSpec
-    "q_probe_eval" -> ((s, d) =>
-      Curation.probeEval(Curation.probeScoreFrom(s, probeIndexOf(s, d),
-        docHalf(s, d, old = false)))),
+    "q_probe_eval" -> ((s, d) => Curation.probeEval(probeServedOf(s, d))),
     // rows-only (≤10 rows): reliability buckets of the served scores
     // — observed positive rate vs mean score per decile, exact ppm
     "q_probe_calibration" -> ((s, d) =>
-      Curation.probeCalibration(Curation.probeScoreFrom(s,
-        probeIndexOf(s, d), docHalf(s, d, old = false)))),
+      Curation.probeCalibration(probeServedOf(s, d))),
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(t(s, d, "documents"))),
     // rows-only (xxhash64 join keys have no DuckDB equivalent); the
     // spec asserts result identity with the exact-string path
@@ -664,6 +672,16 @@ object SparkEntry {
     // strictly below hardMax, ring fallback where none exists
     "q_mine_triplets_hard" -> ((s, d) =>
       Curation.mineTripletsHard(t(s, d, "documents"), negBuckets = 8)),
+    // rows-only (artifact row counts): read-side health audit over
+    // the five persisted MODEL families — the q_index_stats third
+    // leg for models; partial writes surface as present=false rows
+    "q_model_stats" -> ((s, d) =>
+      Curation.modelStats(s, Seq(
+        ("documents_lm", "lm", lmIndexOf(s, d)),
+        ("documents_bpe", "bpe", bpeIndexOf(s, d)),
+        ("documents_probe", "probe", probeIndexOf(s, d)),
+        ("documents_dsir", "dsir", dsirIndexOf(s, d)),
+        ("embeddings_ann", "ann", annIndexOf(s, d))))),
     "q_source_report" -> ((s, d) => TextOps.sourceReport(t(s, d, "documents"))),
     // fuzzy decontamination: oracle computes TRUE jaccard pairs among
     // md5 reps (the exactverify/split_leakage banding-recall contract)

@@ -1580,6 +1580,52 @@ object Curation {
         col("jaccard"))
   }
 
+  /** Read-side health audit over persisted MODEL artifacts — the
+    * [[graft.operators.Dedup.indexStats]] third-leg discipline
+    * applied to the train-once/serve-many families (lm / bpe / probe
+    * / dsir / ann): one row per expected artifact frame with its row
+    * count, so an operator fleet answers "what models exist, how big,
+    * is any partially written" without loading a single model into
+    * memory. A missing artifact emits `present = false` with a NULL
+    * count rather than crashing the audit (bpe's `vocab/` is
+    * legitimately optional; for the others a false row IS the
+    * partial-write alarm this frame exists to raise). Each present
+    * artifact contributes one count aggregate over its own parquet —
+    * payloads and corpora are never scanned; |models| × |artifacts|
+    * is config-sized.
+    */
+  def modelStats(spark: org.apache.spark.sql.SparkSession,
+      models: Seq[(String, String, String)]): DataFrame = {
+    require(models.nonEmpty, "modelStats: no models given")
+    val artifactsOf = Map(
+      "lm" -> Seq("pairs", "vocab", "firsts", "meta"),
+      "bpe" -> Seq("merges", "vocab"),
+      "probe" -> Seq("weights", "meta"),
+      "dsir" -> Seq("counts", "ratio", "meta"),
+      "ann" -> Seq("centroids", "codebooks", "codes"))
+    import spark.implicits._
+    val frames = models.flatMap { case (id, kind, path) =>
+      val arts = artifactsOf.getOrElse(kind,
+        throw new IllegalArgumentException(
+          s"modelStats: unknown model kind '$kind' for '$id' " +
+            s"(want ${artifactsOf.keys.mkString("|")})"))
+      arts.map { a =>
+        try
+          spark.read.parquet(s"$path/$a")
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(id).as("model_id"), lit(kind).as("kind"),
+              lit(a).as("artifact"), lit(true).as("present"),
+              col("n_rows"))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            Seq((id, kind, a, false, Option.empty[Long]))
+              .toDF("model_id", "kind", "artifact", "present", "n_rows")
+        }
+      }
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   /** End-to-end corpus curation — the pipeline a user of this library
     * actually runs, composed from the individually-oracled stages into
     * ONE declarative program (one action, one Catalyst plan — every

@@ -976,6 +976,33 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("modelStats: artifact counts match direct reads, a missing " +
+      "optional artifact reports present=false, unknown kinds throw") {
+    val probeDir = java.nio.file.Files
+      .createTempDirectory("graft-ms-probe").toString
+    val bpeDir = java.nio.file.Files
+      .createTempDirectory("graft-ms-bpe").toString
+    Curation.writeProbeIndex(docs, probeDir, dim = 16)
+    // serve-only BPE build: vocab/ intentionally absent
+    TextOps.writeBpeIndex(docs, bpeDir, nMerges = 4, minPairCount = 1,
+      writeVocab = false)
+    val r = Curation.modelStats(spark, Seq(
+        ("p", "probe", probeDir), ("b", "bpe", bpeDir))).collect()
+      .map(x => (x.getAs[String]("model_id"), x.getAs[String]("artifact")) ->
+        ((x.getAs[Boolean]("present"),
+          Option(x.getAs[java.lang.Long]("n_rows")).map(_.toLong))))
+      .toMap
+    assert(r(("p", "weights")) == ((true, Some(16L))))
+    assert(r(("p", "meta")) == ((true, Some(1L))))
+    val merges = spark.read.parquet(s"$bpeDir/merges").count()
+    assert(r(("b", "merges")) == ((true, Some(merges))))
+    assert(r(("b", "vocab")) == ((false, None)),
+      "the optional missing artifact must report, not crash")
+    intercept[IllegalArgumentException] {
+      Curation.modelStats(spark, Seq(("x", "nosuch", probeDir)))
+    }
+  }
+
   test("dsirScore matches an in-memory hashed-feature reference") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val r = Curation.dsirScore(docs).collect()

@@ -239,6 +239,10 @@ class EmptyInputSpec extends SparkSuite {
     graft.operators.Curation.writeDsirIndex(train, dsir)
     assertEmptyOk("dsirScoreFrom",
       graft.operators.Curation.dsirScoreFrom(spark, dsir, noDocs))
+    assertEmptyOk("mineTriplets",
+      graft.operators.Curation.mineTriplets(noDocs, negBuckets = 2))
+    assertEmptyOk("mineTripletsHard",
+      graft.operators.Curation.mineTripletsHard(noDocs, negBuckets = 2))
   }
 
   test("probe family tolerates empty input") {
