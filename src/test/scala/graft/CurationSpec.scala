@@ -1003,6 +1003,41 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("mineTriplets validity over randomized clone corpora: every " +
+      "triplet's negative differs from the pair by id AND text, " +
+      "anchors are verified-pair lefts, output is rerun-stable") {
+    val rnd = new scala.util.Random(31337)
+    def doc(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until 8 + r.nextInt(12)).map(_ => s"w${r.nextInt(25)}").mkString(" ")
+    }
+    (0 until 5).foreach { trial =>
+      // families of near-dups (suffix-extended copies) + strangers
+      val base = (0 until 6 + rnd.nextInt(4)).map(i =>
+        (i * 10).toLong -> doc(trial * 50 + i))
+      val family = base.flatMap { case (id, t) =>
+        (0 until rnd.nextInt(3)).map(v => (id + v + 1) -> (t + s" x$v"))
+      }
+      val d = (base ++ family).toDF("doc_id", "text")
+      val buckets = 1 + rnd.nextInt(4)
+      def run() = Curation.mineTriplets(d, negBuckets = buckets).collect()
+        .map(x => (x.getAs[Long]("anchor_id"), x.getAs[Long]("pos_id"),
+          x.getAs[Long]("neg_id"))).sortBy(t => (t._1, t._2)).toSeq
+      val r1 = run()
+      assert(r1 == run(), s"trial $trial: not rerun-stable")
+      val texts = d.collect()
+        .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text")).toMap
+      val verified = Dedup.minhashExactVerifiedPairs(d).collect()
+        .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"))).toSet
+      r1.foreach { case (a, p, n) =>
+        assert(verified((a, p)), s"trial $trial: ($a,$p) unverified")
+        assert(n != a && n != p, s"trial $trial: negative is the pair")
+        assert(texts(n) != texts(a) && texts(n) != texts(p),
+          s"trial $trial: negative text-collides")
+      }
+    }
+  }
+
   test("dsirScore matches an in-memory hashed-feature reference") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val r = Curation.dsirScore(docs).collect()

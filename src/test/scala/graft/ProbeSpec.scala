@@ -127,6 +127,32 @@ class ProbeSpec extends SparkSuite {
     assert(top.getAs[Int]("bucket") == 9)
   }
 
+  test("probeEval AUC equals a brute-force pairwise reference over " +
+      "randomized scored frames (ties included)") {
+    val rnd = new scala.util.Random(20260815)
+    (0 until 8).foreach { trial =>
+      val n = 5 + rnd.nextInt(40)
+      // coarse score grid forces ties across and within classes
+      val rows = (0 until n).map { i =>
+        (i.toLong, rnd.nextBoolean(),
+          math.round(rnd.nextDouble() * 8) / 8.0)
+      }
+      val nPos = rows.count(_._2)
+      val auc = Curation.probeEval(rows.toDF("doc_id", "is_target", "score"))
+        .collect()(0).getAs[java.lang.Double]("auc")
+      if (nPos == 0 || nPos == n) assert(auc == null, s"trial $trial")
+      else {
+        // Mann-Whitney by enumeration: wins + half-ties over pos×neg
+        var num = 0.0
+        for ((_, ta, sa) <- rows if ta; (_, tb, sb) <- rows if !tb)
+          num += (if (sa > sb) 1.0 else if (sa == sb) 0.5 else 0.0)
+        val want = num / (nPos.toDouble * (n - nPos))
+        assert(math.abs(auc - want) < 1e-12,
+          s"trial $trial: auc $auc != brute-force $want over $rows")
+      }
+    }
+  }
+
   test("probeEval over the served registry frame: counts reconcile " +
       "with the scored frame itself") {
     val dir = Files.createTempDirectory("graft-probeeval").toString
