@@ -442,6 +442,15 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       Similarity.annRecall(Similarity.annTopK(e), Similarity.annLsh(e))
     }),
+    // rows-only: recall@k of the PERSISTED-index serve path
+    // (q_ann_serve) vs exact — the production metric, measured on
+    // the index a deployment actually queries rather than the
+    // in-memory LSH build q_ann_recall audits
+    "q_ann_serve_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.annRecall(Similarity.annTopK(e),
+        Similarity.annFromIndex(s, annIndexOf(s, d), e))
+    }),
     // rows-only (learned cells): label purity per k-means cell;
     // separable-fixture spec in SimilaritySpec
     "q_cluster_purity" -> ((s, d) =>

@@ -669,6 +669,28 @@ class SimilaritySpec extends SparkSuite {
     assert(frame.map(_.getAs[Long]("q_id")).toSet == es.map(_._1))
   }
 
+  test("annRecall over the SERVED index: one row per exact query, " +
+      "hits bounded by k, recall reproducible across serve calls") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-serverecall").toString
+    Similarity.writeAnnIndex(emb, dir)
+    val exact = Similarity.annTopK(emb, nQueries = 10, k = 5)
+    def recallRows() = Similarity.annRecall(exact,
+        Similarity.annFromIndex(spark, dir, emb)).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))
+      .sortBy(_._1).toSeq
+    val r1 = recallRows()
+    assert(r1.size == 10, s"one audit row per exact query: $r1")
+    r1.foreach { case (q, ne, nh, rec) =>
+      assert(nh >= 0 && nh <= ne && ne <= 5, s"query $q: $nh/$ne")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // frozen artifacts: the audit is reproducible serve-over-serve
+    assert(r1 == recallRows())
+    info(s"served recall@5 = ${r1.map(_._3).sum.toDouble / r1.map(_._2).sum}")
+  }
+
   test("clusterPurity: weighted purity >= the single-cluster baseline; bitwise deterministic") {
     def run() = Similarity.clusterPurity(emb).collect()
       .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_vecs"),
