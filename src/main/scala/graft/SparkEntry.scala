@@ -227,9 +227,21 @@ object SparkEntry {
     * cache (the r10 10× sweep measured the per-query re-decode at
     * ~10 s/op on the 10× corpus).
     */
+  /** Memoized fused image-profile frame — ONE full-corpus decode per
+    * (session, dir) serving the gate (q_image_filter), the ANN bridge
+    * (q_image_ann) AND the dHash consumers (via [[imageHashesOf]]) —
+    * three separate decode passes before (each ~8 s at the 10×
+    * sweep). Gate thresholds are the registry's q_image_filter
+    * parameterization; dedup/ANN readers ignore the gate fields.
+    */
+  private def imageProfilesOf(s: SparkSession, d: String) =
+    memo(s, d, "imageprofiles")(
+      MultimodalOps.imageProfile(imagesOf(s, d),
+        minSide = 16, minEntropy = 1.2).persist(FixtureLvl))
+
   private def imageHashesOf(s: SparkSession, d: String): DataFrame =
     memo(s, d, "imagehashes")(
-      MultimodalOps.imageHashes(imagesOf(s, d))
+      MultimodalOps.imageHashesFromProfiles(imageProfilesOf(s, d))
         .where(org.apache.spark.sql.functions.col("decoded"))
         .select(org.apache.spark.sql.functions.col("docId").as("doc_id"),
           org.apache.spark.sql.functions.col("dhash"))
@@ -515,8 +527,8 @@ object SparkEntry {
     // rows-only (raster decode): the multimodal -> ANN bridge — real
     // decode -> luminance histogram -> the embedding family's exact
     // annTopK; ranking fixture in ImageDedupSpec
-    "q_image_ann" -> ((s, d) => MultimodalOps.imageAnnTopK(
-      imagesOf(s, d))),
+    "q_image_ann" -> ((s, d) =>
+      MultimodalOps.imageAnnFromProfiles(imageProfilesOf(s, d))),
     "q_corpus_clean" -> ((s, d) => TextOps.cleanCorpus(t(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(t(s, d, "documents"))),
     "q_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d, "documents"))),
@@ -726,9 +738,8 @@ object SparkEntry {
     // minSide 16 / entropy 1.2 fit the 32x32 synthetic block images
     // (~22% low-entropy drop at sf0.01; production defaults assume
     // real photos)
-    "q_image_filter" -> ((s, d) => MultimodalOps.imageFilter(
-      imagesOf(s, d),
-      minSide = 16, minEntropy = 1.2)
+    "q_image_filter" -> ((s, d) =>
+      MultimodalOps.gateFromProfiles(imageProfilesOf(s, d))
       .toDF("doc_id", "width", "height", "entropy", "keep", "fail_reasons")),
     // rows-only (binary RIFF decode is not SQL-expressible): the audio
     // leg of the multimodal pillar — the testdata has no binary

@@ -387,7 +387,7 @@ object MultimodalOps {
     */
   case class ImageProfile(docId: Long, decoded: Boolean, width: Int,
       height: Int, entropy: Double, dhash: Long, keep: Boolean,
-      failReasons: String)
+      failReasons: String, feature: Array[Float])
 
   def imageProfile(media: Dataset[MediaRow], minSide: Int = 64,
       maxAspect: Double = 4.0, minEntropy: Double = 0.5,
@@ -396,14 +396,14 @@ object MultimodalOps {
     media.mapPartitions(_.map { m =>
       if (m.format == "video")
         ImageProfile(m.docId, decoded = false, 0, 0, 0.0, 0L,
-          keep = false, "not_image")
+          keep = false, "not_image", stubFeatures(m).feature)
       else {
         val img =
           try readImageBounded(m.payload, maxPixels).orNull
           catch { case _: Exception => null }
         if (img == null)
           ImageProfile(m.docId, decoded = false, 0, 0, 0.0, 0L,
-            keep = false, "undecodable")
+            keep = false, "undecodable", stubFeatures(m).feature)
         else {
           val hist = histogramOf(img)
           var ent = 0.0
@@ -419,11 +419,48 @@ object MultimodalOps {
               "extreme_aspect" else "",
             if (ent < minEntropy) "low_entropy" else "").filter(_.nonEmpty)
           ImageProfile(m.docId, decoded = true, w, h, entR, dhash64(img),
-            reasons.isEmpty, reasons.mkString(","))
+            reasons.isEmpty, reasons.mkString(","), hist)
         }
       }
     })
   }
+
+  /** [[imageFilter]]'s gate as a projection of an ALREADY-computed
+    * profile frame — the decode-once door for a registry that shares
+    * ONE profile pass across the gate / ANN / hash consumers (three
+    * separate full-corpus decodes before; the 10× sweep measured the
+    * per-op decode at ~8 s each).
+    */
+  def gateFromProfiles(profiles: Dataset[ImageProfile]): Dataset[ImageGate] = {
+    implicit val enc = Encoders.product[ImageGate]
+    profiles.map(p =>
+      ImageGate(p.docId, p.width, p.height, p.entropy, p.keep, p.failReasons))
+  }
+
+  /** [[imageHashes]] as a projection of the profile frame — identical
+    * rows (decoded ⇒ its dHash, else (0, false)), zero decode.
+    */
+  def imageHashesFromProfiles(
+      profiles: Dataset[ImageProfile]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    profiles.map(p =>
+      ImageHash(p.docId, if (p.decoded) p.dhash else 0L, p.decoded))
+  }
+
+  /** [[imageAnnTopK]] over the profile frame's features — identical
+    * ranking (the profile carries [[extractFeatures]]' histogram for
+    * decoded rasters and its deterministic stub otherwise), zero
+    * decode. The caller owns persistence of `profiles` (a registry
+    * memo persists one shared instance; annTopK reads the feature
+    * frame from both the query and corpus subtrees).
+    */
+  def imageAnnFromProfiles(profiles: Dataset[ImageProfile],
+      nQueries: Long = 10, k: Int = 5): org.apache.spark.sql.DataFrame =
+    Similarity.annTopK(
+      profiles.toDF().select(
+        org.apache.spark.sql.functions.col("docId").as("vec_id"),
+        org.apache.spark.sql.functions.col("feature").as("embedding")),
+      nQueries, k)
 
   case class ResizedMedia(docId: Long, width: Int, height: Int,
       payload: Array[Byte])

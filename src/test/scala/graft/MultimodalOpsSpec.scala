@@ -175,4 +175,38 @@ class MultimodalOpsSpec extends SparkSuite {
         assert(p(id).dhash == h(id).dhash, s"dhash drift at $id")
     }
   }
+
+  test("profile projections: gateFromProfiles / imageHashesFromProfiles " +
+      "/ imageAnnFromProfiles equal the standalone decode ops " +
+      "(incl. the stub features of undecodable payloads)") {
+    implicit val enc = Encoders.product[MediaRow]
+    val m = spark.createDataset(Seq(
+      MediaRow(0L, grayImage(128, 128), "image"),
+      MediaRow(1L, grayImage(8, 8), "image"),
+      MediaRow(2L, grayImage(128, 128, flat = true), "image"),
+      MediaRow(3L, "not an image".getBytes("UTF-8"), "image"),
+      MediaRow(4L, grayImage(64, 64), "video"),
+      MediaRow(5L, grayImage(96, 48), "image")))
+    val profiles = MultimodalOps.imageProfile(m)
+    def gateRows(ds: org.apache.spark.sql.Dataset[MultimodalOps.ImageGate]) =
+      ds.collect().map(g => (g.docId, g.width, g.height, g.entropy,
+        g.keep, g.failReasons)).sortBy(_._1).toSeq
+    assert(gateRows(MultimodalOps.gateFromProfiles(profiles)) ==
+      gateRows(MultimodalOps.imageFilter(m)))
+    def hashRows(ds: org.apache.spark.sql.Dataset[MultimodalOps.ImageHash]) =
+      ds.collect().map(x => (x.docId, x.dhash, x.decoded)).sortBy(_._1).toSeq
+    assert(hashRows(MultimodalOps.imageHashesFromProfiles(profiles)) ==
+      hashRows(MultimodalOps.imageHashes(m)))
+    // the profile's feature column IS extractFeatures' (stub included)
+    val pf = profiles.collect().map(p => p.docId -> p.feature.toSeq).toMap
+    val ef = MultimodalOps.extractFeatures(m).collect()
+      .map(f => f.docId -> f.feature.toSeq).toMap
+    assert(pf == ef, "profile features must equal extractFeatures'")
+    def annRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Long]("rnk"))).sortBy(t => (t._1, t._3)).toSeq
+    assert(annRows(MultimodalOps.imageAnnFromProfiles(profiles,
+        nQueries = 3, k = 2)) ==
+      annRows(MultimodalOps.imageAnnTopK(m, nQueries = 3, k = 2)))
+  }
 }
