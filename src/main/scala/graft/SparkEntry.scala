@@ -254,10 +254,20 @@ object SparkEntry {
     * variant (the warp entry's %3 slice is a FILTER on the cached
     * frame, not a second decode).
     */
+  /** Memoized fused per-frame video profile — ONE per-frame JPEG
+    * decode per (session, dir) serving the dHash family (via
+    * [[videoFrameHashesOf]]), scene-change keyframes and the video
+    * ANN bridge (three separate full decodes before; the 10× sweep
+    * measured q_video_keyframes alone at 21.5 s).
+    */
+  private def videoProfilesOf(s: SparkSession, d: String) =
+    memo(s, d, "videoprofiles")(
+      VideoOps.videoFrameProfiles(videosOf(s, d)).persist(FixtureLvl))
+
   private def videoFrameHashesOf(s: SparkSession, d: String): DataFrame =
     memo(s, d, "videoframehashes") {
       import org.apache.spark.sql.functions.col
-      val fh = VideoOps.frameHashes(videosOf(s, d)).toDF()
+      val fh = VideoOps.frameHashesFromProfiles(videoProfilesOf(s, d)).toDF()
         .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
           col("fhash"))
         .persist(FixtureLvl)
@@ -798,8 +808,8 @@ object SparkEntry {
       "doc_id", "width", "height", "n_frames", "fps", "duration_ms",
       "codec", "decoded")),
     // scene-change keyframe selection over real per-frame histograms
-    "q_video_keyframes" -> ((s, d) => VideoOps.videoKeyframes(
-      videosOf(s, d))
+    "q_video_keyframes" -> ((s, d) => VideoOps.keyframesFromProfiles(
+      videoProfilesOf(s, d))
       .toDF("doc_id", "frame_idx", "delta")),
     // temporal perceptual dedup: per-frame dHash banding + aligned-
     // frame verification (near-dup text families pair up)
@@ -821,9 +831,9 @@ object SparkEntry {
     // sampled-frame histogram -> annTopK), completing the
     // three-modality symmetry; doc_id%3 slice (q_video_dedup pays
     // the full-corpus decode already)
-    "q_video_ann" -> ((s, d) => graft.operators.VideoOps.videoAnnTopK(
-      videosOf(s, d).filter(org.apache.spark.sql.functions
-        .col("docId") % 3 === 0))),
+    "q_video_ann" -> ((s, d) => graft.operators.VideoOps
+      .videoAnnFromProfiles(videoProfilesOf(s, d).filter(
+        org.apache.spark.sql.functions.col("docId") % 3 === 0))),
     // the composed multimodal capstone (gates -> dedup keep-first per
     // modality, one inventory row per (doc, modality)); runs on the
     // deterministic doc_id%3 slice — the full-corpus variants already

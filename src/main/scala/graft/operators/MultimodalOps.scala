@@ -37,7 +37,7 @@ object MultimodalOps {
   /** STUB features (video / undecodable payloads): deterministic in
     * the payload bytes.
     */
-  private def stubFeatures(m: MediaRow): MediaFeatures = {
+  private[operators] def stubFeatures(m: MediaRow): MediaFeatures = {
     val n = m.payload.length
     val sum = m.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
     MediaFeatures(m.docId,
@@ -63,7 +63,7 @@ object MultimodalOps {
     * the pixel budget. None on unreadable bytes OR over-budget
     * dimensions — the caller degrades to the stub either way.
     */
-  private def readImageBounded(payload: Array[Byte],
+  private[operators] def readImageBounded(payload: Array[Byte],
       maxPixels: Long): Option[java.awt.image.BufferedImage] =
     try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))

@@ -294,6 +294,108 @@ object VideoOps {
 
   case class FrameHash(docId: Long, frameIdx: Int, fhash: Long)
 
+  /** One row per container frame from ONE decode — the video twin of
+    * [[MultimodalOps.imageProfile]]: the per-frame dHash
+    * ([[frameHashes]]' output), the real 8-bin luminance histogram
+    * ([[videoKeyframes]]' deltas / [[videoAnnTopK]]'s features) and
+    * the decoded flag, so a registry runs the frame decode ONCE and
+    * derives all three consumers ([[frameHashesFromProfiles]] /
+    * [[keyframesFromProfiles]] / [[videoAnnFromProfiles]] — before,
+    * each op paid its own full per-frame JPEG decode; the 10× sweep
+    * measured q_video_keyframes at 21.5 s and q_video_ann at 2.9 s
+    * beside the hash family's own pass). Undecodable frames carry
+    * `decoded = false` with the deterministic stub histogram (what
+    * [[videoAnnTopK]]'s mean uses; hash and keyframe consumers skip
+    * them — their documented drop semantics).
+    */
+  case class VideoFrameProfile(docId: Long, frameIdx: Int,
+      decoded: Boolean, fhash: Long, hist: Array[Float])
+
+  def videoFrameProfiles(media: Dataset[MediaRow],
+      maxFrames: Int = DefaultMaxFrames,
+      maxPixels: Long = MultimodalOps.DefaultMaxPixels)
+      : Dataset[VideoFrameProfile] = {
+    implicit val enc = Encoders.product[VideoFrameProfile]
+    media.mapPartitions(_.flatMap { m =>
+      (if (m.format == "video") decodeAvi(m.payload, maxFrames)
+       else None) match {
+        case None => Iterator.empty
+        case Some(a) => a.frames.iterator.zipWithIndex.map { case (f, i) =>
+          val img =
+            try MultimodalOps.readImageBounded(f, maxPixels).orNull
+            catch { case _: Exception => null }
+          if (img == null)
+            VideoFrameProfile(m.docId, i, decoded = false, 0L,
+              MultimodalOps.stubFeatures(
+                MultimodalOps.MediaRow(m.docId, f, "image")).feature)
+          else
+            VideoFrameProfile(m.docId, i, decoded = true,
+              MultimodalOps.dhash64(img), MultimodalOps.histogramOf(img))
+        }
+      }
+    })
+  }
+
+  /** [[frameHashes]] as a projection of the profile frame — identical
+    * rows (decoded frames below the signature cap), zero decode.
+    */
+  def frameHashesFromProfiles(profiles: Dataset[VideoFrameProfile],
+      maxFrames: Int = 64): Dataset[FrameHash] = {
+    implicit val enc = Encoders.product[FrameHash]
+    profiles.filter(p => p.decoded && p.frameIdx < maxFrames)
+      .map(p => FrameHash(p.docId, p.frameIdx, p.fhash))
+  }
+
+  /** [[videoKeyframes]] over the profile frame — identical emissions
+    * (same sequential last-emitted fold over decoded frames, same
+    * 4-dp deltas), zero decode. Pays one ≤maxFrames-per-clip
+    * groupByKey the direct op avoids — a 16+32-byte-row shuffle
+    * against a full per-frame JPEG decode.
+    */
+  def keyframesFromProfiles(profiles: Dataset[VideoFrameProfile],
+      threshold: Double = 0.2): Dataset[Keyframe] = {
+    implicit val enc = Encoders.product[Keyframe]
+    implicit val kEnc = Encoders.scalaLong
+    profiles.filter(_.decoded).groupByKey(_.docId).flatMapGroups {
+      (docId, it) =>
+        var last: Array[Float] = null
+        it.toSeq.sortBy(_.frameIdx).iterator.flatMap { p =>
+          val d =
+            if (last == null) 2.0
+            else p.hist.indices.map(j =>
+              math.abs(p.hist(j) - last(j)).toDouble).sum
+          if (d >= threshold || last == null) {
+            last = p.hist
+            Some(Keyframe(docId, p.frameIdx, math.rint(d * 1e4) / 1e4))
+          } else None
+        }
+    }
+  }
+
+  /** [[videoAnnTopK]] over the profile frame — identical ranking
+    * (every `everyN`-th frame's histogram, stub included for
+    * undecodable frames, mean-pooled per clip into the same annTopK),
+    * zero decode. The caller owns persistence of `profiles`; the
+    * clip-vector frame persists here as in the direct op (annTopK
+    * reads it from the query and corpus subtrees).
+    */
+  def videoAnnFromProfiles(profiles: Dataset[VideoFrameProfile],
+      nQueries: Long = 10, k: Int = 5, everyN: Int = 4): DataFrame = {
+    val clipVecs = profiles.toDF()
+      .where(col("frameIdx") % everyN === 0)
+      .select(col("docId"), posexplode(col("hist")).as(Seq("bin", "v")))
+      .groupBy("docId", "bin").agg(avg(col("v")).as("mv"))
+      .groupBy("docId")
+      .agg(sort_array(collect_list(struct(col("bin"), col("mv")))).as("z"))
+      .select(col("docId").as("vec_id"),
+        expr("transform(z, x -> cast(x.mv as float))").as("embedding"))
+      .where(expr(
+        "aggregate(embedding, cast(0.0 as double), (a, x) -> a + x) > 0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    clipVecs.count()
+    Similarity.annTopK(clipVecs, nQueries, k)
+  }
+
   /** Per-frame perceptual hashes: real AVI parse → per-frame JPEG
     * decode (pixel-budget-guarded) → the image family's own dHash-64.
     * Frames that fail to decode are dropped (one bad frame must not

@@ -341,6 +341,44 @@ class VideoOpsSpec extends SparkSuite {
     assert(!out.headOption.contains(2L))
   }
 
+  test("videoFrameProfiles projections: frameHashes / keyframes / " +
+      "videoAnn derived from ONE decode equal the standalone ops " +
+      "(undecodable frames: stub hist for ANN, skipped elsewhere)") {
+    // three clips: scene cuts, a near-still run, and one with a
+    // poison frame (undecodable bytes inside a valid container)
+    val cutClip = VideoOps.writeAviMjpeg(Seq(jpeg(0x000000),
+      jpeg(0x000000), jpeg(0xffffff), jpeg(0xffffff), jpeg(0x777777)),
+      32, 32, fps = 10)
+    val noisy = VideoOps.writeAviMjpeg(Seq(jpeg(0, noiseSeed = 7),
+      jpeg(0, noiseSeed = 7), jpeg(0, noiseSeed = 99)), 32, 32, fps = 10)
+    val poison = VideoOps.writeAviMjpeg(Seq(jpeg(0x224466),
+      "definitely not a jpeg frame".getBytes("UTF-8"), jpeg(0x664422)),
+      32, 32, fps = 10)
+    val m = rows((1L, cutClip, "video"), (2L, noisy, "video"),
+      (3L, poison, "video"), (4L, jpeg(0x123456), "image"))
+    val profiles = VideoOps.videoFrameProfiles(m)
+    def hashRows(ds: org.apache.spark.sql.Dataset[VideoOps.FrameHash]) =
+      ds.collect().map(x => (x.docId, x.frameIdx, x.fhash))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(hashRows(VideoOps.frameHashesFromProfiles(profiles)) ==
+      hashRows(VideoOps.frameHashes(m)))
+    def kfRows(ds: org.apache.spark.sql.Dataset[VideoOps.Keyframe]) =
+      ds.collect().map(x => (x.docId, x.frameIdx, x.delta))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(kfRows(VideoOps.keyframesFromProfiles(profiles)) ==
+      kfRows(VideoOps.videoKeyframes(m)))
+    // the poison frame is SKIPPED by hashes/keyframes but contributes
+    // its deterministic stub to the profile (ANN-mean semantics)
+    val p3 = profiles.collect().filter(_.docId == 3L).sortBy(_.frameIdx)
+    assert(p3.length == 3 && !p3(1).decoded && p3(1).hist.nonEmpty)
+    def annRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Long]("rnk"))).sortBy(t => (t._1, t._3)).toSeq
+    assert(annRows(VideoOps.videoAnnFromProfiles(profiles,
+        nQueries = 3, k = 2, everyN = 1)) ==
+      annRows(VideoOps.videoAnnTopK(m, nQueries = 3, k = 2, everyN = 1)))
+  }
+
   test("syntheticVideos: dup texts pack identical containers; near-dups pair in dedup") {
     import spark.implicits._
     val a = (0 until 80).map(i => s"tok$i").mkString(" ")
