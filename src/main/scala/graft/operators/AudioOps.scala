@@ -234,6 +234,18 @@ object AudioOps {
         p.failReasons))
   }
 
+  /** [[audioFilter]]'s gate as a projection of an ALREADY-computed
+    * profile frame — the decode-once door matching
+    * [[MultimodalOps.gateFromProfiles]] (a registry memoizes one
+    * profile pass; the gate, the dedup hashes and the composed
+    * pipeline all read it).
+    */
+  def gateFromProfiles(profiles: Dataset[AudioProfile]): Dataset[AudioGate] = {
+    implicit val enc = Encoders.product[AudioGate]
+    profiles.map(p => AudioGate(p.docId, p.durationMs, p.rms, p.peak,
+      p.keep, p.failReasons))
+  }
+
   /** One row per clip from ONE decode: the gate fields of
     * [[audioFilter]] AND the perceptual energy hash of
     * [[audioHashes]] — the audio member of the decode-once profile

@@ -92,6 +92,35 @@ object MediaPipeline {
       minSide = imgMinSide, minEntropy = imgMinEntropy).toDF()
       .persist(lvl)
     imgProfile.count()
+    val audProfile = AudioOps.audioProfile(audio).toDF().persist(lvl)
+    audProfile.count()
+    // materialized (persist+count) — videoDedupPairsFrom reads the
+    // hash frame from seven subtrees; unmaterialized, every read
+    // re-parses + re-decodes every frame
+    val fh = VideoOps.frameHashes(videos).toDF()
+      .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
+        col("fhash"))
+      .persist(lvl)
+    fh.count()
+    curateMediaFromProfiles(imgProfile, audProfile,
+      VideoOps.videoMeta(videos).toDF(), fh, maxHamming, canonical)
+  }
+
+  /** [[curateMedia]] over ALREADY-computed profile/hash frames — the
+    * decode-ZERO door for a registry or pipeline that holds the
+    * shared fused frames anyway ([[MultimodalOps.imageProfile]] /
+    * [[AudioOps.audioProfile]] / [[VideoOps.videoMeta]] /
+    * [[VideoOps.videoFrameProfiles]]' hash projection): the capstone
+    * becomes pure frame algebra — gates are projections, pair frames
+    * band-join 16-byte hash rows, no payload is touched. Identical
+    * output to [[curateMedia]] (which now delegates here; the frame
+    * hashes may cover all clips — an undecodable container yields no
+    * hash rows, so restricting to gate survivors happens in the
+    * semi-join below either way).
+    */
+  def curateMediaFromProfiles(imgProfile: DataFrame, audProfile: DataFrame,
+      vidMeta: DataFrame, vidFrameHashes: DataFrame,
+      maxHamming: Int = 5, canonical: Boolean = false): DataFrame = {
     val imgGate = imgProfile
       .select(col("docId").as("doc_id"), col("keep"),
         col("failReasons").as("fail_reasons"))
@@ -100,8 +129,6 @@ object MediaPipeline {
       imgProfile.where(col("keep") && col("decoded"))
         .select(col("docId"), col("dhash")), maxHamming)
 
-    val audProfile = AudioOps.audioProfile(audio).toDF().persist(lvl)
-    audProfile.count()
     val audGate = audProfile
       .select(col("docId").as("doc_id"), col("keep"),
         col("failReasons").as("fail_reasons"))
@@ -111,15 +138,14 @@ object MediaPipeline {
         .select(col("docId"), col("ehash")), maxHamming)
 
     // video gate = real container parse succeeding with >= 1 frame
-    val vidGate = VideoOps.videoMeta(videos).toDF()
+    val vidGate = vidMeta
       .select(col("docId").as("doc_id"), col("decoded").as("keep"),
         when(col("decoded"), lit("")).otherwise(lit("undecodable"))
           .as("fail_reasons"))
-    val vidIds = videos.toDF().select(col("docId").as("doc_id"))
+    val vidIds = vidMeta.select(col("docId").as("doc_id"))
     val vidKeepSet = vidGate.where(col("keep")).select("doc_id")
-    val vidPairs = Dedup.videoDedupPairs(
-      videos.join(vidKeepSet.withColumnRenamed("doc_id", "docId"), "docId")
-        .as(videos.encoder), maxHamming)
+    val vidPairs = Dedup.videoDedupPairsFrom(
+      vidFrameHashes.join(vidKeepSet, "doc_id"), maxHamming)
       .select("a_id", "b_id")
 
     inventory(imgIds, imgGate, imgPairs.select("a_id", "b_id"), "image",

@@ -91,6 +91,44 @@ class MediaPipelineSpec extends SparkSuite {
     assert(inv.size == 11)
   }
 
+  test("curateMediaFromProfiles: the decode-zero door over shared " +
+      "profile frames equals curateMedia row-for-row") {
+    implicit val mEnc = Encoders.product[MediaRow]
+    implicit val aEnc = Encoders.product[AudioRow]
+    val images = spark.createDataset(Seq(
+      MediaRow(0L, png(1), "image"), MediaRow(1L, png(1), "image"),
+      MediaRow(2L, png(2, side = 8), "image"),
+      MediaRow(3L, "junk".getBytes("UTF-8"), "image")))
+    val audio = spark.createDataset(Seq(
+      AudioRow(0L, clipBytes(5), "audio"),
+      AudioRow(1L, clipBytes(5), "audio"),
+      AudioRow(2L, AudioOps.writeWav(Array.fill[Short](4000)(0), 8000),
+        "audio"),
+      AudioRow(3L, "junk".getBytes("UTF-8"), "audio")))
+    val avi = VideoOps.writeAviMjpeg(
+      Seq(jpegFill(7), jpegFill(8), jpegFill(9)), 32, 32, 10)
+    val videos = spark.createDataset(Seq(
+      MediaRow(0L, avi, "video"), MediaRow(1L, avi, "video"),
+      MediaRow(2L, "junk".getBytes("UTF-8"), "video")))
+    def invRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getBoolean(2),
+        r.getString(3))).sortBy(t => (t._1, t._2)).toSeq
+    val direct = invRows(MediaPipeline.curateMedia(images, audio, videos,
+      imgMinSide = 16, imgMinEntropy = 0.5))
+    val imgProfiles = MultimodalOps.imageProfile(images,
+      minSide = 16, minEntropy = 0.5).toDF()
+    val audProfiles = AudioOps.audioProfile(audio).toDF()
+    val fh = VideoOps.frameHashesFromProfiles(
+      VideoOps.videoFrameProfiles(videos)).toDF()
+      .select(org.apache.spark.sql.functions.col("docId").as("doc_id"),
+        org.apache.spark.sql.functions.col("frameIdx").as("frame_idx"),
+        org.apache.spark.sql.functions.col("fhash"))
+    val viaProfiles = invRows(MediaPipeline.curateMediaFromProfiles(
+      imgProfiles, audProfiles, VideoOps.videoMeta(videos).toDF(), fh))
+    assert(viaProfiles == direct,
+      s"profile door diverged:\n$viaProfiles\nvs\n$direct")
+  }
+
   test("inventory drop rules: keep-first keeps both arms of a variant " +
       "star, canonical collapses the component; clone cliques agree") {
     import org.apache.spark.sql.functions.lit
