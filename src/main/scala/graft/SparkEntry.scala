@@ -496,6 +496,17 @@ object SparkEntry {
     // lang column, per-true-lang shares in floored ppm
     "q_lang_confusion" -> ((s, d) => TextOps.langConfusion(t(s, d, "documents"))),
     "q_text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
+    // HTML -> clean-text extraction (the stage published pipelines run
+    // before every other text op): the synthetic-markup fixture column
+    // wraps each doc's text in a fixed page skeleton, extraction strips
+    // script/style/tags and drops nav/ad/footer lines by word-count +
+    // link-density — construction AND extraction mirrored literally by
+    // the DuckDB oracle (known-answer spec in TextOpsSpec)
+    "q_text_extract" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextOps.textExtract(t(s, d, "documents").withColumn("html",
+        TextOps.syntheticHtml(col("doc_id"), col("text"))))
+    }),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "q_winnow" -> ((s, d) => TextOps.winnow(t(s, d, "documents"))),
@@ -647,6 +658,14 @@ object SparkEntry {
     "q_mix_apply" -> ((s, d) => Curation.mixApply(t(s, d, "documents"))),
     "q_semantic_decontaminate" -> ((s, d) =>
       Curation.semanticDecontaminate(t(s, d, "embeddings"))),
+    // rows-only (served through the stored IVF-PQ artifacts): the
+    // UNBOUNDED semantic-decontamination scale path — benchmark
+    // vectors as range queries against the memoized ANN index, whole
+    // corpus as candidates (the bounded broadcast op above stays the
+    // correctness baseline; recall-vs-exact spec in CurationSpec)
+    "q_semantic_decontaminate_ann" -> ((s, d) =>
+      Curation.semanticDecontaminateAnn(s, annIndexOf(s, d),
+        t(s, d, "embeddings"))),
     "q_pack_sequences" -> ((s, d) => Curation.packSequences(t(s, d, "documents"))),
     "q_pack_stats" -> ((s, d) => Curation.packStats(t(s, d, "documents"))),
     "q_snapshot_diff" -> ((s, d) => {
@@ -1497,6 +1516,56 @@ object SparkEntry {
         |        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tok
         |      FROM documents)
         |GROUP BY lang""".stripMargin,
+    // mirrors syntheticHtml + textExtract literally: same page
+    // skeleton, same strip regexes (no dotall needed — script/style
+    // bodies hold no '<'), same word-floor + link-density line rule
+    "q_text_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><script>var t=0;track(''' || CAST(doc_id AS VARCHAR) ||
+        |    ''');</script><style>.m{color:red}</style></head><body>' || chr(10) ||
+        |    '<nav><a href=''/''>Home</a> | <a href=''/a''>About</a> | <a href=''/c''>Contact</a> | <a href=''/l''>Login</a></nav>' || chr(10) ||
+        |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+        |    '<p>' || text || '</p>' || chr(10) ||
+        |    '<div class=''ad''>Sponsored: buy now</div>' || chr(10) ||
+        |    '<footer>(c) 2026 Example Corp</footer>' || chr(10) ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '<script[^<]*</script>', ' ', 'g'),
+        |            '<style[^<]*</style>', ' ', 'g'),
+        |          '<a( [^>]*)?>', chr(1), 'g'),
+        |        '</a>|</?(b|i|em|strong|span|u|code)( [^>]*)?>', '', 'g'),
+        |      '<[^>]*>', chr(10), 'g') AS t
+        |  FROM h),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |      x -> trim(x)), x -> x <> '') AS all_lines
+        |  FROM s),
+        |c AS (
+        |  SELECT doc_id, all_lines,
+        |    list_filter(all_lines, x ->
+        |      len(list_filter(string_split_regex(x, '[^A-Za-z]+'),
+        |        w -> len(w) > 0)) >= 5
+        |      AND CAST(len(x) - len(replace(x, chr(1), '')) AS DOUBLE) <=
+        |        0.34 * len(list_filter(string_split_regex(x, '[^A-Za-z]+'),
+        |          w -> len(w) > 0))) AS content_lines
+        |  FROM l)
+        |SELECT doc_id,
+        |  CAST(len(all_lines) AS BIGINT) AS n_lines,
+        |  CAST(len(content_lines) AS BIGINT) AS n_content_lines,
+        |  CAST(len(all_lines) - len(content_lines) AS BIGINT) AS n_boilerplate_lines,
+        |  round(CAST(length(replace(array_to_string(content_lines, ' '), chr(1), '')) AS DOUBLE) /
+        |    CAST(greatest(length(replace(array_to_string(all_lines, ' '), chr(1), '')), 1) AS DOUBLE), 6) AS kept_ratio,
+        |  replace(array_to_string(content_lines, ' '), chr(1), '') AS extract
+        |FROM c""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

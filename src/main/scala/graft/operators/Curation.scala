@@ -296,6 +296,44 @@ object Curation {
       .select(col("t_id").as("vec_id"), col("n_hits"), col("max_sim"))
   }
 
+  /** The UNBOUNDED scale path of [[semanticDecontaminate]] — the
+    * whole-corpus semantic decontamination a real curation run needs
+    * (the bounded op checks its first `bound` vectors; this one checks
+    * them all): benchmark vectors (`vec_id % benchmarkEvery == 0`)
+    * become QUERIES against the persisted IVF-PQ index
+    * ([[Similarity.writeAnnIndex]] at `indexPath`), served through
+    * [[Similarity.annRangeFromIndex]] with the training side as the
+    * candidate filter. A training vector is flagged when its REFINED
+    * cosine (full-precision, 4-dp-rounded — the bounded baseline's
+    * exact convention) to any benchmark query reaches `threshold`.
+    * Output schema matches the baseline: (vec_id, n_hits, max_sim) per
+    * contaminated training vector.
+    *
+    * Honest approximation contract: hits are a recall-bounded SUBSET
+    * of the exact sweep — a training vector escapes only if it sits
+    * outside every benchmark query's probed cells or below their ADC
+    * rerank shortlists (recall vs the exact baseline on the bounded
+    * slice is spec-measured in CurationSpec; raise nProbe/rerank to
+    * tighten). Scale shape: no training-side cross join anywhere — the
+    * corpus contributes its stored ~10-byte code rows to the
+    * probed-cell join and full vectors only for the q×rerank
+    * refinement fetch; the benchmark side broadcasts (eval suites are
+    * thousands of rows).
+    */
+  def semanticDecontaminateAnn(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, embeddings: DataFrame, benchmarkEvery: Int = 10,
+      threshold: Double = 0.35, nProbe: Int = 6, rerank: Int = 200,
+      dim: Int = 64): DataFrame = {
+    val isBench = pmod(col("vec_id"), lit(benchmarkEvery)) === 0
+    Similarity.annRangeFromIndex(spark, indexPath, embeddings,
+        queryPred = isBench, threshold = threshold, nProbe = nProbe,
+        rerank = rerank, dim = dim,
+        candidateFilter = Some(pmod(col("vec_id"), lit(benchmarkEvery)) =!= 0))
+      .groupBy(col("n_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos_sim")).as("max_sim"))
+      .select(col("n_id").as("vec_id"), col("n_hits"), col("max_sim"))
+  }
+
   /** Deterministic domain-mix sampling: rebalance the corpus toward a
     * target per-language rate by keeping a doc iff its content hash
     * falls under the language's cutoff. The hash is

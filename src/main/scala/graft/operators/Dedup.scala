@@ -138,20 +138,60 @@ object Dedup {
           .as("novel_frac"))
   }
 
-  /** Distinct n-gram set of a corpus — the persistable unit of
+  /** Distinct n-gram index of a corpus — the persistable unit of
     * cross-snapshot novelty: `writeGramIndex` stores it, and
     * [[noveltyAgainst]] scores a NEW snapshot against it without
     * touching the old corpus again (the [[writeBandIndex]] /
-    * [[dedupAgainst]] pattern, at gram granularity).
+    * [[dedupAgainst]] pattern, at gram granularity). One row per
+    * distinct gram with its distinct-DOC count `n_docs` — the count is
+    * what makes [[updateGramIndex]] surgery EXACT (a count monoid,
+    * the [[graft.operators.TextOps.updateLmIndex]] property): a gram
+    * fully retracted must leave the index, and only its count knows
+    * when. Set consumers ([[noveltyAgainst]]) read the `gram` column
+    * and ignore the count.
     */
   def gramIndex(documents: DataFrame, n: Int = 4): DataFrame =
-    shingled(documents, n).select(col("shingle").as("gram")).distinct()
+    shingled(documents, n)
+      .select(col("doc_id"), col("shingle").as("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
 
-  /** Persist a snapshot's distinct-gram index ([[gramIndex]]) as
-    * parquet for the next crawl's incremental novelty pass.
+  /** Persist a snapshot's gram index ([[gramIndex]]) as parquet for
+    * the next crawl's incremental novelty pass.
     */
   def writeGramIndex(documents: DataFrame, path: String, n: Int = 4): Unit =
     gramIndex(documents, n).write.mode("overwrite").parquet(path)
+
+  /** Maintain a persisted gram index across a re-crawl — the exact
+    * count-monoid surgery of [[graft.operators.TextOps.updateLmIndex]]
+    * applied to the novelty seam: per-gram distinct-doc counts
+    * subtract for the retracted slice and add for the added slice, and
+    * rows reaching zero DROP (a fully retracted gram must leave the
+    * index or a joint-rebuild novelty pass would disagree). BIT-EQUAL
+    * to a scratch [[writeGramIndex]] over the post-diff corpus
+    * (fuzz-spec-asserted in IncrementalDedupSpec) — not "equal under
+    * frozen artifacts", actually equal, because per-doc distinct-gram
+    * sets are deterministic in the text. Pass the retracted slice's
+    * DOCUMENTS (the snapshotDiff `removed` + `changed` old rows):
+    * only the changed slices are ever re-tokenized; the stored corpus
+    * contributes its count rows. `outPath` must differ from
+    * `indexPath` (parquet cannot overwrite its own scan — the
+    * corpus-store versioning discipline).
+    */
+  def updateGramIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String, retractDocs: DataFrame,
+      addedDocs: DataFrame, n: Int = 4): Unit = {
+    require(outPath != indexPath,
+      s"updateGramIndex cannot overwrite the index it reads ($indexPath)")
+    def delta(docs: DataFrame, sign: Int) = shingled(docs, n)
+      .select(col("doc_id"), col("shingle").as("gram")).distinct()
+      .groupBy("gram").agg((count(lit(1)) * sign).as("n_docs"))
+    spark.read.parquet(indexPath)
+      .unionByName(delta(retractDocs, -1))
+      .unionByName(delta(addedDocs, 1))
+      .groupBy("gram").agg(sum(col("n_docs")).as("n_docs"))
+      .where(col("n_docs") > 0)
+      .write.mode("overwrite").parquet(outPath)
+  }
 
   /** Cross-snapshot INCREMENTAL novelty — [[gramNovelty]]'s
     * operational form: score snapshot N+1 against snapshot N's
@@ -543,6 +583,14 @@ object Dedup {
     val novDocs = nov.count()
     val novGrams = if (novDocs == 0) 0L
       else nov.agg(sum(col("n_novel"))).collect()(0).getLong(0)
+    // the next epoch's gram index rides the SAME surgery discipline as
+    // the band index (r10 verdict item #4): exact count-monoid
+    // retract/add on the stored rows — bit-equal to a scratch rebuild
+    // over the post-diff corpus, with only the changed slices ever
+    // re-tokenized
+    updateGramIndex(spark, s"$workDir/grams", s"$workDir/grams1",
+      oldDocs.join(retract, "doc_id"), readd, gramN)
+    val gramRows = spark.read.parquet(s"$workDir/grams1").count()
     diff.unpersist(); pairs.unpersist(); nov.unpersist()
     Seq(
       ("diff", "added", statusCounts.getOrElse("added", 0L)),
@@ -553,6 +601,7 @@ object Dedup {
       ("dedup", "cross_pairs", nCross),
       ("index", "sigs_rows", sigRows),
       ("index", "band_rows", bandRowsN),
+      ("index", "gram_rows", gramRows),
       ("novelty", "docs", novDocs),
       ("novelty", "novel_grams", novGrams)
     ).toDF("stage", "metric", "value")
@@ -1661,6 +1710,33 @@ object Dedup {
     */
   def perceptualIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(s"$path/hashes")
+
+  /** Maintain a persisted perceptual-hash index across a re-crawl —
+    * the [[updateBandIndex]] surgery applied to the MEDIA index:
+    * `retractIds` drop from the stored 16-byte rows (one anti-join;
+    * retracted payloads are never re-decoded — decode is the expensive
+    * stage for media), `addedHashes` (the changed slice's freshly
+    * decoded (doc_id, h64) rows — the only decode the epoch pays)
+    * append. EXACT contract (fuzz-spec-asserted): perceptual hashing
+    * is per-payload deterministic, so the surgered `hashes/` row SET
+    * equals a scratch [[writePerceptualIndex]] over the post-diff
+    * hash frame — bit-equal. `outPath` must differ from `indexPath`
+    * (parquet cannot overwrite its own scan).
+    */
+  def updatePerceptualIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String, retractIds: DataFrame,
+      addedHashes: DataFrame): Unit = {
+    require(outPath != indexPath,
+      s"updatePerceptualIndex cannot overwrite the index it reads ($indexPath)")
+    val retract = retractIds
+      .select(col(retractIds.columns.head).cast("long").as("doc_id"))
+    spark.read.parquet(s"$indexPath/hashes")
+      .join(retract, Seq("doc_id"), "left_anti")
+      .unionByName(addedHashes.select(
+        col(addedHashes.columns.head).cast("long").as("doc_id"),
+        col(addedHashes.columns(1)).cast("long").as("h64")))
+      .write.mode("overwrite").parquet(s"$outPath/hashes")
+  }
 
   /** Index lifecycle audit — the READ-side health view of the
     * persisted index family (r9 verdict item #5: write and surgery

@@ -375,6 +375,49 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/buckets")
   }
 
+  /** Maintain a persisted embedding LSH index across a re-crawl — the
+    * [[graft.operators.Dedup.updateBandIndex]] surgery applied to the
+    * EMBEDDING index: `retractIds` drop from both stored artifacts
+    * (anti-joins; retracted vectors are never re-hashed), `addedVecs`
+    * append to `vecs/` and their bucket rows derive from the WRITTEN
+    * vecs read back off disk (the writeLshIndex partial-write rule:
+    * `buckets/` rows can never disagree with the `vecs/` they were
+    * hashed from). EXACT contract (fuzz-spec-asserted): the
+    * hyperplanes are md5-seeded literals — deterministic in
+    * (nTables, nPlanes, dim) — so the surgered artifacts' row SETS
+    * equal a scratch [[writeLshIndex]] over the post-diff corpus,
+    * bit-equal. Caller contract: the same (nTables, nPlanes) the index
+    * was written with (a mismatch makes stored and fresh buckets
+    * incomparable — the writeLshIndex contract). `outPath` must differ
+    * from `indexPath`.
+    */
+  def updateLshIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String, retractIds: DataFrame,
+      addedVecs: DataFrame, nTables: Int = 4, nPlanes: Int = 12,
+      dim: Int = 64): Unit = {
+    require(outPath != indexPath,
+      s"updateLshIndex cannot overwrite the index it reads ($indexPath)")
+    val retract = retractIds
+      .select(col(retractIds.columns.head).cast("long").as("vec_id"))
+    val added = addedVecs
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    spark.read.parquet(s"$indexPath/vecs")
+      .join(retract, Seq("vec_id"), "left_anti")
+      .unionByName(added)
+      .write.mode("overwrite").parquet(s"$outPath/vecs")
+    // added bucket rows hash from the WRITTEN vecs slice; kept bucket
+    // rows are surgered in place (hashing is per-row deterministic, so
+    // the union equals hashing the whole written frame)
+    val addedIds = added.select(col("vec_id"))
+    spark.read.parquet(s"$indexPath/buckets")
+      .join(retract, Seq("vec_id"), "left_anti")
+      .unionByName(
+        lshBuckets(spark.read.parquet(s"$outPath/vecs")
+            .join(addedIds, "vec_id"), nTables, nPlanes, dim)
+          .select("vec_id", "table_id", "bucket"))
+      .write.mode("overwrite").parquet(s"$outPath/buckets")
+  }
+
   /** Incremental embedding near-dup of a NEW snapshot against a
     * stored [[writeLshIndex]]: cosine pairs > `threshold` where at
     * least one side is new — within-new and new-vs-indexed, never
@@ -1190,8 +1233,8 @@ object Similarity {
     * argmin projection per corpus vector, m lookups per candidate.
     */
   def annIvfPq(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
-      nCells: Int = 8, nProbe: Int = 4, m: Int = 8, kCodes: Int = 64,
-      iters: Int = 3, rerank: Int = 50, dim: Int = 64): DataFrame =
+      nCells: Int = 8, nProbe: Int = 6, m: Int = 8, kCodes: Int = 64,
+      iters: Int = 3, rerank: Int = 200, dim: Int = 64): DataFrame =
     ivfPqSearch(embeddings,
       _ => (0 until nCells).map(c => (0 until dim).map(d => centroidComponent(c, d))),
       nQueries, k, nProbe, m, kCodes, iters, rerank, dim)
@@ -1214,8 +1257,8 @@ object Similarity {
     * per-row scale shape is unchanged.
     */
   def annIvfPqLearned(embeddings: DataFrame, nQueries: Long = 10, k: Int = 5,
-      nCells: Int = 8, nProbe: Int = 4, m: Int = 8, kCodes: Int = 64,
-      iters: Int = 3, rerank: Int = 50, dim: Int = 64): DataFrame =
+      nCells: Int = 8, nProbe: Int = 6, m: Int = 8, kCodes: Int = 64,
+      iters: Int = 3, rerank: Int = 200, dim: Int = 64): DataFrame =
     ivfPqSearch(embeddings, e => learnedCentroids(e, nCells, iters, dim),
       nQueries, k, nProbe, m, kCodes, iters, rerank, dim)
 
@@ -1259,6 +1302,27 @@ object Similarity {
       books: IndexedSeq[IndexedSeq[IndexedSeq[Float]]], corpus: DataFrame,
       e: DataFrame, nQueries: Long, k: Int, nProbe: Int, rerank: Int,
       dim: Int): DataFrame = {
+    val refined = adcRefinedShortlist(centroids, books, corpus, e,
+      col("vec_id") < nQueries, nProbe, rerank, dim)
+    val wExact = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    refined.withColumn("rnk", rank().over(wExact).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** The probe → ADC-score → refine core under an arbitrary QUERY
+    * predicate, returning the full refined shortlist (q_id, n_id,
+    * cos_sim) with NO top-k cut — the shared stage [[adcSearch]] (top-k
+    * window) and the RANGE consumers ([[annRangeFromIndex]]: keep
+    * everything over a similarity threshold) both ride, so the two
+    * cannot drift on probe/ADC/refinement semantics. Per query the
+    * shortlist is the `rerank` best ADC candidates from the probed
+    * cells; refinement reads full vectors for the q×rerank rows only.
+    */
+  private def adcRefinedShortlist(centroids: IndexedSeq[IndexedSeq[Float]],
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Float]]], corpus: DataFrame,
+      e: DataFrame, queryPred: Column, nProbe: Int, rerank: Int,
+      dim: Int): DataFrame = {
     val m = books.length
     val kCodes = books.head.length
     val ds = dim / m
@@ -1266,7 +1330,7 @@ object Similarity {
       array((0 until kCodes).map(j =>
         call_function("dot_f32", slice(col("embedding"), s * ds + 1, ds),
           typedLit(books(s)(j).toSeq))): _*)): _*)
-    val q = cellsFor(e.where(col("vec_id") < nQueries), centroids, nProbe)
+    val q = cellsFor(e.where(queryPred), centroids, nProbe)
       .select(col("vec_id").as("q_id"), col("cell").as("q_cell"), lut.as("lut"))
     // ADC dot(q, x̂) …
     val adcDot = (0 until m).map(s =>
@@ -1294,17 +1358,13 @@ object Similarity {
       .withColumn("adc_rnk", row_number().over(wAdc))
       .where(col("adc_rnk") <= rerank)
     // refinement: full vectors ONLY for the q×rerank shortlist
-    val qFull = e.where(col("vec_id") < nQueries)
+    val qFull = e.where(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val wExact = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("n_id"))
     shortlist
       .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
         "n_id")
       .join(broadcast(qFull), "q_id")
       .select(col("q_id"), col("n_id"), cos("q_emb", "n_emb").as("cos_sim"))
-      .withColumn("rnk", rank().over(wExact).cast("long"))
-      .where(col("rnk") <= k)
   }
 
   /** Persist a trained IVF-PQ index — the train-once/serve-many seam
@@ -1384,10 +1444,19 @@ object Similarity {
     * vectors for the query side and the refinement fetch — the
     * cold-storage read a PQ deployment pays per query batch, never the
     * whole corpus.
+    *
+    * Serve defaults (nProbe=6 of 8 cells, rerank=200) are PINNED from
+    * the r11 recall/latency sweep: recall@5 vs exact measured
+    * 0.90/0.94/0.94 at sf0.001/0.01/0.1 with serve wall flat
+    * (1.4-1.6 s — rerank rows are the only extra cost and the
+    * refinement fetch is q×rerank, corpus-independent). The r10
+    * defaults (nProbe=4, rerank=50) measured 0.66-0.76 — below the
+    * ≥0.85 deployment floor the q_ann_serve_recall audit enforces
+    * (SimilaritySpec pins 0.85; SURVEY §5b holds the full sweep table).
     */
   def annFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      source: DataFrame, nQueries: Long = 10, k: Int = 5, nProbe: Int = 4,
-      rerank: Int = 50, dim: Int = 64,
+      source: DataFrame, nQueries: Long = 10, k: Int = 5, nProbe: Int = 6,
+      rerank: Int = 200, dim: Int = 64,
       candidateFilter: Option[Column] = None): DataFrame = {
     val (centroids, books) = readAnnArtifacts(spark, path)
     require(centroids.nonEmpty && books.nonEmpty,
@@ -1414,6 +1483,54 @@ object Similarity {
     val e = registered(source).select(col("vec_id"), col("embedding"))
       .where(pqEncodable(dim))
     adcSearch(centroids, books, corpus, e, nQueries, k, nProbe, rerank, dim)
+  }
+
+  /** RANGE search against a persisted [[writeAnnIndex]] — the
+    * similarity-THRESHOLD twin of [[annFromIndex]]'s top-k: every
+    * (q_id, n_id, cos_sim) pair where a `queryPred`-selected query's
+    * refined cosine to an indexed candidate reaches `threshold`,
+    * served through the stored artifacts with zero retraining. This is
+    * the shape semantic decontamination needs ("flag EVERYTHING a
+    * benchmark vector is close to", not "its 5 nearest") — the query
+    * side is a predicate, not a `vec_id < n` prefix, because the
+    * benchmark set is identified by membership, not position.
+    *
+    * Approximation contract, stated honestly: candidates outside the
+    * `nProbe` probed cells or below the per-query `rerank` ADC
+    * shortlist are NOT scored, so hits are a RECALL-bounded subset of
+    * the exact range query (recall measured against the bounded exact
+    * baseline in SimilaritySpec; raise nProbe/rerank for stricter
+    * sweeps). Cosines round to 4 dp before the threshold and NaN
+    * scores (zero-norm vectors) are excluded explicitly — the
+    * [[graft.operators.Curation.semanticDecontaminate]] conventions,
+    * so the two legs agree wherever both score a pair.
+    *
+    * Scale shape: queries broadcast (eval suites are thousands of
+    * rows — a few MB of LUTs), the corpus contributes its stored
+    * ~10-byte code rows to the probed-cell join, and full vectors are
+    * read only for the q×rerank refinement fetch.
+    */
+  def annRangeFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, source: DataFrame, queryPred: Column,
+      threshold: Double, nProbe: Int = 6, rerank: Int = 200, dim: Int = 64,
+      candidateFilter: Option[Column] = None): DataFrame = {
+    val (centroids, books) = readAnnArtifacts(spark, path)
+    require(centroids.nonEmpty && books.nonEmpty,
+      s"annRangeFromIndex: empty index artifacts at $path")
+    require(centroids.head.length == dim,
+      s"annRangeFromIndex: stored centroids are dim=${centroids.head.length}, " +
+        s"caller asked dim=$dim")
+    val corpus0 = spark.read.parquet(s"$path/codes")
+    val corpus = candidateFilter match {
+      case None => corpus0
+      case Some(p) => corpus0.join(
+        registered(source).where(p).select(col("vec_id")), "vec_id")
+    }
+    val e = registered(source).select(col("vec_id"), col("embedding"))
+      .where(pqEncodable(dim))
+    adcRefinedShortlist(centroids, books, corpus, e, queryPred, nProbe,
+        rerank, dim)
+      .where(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
   }
 
   /** Index SURGERY for the persisted ANN family — the

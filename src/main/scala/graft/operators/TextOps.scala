@@ -34,6 +34,89 @@ object TextOps {
       en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"))
   }
 
+  /** Deterministic synthetic-markup wrapper — the HTML-bearing fixture
+    * column for [[textExtract]]: the `documents` table ships
+    * pre-extracted plain text, but a real training-data pipeline
+    * ingests markup (C4 and RefinedWeb both start from it), so the
+    * registered extraction query wraps each doc's text in a fixed page
+    * skeleton (head/script/style, a link-dense nav, heading, the text
+    * as the content paragraph, an ad div, a footer) built from pure
+    * string concatenation — the DuckDB oracle constructs the identical
+    * string, so the whole extract pipeline is SQL-oracle-checked
+    * end-to-end. Script/style bodies deliberately contain no '<' (the
+    * strip regex is engine-portable without dotall flags).
+    */
+  def syntheticHtml(docId: Column, text: Column): Column = concat(
+    lit("<html><head><title>Doc "), docId.cast("string"),
+    lit("</title><script>var t=0;track('"), docId.cast("string"),
+    lit("');</script><style>.m{color:red}</style></head><body>\n"),
+    lit("<nav><a href='/'>Home</a> | <a href='/a'>About</a> | " +
+      "<a href='/c'>Contact</a> | <a href='/l'>Login</a></nav>\n"),
+    lit("<h1>Doc "), docId.cast("string"), lit("</h1>\n<p>"), text,
+    lit("</p>\n<div class='ad'>Sponsored: buy now</div>\n"),
+    lit("<footer>(c) 2026 Example Corp</footer>\n</body></html>"))
+
+  /** HTML → clean text extraction with line-density boilerplate
+    * removal — the jusText-class stage every published LLM-data recipe
+    * runs BEFORE the per-doc text operators (strip markup, drop
+    * nav/ad/footer lines, keep prose): script/style blocks drop first,
+    * anchors leave a \u0001 marker so per-line LINK DENSITY survives
+    * the tag strip, every remaining tag becomes a line break, and a
+    * trimmed nonempty line is CONTENT iff it holds at least `minWords`
+    * alphabetic words AND its links-per-word stays under
+    * `maxLinkDensity` (nav menus are few words + all links; footers
+    * and ad slugs fail the word floor; prose passes). Returns per doc:
+    * the extracted text (content lines joined), line inventories, and
+    * `kept_ratio` (content chars / all-line chars, 6 dp).
+    *
+    * Shape: ONE projection over higher-order array functions — no
+    * explode/groupBy round trip (line order rides the array, so the
+    * extract is deterministic without a window), no UDFs, no shuffle;
+    * at 100 TB this runs at scan speed next to the other gates. The
+    * regex subset (`[^<]*` bodies, no dotall, no backrefs) and the
+    * array lambdas are engine-portable — the oracle mirrors the
+    * pipeline literally, so extraction is hash-checked against DuckDB.
+    */
+  def textExtract(documents: DataFrame, htmlCol: String = "html",
+      minWords: Int = 5, maxLinkDensity: Double = 0.34): DataFrame = {
+    val noScript = regexp_replace(col(htmlCol),
+      "<script[^<]*</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style[^<]*</style>", " ")
+    // INLINE tags stay in-line (jusText's block/inline distinction --
+    // a paragraph with an inline link must remain ONE line, or the
+    // prose fragments around the anchor would fall under the word
+    // floor): each opening <a> leaves the \u0001 link marker, closers
+    // and the other inline tags vanish, and only the remaining (block)
+    // tags break lines
+    val marked = regexp_replace(noStyle, "<a( [^>]*)?>", "\u0001")
+    val noInline = regexp_replace(marked,
+      "</a>|</?(b|i|em|strong|span|u|code)( [^>]*)?>", "")
+    val stripped = regexp_replace(noInline, "<[^>]*>", "\n")
+    val lines = filter(transform(split(stripped, "\n"), l => trim(l)),
+      l => l =!= "")
+    def nWords(l: Column) =
+      size(filter(split(l, "[^A-Za-z]+"), w => length(w) > 0))
+    def nLinks(l: Column) = length(l) - length(regexp_replace(l, "\u0001", ""))
+    val content = filter(lines, l => nWords(l) >= minWords &&
+      nLinks(l).cast("double") <= lit(maxLinkDensity) * nWords(l))
+    documents
+      .withColumn("all_lines", lines)
+      .withColumn("content_lines", content)
+      .select(col("doc_id"),
+        size(col("all_lines")).cast("long").as("n_lines"),
+        size(col("content_lines")).cast("long").as("n_content_lines"),
+        (size(col("all_lines")) - size(col("content_lines"))).cast("long")
+          .as("n_boilerplate_lines"),
+        round(length(regexp_replace(array_join(col("content_lines"), " "),
+            "\u0001", "")).cast("double") /
+          greatest(length(regexp_replace(array_join(col("all_lines"), " "),
+            "\u0001", "")), lit(1)).cast("double"), 6).as("kept_ratio"),
+        // the link markers are line-classification scaffolding, not
+        // product: the served extract is marker-free
+        regexp_replace(array_join(col("content_lines"), " "), "\u0001", "")
+          .as("extract"))
+  }
+
   /** Language-ID CONFUSION audit against the labeled `lang` column
     * (r9 session 5 — the accuracy frame every heuristic classifier in
     * the pipeline owes its consumers; the [[langId]] stopword
@@ -418,6 +501,35 @@ object TextOps {
       w: Int = 5): Unit =
     winnow(documents, k, w).select(col("doc_id"), col("fp")).distinct()
       .write.mode("overwrite").parquet(s"$path/fps")
+
+  /** Maintain a persisted winnow index across a re-crawl — the
+    * index-surgery leg ([[graft.operators.Dedup.updateBandIndex]]'s
+    * seam) for the fingerprint family: `retractIds` drop from the
+    * stored rows (one anti-join over ~23-byte rows; retracted
+    * documents' text is never read), `addedDocs` winnow fresh under
+    * the SAME (k, w) and append. EXACT contract (fuzz-spec-asserted
+    * in IncrementalFuzzSpec): fingerprint selection is per-doc
+    * deterministic in the text, so the surgered `fps/` row SET equals
+    * a scratch [[writeWinnowIndex]] over the post-diff corpus —
+    * bit-equal, with only the changed slice ever re-tokenized.
+    * `outPath` must differ from `indexPath` (parquet cannot overwrite
+    * its own scan — the corpus-store versioning discipline). Caller
+    * contract: the same (k, w) the index was written with (geometry is
+    * baked into the stored fingerprints).
+    */
+  def updateWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String, retractIds: DataFrame,
+      addedDocs: DataFrame, k: Int = 4, w: Int = 5): Unit = {
+    require(outPath != indexPath,
+      s"updateWinnowIndex cannot overwrite the index it reads ($indexPath)")
+    val retract = retractIds
+      .select(col(retractIds.columns.head).cast("long").as("doc_id"))
+    spark.read.parquet(s"$indexPath/fps")
+      .join(retract, Seq("doc_id"), "left_anti")
+      .unionByName(
+        winnow(addedDocs, k, w).select(col("doc_id"), col("fp")).distinct())
+      .write.mode("overwrite").parquet(s"$outPath/fps")
+  }
 
   /** Incremental partial-overlap detection of a NEW snapshot against
     * a persisted [[writeWinnowIndex]]: shared-fingerprint pairs

@@ -47,6 +47,80 @@ object DocStream {
         col("d.ingest_ts").as("ingest_ts"))
   }
 
+  /** The full streaming CURATION pipeline — the checkpointed twin of
+    * the batch capstone q_curate_pipeline, end-to-end (r10 verdict
+    * item #2): JSONL files → parse → the composed gate chain
+    * ([[StreamingOps.curateDocStream]]: holdout → clean → contam →
+    * frozen probe → band claim, ONE stateful operator, ONE
+    * checkpoint) → per-batch DSIR annotation under the FROZEN stored
+    * importance model + the deterministic split stamp → idempotent
+    * (lang, split)-partitioned parquet landing.
+    *
+    * Exactly-once, the [[PaymentConfirm]] discipline, each link
+    * individually spec'd: the file source's processed-file log lives
+    * under the checkpoint; the claim state emits deterministic
+    * verdicts on replay (lowest-docId claims); and the landing scopes
+    * an OVERWRITE to the micro-batch's own `batch=<id>` directory, so
+    * foreachBatch's at-least-once crash replay rewrites the same files
+    * instead of appending duplicates. Readers `spark.read.parquet
+    * (outDir)` and see (batch, lang, split) partition columns.
+    *
+    * The DSIR annotation runs the BATCH serve leg
+    * ([[graft.operators.Curation.dsirScoreFrom]]) on each micro-batch
+    * — bit-equal to the streaming gate by the existing duality specs,
+    * and batch-local because log_weight gates nothing here (it is the
+    * sampler's input downstream); docs with no scorable features keep
+    * a null log_weight rather than being dropped (the landing is the
+    * corpus of record).
+    */
+  def curatePipeline(spark: SparkSession, inDir: String,
+      benchmark: DataFrame, probeIndexPath: String, dsirIndexPath: String,
+      outDir: String, checkpointDir: String, minTokens: Int = 10,
+      minStopRatio: Double = 0.05, benchmarkEvery: Int = 10,
+      minScore: Double = 0.5, valPct: Int = 10, testPct: Int = 10,
+      ttlMs: Long = 3600 * 1000L,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val curated = StreamingOps.curateDocStream(spark,
+      fromFiles(spark, inDir, maxFilesPerTrigger), benchmark,
+      probeIndexPath, minTokens, minStopRatio, benchmarkEvery,
+      minScore = minScore, ttlMs = ttlMs)
+    val landBatch: (DataFrame, Long) => Unit = (batch, batchId) => if (!batch.isEmpty) {
+      // ^ the claim's ProcessingTimeTimeout keeps the engine
+      // scheduling micro-batches to fire potential evictions
+      // (nearDupDocStream's documented behavior); without the guard
+      // every idle tick would cost a localCheckpoint + an empty
+      // batch=<id> directory
+      // snapshot the micro-batch ONCE: the annotation legs below read
+      // it twice (the DSIR join's both sides), and — load-bearing —
+      // the truncated lineage keeps the per-batch plans small. Without
+      // it, dsirScoreFrom's analysis walks the FULL gate-chain
+      // expression tree per batch (measured: the analyzer spun minutes
+      // on the md5-heavy probe/band expressions re-embedded under the
+      // feature explode).
+      val kept = batch.where(col("verdict") === "kept")
+        .select(col("docId").as("doc_id"), col("text"), col("lang"),
+          col("source"), col("nTok").as("n_tok"),
+          col("probeScore").as("probe_score"))
+        .localCheckpoint()
+      val lw = graft.operators.Curation
+        .dsirScoreFrom(spark, dsirIndexPath, kept)
+        .select(col("doc_id"), col("log_weight"))
+      kept.join(lw, Seq("doc_id"), "left")
+        .withColumn("split",
+          graft.operators.TextOps.splitOf(valPct, testPct))
+        // one file per (batch, lang, split), not (task, ...): the
+        // CorpusStore small-files rule on a forever-running intake
+        .repartition(col("lang"), col("split"))
+        .write.mode("overwrite").partitionBy("lang", "split")
+        .parquet(s"$outDir/batch=$batchId")
+    }
+    curated.toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(landBatch)
+      .start()
+  }
+
   /** The full intake pipeline: files → parse → clean → lang-partitioned
     * parquet, checkpointed. Returns the running query; callers own
     * stop().

@@ -494,7 +494,24 @@ object StreamingOps {
     */
   def probeGateDocStream(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, docs: DataFrame,
-      minScore: Double = 0.5): DataFrame = {
+      minScore: Double = 0.5): DataFrame =
+    probeScoredStream(spark, indexPath, docs)
+      .select(col("doc_id"), col("ingest_ts"),
+        col("probe_is_target").as("is_target"),
+        col("probe_score").as("score"))
+      .withColumn("keep", col("score") >= minScore)
+
+  /** [[probeGateDocStream]]'s scoring core in CARRIER form: every
+    * input column rides through plus `probe_is_target` /
+    * `probe_score`, so the composed curation chain
+    * ([[curateDocStream]]) can gate on the frozen classifier without
+    * dropping the document payload the sink needs. One definition —
+    * the standalone gate is a projection of this frame, so the two
+    * surfaces cannot drift.
+    */
+  private[streaming] def probeScoredStream(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.{hashBucket, tokenize}
     graft.GraftFunctions.register(spark)
     val (w, b, dim, targetEvery, targetRem) =
@@ -509,13 +526,11 @@ object StreamingOps {
       .withColumn("embedding", transform(col("cnts"), c =>
         round(c.cast("double") / sqrt(col("norm2").cast("double")), 6)
           .cast("float")))
-      .select(col("doc_id"), col("ingest_ts"),
-        graft.operators.Curation
-          .probeTargetExpr(col("doc_id"), targetEvery, targetRem)
-          .as("is_target"),
-        graft.operators.Curation.probeScoreExpr(col("embedding"), w, b)
-          .as("score"))
-      .withColumn("keep", col("score") >= minScore)
+      .withColumn("probe_is_target", graft.operators.Curation
+        .probeTargetExpr(col("doc_id"), targetEvery, targetRem))
+      .withColumn("probe_score",
+        graft.operators.Curation.probeScoreExpr(col("embedding"), w, b))
+      .drop("cnts", "norm2", "embedding")
   }
 
   /** Streaming event-validity gate — the per-row ingest dual of
@@ -593,6 +608,122 @@ object StreamingOps {
         OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout())(
         (band: String, ds: Iterator[BandDoc], state: GroupState[BandState]) =>
           nearDupStep(band, ds, state, ttlMs))
+  }
+
+  /** One gated document headed into the band claim, payload carried. */
+  case class ClaimDoc(band: String, docId: Long, md5: String, text: String,
+    lang: String, source: String, nTok: Long, probeScore: Double)
+
+  /** One curated document out of the composed chain: `verdict` is
+    * `kept` (band claimed — this doc lands), `exact_dup` (same band,
+    * same md5 as the claimant) or `near_dup` (same band, different
+    * text — the candidate flag).
+    */
+  case class CuratedDoc(docId: Long, text: String, lang: String,
+    source: String, nTok: Long, probeScore: Double, band: String,
+    verdict: String)
+
+  /** The COMPOSED streaming curation chain — the ingest twin of the
+    * batch capstone [[graft.operators.Curation.curateCorpus]]
+    * (q_curate_pipeline), run as ONE query with ONE checkpoint
+    * (r10 verdict item #2; production ingest does not run ten gates as
+    * ten separately-checkpointed streams):
+    *
+    *   1. benchmark holdout (`doc_id % benchmarkEvery != 0` — the
+    *      curateCorpus convention);
+    *   2. cleaning gate (the batch [[graft.operators.TextOps
+    *      .cleaningScores]] floors, text carried — stateless);
+    *   3. contamination gate ([[contamGateDocStream]]'s Bloom
+    *      predicate — stateless, no false negatives);
+    *   4. frozen-probe quality gate ([[probeScoredStream]] ≥
+    *      `minScore` — stateless, stored weights as literals);
+    *   5. band CLAIM ([[claimStep]]): ONE keyed state subsumes BOTH
+    *      dedup stages — exact copies tokenize identically, so they
+    *      always share the band key (deterministic minima of the same
+    *      distinct-token set), and the claimant's stored md5 separates
+    *      `exact_dup` (same text — the cleanDocStream
+    *      dropDuplicatesWithinWatermark semantics, here under the TTL
+    *      horizon) from `near_dup` (different text in a claimed band —
+    *      [[nearDupDocStream]]'s candidate flag, same honest
+    *      one-band-probability contract; the batch minhash chain stays
+    *      the verified authority).
+    *
+    * Keeping dedup inside the claim is what makes the chain ONE
+    * stateful operator — a `dropDuplicatesWithinWatermark` ahead of
+    * the flatMapGroupsWithState would be a second stateful exchange
+    * the state checker may not admit and the claim makes redundant.
+    * Within a micro-batch, claims go to the LOWEST docId (the batch
+    * keep-first convention — parity-spec'd); across batches the
+    * claimant is first-arrival inside the TTL horizon, the documented
+    * streaming-necessity divergence. DSIR annotation and the split
+    * stamp are batch-local projections and land in the sink's
+    * foreachBatch ([[DocStream.curatePipeline]]), not here — they gate
+    * nothing.
+    */
+  def curateDocStream(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, benchmark: DataFrame, probeIndexPath: String,
+      minTokens: Int = 10, minStopRatio: Double = 0.05,
+      benchmarkEvery: Int = 10, contamN: Int = 4, fpp: Double = 0.03,
+      minScore: Double = 0.5, bandLen: Int = 4,
+      ttlMs: Long = 3600 * 1000L): Dataset[CuratedDoc] = {
+    implicit val outEnc = Encoders.product[CuratedDoc]
+    implicit val keyEnc = Encoders.STRING
+    implicit val cdEnc = Encoders.product[ClaimDoc]
+    implicit val stEnc = Encoders.product[BandState]
+    val train = docs.where(pmod(col("doc_id"), lit(benchmarkEvery)) =!= 0)
+    val scored = train.select(Seq(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("ingest_ts")) ++
+        graft.operators.TextOps.cleaningScores: _*)
+      .where(col("n_tok") >= minTokens && col("stop_ratio") >= minStopRatio)
+    val decon = contamGateDocStream(scored, benchmark, contamN, fpp)
+      .where(!col("is_contaminated"))
+    val probed = probeScoredStream(spark, probeIndexPath, decon)
+      .where(col("probe_score") >= minScore)
+    val toks = array_distinct(
+      filter(graft.functions.TextFunctions.tokenize(col("text")),
+        t => t =!= ""))
+    val minima = (0 until bandLen).map(i =>
+      array_min(transform(toks, t => xxhash64(concat(lit(s"mh$i:"), t)))))
+    probed
+      .where(col("doc_id").isNotNull && size(toks) > 0)
+      .select(concat_ws("_", minima.map(_.cast("string")): _*).as("band"),
+        col("doc_id").cast("long").as("docId"),
+        md5(col("text")).as("md5"), col("text"), col("lang"),
+        col("source"), col("n_tok").cast("long").as("nTok"),
+        col("probe_score").cast("double").as("probeScore"))
+      .as[ClaimDoc]
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout())(
+        (band: String, ds: Iterator[ClaimDoc], state: GroupState[BandState]) =>
+          claimStep(band, ds, state, ttlMs))
+  }
+
+  /** One band-claim step of [[curateDocStream]] — [[nearDupStep]]'s
+    * protocol with the payload carried and the exact/near verdict
+    * split. Visible for unit tests (TestGroupState).
+    */
+  private[streaming] def claimStep(band: String, ds: Iterator[ClaimDoc],
+      state: GroupState[BandState], ttlMs: Long): Iterator[CuratedDoc] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      // lowest docId claims (replay-stable + the batch keep-first rule)
+      val sorted = ds.toSeq.sortBy(_.docId)
+      val out = sorted.map { d =>
+        val verdict = state.getOption match {
+          case None =>
+            state.update(BandState(d.md5)); "kept"
+          case Some(s) =>
+            if (s.firstMd5 == d.md5) "exact_dup" else "near_dup"
+        }
+        CuratedDoc(d.docId, d.text, d.lang, d.source, d.nTok,
+          d.probeScore, band, verdict)
+      }
+      state.setTimeoutDuration(ttlMs)
+      out.iterator
+    }
   }
 
   /** Streaming IMAGE near-duplicate gate (r9) — the ingest-time dual

@@ -1,0 +1,142 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, TextOps}
+import graft.streaming.DocStream
+
+/** End-to-end composed streaming curation (the q_curate_pipeline
+  * twin): JSONL files → holdout → clean → contam → frozen probe →
+  * band claim → DSIR-annotated idempotent landing, ONE checkpoint —
+  * including kill + resume with claim-state recovery, and closed-batch
+  * PARITY of every annotation against the batch operators on the same
+  * fixture.
+  */
+class CuratePipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val text1 =
+    "the quick brown fox is one of the animals in the list of words"
+  // same DISTINCT token set as text1 (same band), different text
+  private val text1Reorder =
+    "words of list the in animals the of one is fox brown quick the"
+  private val text4 =
+    "a different second document is here with many more of the common words"
+  private val text4Reorder =
+    "words common the of more many with here is document second different a"
+  private val text9 =
+    "yet another genuinely new document is in the stream with plenty of words"
+  private val benchText =
+    "the eval suite sample question about chemistry is in this set of text"
+  private val contamText =
+    "my training document embeds the eval suite sample question verbatim in prose"
+
+  private def json(id: Long, text: String, lang: String, ts: String): String =
+    s"""{"doc_id": $id, "text": "$text", "lang": "$lang", """ +
+      s""""source": "s0", "ingest_ts": "$ts"}"""
+
+  test("curatePipeline: gates compose, claims survive kill+resume, " +
+      "annotations match the batch operators bit-for-bit") {
+    val root = Files.createTempDirectory("graft-curatepipe").toFile
+    val in = new File(root, "in"); in.mkdirs()
+    val out = new File(root, "out").getPath
+    val ckpt = new File(root, "ckpt").getPath
+    def land(name: String, lines: String*): Unit = {
+      val tmp = new File(root, name)
+      Files.write(tmp.toPath, lines.mkString("\n").getBytes)
+      assert(tmp.renameTo(new File(in, name)))
+    }
+    // frozen models: trained ONCE on a batch corpus (both label
+    // classes present), shared by the stream and the batch comparator
+    val trainDocs = (0L until 20L).map(i =>
+      (i, s"model training document number $i with the usual run of " +
+        s"filler words token$i and more", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val probeIdx = new File(root, "probe").getPath
+    val dsirIdx = new File(root, "dsir").getPath
+    Curation.writeProbeIndex(trainDocs, probeIdx)
+    Curation.writeDsirIndex(trainDocs, dsirIdx)
+    val benchmark = Seq((10L, benchText)).toDF("doc_id", "text")
+
+    land("b1.jsonl",
+      json(1, text1, "en", "2024-01-01T10:00:00"),
+      json(2, "too short", "en", "2024-01-01T10:00:01"), // clean fail
+      json(3, text1, "en", "2024-01-01T10:00:02"),       // exact dup of 1
+      json(4, text4, "fr", "2024-01-01T10:00:03"),
+      json(5, text1Reorder, "en", "2024-01-01T10:00:04"), // near-dup of 1
+      json(7, contamText, "en", "2024-01-01T10:00:05"),   // contaminated
+      json(10, benchText, "en", "2024-01-01T10:00:06"))   // holdout id
+    // NOT processAllAvailable(): the claim's ProcessingTimeTimeout
+    // keeps the engine scheduling micro-batches, so "all available"
+    // never settles — poll the landing with a deadline (the
+    // nearDupDocStream spec's rationale)
+    def awaitLanded(expect: Set[Long]): Set[Long] = {
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      var got = Set.empty[Long]
+      while (got != expect && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        got = try spark.read.parquet(out).collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          Set.empty[Long] }
+      }
+      got
+    }
+    val q1 = DocStream.curatePipeline(spark, in.getPath, benchmark,
+      probeIdx, dsirIdx, out, ckpt, minScore = 0.0)
+    try assert(awaitLanded(Set(1L, 4L)) == Set(1L, 4L),
+      "batch 1: clean/contam/holdout rejects gone, lowest-id claims land")
+    finally q1.stop()
+
+    // kill + resume: the SAME checkpoint recovers the band-claim state,
+    // so re-arriving copies of batch-1 texts are still dups
+    land("b2.jsonl",
+      json(8, text1, "en", "2024-01-01T10:01:00"),        // exact dup of 1
+      json(9, text9, "en", "2024-01-01T10:01:01"),        // fresh
+      json(11, text4Reorder, "fr", "2024-01-01T10:01:02")) // near-dup of 4
+    val q2 = DocStream.curatePipeline(spark, in.getPath, benchmark,
+      probeIdx, dsirIdx, out, ckpt, minScore = 0.0)
+    val landed = try awaitLanded(Set(1L, 4L, 9L)) finally q2.stop()
+    assert(landed == Set(1L, 4L, 9L),
+      s"recovered claims must reject batch-2 dups: got $landed")
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 3, "exactly one landed row per kept doc")
+
+    // (lang, split) partition layout under per-batch dirs
+    val batchDirs = new File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(batchDirs.nonEmpty)
+    val langDirs = new File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName).toSet
+    assert(langDirs.contains("lang=en") && langDirs.contains("lang=fr"))
+
+    // closed-batch PARITY with the batch operators on the landed docs
+    val docsAll = Seq((1L, text1, "en", "s0"), (4L, text4, "fr", "s0"),
+      (9L, text9, "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    val batchProbe = Curation.probeScoreFrom(spark, probeIdx, docsAll)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("score")).toMap
+    val batchDsir = Curation.dsirScoreFrom(spark, dsirIdx, docsAll)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("log_weight")).toMap
+    val batchSplit = docsAll
+      .select(col("doc_id"), TextOps.splitOf().as("split")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val batchNTok = docsAll.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokenize(col("text")))
+          .cast("long").as("n_tok")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tok")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Double]("probe_score") == batchProbe(id),
+        s"doc $id: probe score drifted from the batch serve leg")
+      assert(r.getAs[Double]("log_weight") == batchDsir(id),
+        s"doc $id: DSIR weight drifted from the batch serve leg")
+      assert(r.getAs[String]("split") == batchSplit(id))
+      assert(r.getAs[Long]("n_tok") == batchNTok(id))
+    }
+  }
+}

@@ -273,6 +273,43 @@ class CurationSpec extends SparkSuite {
     assert(r.keySet == expected)
   }
 
+  test("semanticDecontaminateAnn: true-hit subset of exact with measured recall") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val th = 0.35
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-semdecon-ann").toString
+    Similarity.writeAnnIndex(emb, idx)
+    // the whole sf0.001 corpus sits under the baseline's bound, so the
+    // bounded op IS the exact sweep here — the recall denominator
+    val exact = Curation.semanticDecontaminate(emb, threshold = th)
+      .collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Long]("n_hits"), x.getAs[Double]("max_sim"))).toMap
+    val ann = Curation.semanticDecontaminateAnn(spark, idx, emb,
+        threshold = th)
+      .collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Long]("n_hits"), x.getAs[Double]("max_sim"))).toMap
+    assert(ann.nonEmpty)
+    assert(ann.keys.forall(_ % 10 != 0), "benchmark vecs never flagged")
+    // every ANN hit is TRUE: refinement scores full-precision cosine,
+    // so a flagged pair is a real over-threshold pair — the flagged
+    // set is a subset of exact (precision 1.0) and its per-vec stats
+    // are bounded by the exact sweep's
+    assert(ann.keySet.subsetOf(exact.keySet),
+      s"false positives: ${ann.keySet -- exact.keySet}")
+    ann.foreach { case (id, (n, m)) =>
+      assert(n <= exact(id)._1, s"vec $id: ann n_hits $n > exact")
+      assert(m <= exact(id)._2 + 1e-9, s"vec $id: ann max_sim $m > exact")
+    }
+    // recall floor at the registry defaults (nProbe=6 of 8, rerank=200)
+    val recall = ann.keySet.size.toDouble / exact.keySet.size
+    info(f"semanticDecontaminateAnn recall vs exact: $recall%.3f " +
+      s"(${ann.size} of ${exact.size} flagged vecs)")
+    assert(recall >= 0.80, f"recall $recall%.3f below floor 0.80 " +
+      s"(${ann.size} of ${exact.size})")
+  }
+
   test("domainMix: deterministic, subset of input, rebalances en toward target") {
     val kept1 = Curation.domainMix(docs).collect().map(_.getAs[Long]("doc_id")).toSet
     val kept2 = Curation.domainMix(docs).collect().map(_.getAs[Long]("doc_id")).toSet

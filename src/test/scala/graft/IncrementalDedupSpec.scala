@@ -265,6 +265,10 @@ class IncrementalDedupSpec extends SparkSuite {
       spark.read.parquet(s"$dirC/sigs").count())
     assert(card(("index", "band_rows")) ==
       spark.read.parquet(s"$dirC/bands").count())
+    // the surgered next-epoch gram index (grams1) equals a scratch
+    // gram index over the post-diff corpus — the count-monoid contract
+    assert(card(("index", "gram_rows")) ==
+      Dedup.gramIndex(recrawl).count())
 
     val refNov = Dedup.noveltyAgainst(Dedup.gramIndex(snapA4), readd)
       .collect()

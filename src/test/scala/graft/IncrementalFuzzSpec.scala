@@ -224,4 +224,145 @@ class IncrementalFuzzSpec extends SparkSuite {
         s"trial $trial: meta diverged")
     }
   }
+
+  test("updateGramIndex & updateWinnowIndex surgery == scratch rebuild " +
+      "over randomized re-crawls (count-monoid / per-doc determinism)") {
+    val rnd = new scala.util.Random(31337)
+    def doc(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until 12 + r.nextInt(18)).map(_ => s"w${r.nextInt(25)}").mkString(" ")
+    }
+    (0 until 6).foreach { trial =>
+      // clones so a retraction can leave a gram's count positive (the
+      // monoid's interesting case: the gram must NOT leave the index)
+      val base = (0 until 10 + rnd.nextInt(6)).map { i =>
+        (i.toLong, doc(trial * 100 + i), "en", "web")
+      }
+      val withClones = base ++ (0 until 2).map { c =>
+        ((base.size + c).toLong, base(rnd.nextInt(base.size))._2, "en", "m")
+      }
+      val old = withClones.toDF("doc_id", "text", "lang", "source")
+      val ids = withClones.map(_._1)
+      val removed = rnd.shuffle(ids).take(1 + rnd.nextInt(3)).toSet
+      val changed = rnd.shuffle(ids.filterNot(removed)).take(rnd.nextInt(3)).toSet
+      val recrawl = (withClones.filterNot(r => removed(r._1)).map {
+        case (i, t, l, s2) =>
+          (i, if (changed(i)) t + s" rev$trial" else t, l, s2)
+      } ++ (0 until rnd.nextInt(3)).map { a =>
+        ((100 + a).toLong, doc(9000 + trial * 10 + a), "en", "web")
+      }).toDF("doc_id", "text", "lang", "source")
+      val diff = graft.operators.Curation.snapshotDiff(old, recrawl)
+      import org.apache.spark.sql.functions.col
+      val retractIds = diff.where(col("status").isin("removed", "changed"))
+        .select("doc_id")
+      val retractDocs = old.join(retractIds, "doc_id")
+      val readd = recrawl.join(
+        diff.where(col("status").isin("added", "changed")).select("doc_id"),
+        "doc_id")
+      def dirFor(tag: String) = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz-$tag$trial").toString
+      // gram: exact count-monoid surgery (retract subtracts counts)
+      val (ga, gb, gc) = (dirFor("gram-a"), dirFor("gram-b"), dirFor("gram-c"))
+      Dedup.writeGramIndex(old, ga)
+      Dedup.updateGramIndex(spark, ga, gb, retractDocs, readd)
+      Dedup.writeGramIndex(recrawl, gc)
+      def gramRows(p: String) = spark.read.parquet(p).collect()
+        .map(r => (r.getAs[String]("gram"), r.getAs[Long]("n_docs"))).toSet
+      assert(gramRows(gb) == gramRows(gc),
+        s"trial $trial (removed=$removed changed=$changed): grams diverged " +
+          s"missing=${gramRows(gc) -- gramRows(gb)} " +
+          s"extra=${gramRows(gb) -- gramRows(gc)}")
+      // winnow: per-doc-deterministic fingerprint surgery
+      val (wa, wb, wc) = (dirFor("wn-a"), dirFor("wn-b"), dirFor("wn-c"))
+      graft.operators.TextOps.writeWinnowIndex(old, wa)
+      graft.operators.TextOps.updateWinnowIndex(spark, wa, wb,
+        retractIds, readd)
+      graft.operators.TextOps.writeWinnowIndex(recrawl, wc)
+      def fpRows(p: String) = spark.read.parquet(s"$p/fps").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"))).toSet
+      assert(fpRows(wb) == fpRows(wc),
+        s"trial $trial (removed=$removed changed=$changed): fps diverged")
+      if (trial == 0) {
+        val e1 = intercept[IllegalArgumentException] {
+          Dedup.updateGramIndex(spark, ga, ga, retractDocs, readd)
+        }
+        assert(e1.getMessage.contains("overwrite"))
+        val e2 = intercept[IllegalArgumentException] {
+          graft.operators.TextOps.updateWinnowIndex(spark, wa, wa,
+            retractIds, readd)
+        }
+        assert(e2.getMessage.contains("overwrite"))
+      }
+    }
+  }
+
+  test("updateLshIndex & updatePerceptualIndex surgery == scratch rebuild " +
+      "over randomized re-crawls (deterministic hashing)") {
+    val rnd = new scala.util.Random(90210)
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    (0 until 5).foreach { trial =>
+      val base = (0 until 10 + rnd.nextInt(6)).map { i =>
+        (i.toLong, unit(trial * 100 + i), rnd.nextLong())
+      }
+      val ids = base.map(_._1)
+      val removed = rnd.shuffle(ids).take(1 + rnd.nextInt(3)).toSet
+      val changed = rnd.shuffle(ids.filterNot(removed)).take(rnd.nextInt(3)).toSet
+      val post = base.filterNot(r => removed(r._1)).map { case (i, v, h) =>
+        if (changed(i)) (i, unit(5000 + trial * 100 + i.toInt), h ^ 0xff)
+        else (i, v, h)
+      } ++ (0 until rnd.nextInt(3)).map { a =>
+        ((200 + a).toLong, unit(8000 + trial * 10 + a), rnd.nextLong())
+      }
+      val retractIds = (removed ++ changed).toSeq.toDF("id")
+      val addedIds =
+        (changed ++ post.map(_._1).filterNot(ids.contains)).toSeq
+      def dirFor(tag: String) = java.nio.file.Files
+        .createTempDirectory(s"graft-fuzz-$tag$trial").toString
+      // LSH: vecs + buckets both surgered; buckets from the written vecs
+      val oldVecs = base.map(t => (t._1, t._2)).toDF("vec_id", "embedding")
+      val postVecs = post.map(t => (t._1, t._2)).toDF("vec_id", "embedding")
+      val addedVecs = postVecs.join(addedIds.toDF("vec_id"), "vec_id")
+      val (la, lb, lc) = (dirFor("lshu-a"), dirFor("lshu-b"), dirFor("lshu-c"))
+      Similarity.writeLshIndex(oldVecs, la)
+      Similarity.updateLshIndex(spark, la, lb, retractIds, addedVecs)
+      Similarity.writeLshIndex(postVecs, lc)
+      def vecRows(p: String) = spark.read.parquet(s"$p/vecs").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getSeq[Float](r.fieldIndex("embedding")).toList).toSet
+      def bucketRows(p: String) = spark.read.parquet(s"$p/buckets").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("table_id"),
+          r.getAs[Int]("bucket"))).toSet
+      assert(vecRows(lb) == vecRows(lc),
+        s"trial $trial (removed=$removed changed=$changed): vecs diverged")
+      assert(bucketRows(lb) == bucketRows(lc),
+        s"trial $trial (removed=$removed changed=$changed): buckets diverged")
+      // perceptual: hash rows surgered
+      val oldH = base.map(t => (t._1, t._3)).toDF("doc_id", "h64")
+      val postH = post.map(t => (t._1, t._3)).toDF("doc_id", "h64")
+      val addedH = postH.join(addedIds.toDF("doc_id"), "doc_id")
+      val (pa, pb, pc) = (dirFor("phu-a"), dirFor("phu-b"), dirFor("phu-c"))
+      Dedup.writePerceptualIndex(oldH, pa)
+      Dedup.updatePerceptualIndex(spark, pa, pb, retractIds, addedH)
+      Dedup.writePerceptualIndex(postH, pc)
+      def hashRows(p: String) = spark.read.parquet(s"$p/hashes").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h64"))).toSet
+      assert(hashRows(pb) == hashRows(pc),
+        s"trial $trial (removed=$removed changed=$changed): hashes diverged")
+      if (trial == 0) {
+        val e1 = intercept[IllegalArgumentException] {
+          Similarity.updateLshIndex(spark, la, la, retractIds, addedVecs)
+        }
+        assert(e1.getMessage.contains("overwrite"))
+        val e2 = intercept[IllegalArgumentException] {
+          Dedup.updatePerceptualIndex(spark, pa, pa, retractIds, addedH)
+        }
+        assert(e2.getMessage.contains("overwrite"))
+      }
+    }
+  }
 }

@@ -532,7 +532,9 @@ class SimilaritySpec extends SparkSuite {
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
     val exact = pairs(Similarity.annTopK(emb, nQueries = 10, k = 5))
     val pq = pairs(Similarity.annIvfPq(emb, nQueries = 10, k = 5))
-    val ivf = pairs(Similarity.annIvf(emb, nQueries = 10, k = 5))
+    // the ceiling must probe the SAME cells as the PQ defaults (r11
+    // tuned the PQ family to nProbe=6; plain IVF keeps its own default)
+    val ivf = pairs(Similarity.annIvf(emb, nQueries = 10, k = 5, nProbe = 6))
     val rPq = (exact & pq).size.toDouble / exact.size
     val rIvf = (exact & ivf).size.toDouble / exact.size
     info(s"ivf-pq recall = $rPq (plain ivf at same probes = $rIvf)")
@@ -567,7 +569,9 @@ class SimilaritySpec extends SparkSuite {
     val exact = pairs(Similarity.annTopK(emb, nQueries = 10, k = 5))
     val fixedPq = pairs(Similarity.annIvfPq(emb, nQueries = 10, k = 5))
     val learnedPq = pairs(Similarity.annIvfPqLearned(emb, nQueries = 10, k = 5))
-    val learnedIvf = pairs(Similarity.annIvfLearned(emb, nQueries = 10, k = 5))
+    // ceiling probes the same cells as the PQ defaults (nProbe=6, r11)
+    val learnedIvf = pairs(
+      Similarity.annIvfLearned(emb, nQueries = 10, k = 5, nProbe = 6))
     val rFixed = (exact & fixedPq).size.toDouble / exact.size
     val rLearned = (exact & learnedPq).size.toDouble / exact.size
     val rCeil = (exact & learnedIvf).size.toDouble / exact.size
@@ -688,7 +692,13 @@ class SimilaritySpec extends SparkSuite {
     }
     // frozen artifacts: the audit is reproducible serve-over-serve
     assert(r1 == recallRows())
-    info(s"served recall@5 = ${r1.map(_._3).sum.toDouble / r1.map(_._2).sum}")
+    val recall = r1.map(_._3).sum.toDouble / r1.map(_._2).sum
+    info(s"served recall@5 = $recall")
+    // the deployment floor the r11 sweep pinned the serve defaults to
+    // (nProbe=6, rerank=200: 0.90/0.94/0.94 at sf0.001/0.01/0.1; the
+    // old 4/50 defaults measured 0.66-0.76 — this assert is why the
+    // audit exists)
+    assert(recall >= 0.85, s"served recall@5 $recall below the 0.85 floor")
   }
 
   test("clusterPurity: weighted purity >= the single-cluster baseline; bitwise deterministic") {

@@ -9,6 +9,44 @@ import graft.sources.Tables
 class TextOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("textExtract: known-answer boilerplate removal on a hand-built page") {
+    val html =
+      "<html><head><title>My Page</title><script>var a=1;</script>" +
+        "<style>.x{}</style></head><body>\n" +
+        "<nav><a href='/'>Home</a> | <a href='/b'>Blog</a></nav>\n" +
+        "<p>the quick brown <b>fox</b> jumps over " +
+        "<a href='/fox'>the lazy dog</a> again today</p>\n" +
+        "<p>short line</p>\n" +
+        "<div><a href='x'>one</a> <a href='y'>two</a> <a href='z'>three</a>" +
+        " linky menu of words</div>\n" +
+        "<footer>(c) 2026</footer></body></html>"
+    val r = TextOps.textExtract(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect()(0)
+    // lines after block-tag split: "My Page" (1), nav (2 words/2
+    // links), the prose p (11 words incl the inline link+bold, 1
+    // link), "short line" (2), the link-dense div (7 words/3 links >
+    // 0.34), "(c) 2026" (1) — only the prose paragraph is content
+    assert(r.getAs[Long]("n_lines") == 6L, s"got $r")
+    assert(r.getAs[Long]("n_content_lines") == 1L, s"got $r")
+    assert(r.getAs[Long]("n_boilerplate_lines") == 5L)
+    val extract = r.getAs[String]("extract")
+    assert(extract ==
+      "the quick brown fox jumps over the lazy dog again today",
+      s"got '$extract'")
+    // inline tags kept the paragraph whole: bold text inlined, the
+    // anchor's words retained behind the marker
+    assert(extract.contains("brown fox jumps"))
+    assert(r.getAs[Double]("kept_ratio") > 0.3 &&
+      r.getAs[Double]("kept_ratio") < 0.8)
+    // a page whose every line is boilerplate extracts to empty, 0 kept
+    val tiny = TextOps.textExtract(
+      Seq((2L, "<html><body><p>too few words</p></body></html>"))
+        .toDF("doc_id", "html")).collect()(0)
+    assert(tiny.getAs[Long]("n_content_lines") == 0L)
+    assert(tiny.getAs[String]("extract") == "")
+    assert(tiny.getAs[Double]("kept_ratio") == 0.0)
+  }
+
   test("langId picks the dominant stopword language, unknown without markers") {
     val d = Seq(
       (0L, "the cat is on a mat of straw and wool"),
