@@ -182,10 +182,20 @@ object Dedup {
       addedDocs: DataFrame, n: Int = 4): Unit = {
     require(outPath != indexPath,
       s"updateGramIndex cannot overwrite the index it reads ($indexPath)")
+    val stored = spark.read.parquet(indexPath)
+    // loud on a legacy distinct-gram index (pre-r11 writeGramIndex
+    // stored no counts): only the count knows when a retracted gram
+    // must leave the index, so surgery on a countless index cannot be
+    // exact — the caller rebuilds once with writeGramIndex and the
+    // versioned chain is exact from then on
+    require(stored.columns.contains("n_docs"),
+      s"updateGramIndex: the stored index at $indexPath has no n_docs " +
+        "column (written by a pre-count writeGramIndex) — rebuild it " +
+        "with writeGramIndex before applying surgery")
     def delta(docs: DataFrame, sign: Int) = shingled(docs, n)
       .select(col("doc_id"), col("shingle").as("gram")).distinct()
       .groupBy("gram").agg((count(lit(1)) * sign).as("n_docs"))
-    spark.read.parquet(indexPath)
+    stored
       .unionByName(delta(retractDocs, -1))
       .unionByName(delta(addedDocs, 1))
       .groupBy("gram").agg(sum(col("n_docs")).as("n_docs"))

@@ -84,35 +84,52 @@ object DocStream {
       fromFiles(spark, inDir, maxFilesPerTrigger), benchmark,
       probeIndexPath, minTokens, minStopRatio, benchmarkEvery,
       minScore = minScore, ttlMs = ttlMs)
-    val landBatch: (DataFrame, Long) => Unit = (batch, batchId) => if (!batch.isEmpty) {
-      // ^ the claim's ProcessingTimeTimeout keeps the engine
-      // scheduling micro-batches to fire potential evictions
-      // (nearDupDocStream's documented behavior); without the guard
-      // every idle tick would cost a localCheckpoint + an empty
-      // batch=<id> directory
-      // snapshot the micro-batch ONCE: the annotation legs below read
-      // it twice (the DSIR join's both sides), and — load-bearing —
-      // the truncated lineage keeps the per-batch plans small. Without
-      // it, dsirScoreFrom's analysis walks the FULL gate-chain
-      // expression tree per batch (measured: the analyzer spun minutes
-      // on the md5-heavy probe/band expressions re-embedded under the
-      // feature explode).
+    val landBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      // snapshot the kept slice ONCE, FIRST: everything after reads it
+      // (the emptiness guard, the DSIR join's both sides, the write),
+      // and — load-bearing — the truncated lineage keeps the per-batch
+      // plans small: without it, dsirScoreFrom's analysis walks the
+      // FULL gate-chain expression tree per batch (measured: the
+      // analyzer spun minutes on the md5-heavy probe/band expressions
+      // re-embedded under the feature explode). Guarding on a separate
+      // pre-checkpoint isEmpty action would RE-EXECUTE the gate chain
+      // and the state exchange once per test (review finding) — the
+      // checkpoint of an idle-tick's empty frame is one trivial job,
+      // the cheaper side of that trade.
       val kept = batch.where(col("verdict") === "kept")
         .select(col("docId").as("doc_id"), col("text"), col("lang"),
           col("source"), col("nTok").as("n_tok"),
           col("probeScore").as("probe_score"))
         .localCheckpoint()
-      val lw = graft.operators.Curation
-        .dsirScoreFrom(spark, dsirIndexPath, kept)
-        .select(col("doc_id"), col("log_weight"))
-      kept.join(lw, Seq("doc_id"), "left")
-        .withColumn("split",
-          graft.operators.TextOps.splitOf(valPct, testPct))
-        // one file per (batch, lang, split), not (task, ...): the
-        // CorpusStore small-files rule on a forever-running intake
-        .repartition(col("lang"), col("split"))
-        .write.mode("overwrite").partitionBy("lang", "split")
-        .parquet(s"$outDir/batch=$batchId")
+      try {
+        // skip empty frames: the claim's ProcessingTimeTimeout keeps
+        // the engine scheduling micro-batches to fire potential
+        // evictions (nearDupDocStream's documented behavior), and a
+        // batch of pure duplicate verdicts keeps nothing — neither
+        // may leave an empty batch=<id> directory behind
+        if (!kept.isEmpty) {
+          val lw = graft.operators.Curation
+            .dsirScoreFrom(spark, dsirIndexPath, kept)
+            .select(col("doc_id"), col("log_weight"))
+          kept.join(lw, Seq("doc_id"), "left")
+            .withColumn("split",
+              graft.operators.TextOps.splitOf(valPct, testPct))
+            // one file per (batch, lang, split), not (task, ...): the
+            // CorpusStore small-files rule on a forever-running intake
+            .repartition(col("lang"), col("split"))
+            .write.mode("overwrite").partitionBy("lang", "split")
+            .parquet(s"$outDir/batch=$batchId")
+        }
+      } finally {
+        // free the checkpointed blocks deterministically: on a
+        // forever-running intake, waiting for driver GC to trigger
+        // the ContextCleaner lets per-batch text payloads accumulate
+        // in executor storage (review finding); a plan that is not a
+        // LogicalRDD (API drift) degrades to the GC path, not a crash
+        kept.queryExecution.analyzed.collectFirst {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+        }.foreach(_.unpersist(false))
+      }
     }
     curated.toDF().writeStream
       .outputMode("update")

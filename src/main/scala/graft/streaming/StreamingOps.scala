@@ -517,20 +517,23 @@ object StreamingOps {
     val (w, b, dim, targetEvery, targetRem) =
       graft.operators.Curation.readProbeArtifacts(spark, indexPath)
     val toks = filter(tokenize(col("text")), t => t =!= "")
+    // internals carry a reserved __probe_ prefix: the carrier contract
+    // ("every input column rides through") must hold for inputs that
+    // already have a cnts/norm2/embedding column (review finding)
     docs
       .where(size(toks) >= 1)
-      .withColumn("cnts", transform(sequence(lit(0), lit(dim - 1)),
+      .withColumn("__probe_cnts", transform(sequence(lit(0), lit(dim - 1)),
         j => size(filter(toks, t => hashBucket(t, dim) === j)).cast("long")))
-      .withColumn("norm2",
-        aggregate(col("cnts"), lit(0L), (acc, c) => acc + c * c))
-      .withColumn("embedding", transform(col("cnts"), c =>
-        round(c.cast("double") / sqrt(col("norm2").cast("double")), 6)
+      .withColumn("__probe_norm2",
+        aggregate(col("__probe_cnts"), lit(0L), (acc, c) => acc + c * c))
+      .withColumn("__probe_emb", transform(col("__probe_cnts"), c =>
+        round(c.cast("double") / sqrt(col("__probe_norm2").cast("double")), 6)
           .cast("float")))
       .withColumn("probe_is_target", graft.operators.Curation
         .probeTargetExpr(col("doc_id"), targetEvery, targetRem))
       .withColumn("probe_score",
-        graft.operators.Curation.probeScoreExpr(col("embedding"), w, b))
-      .drop("cnts", "norm2", "embedding")
+        graft.operators.Curation.probeScoreExpr(col("__probe_emb"), w, b))
+      .drop("__probe_cnts", "__probe_norm2", "__probe_emb")
   }
 
   /** Streaming event-validity gate — the per-row ingest dual of
@@ -589,17 +592,13 @@ object StreamingOps {
     implicit val keyEnc = Encoders.STRING
     implicit val bdEnc = Encoders.product[BandDoc]
     implicit val stEnc = Encoders.product[BandState]
-    val toks = array_distinct(
-      filter(graft.functions.TextFunctions.tokenize(col("text")),
-        t => t =!= ""))
-    val minima = (0 until bandLen).map(i =>
-      array_min(transform(toks, t => xxhash64(concat(lit(s"mh$i:"), t)))))
+    val (band, nToks) = textBandCols(bandLen)
     docs
       // poison-pill tolerance (typedStatusEvents' policy): a null in a
       // non-nullable encoder field would KILL the query; a wordless
       // doc has no band semantics (size(null) is null -> dropped too)
-      .where(col("doc_id").isNotNull && size(toks) > 0)
-      .select(concat_ws("_", minima.map(_.cast("string")): _*).as("band"),
+      .where(col("doc_id").isNotNull && nToks > 0)
+      .select(band.as("band"),
         col("doc_id").cast("long").as("docId"),
         md5(col("text")).as("md5"))
       .as[BandDoc]
@@ -609,6 +608,38 @@ object StreamingOps {
         (band: String, ds: Iterator[BandDoc], state: GroupState[BandState]) =>
           nearDupStep(band, ds, state, ttlMs))
   }
+
+  /** THE text banding convention — `bandLen` seeded xxhash64 minima
+    * over the distinct-token set, underscore-joined — as (band key,
+    * token count) columns. ONE definition shared by
+    * [[nearDupDocStream]] and the composed chain's claim
+    * ([[curateDocStream]]): the seed scheme and the distinct-token
+    * filter are what make "same text ⇒ same band" hold, and two
+    * copies of them could drift (review finding).
+    */
+  private def textBandCols(bandLen: Int)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val toks = array_distinct(
+      filter(graft.functions.TextFunctions.tokenize(col("text")),
+        t => t =!= ""))
+    val minima = (0 until bandLen).map(i =>
+      array_min(transform(toks, t => xxhash64(concat(lit(s"mh$i:"), t)))))
+    (concat_ws("_", minima.map(_.cast("string")): _*), size(toks))
+  }
+
+  /** THE band-claim protocol — first arrival claims, the stored md5
+    * separates exact copies from near-miss rewrites, any activity
+    * renews the TTL. ONE definition under both [[nearDupStep]] (flag
+    * form) and [[claimStep]] (verdict form).
+    */
+  private def claimVerdict(md5: String,
+      state: GroupState[BandState]): String =
+    state.getOption match {
+      case None =>
+        state.update(BandState(md5)); "kept"
+      case Some(s) =>
+        if (s.firstMd5 == md5) "exact_dup" else "near_dup"
+    }
 
   /** One gated document headed into the band claim, payload carried. */
   case class ClaimDoc(band: String, docId: Long, md5: String, text: String,
@@ -679,14 +710,10 @@ object StreamingOps {
       .where(!col("is_contaminated"))
     val probed = probeScoredStream(spark, probeIndexPath, decon)
       .where(col("probe_score") >= minScore)
-    val toks = array_distinct(
-      filter(graft.functions.TextFunctions.tokenize(col("text")),
-        t => t =!= ""))
-    val minima = (0 until bandLen).map(i =>
-      array_min(transform(toks, t => xxhash64(concat(lit(s"mh$i:"), t)))))
+    val (band, nToks) = textBandCols(bandLen)
     probed
-      .where(col("doc_id").isNotNull && size(toks) > 0)
-      .select(concat_ws("_", minima.map(_.cast("string")): _*).as("band"),
+      .where(col("doc_id").isNotNull && nToks > 0)
+      .select(band.as("band"),
         col("doc_id").cast("long").as("docId"),
         md5(col("text")).as("md5"), col("text"), col("lang"),
         col("source"), col("n_tok").cast("long").as("nTok"),
@@ -712,14 +739,8 @@ object StreamingOps {
       // lowest docId claims (replay-stable + the batch keep-first rule)
       val sorted = ds.toSeq.sortBy(_.docId)
       val out = sorted.map { d =>
-        val verdict = state.getOption match {
-          case None =>
-            state.update(BandState(d.md5)); "kept"
-          case Some(s) =>
-            if (s.firstMd5 == d.md5) "exact_dup" else "near_dup"
-        }
         CuratedDoc(d.docId, d.text, d.lang, d.source, d.nTok,
-          d.probeScore, band, verdict)
+          d.probeScore, band, claimVerdict(d.md5, state))
       }
       state.setTimeoutDuration(ttlMs)
       out.iterator
@@ -1053,13 +1074,7 @@ object StreamingOps {
       // claim the band by lowest docId so replays flag the same docs
       val sorted = ds.toSeq.sortBy(_.docId)
       val out = sorted.map { d =>
-        state.getOption match {
-          case None =>
-            state.update(BandState(d.md5))
-            NearDupFlag(d.docId, isNeardup = false, band)
-          case Some(s) =>
-            NearDupFlag(d.docId, s.firstMd5 != d.md5, band)
-        }
+        NearDupFlag(d.docId, claimVerdict(d.md5, state) == "near_dup", band)
       }
       state.setTimeoutDuration(ttlMs) // any activity renews the TTL
       out.iterator

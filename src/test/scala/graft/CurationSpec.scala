@@ -308,6 +308,9 @@ class CurationSpec extends SparkSuite {
       s"(${ann.size} of ${exact.size} flagged vecs)")
     assert(recall >= 0.80, f"recall $recall%.3f below floor 0.80 " +
       s"(${ann.size} of ${exact.size})")
+    // empty source frame: no queries, no candidates — empty, no crash
+    assert(Curation.semanticDecontaminateAnn(spark, idx,
+      emb.where(col("vec_id") < 0), threshold = th).count() == 0)
   }
 
   test("domainMix: deterministic, subset of input, rebalances en toward target") {

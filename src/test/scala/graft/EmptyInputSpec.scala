@@ -68,6 +68,10 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("simhashPairs", Dedup.simhashPairs(noDocs))
     assertEmptyOk("langId", TextOps.langId(noDocs))
     assertEmptyOk("textQuality", TextOps.textQuality(noDocs))
+    assertEmptyOk("textExtract", TextOps.textExtract(noDocs.withColumn(
+      "html", TextOps.syntheticHtml(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")))))
     assertEmptyOk("fingerprint", TextOps.fingerprint(noDocs))
     assertEmptyOk("winnow", TextOps.winnow(noDocs))
     assertEmptyOk("winnowPairs", TextOps.winnowPairs(noDocs))
