@@ -671,6 +671,41 @@ class PlanAuditSpec extends SparkSuite {
       s"deflate_len must stay inside codegen:\n$p")
   }
 
+  test("textExtract: pure HOF projection — zero exchanges, no generate") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, dir, "documents").withColumn("html",
+      graft.operators.TextOps.syntheticHtml(col("doc_id"), col("text")))
+    val p = plan(graft.operators.TextOps.textExtract(docs))
+    assert(!p.contains("Exchange"), s"scan-speed op must not shuffle:\n$p")
+    // line order rides the array — an explode/groupBy round trip
+    // (a Generate node) would need a window to restore it
+    assert(!p.contains("Generate"), s"no explode round trip:\n$p")
+  }
+
+  test("q_semantic_decontaminate_ann: the serve plan scans the stored " +
+      "codes and carries the artifacts as literals — zero training") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-semdecon-plan").toString
+    val emb = Tables(spark, dir, "embeddings")
+    graft.operators.Similarity.writeAnnIndex(emb, idx)
+    val df = graft.operators.Curation.semanticDecontaminateAnn(
+      spark, idx, emb)
+    val p = plan(df)
+    assert(p.contains(s"$idx/codes"),
+      s"candidates must come from the stored code rows:\n$p")
+    // Lloyd's/PQ training run through vector_mean aggregates and the
+    // hash-ordered sample sort — their presence in the SERVE plan
+    // would mean the decontamination retrains per run
+    assert(!p.contains("vector_mean"),
+      s"serve plan must not retrain centroids:\n$p")
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"serve plan must not carry the PQ training sample sort:\n$p")
+    // the training-side corpus (centroids/codebooks) rides as driver
+    // literals, never a joined frame
+    assert(!p.contains(s"$idx/centroids") && !p.contains(s"$idx/codebooks"),
+      s"artifacts must be literals, not scans:\n$p")
+  }
+
   test("trainOrder: doc_id-only scan, exactly one shuffle (the shard " +
       "key), window partitioned by shard — never a global sort") {
     val p = plan(graft.operators.Curation.trainOrder(

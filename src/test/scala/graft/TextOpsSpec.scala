@@ -47,6 +47,55 @@ class TextOpsSpec extends SparkSuite {
     assert(tiny.getAs[Double]("kept_ratio") == 0.0)
   }
 
+  test("textExtract property: random page compositions — planted prose " +
+      "survives verbatim in document order, inventories add up") {
+    val rnd = new scala.util.Random(777)
+    (0 until 10).foreach { trial =>
+      val prose = (0 until 1 + rnd.nextInt(3)).map(i =>
+        s"this is a genuinely long prose paragraph number p$i of " +
+          s"trial t$trial with many extra words inside")
+      // inline tags inside prose must NOT split the line: bold one
+      // word, low-density-link another on odd trials
+      val proseHtml = prose.map { s =>
+        val w = s.split(" ")
+        if (trial % 2 == 1) {
+          w(3) = s"<b>${w(3)}</b>"
+          w(7) = s"<a href='/x'>${w(7)}</a>"
+        }
+        s"<p>${w.mkString(" ")}</p>"
+      }
+      val boiler = rnd.shuffle(Seq(
+        "<nav><a href='/'>Home</a> | <a href='/b'>Blog</a></nav>",
+        "<footer>(c) 2026</footer>",
+        "<div>short ad</div>")).take(1 + rnd.nextInt(3))
+      // interleave, preserving prose order
+      val frags = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pi = 0
+      (proseHtml ++ boiler).indices.foreach { _ => }
+      val slots = rnd.shuffle((0 until proseHtml.size + boiler.size).toList)
+      val proseSlots = slots.take(proseHtml.size).sorted
+      var bi = 0
+      (0 until proseHtml.size + boiler.size).foreach { k =>
+        if (proseSlots.contains(k)) { frags += proseHtml(pi); pi += 1 }
+        else { frags += boiler(bi); bi += 1 }
+      }
+      val html = "<html><head><title>Trial Page</title></head><body>\n" +
+        frags.mkString("\n") + "\n</body></html>"
+      val r = TextOps.textExtract(Seq((trial.toLong, html))
+        .toDF("doc_id", "html")).collect()(0)
+      assert(r.getAs[Long]("n_lines") == 1L + frags.size,
+        s"trial $trial: title + one line per fragment")
+      assert(r.getAs[Long]("n_content_lines") == prose.size.toLong,
+        s"trial $trial: exactly the prose lines are content")
+      assert(r.getAs[Long]("n_boilerplate_lines") ==
+        1L + frags.size - prose.size)
+      assert(r.getAs[String]("extract") == prose.mkString(" "),
+        s"trial $trial: prose must survive verbatim in document order")
+      val kr = r.getAs[Double]("kept_ratio")
+      assert(kr > 0.0 && kr < 1.0, s"trial $trial: kept_ratio $kr")
+    }
+  }
+
   test("langId picks the dominant stopword language, unknown without markers") {
     val d = Seq(
       (0L, "the cat is on a mat of straw and wool"),
