@@ -54,7 +54,9 @@ object DocStream {
     * frozen probe → band claim, ONE stateful operator, ONE
     * checkpoint) → per-batch DSIR annotation under the FROZEN stored
     * importance model + the deterministic split stamp → idempotent
-    * (lang, split)-partitioned parquet landing.
+    * (lang, split)-partitioned parquet landing, with claim rejects
+    * recorded under `<outDir>/_quarantine/batch=<id>` (verdict + band
+    * attached) rather than dropped — see the in-body rationale.
     *
     * Exactly-once, the [[PaymentConfirm]] discipline, each link
     * individually spec'd: the file source's processed-file log lives
@@ -96,17 +98,19 @@ object DocStream {
       // and the state exchange once per test (review finding) — the
       // checkpoint of an idle-tick's empty frame is one trivial job,
       // the cheaper side of that trade.
-      val kept = batch.where(col("verdict") === "kept")
+      val rows = batch
         .select(col("docId").as("doc_id"), col("text"), col("lang"),
           col("source"), col("nTok").as("n_tok"),
-          col("probeScore").as("probe_score"))
+          col("probeScore").as("probe_score"), col("band"),
+          col("verdict"))
         .localCheckpoint()
       try {
         // skip empty frames: the claim's ProcessingTimeTimeout keeps
         // the engine scheduling micro-batches to fire potential
-        // evictions (nearDupDocStream's documented behavior), and a
-        // batch of pure duplicate verdicts keeps nothing — neither
-        // may leave an empty batch=<id> directory behind
+        // evictions (nearDupDocStream's documented behavior) — an
+        // idle tick may not leave an empty batch=<id> directory behind
+        val kept = rows.where(col("verdict") === "kept")
+          .drop("band", "verdict")
         if (!kept.isEmpty) {
           val lw = graft.operators.Curation
             .dsirScoreFrom(spark, dsirIndexPath, kept)
@@ -120,13 +124,30 @@ object DocStream {
             .write.mode("overwrite").partitionBy("lang", "split")
             .parquet(s"$outDir/batch=$batchId")
         }
+        // claim rejects land in QUARANTINE, not the void: the
+        // stateless gates' rejects are deterministic — re-runnable on
+        // the raw archive — but a claim verdict depends on ARRIVAL
+        // ORDER and TTL state, so it is exactly the decision that
+        // cannot be re-derived later, and the near-dup flag is a
+        // probabilistic candidate (a band collision of genuinely
+        // different docs false-positives) — dropping it silently
+        // would lose good documents with no audit trail. The
+        // underscore prefix hides the directory from partition
+        // discovery, so corpus readers never see quarantined rows;
+        // a batch verification pass reads them directly (verdict +
+        // band attached — the WHY) and re-admits survivors.
+        val rejected = rows.where(col("verdict") =!= "kept")
+        if (!rejected.isEmpty) {
+          rejected.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/_quarantine/batch=$batchId")
+        }
       } finally {
         // free the checkpointed blocks deterministically: on a
         // forever-running intake, waiting for driver GC to trigger
         // the ContextCleaner lets per-batch text payloads accumulate
         // in executor storage (review finding); a plan that is not a
         // LogicalRDD (API drift) degrades to the GC path, not a crash
-        kept.queryExecution.analyzed.collectFirst {
+        rows.queryExecution.analyzed.collectFirst {
           case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
         }.foreach(_.unpersist(false))
       }

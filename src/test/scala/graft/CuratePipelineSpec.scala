@@ -105,6 +105,16 @@ class CuratePipelineSpec extends SparkSuite {
     val rows = spark.read.parquet(out).collect()
     assert(rows.length == 3, "exactly one landed row per kept doc")
 
+    // claim rejects are QUARANTINED with their verdicts, not dropped —
+    // and corpus readers never see them (underscore dir, asserted by
+    // the landed-set checks above reading outDir wholesale)
+    val quarantined = spark.read.parquet(s"$out/_quarantine").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(quarantined == Map(3L -> "exact_dup", 5L -> "near_dup",
+      8L -> "exact_dup", 11L -> "near_dup"),
+      s"got $quarantined")
+
     // (lang, split) partition layout under per-batch dirs
     val batchDirs = new File(out).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("batch=")).toSet
