@@ -613,6 +613,16 @@ object SparkEntry {
     // rows-only (stage 5's oracle alone is a RECURSIVE CTE; the
     // behavioral contract is spec-asserted stage by stage)
     "q_curate_pipeline" -> ((s, d) => Curation.curateCorpus(t(s, d, "documents"))),
+    // rows-only: the capstone behind the MARKUP front door — pages
+    // (synthetic wrapper) -> textExtract -> curateCorpus; spec asserts
+    // equality with curateCorpus on the word-floor-cleared docs
+    "q_extract_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Curation.curateCorpusFromHtml(t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.syntheticHtml(col("doc_id"), col("text")).as("html"),
+        col("lang"), col("source")))
+    }),
     // rows-only (driver-trained logistic weights are not
     // SQL-expressible); determinism + separation spec in CurationSpec
     "q_quality_probe" -> ((s, d) => Curation.probeScore(t(s, d, "documents"))),

@@ -1730,6 +1730,36 @@ object Curation {
       .select("doc_id", "text", "lang", "source", "n_tok", "split")
   }
 
+  /** [[curateCorpus]] with the MARKUP front door — the shape a real
+    * intake runs, since published pipelines (C4, RefinedWeb) start
+    * from HTML, not pre-extracted text: [[graft.operators.TextOps
+    * .textExtract]] strips tags and boilerplate lines first, docs
+    * whose every line is boilerplate drop at the door, and the
+    * extracted prose flows into the standard curation chain under the
+    * page's own (lang, source). `pages` carries
+    * (doc_id, html, lang, source).
+    *
+    * Composition contract (spec-asserted): when the markup is the
+    * synthetic wrapper (prose survives extraction verbatim), the
+    * output EQUALS [[curateCorpus]] run directly on the docs whose
+    * text clears the extractor's word floor — the front door adds
+    * extraction, never curation drift.
+    */
+  def curateCorpusFromHtml(pages: DataFrame, minWords: Int = 5,
+      maxLinkDensity: Double = 0.34, minTokens: Int = 10,
+      minStopRatio: Double = 0.05, benchmarkEvery: Int = 10,
+      gopherMinTok: Long = 50, neardupThreshold: Double = 0.8,
+      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    val extracted = TextOps.textExtract(pages, minWords = minWords,
+        maxLinkDensity = maxLinkDensity)
+      .where(col("n_content_lines") > 0)
+      .select(col("doc_id"), col("extract").as("text"))
+      .join(pages.select(col("doc_id"), col("lang"), col("source")),
+        "doc_id")
+    curateCorpus(extracted, minTokens, minStopRatio, benchmarkEvery,
+      gopherMinTok, neardupThreshold, valPct, testPct)
+  }
+
   /** Crawl-snapshot diff — the audit frame the incremental family
     * ([[Dedup.dedupAgainst]] / [[Dedup.noveltyAgainst]] /
     * [[Dedup.perceptualDedupAgainst]]) acts on: per document id,

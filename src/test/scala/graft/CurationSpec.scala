@@ -50,6 +50,33 @@ class CurationSpec extends SparkSuite {
       .subsetOf(Set("train", "val", "test")))
   }
 
+  test("curateCorpusFromHtml: extraction front door equals curateCorpus " +
+      "on the word-floor-cleared docs; boilerplate never leaks") {
+    val pages = docs.select(col("doc_id"),
+      TextOps.syntheticHtml(col("doc_id"), col("text")).as("html"),
+      col("lang"), col("source"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tok"), r.getAs[String]("split"))).toSet
+    val viaHtml = rows(Curation.curateCorpusFromHtml(pages))
+    // the synthetic wrapper's prose round-trips verbatim, so the
+    // front door must equal the plain capstone on the docs whose
+    // text clears the extractor's 5-alpha-word floor
+    val floorCleared = docs.where(
+      size(filter(split(col("text"), "[^A-Za-z]+"),
+        w => length(w) > 0)) >= 5)
+    val direct = rows(Curation.curateCorpus(floorCleared))
+    assert(viaHtml == direct,
+      s"missing=${direct -- viaHtml} extra=${viaHtml -- direct}")
+    assert(viaHtml.nonEmpty)
+    // no survivor carries the wrapper's boilerplate strings
+    viaHtml.foreach { case (_, text, _, _, _, _) =>
+      assert(!text.contains("Sponsored") && !text.contains("Example Corp")
+        && !text.contains("<"), s"boilerplate leaked: '$text'")
+    }
+  }
+
   test("dsirSelect: deterministic Gumbel top-k over raw docs only") {
     val k = 10
     def sel() = Curation.dsirSelect(docs, k = k).collect()
