@@ -740,6 +740,17 @@ object SparkEntry {
     // strictly below hardMax, ring fallback where none exists
     "q_mine_triplets_hard" -> ((s, d) =>
       Curation.mineTripletsHard(t(s, d, "documents"), negBuckets = 8)),
+    // margin-based bitext mining (ratio margin + mutual-best): the
+    // exact leg is SQL-oracled end-to-end — the fixed-point k-NN mean
+    // makes the margin engine-portable
+    "q_mine_bitext" -> ((s, d) =>
+      Similarity.mineBitext(t(s, d, "embeddings"), t(s, d, "documents"))),
+    // rows-only (recall-bounded candidate set): the same miner served
+    // from the persisted IVF-PQ index — both langs' k-NN legs ride
+    // stored code rows; recall vs the exact leg is spec-measured
+    "q_mine_bitext_ann" -> ((s, d) =>
+      Similarity.mineBitextIndexed(s, annIndexOf(s, d),
+        t(s, d, "embeddings"), t(s, d, "documents"))),
     // rows-only (artifact row counts): read-side health audit over
     // the five persisted MODEL families — the q_index_stats third
     // leg for models; partial writes surface as present=false rows
@@ -2680,6 +2691,49 @@ object SparkEntry {
         |JOIN ath USING (a_id) JOIN bth USING (b_id)
         |WHERE neg_id <> a_id AND neg_id <> b_id
         |  AND neg_th <> a_th AND neg_th <> b_th""".stripMargin,
+    "q_mine_bitext" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, lang
+        |  FROM embeddings JOIN documents ON vec_id = doc_id
+        |), a AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE lang = 'en'),
+        |b AS (SELECT vec_id AS n_id, emb AS n_emb FROM e WHERE lang = 'de'),
+        |q AS (SELECT * FROM a WHERE q_id < 200),
+        |fs AS (
+        |  SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 4) AS cos_sim
+        |  FROM q JOIN b ON true
+        |), fsn AS (SELECT * FROM fs WHERE NOT isnan(cos_sim)),
+        |fwd AS (
+        |  SELECT * FROM (SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM fsn)
+        |  WHERE rnk <= 4
+        |), fa AS (
+        |  SELECT q_id, CAST(SUM(CAST(ROUND(cos_sim * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 10000.0) AS fwd_avg
+        |  FROM fwd GROUP BY 1
+        |), cand AS (SELECT DISTINCT n_id FROM fwd),
+        |cb AS (SELECT b.n_id, n_emb FROM b JOIN cand USING (n_id)),
+        |rs AS (
+        |  SELECT n_id, a.q_id AS r_id, ROUND(list_cosine_similarity(n_emb, q_emb), 4) AS rcos
+        |  FROM cb JOIN a ON a.q_id <> n_id
+        |), rsn AS (SELECT * FROM rs WHERE NOT isnan(rcos)),
+        |rev AS (
+        |  SELECT * FROM (SELECT *, rank() OVER (PARTITION BY n_id ORDER BY rcos DESC, r_id) AS rrnk FROM rsn)
+        |  WHERE rrnk <= 4
+        |), ra AS (
+        |  SELECT n_id, CAST(SUM(CAST(ROUND(rcos * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 10000.0) AS rev_avg
+        |  FROM rev GROUP BY 1
+        |), sp AS (
+        |  SELECT q_id, n_id, cos_sim,
+        |    ROUND(cos_sim / ((fwd_avg + rev_avg) / 2.0), 4) AS margin
+        |  FROM fwd JOIN fa USING (q_id) JOIN ra USING (n_id)
+        |  WHERE fwd_avg + rev_avg > 0
+        |)
+        |SELECT q_id AS src_id, n_id AS dst_id, cos_sim, margin
+        |FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY margin DESC, n_id) AS bf,
+        |    row_number() OVER (PARTITION BY n_id ORDER BY margin DESC, q_id) AS br
+        |  FROM sp WHERE margin >= 1.05)
+        |WHERE bf = 1 AND br = 1""".stripMargin,
     "q_source_report" ->
       """WITH d AS (
         |  SELECT source, COUNT(*) AS n_docs,

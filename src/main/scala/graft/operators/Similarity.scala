@@ -2078,4 +2078,155 @@ object Similarity {
         rows.toDF("component", "eigenvalue", "var_share", "cum_share")
     }
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * ratio margin; the recipe CCMatrix-class parallel-corpus builds
+    * run over embedding-aligned multilingual crawls): candidate
+    * (srcLang, dstLang) document pairs scored by cos(x, y) divided by
+    * the mean of the two sides' k-NN mean cosines, kept only when the
+    * margin clears `marginThreshold` AND the pair is MUTUALLY each
+    * side's best-margin match. The margin corrects for hubness — a
+    * vector whose whole neighborhood is uniformly close scores ≈1
+    * everywhere, so raw-cosine mining drowns in hubs while the margin
+    * keeps only pairs that stand OUT of both local neighborhoods; the
+    * mutual-best cut is the deterministic form of the paper's "max"
+    * retrieval strategy (each side may appear in at most one pair).
+    *
+    * Determinism/oracle contract: cosines round to 4 dp (the engine
+    * convention), k-NN means are computed from the rounded cosines as
+    * integer ten-thousandths summed as longs — a fixed-point monoid,
+    * so the mean is independent of partition fold order and the DuckDB
+    * oracle reproduces it bit-for-bit; margins round to 4 dp; NaN
+    * cosines (zero-norm vectors) and non-positive denominators are
+    * excluded explicitly; all rank/row_number windows carry full id
+    * tie-breaks.
+    *
+    * Scale shape: the bounded query batch (`q_id < nQueries` of the
+    * src side — mining jobs stream query batches) broadcasts against
+    * the STREAMING dst side for the forward k-NN (one shuffle of top-k
+    * rows, never a global sort); the reverse leg touches only the
+    * ≤ nQueries·k forward candidates, broadcast against the streaming
+    * src side. Both sides unbounded is [[mineBitextIndexed]] — the
+    * forward/reverse k-NN served from a persisted [[writeAnnIndex]].
+    */
+  def mineBitext(embeddings: DataFrame, documents: DataFrame,
+      srcLang: String = "en", dstLang: String = "de", k: Int = 4,
+      nQueries: Long = 200, marginThreshold: Double = 1.05): DataFrame = {
+    val e = registered(embeddings)
+      .join(documents.select(col("doc_id").as("vec_id"), col("lang")),
+        "vec_id")
+    val a = e.where(col("lang") === srcLang)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val b = e.where(col("lang") === dstLang)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val q = a.where(col("q_id") < nQueries)
+    val fwdScored = b.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"), cos("q_emb", "n_emb").as("cos_sim"))
+      .where(!isnan(col("cos_sim")))
+    val wF = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    val fwd = fwdScored.withColumn("rnk", rank().over(wF))
+      .where(col("rnk") <= k)
+    val cand = fwd.select("n_id").distinct().join(b, "n_id")
+    val revScored = a.join(broadcast(cand), col("q_id") =!= col("n_id"))
+      .select(col("n_id"), col("q_id").as("r_id"),
+        cos("n_emb", "q_emb").as("rcos"))
+      .where(!isnan(col("rcos")))
+    marginMutualPairs(fwd, revScored, k, marginThreshold)
+  }
+
+  /** Bitext mining served from a persisted [[writeAnnIndex]] — the
+    * unbounded-corpus twin of [[mineBitext]]: the forward k-NN is the
+    * probe → ADC → refine shortlist over the dst side's stored
+    * ~10-byte code rows (lang pre-filter semi-joins the codes, the
+    * [[annFromIndex]] `candidateFilter` recipe), the reverse k-NN the
+    * same machinery over the src side with the forward candidates as
+    * queries (a bounded driver-collected id list, ≤ nQueries·k rows —
+    * mining batches are thousands of queries, so the literal predicate
+    * stays a few KB of plan). Margin + mutual-best ride the SAME
+    * [[marginMutualPairs]] stage as the exact miner, so the two legs
+    * cannot drift on scoring semantics; what the index changes is only
+    * WHICH candidates get scored (recall-bounded subset, measured vs
+    * the exact baseline in SimilaritySpec; refined cosines are true
+    * cosines, so surviving pairs carry exact scores — precision 1.0).
+    */
+  def mineBitextIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, embeddings: DataFrame, documents: DataFrame,
+      srcLang: String = "en", dstLang: String = "de", k: Int = 4,
+      nQueries: Long = 200, marginThreshold: Double = 1.05,
+      nProbe: Int = 6, rerank: Int = 200, dim: Int = 64): DataFrame = {
+    val (centroids, books) = readAnnArtifacts(spark, path)
+    require(centroids.nonEmpty && books.nonEmpty,
+      s"mineBitextIndexed: empty index artifacts at $path")
+    require(centroids.head.length == dim,
+      s"mineBitextIndexed: stored centroids are dim=${centroids.head.length}, " +
+        s"caller asked dim=$dim")
+    val e = registered(embeddings)
+      .join(documents.select(col("doc_id").as("vec_id"), col("lang")),
+        "vec_id")
+      .where(pqEncodable(dim))
+    val codes = spark.read.parquet(s"$path/codes")
+    val corpusB = codes.join(
+      e.where(col("lang") === dstLang).select("vec_id"), "vec_id")
+    val fwdShort = adcRefinedShortlist(centroids, books, corpusB, e,
+      col("lang") === srcLang && col("vec_id") < nQueries,
+      nProbe, rerank, dim)
+    val wF = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    val fwd = fwdShort.withColumn("rnk", rank().over(wF))
+      .where(col("rnk") <= k)
+    // bounded driver coordination: the reverse-leg query set is the
+    // forward candidates (≤ nQueries·k ids), shipped as a literal
+    // predicate so the shared shortlist core needs no new plumbing
+    val candIds = fwd.select("n_id").distinct().collect()
+      .map(_.getAs[Long]("n_id")).toSeq
+    if (candIds.isEmpty)
+      return fwd.select(col("q_id").as("src_id"), col("n_id").as("dst_id"),
+        col("cos_sim"), col("cos_sim").as("margin")).where(lit(false))
+    val corpusA = codes.join(
+      e.where(col("lang") === srcLang).select("vec_id"), "vec_id")
+    val revScored = adcRefinedShortlist(centroids, books, corpusA, e,
+        col("vec_id").isin(candIds: _*), nProbe, rerank, dim)
+      .select(col("q_id").as("n_id"), col("n_id").as("r_id"),
+        col("cos_sim").as("rcos"))
+    marginMutualPairs(fwd, revScored, k, marginThreshold)
+  }
+
+  /** The shared margin + mutual-best stage both bitext legs ride
+    * (the [[adcRefinedShortlist]] no-drift discipline): fixed-point
+    * k-NN mean denominators, 4-dp ratio margin, threshold, then each
+    * side keeps only its best-margin partner. `fwd` carries the
+    * forward top-k (q_id, n_id, cos_sim); `revScored` the scored
+    * reverse pairs (n_id, r_id, rcos) BEFORE the top-k cut, which
+    * happens here so both legs cut identically.
+    */
+  private def marginMutualPairs(fwd: DataFrame, revScored: DataFrame,
+      k: Int, marginThreshold: Double): DataFrame = {
+    def ttAvg(df: DataFrame, key: String, c: String, out: String) =
+      df.groupBy(key).agg(
+          sum(round(col(c) * 10000, 0).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col(key),
+          (col("s").cast("double") / (col("n") * 10000.0)).as(out))
+    val fa = ttAvg(fwd, "q_id", "cos_sim", "fwd_avg")
+    val wR = Window.partitionBy("n_id")
+      .orderBy(col("rcos").desc, col("r_id"))
+    val rev = revScored.withColumn("rrnk", rank().over(wR))
+      .where(col("rrnk") <= k)
+    val ra = ttAvg(rev, "n_id", "rcos", "rev_avg")
+    val sp = fwd.join(fa, "q_id").join(ra, "n_id")
+      .where(col("fwd_avg") + col("rev_avg") > 0)
+      .withColumn("margin",
+        round(col("cos_sim") / ((col("fwd_avg") + col("rev_avg")) / 2.0), 4))
+      .where(col("margin") >= marginThreshold)
+    val wBf = Window.partitionBy("q_id")
+      .orderBy(col("margin").desc, col("n_id"))
+    val wBr = Window.partitionBy("n_id")
+      .orderBy(col("margin").desc, col("q_id"))
+    sp.withColumn("bf", row_number().over(wBf))
+      .withColumn("br", row_number().over(wBr))
+      .where(col("bf") === 1 && col("br") === 1)
+      .select(col("q_id").as("src_id"), col("n_id").as("dst_id"),
+        col("cos_sim"), col("margin"))
+  }
 }

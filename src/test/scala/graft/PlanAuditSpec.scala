@@ -807,4 +807,37 @@ class PlanAuditSpec extends SparkSuite {
       s"the %3 slice must not re-render from the documents scan:\n$p")
     assert(df.count() > 0)
   }
+
+  test("mineBitext: the query batch broadcasts against the streaming " +
+      "dst side — BNLJ under a broadcast exchange, never a cartesian") {
+    val p = plan(graft.operators.Similarity.mineBitext(
+      Tables(spark, dir, "embeddings"), Tables(spark, dir, "documents")))
+    assert(!p.contains("CartesianProduct"),
+      s"an unbroadcast pair enumeration would shuffle both sides:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+      p.contains("BroadcastExchange"),
+      s"the bounded query batch must ride a broadcast:\n$p")
+    // every window (k-NN rank, mutual-best row_numbers) partitions by
+    // a pair id — a single-partition stage would serialize the batch
+    assert(!p.contains("Exchange SinglePartition"),
+      s"margin windows must partition by pair ids:\n$p")
+  }
+
+  test("mineBitextIndexed: both k-NN legs scan the stored code rows; " +
+      "artifacts ride as literals, never retrained") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-bitext-plan").toString
+    val emb = Tables(spark, dir, "embeddings")
+    graft.operators.Similarity.writeAnnIndex(emb, idx)
+    val df = graft.operators.Similarity.mineBitextIndexed(
+      spark, idx, emb, Tables(spark, dir, "documents"))
+    val p = plan(df)
+    assert(p.contains(s"$idx/codes"),
+      s"candidates must come from the stored code rows:\n$p")
+    assert(!p.contains("vector_mean"),
+      s"serve plan must not retrain centroids:\n$p")
+    assert(!p.contains(s"$idx/centroids") && !p.contains(s"$idx/codebooks"),
+      s"artifacts must be literals, not scans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

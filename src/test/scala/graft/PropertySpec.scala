@@ -234,4 +234,80 @@ class PropertySpec extends SparkSuite {
         }
     }
   }
+
+  /** Independent in-memory model of
+    * [[graft.operators.Similarity.mineBitext]]: brute-force 4-dp
+    * cosines, fixed-point k-NN means, ratio margin, mutual best.
+    * Deliberately naive (nested loops over tiny corpora) so it shares
+    * no structure with the distributed plan it checks.
+    */
+  private def refMineBitext(vecs: Seq[(Long, Array[Float], String)],
+      k: Int, thr: Double): Set[(Long, Long, Double)] = {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (a, b).zipped.foreach { (x, y) =>
+        dot += x.toDouble * y.toDouble
+        na += x.toDouble * x.toDouble; nb += y.toDouble * y.toDouble
+      }
+      val c = dot / math.sqrt(na * nb)
+      if (c.isNaN) Double.NaN else r4(c)
+    }
+    val a = vecs.collect { case (id, v, "en") => (id, v) }
+    val b = vecs.collect { case (id, v, "de") => (id, v) }
+    def topk(scored: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      scored.filter(!_._2.isNaN).sortBy(t => (-t._2, t._1)).take(k)
+    val fwd = a.filter(_._1 < 200).map { case (qid, qe) =>
+      qid -> topk(b.map { case (nid, ne) => (nid, cos4(qe, ne)) })
+    }.filter(_._2.nonEmpty).toMap
+    def ttAvg(cs: Seq[Double]): Double =
+      cs.map(c => math.round(c * 10000)).sum.toDouble / (cs.size * 10000.0)
+    val fa = fwd.map { case (qid, tks) => qid -> ttAvg(tks.map(_._2)) }
+    val ra = fwd.values.flatten.map(_._1).toSet.toSeq.map { nid: Long =>
+      val ne = b.find(_._1 == nid).get._2
+      val tks = topk(a.filter(_._1 != nid)
+        .map { case (rid, re) => (rid, cos4(ne, re)) })
+      nid -> (if (tks.isEmpty) Double.NaN else ttAvg(tks.map(_._2)))
+    }.toMap
+    val sp = for {
+      (qid, tks) <- fwd.toSeq
+      (nid, c) <- tks
+      if !ra(nid).isNaN && fa(qid) + ra(nid) > 0
+      m = r4(c / ((fa(qid) + ra(nid)) / 2.0))
+      if m >= thr
+    } yield (qid, nid, c, m)
+    val bestF = sp.groupBy(_._1).values
+      .map(_.minBy(p => (-p._4, p._2))).toSet
+    val bestR = sp.groupBy(_._2).values
+      .map(_.minBy(p => (-p._4, p._1))).toSet
+    bestF.intersect(bestR).map(p => (p._1, p._2, p._4))
+  }
+
+  test("mineBitext matches the independent margin-mining reference " +
+      "on generated corpora (incl. zero-norm vectors)") {
+    import graft.operators.Similarity
+    val genVec = Gen.frequency(
+      9 -> Gen.listOfN(8, Gen.chooseNum(-5f, 5f)).map(_.toArray),
+      1 -> Gen.const(Array.fill(8)(0.0f))) // zero norm → NaN leg
+    val genRow = for { v <- genVec; l <- Gen.oneOf("en", "de", "fr") }
+      yield (v, l)
+    val corpora = sample(
+      Gen.chooseNum(4, 14).flatMap(n => Gen.listOfN(n, genRow)), 20)
+    corpora.zipWithIndex.foreach { case (rows, ci) =>
+      val vecs = rows.zipWithIndex.map { case ((v, l), i) =>
+        (i.toLong, v, l) }
+      val emb = vecs.map(t => (t._1, t._2.toSeq))
+        .toDF("vec_id", "embedding")
+      val docs = vecs.map(t => (t._1, t._3)).toDF("doc_id", "lang")
+      val got = Similarity
+        .mineBitext(emb, docs, k = 3, marginThreshold = 1.0)
+        .collect()
+        .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+          r.getAs[Double]("margin"))).toSet
+      val want = refMineBitext(vecs, k = 3, thr = 1.0)
+      assert(got == want, s"case #$ci: got $got want $want " +
+        s"(corpus: ${vecs.map(t => (t._1, t._3))})")
+    }
+  }
 }

@@ -901,4 +901,96 @@ class SimilaritySpec extends SparkSuite {
     }
     assert(err.getMessage.contains("overwrite"))
   }
+
+  private lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  test("mineBitext: mutual-best pairs across the lang split, margins " +
+      "over threshold, rerun-stable") {
+    def run() = Similarity.mineBitext(emb, docs).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Double]("margin")))
+      .sortBy(_._1).toSeq
+    val p1 = run()
+    assert(p1.nonEmpty, "the gate corpus must mine at least one pair")
+    assert(p1 == run(), "mined pairs must be rerun-stable")
+    // mutual-best: each side appears in at most one pair
+    assert(p1.map(_._1).distinct.size == p1.size, "duplicate src side")
+    assert(p1.map(_._2).distinct.size == p1.size, "duplicate dst side")
+    p1.foreach { case (s0, d0, c, m) =>
+      assert(m >= 1.05, s"pair ($s0,$d0) margin $m below threshold")
+      assert(c >= -1.0001 && c <= 1.0001, s"cosine $c out of range")
+      assert(s0 < 200, s"src $s0 outside the query window")
+    }
+    // side assignment honors the documents lang column
+    val lang = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    assert(p1.forall { case (s0, _, _, _) => lang(s0) == "en" })
+    assert(p1.forall { case (_, d0, _, _) => lang(d0) == "de" })
+  }
+
+  test("mineBitext: a planted parallel pair is mined, orthogonal and " +
+      "zero-denominator vectors are not") {
+    import spark.implicits._
+    val dim = 64
+    def basis(i: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == i) scale else 0.0f)
+    def mix(i: Int, j: Int, wi: Float, wj: Float): Seq[Float] =
+      Seq.tabulate(dim)(x =>
+        if (x == i) wi else if (x == j) wj else 0.0f)
+    // en 0 ↔ de 10 planted parallel (cos ≈ 0.995); en 1/2 and de
+    // 11/12/13 pairwise orthogonal to everything → their cosines
+    // round to 0, the k-NN mean denominator sums to 0, and the
+    // >0 guard drops them rather than dividing
+    val vecs = Seq(
+      (0L, basis(0, 1.0f)), (1L, basis(2, 1.0f)), (2L, basis(3, 1.0f)),
+      (10L, mix(0, 1, 0.9f, 0.09f)), (11L, basis(4, 1.0f)),
+      (12L, basis(5, 1.0f)), (13L, basis(6, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val langs = Seq((0L, "en"), (1L, "en"), (2L, "en"),
+      (10L, "de"), (11L, "de"), (12L, "de"), (13L, "de"))
+      .toDF("doc_id", "lang")
+    val mined = Similarity.mineBitext(vecs, langs).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Double]("margin")))
+    assert(mined.map(t => (t._1, t._2)).toSeq == Seq((0L, 10L)),
+      s"expected exactly the planted pair, got ${mined.toSeq}")
+    // margin ≈ cos/(avg of [cos,0,0,0]) ≈ 4: far over threshold
+    assert(mined.head._3 > 2.0, s"planted margin ${mined.head._3}")
+  }
+
+  test("mineBitextIndexed: served pairs recall the exact miner's, " +
+      "same mutual/threshold contract, exact cosines on survivors") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bitext-idx").toString
+    Similarity.writeAnnIndex(emb, dir)
+    val exact = Similarity.mineBitext(emb, docs).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id")))
+      .toSet
+    val served = Similarity.mineBitextIndexed(spark, dir, emb, docs)
+      .collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Double]("margin")))
+    // contract invariants hold on the served leg too
+    assert(served.map(_._1).distinct.length == served.length)
+    assert(served.map(_._2).distinct.length == served.length)
+    assert(served.forall(_._4 >= 1.05))
+    val recall = if (exact.isEmpty) 1.0
+      else served.map(t => (t._1, t._2)).count(exact.contains).toDouble /
+        exact.size
+    info(s"bitext serve recall vs exact: $recall " +
+      s"(${served.length} served, ${exact.size} exact)")
+    // measured 0.914 on the gate corpus at the pinned serve defaults
+    // (nProbe=6, rerank=200); floor leaves noise room
+    assert(recall >= 0.80,
+      s"served bitext recall $recall below floor (exact=${exact.size})")
+    // refined cosines are TRUE cosines: a served pair that the exact
+    // leg also mined carries the identical 4-dp cosine
+    val exactCos = Similarity.mineBitext(emb, docs).collect()
+      .map(r => ((r.getAs[Long]("src_id"), r.getAs[Long]("dst_id")),
+        r.getAs[Double]("cos_sim"))).toMap
+    served.foreach { case (s0, d0, c, _) =>
+      exactCos.get((s0, d0)).foreach(ec =>
+        assert(ec == c, s"pair ($s0,$d0) served cos $c vs exact $ec"))
+    }
+  }
 }
