@@ -204,6 +204,7 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("nearDupPairsLsh", Similarity.nearDupPairsLsh(noEmb))
     assertEmptyOk("embedPca", Similarity.embedPca(noEmb))
     assertEmptyOk("pcaVariance", Similarity.pcaVariance(noEmb))
+    assertEmptyOk("mineBitext", Similarity.mineBitext(noEmb, noDocs))
     assertEmptyOk("embedDedupGroups", Similarity.embedDedupGroups(noEmb))
     assertEmptyOk("semanticDecontaminate",
       graft.operators.Curation.semanticDecontaminate(noEmb))
