@@ -361,6 +361,10 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(t(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(t(s, d, "documents"))),
+    // threshold-sensitivity audit: pairs/docs clearing each candidate
+    // near-dup cutoff — the tuning curve read before pinning the
+    // production threshold
+    "q_dedup_sweep" -> ((s, d) => Dedup.dedupSweep(t(s, d, "documents"))),
     "q_containment" -> ((s, d) => Dedup.containmentPairs(t(s, d, "documents"))),
     "q_dup_span" -> ((s, d) => Dedup.dupSpan(t(s, d, "documents"))),
     // rows-only (xxhash64 gram keys have no DuckDB equivalent); the
@@ -1395,6 +1399,38 @@ object SparkEntry {
         |      JOIN sizes sa ON a_id = sa.doc_id
         |      JOIN sizes sb ON b_id = sb.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    "q_dedup_sweep" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
+        |toks AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM toks a JOIN toks b
+        |    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a_id, b_id,
+        |    CAST(n_inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_inter AS DOUBLE) AS score
+        |  FROM inter
+        |  JOIN sizes sa ON a_id = sa.doc_id
+        |  JOIN sizes sb ON b_id = sb.doc_id
+        |), th AS (
+        |  SELECT unnest(CAST([0.5, 0.6, 0.7, 0.8, 0.9, 0.95] AS DOUBLE[])) AS threshold
+        |), hit AS (
+        |  SELECT threshold, a_id, b_id FROM pairs JOIN th ON score >= threshold
+        |), np AS (
+        |  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM hit GROUP BY 1
+        |), nd AS (
+        |  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_docs FROM
+        |    (SELECT DISTINCT threshold, doc_id FROM
+        |      (SELECT threshold, a_id AS doc_id FROM hit
+        |       UNION ALL SELECT threshold, b_id AS doc_id FROM hit))
+        |  GROUP BY 1
+        |)
+        |SELECT th.threshold, COALESCE(n_pairs, 0) AS n_pairs, COALESCE(n_docs, 0) AS n_docs
+        |FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)""".stripMargin,
     "q_containment" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
         |toks AS (

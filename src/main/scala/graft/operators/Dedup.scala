@@ -1972,6 +1972,61 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
 
+  /** Threshold-sensitivity audit for near-dup tuning: for each
+    * candidate threshold, how many pairs clear it and how many docs
+    * sit in at least one clearing pair — the curve an operator reads
+    * BEFORE pinning the production Jaccard cutoff (too low merges
+    * topically-similar docs, too high leaves boilerplate twins; the
+    * elbow is corpus-specific, so it must be a query, not a constant).
+    * Rides the same [[setOverlap]] feature frame as [[jaccardPairs]]
+    * (bounded exact baseline, oracle-equal by construction); at scale
+    * feed banded pairs to [[sweepFromPairs]] instead — e.g.
+    * [[minhashExactVerifiedPairs]] at the sweep's minimum (keep that
+    * minimum ≥0.7, where 16×4 banding recall still rounds to 1;
+    * sweeping below it under-counts by the banding miss rate).
+    */
+  def dedupSweep(documents: DataFrame,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95),
+      bound: Long = 300, shingleLen: Int = 1): DataFrame =
+    sweepFromPairs(
+      setOverlap(documents, bound, shingleLen)
+        .select(col("a_id"), col("b_id"),
+          (col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+            .as("score")),
+      "score", thresholds)
+
+  /** The sweep stage over an ARBITRARY scored pair frame (`a_id`,
+    * `b_id`, `scoreCol`) — measure-agnostic, so banded minhash pairs,
+    * winnow overlaps, containment and perceptual hamming-similarity
+    * frames all tune through the same door. Every threshold is a
+    * broadcast constant: the pair frame fans out ×|thresholds| rows
+    * into two keyed aggregates (pair count; distinct-doc count via a
+    * 2-element explode) — no per-threshold rescan of the corpus, and
+    * thresholds that nothing clears still emit a zero row (the curve
+    * must show where it dies).
+    */
+  def sweepFromPairs(pairs: DataFrame, scoreCol: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95)): DataFrame = {
+    require(thresholds.nonEmpty, "sweepFromPairs needs at least one threshold")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val th = thresholds.toDF("threshold")
+    val hit = pairs.join(broadcast(th), col(scoreCol) >= col("threshold"))
+      .select(col("threshold"), col("a_id"), col("b_id"))
+    val nPairs = hit.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = hit
+      .select(col("threshold"),
+        explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+    th.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** Set CONTAINMENT pairs — |A∩B| / min(|A|, |B|) over the same
     * distinct-shingle feature space as [[jaccardPairs]]: the
     * asymmetric-size near-dup measure Jaccard is blind to (a short

@@ -585,4 +585,39 @@ class DedupSpec extends SparkSuite {
         s"($a,$b): est $e vs exact $ex exceeds ±$bound")
     }
   }
+
+  test("dedupSweep: monotone non-increasing curve, one row per " +
+      "threshold incl. zero tails, counts agree with jaccardPairs") {
+    val rows = Dedup.dedupSweep(docs).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"))).sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95),
+      s"one row per threshold, zero tails kept: $rows")
+    rows.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3,
+        s"curve must be non-increasing in threshold: $lo -> $hi")
+    }
+    rows.foreach { case (t, np, nd) =>
+      assert(nd <= 2 * np, s"at $t: $nd docs from $np pairs")
+      assert(np == 0L || nd >= 2, s"at $t: a pair needs two docs")
+    }
+    // cross-check one point against the pair operator itself
+    val at08 = Dedup.jaccardPairs(docs, bound = 300, threshold = 0.8,
+      shingleLen = 1).collect()
+    val ids = at08.flatMap(r =>
+      Seq(r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).distinct
+    val row08 = rows.find(_._1 == 0.8).get
+    assert(row08._2 == at08.length && row08._3 == ids.length,
+      s"sweep row at 0.8 $row08 vs jaccardPairs ${at08.length}/${ids.length}")
+  }
+
+  test("sweepFromPairs: measure-agnostic door with a crafted frame") {
+    val pairs = Seq((1L, 2L, 0.96), (1L, 3L, 0.75), (4L, 5L, 0.55))
+      .toDF("a_id", "b_id", "score")
+    val r = Dedup.sweepFromPairs(pairs, "score").collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"))).sortBy(_._1).toSeq
+    assert(r == Seq((0.5, 3L, 5L), (0.6, 2L, 3L), (0.7, 2L, 3L),
+      (0.8, 1L, 2L), (0.9, 1L, 2L), (0.95, 1L, 2L)), r.toString)
+  }
 }
