@@ -563,6 +563,11 @@ object SparkEntry {
     "q_image_ann" -> ((s, d) =>
       MultimodalOps.imageAnnFromProfiles(imageProfilesOf(s, d))),
     "q_corpus_clean" -> ((s, d) => TextOps.cleanCorpus(t(s, d, "documents"))),
+    // the capstone's attrition funnel (the published-pipeline "data
+    // card"): per stage n_in/n_dropped/n_out, exact integers, oracled
+    // end-to-end incl. the near-dup stage via the recursive CTE
+    "q_curate_report" -> ((s, d) =>
+      Curation.curateReport(t(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(t(s, d, "documents"))),
     "q_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d, "documents"))),
     "q_top_ngram_frac" -> ((s, d) => TextOps.topNgramFrac(t(s, d, "documents"))),
@@ -1644,6 +1649,113 @@ object SparkEntry {
         |  FROM scored WHERE n_tok >= 10 AND stop_ratio >= 0.05
         |)
         |SELECT doc_id, lang, source, n_tok FROM filtered WHERE rn = 1""".stripMargin,
+    "q_curate_report" ->
+      """WITH RECURSIVE sc AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+        |    md5(text) AS text_hash,
+        |    (doc_id % 10 = 0) AS is_bench
+        |  FROM documents
+        |), cleaned AS (
+        |  SELECT doc_id, text_hash FROM sc
+        |  WHERE NOT is_bench AND n_tok >= 10 AND stop_ratio >= 0.05
+        |), rn AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        |  FROM cleaned
+        |), ek AS (SELECT doc_id FROM rn WHERE rn = 1),
+        |gtoks AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents
+        |), grep1 AS (
+        |  SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT bigram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rep
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks2) - 1),
+        |          i -> toks2[i + 1] || ' ' || toks2[i + 2])) AS bigram
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks2 FROM documents)
+        |        WHERE len(toks2) >= 2)
+        |  GROUP BY doc_id
+        |), gbase AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+        |    CAST((length(text) - length(replace(text, '#', ''))) +
+        |         (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_distinct(list_filter(ts,
+        |      t -> t IN ('the','a','of','and','is')))) AS BIGINT) AS n_stop
+        |  FROM gtoks WHERE len(ts) > 0
+        |), gk AS (
+        |  SELECT doc_id FROM gbase LEFT JOIN grep1 USING (doc_id)
+        |  WHERE (n_tok >= 50 AND n_tok <= 100000)
+        |    AND (CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0)
+        |    AND (CAST(n_sym AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 0.1)
+        |    AND (CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.8)
+        |    AND (n_stop >= 2)
+        |    AND (COALESCE(rep, 0.0) <= 0.3)
+        |), dsh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 3),
+        |          i -> array_to_string(toks[i + 1:i + 4], ' '))) AS shingle
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |        WHERE len(toks) >= 4)
+        |), dbench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT DISTINCT doc_id FROM dsh JOIN dbench USING (shingle)
+        |  WHERE doc_id % 10 <> 0
+        |), decon AS (
+        |  SELECT doc_id FROM ek JOIN gk USING (doc_id)
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        |), nsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents JOIN decon USING (doc_id))
+        |  WHERE len(toks) >= 3
+        |), nsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM nsh GROUP BY 1),
+        |ninter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM nsh a JOIN nsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), near AS (
+        |  SELECT a_id, b_id FROM ninter
+        |  JOIN nsz sa ON a_id = sa.doc_id
+        |  JOIN nsz sb ON b_id = sb.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM near
+        |  UNION ALL SELECT b_id, a_id FROM near
+        |), reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM decon
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src
+        |), reps AS (
+        |  SELECT node AS doc_id FROM
+        |    (SELECT node, MIN(label) AS lbl FROM reach GROUP BY node)
+        |  WHERE node = lbl
+        |), lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN is_bench THEN 1
+        |         WHEN NOT (n_tok >= 10 AND stop_ratio >= 0.05) THEN 2
+        |         WHEN doc_id NOT IN (SELECT doc_id FROM ek) THEN 3
+        |         WHEN doc_id NOT IN (SELECT doc_id FROM gk) THEN 4
+        |         WHEN doc_id IN (SELECT doc_id FROM hits) THEN 5
+        |         WHEN doc_id NOT IN (SELECT doc_id FROM reps) THEN 6
+        |         ELSE 7 END AS stage_ord
+        |  FROM sc
+        |), cnt AS (
+        |  SELECT stage_ord, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM lab GROUP BY 1
+        |), st(stage_ord, stage) AS (
+        |  SELECT * FROM (VALUES (1, 'benchmark_holdout'), (2, 'cleaning'),
+        |    (3, 'exact_dedup'), (4, 'gopher'), (5, 'decontaminate'), (6, 'neardup'))
+        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
+        |SELECT stage_ord, stage, n_in, n_dropped, n_in - n_dropped AS n_out
+        |FROM (
+        |  SELECT CAST(st.stage_ord AS BIGINT) AS stage_ord, st.stage,
+        |    total - CAST(COALESCE(SUM(COALESCE(cnt.n_dropped, 0))
+        |      OVER (ORDER BY st.stage_ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+        |    COALESCE(cnt.n_dropped, 0) AS n_dropped
+        |  FROM st LEFT JOIN cnt ON st.stage_ord = cnt.stage_ord CROSS JOIN tot)""".stripMargin,
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,

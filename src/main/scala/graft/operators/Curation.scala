@@ -1760,6 +1760,82 @@ object Curation {
       gopherMinTok, neardupThreshold, valPct, testPct)
   }
 
+  /** The attrition funnel of [[curateCorpus]] — the "data card" table
+    * every published pipeline reports (C4 §2, RefinedWeb table 2,
+    * FineWeb's ablation cards): per stage, how many documents entered,
+    * how many it dropped and how many flowed on. Each document gets
+    * ONE label — the first stage that stopped it — so the funnel is a
+    * single pass over the corpus plus the same near-dup group frame
+    * the capstone computes; stage rows with zero drops still appear
+    * (a gate that fired nothing is a finding, not a gap).
+    *
+    * Stage semantics are the capstone's by construction (same score
+    * expressions, same gate set joins); CurationSpec ties the two —
+    * the funnel's final `n_out` must equal `curateCorpus().count()`
+    * and each stage's arithmetic must telescope. Exact integer counts
+    * end-to-end, so the whole funnel (including the near-dup stage via
+    * the recursive-CTE components) is DuckDB-oracled hash-exact.
+    */
+  def curateReport(documents: DataFrame, minTokens: Int = 10,
+      minStopRatio: Double = 0.05, benchmarkEvery: Int = 10,
+      gopherMinTok: Long = 50, neardupThreshold: Double = 0.8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val base = documents.select(Seq(col("doc_id"), col("text"), col("lang"),
+        col("source")) ++ TextOps.cleaningScores: _*)
+      .withColumn("is_bench",
+        pmod(col("doc_id"), lit(benchmarkEvery)) === 0)
+    val cleanOk =
+      col("n_tok") >= minTokens && col("stop_ratio") >= minStopRatio
+    val wDup = Window.partitionBy("text_hash").orderBy(col("doc_id"))
+    val withRn = base.where(!col("is_bench") && cleanOk)
+      .withColumn("rn", row_number().over(wDup))
+    val exactKeep = withRn.where(col("rn") === 1)
+      .select("doc_id", "text", "lang", "source", "n_tok")
+    val goph = TextOps.gopherGate(exactKeep, minTok = gopherMinTok)
+      .where(col("keep")).select(col("doc_id"), lit(1).as("g"))
+    val hits = decontaminate(documents, benchmarkEvery)
+      .select(col("doc_id"), lit(1).as("h"))
+    val decon = exactKeep.join(goph.select("doc_id"), "doc_id")
+      .join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    val reps = Dedup.dedupGroups(decon, threshold = neardupThreshold)
+      .where(col("group_id") === col("doc_id"))
+      .select(col("doc_id"), lit(1).as("r"))
+    val labeled = base
+      .join(withRn.select(col("doc_id"), col("rn")), Seq("doc_id"), "left")
+      .join(goph, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .join(reps, Seq("doc_id"), "left")
+      .withColumn("stage_ord",
+        when(col("is_bench"), lit(1L))
+          .when(!cleanOk, lit(2L))
+          .when(col("rn") > 1, lit(3L))
+          .when(col("g").isNull, lit(4L))
+          .when(col("h").isNotNull, lit(5L))
+          .when(col("r").isNull, lit(6L))
+          .otherwise(lit(7L)))
+    val counts = labeled.groupBy("stage_ord")
+      .agg(count(lit(1)).as("n_dropped"))
+    val stages = Seq((1L, "benchmark_holdout"), (2L, "cleaning"),
+      (3L, "exact_dedup"), (4L, "gopher"), (5L, "decontaminate"),
+      (6L, "neardup")).toDF("stage_ord", "stage")
+    val total = documents.agg(count(lit(1)).as("total"))
+    // funnel arithmetic over the constant 6-row stage frame: the
+    // unpartitioned running sum and the single-row total broadcast
+    // never see corpus-sized data
+    val wCum = Window.orderBy("stage_ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stages.join(counts, Seq("stage_ord"), "left")
+      .select(col("stage_ord"), col("stage"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_in",
+        col("total") - coalesce(sum("n_dropped").over(wCum), lit(0L)))
+      .select(col("stage_ord"), col("stage"), col("n_in"),
+        col("n_dropped"), (col("n_in") - col("n_dropped")).as("n_out"))
+  }
+
   /** Crawl-snapshot diff — the audit frame the incremental family
     * ([[Dedup.dedupAgainst]] / [[Dedup.noveltyAgainst]] /
     * [[Dedup.perceptualDedupAgainst]]) acts on: per document id,

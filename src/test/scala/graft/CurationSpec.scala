@@ -50,6 +50,34 @@ class CurationSpec extends SparkSuite {
       .subsetOf(Set("train", "val", "test")))
   }
 
+  test("curateReport: the funnel telescopes, ends at curateCorpus's " +
+      "count, and each stage row matches its own gate") {
+    val rep = Curation.curateReport(docs).collect()
+      .map(r => (r.getAs[Long]("stage_ord"), r.getAs[String]("stage"),
+        r.getAs[Long]("n_in"), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("n_out")))
+      .sortBy(_._1).toSeq
+    assert(rep.map(t => (t._1, t._2)) == Seq(
+      (1L, "benchmark_holdout"), (2L, "cleaning"), (3L, "exact_dedup"),
+      (4L, "gopher"), (5L, "decontaminate"), (6L, "neardup")),
+      s"one row per stage in order: $rep")
+    val total = docs.count()
+    assert(rep.head._3 == total, "the funnel starts at the corpus size")
+    // telescoping: each stage's n_out is the next stage's n_in,
+    // and n_out = n_in - n_dropped everywhere
+    rep.foreach { case (_, s, in, d, out) =>
+      assert(out == in - d, s"stage $s: $in - $d != $out") }
+    rep.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._5 == b._3, s"${a._2} out ${a._5} != ${b._2} in ${b._3}") }
+    // the report is the capstone's audit twin: same final count
+    assert(rep.last._5 == Curation.curateCorpus(docs).count(),
+      "funnel n_out must equal the curated corpus size")
+    // stage-1 cross-check against the holdout rule itself
+    assert(rep.head._4 ==
+      docs.where(pmod(col("doc_id"), lit(10)) === 0).count(),
+      "benchmark_holdout drop must equal the % 10 == 0 count")
+  }
+
   test("curateCorpusFromHtml: extraction front door equals curateCorpus " +
       "on the word-floor-cleared docs; boilerplate never leaks") {
     val pages = docs.select(col("doc_id"),
