@@ -566,6 +566,7 @@ object SparkEntry {
     // the capstone's attrition funnel (the published-pipeline "data
     // card"): per stage n_in/n_dropped/n_out, exact integers, oracled
     // end-to-end incl. the near-dup stage via the recursive CTE
+    // (modulo banding recall — the q_dedup_groups contract)
     "q_curate_report" -> ((s, d) =>
       Curation.curateReport(t(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(t(s, d, "documents"))),

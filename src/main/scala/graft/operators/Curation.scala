@@ -1773,8 +1773,14 @@ object Curation {
     * expressions, same gate set joins); CurationSpec ties the two —
     * the funnel's final `n_out` must equal `curateCorpus().count()`
     * and each stage's arithmetic must telescope. Exact integer counts
-    * end-to-end, so the whole funnel (including the near-dup stage via
-    * the recursive-CTE components) is DuckDB-oracled hash-exact.
+    * end-to-end, so the whole funnel — including the near-dup stage
+    * via the oracle's recursive-CTE components — hash-matches DuckDB
+    * *modulo the banded candidate recall* it inherits from
+    * [[Dedup.dedupGroups]]: the engine's near edges come from 16×4
+    * minhash banding (miss ≈ 2e-4 per pair at J=0.8, plus bucketCap
+    * truncation in degenerate hot buckets) while the oracle
+    * brute-forces every pair — the q_dedup_groups contract, asserted
+    * absent on the gate data, not impossible on an arbitrary corpus.
     */
   def curateReport(documents: DataFrame, minTokens: Int = 10,
       minStopRatio: Double = 0.05, benchmarkEvery: Int = 10,
@@ -1788,14 +1794,26 @@ object Curation {
     val cleanOk =
       col("n_tok") >= minTokens && col("stop_ratio") >= minStopRatio
     val wDup = Window.partitionBy("text_hash").orderBy(col("doc_id"))
-    val withRn = base.where(!col("is_bench") && cleanOk)
+    // every gate set below is checkpointed as a narrow id frame: the
+    // funnel's final labeled action would otherwise RE-RUN the whole
+    // gate chain (window, gopher stats, the decontaminate shingle
+    // self-join) a second time — the review-measured double corpus
+    // pass (7.9 s vs the capstone's ~4 s at sf0.1). Each frame is a
+    // few bytes per surviving doc; lineage truncation is the same
+    // curateCorpus move.
+    val rnIds = base.where(!col("is_bench") && cleanOk)
       .withColumn("rn", row_number().over(wDup))
-    val exactKeep = withRn.where(col("rn") === 1)
-      .select("doc_id", "text", "lang", "source", "n_tok")
+      .select(col("doc_id"), col("rn"))
+      .localCheckpoint(false)
+    val exactKeep = documents
+      .select("doc_id", "text", "lang", "source")
+      .join(rnIds.where(col("rn") === 1).select("doc_id"), "doc_id")
     val goph = TextOps.gopherGate(exactKeep, minTok = gopherMinTok)
       .where(col("keep")).select(col("doc_id"), lit(1).as("g"))
+      .localCheckpoint(false)
     val hits = decontaminate(documents, benchmarkEvery)
       .select(col("doc_id"), lit(1).as("h"))
+      .localCheckpoint(false)
     val decon = exactKeep.join(goph.select("doc_id"), "doc_id")
       .join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(false)
@@ -1803,7 +1821,7 @@ object Curation {
       .where(col("group_id") === col("doc_id"))
       .select(col("doc_id"), lit(1).as("r"))
     val labeled = base
-      .join(withRn.select(col("doc_id"), col("rn")), Seq("doc_id"), "left")
+      .join(rnIds, Seq("doc_id"), "left")
       .join(goph, Seq("doc_id"), "left")
       .join(hits, Seq("doc_id"), "left")
       .join(reps, Seq("doc_id"), "left")

@@ -2123,10 +2123,7 @@ object Similarity {
     val fwdScored = b.crossJoin(broadcast(q))
       .select(col("q_id"), col("n_id"), cos("q_emb", "n_emb").as("cos_sim"))
       .where(!isnan(col("cos_sim")))
-    val wF = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("n_id"))
-    val fwd = fwdScored.withColumn("rnk", rank().over(wF))
-      .where(col("rnk") <= k)
+    val fwd = forwardTopK(fwdScored, k)
     val cand = fwd.select("n_id").distinct().join(b, "n_id")
     val revScored = a.join(broadcast(cand), col("q_id") =!= col("n_id"))
       .select(col("n_id"), col("q_id").as("r_id"),
@@ -2171,10 +2168,7 @@ object Similarity {
     val fwdShort = adcRefinedShortlist(centroids, books, corpusB, e,
       col("lang") === srcLang && col("vec_id") < nQueries,
       nProbe, rerank, dim)
-    val wF = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("n_id"))
-    val fwd = fwdShort.withColumn("rnk", rank().over(wF))
-      .where(col("rnk") <= k)
+    val fwd = forwardTopK(fwdShort, k)
     // bounded driver coordination: the reverse-leg query set is the
     // forward candidates (≤ nQueries·k ids), shipped as a literal
     // predicate so the shared shortlist core needs no new plumbing
@@ -2192,11 +2186,21 @@ object Similarity {
     marginMutualPairs(fwd, revScored, k, marginThreshold)
   }
 
+  /** The forward k-NN cut both bitext legs share — rank over
+    * (cos desc, id) with the full tie-break, ≤ k kept. One definition
+    * so the exact and served legs cannot drift on cut semantics.
+    */
+  private def forwardTopK(scored: DataFrame, k: Int): DataFrame = {
+    val wF = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    scored.withColumn("rnk", rank().over(wF)).where(col("rnk") <= k)
+  }
+
   /** The shared margin + mutual-best stage both bitext legs ride
     * (the [[adcRefinedShortlist]] no-drift discipline): fixed-point
     * k-NN mean denominators, 4-dp ratio margin, threshold, then each
     * side keeps only its best-margin partner. `fwd` carries the
-    * forward top-k (q_id, n_id, cos_sim); `revScored` the scored
+    * [[forwardTopK]] cut (q_id, n_id, cos_sim); `revScored` the scored
     * reverse pairs (n_id, r_id, rcos) BEFORE the top-k cut, which
     * happens here so both legs cut identically.
     */
