@@ -78,6 +78,19 @@ class CurationSpec extends SparkSuite {
       "benchmark_holdout drop must equal the % 10 == 0 count")
   }
 
+  test("curateReport on an empty corpus: all six stage rows, every " +
+      "count zero (a data card always has its rows)") {
+    val none = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val rep = Curation.curateReport(none).collect()
+      .map(r => (r.getAs[Long]("stage_ord"), r.getAs[Long]("n_in"),
+        r.getAs[Long]("n_dropped"), r.getAs[Long]("n_out")))
+      .sortBy(_._1).toSeq
+    assert(rep.map(_._1) == (1L to 6L), rep.toString)
+    assert(rep.forall(t => t._2 == 0L && t._3 == 0L && t._4 == 0L),
+      rep.toString)
+  }
+
   test("curateCorpusFromHtml: extraction front door equals curateCorpus " +
       "on the word-floor-cleared docs; boilerplate never leaks") {
     val pages = docs.select(col("doc_id"),

@@ -611,6 +611,17 @@ class DedupSpec extends SparkSuite {
       s"sweep row at 0.8 $row08 vs jaccardPairs ${at08.length}/${ids.length}")
   }
 
+  test("dedupSweep on an empty corpus: the full zero curve, not an " +
+      "empty frame (a report always has its rows)") {
+    val none = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    val r = Dedup.dedupSweep(none).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"))).sortBy(_._1).toSeq
+    assert(r.map(_._1) == Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95))
+    assert(r.forall(t => t._2 == 0L && t._3 == 0L), r.toString)
+  }
+
   test("sweepFromPairs: measure-agnostic door with a crafted frame") {
     val pairs = Seq((1L, 2L, 0.96), (1L, 3L, 0.75), (4L, 5L, 0.55))
       .toDF("a_id", "b_id", "score")
