@@ -631,4 +631,24 @@ class DedupSpec extends SparkSuite {
     assert(r == Seq((0.5, 3L, 5L), (0.6, 2L, 3L), (0.7, 2L, 3L),
       (0.8, 1L, 2L), (0.9, 1L, 2L), (0.95, 1L, 2L)), r.toString)
   }
+
+  test("sweepFromPairs tunes a winnow-overlap frame — the " +
+      "measure-agnostic contract on a real second measure") {
+    val wp = graft.operators.TextOps.winnowPairs(docs)
+      .selectExpr("doc_a AS a_id", "doc_b AS b_id",
+        "CAST(n_shared AS DOUBLE) AS n_shared")
+    val raw = wp.collect().map(r => (r.getAs[Long]("a_id"),
+      r.getAs[Long]("b_id"), r.getAs[Double]("n_shared")))
+    assert(raw.nonEmpty, "the near-dup fixture must share fingerprints")
+    val swept = Dedup.sweepFromPairs(wp, "n_shared", Seq(1.0, 2.0, 16.0))
+      .collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"))).sortBy(_._1).toSeq
+    swept.foreach { case (t, np, nd) =>
+      val hit = raw.filter(_._3 >= t)
+      assert(np == hit.length, s"at $t: $np vs ${hit.length}")
+      assert(nd == hit.flatMap(p => Seq(p._1, p._2)).distinct.length,
+        s"at $t: doc count $nd")
+    }
+  }
 }

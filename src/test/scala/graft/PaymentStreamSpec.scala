@@ -53,7 +53,7 @@ class PaymentStreamSpec extends SparkSuite {
       .outputMode("append").start()
     try {
       // rate generates continuously; wait until enough rows flowed
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 150L * 1000 * 1000 * 1000
       var n = 0L
       while (n < 10 && System.nanoTime() < deadline) {
         q.processAllAvailable()
@@ -97,7 +97,7 @@ class PaymentStreamSpec extends SparkSuite {
     try {
       // the socket source buffers lines as they arrive; poll until the
       // resolved outcome lands (bounded — the data is 3 lines)
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 90000
       var out = Array.empty[org.apache.spark.sql.Row]
       while (out.isEmpty && System.currentTimeMillis() < deadline) {
         q.processAllAvailable()

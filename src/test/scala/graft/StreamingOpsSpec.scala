@@ -196,7 +196,7 @@ class StreamingOpsSpec extends SparkSuite {
       // engine keeps scheduling micro-batches (each clock advance may
       // fire a timeout), so "all available" never settles — poll the
       // sink with a deadline instead
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 150L * 1000 * 1000 * 1000
       while (spark.table("latest_ttl_out").isEmpty &&
           System.nanoTime() < deadline) Thread.sleep(200)
       val rows = spark.table("latest_ttl_out").collect()
@@ -478,7 +478,7 @@ class StreamingOpsSpec extends SparkSuite {
       // settles — poll the sink with a deadline (liveLatestStatusTtl's
       // rationale)
       def await(n: Int): Map[Long, Boolean] = {
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        val deadline = System.nanoTime() + 150L * 1000 * 1000 * 1000
         var out = Map.empty[Long, Boolean]
         while (out.size < n && System.nanoTime() < deadline) {
           Thread.sleep(200)
@@ -516,7 +516,7 @@ class StreamingOpsSpec extends SparkSuite {
       .outputMode("update").start()
     try {
       def await(ids: Set[Long]): Map[Long, Boolean] = {
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        val deadline = System.nanoTime() + 150L * 1000 * 1000 * 1000
         var out = Map.empty[Long, Boolean]
         while (!ids.subsetOf(out.keySet) && System.nanoTime() < deadline) {
           Thread.sleep(200)
@@ -582,7 +582,7 @@ class StreamingOpsSpec extends SparkSuite {
       .outputMode("update").start()
     try {
       def await(n: Int): Map[Long, Boolean] = {
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        val deadline = System.nanoTime() + 150L * 1000 * 1000 * 1000
         var out = Map.empty[Long, Boolean]
         while (out.size < n && System.nanoTime() < deadline) {
           Thread.sleep(200)
@@ -639,7 +639,7 @@ class StreamingOpsSpec extends SparkSuite {
       .outputMode("update").start()
     try {
       def await(n: Int): Map[Long, Boolean] = {
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        val deadline = System.nanoTime() + 150L * 1000 * 1000 * 1000
         var out = Map.empty[Long, Boolean]
         while (out.size < n && System.nanoTime() < deadline) {
           Thread.sleep(200)
@@ -701,7 +701,7 @@ class StreamingOpsSpec extends SparkSuite {
       .outputMode("update").start()
     try {
       def await(n: Int): Map[Long, Boolean] = {
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        val deadline = System.nanoTime() + 150L * 1000 * 1000 * 1000
         var out = Map.empty[Long, Boolean]
         while (out.size < n && System.nanoTime() < deadline) {
           Thread.sleep(200)
