@@ -78,7 +78,20 @@ object TextOps {
     * pipeline literally, so extraction is hash-checked against DuckDB.
     */
   def textExtract(documents: DataFrame, htmlCol: String = "html",
-      minWords: Int = 5, maxLinkDensity: Double = 0.34): DataFrame = {
+      minWords: Int = 5, maxLinkDensity: Double = 0.34): DataFrame =
+    textExtractCols(documents, htmlCol, minWords, maxLinkDensity)
+      .select(col("doc_id"), col("n_lines"), col("n_content_lines"),
+        col("n_boilerplate_lines"), col("kept_ratio"), col("extract"))
+
+  /** [[textExtract]]'s column-appending core: the same expressions
+    * APPENDED to the input frame instead of projected out, so
+    * consumers that must keep their own columns — the streaming
+    * markup gate carries (lang, source, ingest_ts) through — ride the
+    * identical extraction with no second definition to drift.
+    */
+  private[graft] def textExtractCols(documents: DataFrame,
+      htmlCol: String = "html", minWords: Int = 5,
+      maxLinkDensity: Double = 0.34): DataFrame = {
     val noScript = regexp_replace(col(htmlCol),
       "<script[^<]*</script>", " ")
     val noStyle = regexp_replace(noScript, "<style[^<]*</style>", " ")
@@ -102,19 +115,21 @@ object TextOps {
     documents
       .withColumn("all_lines", lines)
       .withColumn("content_lines", content)
-      .select(col("doc_id"),
-        size(col("all_lines")).cast("long").as("n_lines"),
-        size(col("content_lines")).cast("long").as("n_content_lines"),
-        (size(col("all_lines")) - size(col("content_lines"))).cast("long")
-          .as("n_boilerplate_lines"),
+      .withColumn("n_lines", size(col("all_lines")).cast("long"))
+      .withColumn("n_content_lines",
+        size(col("content_lines")).cast("long"))
+      .withColumn("n_boilerplate_lines",
+        (size(col("all_lines")) - size(col("content_lines"))).cast("long"))
+      .withColumn("kept_ratio",
         round(length(regexp_replace(array_join(col("content_lines"), " "),
             "\u0001", "")).cast("double") /
           greatest(length(regexp_replace(array_join(col("all_lines"), " "),
-            "\u0001", "")), lit(1)).cast("double"), 6).as("kept_ratio"),
-        // the link markers are line-classification scaffolding, not
-        // product: the served extract is marker-free
-        regexp_replace(array_join(col("content_lines"), " "), "\u0001", "")
-          .as("extract"))
+            "\u0001", "")), lit(1)).cast("double"), 6))
+      // the link markers are line-classification scaffolding, not
+      // product: the served extract is marker-free
+      .withColumn("extract",
+        regexp_replace(array_join(col("content_lines"), " "), "\u0001", ""))
+      .drop("all_lines", "content_lines")
   }
 
   /** Language-ID CONFUSION audit against the labeled `lang` column

@@ -109,6 +109,31 @@ object DocStream {
         // the engine scheduling micro-batches to fire potential
         // evictions (nearDupDocStream's documented behavior) — an
         // idle tick may not leave an empty batch=<id> directory behind
+        // claim rejects land in QUARANTINE, not the void: the
+        // stateless gates' rejects are deterministic — re-runnable on
+        // the raw archive — but a claim verdict depends on ARRIVAL
+        // ORDER and TTL state, so it is exactly the decision that
+        // cannot be re-derived later, and the near-dup flag is a
+        // probabilistic candidate (a band collision of genuinely
+        // different docs false-positives) — dropping it silently
+        // would lose good documents with no audit trail. The
+        // underscore prefix hides the directory from partition
+        // discovery, so corpus readers never see quarantined rows;
+        // a batch verification pass reads them directly (verdict +
+        // band attached — the WHY) and re-admits survivors.
+        // WRITE ORDER is load-bearing (the artifacts-first /
+        // commit-LAST house rule): quarantine first, the VISIBLE
+        // landing last — a reader (or a test poll) that sees this
+        // batch's kept rows may rely on its quarantine rows being
+        // durable; the reverse order let a stop() between the two
+        // writes surface kept docs whose same-batch rejects had no
+        // audit row yet (a crash there still replays the whole batch,
+        // but the interim state broke the quarantine promise).
+        val rejected = rows.where(col("verdict") =!= "kept")
+        if (!rejected.isEmpty) {
+          rejected.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/_quarantine/batch=$batchId")
+        }
         val kept = rows.where(col("verdict") === "kept")
           .drop("band", "verdict")
         if (!kept.isEmpty) {
@@ -123,23 +148,6 @@ object DocStream {
             .repartition(col("lang"), col("split"))
             .write.mode("overwrite").partitionBy("lang", "split")
             .parquet(s"$outDir/batch=$batchId")
-        }
-        // claim rejects land in QUARANTINE, not the void: the
-        // stateless gates' rejects are deterministic — re-runnable on
-        // the raw archive — but a claim verdict depends on ARRIVAL
-        // ORDER and TTL state, so it is exactly the decision that
-        // cannot be re-derived later, and the near-dup flag is a
-        // probabilistic candidate (a band collision of genuinely
-        // different docs false-positives) — dropping it silently
-        // would lose good documents with no audit trail. The
-        // underscore prefix hides the directory from partition
-        // discovery, so corpus readers never see quarantined rows;
-        // a batch verification pass reads them directly (verdict +
-        // band attached — the WHY) and re-admits survivors.
-        val rejected = rows.where(col("verdict") =!= "kept")
-        if (!rejected.isEmpty) {
-          rejected.coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/_quarantine/batch=$batchId")
         }
       } finally {
         // free the checkpointed blocks deterministically: on a

@@ -300,6 +300,30 @@ object StreamingOps {
       .select("doc_id", "lang", "source", "n_tok")
   }
 
+  /** Streaming markup front door — [[graft.operators.TextOps
+    * .textExtract]] applied as a row-LOCAL stream projection, the
+    * intake stage a real collector runs BEFORE any text gate (crawls
+    * deliver HTML, not prose): tag strip + jusText-class boilerplate
+    * line removal per arriving page, no state, no watermark, no
+    * shuffle — the gate runs at ingest parallelism forever. The
+    * extraction expressions are the batch op's own (the shared
+    * [[graft.operators.TextOps.textExtractCols]] core), so stream and
+    * batch extracts are bit-equal by construction (spec-asserted).
+    *
+    * Returns the page's passthrough columns (lang, source, ingest_ts,
+    * …) with `text` = the extract plus the line inventories and
+    * `is_empty` (every line fell to the boilerplate rules) — a FLAG,
+    * not a filter: the quarantine convention, so an all-boilerplate
+    * page routes to a rejects sink instead of vanishing.
+    */
+  def extractDocStream(pages: DataFrame, htmlCol: String = "html",
+      minWords: Int = 5, maxLinkDensity: Double = 0.34): DataFrame =
+    graft.operators.TextOps
+      .textExtractCols(pages, htmlCol, minWords, maxLinkDensity)
+      .withColumn("is_empty", col("n_content_lines") === 0)
+      .withColumn("text", col("extract"))
+      .drop(htmlCol, "extract")
+
   /** Streaming benchmark-contamination gate — "never ingest eval
     * data": each ARRIVING document is flagged when any of its word
     * `n`-grams hits a Bloom filter built ONCE (driver-side, eager)

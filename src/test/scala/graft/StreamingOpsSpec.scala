@@ -465,6 +465,51 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("extractDocStream: stream extraction bit-equal to batch " +
+      "textExtract; all-boilerplate pages flagged, never dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val prose = "the quick brown fox jumps over the lazy dog " +
+      "again and again every single day this year"
+    val html1 = "<html><head><script>var t=0;</script></head><body>" +
+      "<nav><a href='/'>Home</a> | <a href='/a'>About</a></nav>" +
+      s"<p>$prose</p><footer>(c) corp</footer></body></html>"
+    // every line is nav/footer boilerplate: extract must be empty,
+    // the row must still land (quarantine convention)
+    val html2 = "<html><body><nav><a href='/'>Home</a> " +
+      "<a href='/b'>B</a></nav><footer>(c) corp</footer></body></html>"
+    val input = MemoryStream[(Long, String, String, String, Timestamp)]
+    val pages = input.toDF()
+      .toDF("doc_id", "html", "lang", "source", "ingest_ts")
+    val q = StreamingOps.extractDocStream(pages)
+      .writeStream.format("memory").queryName("extract_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, html1, "en", "web", ts("2024-01-01 10:00:00")),
+        (2L, html2, "en", "web", ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      val out = spark.table("extract_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("text"), r.getAs[Boolean]("is_empty"),
+            r.getAs[Double]("kept_ratio"), r.getAs[String]("lang"))))
+        .toMap
+      assert(out.keySet == Set(1L, 2L), "flag, never drop")
+      assert(!out(1L)._2 && out(1L)._1 == prose, out(1L).toString)
+      assert(out(2L)._2 && out(2L)._1 == "", out(2L).toString)
+      assert(out(1L)._4 == "en", "passthrough columns must survive")
+      // the stream extract is the batch op bit-for-bit
+      val batch = graft.operators.TextOps.textExtract(
+          Seq((1L, html1), (2L, html2)).toDF("doc_id", "html"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("extract"), r.getAs[Double]("kept_ratio"))))
+        .toMap
+      out.foreach { case (id, (text, _, kr, _)) =>
+        assert(batch(id) == ((text, kr)), s"doc $id drifts from batch")
+      }
+    } finally q.stop()
+  }
+
   test("nearDupDocStream: same token set flagged, exact dup and disjoint not") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
