@@ -1579,34 +1579,54 @@ object SparkEntry {
         |        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tok
         |      FROM documents)
         |GROUP BY lang""".stripMargin,
-    // mirrors syntheticHtml + textExtract literally: same page
-    // skeleton, same strip regexes (no dotall needed — script/style
-    // bodies hold no '<'), same word-floor + link-density line rule
+    // mirrors syntheticHtml + textExtract literally: same adversarial
+    // page skeleton (uppercase script with '<' in its body, comment,
+    // CDATA, attribute '>', entities, unclosed footer), same hardened
+    // strip chain ((?is) dotall non-greedy script/style, comment/CDATA
+    // drop, quote-aware tag bodies), same entity decode, same
+    // word-floor + link-density line rule
     "q_text_extract" ->
       """WITH h AS (
         |  SELECT doc_id,
         |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-        |    '</title><script>var t=0;track(''' || CAST(doc_id AS VARCHAR) ||
-        |    ''');</script><style>.m{color:red}</style></head><body>' || chr(10) ||
+        |    '</title><SCRIPT type="text/javascript">if(t<9){x="<div>hidden</div>"};var m=function(){return aa.bb&&cc.dd(ee)};track(''' || CAST(doc_id AS VARCHAR) ||
+        |    ''');</SCRIPT><style>.m{color:red}</style></head><body>' || chr(10) ||
+        |    '<!-- <p>commented prose that must never leak out</p> -->' || chr(10) ||
         |    '<nav><a href=''/''>Home</a> | <a href=''/a''>About</a> | <a href=''/c''>Contact</a> | <a href=''/l''>Login</a></nav>' || chr(10) ||
         |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
         |    '<p>' || text || '</p>' || chr(10) ||
-        |    '<div class=''ad''>Sponsored: buy now</div>' || chr(10) ||
-        |    '<footer>(c) 2026 Example Corp</footer>' || chr(10) ||
+        |    '<div data-note="5 > 3" class=''ad''>Sponsored: buy now</div>' || chr(10) ||
+        |    '<p>Caf&#233;&nbsp;&amp; bar &lt;3&gt; deal</p>' || chr(10) ||
+        |    '<![CDATA[ raw <markup> inside ]]>' || chr(10) ||
+        |    '<footer>(c)&#xA9; 2026 Example Corp' || chr(10) ||
         |    '</body></html>' AS html
         |  FROM documents),
-        |s AS (
+        |s0 AS (
         |  SELECT doc_id,
         |    regexp_replace(
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(
-        |            regexp_replace(html, '<script[^<]*</script>', ' ', 'g'),
-        |            '<style[^<]*</style>', ' ', 'g'),
-        |          '<a( [^>]*)?>', chr(1), 'g'),
-        |        '</a>|</?(b|i|em|strong|span|u|code)( [^>]*)?>', '', 'g'),
-        |      '<[^>]*>', chr(10), 'g') AS t
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(html, '(?is)<script.*?</script>', ' ', 'g'),
+        |                '(?is)<style.*?</style>', ' ', 'g'),
+        |              '(?s)<!\[CDATA\[.*?\]\]>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?i)<a(\s(?:[^>"'']|"[^"]*"|''[^'']*'')*)?>', chr(1), 'g'),
+        |        '(?i)</a>|</?(b|i|em|strong|span|u|code)(\s(?:[^>"'']|"[^"]*"|''[^'']*'')*)?>', '', 'g'),
+        |      '<(?:[^>"'']|"[^"]*"|''[^'']*'')*>', chr(10), 'g') AS t0
         |  FROM h),
+        |s AS (
+        |  SELECT doc_id,
+        |    replace(
+        |      regexp_replace(
+        |        replace(replace(replace(replace(replace(replace(t0,
+        |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |          '&#39;', ''''), '&#34;', '"'), '&nbsp;', ' '),
+        |        '&#[xX]?[0-9a-fA-F]+;', ' ', 'g'),
+        |      '&amp;', '&') AS t
+        |  FROM s0),
         |l AS (
         |  SELECT doc_id,
         |    list_filter(list_transform(string_split(t, chr(10)),
