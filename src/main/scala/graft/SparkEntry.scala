@@ -198,12 +198,21 @@ object SparkEntry {
     }
 
   /** Memoized full-corpus IVF-PQ index — q_ann_serve serves against
-    * it, q_index_stats audits its cell balance.
+    * it, q_index_stats audits its cell balance and serve geometry.
+    * Geometry PINNED at nCells=8 (the r11 recall/latency sweep's
+    * operating point): the gate embeddings are near-uniform, so
+    * recall tracks the PROBED FRACTION (6/8 = 75%) almost
+    * independently of cell count — the engine default
+    * (writeAnnIndex's √N auto rule, r12) would put the toy corpus at
+    * 23 cells and starve the pinned-nProbe recall audits without
+    * exercising anything real. Production corpora take the auto
+    * default; q_index_stats' recommended_cells/probed_fraction_ppm
+    * columns flag exactly this kind of stale pin.
     */
   private def annIndexOf(s: SparkSession, d: String): String =
     memo(s, d, "annindex-path") {
       val p = indexScratchPath(d, "annindex")
-      Similarity.writeAnnIndex(t(s, d, "embeddings"), p)
+      Similarity.writeAnnIndex(t(s, d, "embeddings"), p, nCells = 8)
       p
     }
 

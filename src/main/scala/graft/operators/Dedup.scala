@@ -195,12 +195,26 @@ object Dedup {
     def delta(docs: DataFrame, sign: Int) = shingled(docs, n)
       .select(col("doc_id"), col("shingle").as("gram")).distinct()
       .groupBy("gram").agg((count(lit(1)) * sign).as("n_docs"))
-    stored
+    val merged = stored
       .unionByName(delta(retractDocs, -1))
       .unionByName(delta(addedDocs, 1))
       .groupBy("gram").agg(sum(col("n_docs")).as("n_docs"))
-      .where(col("n_docs") > 0)
-      .write.mode("overwrite").parquet(outPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // loud on a violated retract contract (the r11 advice item): a
+      // doc retracted twice — or never indexed — drives still-present
+      // grams' counts negative, and the old silent `> 0` filter would
+      // drop them from the index with no diagnostic. A count of 0 is
+      // legitimate (a fully retracted gram leaving the index); below
+      // zero only a caller bug can reach.
+      val negative = merged.where(col("n_docs") < 0).count()
+      require(negative == 0L,
+        s"updateGramIndex: $negative grams went negative — retractDocs " +
+          "does not match the stored snapshot (a doc retracted twice, " +
+          "or never indexed); refusing to write a corrupted index")
+      merged.where(col("n_docs") > 0)
+        .write.mode("overwrite").parquet(outPath)
+    } finally merged.unpersist()
   }
 
   /** Cross-snapshot INCREMENTAL novelty — [[gramNovelty]]'s
@@ -1773,6 +1787,15 @@ object Dedup {
     * (band, bucket)-keyed aggregate — never the payload tables, never
     * a join between indexes; the per-index one-row frames union at
     * the end (|indexes| is config-sized).
+    *
+    * r12: two serve-geometry columns join the row —
+    * `recommended_cells` and `probed_fraction_ppm` (zero for non-ann
+    * kinds; for `ann` they are [[graft.operators.Similarity
+    * .annGeometry]]'s √N recommendation and expected probed corpus
+    * mass at the serve defaults), so "is the stored geometry stale"
+    * is answered by the same audit query that answers "how big / how
+    * skewed" — the retrain trigger the r11 verdict asked to exist as
+    * behavior, not prose.
     */
   def indexStats(spark: org.apache.spark.sql.SparkSession,
       indexes: Seq[(String, String, String)]): DataFrame = {
@@ -1841,10 +1864,17 @@ object Dedup {
               coalesce(max(expr("(n * 1000000) div band_total")), lit(0L))
                 .as("top_share_ppm"))
       }
-      counts.crossJoin(bandStats)
+      val geometry = kind match {
+        case "ann" => graft.operators.Similarity.annGeometry(spark, path)
+          .select(col("recommended_cells"), col("probed_fraction_ppm"))
+        case _ => spark.range(1).select(
+          lit(0L).as("recommended_cells"), lit(0L).as("probed_fraction_ppm"))
+      }
+      counts.crossJoin(bandStats).crossJoin(geometry)
         .select(lit(id).as("index_id"), lit(kind).as("kind"),
           col("n_rows"), col("n_docs"), col("n_bands"),
-          col("saturated_rows"), col("top_share_ppm"))
+          col("saturated_rows"), col("top_share_ppm"),
+          col("recommended_cells"), col("probed_fraction_ppm"))
     }
     frames.reduce(_.unionByName(_))
   }

@@ -343,6 +343,11 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(ws(("winnow"))._2 ==
       fpFrame.select("doc_id").distinct().count())
     assert(ws(("winnow"))._3 == 1L, "winnow audits one logical band")
+    // the r12 serve-geometry columns are zero for every non-ann kind
+    // (they are annGeometry's columns — SimilaritySpec owns the ann row)
+    val z = Dedup.indexStats(spark, Seq(("epoch0", "band", dirA))).collect()(0)
+    assert(z.getAs[Long]("recommended_cells") == 0L &&
+      z.getAs[Long]("probed_fraction_ppm") == 0L)
     val err = intercept[IllegalArgumentException] {
       Dedup.indexStats(spark, Seq(("x", "bogus", dirA)))
     }

@@ -365,4 +365,63 @@ class IncrementalFuzzSpec extends SparkSuite {
       }
     }
   }
+
+  test("surgery contract hardening (r12): adds duplicating KEPT rows " +
+      "collapse to the stored copy; violated gram retracts fail loud") {
+    import org.apache.spark.sql.functions.col
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def dirFor(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-dup-$tag").toString
+    val vecs = (0 until 12).map(i => (i.toLong, unit(i)))
+      .toDF("vec_id", "embedding")
+    val noRetract = Seq.empty[Long].toDF("id")
+    // LSH: re-adding every stored id with nothing retracted must be
+    // the identity — the old union left two vecs rows per id and
+    // hashed both into buckets (the r11 advice finding)
+    val (la, lb) = (dirFor("lsh-a"), dirFor("lsh-b"))
+    Similarity.writeLshIndex(vecs, la)
+    Similarity.updateLshIndex(spark, la, lb, noRetract, vecs)
+    def vecRows(p: String) = spark.read.parquet(s"$p/vecs").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toList)
+      .toSeq.sortBy(_._1)
+    def bucketRows(p: String) = spark.read.parquet(s"$p/buckets").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("table_id"),
+        r.getAs[Int]("bucket"))).toSeq.sorted
+    assert(vecRows(lb) == vecRows(la),
+      "duplicate adds must not double vecs rows")
+    assert(bucketRows(lb) == bucketRows(la),
+      "duplicate adds must not double bucket rows")
+    // ANN codes: same rule — kept wins, one code row per id
+    val (aa, ab) = (dirFor("ann-a"), dirFor("ann-b"))
+    Similarity.writeAnnIndex(vecs, aa, nCells = 8)
+    Similarity.updateAnnIndex(spark, aa, ab, noRetract, vecs)
+    def codeRows(p: String) = spark.read.parquet(s"$p/codes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getSeq[Int](r.fieldIndex("codes")).toList)).toSeq.sortBy(_._1)
+    assert(codeRows(ab) == codeRows(aa),
+      "duplicate adds must not double code rows")
+    // gram: retracting more doc-occurrences than the index holds must
+    // refuse loudly instead of silently dropping still-present grams
+    // (two DISTINCT doc_ids sharing one text, only one ever indexed —
+    // the per-doc distinct() inside the delta cannot collapse them)
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val oneDoc = Seq((0L, text, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val phantom = Seq((0L, text, "en", "web"), (99L, text, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val (ga, gb) = (dirFor("gram-a"), dirFor("gram-b"))
+    Dedup.writeGramIndex(oneDoc, ga)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.updateGramIndex(spark, ga, gb, phantom,
+        Seq.empty[(Long, String, String, String)]
+          .toDF("doc_id", "text", "lang", "source"))
+    }
+    assert(err.getMessage.contains("negative"), err.getMessage)
+  }
 }

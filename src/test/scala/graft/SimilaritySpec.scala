@@ -677,7 +677,9 @@ class SimilaritySpec extends SparkSuite {
       "hits bounded by k, recall reproducible across serve calls") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-serverecall").toString
-    Similarity.writeAnnIndex(emb, dir)
+    // pinned geometry: the 0.85 recall floor was measured at the r11
+    // sweep's 75%-probed operating point (nCells=8, nProbe=6)
+    Similarity.writeAnnIndex(emb, dir, nCells = 8)
     val exact = Similarity.annTopK(emb, nQueries = 10, k = 5)
     def recallRows() = Similarity.annRecall(exact,
         Similarity.annFromIndex(spark, dir, emb)).collect()
@@ -727,12 +729,17 @@ class SimilaritySpec extends SparkSuite {
         r.getAs[Double]("cos_sim"), r.getAs[Long]("rnk"))).toSet
     val dir = java.nio.file.Files
       .createTempDirectory("graft-annindex-spec").toString
+    // AUTO geometry (r12 default): the index derives nCells from the
+    // corpus count via the √N rule — the round trip must stay exact
+    // against an in-memory build at the SAME derived geometry
     Similarity.writeAnnIndex(emb, dir)
+    val autoK = Similarity.annAutoCells(
+      spark.read.parquet(s"$dir/codes").count())
     val served = Similarity.annFromIndex(spark, dir, emb)
     // training is deterministic (hash-ordered sample, fixed seeds) and
     // the serve path scores through the SHARED adcSearch core, so the
     // round trip is exact — cos_sim and rank included
-    val inMem = rows(Similarity.annIvfPqLearned(emb))
+    val inMem = rows(Similarity.annIvfPqLearned(emb, nCells = autoK))
     assert(rows(served) == inMem,
       s"missing=${inMem -- rows(served)} extra=${rows(served) -- inMem}")
     // the serve plan reads the stored codes — no corpus re-encode, no
@@ -764,10 +771,12 @@ class SimilaritySpec extends SparkSuite {
         s"the live source frame shrinks: $perQ")
     assert(servedP.count() >= inMemP.count(),
       "index-served candidates can only exceed a truncated live build")
-    // artifact geometry guards
+    // artifact geometry guards: the auto rule's √N cell count landed
+    // in the stored centroids (500 encodable vecs → ceil(√500) = 23)
     val cs = spark.read.parquet(s"$dir/centroids").collect()
     val bks = spark.read.parquet(s"$dir/codebooks").collect()
-    assert(cs.length == 8 && bks.length == 8 * 64)
+    assert(cs.length == autoK && bks.length == 8 * 64,
+      s"centroids ${cs.length} != autoK $autoK")
     val codes = spark.read.parquet(s"$dir/codes")
     assert(codes.count() == emb.where(col("embedding").isNotNull).count())
     // dim mismatch is refused loudly
@@ -815,7 +824,9 @@ class SimilaritySpec extends SparkSuite {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files
       .createTempDirectory("graft-drift-spec").toString
-    Similarity.writeAnnIndex(emb, dir)
+    // pinned geometry: the expected per-cell histogram below is
+    // derived from the 8-cell assignment this spec hand-mirrors
+    Similarity.writeAnnIndex(emb, dir, nCells = 8)
     def driftMap(ref: org.apache.spark.sql.DataFrame,
         fresh: org.apache.spark.sql.DataFrame) =
       Similarity.embedDrift(spark, dir, ref, fresh).collect()
@@ -902,6 +913,56 @@ class SimilaritySpec extends SparkSuite {
     assert(err.getMessage.contains("overwrite"))
   }
 
+  test("annAutoCells: √N rule with floor and cap; annGeometry prices " +
+      "the serve probe and flags stale geometry from the artifacts") {
+    assert(Similarity.annAutoCells(0L) == 8)
+    assert(Similarity.annAutoCells(64L) == 8)
+    assert(Similarity.annAutoCells(100L) == 10)
+    assert(Similarity.annAutoCells(500L) == 23)
+    assert(Similarity.annAutoCells(1000000L) == 1000)
+    assert(Similarity.annAutoCells(100000000L) == 4096)
+    assert(Similarity.annAutoCells(1000000L, maxCells = 100) == 100)
+    intercept[IllegalArgumentException] {
+      Similarity.annAutoCells(10L, maxCells = 4)
+    }
+    // a pinned-small index on this corpus: the audit must say so
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-anngeom").toString
+    Similarity.writeAnnIndex(emb, dir, nCells = 8)
+    val g = Similarity.annGeometry(spark, dir).collect()(0)
+    assert(g.getAs[Long]("n_cells") == 8L)
+    val nVecs = g.getAs[Long]("n_vecs")
+    assert(nVecs == spark.read.parquet(s"$dir/codes").count())
+    assert(g.getAs[Long]("recommended_cells") ==
+      Similarity.annAutoCells(nVecs))
+    // 8 stored vs ~23 recommended: stale-small — retrain due
+    assert(g.getAs[Boolean]("retrain_due"), s"got $g")
+    // probing ALL cells touches the whole corpus: exactly 1e6 ppm
+    val full = Similarity.annGeometry(spark, dir, nProbe = 8).collect()(0)
+    assert(full.getAs[Long]("probed_fraction_ppm") == 1000000L, s"got $full")
+    // nProbe=1 probes each query's own cell (self-cosine is maximal):
+    // expected probed mass = Σ (m_c/N)² — hand-computed from the
+    // stored cell histogram
+    val masses = spark.read.parquet(s"$dir/codes")
+      .groupBy("cell").count().collect().map(_.getAs[Long]("count"))
+    val want = math.floor(masses.map(m =>
+      (m.toDouble / nVecs) * (m.toDouble / nVecs)).sum * 1000000.0).toLong
+    val one = Similarity.annGeometry(spark, dir, nProbe = 1).collect()(0)
+    assert(one.getAs[Long]("probed_fraction_ppm") == want,
+      s"nProbe=1 ppm ${one.getAs[Long]("probed_fraction_ppm")} != $want")
+    // serve defaults sit between the two extremes
+    val d6 = g.getAs[Long]("probed_fraction_ppm")
+    assert(d6 >= want && d6 <= 1000000L, s"$want <= $d6 <= 1e6 violated")
+    // an auto-written index is never retrain-due at birth
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-anngeom-auto").toString
+    Similarity.writeAnnIndex(emb, dir2)
+    val g2 = Similarity.annGeometry(spark, dir2).collect()(0)
+    assert(g2.getAs[Long]("n_cells") ==
+      Similarity.annAutoCells(g2.getAs[Long]("n_vecs")).toLong)
+    assert(!g2.getAs[Boolean]("retrain_due"), s"got $g2")
+  }
+
   private lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
 
   test("mineBitext: mutual-best pairs across the lang split, margins " +
@@ -962,7 +1023,9 @@ class SimilaritySpec extends SparkSuite {
       "same mutual/threshold contract, exact cosines on survivors") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-bitext-idx").toString
-    Similarity.writeAnnIndex(emb, dir)
+    // pinned geometry: the 0.80 recall floor below was measured at
+    // the r11 sweep's 75%-probed operating point (nCells=8, nProbe=6)
+    Similarity.writeAnnIndex(emb, dir, nCells = 8)
     val exact = Similarity.mineBitext(emb, docs).collect()
       .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id")))
       .toSet
