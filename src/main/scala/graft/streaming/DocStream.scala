@@ -47,6 +47,32 @@ object DocStream {
         col("d.ingest_ts").as("ingest_ts"))
   }
 
+  val pageSchema: StructType = new StructType()
+    .add("doc_id", LongType)
+    .add("html", StringType)
+    .add("lang", StringType)
+    .add("source", StringType)
+    .add("ingest_ts", TimestampType)
+
+  /** JSONL file-stream of crawled PAGES (`html` instead of `text`) —
+    * the markup-bearing twin of [[fromFiles]] for the
+    * [[curatePipelineFromHtml]] front door; malformed records are
+    * dropped (the same poison-pill policy).
+    */
+  def pagesFromFiles(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.format("text")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(dir)
+      .select(from_json(col("value").cast("string"), pageSchema).as("d"))
+      .where(col("d.doc_id").isNotNull && col("d.html").isNotNull &&
+        col("d.ingest_ts").isNotNull)
+      .select(col("d.doc_id").as("doc_id"), col("d.html").as("html"),
+        coalesce(col("d.lang"), lit("und")).as("lang"),
+        coalesce(col("d.source"), lit("unknown")).as("source"),
+        col("d.ingest_ts").as("ingest_ts"))
+  }
+
   /** The full streaming CURATION pipeline — the checkpointed twin of
     * the batch capstone q_curate_pipeline, end-to-end (r10 verdict
     * item #2): JSONL files → parse → the composed gate chain
@@ -86,6 +112,57 @@ object DocStream {
       fromFiles(spark, inDir, maxFilesPerTrigger), benchmark,
       probeIndexPath, minTokens, minStopRatio, benchmarkEvery,
       minScore = minScore, ttlMs = ttlMs)
+    startCurated(spark, curated, dsirIndexPath, outDir, checkpointDir,
+      valPct, testPct)
+  }
+
+  /** [[curatePipeline]] behind the MARKUP front door — the r11
+    * verdict's What's-missing #5, and the streaming twin of the batch
+    * [[graft.operators.Curation.curateCorpusFromHtml]]
+    * (q_extract_pipeline): crawled PAGES land as JSONL
+    * (doc_id, html, lang, source, ingest_ts), flow through
+    * [[StreamingOps.extractDocStream]] (the batch extractor's own
+    * expressions — tag strip, boilerplate line rules, entity decode)
+    * and then the composed curation chain, as ONE checkpointed query
+    * with the same quarantine landing. Extraction is a row-local
+    * stateless projection, so composing it adds no second stateful
+    * exchange and no second checkpoint.
+    *
+    * All-boilerplate pages (every line fell to the word-floor /
+    * link-density rules) carry an empty extract and fall at the token
+    * floor — a DETERMINISTIC stateless reject, re-runnable from the
+    * raw page archive, so per the gate-reject policy it is dropped,
+    * not quarantined; quarantine stays reserved for claim verdicts,
+    * the decisions arrival order makes unrepeatable.
+    */
+  def curatePipelineFromHtml(spark: SparkSession, inDir: String,
+      benchmark: DataFrame, probeIndexPath: String, dsirIndexPath: String,
+      outDir: String, checkpointDir: String, minWords: Int = 5,
+      maxLinkDensity: Double = 0.34, minTokens: Int = 10,
+      minStopRatio: Double = 0.05, benchmarkEvery: Int = 10,
+      minScore: Double = 0.5, valPct: Int = 10, testPct: Int = 10,
+      ttlMs: Long = 3600 * 1000L,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val docs = StreamingOps.extractDocStream(
+        pagesFromFiles(spark, inDir, maxFilesPerTrigger),
+        "html", minWords, maxLinkDensity)
+      .select("doc_id", "text", "lang", "source", "ingest_ts")
+    val curated = StreamingOps.curateDocStream(spark, docs, benchmark,
+      probeIndexPath, minTokens, minStopRatio, benchmarkEvery,
+      minScore = minScore, ttlMs = ttlMs)
+    startCurated(spark, curated, dsirIndexPath, outDir, checkpointDir,
+      valPct, testPct)
+  }
+
+  /** The shared landing of the two curation pipelines: per-batch DSIR
+    * annotation + split stamp + idempotent partitioned parquet with
+    * the quarantine-first write order. One definition so the text and
+    * markup front doors cannot drift on landing semantics.
+    */
+  private def startCurated(spark: SparkSession,
+      curated: org.apache.spark.sql.Dataset[StreamingOps.CuratedDoc],
+      dsirIndexPath: String, outDir: String, checkpointDir: String,
+      valPct: Int, testPct: Int): StreamingQuery = {
     val landBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       // snapshot the kept slice ONCE, FIRST: everything after reads it
       // (the emptiness guard, the DSIR join's both sides, the write),

@@ -149,4 +149,115 @@ class CuratePipelineSpec extends SparkSuite {
       assert(r.getAs[Long]("n_tok") == batchNTok(id))
     }
   }
+
+  // the markup front door's fixture page: an adversarial script (body
+  // carries '<' and an HTML string), a link-dense nav, the prose
+  // paragraph, a quoted-'>' attribute — single-quoted throughout so the
+  // page embeds in a JSONL line with no escaping
+  private def pageHtml(text: String): String =
+    "<html><head><SCRIPT type='text/javascript'>" +
+      "if (x<2){track('<b>hi</b>')}</SCRIPT></head><body>" +
+      "<nav><a href='/'>Home</a> | <a href='/b'>Blog</a></nav>" +
+      "<p>" + text + "</p>" +
+      "<div data-note='5 > 3'>Sponsored: buy now</div>" +
+      "</body></html>"
+
+  private def pageJson(id: Long, text: String, lang: String,
+      ts: String): String =
+    s"""{"doc_id": $id, "html": "${pageHtml(text)}", "lang": "$lang", """ +
+      s""""source": "s0", "ingest_ts": "$ts"}"""
+
+  test("curatePipelineFromHtml: pages -> extract -> curate as ONE " +
+      "checkpointed query; kill+resume; parity with the batch " +
+      "curateCorpusFromHtml survivors on the same fixture") {
+    val root = Files.createTempDirectory("graft-curatehtml").toFile
+    val in = new File(root, "in"); in.mkdirs()
+    val out = new File(root, "out").getPath
+    val ckpt = new File(root, "ckpt").getPath
+    def land(name: String, lines: String*): Unit = {
+      val tmp = new File(root, name)
+      Files.write(tmp.toPath, lines.mkString("\n").getBytes)
+      assert(tmp.renameTo(new File(in, name)))
+    }
+    val trainDocs = (0L until 20L).map(i =>
+      (i, s"model training document number $i with the usual run of " +
+        s"filler words token$i and more", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val probeIdx = new File(root, "probe").getPath
+    val dsirIdx = new File(root, "dsir").getPath
+    Curation.writeProbeIndex(trainDocs, probeIdx)
+    Curation.writeDsirIndex(trainDocs, dsirIdx)
+    val benchmark = Seq((10L, benchText)).toDF("doc_id", "text")
+    // batch 1 — the PARITY batch (no reorder near-dups: the stream's
+    // band claim and the batch's minhash stage agree on exact dups and
+    // gate rejects; near-dup semantics are the documented divergence)
+    land("p1.jsonl",
+      pageJson(1, text1, "en", "2024-01-01T10:00:00"),
+      pageJson(2, "too short", "en", "2024-01-01T10:00:01"), // all-boilerplate page
+      pageJson(3, text1, "en", "2024-01-01T10:00:02"),       // exact dup of 1
+      pageJson(4, text4, "fr", "2024-01-01T10:00:03"),
+      pageJson(7, contamText, "en", "2024-01-01T10:00:04"),  // contaminated
+      pageJson(10, benchText, "en", "2024-01-01T10:00:05"))  // holdout id
+    def awaitLanded(expect: Set[Long]): Set[Long] = {
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      var got = Set.empty[Long]
+      while (got != expect && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        got = try spark.read.parquet(out).collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          Set.empty[Long] }
+      }
+      got
+    }
+    val q1 = DocStream.curatePipelineFromHtml(spark, in.getPath, benchmark,
+      probeIdx, dsirIdx, out, ckpt, minScore = 0.0)
+    try assert(awaitLanded(Set(1L, 4L)) == Set(1L, 4L),
+      "extract feeds the gates: boilerplate-only page, dup, contam " +
+        "and holdout all rejected; the prose pages land")
+    finally q1.stop()
+    // kill + resume: the recovered claim state still rejects a
+    // re-arriving copy of a batch-1 text that came in as MARKUP
+    land("p2.jsonl",
+      pageJson(8, text1, "en", "2024-01-01T10:01:00"),  // exact dup of 1
+      pageJson(9, text9, "en", "2024-01-01T10:01:01"))  // fresh
+    val q2 = DocStream.curatePipelineFromHtml(spark, in.getPath, benchmark,
+      probeIdx, dsirIdx, out, ckpt, minScore = 0.0)
+    val landed = try awaitLanded(Set(1L, 4L, 9L)) finally q2.stop()
+    assert(landed == Set(1L, 4L, 9L),
+      s"recovered claims must reject the batch-2 dup: got $landed")
+    // claim rejects quarantined with verdicts; the all-boilerplate
+    // page was a stateless gate reject — dropped, never quarantined
+    val quarantined = spark.read.parquet(s"$out/_quarantine").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(quarantined == Map(3L -> "exact_dup", 8L -> "exact_dup"),
+      s"got $quarantined")
+    // PARITY: the landed texts equal the batch markup capstone's
+    // survivors on the same pages (gopher floor lowered — the stream
+    // chain has no gopher stage; these texts pass every other gate
+    // identically, extraction included)
+    val pages = Seq(
+      (1L, pageHtml(text1), "en", "s0"),
+      (2L, pageHtml("too short"), "en", "s0"),
+      (3L, pageHtml(text1), "en", "s0"),
+      (4L, pageHtml(text4), "fr", "s0"),
+      (7L, pageHtml(contamText), "en", "s0"),
+      (8L, pageHtml(text1), "en", "s0"),
+      (9L, pageHtml(text9), "en", "s0"),
+      (10L, pageHtml(benchText), "en", "s0"))
+      .toDF("doc_id", "html", "lang", "source")
+    val batchKept = Curation.curateCorpusFromHtml(pages, gopherMinTok = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text")).toMap
+    val streamKept = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(streamKept == batchKept,
+      s"stream=${streamKept.keySet} batch=${batchKept.keySet}")
+    // the adversarial script never leaked into any landed text
+    streamKept.values.foreach { t =>
+      assert(!t.contains("track") && !t.contains("Sponsored"),
+        s"markup leaked into '$t'")
+    }
+  }
 }
