@@ -520,6 +520,46 @@ object SparkEntry {
       TextOps.textExtract(t(s, d, "documents").withColumn("html",
         TextOps.syntheticHtml(col("doc_id"), col("text"))))
     }),
+    // rows-only (binary record parse): WARC round trip — the first
+    // 500 docs pack into one archive (bounded driver build, memoized
+    // per session/dir), WarcSource.docs reads it back through the
+    // binaryFile task-per-file path, and every row must carry its
+    // packed page verbatim (ok = exact html match); poison tolerance
+    // and gzip are spec'd in WarcSourceSpec
+    "q_warc_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, length, lit}
+      val path = memo(s, d, "warcfix-path") {
+        val p = indexScratchPath(d, "warcfix") + ".warc"
+        val rows = t(s, d, "documents").select("doc_id", "text")
+          .orderBy("doc_id").limit(500).collect()
+        val out = new java.io.ByteArrayOutputStream()
+        rows.foreach { r =>
+          val id = r.getAs[Long]("doc_id")
+          out.write(graft.sources.WarcSource.packRecord(
+            s"http://graft.test/doc/$id",
+            java.time.Instant.parse("2026-01-01T00:00:00Z")
+              .plusSeconds(id),
+            "<html><body><p>" + r.getAs[String]("text") +
+              "</p></body></html>"))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p), out.toByteArray)
+        p
+      }
+      val expected = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("<html><body><p>"), col("text"),
+            lit("</p></body></html>")).as("want_html"),
+          concat(lit("http://graft.test/doc/"),
+            col("doc_id").cast("string")).as("url"))
+        .orderBy("doc_id").limit(500)
+      graft.sources.WarcSource.docs(s, path)
+        .select(col("url"), col("html"))
+        .join(expected, "url")
+        .select(col("doc_id"), col("url"),
+          length(col("html")).cast("long").as("n_bytes"),
+          (col("html") === col("want_html")).as("ok"))
+    }),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "q_winnow" -> ((s, d) => TextOps.winnow(t(s, d, "documents"))),
@@ -769,6 +809,26 @@ object SparkEntry {
     // stored code rows; recall vs the exact leg is spec-measured
     "q_mine_bitext_ann" -> ((s, d) =>
       Similarity.mineBitextIndexed(s, annIndexOf(s, d),
+        t(s, d, "embeddings"), t(s, d, "documents"))),
+    // the documented full-sweep batching loop (r12): the src side in
+    // 100-id slices, mutual-best over the union — spec-asserted EQUAL
+    // to one unbounded run; oracle = the bitext SQL with no query
+    // bound (per-pair quantities are batch-independent)
+    "q_mine_bitext_all" -> ((s, d) =>
+      Similarity.mineBitextAll(t(s, d, "embeddings"),
+        t(s, d, "documents"), batchSize = 100)),
+    // dedup-first mining (r12): exact-embedding star reduction per
+    // side, rep pairs mined, members composed back — the clone-
+    // degeneracy fix; SQL-oracled end-to-end (the rep window and
+    // member joins mirror literally)
+    "q_mine_bitext_dedup" -> ((s, d) =>
+      Similarity.mineBitextDeduped(t(s, d, "embeddings"),
+        t(s, d, "documents"))),
+    // rows-only (recall-bounded): the dedup-first leg served from the
+    // persisted index — stored code rows semi-join down to reps, so
+    // probe neighborhoods are clone-free at the source
+    "q_mine_bitext_dedup_ann" -> ((s, d) =>
+      Similarity.mineBitextIndexedDeduped(s, annIndexOf(s, d),
         t(s, d, "embeddings"), t(s, d, "documents"))),
     // rows-only (artifact row counts): read-side health audit over
     // the five persisted MODEL families — the q_index_stats third
@@ -2912,6 +2972,111 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY n_id ORDER BY margin DESC, q_id) AS br
         |  FROM sp WHERE margin >= 1.05)
         |WHERE bf = 1 AND br = 1""".stripMargin,
+    // the full-sweep loop is exactly the unbounded single run (every
+    // per-pair quantity is batch-independent; spec-asserted), so the
+    // oracle is the bitext SQL with the query bound removed
+    "q_mine_bitext_all" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, lang
+        |  FROM embeddings JOIN documents ON vec_id = doc_id
+        |), a AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE lang = 'en'),
+        |b AS (SELECT vec_id AS n_id, emb AS n_emb FROM e WHERE lang = 'de'),
+        |fs AS (
+        |  SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 4) AS cos_sim
+        |  FROM a JOIN b ON true
+        |), fsn AS (SELECT * FROM fs WHERE NOT isnan(cos_sim)),
+        |fwd AS (
+        |  SELECT * FROM (SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM fsn)
+        |  WHERE rnk <= 4
+        |), fa AS (
+        |  SELECT q_id, CAST(SUM(CAST(ROUND(cos_sim * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 10000.0) AS fwd_avg
+        |  FROM fwd GROUP BY 1
+        |), cand AS (SELECT DISTINCT n_id FROM fwd),
+        |cb AS (SELECT b.n_id, n_emb FROM b JOIN cand USING (n_id)),
+        |rs AS (
+        |  SELECT n_id, a.q_id AS r_id, ROUND(list_cosine_similarity(n_emb, q_emb), 4) AS rcos
+        |  FROM cb JOIN a ON a.q_id <> n_id
+        |), rsn AS (SELECT * FROM rs WHERE NOT isnan(rcos)),
+        |rev AS (
+        |  SELECT * FROM (SELECT *, rank() OVER (PARTITION BY n_id ORDER BY rcos DESC, r_id) AS rrnk FROM rsn)
+        |  WHERE rrnk <= 4
+        |), ra AS (
+        |  SELECT n_id, CAST(SUM(CAST(ROUND(rcos * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 10000.0) AS rev_avg
+        |  FROM rev GROUP BY 1
+        |), sp AS (
+        |  SELECT q_id, n_id, cos_sim,
+        |    ROUND(cos_sim / ((fwd_avg + rev_avg) / 2.0), 4) AS margin
+        |  FROM fwd JOIN fa USING (q_id) JOIN ra USING (n_id)
+        |  WHERE fwd_avg + rev_avg > 0
+        |)
+        |SELECT q_id AS src_id, n_id AS dst_id, cos_sim, margin
+        |FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY margin DESC, n_id) AS bf,
+        |    row_number() OVER (PARTITION BY n_id ORDER BY margin DESC, q_id) AS br
+        |  FROM sp WHERE margin >= 1.05)
+        |WHERE bf = 1 AND br = 1""".stripMargin,
+    // dedup-first: min-id star per side over EXACT embedding equality
+    // (window partitioned by the vector — cast to DOUBLE[] is an
+    // injective widening, so grouping matches the engine's FLOAT
+    // grouping), the standard margin/mutual pipeline on reps, member
+    // composition at the end
+    "q_mine_bitext_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, lang
+        |  FROM embeddings JOIN documents ON vec_id = doc_id
+        |), a0 AS (
+        |  SELECT vec_id AS q_id, emb AS q_emb,
+        |    MIN(vec_id) OVER (PARTITION BY emb) AS rep
+        |  FROM e WHERE lang = 'en'
+        |), b0 AS (
+        |  SELECT vec_id AS n_id, emb AS n_emb,
+        |    MIN(vec_id) OVER (PARTITION BY emb) AS rep
+        |  FROM e WHERE lang = 'de'
+        |), a AS (SELECT q_id, q_emb FROM a0 WHERE q_id = rep),
+        |b AS (SELECT n_id, n_emb FROM b0 WHERE n_id = rep),
+        |q AS (SELECT * FROM a WHERE q_id < 200),
+        |fs AS (
+        |  SELECT q_id, n_id, ROUND(list_cosine_similarity(q_emb, n_emb), 4) AS cos_sim
+        |  FROM q JOIN b ON true
+        |), fsn AS (SELECT * FROM fs WHERE NOT isnan(cos_sim)),
+        |fwd AS (
+        |  SELECT * FROM (SELECT *, rank() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk FROM fsn)
+        |  WHERE rnk <= 4
+        |), fa AS (
+        |  SELECT q_id, CAST(SUM(CAST(ROUND(cos_sim * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 10000.0) AS fwd_avg
+        |  FROM fwd GROUP BY 1
+        |), cand AS (SELECT DISTINCT n_id FROM fwd),
+        |cb AS (SELECT b.n_id, n_emb FROM b JOIN cand USING (n_id)),
+        |rs AS (
+        |  SELECT n_id, a.q_id AS r_id, ROUND(list_cosine_similarity(n_emb, q_emb), 4) AS rcos
+        |  FROM cb JOIN a ON a.q_id <> n_id
+        |), rsn AS (SELECT * FROM rs WHERE NOT isnan(rcos)),
+        |rev AS (
+        |  SELECT * FROM (SELECT *, rank() OVER (PARTITION BY n_id ORDER BY rcos DESC, r_id) AS rrnk FROM rsn)
+        |  WHERE rrnk <= 4
+        |), ra AS (
+        |  SELECT n_id, CAST(SUM(CAST(ROUND(rcos * 10000, 0) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 10000.0) AS rev_avg
+        |  FROM rev GROUP BY 1
+        |), sp AS (
+        |  SELECT q_id, n_id, cos_sim,
+        |    ROUND(cos_sim / ((fwd_avg + rev_avg) / 2.0), 4) AS margin
+        |  FROM fwd JOIN fa USING (q_id) JOIN ra USING (n_id)
+        |  WHERE fwd_avg + rev_avg > 0
+        |), mb AS (
+        |  SELECT q_id AS src_rep, n_id AS dst_rep, cos_sim, margin
+        |  FROM (SELECT *,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY margin DESC, n_id) AS bf,
+        |      row_number() OVER (PARTITION BY n_id ORDER BY margin DESC, q_id) AS br
+        |    FROM sp WHERE margin >= 1.05)
+        |  WHERE bf = 1 AND br = 1
+        |), am AS (SELECT rep AS src_rep, q_id AS src_id FROM a0),
+        |bm AS (SELECT rep AS dst_rep, n_id AS dst_id FROM b0)
+        |SELECT src_id, dst_id, cos_sim, margin, src_rep, dst_rep
+        |FROM mb JOIN am USING (src_rep) JOIN bm USING (dst_rep)""".stripMargin,
     "q_source_report" ->
       """WITH d AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -1019,6 +1019,116 @@ class SimilaritySpec extends SparkSuite {
     assert(mined.head._3 > 2.0, s"planted margin ${mined.head._3}")
   }
 
+  test("mineBitextAll: the batched full-sweep equals one unbounded " +
+      "run bit-for-bit; an absent src side yields an empty frame") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Double]("margin"))).toSet
+    val single = rows(Similarity.mineBitext(emb, docs,
+      nQueries = Long.MaxValue))
+    assert(single.nonEmpty, "the gate corpus must mine pairs unbounded")
+    // batchSize 100 on ~500 ids forces several slices; the sweep must
+    // reproduce the single run exactly (per-pair quantities are
+    // batch-independent, mutual-best runs over the union)
+    val swept = rows(Similarity.mineBitextAll(emb, docs, batchSize = 100))
+    assert(swept == single,
+      s"missing=${single -- swept} extra=${swept -- single}")
+    assert(Similarity.mineBitextAll(emb, docs, srcLang = "xx").count() == 0L,
+      "no src side -> empty frame, not a crash")
+  }
+
+  // clone fixture for the dedup-first legs: 4 verbatim copies per side
+  // of a planted parallel pair saturate every k-NN neighborhood at
+  // k=4, so the ratio margin collapses to ~1 and the exact miner
+  // correctly returns NOTHING — the r11-documented degeneracy the
+  // dedup-first legs exist to kill
+  private def cloneFixture = {
+    val dim = 64
+    def basis(i: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == i) scale else 0.0f)
+    def mix(i: Int, j: Int, wi: Float, wj: Float): Seq[Float] =
+      Seq.tabulate(dim)(x => if (x == i) wi else if (x == j) wj else 0.0f)
+    val vEn = basis(0, 1.0f)
+    val vDe = mix(0, 1, 0.9f, 0.09f)
+    val vecs = Seq(
+      (0L, vEn), (1L, vEn), (2L, vEn), (3L, vEn), // en clones
+      (4L, basis(2, 1.0f)), (5L, basis(3, 1.0f)), // en strangers
+      (10L, vDe), (11L, vDe), (12L, vDe), (13L, vDe), // de clones
+      (14L, basis(4, 1.0f)), (15L, basis(5, 1.0f))) // de strangers
+      .toDF("vec_id", "embedding")
+    val langs = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(_ -> "en")
+      .++(Seq(10L, 11L, 12L, 13L, 14L, 15L).map(_ -> "de"))
+      .toDF("doc_id", "lang")
+    (vecs, langs)
+  }
+
+  test("mineBitextDeduped: clone-saturated corpus — the exact miner " +
+      "collapses to zero, the dedup-first leg recovers the planted " +
+      "pair and composes members back") {
+    val (vecs, langs) = cloneFixture
+    // the degeneracy is real: every fwd/rev neighborhood is all-clones,
+    // margin -> 1, threshold suppresses everything
+    assert(Similarity.mineBitext(vecs, langs).count() == 0L,
+      "clone saturation must collapse the exact miner's margins")
+    val dd = Similarity.mineBitextDeduped(vecs, langs).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Long]("src_rep"), r.getAs[Long]("dst_rep"),
+        r.getAs[Double]("margin")))
+    // rep pairs == mineBitext on the DEDUPLICATED corpus
+    import org.apache.spark.sql.functions.col
+    val uniq = vecs.where(col("vec_id").isin(0L, 4L, 5L, 10L, 14L, 15L))
+    val wantReps = Similarity.mineBitext(uniq, langs).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"))).toSet
+    assert(wantReps == Set((0L, 10L)), s"fixture sanity: $wantReps")
+    assert(dd.map(t => (t._3, t._4)).toSet == wantReps,
+      s"rep pairs diverged from the deduplicated exact run: ${dd.toSeq}")
+    // member composition: every (src clone x dst clone) combination
+    assert(dd.map(t => (t._1, t._2)).toSet ==
+      (for (s <- 0L to 3L; d <- 10L to 13L) yield (s, d)).toSet,
+      s"member fan-out wrong: ${dd.toSeq}")
+    assert(dd.forall(_._5 >= 1.05))
+    // clone-free corpus: dedup-first is the identity (reps == ids)
+    val dim = 64
+    def basis(i: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == i) scale else 0.0f)
+    def mix(i: Int, j: Int, wi: Float, wj: Float): Seq[Float] =
+      Seq.tabulate(dim)(x => if (x == i) wi else if (x == j) wj else 0.0f)
+    val clean = Seq(
+      (0L, basis(0, 1.0f)), (1L, basis(2, 1.0f)), (2L, basis(3, 1.0f)),
+      (10L, mix(0, 1, 0.9f, 0.09f)), (11L, basis(4, 1.0f)),
+      (12L, basis(5, 1.0f)), (13L, basis(6, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cleanLangs = Seq((0L, "en"), (1L, "en"), (2L, "en"),
+      (10L, "de"), (11L, "de"), (12L, "de"), (13L, "de"))
+      .toDF("doc_id", "lang")
+    val cleanDd = Similarity.mineBitextDeduped(clean, cleanLangs).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Long]("src_rep"), r.getAs[Long]("dst_rep")))
+    assert(cleanDd.toSeq == Seq((0L, 10L, 0L, 10L)),
+      s"clone-free corpus: dedup-first must be the identity: " +
+        s"${cleanDd.toSeq}")
+  }
+
+  test("mineBitextIndexedDeduped: served dedup-first equals the exact " +
+      "dedup-first leg under a full probe; spurious clone pairs gone") {
+    val (vecs, langs) = cloneFixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bitext-dd-idx").toString
+    Similarity.writeAnnIndex(vecs, dir, nCells = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Long]("src_rep"), r.getAs[Long]("dst_rep"),
+        r.getAs[Double]("cos_sim"), r.getAs[Double]("margin"))).toSet
+    // nProbe = nCells and rerank > corpus: the served shortlist is
+    // exhaustive, so the served leg must equal the exact leg exactly
+    val served = rows(Similarity.mineBitextIndexedDeduped(spark, dir,
+      vecs, langs, nProbe = 8, rerank = 100))
+    val exact = rows(Similarity.mineBitextDeduped(vecs, langs))
+    assert(served == exact,
+      s"missing=${exact -- served} extra=${served -- exact}")
+    assert(served.map(t => (t._3, t._4)) == Set((0L, 10L)))
+  }
+
   test("mineBitextIndexed: served pairs recall the exact miner's, " +
       "same mutual/threshold contract, exact cosines on survivors") {
     val dir = java.nio.file.Files
