@@ -2288,12 +2288,20 @@ object Similarity {
     * slices) run globally. Plan: one small subplan per slice unioned —
     * a production sweep submits slices as separate jobs and unions the
     * persisted sp frames; the single-plan form here is the same
-    * algebra.
+    * algebra, and `maxSlices` bounds it: Catalyst's analyze/optimize
+    * cost is O(slices × subplan size), so a batchSize pinned for one
+    * corpus must not explode into hundreds of subplans on a 10× id
+    * range (measured: 200 slices stalled planning for minutes at the
+    * 10× dir) — the slice width widens to keep the count at or under
+    * the cap, which changes NOTHING semantically (any slicing equals
+    * the single run).
     */
   def mineBitextAll(embeddings: DataFrame, documents: DataFrame,
       srcLang: String = "en", dstLang: String = "de", k: Int = 4,
-      batchSize: Long = 10000, marginThreshold: Double = 1.05): DataFrame = {
+      batchSize: Long = 10000, marginThreshold: Double = 1.05,
+      maxSlices: Int = 16): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    require(maxSlices > 0, s"maxSlices must be positive: $maxSlices")
     val (a, b) = bitextSides(embeddings, documents, srcLang, dstLang)
     // one 2-value driver aggregate bounds the id sweep
     val bounds = a.agg(min(col("q_id")).as("lo"), max(col("q_id")).as("hi"))
@@ -2303,9 +2311,11 @@ object Similarity {
         exactBitextSp(a, b, a.where(lit(false)), k, marginThreshold)
       else {
         val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-        (lo to hi by batchSize).map { l =>
+        val width = math.max(batchSize,
+          math.ceil((hi - lo + 1).toDouble / maxSlices).toLong)
+        (lo to hi by width).map { l =>
           exactBitextSp(a, b,
-            a.where(col("q_id") >= l && col("q_id") < l + batchSize),
+            a.where(col("q_id") >= l && col("q_id") < l + width),
             k, marginThreshold)
         }.reduce(_.unionByName(_))
       }
