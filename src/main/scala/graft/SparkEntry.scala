@@ -216,6 +216,29 @@ object SparkEntry {
       p
     }
 
+  /** Memoized WARC fixture archive — the first 500 docs packed once
+    * per (session, dir); q_warc_roundtrip round-trips it,
+    * q_warc_extract runs the crawl-dump → extraction composition
+    * over it. Bounded driver pack (500 rows, ordered).
+    */
+  private def warcFixtureOf(s: SparkSession, d: String): String =
+    memo(s, d, "warcfix-path") {
+      val p = indexScratchPath(d, "warcfix") + ".warc"
+      val rows = t(s, d, "documents").select("doc_id", "text")
+        .orderBy("doc_id").limit(500).collect()
+      val out = new java.io.ByteArrayOutputStream()
+      rows.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        out.write(graft.sources.WarcSource.packRecord(
+          s"http://graft.test/doc/$id",
+          java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(id),
+          "<html><body><p>" + r.getAs[String]("text") +
+            "</p></body></html>"))
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), out.toByteArray)
+      p
+    }
+
   // the persist markers live HERE, on the shared memoized instances —
   // not inside the library renderers, where every call would register
   // a cached plan the caller can't unpersist (r9 advice)
@@ -528,24 +551,7 @@ object SparkEntry {
     // and gzip are spec'd in WarcSourceSpec
     "q_warc_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, concat, length, lit}
-      val path = memo(s, d, "warcfix-path") {
-        val p = indexScratchPath(d, "warcfix") + ".warc"
-        val rows = t(s, d, "documents").select("doc_id", "text")
-          .orderBy("doc_id").limit(500).collect()
-        val out = new java.io.ByteArrayOutputStream()
-        rows.foreach { r =>
-          val id = r.getAs[Long]("doc_id")
-          out.write(graft.sources.WarcSource.packRecord(
-            s"http://graft.test/doc/$id",
-            java.time.Instant.parse("2026-01-01T00:00:00Z")
-              .plusSeconds(id),
-            "<html><body><p>" + r.getAs[String]("text") +
-              "</p></body></html>"))
-        }
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(p), out.toByteArray)
-        p
-      }
+      val path = warcFixtureOf(s, d)
       val expected = t(s, d, "documents")
         .select(col("doc_id"),
           concat(lit("<html><body><p>"), col("text"),
@@ -560,6 +566,13 @@ object SparkEntry {
           length(col("html")).cast("long").as("n_bytes"),
           (col("html") === col("want_html")).as("ok"))
     }),
+    // rows-only: the crawl dump end-to-end — WARC archive → docs →
+    // hardened extraction; with the reader owned (q_warc_roundtrip)
+    // this closes the last gap between a Common-Crawl-shaped file and
+    // the curation capstone (composition spec in WarcSourceSpec)
+    "q_warc_extract" -> ((s, d) =>
+      TextOps.textExtract(
+        graft.sources.WarcSource.docs(s, warcFixtureOf(s, d)))),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "q_winnow" -> ((s, d) => TextOps.winnow(t(s, d, "documents"))),

