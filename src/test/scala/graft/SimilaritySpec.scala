@@ -963,6 +963,30 @@ class SimilaritySpec extends SparkSuite {
     assert(!g2.getAs[Boolean]("retrain_due"), s"got $g2")
   }
 
+  test("retrainAnnIndexIfDue: acts exactly when geometry says so, " +
+      "and the fresh index is immediately not-due") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annretrain").toString
+    // pin a stale-small geometry, then hand the CURRENT snapshot to
+    // the scheduled-retrain door
+    Similarity.writeAnnIndex(emb, dir, nCells = 8)
+    val r1 = Similarity.retrainAnnIndexIfDue(spark, dir, emb).collect()(0)
+    assert(r1.getAs[Boolean]("retrained"), s"got $r1")
+    assert(!r1.getAs[Boolean]("retrain_due"), s"got $r1")
+    assert(r1.getAs[Long]("n_cells") ==
+      Similarity.annAutoCells(r1.getAs[Long]("n_vecs")).toLong, s"got $r1")
+    // idempotent: the second call reads geometry and does nothing
+    val codesBefore = spark.read.parquet(s"$dir/codes").collect()
+      .map(_.toString).sorted
+    val r2 = Similarity.retrainAnnIndexIfDue(spark, dir, emb).collect()(0)
+    assert(!r2.getAs[Boolean]("retrained"), s"got $r2")
+    assert(r2.getAs[Long]("n_cells") == r1.getAs[Long]("n_cells"))
+    val codesAfter = spark.read.parquet(s"$dir/codes").collect()
+      .map(_.toString).sorted
+    assert(codesBefore.sameElements(codesAfter),
+      "a not-due call must leave the stored codes untouched")
+  }
+
   private lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
 
   test("mineBitext: mutual-best pairs across the lang split, margins " +
