@@ -635,6 +635,19 @@ object SparkEntry {
     // iteration — the production shape, where the edge list is a
     // stored aggregate, not a per-query re-extraction
     "q_pagerank" -> ((s, d) => WebOps.pageRank(hostGraphOf(s, d))),
+    // anchor-text profile per destination host (the retrieval-training
+    // link-context signal) and the robots-meta opt-out gate — both
+    // over the same linked-page fixture
+    "q_anchor_text" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      WebOps.anchorText(t(s, d, "documents").withColumn("html",
+        WebOps.syntheticLinkedHtml(col("doc_id"), col("text"))))
+    }),
+    "q_meta_robots" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      WebOps.metaRobots(t(s, d, "documents").withColumn("html",
+        WebOps.syntheticLinkedHtml(col("doc_id"), col("text"))))
+    }),
     // encoding-damage audit: testdata text is clean ASCII, so the
     // fixture plants each damage class on a disjoint residue slice
     // and the untouched majority pins the zero path (oracle mirrors
@@ -1187,15 +1200,47 @@ object SparkEntry {
   private val linkPageSql =
     """WITH pg AS (
       |  SELECT doc_id,
-      |    '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+      |    '<html>' ||
+      |    (CASE WHEN doc_id % 9 = 4 THEN '<head><meta name=''robots'' content=''noindex,nofollow''></head>'
+      |          WHEN doc_id % 9 = 7 THEN '<head><meta name=''robots'' content=''nofollow''></head>'
+      |          ELSE '' END) ||
+      |    '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
       |    '<p>' || text || '</p>' || chr(10) ||
       |    '<p>See <a href="http://h' || CAST((doc_id * 6 + 1) % 20 AS VARCHAR) ||
       |    '.example.com/p/' || CAST(doc_id % 50 AS VARCHAR) ||
-      |    '">one</a> and <a href="HTTP://WWW.h' || CAST((doc_id * 13 + 3) % 20 AS VARCHAR) ||
+      |    '">doc ' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '</a> and <a href="HTTP://WWW.h' || CAST((doc_id * 13 + 3) % 20 AS VARCHAR) ||
       |    '.EXAMPLE.COM:80//p/' || CAST(doc_id % 50 AS VARCHAR) ||
       |    '/?utm_source=x">two</a> and <a href=''/local/' || CAST(doc_id % 5 AS VARCHAR) ||
       |    '''>rel</a>.</p></body></html>' AS html
       |  FROM documents
+      |)
+      |""".stripMargin
+
+  // anchorText mirrored: one pattern applied twice (href group, body
+  // group), list_zip aligned by match order, the shared host chain on
+  // the href side; DuckDB's list_zip struct is unnamed — numeric index
+  private val anchorTextSql =
+    """, az AS (
+      |  SELECT unnest(list_zip(
+      |    regexp_extract_all(html, '(?is)<a\s[^>]*href=["'']([^"'']+)["''][^>]*>(.*?)</a>', 1),
+      |    regexp_extract_all(html, '(?is)<a\s[^>]*href=["'']([^"'']+)["''][^>]*>(.*?)</a>', 2))) AS z
+      |  FROM pg
+      |), ah1 AS (
+      |  SELECT lower(regexp_extract(z[1], '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS dscheme,
+      |    regexp_extract(z[1], '^[A-Za-z][A-Za-z0-9+.\-]*://(.*)$', 1) AS drest,
+      |    trim(z[2]) AS anchor
+      |  FROM az
+      |), ah2 AS (
+      |  SELECT dscheme, anchor,
+      |    regexp_replace(lower(regexp_extract(drest, '^([^/?#]*)', 1)), '^www\.', '') AS dhostw
+      |  FROM ah1
+      |), ah AS (
+      |  SELECT anchor,
+      |    CASE WHEN dscheme = 'http' THEN regexp_replace(dhostw, ':80$', '')
+      |         WHEN dscheme = 'https' THEN regexp_replace(dhostw, ':443$', '')
+      |         ELSE dhostw END AS dst_host
+      |  FROM ah2
       |)
       |""".stripMargin
 
@@ -1983,6 +2028,16 @@ object SparkEntry {
     "q_pagerank" -> (linkPageSql + ", " + urlFixtureCteSql + urlCanonSql +
       hostEdgeSql + pageRankSql(5) +
       "SELECT host, rank_micro FROM r5"),
+    "q_anchor_text" -> (linkPageSql + anchorTextSql +
+      """SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ah WHERE dst_host <> '' GROUP BY 1, 2""".stripMargin),
+    "q_meta_robots" -> (linkPageSql +
+      """SELECT doc_id, robots,
+        |  len(list_filter(string_split(robots, ','), d -> trim(d) = 'noindex')) > 0 AS noindex,
+        |  len(list_filter(string_split(robots, ','), d -> trim(d) = 'nofollow')) > 0 AS nofollow
+        |FROM (SELECT doc_id,
+        |    regexp_extract(lower(html), '<meta\s+name=["'']robots["'']\s+content=["'']([^"'']*)["'']', 1) AS robots
+        |  FROM pg)""".stripMargin),
     "q_encoding_audit" ->
       """WITH dmg AS (
         |  SELECT doc_id,

@@ -84,11 +84,18 @@ object WebOps {
   def syntheticLinkedHtml(docId: Column, text: Column): Column = {
     val id = docId.cast("long")
     concat(
-      lit("<html><body><h1>Doc "), id.cast("string"), lit("</h1>\n<p>"),
+      lit("<html>"),
+      when(pmod(id, lit(9L)) === 4L,
+        lit("<head><meta name='robots' content='noindex,nofollow'></head>"))
+        .when(pmod(id, lit(9L)) === 7L,
+          lit("<head><meta name='robots' content='nofollow'></head>"))
+        .otherwise(lit("")),
+      lit("<body><h1>Doc "), id.cast("string"), lit("</h1>\n<p>"),
       text, lit("</p>\n<p>See <a href=\"http://h"),
       pmod(id * 6L + 1L, lit(20L)).cast("string"),
       lit(".example.com/p/"), pmod(id, lit(50L)).cast("string"),
-      lit("\">one</a> and <a href=\"HTTP://WWW.h"),
+      lit("\">doc "), pmod(id, lit(50L)).cast("string"),
+      lit("</a> and <a href=\"HTTP://WWW.h"),
       pmod(id * 13L + 3L, lit(20L)).cast("string"),
       lit(".EXAMPLE.COM:80//p/"), pmod(id, lit(50L)).cast("string"),
       lit("/?utm_source=x\">two</a> and <a href='/local/"),
@@ -200,6 +207,59 @@ object WebOps {
     src.join(dst, "doc_id")
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n_links"))
+  }
+
+  /** Anchor-text profile per destination host — the link-context
+    * relevance signal retrieval-model training mines from crawls (the
+    * anchor is the linking author's one-line description of the
+    * target; aggregated anchors approximate queries the target
+    * answers — the classic IR use, and the modern query-document
+    * pair source): every `<a href>…</a>` pair, href resolved to its
+    * canonical host through the SAME shared derivation as
+    * [[hostGraph]] (absolute-only, same contract), anchor text
+    * trimmed, one (dst_host, anchor, n) count. The paired extraction
+    * rides ONE regex applied twice (group 1 = href, group 2 = body) —
+    * match order is the document's, so zip_with aligns them by
+    * construction. Honest limit, stated: anchors containing nested
+    * tags keep them verbatim (group 2 is the raw body; run the
+    * extractor's tag strip downstream if markup-free anchors are
+    * needed).
+    */
+  def anchorText(documents: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val pat = "(?is)<a\\s[^>]*href=[\"']([^\"']+)[\"'][^>]*>(.*?)</a>"
+    val pairs = zip_with(
+      regexp_extract_all(col(htmlCol), lit(pat), lit(1)),
+      regexp_extract_all(col(htmlCol), lit(pat), lit(2)),
+      (h, t) => struct(h.as("href"), t.as("anchor")))
+    documents.select(explode(pairs).as("z"))
+      .select(hostOf(col("z.href")).as("dst_host"),
+        trim(col("z.anchor")).as("anchor"))
+      .where(col("dst_host") =!= "")
+      .groupBy("dst_host", "anchor")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Robots-meta gate — the opt-out every published crawl corpus
+    * honors before training (`noindex` pages are the author saying
+    * "do not use this"; C4's descendants and RefinedWeb both filter
+    * on it): per page, the `<meta name="robots">` content verbatim
+    * plus the two decision flags (`noindex`, `nofollow` — token
+    * matches within the comma-separated directive list). Pure
+    * projection, scan-local; pages with no directive carry the empty
+    * string and false flags, so the gate composes as a simple
+    * `!noindex` filter.
+    */
+  def metaRobots(documents: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val robots = regexp_extract(lower(col(htmlCol)),
+      "<meta\\s+name=[\"']robots[\"']\\s+content=[\"']([^\"']*)[\"']", 1)
+    documents
+      .select(col("doc_id"), robots.as("robots"))
+      .withColumn("noindex",
+        size(filter(split(col("robots"), ","),
+          d => trim(d) === "noindex")) > 0)
+      .withColumn("nofollow",
+        size(filter(split(col("robots"), ","),
+          d => trim(d) === "nofollow")) > 0)
   }
 
   /** Fixed-point PageRank over a weighted host graph (Page, Brin,

@@ -275,4 +275,21 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("probeCalibration",
       graft.operators.Curation.probeCalibration(noScored))
   }
+
+  test("web-graph operators tolerate empty input") {
+    import graft.operators.WebOps
+    val noPages = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "url", "html")
+    assertEmptyOk("urlNormalize", WebOps.urlNormalize(noPages))
+    assertEmptyOk("urlDedup", WebOps.urlDedup(noPages))
+    assertEmptyOk("linkExtract", WebOps.linkExtract(noPages))
+    assertEmptyOk("hostGraph", WebOps.hostGraph(noPages))
+    // pageRank on an empty edge frame: no nodes, no rows, no crash
+    val noEdges = Seq.empty[(String, String, Long)]
+      .toDF("src_host", "dst_host", "n_links")
+    assertEmptyOk("pageRank", WebOps.pageRank(noEdges))
+    assertEmptyOk("encodingAudit", WebOps.encodingAudit(noDocs))
+    assertEmptyOk("anchorText", WebOps.anchorText(noPages))
+    assertEmptyOk("metaRobots", WebOps.metaRobots(noPages))
+  }
 }

@@ -840,4 +840,35 @@ class PlanAuditSpec extends SparkSuite {
       s"artifacts must be literals, not scans:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("web-graph family: normalize/extract/audit are scan-local " +
+      "projections; host graph is one keyed join + one aggregate; " +
+      "pageRank never goes cartesian") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.WebOps
+    val docs = Tables(spark, dir, "documents")
+    val pages = docs
+      .withColumn("url", WebOps.syntheticUrl(col("doc_id")))
+      .withColumn("html",
+        WebOps.syntheticLinkedHtml(col("doc_id"), col("text")))
+    // pure projections: zero shuffle at any scale
+    assert(!plan(WebOps.urlNormalize(pages)).contains("Exchange"),
+      "urlNormalize must be scan-local")
+    assert(!plan(WebOps.linkExtract(pages)).contains("Exchange"),
+      "linkExtract must be scan-local")
+    assert(!plan(WebOps.encodingAudit(docs)).contains("Exchange"),
+      "encodingAudit must be scan-local")
+    // host graph: the doc_id join + the (src, dst) count — keyed
+    // exchanges only, no broadcast-nested-loop fallback
+    val hg = plan(WebOps.hostGraph(pages))
+    assert(!hg.contains("CartesianProduct") &&
+      !hg.contains("BroadcastNestedLoopJoin"), hg)
+    // pageRank: every iteration joins/aggregates on host keys; a
+    // cartesian anywhere would be quadratic in the host count
+    val pr = plan(WebOps.pageRank(WebOps.hostGraph(pages)))
+    assert(!pr.contains("CartesianProduct") &&
+      !pr.contains("BroadcastNestedLoopJoin"), pr)
+    assert(!pr.contains("Exchange SinglePartition"),
+      s"rank frames must stay host-partitioned:\n$pr")
+  }
 }

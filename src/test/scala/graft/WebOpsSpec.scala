@@ -81,6 +81,52 @@ class WebOpsSpec extends SparkSuite {
     assert(m("h13.example.com") == ("h2.example.com", 1L))
   }
 
+  test("anchorText: href/body pairs align by match order, hosts " +
+      "normalize, relative anchors drop") {
+    val docs = Seq((10L, "t")).toDF("doc_id", "text")
+      .withColumn("html",
+        WebOps.syntheticLinkedHtml(col("doc_id"), col("text")))
+    val r = WebOps.anchorText(docs).collect()
+      .map(x => (x.getAs[String]("dst_host"), x.getAs[String]("anchor"),
+        x.getAs[Long]("n"))).toSet
+    // doc 10: clean anchor -> (h1, 'doc 10'), messy anchor -> (h13,
+    // 'two') through the shared normalizer; '/local/0' has no host
+    assert(r == Set(("h1.example.com", "doc 10", 1L),
+      ("h13.example.com", "two", 1L)), s"got $r")
+  }
+
+  test("anchorText: aggregation counts repeated anchors per host") {
+    val html = "<p><a href='http://a.io/1'>same</a> " +
+      "<a href='http://a.io/2'>same</a> " +
+      "<a href='http://a.io/3'>other</a></p>"
+    val r = WebOps.anchorText(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().map(x => x.getAs[String]("anchor") -> x.getAs[Long]("n"))
+      .toMap
+    assert(r == Map("same" -> 2L, "other" -> 1L), s"got $r")
+  }
+
+  test("metaRobots: directive TOKENS, not substrings; absent meta is " +
+      "an empty pass") {
+    val docs = Seq(
+      (1L, "<html><head><meta name='robots' " +
+        "content='noindex,nofollow'></head><body>x</body></html>"),
+      (2L, "<html><head><META NAME=\"robots\" " +
+        "CONTENT=\"nofollow\"></head><body>x</body></html>"),
+      (3L, "<html><body>no meta at all</body></html>"),
+      // 'noindexing' must NOT trip the noindex flag
+      (4L, "<html><head><meta name='robots' " +
+        "content='noindexing, nofollow '></head><body>x</body></html>"))
+      .toDF("doc_id", "html")
+    val r = WebOps.metaRobots(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Boolean]("noindex"), x.getAs[Boolean]("nofollow"),
+          x.getAs[String]("robots")))).toMap
+    assert(r(1L) == ((true, true, "noindex,nofollow")), s"got ${r(1L)}")
+    assert(r(2L) == ((false, true, "nofollow")), s"got ${r(2L)}")
+    assert(r(3L) == ((false, false, "")), s"got ${r(3L)}")
+    assert(r(4L) == ((false, true, "noindexing, nofollow ")), s"got ${r(4L)}")
+  }
+
   // ── pageRank ──────────────────────────────────────────────────────
 
   test("pageRank: hand-computed two-node chain (dangling sink absorbs)") {
