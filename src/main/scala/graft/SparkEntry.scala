@@ -1223,8 +1223,8 @@ object SparkEntry {
   private val anchorTextSql =
     """, az AS (
       |  SELECT unnest(list_zip(
-      |    regexp_extract_all(html, '(?is)<a\s[^>]*href=["'']([^"'']+)["''][^>]*>(.*?)</a>', 1),
-      |    regexp_extract_all(html, '(?is)<a\s[^>]*href=["'']([^"'']+)["''][^>]*>(.*?)</a>', 2))) AS z
+      |    regexp_extract_all(html, '(?is)<a\s(?:[^>"'']|"[^"]*"|''[^'']*'')*?href=["'']([^"'']+)["''](?:[^>"'']|"[^"]*"|''[^'']*'')*?>(.*?)</a>', 1),
+      |    regexp_extract_all(html, '(?is)<a\s(?:[^>"'']|"[^"]*"|''[^'']*'')*?href=["'']([^"'']+)["''](?:[^>"'']|"[^"]*"|''[^'']*'')*?>(.*?)</a>', 2))) AS z
       |  FROM pg
       |), ah1 AS (
       |  SELECT lower(regexp_extract(z[1], '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS dscheme,
@@ -1250,7 +1250,7 @@ object SparkEntry {
   private val hostEdgeSql =
     """, links AS (
       |  SELECT doc_id,
-      |    unnest(regexp_extract_all(html, '(?i)href=["'']([^"'']+)["'']', 1)) AS href
+      |    unnest(regexp_extract_all(html, '(?is)<a\s(?:[^>"'']|"[^"]*"|''[^'']*'')*?href=["'']([^"'']+)["'']', 1)) AS href
       |  FROM pg
       |), dh1 AS (
       |  SELECT doc_id,
@@ -2020,7 +2020,7 @@ object SparkEntry {
         |FROM canon""".stripMargin),
     "q_link_extract" -> (linkPageSql +
       """SELECT doc_id,
-        |  unnest(regexp_extract_all(html, '(?i)href=["'']([^"'']+)["'']', 1)) AS href
+        |  unnest(regexp_extract_all(html, '(?is)<a\s(?:[^>"'']|"[^"]*"|''[^'']*'')*?href=["'']([^"'']+)["'']', 1)) AS href
         |FROM pg""".stripMargin),
     "q_host_graph" -> (linkPageSql + ", " + urlFixtureCteSql + urlCanonSql +
       hostEdgeSql +

@@ -176,15 +176,25 @@ object WebOps {
       .withColumn("keep", col("doc_id") === col("canonical_doc"))
   }
 
-  /** Hyperlink extraction — every `href` attribute value, one row per
+  // quote-aware anchor-attribute body (the textExtract attrBody rule
+  // applied here): runs of non-delimiter chars or complete quoted
+  // strings, so a quoted '>' in an attribute BEFORE href cannot
+  // truncate the tag match. Lazy so the scan stops at the first href.
+  private val aAttrs = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*?"
+
+  /** Hyperlink extraction — every `<a href>` value, one row per
     * (doc, anchor): the raw edge list the link graph and any
-    * anchor-text model derive from. One regexp_extract_all projection
-    * + explode; scan speed, no shuffle.
+    * anchor-text model derive from. The tag pattern is attribute-
+    * QUOTE-AWARE (the hardened textExtract rule — `data-x="a>b"`
+    * before the href cannot truncate the match) and anchor-scoped, so
+    * `href` on a `<link>` or `<area>` is not an edge. One
+    * regexp_extract_all projection + explode; scan speed, no shuffle.
     */
   def linkExtract(documents: DataFrame, htmlCol: String = "html"): DataFrame =
     documents.select(col("doc_id"),
       explode(regexp_extract_all(col(htmlCol),
-        lit("(?i)href=[\"']([^\"']+)[\"']"), lit(1))).as("href"))
+        lit("(?is)<a\\s" + aAttrs + "href=[\"']([^\"']+)[\"']"),
+        lit(1))).as("href"))
 
   /** Host-level link graph — (src_host, dst_host, n_links) edges:
     * source host from the page's own canonical URL
@@ -226,7 +236,8 @@ object WebOps {
     * needed).
     */
   def anchorText(documents: DataFrame, htmlCol: String = "html"): DataFrame = {
-    val pat = "(?is)<a\\s[^>]*href=[\"']([^\"']+)[\"'][^>]*>(.*?)</a>"
+    val pat = "(?is)<a\\s" + aAttrs + "href=[\"']([^\"']+)[\"']" +
+      aAttrs + ">(.*?)</a>"
     val pairs = zip_with(
       regexp_extract_all(col(htmlCol), lit(pat), lit(1)),
       regexp_extract_all(col(htmlCol), lit(pat), lit(2)),

@@ -95,6 +95,21 @@ class WebOpsSpec extends SparkSuite {
       ("h13.example.com", "two", 1L)), s"got $r")
   }
 
+  test("linkExtract + anchorText: a quoted '>' in an attribute BEFORE " +
+      "href cannot truncate the tag (the textExtract attrBody rule)") {
+    val html = "<p><a data-note=\"5 > 3\" href='http://a.io/x' " +
+      "class='k'>kept</a> and <link href='http://css.io/s'></p>"
+    val links = WebOps.linkExtract(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().map(_.getAs[String]("href"))
+    // the anchor survives its quoted '>'; the <link> href is NOT an
+    // edge (anchor-scoped extraction)
+    assert(links.toSeq == Seq("http://a.io/x"), links.mkString(";"))
+    val anchors = WebOps.anchorText(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().map(x => (x.getAs[String]("dst_host"),
+        x.getAs[String]("anchor")))
+    assert(anchors.toSeq == Seq(("a.io", "kept")), anchors.mkString(";"))
+  }
+
   test("anchorText: aggregation counts repeated anchors per host") {
     val html = "<p><a href='http://a.io/1'>same</a> " +
       "<a href='http://a.io/2'>same</a> " +
