@@ -137,6 +137,16 @@ object WebOps {
     */
   def urlNormalize(documents: DataFrame, urlCol: String = "url"): DataFrame = {
     val u = col(urlCol)
+    documents.select(col("doc_id"), u.as("url"), hostOf(u).as("host"),
+      urlCanonicalCol(u).as("url_canonical"))
+  }
+
+  /** The canonical-URL EXPRESSION behind [[urlNormalize]] — exposed so
+    * stream stages can APPEND it to a frame whose other columns must
+    * ride through (the textExtractCols convention); one definition,
+    * no drift.
+    */
+  private[graft] def urlCanonicalCol(u: Column): Column = {
     val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://(.*)$", 1)
     val pqf = regexp_extract(rest, "^[^/?#]*(.*)$", 1)
     val rawPath = regexp_extract(pqf, "^([^?#]*)", 1)
@@ -149,11 +159,10 @@ object WebOps {
       p =!= "" && !(startswith(p, lit("utm_")) ||
         startswith(p, lit("fbclid=")) || startswith(p, lit("gclid=")) ||
         startswith(p, lit("ref=")) || startswith(p, lit("mc_eid="))))
-    documents.select(col("doc_id"), u.as("url"), hostOf(u).as("host"),
-      concat(schemeOf(u), lit("://"), hostOf(u), path,
-        when(size(params) > 0,
-          concat(lit("?"), array_join(array_sort(params), "&")))
-          .otherwise(lit(""))).as("url_canonical"))
+    concat(schemeOf(u), lit("://"), hostOf(u), path,
+      when(size(params) > 0,
+        concat(lit("?"), array_join(array_sort(params), "&")))
+        .otherwise(lit("")))
   }
 
   /** URL-level dedup over [[urlNormalize]]'s canonical key — the
@@ -260,18 +269,26 @@ object WebOps {
     * string and false flags, so the gate composes as a simple
     * `!noindex` filter.
     */
-  def metaRobots(documents: DataFrame, htmlCol: String = "html"): DataFrame = {
-    val robots = regexp_extract(lower(col(htmlCol)),
+  private def robotsContentOf(html: Column): Column =
+    regexp_extract(lower(html),
       "<meta\\s+name=[\"']robots[\"']\\s+content=[\"']([^\"']*)[\"']", 1)
+
+  private def robotsFlag(content: Column, directive: String): Column =
+    size(filter(split(content, ","), d => trim(d) === directive)) > 0
+
+  /** The `noindex` decision as a bare EXPRESSION — the stream-gate
+    * door ([[graft.streaming.DocStream.curatePipelineFromWarc]] drops
+    * opted-out pages with it before extraction pays for them); same
+    * token-exact parse as [[metaRobots]], one definition.
+    */
+  private[graft] def noindexCol(html: Column): Column =
+    robotsFlag(robotsContentOf(html), "noindex")
+
+  def metaRobots(documents: DataFrame, htmlCol: String = "html"): DataFrame =
     documents
-      .select(col("doc_id"), robots.as("robots"))
-      .withColumn("noindex",
-        size(filter(split(col("robots"), ","),
-          d => trim(d) === "noindex")) > 0)
-      .withColumn("nofollow",
-        size(filter(split(col("robots"), ","),
-          d => trim(d) === "nofollow")) > 0)
-  }
+      .select(col("doc_id"), robotsContentOf(col(htmlCol)).as("robots"))
+      .withColumn("noindex", robotsFlag(col("robots"), "noindex"))
+      .withColumn("nofollow", robotsFlag(col("robots"), "nofollow"))
 
   /** Fixed-point PageRank over a weighted host graph (Page, Brin,
     * Motwani & Winograd 1999; damping 0.85) — the crawl-quality

@@ -102,7 +102,7 @@ object WarcSource {
       .flatMap { case (file, bytes) => parseWarc(file, maybeGunzip(bytes)) }
       .toDF()
       .where(col("record_type") === "response")
-      .select(xxhash64(col("url")).as("doc_id"), col("html"),
+      .select(xxhash64(col("url")).as("doc_id"), col("url"), col("html"),
         lit("und").as("lang"),
         regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("source"),
         col("fetch_ts").as("ingest_ts"))

@@ -174,9 +174,26 @@ object DocStream {
       minStopRatio: Double = 0.05, benchmarkEvery: Int = 10,
       minScore: Double = 0.5, valPct: Int = 10, testPct: Int = 10,
       ttlMs: Long = 3600 * 1000L,
+      urlDedupWatermark: String = "10 minutes",
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    // stage-0 URL-level dedup, the published order (C4/RefinedWeb dedup
+    // by canonical URL BEFORE any text work): re-fetches of one page
+    // under decorated URLs drop here, before extraction pays for them.
+    // The drop is SILENT by design — unlike a claim verdict, the
+    // rejected row is the same RESOURCE as the kept one and the WARC
+    // archive itself is the audit trail; quarantine stays reserved for
+    // content-level decisions.
+    // the robots opt-out is honored FIRST (a stateless deterministic
+    // reject — re-runnable from the archive, so dropped not
+    // quarantined, the gate-reject policy): a noindex page never
+    // reaches the dedup state or the extractor
     val pages = graft.sources.WarcSource
       .pagesStream(spark, inDir, maxFilesPerTrigger)
+      .where(!graft.operators.WebOps.noindexCol(col("html")))
+      .withColumn("url_canonical",
+        graft.operators.WebOps.urlCanonicalCol(col("url")))
+      .withWatermark("ingest_ts", urlDedupWatermark)
+      .dropDuplicatesWithinWatermark("url_canonical")
     val docs = StreamingOps.extractDocStream(pages, "html",
         minWords, maxLinkDensity)
       .select("doc_id", "text", "lang", "source", "ingest_ts")

@@ -280,7 +280,7 @@ class CuratePipelineSpec extends SparkSuite {
     val urls = Map(
       "A" -> "http://s1.test/a", "B" -> "http://s2.test/b",
       "C" -> "http://s1.test/c", "D" -> "http://s3.test/d",
-      "E" -> "http://s1.test/e")
+      "E" -> "http://s1.test/e", "F" -> "http://s1.test/f")
     // pagesStream keys docs by xxhash64(url); pick the holdout modulus
     // so NONE of the fixture ids lands on the holdout residue (the
     // %every rule is id-blind — a real intake accepts that tithe, a
@@ -290,13 +290,19 @@ class CuratePipelineSpec extends SparkSuite {
       .toMap
     val every = Seq(10, 7, 11, 13, 17, 19).find(e =>
       h.values.forall(v => java.lang.Math.floorMod(v, e.toLong) != 0L)).get
+    // page F opts out via robots meta but would otherwise pass every
+    // gate — only the robots stage can account for its absence
+    def noindexHtml(text: String): String =
+      "<html><head><meta name='robots' content='noindex'></head>" +
+        "<body><p>" + text + "</p></body></html>"
     def pack(name: String, recs: Seq[(String, String)],
         poisonAfterFirst: Boolean = false): Unit = {
       val bytes = new java.io.ByteArrayOutputStream()
       recs.zipWithIndex.foreach { case ((url, text), i) =>
         bytes.write(graft.sources.WarcSource.packRecord(url,
           java.time.Instant.parse("2024-01-01T10:00:00Z")
-            .plusSeconds(i.toLong), pageHtml(text)))
+            .plusSeconds(i.toLong),
+          if (url == urls("F")) noindexHtml(text) else pageHtml(text)))
         if (poisonAfterFirst && i == 0)
           bytes.write("GARBAGE bytes that are not a record\r\n\r\n"
             .getBytes("UTF-8"))
@@ -328,10 +334,23 @@ class CuratePipelineSpec extends SparkSuite {
       "archive pages must parse, extract and land; the cross-URL " +
         "exact dup must not")
     finally q1.stop()
-    // archive 2 carries a poison blob between records: the dup text
-    // still rejects off the RECOVERED claim state, the fresh page
-    // lands, the garbage costs nothing
-    pack("w2.warc", Seq(urls("D") -> text1, urls("E") -> text9),
+    // archive 2 carries a poison blob between records PLUS a
+    // re-fetch of page A under a DECORATED url (tracking param +
+    // fragment): stage-0 URL dedup drops it against the recovered
+    // canonical-url state BEFORE extraction — silently (same
+    // resource; the archive is the audit trail), so it must appear
+    // neither in the landing nor in quarantine. The dup TEXT under a
+    // genuinely different URL (D) still rejects off the recovered
+    // claim state, the fresh page lands, the garbage costs nothing.
+    pack("w2.warc", Seq(urls("D") -> text1, urls("E") -> text9,
+      (urls("A") + "?utm_source=re&fbclid=z#top") -> text1,
+      // F: a fresh prose page that OPTED OUT via robots noindex —
+      // honored before any state or extraction, dropped not
+      // quarantined (stateless deterministic reject); its text would
+      // pass every other gate, so only the robots stage explains its
+      // absence from BOTH the landing and the quarantine
+      urls("F") -> ("the opted out page is otherwise one of the " +
+        "cleanest documents with many common words")),
       poisonAfterFirst = true)
     val q2 = DocStream.curatePipelineFromWarc(spark, in.getPath,
       benchmark, probeIdx, dsirIdx, out, ckpt, minScore = 0.0,
