@@ -248,16 +248,28 @@ object SparkEntry {
     memo(s, d, "images")(
       MultimodalOps.syntheticImages(t(s, d, "documents")).persist(FixtureLvl))
 
+  // ONE definition of the web-family fixture wiring (the synthetic
+  // url / linked-html columns) — seven registry keys consume it, so a
+  // fixture change lands in one place (review finding)
+  private def webPagesOf(s: SparkSession, d: String,
+      withUrl: Boolean = false, withHtml: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = t(s, d, "documents")
+    val u = if (withUrl)
+      base.withColumn("url", WebOps.syntheticUrl(col("doc_id")))
+    else base
+    if (withHtml)
+      u.withColumn("html",
+        WebOps.syntheticLinkedHtml(col("doc_id"), col("text")))
+    else u
+  }
+
   // the aggregate-sized host-graph edge frame, shared by the pagerank
   // key (whose unrolled iterative plan references it once per power
   // iteration) — hosts² rows at most, the classic stored-aggregate
   private def hostGraphOf(s: SparkSession, d: String): DataFrame =
     memo(s, d, "hostgraph") {
-      import org.apache.spark.sql.functions.col
-      WebOps.hostGraph(t(s, d, "documents")
-        .withColumn("url", WebOps.syntheticUrl(col("doc_id")))
-        .withColumn("html",
-          WebOps.syntheticLinkedHtml(col("doc_id"), col("text"))))
+      WebOps.hostGraph(webPagesOf(s, d, withUrl = true, withHtml = true))
         .persist(FixtureLvl)
     }
 
@@ -606,28 +618,14 @@ object SparkEntry {
     // canonicalization, URL-level dedup, the host link graph, and
     // fixed-point PageRank; fixtures synthesize the missing url/link
     // columns deterministically and the oracles mirror them literally
-    "q_url_normalize" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      WebOps.urlNormalize(t(s, d, "documents").withColumn("url",
-        WebOps.syntheticUrl(col("doc_id"))))
-    }),
-    "q_url_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      WebOps.urlDedup(t(s, d, "documents").withColumn("url",
-        WebOps.syntheticUrl(col("doc_id"))))
-    }),
-    "q_link_extract" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      WebOps.linkExtract(t(s, d, "documents").withColumn("html",
-        WebOps.syntheticLinkedHtml(col("doc_id"), col("text"))))
-    }),
-    "q_host_graph" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      WebOps.hostGraph(t(s, d, "documents")
-        .withColumn("url", WebOps.syntheticUrl(col("doc_id")))
-        .withColumn("html",
-          WebOps.syntheticLinkedHtml(col("doc_id"), col("text"))))
-    }),
+    "q_url_normalize" -> ((s, d) =>
+      WebOps.urlNormalize(webPagesOf(s, d, withUrl = true))),
+    "q_url_dedup" -> ((s, d) =>
+      WebOps.urlDedup(webPagesOf(s, d, withUrl = true))),
+    "q_link_extract" -> ((s, d) =>
+      WebOps.linkExtract(webPagesOf(s, d, withHtml = true))),
+    "q_host_graph" -> ((s, d) =>
+      WebOps.hostGraph(webPagesOf(s, d, withUrl = true, withHtml = true))),
     // PageRank consumes the MEMOIZED host-graph frame: the iterative
     // plan references its edges once per power iteration, so the
     // shared instance (with pageRank's own persist markers) keeps the
@@ -638,16 +636,10 @@ object SparkEntry {
     // anchor-text profile per destination host (the retrieval-training
     // link-context signal) and the robots-meta opt-out gate — both
     // over the same linked-page fixture
-    "q_anchor_text" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      WebOps.anchorText(t(s, d, "documents").withColumn("html",
-        WebOps.syntheticLinkedHtml(col("doc_id"), col("text"))))
-    }),
-    "q_meta_robots" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      WebOps.metaRobots(t(s, d, "documents").withColumn("html",
-        WebOps.syntheticLinkedHtml(col("doc_id"), col("text"))))
-    }),
+    "q_anchor_text" -> ((s, d) =>
+      WebOps.anchorText(webPagesOf(s, d, withHtml = true))),
+    "q_meta_robots" -> ((s, d) =>
+      WebOps.metaRobots(webPagesOf(s, d, withHtml = true))),
     // encoding-damage audit: testdata text is clean ASCII, so the
     // fixture plants each damage class on a disjoint residue slice
     // and the untouched majority pins the zero path (oracle mirrors
@@ -1117,14 +1109,8 @@ object SparkEntry {
   // synthetic-URL / linked-page constructions and the canonicalization
   // chain appear in five oracles — ONE definition each, composed per
   // key, so the mirrors cannot drift apart
-  private val urlFixtureSql =
-    """WITH f AS (
-      |  SELECT doc_id, doc_id // 4 AS g,
-      |    (CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END) || 'h' ||
-      |    CAST((doc_id // 4) % 20 AS VARCHAR) || '.example.com' AS hraw
-      |  FROM documents
-      |), u AS (
-      |""".stripMargin + urlFixtureBodySql
+  // lazy: defined textually before the CTE fragment it wraps
+  private lazy val urlFixtureSql = "WITH " + urlFixtureCteSql
 
   // the same fixture as a NON-WITH-opening CTE (for oracles that
   // already opened their WITH chain)

@@ -1701,20 +1701,25 @@ object Similarity {
   }
 
   /** The scheduled ANN retrain as ENGINE BEHAVIOR, closing the index
-    * lifecycle ([[annGeometry]] decides, this acts — the r11 verdict's
-    * "retrain scheduling as code, not prose"): read the stored
-    * geometry, and iff `retrain_due`, rewrite the index over the
-    * CURRENT corpus snapshot at the √N auto geometry
-    * ([[writeAnnIndex]] with `nCells = 0`). Returns one row — the
-    * POST-state geometry plus `retrained` (whether this call acted).
-    * Idempotent by construction: a fresh √N index is immediately
-    * not-due (recommendation ≡ stored within the 2× band), so a
-    * cron'd call is a cheap geometry read until real growth or
-    * shrinkage crosses the band — the production loop is literally
-    * `retrainAnnIndexIfDue(spark, path, currentSnapshot)` per epoch.
-    * EAGER (writeAnnIndex trains Lloyd's + PQ when due); the not-due
-    * branch costs one constant-size artifact read + one nCells-row
-    * aggregate.
+    * lifecycle (the r11 verdict's "retrain scheduling as code, not
+    * prose"): the due decision compares the STORED cell count against
+    * the √N rule applied to the CURRENT corpus snapshot — not to the
+    * stored index's own row count, which after any auto write agrees
+    * with its own cell count forever and would make growth invisible
+    * (review finding: an index auto-sized at 10k vecs must retrain
+    * when the corpus reaches 1M, and only the snapshot knows that).
+    * Due means drift past the 2× band in either direction (the
+    * [[annGeometry]] rule, applied to the live count); iff due, the
+    * index rewrites over the snapshot at √N auto geometry
+    * ([[writeAnnIndex]] `nCells = 0`). Returns one row — the
+    * post-state stored geometry, `recommended_cells`/`retrain_due`
+    * under the CURRENT-corpus rule, plus `retrained` (whether this
+    * call acted). Idempotent: a fresh √N index over the same snapshot
+    * is immediately not-due, so a cron'd
+    * `retrainAnnIndexIfDue(spark, path, currentSnapshot)` per epoch
+    * is a cheap artifact read + one corpus count until real growth or
+    * shrinkage crosses the band. EAGER (writeAnnIndex trains Lloyd's
+    * + PQ when due).
     */
   def retrainAnnIndexIfDue(spark: org.apache.spark.sql.SparkSession,
       path: String, embeddings: DataFrame, nProbe: Int = 6,
@@ -1722,17 +1727,24 @@ object Similarity {
       iters: Int = 3, dim: Int = 64): DataFrame = {
     import spark.implicits._
     val before = annGeometry(spark, path, nProbe, maxCells).collect()(0)
-    val due = before.getAs[Boolean]("retrain_due")
+    // the same encodability filter writeAnnIndex applies, so the
+    // count the decision uses is the count a retrain would index
+    val curN = registered(embeddings)
+      .select(col("vec_id"), col("embedding"))
+      .where(pqEncodable(dim)).count()
+    val rec = annAutoCells(curN, maxCells)
+    val nCells = before.getAs[Long]("n_cells")
+    val due = nCells * 2 < rec || nCells > rec.toLong * 2
     if (due)
       writeAnnIndex(embeddings, path, nCells = 0, m = m,
         kCodes = kCodes, iters = iters, dim = dim, maxCells = maxCells)
     val after =
       if (due) annGeometry(spark, path, nProbe, maxCells).collect()(0)
       else before
-    Seq((after.getAs[Long]("n_cells"), after.getAs[Long]("n_vecs"),
-        after.getAs[Long]("recommended_cells"),
+    val afterCells = after.getAs[Long]("n_cells")
+    Seq((afterCells, after.getAs[Long]("n_vecs"), rec.toLong,
         after.getAs[Long]("probed_fraction_ppm"),
-        after.getAs[Boolean]("retrain_due"), due))
+        afterCells * 2 < rec || afterCells > rec.toLong * 2, due))
       .toDF("n_cells", "n_vecs", "recommended_cells",
         "probed_fraction_ppm", "retrain_due", "retrained")
   }

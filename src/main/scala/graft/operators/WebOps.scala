@@ -319,15 +319,25 @@ object WebOps {
     */
   def pageRank(edges: DataFrame, srcCol: String = "src_host",
       dstCol: String = "dst_host", wCol: String = "n_links",
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5, persistFrames: Boolean = true): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    // persistFrames: the unrolled plan references the prepared edge
+    // and node frames once per iteration, so by default they persist
+    // (aggregate-sized pins). The pins are PER-CALL instances a lazy
+    // result cannot unpersist — a long-lived driver invoking the
+    // operator repeatedly should pass persistFrames = false and hand
+    // in an already-persisted edge frame instead (the registry's
+    // memoized host-graph pattern), keeping cache retention caller-
+    // owned (review finding).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def pinned(df: DataFrame): DataFrame =
+      if (persistFrames) df.persist(lvl) else df
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
     val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
-    val ew = e.join(outw, "src").persist(lvl)
-    val nodes = e.select(col("src").as("host"))
-      .union(e.select(col("dst"))).distinct().persist(lvl)
+    val ew = pinned(e.join(outw, "src"))
+    val nodes = pinned(e.select(col("src").as("host"))
+      .union(e.select(col("dst"))).distinct())
     var ranks = nodes.select(col("host"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
       val inflow = ew.join(ranks.withColumnRenamed("host", "src"), "src")

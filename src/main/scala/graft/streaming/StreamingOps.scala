@@ -706,7 +706,15 @@ object StreamingOps {
     * Keeping dedup inside the claim is what makes the chain ONE
     * stateful operator — a `dropDuplicatesWithinWatermark` ahead of
     * the flatMapGroupsWithState would be a second stateful exchange
-    * the state checker may not admit and the claim makes redundant.
+    * the claim makes redundant. (It IS admitted by Spark 4's
+    * unsupported-operations checker — only EventTimeTimeout
+    * flatMapGroupsWithState, append-mode aggregates and stream-stream
+    * joins are "cannot be followed" operations, and this claim uses
+    * ProcessingTimeTimeout; [[graft.streaming.DocStream
+    * .curatePipelineFromWarc]] relies on exactly that chained form
+    * for its CONTENT-INDEPENDENT stage-0 URL dedup, where the key is
+    * not derivable from the claim's text state. Redundancy, not
+    * admissibility, is why TEXT dedup stays folded in here.)
     * Within a micro-batch, claims go to the LOWEST docId (the batch
     * keep-first convention — parity-spec'd); across batches the
     * claimant is first-arrival inside the TTL horizon, the documented

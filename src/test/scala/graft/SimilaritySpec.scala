@@ -963,8 +963,10 @@ class SimilaritySpec extends SparkSuite {
     assert(!g2.getAs[Boolean]("retrain_due"), s"got $g2")
   }
 
-  test("retrainAnnIndexIfDue: acts exactly when geometry says so, " +
-      "and the fresh index is immediately not-due") {
+  test("retrainAnnIndexIfDue: acts exactly when the CURRENT corpus " +
+      "says so — mis-pin, growth, and shrinkage all fire; a fresh " +
+      "index over the same snapshot is immediately not-due") {
+    import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files
       .createTempDirectory("graft-annretrain").toString
     // pin a stale-small geometry, then hand the CURRENT snapshot to
@@ -985,6 +987,27 @@ class SimilaritySpec extends SparkSuite {
       .map(_.toString).sorted
     assert(codesBefore.sameElements(codesAfter),
       "a not-due call must leave the stored codes untouched")
+    // GROWTH (the review finding: the decision must read the
+    // SNAPSHOT, not the stored index's own row count — an auto-sized
+    // index agrees with itself forever): index auto-written over a
+    // 20-vec slice (8 cells) must retrain when handed the full
+    // 500-vec corpus (√N rule: 23 cells, past the 2× band)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-annretrain-grow").toString
+    val slice = emb.where(col("vec_id") % 25 === 0)
+    Similarity.writeAnnIndex(slice, dir2)
+    val g = Similarity.retrainAnnIndexIfDue(spark, dir2, emb).collect()(0)
+    assert(g.getAs[Boolean]("retrained"),
+      s"growth past the band must retrain: $g")
+    assert(g.getAs[Long]("n_cells") == 23L, s"got $g")
+    assert(!g.getAs[Boolean]("retrain_due"), s"got $g")
+    // SHRINKAGE: the 23-cell index handed the 20-vec slice is stale
+    // the other way (23 > 2·8) — retrains back down
+    val sh = Similarity.retrainAnnIndexIfDue(spark, dir2, slice)
+      .collect()(0)
+    assert(sh.getAs[Boolean]("retrained"),
+      s"shrinkage past the band must retrain: $sh")
+    assert(sh.getAs[Long]("n_cells") == 8L, s"got $sh")
   }
 
   private lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
