@@ -264,6 +264,25 @@ object SparkEntry {
     else u
   }
 
+  // memoized sentence-level fixture: segmented sentences (with
+  // planted punctuation + inherited lang) and their hash embeddings —
+  // the stored-encoder-output stand-in the sentence miner reads
+  private def sentFixtureOf(s: SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    memo(s, d, "sentfix") {
+      import org.apache.spark.sql.functions.{col, lit}
+      val docs = t(s, d, "documents")
+      val sents = TextOps.sentSplit(docs.withColumn("text",
+          TextOps.syntheticSentences(col("text"))))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select((col("sent_id") * lit(1000000000L) + col("doc_id"))
+          .as("doc_id"), col("sentence").as("text"), col("lang"))
+        .persist(FixtureLvl)
+      val semb = TextOps.hashEmbed(sents)
+        .withColumnRenamed("doc_id", "vec_id").persist(FixtureLvl)
+      (sents, semb)
+    }
+
   // the aggregate-sized host-graph edge frame, shared by the pagerank
   // key (whose unrolled iterative plan references it once per power
   // iteration) — hosts² rows at most, the classic stored-aggregate
@@ -650,6 +669,30 @@ object SparkEntry {
         WebOps.syntheticDamage(col("doc_id"), col("text"))))
     }),
     "q_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"))),
+    // sentence segmentation (the unit sentence-level dedup / bitext /
+    // packing operate on): testdata text is terminator-free, so the
+    // fixture plants a period after every 12th word (oracle-mirrored
+    // group-ref replace) and the trailing unterminated run pins the
+    // no-terminator path on every row
+    "q_sent_split" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextOps.sentSplit(t(s, d, "documents").withColumn("text",
+        TextOps.syntheticSentences(col("text"))))
+    }),
+    // rows-only (hash-embedding geometry): bitext mining at SENTENCE
+    // level — the CCMatrix-shaped composition: segment, embed each
+    // sentence (model-free hashEmbed stands in for the encoder),
+    // margin-mine mutual-best pairs across the lang split; sentence
+    // uid = sent_id·1e9 + doc_id so the bounded query batch
+    // (q_id < nQueries) selects FIRST sentences of the first docs.
+    // Sentence frame + embeddings are MEMOIZED fixtures (the
+    // mediaCache rationale: a real miner reads stored sentence
+    // embeddings — the encoder ran once at ingest; re-deriving them
+    // per plan reference would measure the fixture, not the miner)
+    "q_mine_bitext_sent" -> ((s, d) => {
+      val (sents, semb) = sentFixtureOf(s, d)
+      Similarity.mineBitext(semb, sents)
+    }),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "q_winnow" -> ((s, d) => TextOps.winnow(t(s, d, "documents"))),
     "q_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(t(s, d, "documents"))),
@@ -1091,7 +1134,8 @@ object SparkEntry {
     * q_media_pipeline (composed multimodal decode capstone),
     * q_diverse_select,
     * q_simhash_groups, q_ann_recall, q_cluster_purity, q_ann_retrain
-    * (eager Lloyd's/PQ index train).
+    * (eager Lloyd's/PQ index train), q_mine_bitext_sent
+    * (hash-embedding geometry).
     *
     * The hashed-key twins ARE oracled: q_dup_span_hashed and
     * q_decontaminate_hashed swap xxhash64 gram keys into the shuffle
@@ -2017,6 +2061,23 @@ object SparkEntry {
     "q_anchor_text" -> (linkPageSql + anchorTextSql +
       """SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n
         |FROM ah WHERE dst_host <> '' GROUP BY 1, 2""".stripMargin),
+    "q_sent_split" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((?:\S+\s+){11}\S+)\s+', '\1. ', 'g') AS stext
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_extract_all(stext, '[^.!?]+[.!?]*'),
+        |      x -> trim(x)), x -> x <> '') AS sents
+        |  FROM synth
+        |), s AS (
+        |  SELECT doc_id, sents, unnest(range(0, len(sents))) AS sent_id FROM t
+        |)
+        |SELECT doc_id, CAST(sent_id AS BIGINT) AS sent_id,
+        |  sents[sent_id + 1] AS sentence,
+        |  CAST(len(list_filter(string_split(sents[sent_id + 1], ' '), w -> w <> '')) AS BIGINT) AS n_tok
+        |FROM s""".stripMargin,
     "q_meta_robots" -> (linkPageSql +
       """SELECT doc_id, robots,
         |  len(list_filter(string_split(robots, ','), d -> trim(d) = 'noindex')) > 0 AS noindex,

@@ -355,6 +355,41 @@ object TextOps {
         .as("fail_reasons"))
   }
 
+  /** Deterministic sentence-punctuation fixture — the testdata text
+    * is terminator-free word soup, so the registered segmentation
+    * query plants a period after every 12th word (one global
+    * group-reference replace, mirrored in the oracle — Spark `$1` /
+    * DuckDB `\1` are the same group-ref semantics) and the trailing
+    * unterminated run pins the no-terminator path on every row.
+    */
+  def syntheticSentences(text: Column): Column =
+    regexp_replace(text, "((?:\\S+\\s+){11}\\S+)\\s+", "$1. ")
+
+  /** Sentence segmentation — the unit sentence-level dedup, bitext
+    * mining (CCMatrix-style pipelines mine PAIRS OF SENTENCES, not
+    * documents) and context-packing operate on: terminator-delimited
+    * runs (`[^.!?]+[.!?]*` — the final unterminated run is a sentence
+    * too), trimmed, empties dropped, one (doc_id, sent_id, sentence,
+    * n_tok) row per sentence with sent_id the document-order
+    * position. One regexp_extract_all + posexplode projection —
+    * scan-local, no shuffle, order rides the array (no window).
+    * Honest limit, stated: abbreviation periods ("Dr.", "e.g.")
+    * split — the regex-class segmenter's standard trade; a
+    * model-based splitter is a scoring stage, not an engine stage.
+    */
+  def sentSplit(documents: DataFrame): DataFrame = {
+    val sents = filter(transform(
+      regexp_extract_all(col("text"), lit("[^.!?]+[.!?]*"), lit(0)),
+      s => trim(s)), s => s =!= "")
+    documents
+      .select(col("doc_id"),
+        posexplode(sents).as(Seq("sent_id", "sentence")))
+      .select(col("doc_id"), col("sent_id").cast("long").as("sent_id"),
+        col("sentence"),
+        size(filter(split(col("sentence"), " "), w => w =!= ""))
+          .cast("long").as("n_tok"))
+  }
+
   /** Token counting per language tag: whitespace tokens and BPE-ish
     * regex tokens (letter runs / digit runs / single symbols).
     */

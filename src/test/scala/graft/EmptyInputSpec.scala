@@ -291,5 +291,6 @@ class EmptyInputSpec extends SparkSuite {
     assertEmptyOk("encodingAudit", WebOps.encodingAudit(noDocs))
     assertEmptyOk("anchorText", WebOps.anchorText(noPages))
     assertEmptyOk("metaRobots", WebOps.metaRobots(noPages))
+    assertEmptyOk("sentSplit", TextOps.sentSplit(noDocs))
   }
 }

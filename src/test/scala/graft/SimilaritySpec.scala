@@ -1010,6 +1010,29 @@ class SimilaritySpec extends SparkSuite {
     assert(sh.getAs[Long]("n_cells") == 8L, s"got $sh")
   }
 
+  test("mineBitext over sentSplit sentences (the q_mine_bitext_sent " +
+      "composition): an identical first sentence across the lang " +
+      "split mines as the top margin pair") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = Seq(
+      (1L, "alpha beta gamma delta. second sentence here", "en"),
+      (2L, "alpha beta gamma delta. andere worte hier", "de"),
+      (3L, "completely different words entirely. mehr text", "de"))
+      .toDF("doc_id", "text", "lang")
+    val sents = graft.operators.TextOps.sentSplit(d)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select((col("sent_id") * lit(1000000000L) + col("doc_id"))
+        .as("doc_id"), col("sentence").as("text"), col("lang"))
+    val pairs = Similarity.mineBitext(
+      graft.operators.TextOps.hashEmbed(sents)
+        .withColumnRenamed("doc_id", "vec_id"), sents, k = 2)
+      .collect()
+    // sentence uid 1 = doc 1's first sentence; its token multiset
+    // equals doc 2's first sentence (uid 2) → cosine 1.0, margin max
+    assert(pairs.exists(r => r.getAs[Long]("src_id") == 1L &&
+      r.getAs[Long]("dst_id") == 2L), pairs.mkString(";"))
+  }
+
   private lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
 
   test("mineBitext: mutual-best pairs across the lang split, margins " +

@@ -9,6 +9,36 @@ import graft.sources.Tables
 class TextOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("sentSplit: terminator runs, trailing unterminated sentence, " +
+      "empty and all-terminator docs vanish") {
+    val docs = Seq(
+      (1L, "One two. Three four! Five six? Trailing run"),
+      (2L, "no terminators at all"),
+      (3L, "..."),
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextOps.sentSplit(docs).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("sent_id")) ->
+        ((x.getAs[String]("sentence"), x.getAs[Long]("n_tok")))).toMap
+    assert(r.keySet.map(_._1) == Set(1L, 2L),
+      s"docs 3/4 have no sentences: ${r.keySet}")
+    assert(r((1L, 0L)) == (("One two.", 2L)), s"got ${r((1L, 0L))}")
+    assert(r((1L, 1L)) == (("Three four!", 2L)))
+    assert(r((1L, 2L)) == (("Five six?", 2L)))
+    assert(r((1L, 3L)) == (("Trailing run", 2L)))
+    assert(r((2L, 0L)) == (("no terminators at all", 4L)))
+  }
+
+  test("syntheticSentences: a period lands after every 12th word; " +
+      "sentSplit recovers 12-word sentences plus the remainder") {
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val out = TextOps.sentSplit(Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("text", TextOps.syntheticSentences(col("text"))))
+      .orderBy("sent_id").collect()
+    assert(out.map(_.getAs[Long]("n_tok")).toSeq == Seq(12L, 12L, 6L),
+      out.mkString(";"))
+    assert(out(0).getAs[String]("sentence").endsWith("w12."))
+  }
+
   test("textExtract: known-answer boilerplate removal on a hand-built page") {
     val html =
       "<html><head><title>My Page</title><script>var a=1;</script>" +
