@@ -283,6 +283,19 @@ object SparkEntry {
       (sents, semb)
     }
 
+  // memoized sentence-level IVF-PQ index over the sentence hash
+  // embeddings — the served sentence-bitext leg reads it; geometry
+  // PINNED at nCells=8 (the annIndexOf toy-scale convention: the
+  // near-uniform hash embeddings need the 75%-probed operating point
+  // for the recall the margin stage assumes; production corpora take
+  // writeAnnIndex's √N auto default and q_index_stats flags the pin)
+  private def sentAnnIndexOf(s: SparkSession, d: String): String =
+    memo(s, d, "sentannindex-path") {
+      val p = indexScratchPath(d, "sentannindex")
+      Similarity.writeAnnIndex(sentFixtureOf(s, d)._2, p, nCells = 8)
+      p
+    }
+
   // the aggregate-sized host-graph edge frame, shared by the pagerank
   // key (whose unrolled iterative plan references it once per power
   // iteration) — hosts² rows at most, the classic stored-aggregate
@@ -692,6 +705,21 @@ object SparkEntry {
     "q_mine_bitext_sent" -> ((s, d) => {
       val (sents, semb) = sentFixtureOf(s, d)
       Similarity.mineBitext(semb, sents)
+    }),
+    // rows-only (recall-bounded): the SERVED sentence leg — the same
+    // miner off a persisted sentence-level IVF-PQ index (sentence
+    // uids in place of doc ids, nothing else changes: the machinery
+    // is id-agnostic). This is the scale path the exact sentence
+    // leg's corpus-linear dst scan is retired by at real sizes.
+    // nQueries = 100: the sentence corpus is ~7× the doc corpus and
+    // the toy-scale 8-cell pin probes 75% of it, so the ADC mass per
+    // query is ~7× the doc-level leg's — the halved batch keeps the
+    // registered key's wall in the suite's per-key band while the
+    // batching loop (mineBitextAll) remains the documented full-sweep
+    "q_mine_bitext_sent_ann" -> ((s, d) => {
+      val (sents, semb) = sentFixtureOf(s, d)
+      Similarity.mineBitextIndexed(s, sentAnnIndexOf(s, d), semb, sents,
+        nQueries = 100)
     }),
     "q_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "q_winnow" -> ((s, d) => TextOps.winnow(t(s, d, "documents"))),

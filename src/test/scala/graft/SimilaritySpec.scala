@@ -1033,6 +1033,32 @@ class SimilaritySpec extends SparkSuite {
       r.getAs[Long]("dst_id") == 2L), pairs.mkString(";"))
   }
 
+  test("sentence-level served bitext (q_mine_bitext_sent_ann shape): " +
+      "pairs off the sentence IVF-PQ index recover the exact leg's " +
+      "pairs on the gate corpus") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sents = graft.operators.TextOps.sentSplit(d.withColumn("text",
+        graft.operators.TextOps.syntheticSentences(col("text"))))
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select((col("sent_id") * lit(1000000000L) + col("doc_id"))
+        .as("doc_id"), col("sentence").as("text"), col("lang"))
+      .persist()
+    val semb = graft.operators.TextOps.hashEmbed(sents)
+      .withColumnRenamed("doc_id", "vec_id").persist()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sentbitext").toString
+    Similarity.writeAnnIndex(semb, dir, nCells = 8)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"))).toSet
+    val exact = pairSet(Similarity.mineBitext(semb, sents))
+    val served = pairSet(Similarity.mineBitextIndexed(spark, dir, semb, sents))
+    assert(exact.nonEmpty, "the gate corpus must mine sentence pairs")
+    val overlap = (exact & served).size.toDouble / exact.size
+    assert(overlap >= 0.8,
+      s"served recall $overlap: exact=${exact.size} served=${served.size}")
+  }
+
   private lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
 
   test("mineBitext: mutual-best pairs across the lang split, margins " +
