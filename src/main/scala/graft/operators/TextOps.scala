@@ -386,9 +386,100 @@ object TextOps {
         posexplode(sents).as(Seq("sent_id", "sentence")))
       .select(col("doc_id"), col("sent_id").cast("long").as("sent_id"),
         col("sentence"),
-        size(filter(split(col("sentence"), " "), w => w =!= ""))
+        // \s+ — the tokenizer's whitespace CLASS, not the single space
+        // (r12 verdict: a sentence spanning a newline or tab must count
+        // its neighbors as separate tokens, the same arithmetic every
+        // other operator's token counts use)
+        size(filter(split(col("sentence"), "\\s+"), w => w =!= ""))
           .cast("long").as("n_tok"))
   }
+
+  /** Deterministic duplicate-span fixture — the testdata docs share
+    * no sentences, so the registered sentence-span dedup plants one
+    * identical three-sentence preamble on the `id%7=2` residue slice
+    * (pre-terminated, so [[sentSplit]] cuts it into the same three
+    * sentences in every planted doc regardless of what follows); the
+    * untouched majority pins the no-duplicate path. Oracle mirrors
+    * the concat.
+    */
+  def syntheticSpanDupes(docId: Column, text: Column): Column =
+    when(pmod(docId.cast("long"), lit(7L)) === 2L,
+      concat(lit("alpha beta one. gamma delta two. epsilon zeta three. "),
+        text)).otherwise(text)
+
+  /** Sentence-span dedup — the C4 §2.2 rule as a query (Raffel et al.
+    * arXiv:1910.10683: "we discard all but one of any three-sentence
+    * span occurring more than once in the data set"): every
+    * `spanLen`-sentence sliding window is keyed by the SHA-256 of its
+    * sentences (U+0001-joined — a separator no sentence can
+    * contain, so span boundaries cannot alias), the globally FIRST
+    * occurrence by (doc_id, sent_id) owns the span, and every
+    * sentence covered by a NON-owner occurrence of a duplicated span
+    * is dropped. One row per sentence with its keep flag — the
+    * rebuild ([[sentSpanDedupApply]]) and any audit read the same
+    * frame.
+    *
+    * Scale shape: segmentation is scan-local; the per-doc lead()
+    * window shuffles on doc_id (balanced — docs are the natural
+    * partition unit); ownership is a span_hash-keyed MIN AGGREGATE,
+    * not a window (partial map-side combine, so the classic hot span
+    * — one cookie-notice preamble on 10⁹ pages — folds to one row per
+    * partition before the shuffle instead of piling 10⁹ rows on one
+    * reducer); the occurrences-to-owner join fans out only on the
+    * probe side (one row per hash on the build side, AQE skew-split
+    * territory at the extreme). Occurrence order rides one BIGINT
+    * `occ_key = doc_id·10⁹ + sent_id` (the sentence-uid convention;
+    * stated bound: sent_id < 10⁹, doc_id < 2⁶³/10⁹ ≈ 9.2·10⁹ — a
+    * corpus beyond that re-keys with a wider encoding).
+    */
+  def sentSpanDedup(documents: DataFrame, spanLen: Int = 3): DataFrame = {
+    require(spanLen >= 2, s"sentSpanDedup: spanLen must be >= 2: $spanLen")
+    val sents = sentSplit(documents)
+    val w = Window.partitionBy("doc_id").orderBy("sent_id")
+    val withLeads = (1 until spanLen).foldLeft(sents) { (df, i) =>
+      df.withColumn(s"s_$i", lead(col("sentence"), i).over(w))
+    }
+    val spanCols = col("sentence") +: (1 until spanLen).map(i => col(s"s_$i"))
+    val spans = withLeads
+      .where(col(s"s_${spanLen - 1}").isNotNull)
+      .select(col("doc_id"), col("sent_id"),
+        (col("doc_id") * lit(1000000000L) + col("sent_id")).as("occ_key"),
+        sha2(concat_ws("\u0001", spanCols: _*), 256).as("span_hash"))
+    val owners = spans.groupBy("span_hash")
+      .agg(min(col("occ_key")).as("own_key"))
+    // a non-owner occurrence of a span (the span is duplicated by
+    // implication — a unique span's only occurrence IS its owner)
+    // removes every sentence position it covers
+    val removed = spans.join(owners, "span_hash")
+      .where(col("occ_key") =!= col("own_key"))
+      .select(col("doc_id"),
+        explode(sequence(col("sent_id"),
+          col("sent_id") + lit(spanLen - 1).cast("long"))).as("sent_id"))
+      .distinct()
+    sents.join(removed.withColumn("rm", lit(true)),
+        Seq("doc_id", "sent_id"), "left")
+      .select(col("doc_id"), col("sent_id"), col("sentence"), col("n_tok"),
+        col("rm").isNull.as("keep"))
+  }
+
+  /** [[sentSpanDedup]] materialized back to documents — per doc the
+    * kept-sentence rebuild (document order, single-space joined — the
+    * segmentation's inverse up to inter-sentence whitespace), the
+    * sentence counts and the kept token mass. One doc-keyed aggregate
+    * over the flag frame.
+    */
+  def sentSpanDedupApply(documents: DataFrame, spanLen: Int = 3): DataFrame =
+    sentSpanDedup(documents, spanLen)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sents"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(lit(0L)))
+          .as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("sent_id"), col("sentence"))))),
+          x => x.getField("sentence")), " ").as("text_clean"))
 
   /** Token counting per language tag: whitespace tokens and BPE-ish
     * regex tokens (letter runs / digit runs / single symbols).

@@ -62,7 +62,11 @@ object WarcSource {
       .where(col("record_type") === "response")
       .select(xxhash64(col("url")).as("doc_id"), col("url"), col("html"),
         col("fetch_ts"),
-        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("source"))
+        // the ONE host derivation (WebOps.hostOf — r12 verdict: the
+        // reader's private regex dropped uppercase-scheme hosts, RFC
+        // 3986-legal, and kept port/www/case, so host-keyed joins
+        // against web-family frames silently missed)
+        graft.operators.WebOps.hostOf(col("url")).as("source"))
 
   /** STREAMING twin of [[docs]] — WARC archives landing in a
     * directory become a page STREAM (the Common Crawl hand-off shape:
@@ -104,7 +108,8 @@ object WarcSource {
       .where(col("record_type") === "response")
       .select(xxhash64(col("url")).as("doc_id"), col("url"), col("html"),
         lit("und").as("lang"),
-        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("source"),
+        // same shared derivation as [[docs]] — one definition, no drift
+        graft.operators.WebOps.hostOf(col("url")).as("source"),
         col("fetch_ts").as("ingest_ts"))
   }
 

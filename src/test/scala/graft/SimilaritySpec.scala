@@ -1010,6 +1010,34 @@ class SimilaritySpec extends SparkSuite {
     assert(sh.getAs[Long]("n_cells") == 8L, s"got $sh")
   }
 
+  test("q_ann_retrain registration shape: the pinned-64 seed is stale " +
+      "at every shipped scale, so the door RETRAINS (not the " +
+      "read-and-decline no-op the r12 advice caught with a pinned-8 " +
+      "seed that agreed with the auto rule)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annretrain-reg").toString
+    val slice = emb.where(col("vec_id") % 10 === 0)
+    // mirrors the operator's pqEncodable gate (the spec convention
+    // above) — the stored-code count the door's √N rule reads
+    import org.apache.spark.sql.functions.{forall, isnan, size => asize}
+    val n = slice.where(col("embedding").isNotNull &&
+      asize(col("embedding")) === 64 &&
+      forall(col("embedding"), x => x.isNotNull && !isnan(x))).count()
+    // the registration's staleness precondition: 64 cells is outside
+    // the 2× band of the √N recommendation for any slice this corpus
+    // family ships (8/8/15 at sf0.001/0.01/0.1)
+    assert(64 > 2 * Similarity.annAutoCells(n),
+      s"seed geometry must be stale for n=$n")
+    Similarity.writeAnnIndex(slice, dir, nCells = 64)
+    val r = Similarity.retrainAnnIndexIfDue(spark, dir, slice).collect()(0)
+    assert(r.getAs[Boolean]("retrained"),
+      s"the registered key must exercise the retrain, got $r")
+    assert(r.getAs[Long]("n_cells") == Similarity.annAutoCells(n).toLong,
+      s"got $r")
+    assert(!r.getAs[Boolean]("retrain_due"), s"got $r")
+  }
+
   test("mineBitext over sentSplit sentences (the q_mine_bitext_sent " +
       "composition): an identical first sentence across the lang " +
       "split mines as the top margin pair") {
@@ -1033,7 +1061,9 @@ class SimilaritySpec extends SparkSuite {
       r.getAs[Long]("dst_id") == 2L), pairs.mkString(";"))
   }
 
-  test("sentence-level served bitext (q_mine_bitext_sent_ann shape): " +
+  test("sentence-level served bitext, PINNED-geometry recall audit " +
+      "(the r11 75%-probed operating point — the registered keys ride " +
+      "the √N auto index, audited by the production-serve spec below): " +
       "pairs off the sentence IVF-PQ index recover the exact leg's " +
       "pairs on the gate corpus") {
     import org.apache.spark.sql.functions.{col, lit}
@@ -1223,6 +1253,118 @@ class SimilaritySpec extends SparkSuite {
     assert(served == exact,
       s"missing=${exact -- served} extra=${served -- exact}")
     assert(served.map(t => (t._3, t._4)) == Set((0L, 10L)))
+  }
+
+  // clone-saturated SENTENCE fixture — the q_mine_bitext_sent_dedup
+  // composition end-to-end from TEXT (sentSplit → hashEmbed → miner),
+  // not pre-built vectors: every doc on each side opens with the SAME
+  // boilerplate sentence (the crawl reality the r12 verdict named —
+  // sentences are the most-duplicated unit, boilerplate repeats per
+  // PAGE), plus one unique single-token sentence per doc (hashEmbed
+  // makes a single token a one-hot basis vector, so strangers are
+  // exactly orthogonal — the doc-level cloneFixture geometry, derived
+  // from real text)
+  private def sentCloneFixture = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = Seq(
+      (0L, "alpha beta gamma delta. zebra", "en"),
+      (1L, "alpha beta gamma delta. quark", "en"),
+      (2L, "alpha beta gamma delta. nimbus", "en"),
+      (3L, "alpha beta gamma delta. comet", "en"),
+      (10L, "alpha beta gamma delta. wombat", "de"),
+      (11L, "alpha beta gamma delta. python", "de"),
+      (12L, "alpha beta gamma delta. ember", "de"),
+      (13L, "alpha beta gamma delta. magnet", "de"))
+      .toDF("doc_id", "text", "lang")
+    val sents = graft.operators.TextOps.sentSplit(d)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select((col("sent_id") * lit(1000000000L) + col("doc_id"))
+        .as("doc_id"), col("sentence").as("text"), col("lang"))
+    val semb = graft.operators.TextOps.hashEmbed(sents)
+      .withColumnRenamed("doc_id", "vec_id")
+    (sents, semb)
+  }
+
+  test("mineBitextDeduped over sentences (q_mine_bitext_sent_dedup " +
+      "shape): boilerplate clone saturation collapses the exact " +
+      "sentence miner to zero; dedup-first recovers the planted pair " +
+      "and fans members back out") {
+    val (sents, semb) = sentCloneFixture
+    // fixture sanity: the planted boilerplate embeds identically on
+    // both sides (hashEmbed is lang-agnostic) and the single-token
+    // strangers are pairwise orthogonal one-hots
+    val embs = semb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    assert(embs(0L) == embs(10L), "planted boilerplate must embed equal")
+    val strangers = Seq(1000000000L, 1000000001L, 1000000002L,
+      1000000003L, 1000000010L, 1000000011L, 1000000012L, 1000000013L)
+    for (a <- strangers; b <- strangers if a < b)
+      assert(embs(a).zip(embs(b)).map { case (x, y) => x * y }.sum == 0.0f,
+        s"stranger sentences $a/$b must be orthogonal (token bucket " +
+          "collision — pick different filler tokens)")
+    // the degeneracy: every fwd/rev neighborhood of the boilerplate is
+    // all-clones, margin → 1, threshold suppresses everything; the
+    // stranger sentences are orthogonal (zero k-NN means → excluded)
+    assert(Similarity.mineBitext(semb, sents).count() == 0L,
+      "clone saturation must collapse the exact sentence miner")
+    val dd = Similarity.mineBitextDeduped(semb, sents).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Long]("src_rep"), r.getAs[Long]("dst_rep"),
+        r.getAs[Double]("margin")))
+    // the rep pair is the two sides' min-uid boilerplate sentences
+    assert(dd.map(t => (t._3, t._4)).toSet == Set((0L, 10L)),
+      s"rep pairs: ${dd.toSeq}")
+    // member fan-out: every (en boilerplate clone × de boilerplate
+    // clone) — 4×4, the honest semantics of mining a duplicated corpus
+    assert(dd.map(t => (t._1, t._2)).toSet ==
+      (for (s <- 0L to 3L; d <- 10L to 13L) yield (s, d)).toSet,
+      s"member fan-out wrong: ${dd.toSeq}")
+    assert(dd.forall(_._5 >= 1.05))
+  }
+
+  test("production sentence serve (q_mine_bitext_sent_dedup_ann " +
+      "shape): dedup-first pairs off the √N AUTO-geometry sentence " +
+      "index recover the dedup-first exact leg on the gate corpus") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sents = graft.operators.TextOps.sentSplit(d.withColumn("text",
+        graft.operators.TextOps.syntheticSentences(col("text"))))
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select((col("sent_id") * lit(1000000000L) + col("doc_id"))
+        .as("doc_id"), col("sentence").as("text"), col("lang"))
+      .persist()
+    val semb = graft.operators.TextOps.hashEmbed(sents)
+      .withColumnRenamed("doc_id", "vec_id").persist()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sentbitext-auto").toString
+    // the REGISTERED geometry: writeAnnIndex's √N auto rule — the r12
+    // verdict's pinned-8/75%-probed sentence index was the last
+    // corpus-linear serve leg; this spec audits the auto shape
+    Similarity.writeAnnIndex(semb, dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"))).toSet
+    val exact = pairSet(Similarity.mineBitextDeduped(semb, sents,
+      nQueries = 100))
+    // nProbe = 10, the registered sentence-serve operating point: the
+    // near-uniform hash embeddings are IVF's adversarial case (recall
+    // tracks probed fraction), so the serve probes a few more cells —
+    // probed mass stays ~O(nProbe·√N), the sublinear production shape
+    // (vs the retired pin's fixed 75% of ANY corpus size)
+    val served = pairSet(Similarity.mineBitextIndexedDeduped(spark, dir,
+      semb, sents, nQueries = 100, nProbe = 10))
+    assert(exact.nonEmpty, "the gate corpus must mine sentence rep pairs")
+    val recall = (exact & served).size.toDouble / exact.size
+    info(s"sentence dedup-serve recall vs exact: $recall " +
+      s"(${served.size} served, ${exact.size} exact)")
+    assert(recall >= 0.8,
+      s"served recall $recall: exact=${exact.size} served=${served.size}")
+    // the plain served sentence leg (q_mine_bitext_sent_ann shape)
+    // rides the same auto index — it must still mine pairs
+    val plain = pairSet(Similarity.mineBitextIndexed(spark, dir,
+      semb, sents, nQueries = 100, nProbe = 10))
+    assert(plain.nonEmpty,
+      "auto-geometry non-dedup sentence serve must still mine pairs")
+    sents.unpersist(); semb.unpersist()
   }
 
   test("mineBitextIndexed: served pairs recall the exact miner's, " +

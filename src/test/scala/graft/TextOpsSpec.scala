@@ -39,6 +39,45 @@ class TextOpsSpec extends SparkSuite {
     assert(out(0).getAs[String]("sentence").endsWith("w12."))
   }
 
+  test("sentSpanDedup: the C4 three-sentence-span rule — cross-doc " +
+      "duplicate span keeps its first occurrence, within-doc repeats " +
+      "collapse to the owner span, short docs ride through") {
+    val docs = Seq(
+      (1L, "s one. s two. s three. a tail"),
+      (2L, "s one. s two. s three. b tail"),
+      (3L, "x uniq. y uniq. z uniq. w uniq."),
+      (4L, "r. r. r. r. r."),
+      (5L, "short one. two.")).toDF("doc_id", "text")
+    val r = TextOps.sentSpanDedup(docs).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("sent_id")) ->
+        x.getAs[Boolean]("keep")).toMap
+    // doc 1 owns the duplicated (s one, s two, s three) span — all kept
+    assert((0L to 3L).forall(i => r((1L, i))), s"doc 1: $r")
+    // doc 2's occurrence is the non-owner: its covered sentences drop,
+    // the tail survives
+    assert((0L to 2L).forall(i => !r((2L, i))), s"doc 2 head: $r")
+    assert(r((2L, 3L)), s"doc 2 tail: $r")
+    // unique spans untouched
+    assert((0L to 3L).forall(i => r((3L, i))), s"doc 3: $r")
+    // within-doc repetition: spans at 0/1/2 share one hash, owner is
+    // position 0; non-owners at 1 and 2 remove sentences 1-3 and 2-4
+    assert(r((4L, 0L)) && (1L to 4L).forall(i => !r((4L, i))),
+      s"doc 4: $r")
+    // fewer than spanLen sentences -> no spans, everything kept
+    assert(r((5L, 0L)) && r((5L, 1L)), s"doc 5: $r")
+    // the rebuild materializes exactly the kept sentences in order
+    val a = TextOps.sentSpanDedupApply(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_sents"), x.getAs[Long]("n_kept"),
+          x.getAs[Long]("kept_tokens"),
+          x.getAs[String]("text_clean")))).toMap
+    assert(a(1L) == ((4L, 4L, 8L, "s one. s two. s three. a tail")),
+      s"got ${a(1L)}")
+    assert(a(2L) == ((4L, 1L, 2L, "b tail")), s"got ${a(2L)}")
+    assert(a(4L) == ((5L, 1L, 1L, "r.")), s"got ${a(4L)}")
+    assert(a(5L) == ((2L, 2L, 3L, "short one. two.")), s"got ${a(5L)}")
+  }
+
   test("textExtract: known-answer boilerplate removal on a hand-built page") {
     val html =
       "<html><head><title>My Page</title><script>var a=1;</script>" +

@@ -49,6 +49,25 @@ class WarcSourceSpec extends SparkSuite {
     assert(docs.map(_.getAs[Long]("doc_id")).distinct.length == 3)
   }
 
+  test("source host rides the ONE shared derivation (WebOps.hostOf): " +
+      "uppercase scheme/host, www and default port all normalize — " +
+      "the r12 drift between the reader and the web family") {
+    val dir = Files.createTempDirectory("graft-warc-host").toString
+    val bytes = Seq(
+      // RFC 3986-legal uppercase scheme — the old reader regex
+      // ([a-z]+://) yielded an EMPTY source for this
+      ("HTTP://WWW.Mixed.Example:80/a", "2026-01-02T03:04:05Z",
+        "<html><body><p>one</p></body></html>"),
+      ("https://plain.example:443/b", "2026-01-02T03:04:06Z",
+        "<html><body><p>two</p></body></html>"))
+      .flatMap { case (u, d, h) => WarcSource.packRecord(u, t(d), h).toSeq }
+      .toArray
+    Files.write(java.nio.file.Paths.get(s"$dir/crawl.warc"), bytes)
+    val src = WarcSource.docs(spark, s"$dir/crawl.warc").collect()
+      .map(_.getAs[String]("source")).sorted.toSeq
+    assert(src == Seq("mixed.example", "plain.example"), s"got $src")
+  }
+
   test("poison tolerance: a truncated record and inter-record garbage " +
       "cost themselves, never the archive; gzip reads transparently; " +
       "non-response records drop from docs()") {

@@ -30,7 +30,15 @@ class WebOpsSpec extends SparkSuite {
       (8L, "http://h.io/p?utm_medium=m&gclid=g&ref=r&mc_eid=e",
         "h.io", "http://h.io/p"),
       // a non-tracking param that merely CONTAINS 'ref' stays
-      (9L, "http://h.io/p?preref=1", "h.io", "http://h.io/p?preref=1"))
+      (9L, "http://h.io/p?preref=1", "h.io", "http://h.io/p?preref=1"),
+      // percent-normalization (r13): unreserved escapes decode in
+      // path, query AND host — uppercase or lowercase hex
+      (10L, "http://h.io/%7Euser?a=%7e1", "h.io", "http://h.io/~user?a=~1"),
+      (11L, "http://%68.io/%41-%5a%2d%2E%5F", "h.io", "http://h.io/A-Z-._"),
+      // reserved escapes stay escaped, hex case-folds up
+      (12L, "http://h.io/a%2fb?x=%3d", "h.io", "http://h.io/a%2Fb?x=%3D"),
+      // malformed escapes ride through verbatim
+      (13L, "http://h.io/100%?y=5%zz", "h.io", "http://h.io/100%?y=5%zz"))
     val out = WebOps.urlNormalize(
       cases.map(c => (c._1, c._2)).toDF("doc_id", "url"))
       .orderBy("doc_id").collect()
@@ -54,9 +62,11 @@ class WebOpsSpec extends SparkSuite {
         s"doc $id keeper")
       assert(row.getAs[Long]("group_size") == 4L, s"doc $id size")
       assert(row.getAs[Boolean]("keep") == (id % 4 == 0), s"doc $id keep")
-      // every member of a group resolves to ONE canonical string
+      // every member of a group resolves to ONE canonical string —
+      // including the three %-escape spellings of the w param and the
+      // two hex cases of the kept reserved escape in z (r13)
       assert(row.getAs[String]("url_canonical") ==
-        s"http://h${g % 20}.example.com/p/$g?v=${g % 3}",
+        s"http://h${g % 20}.example.com/p/$g?v=${g % 3}&w=~${g % 5}&z=a%2Fb",
         s"doc $id canon: ${row.getAs[String]("url_canonical")}")
     }
   }
@@ -69,16 +79,23 @@ class WebOpsSpec extends SparkSuite {
       .withColumn("html",
         WebOps.syntheticLinkedHtml(col("doc_id"), col("text")))
     val links = WebOps.linkExtract(docs).collect()
-    assert(links.length == 3, links.mkString(";"))
+    // doc 10: clean + messy + relative + the UNQUOTED ext anchor
+    // (10%4=2); no nofollow anchor (10%5=0)
+    assert(links.length == 4, links.mkString(";"))
+    assert(links.exists(_.getAs[String]("href") ==
+      "http://ext1.example.org/u/10"),
+      "the unquoted href must extract: " + links.mkString(";"))
     val edges = WebOps.hostGraph(docs).collect()
     // doc 10: src host h{(10/4)%20}=h2; dst one = h{(60+1)%20}=h1
     // clean; dst two = h{(130+3)%20}=h13 through the messy anchor
-    // (uppercase+www+:80+doubled slashes); the relative anchor drops
-    assert(edges.length == 2, edges.mkString(";"))
+    // (uppercase+www+:80+doubled slashes); dst three = ext{10%3}=ext1
+    // through the unquoted anchor; the relative anchor drops
+    assert(edges.length == 3, edges.mkString(";"))
     val m = edges.map(r => (r.getAs[String]("dst_host"),
       (r.getAs[String]("src_host"), r.getAs[Long]("n_links")))).toMap
     assert(m("h1.example.com") == ("h2.example.com", 1L))
     assert(m("h13.example.com") == ("h2.example.com", 1L))
+    assert(m("ext1.example.org") == ("h2.example.com", 1L))
   }
 
   test("anchorText: href/body pairs align by match order, hosts " +
@@ -90,9 +107,11 @@ class WebOpsSpec extends SparkSuite {
       .map(x => (x.getAs[String]("dst_host"), x.getAs[String]("anchor"),
         x.getAs[Long]("n"))).toSet
     // doc 10: clean anchor -> (h1, 'doc 10'), messy anchor -> (h13,
-    // 'two') through the shared normalizer; '/local/0' has no host
+    // 'two') through the shared normalizer, unquoted anchor -> (ext1,
+    // 'four'); '/local/0' has no host
     assert(r == Set(("h1.example.com", "doc 10", 1L),
-      ("h13.example.com", "two", 1L)), s"got $r")
+      ("h13.example.com", "two", 1L),
+      ("ext1.example.org", "four", 1L)), s"got $r")
   }
 
   test("linkExtract + anchorText: a quoted '>' in an attribute BEFORE " +
@@ -120,6 +139,143 @@ class WebOpsSpec extends SparkSuite {
     assert(r == Map("same" -> 2L, "other" -> 1L), s"got $r")
   }
 
+  test("linkExtract/anchorText honorNofollow: rel-nofollow anchors " +
+      "(any quote style, rel before or after href, token within a " +
+      "rel list) and nofollow PAGES drop; the default keeps them") {
+    val docs = Seq(
+      // rel after href, quoted; rel list with extra token
+      (1L, "<p><a href='http://a.io/1' rel='nofollow noopener'>x</a>" +
+        "<a href='http://b.io/1'>y</a></p>"),
+      // rel BEFORE href, unquoted value
+      (2L, "<p><a rel=nofollow href='http://c.io/1'>z</a></p>"),
+      // rel token that merely CONTAINS nofollow must NOT trip
+      (3L, "<p><a rel='nofollowish' href='http://d.io/1'>w</a></p>"),
+      // page-level robots nofollow drops EVERY anchor on the page
+      (4L, "<html><head><meta name='robots' content='nofollow'></head>" +
+        "<body><a href='http://e.io/1'>v</a></body></html>"))
+      .toDF("doc_id", "html")
+    def hrefs(honor: Boolean) =
+      WebOps.linkExtract(docs, honorNofollow = honor).collect()
+        .map(_.getAs[String]("href")).toSet
+    assert(hrefs(false) == Set("http://a.io/1", "http://b.io/1",
+      "http://c.io/1", "http://d.io/1", "http://e.io/1"))
+    assert(hrefs(true) == Set("http://b.io/1", "http://d.io/1"),
+      s"got ${hrefs(true)}")
+    def anchors(honor: Boolean) =
+      WebOps.anchorText(docs, honorNofollow = honor).collect()
+        .map(_.getAs[String]("dst_host")).toSet
+    assert(anchors(false) ==
+      Set("a.io", "b.io", "c.io", "d.io", "e.io"))
+    assert(anchors(true) == Set("b.io", "d.io"), s"got ${anchors(true)}")
+  }
+
+  test("hostGraph honorNofollow shifts pageRank mass off opted-out " +
+      "edges (the published PageRank-as-quality contract)") {
+    val docs = spark.range(0, 60).toDF("doc_id")
+      .withColumn("url", WebOps.syntheticUrl(col("doc_id")))
+      .withColumn("html",
+        WebOps.syntheticLinkedHtml(col("doc_id"), lit("w")))
+    val all = WebOps.hostGraph(docs)
+    val honored = WebOps.hostGraph(docs, honorNofollow = true)
+    val nAll = all.agg(sum("n_links")).collect()(0).getLong(0)
+    val nHon = honored.agg(sum("n_links")).collect()(0).getLong(0)
+    // the fixture plants rel-nofollow anchors (id%5=3) and nofollow
+    // pages (id%9 in {4,7}) — the honored graph must be strictly
+    // smaller, never larger
+    assert(nHon < nAll, s"honored $nHon vs all $nAll")
+    // rank mass shifts: the /n/-path targets (7id+2 anchors) lose
+    // in-rank when their only planted edges are nofollow
+    val rAll = WebOps.pageRank(all).collect()
+      .map(x => x.getAs[String]("host") -> x.getAs[Long]("rank_micro"))
+      .toMap
+    val rHon = WebOps.pageRank(honored).collect()
+      .map(x => x.getAs[String]("host") -> x.getAs[Long]("rank_micro"))
+      .toMap
+    assert(rAll != rHon, "dropping nofollow edges must move rank mass")
+  }
+
+  test("robotsTxtGate/Audit: prefix semantics ('/p/1' matches /p/1 " +
+      "and /p/10..19), '/' disallows everything, rule-free hosts pass") {
+    val pages = Seq(
+      (1L, "http://h0.example.com/p/1?x=1"), // k=0: rule /p/1 -> hit
+      (2L, "http://h0.example.com/p/12"), // prefix hit
+      (3L, "http://h0.example.com/p/2"), // no hit
+      (4L, "http://h2.example.com/p/9"), // k=2: rule '/' -> hit
+      (5L, "http://h1.example.com/p/1"), // no rules for h1
+      (6L, "http://h9.example.com/anything")) // k=9: /p/1 only -> pass
+      .toDF("doc_id", "url")
+    val rules = WebOps.syntheticRobotsRules(spark)
+    val g = WebOps.robotsTxtGate(pages, rules).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Boolean]("disallowed"), x.getAs[String]("matched_prefix"))))
+      .toMap
+    assert(g(1L) == ((true, "/p/1")), s"got ${g(1L)}")
+    assert(g(2L) == ((true, "/p/1")), s"got ${g(2L)}")
+    assert(g(3L) == ((false, null)), s"got ${g(3L)}")
+    assert(g(4L) == ((true, "/")), s"got ${g(4L)}")
+    assert(g(5L) == ((false, null)), s"got ${g(5L)}")
+    assert(g(6L) == ((false, null)), s"got ${g(6L)}")
+    val a = WebOps.robotsTxtAudit(pages, rules).collect()
+      .map(x => x.getAs[String]("host") ->
+        ((x.getAs[Long]("n_pages"), x.getAs[Long]("n_disallowed"),
+          x.getAs[Long]("disallowed_ppm")))).toMap
+    assert(a("h0.example.com") == ((3L, 2L, 666666L)), s"got $a")
+    assert(a("h2.example.com") == ((1L, 1L, 1000000L)), s"got $a")
+    assert(a("h1.example.com") == ((1L, 0L, 0L)), s"got $a")
+  }
+
+  test("pageRank: dangling redistribution returns the sink's damped " +
+      "mass equally (hand-computed); the simple variant absorbs") {
+    // a -> b, b has no outlinks: 2 nodes
+    val edges = Seq(("a", "b", 1L)).toDF("src_host", "dst_host", "n_links")
+    // iter1: dang = rank(b) = 1000000; share = (1000000*850000) div
+    // (1000000*2) = 425000. b = 150000 + inflow(850000) + 425000 =
+    // 1425000; a = 150000 + 425000 = 575000.
+    val r1 = WebOps.pageRank(edges, iters = 1, redistributeDangling = true)
+      .collect().map(x => x.getAs[String]("host") ->
+        x.getAs[Long]("rank_micro")).toMap
+    assert(r1 == Map("a" -> 575000L, "b" -> 1425000L), s"got $r1")
+    // iter2: dang = 1425000, share = (1425000*850000) div 2000000 =
+    // 605625; inflow(b) = (575000*850000*1) div (1000000*1) = 488750
+    // b = 150000+488750+605625 = 1244375; a = 150000+605625 = 755625
+    val r2 = WebOps.pageRank(edges, iters = 2, redistributeDangling = true)
+      .collect().map(x => x.getAs[String]("host") ->
+        x.getAs[Long]("rank_micro")).toMap
+    assert(r2 == Map("a" -> 755625L, "b" -> 1244375L), s"got $r2")
+    // mass conservation (up to the two floored divisions per iter):
+    // total stays within iters*nodes micro-units of the start mass
+    assert(math.abs(r2.values.sum - 2000000L) <= 4L, s"got $r2")
+  }
+
+  test("pageRank: localCheckpoint lineage hygiene is value-neutral " +
+      "and deep iteration completes") {
+    val docs = spark.range(0, 40).toDF("doc_id")
+      .withColumn("url", WebOps.syntheticUrl(col("doc_id")))
+      .withColumn("html",
+        WebOps.syntheticLinkedHtml(col("doc_id"), lit("w")))
+    val edges = WebOps.hostGraph(docs).persist()
+    def run(iters: Int, every: Int) = WebOps.pageRank(edges,
+        iters = iters, persistFrames = false, checkpointEvery = every,
+        redistributeDangling = true)
+      .collect()
+      .map(x => (x.getAs[String]("host"), x.getAs[Long]("rank_micro")))
+      .sortBy(_._1).toSeq
+    // value-neutrality: checkpoint placement must not move a single
+    // micro-unit. (Independent cross-check at depth 10: the
+    // q_pagerank_full oracle hash-match computes the same
+    // 10-iteration chain in DuckDB against the CHECKPOINTED operator.)
+    val chk = run(6, 2)
+    val unchk = run(6, 1000) // never checkpoints
+    assert(chk == unchk,
+      "checkpointing must not change a single rank value")
+    // the deep run is feasible ONLY with the hygiene on: 25 rounds,
+    // lineage truncated every 3 — completes and keeps the node set
+    val deep = run(25, 3)
+    assert(deep.map(_._1) == chk.map(_._1), "node set preserved")
+    assert(deep.forall(_._2 >= 150000L), "damping-base floor")
+    edges.unpersist()
+  }
+
   test("metaRobots: directive TOKENS, not substrings; absent meta is " +
       "an empty pass") {
     val docs = Seq(
@@ -130,7 +286,16 @@ class WebOpsSpec extends SparkSuite {
       (3L, "<html><body>no meta at all</body></html>"),
       // 'noindexing' must NOT trip the noindex flag
       (4L, "<html><head><meta name='robots' " +
-        "content='noindexing, nofollow '></head><body>x</body></html>"))
+        "content='noindexing, nofollow '></head><body>x</body></html>"),
+      // r12-advice variants: content BEFORE name, unquoted values
+      (5L, "<html><head><meta content=noindex name=robots>" +
+        "</head><body>x</body></html>"),
+      // spaces around '=', extra attribute between name and content
+      (6L, "<html><head><meta name = 'robots' data-x='y' " +
+        "content = \"noindex\"></head><body>x</body></html>"),
+      // name=robotsxyz is NOT the robots directive
+      (7L, "<html><head><meta name='robotsxyz' content='noindex'>" +
+        "</head><body>x</body></html>"))
       .toDF("doc_id", "html")
     val r = WebOps.metaRobots(docs).collect()
       .map(x => x.getAs[Long]("doc_id") ->
@@ -140,6 +305,9 @@ class WebOpsSpec extends SparkSuite {
     assert(r(2L) == ((false, true, "nofollow")), s"got ${r(2L)}")
     assert(r(3L) == ((false, false, "")), s"got ${r(3L)}")
     assert(r(4L) == ((false, true, "noindexing, nofollow ")), s"got ${r(4L)}")
+    assert(r(5L) == ((true, false, "noindex")), s"got ${r(5L)}")
+    assert(r(6L) == ((true, false, "noindex")), s"got ${r(6L)}")
+    assert(r(7L) == ((false, false, "")), s"got ${r(7L)}")
   }
 
   // ── pageRank ──────────────────────────────────────────────────────
