@@ -1463,28 +1463,28 @@ object SparkEntry {
   private val aTagSql =
     """(?is)<a\s((?:[^>"'']|"[^"]*"|''[^'']*'')*)>"""
 
+  // quote-aware anchored attribute scan (the WebOps.attrScan mirror):
+  // quoted strings consume atomically, so an attribute name inside
+  // ANOTHER attribute's quoted value is unreachable
+  private def attrScanSql(name: String): String =
+    s"""(?i)^(?:"[^"]*"|''[^'']*''|[^"''\\s]|\\s)*?(?:^|\\s)$name\\s*=\\s*"""
+
   private def attrValSql(attrs: String, name: String): String =
-    s"""CASE WHEN regexp_extract($attrs, '(?i)$name\\s*=\\s*["'']([^"'']*)["'']', 1) <> ''
-       |  THEN regexp_extract($attrs, '(?i)$name\\s*=\\s*["'']([^"'']*)["'']', 1)
-       |  ELSE regexp_extract($attrs, '(?i)$name\\s*=\\s*([^\\s>"'']+)', 1) END""".stripMargin
+    s"""CASE WHEN regexp_extract($attrs, '${attrScanSql(name)}["'']([^"'']*)["'']', 1) <> ''
+       |  THEN regexp_extract($attrs, '${attrScanSql(name)}["'']([^"'']*)["'']', 1)
+       |  ELSE regexp_extract($attrs, '${attrScanSql(name)}([^\\s>"'']+)', 1) END""".stripMargin
 
   private def relNofollowSql(attrs: String): String =
     s"len(list_filter(string_split_regex(lower(${attrValSql(attrs, "rel")}), " +
       """'\s+'), t -> t = 'nofollow')) > 0"""
 
-  // robotsContentOf mirrored: name-first / content-first alternates
-  // over the quote-aware attribute body, quote-strip after
+  // robotsContentOf mirrored: the FIRST whole tag carrying
+  // name=robots (quote-aware body, name alternates close the tag),
+  // then the shared quote-aware content extraction from it
   private def robotsContentSql(html: String): String = {
     val a = """(?:[^>"'']|"[^"]*"|''[^'']*'')*"""
-    val value = """("[^"]*"|''[^'']*''|[^\s>"'']+)"""
-    val nameFirst =
-      s"""<meta\\s${a}name\\s*=\\s*["'']?robots["'']?\\s${a}content\\s*=\\s*$value"""
-    val contentFirst =
-      s"""<meta\\s${a}content\\s*=\\s*$value\\s${a}name\\s*=\\s*["'']?robots["'']?[\\s>/]"""
-    s"""regexp_replace(CASE WHEN regexp_extract(lower($html), '$nameFirst', 1) <> ''
-       |    THEN regexp_extract(lower($html), '$nameFirst', 1)
-       |    ELSE regexp_extract(lower($html), '$contentFirst', 1) END,
-       |  '^["'']|["'']$$', '', 'g')""".stripMargin
+    val tagPat = s"""(?is)<meta\\s${a}name\\s*=\\s*(?:"robots"$a>|''robots''$a>|robots[\\s/]$a>|robots>)"""
+    attrValSql(s"regexp_extract(lower($html), '$tagPat', 0)", "content")
   }
 
   private def pageNofollowSql(html: String): String =

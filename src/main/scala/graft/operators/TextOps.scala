@@ -429,8 +429,13 @@ object TextOps {
     * probe side (one row per hash on the build side, AQE skew-split
     * territory at the extreme). Occurrence order rides one BIGINT
     * `occ_key = doc_id·10⁹ + sent_id` (the sentence-uid convention;
-    * stated bound: sent_id < 10⁹, doc_id < 2⁶³/10⁹ ≈ 9.2·10⁹ — a
-    * corpus beyond that re-keys with a wider encoding).
+    * stated bound: sent_id < 10⁹, 0 ≤ doc_id < 2⁶³/10⁹ ≈ 9.2·10⁹ — a
+    * corpus beyond that re-keys with a wider encoding. In particular
+    * [[graft.sources.WarcSource.docs]]' xxhash64 doc ids span the
+    * full signed-Long range and MUST be re-keyed (dense_rank or a
+    * stored id map — the snapshotDiff convention) before this
+    * operator; a wrapped occ_key can collide two occurrences of one
+    * span and silently mis-assign ownership).
     */
   def sentSpanDedup(documents: DataFrame, spanLen: Int = 3): DataFrame = {
     require(spanLen >= 2, s"sentSpanDedup: spanLen must be >= 2: $spanLen")

@@ -181,8 +181,16 @@ object WebOps {
   private def schemeOf(u: Column): Column =
     lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
 
-  private[graft] def hostOf(rawUrl: Column): Column = {
-    val u = pctNormalize(rawUrl)
+  private[graft] def hostOf(rawUrl: Column): Column =
+    hostOfNormalized(pctNormalize(rawUrl))
+
+  // the host chain over an ALREADY percent-normalized url —
+  // urlCanonicalCol threads its one normalization through here
+  // (review finding: hostOf(pctNormalize(u)) inside the canonical
+  // chain re-instantiated the whole escape-rebuild tree a second
+  // time on the hottest scan path; pctNormalize is idempotent, so
+  // this is a pure expression-size/cost split, not a semantics one)
+  private def hostOfNormalized(u: Column): Column = {
     val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://(.*)$", 1)
     val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
     val noWww = regexp_replace(hostport, "^www\\.", "")
@@ -235,7 +243,7 @@ object WebOps {
       p =!= "" && !(startswith(p, lit("utm_")) ||
         startswith(p, lit("fbclid=")) || startswith(p, lit("gclid=")) ||
         startswith(p, lit("ref=")) || startswith(p, lit("mc_eid="))))
-    concat(schemeOf(u), lit("://"), hostOf(u), path,
+    concat(schemeOf(u), lit("://"), hostOfNormalized(u), path,
       when(size(params) > 0,
         concat(lit("?"), array_join(array_sort(params), "&")))
         .otherwise(lit("")))
@@ -273,12 +281,22 @@ object WebOps {
 
   // an attribute's value from a tag's attribute body: quoted form
   // wins, else the unquoted run (HTML-legal; `href=/foo`); "" when
-  // the attribute is absent or value-less
+  // the attribute is absent or value-less. The scan to the attribute
+  // name is QUOTE-AWARE and anchored (review finding: a flat
+  // unanchored regex would match an `href=` INSIDE another
+  // attribute's quoted value — `title="see href='evil'"` — because
+  // the engine retries at every offset; the anchored lazy scan
+  // consumes quoted strings atomically, so a name inside quotes is
+  // unreachable), and the name must sit at start-or-whitespace so
+  // `xhref=` never matches.
+  private def attrScan(name: String): String =
+    "(?i)^(?:\"[^\"]*\"|'[^']*'|[^\"'\\s]|\\s)*?(?:^|\\s)" +
+      name + "\\s*=\\s*"
   private def attrValueOf(attrs: Column, name: String): Column = {
     val quoted = regexp_extract(attrs,
-      s"(?i)$name\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+      attrScan(name) + "[\"']([^\"']*)[\"']", 1)
     val unquoted = regexp_extract(attrs,
-      s"(?i)$name\\s*=\\s*([^\\s>\"']+)", 1)
+      attrScan(name) + "([^\\s>\"']+)", 1)
     when(quoted =!= "", quoted).otherwise(unquoted)
   }
 
@@ -301,6 +319,13 @@ object WebOps {
     * opt-out; the page-level flag was already extracted by
     * [[metaRobots]] and nothing read it, the r12 verdict's #4). One
     * regexp_extract_all projection + explode; scan speed, no shuffle.
+    *
+    * Honest limit, stated: a BARE unpaired quote inside an unquoted
+    * attribute value (`alt=it's`) breaks the whole-tag match — the
+    * quote-aware body must treat quotes as string openers to keep
+    * `data-x="a>b"` from truncating the tag, and those two goals
+    * conflict on spec-invalid HTML. The anchor drops loudly-countable
+    * (extract minus tag-count audits), not silently miscounted.
     */
   def linkExtract(documents: DataFrame, htmlCol: String = "html",
       honorNofollow: Boolean = false): DataFrame = {
@@ -397,26 +422,25 @@ object WebOps {
   // the robots-meta content, ATTRIBUTE-ORDER-INDEPENDENT (r12 advice:
   // the old single pattern required name-before-content, quoted
   // values and single spaces — standard real-world variants were
-  // silently ingested past the author's opt-out): two alternate
-  // patterns (name-first / content-first) over the quote-aware
-  // attribute body, values quoted either way or unquoted, spaces
-  // around '=' tolerated; no lookaround (the RE2-portability rule),
-  // so order-independence is the two-pattern union. The content value
-  // captures WITH its quotes (one group per pattern) and strips them
-  // after — the unquoted alternation can't contain spaces, the
-  // HTML-legal contract.
+  // silently ingested past the author's opt-out) and DOCUMENT-ORDER
+  // correct (review finding: a name-first/content-first pattern UNION
+  // gave the name-first form unconditional precedence, ignoring an
+  // earlier content-first robots meta when CMS+plugin stacking puts
+  // several on one page): extract the FIRST whole `<meta>` tag whose
+  // attributes carry name=robots — the tag pattern's quote-aware body
+  // cannot cross an unquoted `>`, so the leftmost match IS the first
+  // robots tag in document order and attribute order inside it is
+  // free — then pull `content` from that tag with the shared
+  // quote-aware [[attrValueOf]]. The name alternates each CLOSE the
+  // tag, so `name=robotsxyz` never matches as a prefix. No lookaround
+  // (the RE2-portability rule).
   private def robotsContentOf(html: Column): Column = {
-    val value = "(\"[^\"]*\"|'[^']*'|[^\\s>\"']+)"
-    val nameFirst = "<meta\\s" + aAttrs +
-      "name\\s*=\\s*[\"']?robots[\"']?\\s" + aAttrs +
-      "content\\s*=\\s*" + value
-    // the trailing [\s>/] delimiter stops `name=robotsxyz` from
-    // matching as a prefix of `robots`
-    val contentFirst = "<meta\\s" + aAttrs + "content\\s*=\\s*" + value +
-      "\\s" + aAttrs + "name\\s*=\\s*[\"']?robots[\"']?[\\s>/]"
-    val n = regexp_extract(lower(html), nameFirst, 1)
-    val c = regexp_extract(lower(html), contentFirst, 1)
-    regexp_replace(when(n =!= "", n).otherwise(c), "^[\"']|[\"']$", "")
+    val tagPat = "(?is)<meta\\s" + aAttrs + "name\\s*=\\s*(?:" +
+      "\"robots\"" + aAttrs + ">|" +
+      "'robots'" + aAttrs + ">|" +
+      "robots[\\s/]" + aAttrs + ">|" +
+      "robots>)"
+    attrValueOf(regexp_extract(lower(html), tagPat, 0), "content")
   }
 
   private def robotsFlag(content: Column, directive: String): Column =
@@ -498,6 +522,12 @@ object WebOps {
     // are aggregate-sized next to any page scan; the count is a
     // pruned aggregate, not a collect).
     val nNodes = if (redistributeDangling) nodes.count() else 0L
+    // an empty edge frame has zero nodes: the redistribution share is
+    // a division by n_nodes, so short-circuit to the (empty) rank
+    // frame instead of a driver ArithmeticException (review finding —
+    // a crawl slice whose pages all drop under honorNofollow yields
+    // exactly this)
+    val redistribute = redistributeDangling && nNodes > 0
     var ranks = nodes.select(col("host"), lit(1000000L).as("rank_micro"))
     for (i <- 1 to iters) {
       val inflow = ew.join(ranks.withColumnRenamed("host", "src"), "src")
@@ -505,7 +535,7 @@ object WebOps {
           expr("(rank_micro * 850000 * w) div (1000000 * outw)").as("c"))
         .groupBy("host").agg(sum(col("c")).as("inflow"))
       ranks =
-        if (redistributeDangling) {
+        if (redistribute) {
           // dangling = ranked nodes absent from the out-weight side;
           // their damped mass splits equally. The sum comes back as
           // ONE driver long per iteration (the learnedCentroids
@@ -515,13 +545,23 @@ object WebOps {
           // iteration (measured: the registered 10-iteration key ran
           // 116 s at sf0.01 in that shape, ~2 s in this one). The
           // eager agg executes at most checkpointEvery-deep lineage.
+          // dangling membership from outw (already one row per
+          // source host by groupBy construction — review finding:
+          // re-distincting the edge frame per iteration repeated a
+          // loop-invariant edge-sized shuffle)
           val dang = ranks
-            .join(ew.select(col("src").as("host")).distinct(),
-              Seq("host"), "left_anti")
+            .join(outw.select(col("src").as("host")), Seq("host"),
+              "left_anti")
             .agg(coalesce(sum(col("rank_micro")), lit(0L)))
             .collect()(0).getLong(0)
-          // non-negative operands: Long '/' IS the floored division
-          val share = dang * 850000L / (1000000L * nNodes)
+          // exact integer arithmetic in BigInt (review finding: the
+          // Long product dang·850000 wraps once total dangling mass
+          // passes ~1.08e13 micro-units — ~10⁷ dangling hosts at unit
+          // rank, inside the 10⁸-host design target); non-negative
+          // operands, so the quotient IS the floored division. The
+          // DuckDB oracle's HUGEINT arithmetic agrees exactly.
+          val share = (BigInt(dang) * 850000 /
+            (BigInt(1000000) * nNodes)).toLong
           nodes.join(inflow, Seq("host"), "left")
             .select(col("host"),
               (lit(150000L) + coalesce(col("inflow"), lit(0L)) +

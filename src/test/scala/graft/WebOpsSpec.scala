@@ -169,6 +169,45 @@ class WebOpsSpec extends SparkSuite {
     assert(anchors(true) == Set("b.io", "d.io"), s"got ${anchors(true)}")
   }
 
+  test("attribute extraction is quote-aware INSIDE the tag body: an " +
+      "href or rel spelled inside another attribute's quoted value " +
+      "never wins (review finding)") {
+    val docs = Seq(
+      (1L, "<p><a title=\"see href='http://evil.example/' here\" " +
+        "href=\"http://real.example/\">x</a></p>"),
+      (2L, "<p><a data-note=\"rel=nofollow suggested\" " +
+        "href='http://a.io/'>y</a></p>")).toDF("doc_id", "html")
+    val hrefs = WebOps.linkExtract(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("href")).toMap
+    assert(hrefs(1L) == "http://real.example/", s"got $hrefs")
+    // the spoofed rel inside a quoted value must not trip the gate
+    val gated = WebOps.linkExtract(docs, honorNofollow = true).collect()
+      .map(_.getAs[String]("href")).toSet
+    assert(gated == Set("http://real.example/", "http://a.io/"),
+      s"got $gated")
+  }
+
+  test("robots meta honors DOCUMENT order when several robots tags " +
+      "stack (review finding: the name-first form must not shadow an " +
+      "earlier content-first one)") {
+    val docs = Seq(
+      (1L, "<html><head><meta content=noindex name=robots>" +
+        "<meta name=\"robots\" content=\"nofollow\"></head>" +
+        "<body>x</body></html>")).toDF("doc_id", "html")
+    val r = WebOps.metaRobots(docs).collect()(0)
+    assert(r.getAs[String]("robots") == "noindex", s"got $r")
+    assert(r.getAs[Boolean]("noindex"), s"got $r")
+    assert(!r.getAs[Boolean]("nofollow"), s"got $r")
+  }
+
+  test("pageRank: empty edge frame with dangling redistribution " +
+      "returns an empty rank frame, not a division crash") {
+    val edges = Seq.empty[(String, String, Long)]
+      .toDF("src_host", "dst_host", "n_links")
+    assert(WebOps.pageRank(edges, redistributeDangling = true)
+      .count() == 0L)
+  }
+
   test("hostGraph honorNofollow shifts pageRank mass off opted-out " +
       "edges (the published PageRank-as-quality contract)") {
     val docs = spark.range(0, 60).toDF("doc_id")
