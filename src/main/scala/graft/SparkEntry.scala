@@ -711,6 +711,30 @@ object SparkEntry {
     "q_robots_audit" -> ((s, d) =>
       WebOps.robotsTxtAudit(webPagesOf(s, d, withUrl = true),
         WebOps.syntheticRobotsRules(s))),
+    // robots.txt BODY parser (r13 verdict #4): raw multi-group bodies
+    // → (host, prefix) rules. Oracle is the INDEPENDENT range
+    // construction (syntheticRobotsRules' mirror) — known-answer
+    // against the parse, not a SQL re-implementation of it
+    "q_robots_rules" -> ((s, d) =>
+      WebOps.robotsTxtRules(WebOps.syntheticRobotsBodies(s))),
+    // the raw-bodies COMPOSITION: bodies → rules → gate must
+    // hash-match the pre-parsed-rules gate's own oracle end-to-end
+    "q_robots_gate_raw" -> ((s, d) =>
+      WebOps.robotsTxtGate(webPagesOf(s, d, withUrl = true),
+        WebOps.robotsTxtRules(WebOps.syntheticRobotsBodies(s)))),
+    // relative-href resolution (r13 verdict #5): the RFC 3986 §5
+    // resolved link layer — raw hrefs resolve against the page's own
+    // base URL (dot-relative anchors merge into the base path,
+    // protocol-relative anchors take the base scheme), so the edge
+    // list gains the same-host and sibling-host links the
+    // absolute-only contract dropped; oracles mirror the resolution
+    // per fixture anchor class
+    "q_link_extract_resolved" -> ((s, d) =>
+      WebOps.linkExtract(webPagesOf(s, d, withUrl = true, withHtml = true),
+        resolveRelative = true)),
+    "q_host_graph_resolved" -> ((s, d) =>
+      WebOps.hostGraph(webPagesOf(s, d, withUrl = true, withHtml = true),
+        resolveRelative = true)),
     // anchor-text profile per destination host (the retrieval-training
     // link-context signal) and the robots-meta opt-out gate — both
     // over the same linked-page fixture
@@ -878,6 +902,27 @@ object SparkEntry {
     // (modulo banding recall — the q_dedup_groups contract)
     "q_curate_report" -> ((s, d) =>
       Curation.curateReport(t(s, d, "documents"))),
+    // the funnel WITH the C4 sentence-span stage (r13 verdict #6):
+    // fixture plants the q_sent_dedup preamble (id%7=2) PLUS a
+    // pure-boilerplate slice (id%11=7 — three identical sentences,
+    // exact-dup-distinct via an id-dependent inter-sentence space run)
+    // so the sentence stage both rewrites survivors' text (the %7=2
+    // tails ride on without their preambles) and fully DROPS the
+    // non-owner boilerplate docs — a nonzero attrition row, oracled
+    // end-to-end with every downstream stage reading the rebuilt text
+    "q_curate_report_sent" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, expr, lit, pmod, when}
+      val sp = expr("repeat(' ', CAST(doc_id % 7 + 1 AS INT))")
+      Curation.curateReport(
+        t(s, d, "documents").withColumn("text",
+          when(pmod(col("doc_id"), lit(11L)) === 7L,
+            concat(lit("the alpha beta one."), sp,
+              lit("the gamma delta two."), sp,
+              lit("the epsilon zeta three.")))
+            .otherwise(TextOps.syntheticSentences(
+              TextOps.syntheticSpanDupes(col("doc_id"), col("text"))))),
+        sentenceDedup = true)
+    }),
     "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(t(s, d, "documents"))),
     "q_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d, "documents"))),
     "q_top_ngram_frac" -> ((s, d) => TextOps.topNgramFrac(t(s, d, "documents"))),
@@ -1331,11 +1376,42 @@ object SparkEntry {
       "ELSE '%' || s END), ''), '')"
   }
 
+  // resolveHref mirrored (r14): same branch order as the engine —
+  // scheme'd pass-through, protocol-relative takes the base scheme,
+  // absolute-path / merged relative-path take the base authority,
+  // query-only replaces the query, same-document refs resolve to ''.
+  // Dot collapse is FIXTURE-DEPTH-BOUNDED here (one /seg/../ pass
+  // after a duplicate-slash collapse — the planted refs carry at most
+  // one '..'); the engine side is the exact stack with no bound.
+  private def resolveHrefSql(base: String, href: String): String = {
+    val schemeRaw =
+      s"regexp_extract($base, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)"
+    val rest =
+      s"regexp_extract($base, '^[A-Za-z][A-Za-z0-9+.\\-]*://(.*)$$', 1)"
+    val authority = s"regexp_extract($rest, '^([^/?#]*)', 1)"
+    val basePath = s"regexp_extract($rest, '^[^/?#]*([^?#]*)', 1)"
+    val baseDir = s"(CASE WHEN regexp_replace($basePath, '[^/]*$$', '')" +
+      s" = '' THEN '/' ELSE regexp_replace($basePath, '[^/]*$$', '') END)"
+    val refPath = s"regexp_extract($href, '^([^?#]*)', 1)"
+    val refQf = s"regexp_extract($href, '^[^?#]*(.*)$$', 1)"
+    def rds(p: String) =
+      s"regexp_replace(regexp_replace(regexp_replace($p, '/{2,}', '/'," +
+        s" 'g'), '/\\.(/|$$)', '/', 'g'), '/[^/]+/\\.\\./', '/')"
+    val root = s"$schemeRaw || '://' || $authority"
+    s"""(CASE
+       |    WHEN regexp_matches($href, '^[A-Za-z][A-Za-z0-9+.\\-]*:') THEN $href
+       |    WHEN starts_with($href, '//') THEN $schemeRaw || ':' || $href
+       |    WHEN starts_with($href, '/') THEN $root || ${rds(refPath)} || $refQf
+       |    WHEN starts_with($href, '?') THEN $root || $basePath || $href
+       |    WHEN $href = '' OR starts_with($href, '#') THEN ''
+       |    ELSE $root || ${rds(s"($baseDir || $refPath)")} || $refQf END)""".stripMargin
+  }
+
   // sentSpanDedup mirrored end-to-end: the span-dupe plant + the
   // sentence fixture, segmentation (the q_sent_split chain), lead
   // windows for the 3-sentence spans, sha256 over the chr(1)-joined
-  // span, MIN-aggregate ownership on occ_key = doc_id·1e9 + sent_id,
-  // covered-sentence removal, keep flags
+  // span, row-least (doc_id, sent_id) ownership (the struct-min
+  // mirror), covered-sentence removal, keep flags
   private val sentDedupCteSql =
     """WITH synth AS (
       |  SELECT doc_id,
@@ -1358,19 +1434,22 @@ object SparkEntry {
       |    CAST(len(list_filter(string_split_regex(sents[sent_id + 1], '\s+'), w -> w <> '')) AS BIGINT) AS n_tok
       |  FROM sx
       |), sp AS (
-      |  SELECT doc_id, sent_id, doc_id * 1000000000 + sent_id AS occ_key,
+      |  SELECT doc_id, sent_id,
       |    sha256(sentence || chr(1) || lead(sentence, 1) OVER w || chr(1) || lead(sentence, 2) OVER w) AS span_hash,
       |    lead(sentence, 2) OVER w AS s2
       |  FROM se WINDOW w AS (PARTITION BY doc_id ORDER BY sent_id)
       |), spans AS (
-      |  SELECT doc_id, sent_id, occ_key, span_hash FROM sp WHERE s2 IS NOT NULL
+      |  SELECT doc_id, sent_id, span_hash FROM sp WHERE s2 IS NOT NULL
       |), owners AS (
-      |  SELECT span_hash, MIN(occ_key) AS own_key FROM spans GROUP BY 1
+      |  SELECT span_hash, doc_id AS own_doc, sent_id AS own_sent FROM (
+      |    SELECT span_hash, doc_id, sent_id,
+      |      row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, sent_id) AS rn
+      |    FROM spans) WHERE rn = 1
       |), removed AS (
       |  SELECT DISTINCT doc_id, rs FROM (
       |    SELECT doc_id, unnest([sent_id, sent_id + 1, sent_id + 2]) AS rs
       |    FROM spans JOIN owners USING (span_hash)
-      |    WHERE occ_key <> own_key)
+      |    WHERE NOT (doc_id = own_doc AND sent_id = own_sent))
       |), flags AS (
       |  SELECT se.doc_id, se.sent_id, se.sentence, se.n_tok,
       |    r.rs IS NULL AS keep
@@ -1452,6 +1531,13 @@ object SparkEntry {
       |       THEN ' and <a href="http://h' || CAST((doc_id * 7 + 2) % 20 AS VARCHAR) ||
       |            '.example.com/n/' || CAST(doc_id % 50 AS VARCHAR) || '" rel=nofollow>five</a>'
       |       ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 1
+      |       THEN ' and <a href=''../up/' || CAST(doc_id % 5 AS VARCHAR) || '''>six</a>'
+      |       ELSE '' END) ||
+      |    (CASE WHEN doc_id % 8 = 5
+      |       THEN ' and <a href="//h' || CAST((doc_id * 11 + 7) % 20 AS VARCHAR) ||
+      |            '.example.com/pr/' || CAST(doc_id % 50 AS VARCHAR) || '">seven</a>'
+      |       ELSE '' END) ||
       |    '.</p></body></html>' AS html
       |  FROM documents
       |)
@@ -1469,9 +1555,14 @@ object SparkEntry {
   private def attrScanSql(name: String): String =
     s"""(?i)^(?:"[^"]*"|''[^'']*''|[^"''\\s]|\\s)*?(?:^|\\s)$name\\s*=\\s*"""
 
+  // matched-delimiter quote alternates (r14 advice — the WebOps
+  // .attrValueOf mirror: mismatched ["']...["'] pairs truncated a
+  // value holding the other quote char)
   private def attrValSql(attrs: String, name: String): String =
-    s"""CASE WHEN regexp_extract($attrs, '${attrScanSql(name)}["'']([^"'']*)["'']', 1) <> ''
-       |  THEN regexp_extract($attrs, '${attrScanSql(name)}["'']([^"'']*)["'']', 1)
+    s"""CASE WHEN regexp_extract($attrs, '${attrScanSql(name)}"([^"]*)"', 1) <> ''
+       |  THEN regexp_extract($attrs, '${attrScanSql(name)}"([^"]*)"', 1)
+       |  WHEN regexp_extract($attrs, '${attrScanSql(name)}''([^'']*)''', 1) <> ''
+       |  THEN regexp_extract($attrs, '${attrScanSql(name)}''([^'']*)''', 1)
        |  ELSE regexp_extract($attrs, '${attrScanSql(name)}([^\\s>"'']+)', 1) END""".stripMargin
 
   private def relNofollowSql(attrs: String): String =
@@ -1483,7 +1574,10 @@ object SparkEntry {
   // then the shared quote-aware content extraction from it
   private def robotsContentSql(html: String): String = {
     val a = """(?:[^>"'']|"[^"]*"|''[^'']*'')*"""
-    val tagPat = s"""(?is)<meta\\s${a}name\\s*=\\s*(?:"robots"$a>|''robots''$a>|robots[\\s/]$a>|robots>)"""
+    // optional whitespace-terminated body prefix before `name` — the
+    // WebOps.robotsContentOf r14 boundary (data-name=robots is NOT a
+    // robots directive)
+    val tagPat = s"""(?is)<meta\\s(?:${a}\\s)?name\\s*=\\s*(?:"robots"$a>|''robots''$a>|robots[\\s/]$a>|robots>)"""
     attrValSql(s"regexp_extract(lower($html), '$tagPat', 0)", "content")
   }
 
@@ -2398,6 +2492,83 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE disallowed) AS BIGINT) AS n_disallowed,
         |  (COUNT(*) FILTER (WHERE disallowed) * 1000000) // COUNT(*) AS disallowed_ppm
         |FROM gate GROUP BY 1""".stripMargin),
+    // known-answer oracle: the INDEPENDENT range construction (the
+    // parse is the thing under test; re-implementing it in SQL would
+    // only prove it agrees with itself)
+    "q_robots_rules" -> ("WITH seed AS (SELECT 1)" + robotsRulesSql +
+      "SELECT host, prefix FROM rules"),
+    // the raw-bodies composition must hash-match the PRE-PARSED gate's
+    // own oracle — rules here are the direct range construction, the
+    // Spark side parses them out of the planted bodies first
+    "q_robots_gate_raw" -> (urlFixtureSql + urlCanonSql + robotsRulesSql +
+      """, pp AS (
+        |  SELECT doc_id, host,
+        |    regexp_extract(url_canonical, '^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path
+        |  FROM canon
+        |)
+        |SELECT doc_id, host, path,
+        |  COALESCE(MAX(CASE WHEN r.prefix IS NOT NULL AND starts_with(path, r.prefix) THEN TRUE ELSE FALSE END), FALSE) AS disallowed,
+        |  MAX(CASE WHEN r.prefix IS NOT NULL AND starts_with(path, r.prefix) THEN r.prefix END) AS matched_prefix
+        |FROM pp LEFT JOIN rules r USING (host)
+        |GROUP BY 1, 2, 3""".stripMargin),
+    // unnest stays in its own single-table CTE (DuckDB v1.0.0's binder
+    // hits an INTERNAL error on unnest combined with a JOIN in one
+    // SELECT); the base-url join happens after extraction
+    "q_link_extract_resolved" -> (linkPageSql + ", " + urlFixtureCteSql +
+      s""", tags AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(html, '$aTagSql', 1)) AS attrs
+         |  FROM pg
+         |), raw0 AS (
+         |  SELECT doc_id, ${attrValSql("attrs", "href")} AS href
+         |  FROM tags
+         |), raw1 AS (
+         |  SELECT r.doc_id, u.url, r.href
+         |  FROM raw0 r JOIN u USING (doc_id) WHERE r.href <> ''
+         |), res AS (
+         |  SELECT doc_id, ${resolveHrefSql("url", "href")} AS href
+         |  FROM raw1
+         |)
+         |SELECT doc_id, href FROM res WHERE href <> ''""".stripMargin),
+    "q_host_graph_resolved" -> (linkPageSql + ", " + urlFixtureCteSql +
+      urlCanonSql +
+      s""", tags AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(html, '$aTagSql', 1)) AS attrs
+         |  FROM pg
+         |), raw0 AS (
+         |  SELECT doc_id, ${attrValSql("attrs", "href")} AS href
+         |  FROM tags
+         |), raw1 AS (
+         |  SELECT r.doc_id, u.url, r.href
+         |  FROM raw0 r JOIN u USING (doc_id) WHERE r.href <> ''
+         |), res AS (
+         |  SELECT doc_id, ${resolveHrefSql("url", "href")} AS rhref
+         |  FROM raw1
+         |), lh AS (
+         |  SELECT doc_id, ${pnormSqlExpr("rhref")} AS href
+         |  FROM res WHERE rhref <> ''
+         |), dh1 AS (
+         |""".stripMargin +
+      """  SELECT doc_id,
+        |    lower(regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS dscheme,
+        |    regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.\-]*://(.*)$', 1) AS drest
+        |  FROM lh
+        |), dh2 AS (
+        |  SELECT doc_id, dscheme,
+        |    regexp_replace(lower(regexp_extract(drest, '^([^/?#]*)', 1)), '^www\.', '') AS dhostw
+        |  FROM dh1
+        |), dst AS (
+        |  SELECT doc_id,
+        |    CASE WHEN dscheme = 'http' THEN regexp_replace(dhostw, ':80$', '')
+        |         WHEN dscheme = 'https' THEN regexp_replace(dhostw, ':443$', '')
+        |         ELSE dhostw END AS dst_host
+        |  FROM dh2
+        |)
+        |SELECT s.host AS src_host, d.dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+        |FROM canon s JOIN dst d USING (doc_id)
+        |WHERE d.dst_host <> ''
+        |GROUP BY 1, 2""".stripMargin),
     "q_sent_split" ->
       """WITH synth AS (
         |  SELECT doc_id,
@@ -2572,6 +2743,170 @@ object SparkEntry {
         |), st(stage_ord, stage) AS (
         |  SELECT * FROM (VALUES (1, 'benchmark_holdout'), (2, 'cleaning'),
         |    (3, 'exact_dedup'), (4, 'gopher'), (5, 'decontaminate'), (6, 'neardup'))
+        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
+        |SELECT stage_ord, stage, n_in, n_dropped, n_in - n_dropped AS n_out
+        |FROM (
+        |  SELECT CAST(st.stage_ord AS BIGINT) AS stage_ord, st.stage,
+        |    total - CAST(COALESCE(SUM(COALESCE(cnt.n_dropped, 0))
+        |      OVER (ORDER BY st.stage_ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+        |    COALESCE(cnt.n_dropped, 0) AS n_dropped
+        |  FROM st LEFT JOIN cnt ON st.stage_ord = cnt.stage_ord CROSS JOIN tot)""".stripMargin,
+    // the sentence-staged funnel: the q_curate_report chain with (a)
+    // the planted sentence fixture (q_sent_dedup's %7=2 preamble + the
+    // %11=7 pure-boilerplate slice), (b) the C4 span stage between
+    // exact-dedup and gopher (lead-window spans, struct-least
+    // ownership, covered-sentence removal, per-doc rebuild — docs that
+    // keep nothing drop as stage 4), and (c) every downstream stage
+    // reading the REBUILT text
+    "q_curate_report_sent" ->
+      """WITH RECURSIVE synth AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 7
+        |      THEN 'the alpha beta one.' || repeat(' ', CAST(doc_id % 7 + 1 AS INT)) ||
+        |           'the gamma delta two.' || repeat(' ', CAST(doc_id % 7 + 1 AS INT)) ||
+        |           'the epsilon zeta three.'
+        |      ELSE regexp_replace(
+        |        CASE WHEN doc_id % 7 = 2
+        |          THEN 'alpha beta one. gamma delta two. epsilon zeta three. ' || text
+        |          ELSE text END,
+        |        '((?:\S+\s+){11}\S+)\s+', '\1. ', 'g') END AS text
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+        |    md5(text) AS text_hash,
+        |    (doc_id % 10 = 0) AS is_bench
+        |  FROM synth
+        |), cleaned AS (
+        |  SELECT doc_id, text_hash FROM sc
+        |  WHERE NOT is_bench AND n_tok >= 10 AND stop_ratio >= 0.05
+        |), rn AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        |  FROM cleaned
+        |), ek AS (SELECT doc_id FROM rn WHERE rn = 1),
+        |st0 AS (
+        |  SELECT s.doc_id,
+        |    list_filter(list_transform(regexp_extract_all(s.text, '[^.!?]+[.!?]*'),
+        |      x -> trim(x)), x -> x <> '') AS sents
+        |  FROM synth s JOIN ek USING (doc_id)
+        |), sx2 AS (
+        |  SELECT doc_id, sents, unnest(range(0, len(sents))) AS sent_id FROM st0
+        |), se2 AS (
+        |  SELECT doc_id, CAST(sent_id AS BIGINT) AS sent_id,
+        |    sents[sent_id + 1] AS sentence
+        |  FROM sx2
+        |), sp2 AS (
+        |  SELECT doc_id, sent_id,
+        |    sha256(sentence || chr(1) || lead(sentence, 1) OVER w || chr(1) || lead(sentence, 2) OVER w) AS span_hash,
+        |    lead(sentence, 2) OVER w AS s2
+        |  FROM se2 WINDOW w AS (PARTITION BY doc_id ORDER BY sent_id)
+        |), spans2 AS (
+        |  SELECT doc_id, sent_id, span_hash FROM sp2 WHERE s2 IS NOT NULL
+        |), owners2 AS (
+        |  SELECT span_hash, doc_id AS own_doc, sent_id AS own_sent FROM (
+        |    SELECT span_hash, doc_id, sent_id,
+        |      row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, sent_id) AS rno
+        |    FROM spans2) WHERE rno = 1
+        |), removed2 AS (
+        |  SELECT DISTINCT doc_id, rs FROM (
+        |    SELECT doc_id, unnest([sent_id, sent_id + 1, sent_id + 2]) AS rs
+        |    FROM spans2 JOIN owners2 USING (span_hash)
+        |    WHERE NOT (doc_id = own_doc AND sent_id = own_sent))
+        |), reb AS (
+        |  SELECT se2.doc_id,
+        |    array_to_string(list(se2.sentence ORDER BY se2.sent_id), ' ') AS text
+        |  FROM se2 LEFT JOIN removed2 r
+        |    ON se2.doc_id = r.doc_id AND se2.sent_id = r.rs
+        |  WHERE r.rs IS NULL
+        |  GROUP BY se2.doc_id
+        |), sk AS (SELECT doc_id FROM reb),
+        |gtoks AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM reb
+        |), grep1 AS (
+        |  SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT bigram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rep
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks2) - 1),
+        |          i -> toks2[i + 1] || ' ' || toks2[i + 2])) AS bigram
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks2 FROM reb)
+        |        WHERE len(toks2) >= 2)
+        |  GROUP BY doc_id
+        |), gbase AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+        |    CAST((length(text) - length(replace(text, '#', ''))) +
+        |         (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_distinct(list_filter(ts,
+        |      t -> t IN ('the','a','of','and','is')))) AS BIGINT) AS n_stop
+        |  FROM gtoks WHERE len(ts) > 0
+        |), gk AS (
+        |  SELECT doc_id FROM gbase LEFT JOIN grep1 USING (doc_id)
+        |  WHERE (n_tok >= 50 AND n_tok <= 100000)
+        |    AND (CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0)
+        |    AND (CAST(n_sym AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 0.1)
+        |    AND (CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.8)
+        |    AND (n_stop >= 2)
+        |    AND (COALESCE(rep, 0.0) <= 0.3)
+        |), dsh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 3),
+        |          i -> array_to_string(toks[i + 1:i + 4], ' '))) AS shingle
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM synth)
+        |        WHERE len(toks) >= 4)
+        |), dbench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT DISTINCT doc_id FROM dsh JOIN dbench USING (shingle)
+        |  WHERE doc_id % 10 <> 0
+        |), decon AS (
+        |  SELECT doc_id FROM ek JOIN sk USING (doc_id) JOIN gk USING (doc_id)
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        |), nsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM reb JOIN decon USING (doc_id))
+        |  WHERE len(toks) >= 3
+        |), nsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM nsh GROUP BY 1),
+        |ninter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM nsh a JOIN nsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), near AS (
+        |  SELECT a_id, b_id FROM ninter
+        |  JOIN nsz sa ON a_id = sa.doc_id
+        |  JOIN nsz sb ON b_id = sb.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM near
+        |  UNION ALL SELECT b_id, a_id FROM near
+        |), reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM decon
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src
+        |), reps AS (
+        |  SELECT node AS doc_id FROM
+        |    (SELECT node, MIN(label) AS lbl FROM reach GROUP BY node)
+        |  WHERE node = lbl
+        |), lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN is_bench THEN 1
+        |         WHEN NOT (n_tok >= 10 AND stop_ratio >= 0.05) THEN 2
+        |         WHEN doc_id NOT IN (SELECT doc_id FROM ek) THEN 3
+        |         WHEN doc_id NOT IN (SELECT doc_id FROM sk) THEN 4
+        |         WHEN doc_id NOT IN (SELECT doc_id FROM gk) THEN 5
+        |         WHEN doc_id IN (SELECT doc_id FROM hits) THEN 6
+        |         WHEN doc_id NOT IN (SELECT doc_id FROM reps) THEN 7
+        |         ELSE 8 END AS stage_ord
+        |  FROM sc
+        |), cnt AS (
+        |  SELECT stage_ord, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM lab GROUP BY 1
+        |), st(stage_ord, stage) AS (
+        |  SELECT * FROM (VALUES (1, 'benchmark_holdout'), (2, 'cleaning'),
+        |    (3, 'exact_dedup'), (4, 'sentence_dedup'), (5, 'gopher'),
+        |    (6, 'decontaminate'), (7, 'neardup'))
         |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
         |SELECT stage_ord, stage, n_in, n_dropped, n_in - n_dropped AS n_out
         |FROM (

@@ -1695,17 +1695,32 @@ object Curation {
   def curateCorpus(documents: DataFrame, minTokens: Int = 10,
       minStopRatio: Double = 0.05, benchmarkEvery: Int = 10,
       gopherMinTok: Long = 50, neardupThreshold: Double = 0.8,
-      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+      valPct: Int = 10, testPct: Int = 10,
+      sentenceDedup: Boolean = false): DataFrame = {
     val train =
       documents.where(pmod(col("doc_id"), lit(benchmarkEvery)) =!= 0)
     val scored = train.select(Seq(col("doc_id"), col("text"), col("lang"),
       col("source")) ++ TextOps.cleaningScores: _*)
     val wDup = Window.partitionBy("text_hash").orderBy(col("doc_id"))
-    val cleaned = scored
+    val exactKept = scored
       .where(col("n_tok") >= minTokens && col("stop_ratio") >= minStopRatio)
       .withColumn("rn", row_number().over(wDup))
       .where(col("rn") === 1)
       .select("doc_id", "text", "lang", "source", "n_tok")
+    // 2b (opt-in, r13 verdict #6): the C4 §2.2 three-sentence-span
+    // rule as a CLEANING stage between exact-dedup and gopher —
+    // non-owner occurrences of duplicated spans drop their sentences,
+    // each doc rebuilds from its kept sentences ([[TextOps
+    // .sentSpanDedupApply]]), and a doc that loses EVERY sentence
+    // (pure boilerplate) drops here; all downstream gates read the
+    // rebuilt text
+    val cleaned = if (!sentenceDedup) exactKept else
+      TextOps.sentSpanDedupApply(exactKept)
+        .where(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_clean").as("text"),
+          col("kept_tokens").as("n_tok"))
+        .join(exactKept.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "text", "lang", "source", "n_tok")
     val gophKeep = TextOps.gopherGate(cleaned, minTok = gopherMinTok)
       .where(col("keep")).select("doc_id")
     val gated = cleaned.join(gophKeep, "doc_id")
@@ -1784,7 +1799,8 @@ object Curation {
     */
   def curateReport(documents: DataFrame, minTokens: Int = 10,
       minStopRatio: Double = 0.05, benchmarkEvery: Int = 10,
-      gopherMinTok: Long = 50, neardupThreshold: Double = 0.8): DataFrame = {
+      gopherMinTok: Long = 50, neardupThreshold: Double = 0.8,
+      sentenceDedup: Boolean = false): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val base = documents.select(Seq(col("doc_id"), col("text"), col("lang"),
@@ -1808,36 +1824,60 @@ object Curation {
     val exactKeep = documents
       .select("doc_id", "text", "lang", "source")
       .join(rnIds.where(col("rn") === 1).select("doc_id"), "doc_id")
-    val goph = TextOps.gopherGate(exactKeep, minTok = gopherMinTok)
+    // the opt-in sentence-span stage (the capstone's 2b): downstream
+    // gates read the REBUILT text; `sk` marks docs that kept at least
+    // one sentence (a pure-boilerplate doc drops here, its own stage)
+    val afterSent = if (!sentenceDedup) exactKeep else
+      TextOps.sentSpanDedupApply(exactKeep)
+        .where(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .join(exactKeep.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "text", "lang", "source")
+        .localCheckpoint(false)
+    val goph = TextOps.gopherGate(afterSent, minTok = gopherMinTok)
       .where(col("keep")).select(col("doc_id"), lit(1).as("g"))
       .localCheckpoint(false)
     val hits = decontaminate(documents, benchmarkEvery)
       .select(col("doc_id"), lit(1).as("h"))
       .localCheckpoint(false)
-    val decon = exactKeep.join(goph.select("doc_id"), "doc_id")
+    val decon = afterSent.join(goph.select("doc_id"), "doc_id")
       .join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(false)
     val reps = Dedup.dedupGroups(decon, threshold = neardupThreshold)
       .where(col("group_id") === col("doc_id"))
       .select(col("doc_id"), lit(1).as("r"))
-    val labeled = base
-      .join(rnIds, Seq("doc_id"), "left")
-      .join(goph, Seq("doc_id"), "left")
-      .join(hits, Seq("doc_id"), "left")
-      .join(reps, Seq("doc_id"), "left")
+    // stage ordinals shift by one past exact_dedup when the sentence
+    // stage is on — the funnel stays a single telescoping pass
+    val s = if (sentenceDedup) 1L else 0L
+    val joined0 = base.join(rnIds, Seq("doc_id"), "left")
+    // the sk join and its label branch exist only when the stage does,
+    // so the flag-off funnel's plan is bit-identical to the r13 shape
+    val labeled0 =
+      (if (sentenceDedup)
+        joined0.join(afterSent.select(col("doc_id"), lit(1).as("sk")),
+          Seq("doc_id"), "left")
+      else joined0.withColumn("sk", lit(1)))
+        .join(goph, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .join(reps, Seq("doc_id"), "left")
+    val labeled = labeled0
       .withColumn("stage_ord",
         when(col("is_bench"), lit(1L))
           .when(!cleanOk, lit(2L))
           .when(col("rn") > 1, lit(3L))
-          .when(col("g").isNull, lit(4L))
-          .when(col("h").isNotNull, lit(5L))
-          .when(col("r").isNull, lit(6L))
-          .otherwise(lit(7L)))
+          .when(lit(sentenceDedup) && col("sk").isNull, lit(4L))
+          .when(col("g").isNull, lit(4L + s))
+          .when(col("h").isNotNull, lit(5L + s))
+          .when(col("r").isNull, lit(6L + s))
+          .otherwise(lit(7L + s)))
     val counts = labeled.groupBy("stage_ord")
       .agg(count(lit(1)).as("n_dropped"))
-    val stages = Seq((1L, "benchmark_holdout"), (2L, "cleaning"),
-      (3L, "exact_dedup"), (4L, "gopher"), (5L, "decontaminate"),
-      (6L, "neardup")).toDF("stage_ord", "stage")
+    val stageSeq = Seq((1L, "benchmark_holdout"), (2L, "cleaning"),
+      (3L, "exact_dedup")) ++
+      (if (sentenceDedup) Seq((4L, "sentence_dedup")) else Seq.empty) ++
+      Seq((4L + s, "gopher"), (5L + s, "decontaminate"),
+        (6L + s, "neardup"))
+    val stages = stageSeq.toDF("stage_ord", "stage")
     val total = documents.agg(count(lit(1)).as("total"))
     // funnel arithmetic over the constant 6-row stage frame: the
     // unpartitioned running sum and the single-row total broadcast

@@ -2398,19 +2398,27 @@ object Similarity {
       srcLang: String = "en", dstLang: String = "de", k: Int = 4,
       nQueries: Long = 200, marginThreshold: Double = 1.05): DataFrame = {
     val (a, b) = bitextSides(embeddings, documents, srcLang, dstLang)
-    val aStars = a.withColumn("rep_id",
-      min(col("q_id")).over(Window.partitionBy(col("q_emb"))))
-    val bStars = b.withColumn("rep_id",
-      min(col("n_id")).over(Window.partitionBy(col("n_emb"))))
-    val aReps = aStars.where(col("q_id") === col("rep_id"))
-      .select(col("q_id"), col("q_emb"))
-    val bReps = bStars.where(col("n_id") === col("rep_id"))
-      .select(col("n_id"), col("n_emb"))
+    // star-reduce via the shared [[starFrames]] aggregate (r14 — the
+    // r13 verdict's top item: the old min().over(Window.partitionBy
+    // (emb)) had NO map-side partial aggregation, so on the
+    // clone-saturated corpora this leg exists for, the hottest
+    // sentence landed every clone row on ONE sorting task; the
+    // groupBy+min aggregate folds it per-partition before the
+    // shuffle, and the member join-back streams the hot key through
+    // the probe side of a hash join)
+    val (aReps0, aMembers) = starFrames(
+      a.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")))
+    val (bReps0, bMembers) = starFrames(
+      b.select(col("n_id").as("vec_id"), col("n_emb").as("embedding")))
+    val aReps = aReps0.select(
+      col("rep_id").as("q_id"), col("embedding").as("q_emb"))
+    val bReps = bReps0.select(
+      col("rep_id").as("n_id"), col("embedding").as("n_emb"))
     val repPairs = mutualBest(exactBitextSp(aReps, bReps,
       aReps.where(col("q_id") < nQueries), k, marginThreshold))
     composeBitextMembers(repPairs,
-      aStars.select(col("rep_id").as("src_rep"), col("q_id").as("src_id")),
-      bStars.select(col("rep_id").as("dst_rep"), col("n_id").as("dst_id")))
+      aMembers.select(col("rep_id").as("src_rep"), col("vec_id").as("src_id")),
+      bMembers.select(col("rep_id").as("dst_rep"), col("vec_id").as("dst_id")))
   }
 
   /** Member composition of rep-level bitext pairs (the dedup-first
@@ -2518,27 +2526,36 @@ object Similarity {
     require(centroids.head.length == dim,
       s"mineBitextIndexedDeduped: stored centroids are " +
         s"dim=${centroids.head.length}, caller asked dim=$dim")
+    // the lang-joined embedding frame feeds FOUR subtrees of the
+    // composed plan (both star reductions, the forward shortlist, the
+    // reverse candidate semi-join) — persist so the serve reads it
+    // once (r14, the r13 §5b 100× measure attributed the
+    // 2.4×-of-exact gap to this frame re-derived per plan reference)
     val e = registered(embeddings)
       .join(documents.select(col("doc_id").as("vec_id"), col("lang")),
         "vec_id")
       .where(pqEncodable(dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codes = spark.read.parquet(s"$path/codes")
-    def stars(lang: String) = e.where(col("lang") === lang)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("rep_id",
-        min(col("vec_id")).over(Window.partitionBy(col("embedding"))))
-    val (aStars, bStars) = (stars(srcLang), stars(dstLang))
+    // star-reduce via the shared [[starFrames]] aggregate (r14 — see
+    // [[mineBitextDeduped]]: map-side partial min folds the hot clone
+    // class before the shuffle; the window form had no partial
+    // aggregation). starFrames also persist+counts both frames — the
+    // reps feed three subtrees (src ids, dst ids, query batch), the
+    // members the final composition.
+    def sideStars(lang: String) = starFrames(e.where(col("lang") === lang)
+      .select(col("vec_id"), col("embedding")))
+    val (aReps, aMembers) = sideStars(srcLang)
+    val (bReps, bMembers) = sideStars(dstLang)
     val repPairs = indexedBitextPairs(centroids, books, codes, e,
-      srcIds = aStars.where(col("vec_id") === col("rep_id"))
-        .select("vec_id"),
-      dstIds = bStars.where(col("vec_id") === col("rep_id"))
-        .select("vec_id"),
-      queries = aStars.where(col("vec_id") === col("rep_id") &&
-        col("vec_id") < nQueries).select(col("vec_id"), col("embedding")),
+      srcIds = aReps.select(col("rep_id").as("vec_id")),
+      dstIds = bReps.select(col("rep_id").as("vec_id")),
+      queries = aReps.where(col("rep_id") < nQueries)
+        .select(col("rep_id").as("vec_id"), col("embedding")),
       k, marginThreshold, nProbe, rerank, dim)
     composeBitextMembers(repPairs,
-      aStars.select(col("rep_id").as("src_rep"), col("vec_id").as("src_id")),
-      bStars.select(col("rep_id").as("dst_rep"), col("vec_id").as("dst_id")))
+      aMembers.select(col("rep_id").as("src_rep"), col("vec_id").as("src_id")),
+      bMembers.select(col("rep_id").as("dst_rep"), col("vec_id").as("dst_id")))
   }
 
   /** The forward k-NN cut both bitext legs share — rank over

@@ -338,8 +338,17 @@ object TextOps {
       .join(repetitionRatio(documents).select(col("doc_id"), col("rep_ratio")),
         Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("rep_ratio"), lit(0.0)))
+    // divisor clamped to ≥1 (r14): the n_tok>0 guard above is NOT
+    // enough under ANSI — whole-stage codegen's subexpression
+    // elimination hoists the shared division ABOVE the combined
+    // filter's short-circuit, so a pre-filter zero-token row (empty
+    // rebuilt text from the sentence-dedup stage; Spark's split("")
+    // is empty in the codegen path) threw DIVIDE_BY_ZERO even though
+    // the guard would have dropped it. For every row the gate keeps
+    // (n_tok ≥ 1) the clamp is the identity, so the oracle mirror
+    // (WHERE len(ts) > 0) is unchanged.
     def ratio(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      a.cast("double") / b.cast("double")
+      a.cast("double") / greatest(b, lit(1L)).cast("double")
     val pWords = col("n_tok") >= minTok && col("n_tok") <= maxTok
     val pLen = ratio(col("sum_len"), col("n_tok")).between(3.0, 10.0)
     val pSym = ratio(col("n_sym"), col("n_tok")) <= 0.1
@@ -427,15 +436,14 @@ object TextOps {
     * partition before the shuffle instead of piling 10⁹ rows on one
     * reducer); the occurrences-to-owner join fans out only on the
     * probe side (one row per hash on the build side, AQE skew-split
-    * territory at the extreme). Occurrence order rides one BIGINT
-    * `occ_key = doc_id·10⁹ + sent_id` (the sentence-uid convention;
-    * stated bound: sent_id < 10⁹, 0 ≤ doc_id < 2⁶³/10⁹ ≈ 9.2·10⁹ — a
-    * corpus beyond that re-keys with a wider encoding. In particular
-    * [[graft.sources.WarcSource.docs]]' xxhash64 doc ids span the
-    * full signed-Long range and MUST be re-keyed (dense_rank or a
-    * stored id map — the snapshotDiff convention) before this
-    * operator; a wrapped occ_key can collide two occurrences of one
-    * span and silently mis-assign ownership).
+    * territory at the extreme). Occurrence order is the lexicographic
+    * MIN over `struct(doc_id, sent_id)` (r14 — the r13 composite
+    * `occ_key = doc_id·10⁹ + sent_id` carried a 0 ≤ doc_id < 9.2·10⁹
+    * bound that blocked the engine's own WARC front door:
+    * [[graft.sources.WarcSource.docs]]' xxhash64 ids span the full
+    * signed-Long range and would have needed a re-key; struct min is
+    * overflow-free for ANY Long id, Spark orders structs field-by-
+    * field and DuckDB's row comparison mirrors it).
     */
   def sentSpanDedup(documents: DataFrame, spanLen: Int = 3): DataFrame = {
     require(spanLen >= 2, s"sentSpanDedup: spanLen must be >= 2: $spanLen")
@@ -448,15 +456,15 @@ object TextOps {
     val spans = withLeads
       .where(col(s"s_${spanLen - 1}").isNotNull)
       .select(col("doc_id"), col("sent_id"),
-        (col("doc_id") * lit(1000000000L) + col("sent_id")).as("occ_key"),
         sha2(concat_ws("\u0001", spanCols: _*), 256).as("span_hash"))
     val owners = spans.groupBy("span_hash")
-      .agg(min(col("occ_key")).as("own_key"))
+      .agg(min(struct(col("doc_id"), col("sent_id"))).as("own"))
     // a non-owner occurrence of a span (the span is duplicated by
     // implication — a unique span's only occurrence IS its owner)
     // removes every sentence position it covers
     val removed = spans.join(owners, "span_hash")
-      .where(col("occ_key") =!= col("own_key"))
+      .where(col("doc_id") =!= col("own.doc_id") ||
+        col("sent_id") =!= col("own.sent_id"))
       .select(col("doc_id"),
         explode(sequence(col("sent_id"),
           col("sent_id") + lit(spanLen - 1).cast("long"))).as("sent_id"))
@@ -1824,8 +1832,11 @@ object TextOps {
     val toks = tokenize(col("text"))
     Seq(
       size(toks).cast("long").as("n_tok"),
+      // divisor clamped to ≥1 — the gopherGate ANSI/subexpr-hoist
+      // lesson (r14): a zero-token row never passes the cleaning
+      // gate, but its ratio must still be a value, not a throw
       (stopwordCount(toks, stopwords.head._2).cast("double") /
-        size(toks).cast("double")).as("stop_ratio"),
+        greatest(size(toks), lit(1)).cast("double")).as("stop_ratio"),
       md5(col("text")).as("text_hash"))
   }
 

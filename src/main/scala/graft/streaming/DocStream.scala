@@ -175,7 +175,8 @@ object DocStream {
       minScore: Double = 0.5, valPct: Int = 10, testPct: Int = 10,
       ttlMs: Long = 3600 * 1000L,
       urlDedupWatermark: String = "10 minutes",
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      robotsRules: Option[DataFrame] = None): StreamingQuery = {
     // stage-0 URL-level dedup, the published order (C4/RefinedWeb dedup
     // by canonical URL BEFORE any text work): re-fetches of one page
     // under decorated URLs drop here, before extraction pays for them.
@@ -187,11 +188,36 @@ object DocStream {
     // reject — re-runnable from the archive, so dropped not
     // quarantined, the gate-reject policy): a noindex page never
     // reaches the dedup state or the extractor
-    val pages = graft.sources.WarcSource
+    val gated0 = graft.sources.WarcSource
       .pagesStream(spark, inDir, maxFilesPerTrigger)
       .where(!graft.operators.WebOps.noindexCol(col("html")))
       .withColumn("url_canonical",
         graft.operators.WebOps.urlCanonicalCol(col("url")))
+    // the robots.txt FILE-level twin (r13 verdict #7): when a parsed
+    // (host, prefix) rules frame rides along ([[graft.operators.WebOps
+    // .robotsTxtRules]] parses raw bodies), disallowed pages drop
+    // BEFORE the dedup state and the extractor pay for them — a
+    // stream-static LEFT ANTI join against the hosts-sized broadcast
+    // rules table (the batch [[graft.operators.WebOps.robotsTxtGate]]
+    // prefix semantics; same gate-reject policy as noindex: the
+    // verdict is deterministic from the archive, so dropped not
+    // quarantined — [[graft.operators.WebOps.robotsTxtAudit]] over the
+    // same archive is the audit trail)
+    val gated = robotsRules match {
+      case None => gated0
+      case Some(rules) =>
+        gated0
+          .withColumn("__host",
+            graft.operators.WebOps.hostOf(col("url")))
+          .withColumn("__path", regexp_extract(col("url_canonical"),
+            "^[a-z][a-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1))
+          .join(broadcast(rules.select(col("host").as("__rhost"),
+              col("prefix").as("__prefix"))),
+            col("__host") === col("__rhost") &&
+              startswith(col("__path"), col("__prefix")), "left_anti")
+          .drop("__host", "__path")
+    }
+    val pages = gated
       .withWatermark("ingest_ts", urlDedupWatermark)
       .dropDuplicatesWithinWatermark("url_canonical")
     val docs = StreamingOps.extractDocStream(pages, "html",

@@ -280,7 +280,8 @@ class CuratePipelineSpec extends SparkSuite {
     val urls = Map(
       "A" -> "http://s1.test/a", "B" -> "http://s2.test/b",
       "C" -> "http://s1.test/c", "D" -> "http://s3.test/d",
-      "E" -> "http://s1.test/e", "F" -> "http://s1.test/f")
+      "E" -> "http://s1.test/e", "F" -> "http://s1.test/f",
+      "G" -> "http://s4.test/blocked/g", "H" -> "http://s4.test/blocked/h")
     // pagesStream keys docs by xxhash64(url); pick the holdout modulus
     // so NONE of the fixture ids lands on the holdout residue (the
     // %every rule is id-blind — a real intake accepts that tithe, a
@@ -323,13 +324,21 @@ class CuratePipelineSpec extends SparkSuite {
       }
       got
     }
+    // the robots.txt FILE-level rules (r14): host s4.test disallows
+    // the /blocked prefix — pages G (archive 1) and H (archive 2)
+    // carry clean prose that passes every other gate, so only the
+    // rules gate explains their absence from landing AND quarantine,
+    // and H proves the gate holds across kill+resume
+    val robotsRules = Seq(("s4.test", "/blocked")).toDF("host", "prefix")
     // archive 1: two prose pages + an exact-dup TEXT under a third URL
     // (URL dedup can't see it — the band claim must)
     pack("w1.warc", Seq(urls("A") -> text1, urls("B") -> text1,
-      urls("C") -> text4))
+      urls("C") -> text4,
+      urls("G") -> ("the first disallowed page carries clean prose " +
+        "with many common words that would pass the whole gate chain")))
     val q1 = DocStream.curatePipelineFromWarc(spark, in.getPath,
       benchmark, probeIdx, dsirIdx, out, ckpt, minScore = 0.0,
-      benchmarkEvery = every)
+      benchmarkEvery = every, robotsRules = Some(robotsRules))
     try assert(awaitLanded(Set(h("A"), h("C"))) == Set(h("A"), h("C")),
       "archive pages must parse, extract and land; the cross-URL " +
         "exact dup must not")
@@ -350,11 +359,14 @@ class CuratePipelineSpec extends SparkSuite {
       // pass every other gate, so only the robots stage explains its
       // absence from BOTH the landing and the quarantine
       urls("F") -> ("the opted out page is otherwise one of the " +
-        "cleanest documents with many common words")),
+        "cleanest documents with many common words"),
+      // H: disallowed by the s4.test /blocked rule, post-resume
+      urls("H") -> ("the second disallowed page also carries clean " +
+        "prose with many common words for every downstream gate")),
       poisonAfterFirst = true)
     val q2 = DocStream.curatePipelineFromWarc(spark, in.getPath,
       benchmark, probeIdx, dsirIdx, out, ckpt, minScore = 0.0,
-      benchmarkEvery = every)
+      benchmarkEvery = every, robotsRules = Some(robotsRules))
     val want = Set(h("A"), h("C"), h("E"))
     val landed = try awaitLanded(want) finally q2.stop()
     assert(landed == want, s"got $landed want $want")
@@ -370,5 +382,16 @@ class CuratePipelineSpec extends SparkSuite {
       .toMap
     assert(rows(h("A")) == "s1.test" && rows(h("E")) == "s1.test",
       s"got $rows")
+    // the audit trail for the robots drops is the archive itself: the
+    // batch scorecard over the same WARC directory accounts for both
+    // disallowed fetches (the stream gate's own drop is silent by the
+    // stateless-reject policy)
+    val audit = graft.operators.WebOps.robotsTxtAudit(
+        graft.sources.WarcSource.docs(spark, in.getPath), robotsRules)
+      .collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("n_pages"), r.getAs[Long]("n_disallowed"))))
+      .toMap
+    assert(audit("s4.test") == ((2L, 2L)), s"got $audit")
   }
 }

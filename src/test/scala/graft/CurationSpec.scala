@@ -91,6 +91,64 @@ class CurationSpec extends SparkSuite {
       rep.toString)
   }
 
+  test("curateCorpus/curateReport sentenceDedup (r13 verdict #6): no " +
+      "duplicated 3-sentence span among survivors, the sentence_dedup " +
+      "row appears with nonzero drops, the funnel still telescopes to " +
+      "the capstone's count") {
+    // the q_curate_report_sent plant: %7=2 docs share a 3-sentence
+    // preamble (they keep their tails), %11=7 docs ARE the duplicated
+    // span (exact-dup-distinct via the id-dependent space run) — all
+    // but the owner drop entirely at the sentence stage
+    val sp = expr("repeat(' ', CAST(doc_id % 7 + 1 AS INT))")
+    val planted = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(11L)) === 7L,
+        concat(lit("the alpha beta one."), sp,
+          lit("the gamma delta two."), sp,
+          lit("the epsilon zeta three.")))
+        .otherwise(TextOps.syntheticSentences(
+          TextOps.syntheticSpanDupes(col("doc_id"), col("text")))))
+    val out = Curation.curateCorpus(planted, sentenceDedup = true)
+    val survivors = out.collect()
+    assert(survivors.nonEmpty)
+    // C4's invariant on the OUTPUT: across all survivor texts, no
+    // 3-sentence span occurs twice
+    val spans = survivors.flatMap { r =>
+      val sents = r.getAs[String]("text")
+        .split("(?<=[.!?])").map(_.trim).filter(_.nonEmpty)
+      sents.sliding(3).filter(_.length == 3).map(_.mkString(""))
+    }
+    assert(spans.distinct.length == spans.length,
+      "a duplicated 3-sentence span survived the sentence stage")
+    // the funnel: 7 rows, the sentence row nonzero, telescoping holds,
+    // final n_out equals the capstone's count
+    val rep = Curation.curateReport(planted, sentenceDedup = true)
+      .collect()
+      .map(r => (r.getAs[Long]("stage_ord"), r.getAs[String]("stage"),
+        r.getAs[Long]("n_in"), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("n_out")))
+      .sortBy(_._1).toSeq
+    assert(rep.map(t => (t._1, t._2)) == Seq(
+      (1L, "benchmark_holdout"), (2L, "cleaning"), (3L, "exact_dedup"),
+      (4L, "sentence_dedup"), (5L, "gopher"), (6L, "decontaminate"),
+      (7L, "neardup")), s"stage rows: $rep")
+    rep.foreach { case (_, s, in, d, o) =>
+      assert(o == in - d, s"stage $s: $in - $d != $o") }
+    rep.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._5 == b._3, s"${a._2} out ${a._5} != ${b._2} in ${b._3}") }
+    val sentRow = rep.find(_._2 == "sentence_dedup").get
+    assert(sentRow._4 > 0L,
+      s"the boilerplate slice must drop docs at the sentence stage: $rep")
+    assert(rep.last._5 == out.count(),
+      "funnel n_out must equal the sentence-staged capstone's size")
+    // flag OFF is bit-compatible with the r13 funnel (6 rows, same ords)
+    val off = Curation.curateReport(planted).collect()
+      .map(r => (r.getAs[Long]("stage_ord"), r.getAs[String]("stage")))
+      .sortBy(_._1).toSeq
+    assert(off == Seq((1L, "benchmark_holdout"), (2L, "cleaning"),
+      (3L, "exact_dedup"), (4L, "gopher"), (5L, "decontaminate"),
+      (6L, "neardup")), s"flag-off rows: $off")
+  }
+
   test("curateCorpusFromHtml: extraction front door equals curateCorpus " +
       "on the word-floor-cleared docs; boilerplate never leaks") {
     val pages = docs.select(col("doc_id"),

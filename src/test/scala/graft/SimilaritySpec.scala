@@ -1404,4 +1404,60 @@ class SimilaritySpec extends SparkSuite {
         assert(ec == c, s"pair ($s0,$d0) served cos $c vs exact $ec"))
     }
   }
+
+  test("dedup-first star-reduce is the aggregate idiom (r13 verdict " +
+      "#1): a 1e5-clone hot class runs through BOTH legs — partial " +
+      "map-side min folds it before the shuffle, no embedding-keyed " +
+      "window anywhere in either plan") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val dim = 64
+    def vec(weights: Map[Int, Float]) =
+      array(Seq.tabulate(dim)(j =>
+        lit(weights.getOrElse(j, 0.0f))): _*)
+    // en side: ONE embedding cloned 100 000× (the clone-saturated
+    // crawl these legs exist for — the r13 window shape would land
+    // all 1e5 rows on one sorting task) + two orthogonal strangers;
+    // de side: the planted parallel vector cloned 4× + two strangers
+    val en = spark.range(0L, 100000L)
+      .select(col("id").as("vec_id"), vec(Map(0 -> 1.0f)).as("embedding"))
+      .unionByName(spark.range(100001L, 100002L).select(
+        col("id").as("vec_id"), vec(Map(2 -> 1.0f)).as("embedding")))
+      .unionByName(spark.range(100002L, 100003L).select(
+        col("id").as("vec_id"), vec(Map(3 -> 1.0f)).as("embedding")))
+    val de = spark.range(200000L, 200004L)
+      .select(col("id").as("vec_id"),
+        vec(Map(0 -> 0.9f, 1 -> 0.09f)).as("embedding"))
+      .unionByName(spark.range(200010L, 200011L).select(
+        col("id").as("vec_id"), vec(Map(4 -> 1.0f)).as("embedding")))
+      .unionByName(spark.range(200011L, 200012L).select(
+        col("id").as("vec_id"), vec(Map(5 -> 1.0f)).as("embedding")))
+    val vecs = en.unionByName(de)
+    val langs = en.select(col("vec_id").as("doc_id"), lit("en").as("lang"))
+      .unionByName(de.select(col("vec_id").as("doc_id"),
+        lit("de").as("lang")))
+    def audit(df: org.apache.spark.sql.DataFrame, leg: String): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      for (c <- Seq("embedding", "q_emb", "n_emb"))
+        assert(!p.contains(s"windowspecdefinition($c"),
+          s"$leg: embedding-keyed window survived in the plan")
+      assert(p.contains("partial_min"),
+        s"$leg: no map-side partial min visible in the plan:\n" +
+          p.linesIterator.take(40).mkString("\n"))
+    }
+    val dd = Similarity.mineBitextDeduped(vecs, langs)
+    audit(dd, "exact leg")
+    // the hot class folds to ONE rep; members fan back out 1e5 × 4
+    assert(dd.count() == 400000L, "member fan-out must be 1e5 x 4")
+    val reps = dd.select("src_rep", "dst_rep").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reps == Set((0L, 200000L)), s"rep pairs: $reps")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bitext-hotclone-idx").toString
+    Similarity.writeAnnIndex(vecs, dir, nCells = 8)
+    val served = Similarity.mineBitextIndexedDeduped(spark, dir,
+      vecs, langs, nProbe = 8, rerank = 100)
+    audit(served, "served leg")
+    assert(served.count() == 400000L,
+      "served member fan-out must be 1e5 x 4")
+  }
 }

@@ -78,6 +78,37 @@ class TextOpsSpec extends SparkSuite {
     assert(a(5L) == ((2L, 2L, 3L, "short one. two.")), s"got ${a(5L)}")
   }
 
+  test("sentSpanDedup composes with the WARC front door (r13 verdict " +
+      "#3): full-signed-range doc ids — negative and near-MaxValue, " +
+      "the WarcSource xxhash64 shape — own spans via the lexicographic " +
+      "struct min, no re-key needed") {
+    // ids planted at the signed extremes: each would have WRAPPED the
+    // r13 composite occ_key = doc_id·10⁹ + sent_id (and WarcSource
+    // .docs' xxhash64(url) ids land anywhere in this range). The
+    // NEGATIVE id arrives LAST in input order — ownership must follow
+    // the id ordering, not insertion order.
+    val idNeg = Long.MinValue + 17L
+    val idBig = Long.MaxValue - 3L
+    val idMid = -42L
+    val docs = Seq(
+      (idBig, "s one. s two. s three. a tail"),
+      (idMid, "x uniq. y uniq. z uniq. w uniq."),
+      (idNeg, "s one. s two. s three. b tail"))
+      .toDF("doc_id", "text")
+    val r = TextOps.sentSpanDedup(docs).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("sent_id")) ->
+        x.getAs[Boolean]("keep")).toMap
+    assert(r.size == 12, s"12 sentences expected: $r")
+    // the duplicated head span's owner is min(idNeg, idBig) = idNeg:
+    // all its sentences keep, the idBig occurrence drops its covered
+    // head and keeps the tail
+    assert((0L to 3L).forall(i => r((idNeg, i))), s"owner doc: $r")
+    assert((0L to 2L).forall(i => !r((idBig, i))), s"non-owner head: $r")
+    assert(r((idBig, 3L)), s"non-owner tail survives: $r")
+    // the unique-span doc rides through untouched
+    assert((0L to 3L).forall(i => r((idMid, i))), s"unique doc: $r")
+  }
+
   test("textExtract: known-answer boilerplate removal on a hand-built page") {
     val html =
       "<html><head><title>My Page</title><script>var a=1;</script>" +

@@ -187,6 +187,37 @@ class WebOpsSpec extends SparkSuite {
       s"got $gated")
   }
 
+  test("attribute value with the OTHER quote char embedded (r14 " +
+      "advice): href=\"/don't\" extracts whole, not truncated at the " +
+      "apostrophe; single-quoted values may hold double quotes") {
+    val docs = Seq(
+      (1L, "<p><a href=\"/don't/stop\">x</a></p>"),
+      (2L, "<p><a href='/say/\"hi\"' title='she said \"go\"'>y</a></p>"))
+      .toDF("doc_id", "html")
+    val hrefs = WebOps.linkExtract(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("href")).toMap
+    assert(hrefs(1L) == "/don't/stop", s"got $hrefs")
+    assert(hrefs(2L) == "/say/\"hi\"", s"got $hrefs")
+  }
+
+  test("meta tag whose attribute merely ENDS in 'name' (r14 advice): " +
+      "data-name=robots / itemname=robots are NOT robots directives; " +
+      "the minimal <meta name=robots> still is") {
+    val docs = Seq(
+      (1L, "<html><head><meta data-name=robots content=noindex>" +
+        "</head><body>x</body></html>"),
+      (2L, "<html><head><meta itemname=\"robots\" content=\"noindex\">" +
+        "</head><body>x</body></html>"),
+      (3L, "<html><head><meta name=robots content=noindex></head>" +
+        "<body>x</body></html>")).toDF("doc_id", "html")
+    val r = WebOps.metaRobots(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("robots"), x.getAs[Boolean]("noindex")))).toMap
+    assert(r(1L) == (("", false)), s"data-name gated the page: $r")
+    assert(r(2L) == (("", false)), s"itemname gated the page: $r")
+    assert(r(3L) == (("noindex", true)), s"minimal legal tag: $r")
+  }
+
   test("robots meta honors DOCUMENT order when several robots tags " +
       "stack (review finding: the name-first form must not shadow an " +
       "earlier content-first one)") {
@@ -450,5 +481,167 @@ class WebOpsSpec extends SparkSuite {
       assert((row.getAs[Long]("damage_ppm") > 0) ==
         (id % 7 == 3 || id % 11 == 5 || id % 13 == 7), s"doc $id ppm")
     }
+  }
+
+  test("resolveHref: the RFC 3986 §5.4 reference examples (normal + " +
+      "abnormal dot-segment cases), plus the same-document drop " +
+      "contract") {
+    // the spec's own base URI (§5.4: http://a/b/c/d;p?q) — fragments
+    // excluded (we resolve for a link graph, not a user agent: §5.4's
+    // fragment-carrying results differ only in the #suffix, and
+    // same-document refs deliberately resolve to "")
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      // §5.4.1 normal examples
+      ("g:h", "g:h"),
+      ("g", "http://a/b/c/g"),
+      ("./g", "http://a/b/c/g"),
+      ("g/", "http://a/b/c/g"), // stack contract: no trailing slash
+      ("/g", "http://a/g"),
+      ("//g", "http://g"),
+      ("?y", "http://a/b/c/d;p?y"),
+      ("g?y", "http://a/b/c/g?y"),
+      (";x", "http://a/b/c/;x"),
+      ("g;x", "http://a/b/c/g;x"),
+      ("g;x?y", "http://a/b/c/g;x?y"),
+      (".", "http://a/b/c"), // "/b/c/" under RFC; stack strips the slash
+      ("..", "http://a/b"),
+      ("../g", "http://a/b/g"),
+      ("../..", "http://a/"), // everything cancels -> the root path
+      ("../../g", "http://a/g"),
+      // §5.4.2 abnormal: excess .. above root is discarded
+      ("../../../g", "http://a/g"),
+      ("../../../../g", "http://a/g"),
+      ("/./g", "http://a/g"),
+      ("/../g", "http://a/g"),
+      ("g.", "http://a/b/c/g."),
+      (".g", "http://a/b/c/.g"),
+      ("g..", "http://a/b/c/g.."),
+      ("..g", "http://a/b/c/..g"),
+      ("./../g", "http://a/b/g"),
+      ("g/./h", "http://a/b/c/g/h"),
+      ("g/../h", "http://a/b/c/h"),
+      ("g;x=1/./y", "http://a/b/c/g;x=1/y"),
+      ("g;x=1/../y", "http://a/b/c/y"),
+      // same-document refs drop (the link-graph contract)
+      ("", ""),
+      ("#s", ""))
+    val got = cases.map(_._1).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }
+      .toDF("i", "href")
+      .select(col("i"),
+        WebOps.resolveHref(lit(base), col("href")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((h, want), i) =>
+      assert(got(i.toLong) == want, s"resolve('$h') = ${got(i.toLong)}, " +
+        s"want $want")
+    }
+  }
+
+  test("hostGraph resolveRelative: the fixture's dot-relative anchors " +
+      "become self-loops, protocol-relative anchors become sibling-host " +
+      "edges, and pageRank mass shifts accordingly") {
+    val docs = spark.range(0, 120).toDF("doc_id")
+      .withColumn("url", WebOps.syntheticUrl(col("doc_id")))
+      .withColumn("html",
+        WebOps.syntheticLinkedHtml(col("doc_id"), lit("w")))
+    val absolute = WebOps.hostGraph(docs)
+    val resolved = WebOps.hostGraph(docs, resolveRelative = true)
+    val nAbs = absolute.agg(sum("n_links")).collect()(0).getLong(0)
+    val nRes = resolved.agg(sum("n_links")).collect()(0).getLong(0)
+    // every doc carries one path-relative anchor (/local/) and the
+    // %6=1 slice a dot-relative one — strictly more edges resolved
+    assert(nRes > nAbs, s"resolved $nRes vs absolute $nAbs")
+    // path-relative anchors resolve to the page's own host, so
+    // self-loop MASS strictly grows (some absolute anchors already
+    // happen to hit their own host — compare link counts, not
+    // presence)
+    def selfMass(g: org.apache.spark.sql.DataFrame) =
+      g.where(col("src_host") === col("dst_host"))
+        .agg(coalesce(sum("n_links"), lit(0L))).collect()(0).getLong(0)
+    val (selfAbs, selfRes) = (selfMass(absolute), selfMass(resolved))
+    assert(selfRes > selfAbs, s"$selfAbs -> $selfRes")
+    // the protocol-relative /pr/ namespace: its dst hosts gain edges
+    // only under resolution — check an edge whose href was //h*/pr/*
+    // exists by construction for some %8=5 doc
+    val prEdges = WebOps.linkExtract(docs, resolveRelative = true)
+      .where(col("href").rlike("(?i)^https?://h[0-9]+\\.example\\.com/pr/"))
+      .count()
+    assert(prEdges == docs.where(col("doc_id") % 8 === 5).count(),
+      s"protocol-relative anchors resolved: $prEdges")
+    val rAbs = WebOps.pageRank(absolute).collect()
+      .map(x => x.getAs[String]("host") -> x.getAs[Long]("rank_micro"))
+      .toMap
+    val rRes = WebOps.pageRank(resolved).collect()
+      .map(x => x.getAs[String]("host") -> x.getAs[Long]("rank_micro"))
+      .toMap
+    assert(rAbs != rRes, "resolution must move rank mass")
+  }
+
+  test("robotsTxtRules: group selection, consecutive user-agents, " +
+      "inline comments, empty disallow, case-insensitive fields; the " +
+      "synthetic bodies parse to EXACTLY syntheticRobotsRules") {
+    val bodies = Seq(
+      // star group after a non-star group; inline comment on a rule;
+      // empty disallow is allow-all noise; Allow is a non-goal
+      ("a.example.com",
+        "# header\nUser-agent: googlebot\nDisallow: /g\n\n" +
+          "User-agent: *\nDisallow: /p # inline\nDisallow:\nAllow: /x\n"),
+      // consecutive UA lines share ONE group — star among them matches
+      ("b.example.com",
+        "User-agent: bingbot\nUser-agent: *\nDisallow: /q\n"),
+      // case-insensitive field names and agent value
+      ("c.example.com", "USER-AGENT: *\nDISALLOW: /r\n"),
+      // no star group at all -> no rules
+      ("d.example.com", "User-agent: googlebot\nDisallow: /s\n"),
+      // rules before any User-agent line are spec-invalid -> ignored
+      ("e.example.com", "Disallow: /pre\nUser-agent: *\nDisallow: /t\n"))
+      .toDF("host", "body")
+    val got = WebOps.robotsTxtRules(bodies).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[String]("prefix")))
+      .toSet
+    assert(got == Set(("a.example.com", "/p"), ("b.example.com", "/q"),
+      ("c.example.com", "/r"), ("e.example.com", "/t")), s"got $got")
+    // the registered fixture: parse(bodies) == the independent range
+    // construction, row for row
+    val parsed = WebOps.robotsTxtRules(WebOps.syntheticRobotsBodies(spark))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val direct = WebOps.syntheticRobotsRules(spark)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(parsed == direct,
+      s"missing=${direct -- parsed} extra=${parsed -- direct}")
+  }
+
+  test("pageRank: dangling redistribution at iters=16 — the forced " +
+      "per-round checkpoint is value-neutral vs an explicit " +
+      "checkpointEvery=1 run and vs the simple variant's arithmetic " +
+      "plus the dangling term") {
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 2L),
+      ("a", "d", 1L)) // d is dangling
+      .toDF("src_host", "dst_host", "n_links")
+    def ranks(ckpt: Int) = WebOps.pageRank(edges, iters = 16,
+        redistributeDangling = true, checkpointEvery = ckpt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val at8 = ranks(8)
+    val at1 = ranks(1)
+    assert(at8 == at1, s"checkpoint interval changed values: $at8 vs $at1")
+    // independent driver-side reference of the exact integer recurrence
+    val nodes = Seq("a", "b", "c", "d")
+    val out = Map("a" -> 2L, "b" -> 1L, "c" -> 2L)
+    val w = Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("c", "a") -> 2L,
+      ("a", "d") -> 1L)
+    var ref = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 16) {
+      val dang = nodes.filterNot(out.contains).map(ref).sum
+      val share = (BigInt(dang) * 850000 /
+        (BigInt(1000000) * nodes.size)).toLong
+      ref = nodes.map { v =>
+        val inflow = w.collect { case ((s0, d0), wt) if d0 == v =>
+          ref(s0) * 850000L * wt / (1000000L * out(s0))
+        }.sum
+        v -> (150000L + inflow + share)
+      }.toMap
+    }
+    assert(at1 == ref, s"engine $at1 vs reference $ref")
   }
 }
