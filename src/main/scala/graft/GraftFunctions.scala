@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSim, DeflateLen, DotF32, HmacSha256Hex, MinHashSketch, MisraGriesAgg, SimHash64Agg, VectorMeanAgg, VectorMomentsAgg}
+import graft.plans.{CosineSim, DeflateLen, DotF32, HmacSha256Hex, IdnToAscii, MinHashSketch, MisraGriesAgg, SimHash64Agg, VectorMeanAgg, VectorMomentsAgg}
 
 /** Registers graft's native expressions as SQL functions on a session.
   *
@@ -41,6 +41,10 @@ object GraftFunctions {
     Fn("dot_f32", { args =>
       require(args.length == 2, "dot_f32(a, b)")
       DotF32(args(0), args(1))
+    }),
+    Fn("idn_to_ascii", { args =>
+      require(args.length == 1, "idn_to_ascii(host)")
+      IdnToAscii(args(0))
     }),
     // aggregate: the analyzer wraps the returned AggregateFunction
     Fn("minhash_sketch", { args =>

@@ -663,6 +663,19 @@ object SparkEntry {
       WebOps.urlNormalize(webPagesOf(s, d, withUrl = true))),
     "q_url_dedup" -> ((s, d) =>
       WebOps.urlDedup(webPagesOf(s, d, withUrl = true))),
+    // rows-only (punycode is not SQL-expressible in the oracle engine):
+    // IDN host folding (r14, r13 verdict missing #5) — each fixture
+    // pair is one logical page under its Unicode host and its ACE
+    // (xn--) host; with idnFold=true stage-0 URL dedup collapses the
+    // pair (group_size 2), without it the forms stay distinct keys.
+    // Known-answer (RFC 3490 bücher → xn--bcher-kva) + ASCII-identity
+    // + collapse specs in WebOpsSpec
+    "q_url_idn" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      WebOps.urlDedup(t(s, d, "documents")
+        .withColumn("url", WebOps.syntheticIdnUrl(col("doc_id"))),
+        idnFold = true)
+    }),
     "q_link_extract" -> ((s, d) =>
       WebOps.linkExtract(webPagesOf(s, d, withHtml = true))),
     "q_host_graph" -> ((s, d) =>

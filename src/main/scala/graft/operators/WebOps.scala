@@ -234,10 +234,52 @@ object WebOps {
     * stated: no IDN/punycode folding — a documented no-op of the
     * simple canonicalizer, not a silent bug.
     */
-  def urlNormalize(documents: DataFrame, urlCol: String = "url"): DataFrame = {
+  def urlNormalize(documents: DataFrame, urlCol: String = "url",
+      idnFold: Boolean = false): DataFrame = {
     val u = col(urlCol)
-    documents.select(col("doc_id"), u.as("url"), hostOf(u).as("host"),
-      urlCanonicalCol(u).as("url_canonical"))
+    // idnFold (r14, the r13 verdict's last buildable missing item):
+    // internationalized hosts fold to their ACE (punycode) form via
+    // the codegen'd idn_to_ascii expression, so `münchen.example` and
+    // `xn--mnchen-3ya.example` collapse to ONE canonical key (without
+    // it, stage-0 URL dedup misses every cross-form re-fetch). Off by
+    // default: the fold is not SQL-expressible, so the oracled keys
+    // keep the documented ASCII-host contract and the folding twin is
+    // known-answer spec'd (RFC 3490 vectors) + rows-only oracled.
+    val fold: Column => Column =
+      if (idnFold) {
+        graft.GraftFunctions.register(documents.sparkSession)
+        h => call_function("idn_to_ascii", h)
+      } else identity
+    documents.select(col("doc_id"), u.as("url"), fold(hostOf(u)).as("host"),
+      urlCanonicalCol(u, fold).as("url_canonical"))
+  }
+
+  /** Deterministic internationalized-URL fixture for the idnFold twin:
+    * every 2 consecutive doc_ids are the SAME logical page fetched
+    * once under its Unicode host and once under its pre-encoded ACE
+    * (`xn--`) host — the cross-form re-fetch the fold exists to
+    * collapse. ACE literals derive from the same public JDK IDNA at
+    * fixture-build time (one driver-side constant), so the collapse
+    * tests the EXPRESSION's per-row path against an independent
+    * driver-side call; the known-answer spec pins `bücher →
+    * xn--bcher-kva` against RFC 3490's published example so a JDK
+    * drift would fail loudly.
+    */
+  private val idnHostPairs: IndexedSeq[(String, String)] =
+    IndexedSeq("bücher", "münchen", "παράδειγμα").map(h =>
+      (h, java.net.IDN.toASCII(h, java.net.IDN.ALLOW_UNASSIGNED)
+        .toLowerCase(java.util.Locale.ROOT)))
+
+  def syntheticIdnUrl(docId: Column): Column = {
+    val id = docId.cast("long")
+    val g = ((id - pmod(id, lit(2L))) / lit(2L)).cast("long")
+    def pick(f: ((String, String)) => String) =
+      when(pmod(g, lit(3L)) === 0L, lit(f(idnHostPairs(0))))
+        .when(pmod(g, lit(3L)) === 1L, lit(f(idnHostPairs(1))))
+        .otherwise(lit(f(idnHostPairs(2))))
+    val label =
+      when(pmod(id, lit(2L)) === 0L, pick(_._1)).otherwise(pick(_._2))
+    concat(lit("http://"), label, lit(".example.com/i/"), g.cast("string"))
   }
 
   /** The canonical-URL EXPRESSION behind [[urlNormalize]] — exposed so
@@ -245,7 +287,8 @@ object WebOps {
     * ride through (the textExtractCols convention); one definition,
     * no drift.
     */
-  private[graft] def urlCanonicalCol(rawUrl: Column): Column = {
+  private[graft] def urlCanonicalCol(rawUrl: Column,
+      foldHost: Column => Column = identity): Column = {
     val u = pctNormalize(rawUrl)
     val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.\\-]*://(.*)$", 1)
     val pqf = regexp_extract(rest, "^[^/?#]*(.*)$", 1)
@@ -259,7 +302,7 @@ object WebOps {
       p =!= "" && !(startswith(p, lit("utm_")) ||
         startswith(p, lit("fbclid=")) || startswith(p, lit("gclid=")) ||
         startswith(p, lit("ref=")) || startswith(p, lit("mc_eid="))))
-    concat(schemeOf(u), lit("://"), hostOfNormalized(u), path,
+    concat(schemeOf(u), lit("://"), foldHost(hostOfNormalized(u)), path,
       when(size(params) > 0,
         concat(lit("?"), array_join(array_sort(params), "&")))
         .otherwise(lit("")))
@@ -276,9 +319,10 @@ object WebOps {
     * partitions stay balanced; a pathological single-URL skew is a
     * crawler bug this report is how you find).
     */
-  def urlDedup(documents: DataFrame, urlCol: String = "url"): DataFrame = {
+  def urlDedup(documents: DataFrame, urlCol: String = "url",
+      idnFold: Boolean = false): DataFrame = {
     val w = Window.partitionBy("url_canonical")
-    urlNormalize(documents, urlCol)
+    urlNormalize(documents, urlCol, idnFold)
       .select(col("doc_id"), col("url_canonical"),
         min(col("doc_id")).over(w).as("canonical_doc"),
         count(lit(1)).over(w).as("group_size"))

@@ -612,6 +612,48 @@ class WebOpsSpec extends SparkSuite {
       s"missing=${direct -- parsed} extra=${parsed -- direct}")
   }
 
+  test("idnFold: RFC 3490 known answer, Unicode/ACE cross-form " +
+      "collapse under urlDedup, ASCII hosts untouched, malformed " +
+      "hosts ride through") {
+    // known answer pinned against the published RFC 3490 example —
+    // a JDK IDNA drift must fail loudly, not silently re-key corpora
+    val ka = WebOps.urlNormalize(
+      Seq((1L, "http://BÜCHER.example.com/x")).toDF("doc_id", "url"),
+      idnFold = true).collect()(0)
+    assert(ka.getAs[String]("host") == "xn--bcher-kva.example.com", s"$ka")
+    assert(ka.getAs[String]("url_canonical") ==
+      "http://xn--bcher-kva.example.com/x", s"$ka")
+    // cross-form collapse: the fixture's (Unicode, ACE) pairs are one
+    // canonical key with the fold, two without
+    val docs = spark.range(0, 60).toDF("doc_id")
+      .withColumn("url", WebOps.syntheticIdnUrl(col("doc_id")))
+    val folded = WebOps.urlDedup(docs, idnFold = true).collect()
+    assert(folded.forall(_.getAs[Long]("group_size") == 2L),
+      "every Unicode/ACE pair must collapse under the fold")
+    assert(folded.count(_.getAs[Boolean]("keep")) == 30)
+    val unfolded = WebOps.urlDedup(docs).collect()
+    assert(unfolded.forall(_.getAs[Long]("group_size") == 1L),
+      "without the fold the two forms stay distinct keys")
+    // ASCII identity: the folding normalizer equals the plain one on
+    // the all-ASCII fixture (the dominant real-web case, and the
+    // fast path)
+    val ascii = spark.range(0, 40).toDF("doc_id")
+      .withColumn("url", WebOps.syntheticUrl(col("doc_id")))
+    val a = WebOps.urlNormalize(ascii).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("url_canonical")).toMap
+    val b = WebOps.urlNormalize(ascii, idnFold = true).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("url_canonical")).toMap
+    assert(a == b, "idnFold must be the identity on ASCII hosts")
+    // a host the IDNA profile rejects rides through unchanged — a
+    // canonicalizer must never null a weird-but-present host
+    val weird = "http://" + ("ü" * 70) + ".example.com/x"
+    val w = WebOps.urlNormalize(Seq((1L, weird)).toDF("doc_id", "url"),
+      idnFold = true).collect()(0)
+    assert(w.getAs[String]("host") == ("ü" * 70) + ".example.com", s"$w")
+  }
+
   test("pageRank: dangling redistribution at iters=16 — the forced " +
       "per-round checkpoint is value-neutral vs an explicit " +
       "checkpointEvery=1 run and vs the simple variant's arithmetic " +
