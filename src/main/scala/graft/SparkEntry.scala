@@ -735,6 +735,17 @@ object SparkEntry {
     "q_robots_gate_raw" -> ((s, d) =>
       WebOps.robotsTxtGate(webPagesOf(s, d, withUrl = true),
         WebOps.robotsTxtRules(WebOps.syntheticRobotsBodies(s)))),
+    // the FULL RFC 9309 longest-match gate (r14): Allow carve-outs
+    // honored, the MOST SPECIFIC matching rule decides, Allow wins a
+    // length tie; composed from RAW bodies via the withAllow parse —
+    // oracle = the independent range construction of both directions
+    // plus an independent row_number argmax (the fixture's planted
+    // Allow /p/10 on k%4=1 re-admits h9's /p/10* pages that
+    // q_robots_gate drops, so the two keys hash-differ by design)
+    "q_robots_gate_full" -> ((s, d) =>
+      WebOps.robotsTxtGateFull(webPagesOf(s, d, withUrl = true),
+        WebOps.robotsTxtRules(WebOps.syntheticRobotsBodies(s),
+          withAllow = true))),
     // relative-href resolution (r13 verdict #5): the RFC 3986 §5
     // resolved link layer — raw hrefs resolve against the page's own
     // base URL (dot-relative anchors merge into the base path,
@@ -2524,6 +2535,37 @@ object SparkEntry {
         |  MAX(CASE WHEN r.prefix IS NOT NULL AND starts_with(path, r.prefix) THEN r.prefix END) AS matched_prefix
         |FROM pp LEFT JOIN rules r USING (host)
         |GROUP BY 1, 2, 3""".stripMargin),
+    // full RFC 9309 gate: both directions from the independent range
+    // construction (disallows = the shared rules CTE; the planted
+    // Allow /p/10 on k%4=1 and the universal Allow: /open mirror
+    // syntheticRobotsBodies' star group), argmax by an INDEPENDENT
+    // row_number over (len DESC, allow DESC, prefix DESC) — the
+    // lexicographic-struct-max mirror
+    "q_robots_gate_full" -> (urlFixtureSql + urlCanonSql + robotsRulesSql +
+      """, rules_full AS (
+        |  SELECT host, prefix, FALSE AS allow FROM rules
+        |  UNION ALL
+        |  SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host, '/p/10' AS prefix, TRUE AS allow
+        |  FROM (SELECT unnest(range(20)) AS k) WHERE k % 4 = 1
+        |  UNION ALL
+        |  SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host, '/open' AS prefix, TRUE AS allow
+        |  FROM (SELECT unnest(range(20)) AS k)
+        |), ppf AS (
+        |  SELECT doc_id, host,
+        |    regexp_extract(url_canonical, '^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path
+        |  FROM canon
+        |), hits AS (
+        |  SELECT doc_id, host, path, prefix, allow,
+        |    row_number() OVER (PARTITION BY doc_id, host, path
+        |      ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rn
+        |  FROM ppf JOIN rules_full USING (host)
+        |  WHERE starts_with(path, prefix)
+        |)
+        |SELECT p.doc_id, p.host, p.path,
+        |  COALESCE(NOT h.allow, FALSE) AS disallowed,
+        |  h.prefix AS matched_prefix, h.allow AS matched_allow
+        |FROM ppf p LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
+        |  ON p.doc_id = h.doc_id AND p.host = h.host AND p.path = h.path""".stripMargin),
     // unnest stays in its own single-table CTE (DuckDB v1.0.0's binder
     // hits an INTERNAL error on unnest combined with a JOIN in one
     // SELECT); the base-url join happens after extraction

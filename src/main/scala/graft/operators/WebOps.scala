@@ -853,8 +853,11 @@ object WebOps {
     * the hot-key corpus-window shape); the agent-match semi-join is
     * per (host, group), aggregate-sized.
     */
-  def robotsTxtRules(bodies: DataFrame, agent: String = "*"): DataFrame = {
+  def robotsTxtRules(bodies: DataFrame, agent: String = "*",
+      withAllow: Boolean = false): DataFrame = {
     val w = Window.partitionBy("host").orderBy("line_no")
+    val keys = if (withAllow) Seq("user-agent", "disallow", "allow")
+      else Seq("user-agent", "disallow")
     val kv = bodies
       .select(col("host"),
         posexplode(split(col("body"), "\n")).as(Seq("line_no", "raw")))
@@ -864,7 +867,7 @@ object WebOps {
       .select(col("host"), col("line_no"),
         lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("key"),
         trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
-      .where(col("key").isin("user-agent", "disallow"))
+      .where(col("key").isin(keys: _*))
     val grouped = kv
       .withColumn("is_ua", col("key") === "user-agent")
       .withColumn("starts", col("is_ua") &&
@@ -874,11 +877,52 @@ object WebOps {
     val matched = grouped
       .where(col("is_ua") && lower(col("value")) === agent.toLowerCase)
       .select(col("host"), col("grp")).distinct()
-    grouped
-      .where(col("key") === "disallow" && col("value") =!= "")
+    val rules = grouped
+      .where(!col("is_ua") && col("value") =!= "")
       .join(matched, Seq("host", "grp"))
-      .select(col("host"), col("value").as("prefix"))
-      .distinct()
+    if (withAllow)
+      // (host, prefix, allow) — the [[robotsTxtGateFull]] input shape
+      rules.select(col("host"), col("value").as("prefix"),
+        (col("key") === "allow").as("allow")).distinct()
+    else
+      rules.select(col("host"), col("value").as("prefix")).distinct()
+  }
+
+  /** The FULL RFC 9309 §2.2.2 gate (r14 — upgrades the r13 "Allow is
+    * a non-goal" boundary): rules carry BOTH directions
+    * (`(host, prefix, allow)` — [[robotsTxtRules]] `withAllow =
+    * true`), and per page the MOST SPECIFIC (longest-prefix) matching
+    * rule decides; on a length tie Allow wins (the spec's
+    * least-restrictive tie rule); no matching rule → allowed. The
+    * argmax is one `max(struct(len, allow, prefix))` aggregate —
+    * lexicographic struct ordering gives longest-then-allow-then-
+    * deterministic-prefix in a single map-side-combinable MIN/MAX
+    * shape (no window), the sentSpanDedup ownership idiom; the oracle
+    * mirrors it as a row_number over (len DESC, allow DESC, prefix
+    * DESC). Same scale shape as [[robotsTxtGate]]: pages shuffle once
+    * on host, rules are hosts-sized on the build side, prefix test
+    * post-join.
+    */
+  def robotsTxtGateFull(pages: DataFrame, rules: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val norm = urlNormalize(pages, urlCol)
+      .select(col("doc_id"), col("host"),
+        regexp_extract(col("url_canonical"),
+          "^[a-z][a-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1).as("path"))
+    norm
+      .join(rules.select(col("host"), col("prefix"), col("allow")),
+        Seq("host"), "left")
+      .select(col("doc_id"), col("host"), col("path"),
+        when(col("prefix").isNotNull &&
+            startswith(col("path"), col("prefix")),
+          struct(length(col("prefix")).as("l"), col("allow").as("a"),
+            col("prefix").as("p"))).as("m"))
+      .groupBy("doc_id", "host", "path")
+      .agg(max(col("m")).as("m"))
+      .select(col("doc_id"), col("host"), col("path"),
+        (col("m").isNotNull && !col("m.a")).as("disallowed"),
+        col("m.p").as("matched_prefix"),
+        col("m.a").as("matched_allow"))
   }
 
   /** Deterministic raw robots.txt bodies whose parse is EXACTLY
@@ -904,6 +948,11 @@ object WebOps {
           when(col("k") % 3 === 0,
             lit("Disallow: /p/1 # inline comment\n")).otherwise(lit("")),
           when(col("k") % 5 === 2, lit("Disallow: /\n")).otherwise(lit("")),
+          // r14: a LONGER Allow carve-out inside the disallowed space
+          // (k%4=1) — invisible to the disallow-only parse (its
+          // known-answer oracle is unchanged), load-bearing for the
+          // full RFC 9309 gate where longest-match wins
+          when(col("k") % 4 === 1, lit("Allow: /p/10\n")).otherwise(lit("")),
           lit("Disallow:\nAllow: /open\n")).as("body"))
 
   /** Encoding-damage audit — the mojibake/replacement-char scorecard

@@ -612,6 +612,71 @@ class WebOpsSpec extends SparkSuite {
       s"missing=${direct -- parsed} extra=${parsed -- direct}")
   }
 
+  test("robotsTxtGateFull: longest match wins, Allow beats Disallow " +
+      "on a length tie, no match allows; withAllow parse carries both " +
+      "directions; the fixture carve-out re-admits h9's /p/10* pages") {
+    // withAllow parse: Allow rows surface with the flag, the empty
+    // Disallow still drops, non-star groups stay excluded
+    val bodies = Seq(
+      ("a.example.com",
+        "User-agent: googlebot\nAllow: /g\n\n" +
+          "User-agent: *\nDisallow: /\nAllow: /p/10 # carve\nDisallow:\n"))
+      .toDF("host", "body")
+    val parsed = WebOps.robotsTxtRules(bodies, withAllow = true).collect()
+      .map(r => (r.getAs[String]("prefix"), r.getAs[Boolean]("allow")))
+      .toSet
+    assert(parsed == Set(("/", false), ("/p/10", true)), s"got $parsed")
+
+    // hand-computed verdicts: nested carve-outs and the tie rule
+    val fullRules = Seq(
+      ("a.example.com", "/", false),
+      ("a.example.com", "/p/10", true),
+      ("a.example.com", "/p/10/sec", false),
+      ("t.example.com", "/x", false),   // same-length pair: the RFC
+      ("t.example.com", "/x", true))    // tie rule says Allow wins
+      .toDF("host", "prefix", "allow")
+    val pages = Seq(
+      (1L, "http://a.example.com/p/9"),        // only "/" -> disallowed
+      (2L, "http://a.example.com/p/10/doc"),   // carve-out -> allowed
+      (3L, "http://a.example.com/p/10/sec/x"), // nested re-disallow
+      (4L, "http://t.example.com/x/y"),        // length tie -> Allow
+      (5L, "http://z.example.com/q"))          // no rules -> allowed
+      .toDF("doc_id", "url")
+    val g = WebOps.robotsTxtGateFull(pages, fullRules).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("disallowed"),
+          Option(r.getAs[String]("matched_prefix")))))
+      .toMap
+    assert(g(1L) == ((true, Some("/"))), s"${g(1L)}")
+    assert(g(2L) == ((false, Some("/p/10"))), s"${g(2L)}")
+    assert(g(3L) == ((true, Some("/p/10/sec"))), s"${g(3L)}")
+    assert(g(4L) == ((false, Some("/x"))), s"${g(4L)}")
+    assert(g(5L) == ((false, None)), s"${g(5L)}")
+
+    // the registered composition: fixture host h9 carries BOTH the
+    // k%3=0 Disallow /p/1 and the k%4=1 Allow /p/10 — the longer
+    // carve-out re-admits /p/109 (doc 436) under the full gate while
+    // the disallow-only gate drops it; host h0 (no carve) keeps
+    // /p/100 (doc 400) disallowed under BOTH gates
+    val fdocs = Seq(436L, 400L).toDF("doc_id")
+      .withColumn("url", WebOps.syntheticUrl(col("doc_id")))
+    val bodiesFix = WebOps.syntheticRobotsBodies(spark)
+    val full = WebOps.robotsTxtGateFull(fdocs,
+        WebOps.robotsTxtRules(bodiesFix, withAllow = true)).collect()
+      .map(r => r.getAs[String]("path") ->
+        ((r.getAs[Boolean]("disallowed"),
+          Option(r.getAs[String]("matched_prefix")))))
+      .toMap
+    assert(full("/p/109") == ((false, Some("/p/10"))), s"$full")
+    assert(full("/p/100") == ((true, Some("/p/1"))), s"$full")
+    val plain = WebOps.robotsTxtGate(fdocs,
+        WebOps.robotsTxtRules(bodiesFix)).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Boolean]("disallowed"))
+      .toMap
+    assert(plain("/p/109") && plain("/p/100"),
+      s"disallow-only gate must drop both: $plain")
+  }
+
   test("idnFold: RFC 3490 known answer, Unicode/ACE cross-form " +
       "collapse under urlDedup, ASCII hosts untouched, malformed " +
       "hosts ride through") {
