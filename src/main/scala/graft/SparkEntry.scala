@@ -746,6 +746,15 @@ object SparkEntry {
       WebOps.robotsTxtGateFull(webPagesOf(s, d, withUrl = true),
         WebOps.robotsTxtRules(WebOps.syntheticRobotsBodies(s),
           withAllow = true))),
+    // RFC 9309 §2.2.3 wildcards (late r14): `*` and trailing `$` in
+    // rule patterns, longest-pattern-wins against literal rules, on a
+    // dedicated extension-bearing URL namespace; the oracle's regexes
+    // are HAND-WRITTEN — an independent check on the engine-side
+    // pattern translation (escaped '.', widened '*', re-attached '$')
+    "q_robots_gate_wildcard" -> ((s, d) =>
+      WebOps.robotsTxtGateFull(
+        WebOps.syntheticWildcardPages(t(s, d, "documents")),
+        WebOps.syntheticRobotsWildcardRules(s))),
     // relative-href resolution (r13 verdict #5): the RFC 3986 §5
     // resolved link layer — raw hrefs resolve against the page's own
     // base URL (dot-relative anchors merge into the base path,
@@ -806,6 +815,21 @@ object SparkEntry {
       TextOps.sentSpanDedupApply(t(s, d, "documents").withColumn("text",
         TextOps.syntheticSentences(
           TextOps.syntheticSpanDupes(col("doc_id"), col("text")))))
+    }),
+    // line-level exact dedup (late r14 — the Dolma/RefinedWeb
+    // cleaning stage the doc/sentence-span layers both miss): global
+    // first-occurrence-keeps over trimmed lines ≥ minChars, short
+    // lines exempt; fixture plants a two-line boilerplate block +
+    // a short "OK" line on id%9=4
+    "q_line_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextOps.lineDedup(t(s, d, "documents").withColumn("text",
+        TextOps.syntheticLineDupes(col("doc_id"), col("text"))))
+    }),
+    "q_line_dedup_apply" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextOps.lineDedupApply(t(s, d, "documents").withColumn("text",
+        TextOps.syntheticLineDupes(col("doc_id"), col("text"))))
     }),
     // rows-only (hash-embedding geometry): bitext mining at SENTENCE
     // level — the CCMatrix-shaped composition: segment, embed each
@@ -946,6 +970,27 @@ object SparkEntry {
             .otherwise(TextOps.syntheticSentences(
               TextOps.syntheticSpanDupes(col("doc_id"), col("text"))))),
         sentenceDedup = true)
+    }),
+    // the funnel WITH the Dolma/RefinedWeb line stage (late r14):
+    // id%11=7 docs are PURE boilerplate — the two stopword-bearing
+    // long lines only, exact-dup-distinct via an id-dependent space
+    // run before the newline (trim erases it for line identity) — so
+    // non-owners keep no line and drop as their own attrition row;
+    // id%9=4 docs carry the block as a PREFIX and ride on without it;
+    // every downstream stage reads the newline-rebuilt text
+    "q_curate_report_lines" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, expr, lit, pmod, when}
+      val sp = expr("repeat(' ', CAST(doc_id % 7 + 1 AS INT))")
+      val lineA = "please subscribe to the newsletter and share the page today"
+      val lineB = "copyright of the example corporation all rights reserved"
+      Curation.curateReport(
+        t(s, d, "documents").withColumn("text",
+          when(pmod(col("doc_id"), lit(11L)) === 7L,
+            concat(lit(lineA), sp, lit("\n" + lineB)))
+            .when(pmod(col("doc_id"), lit(9L)) === 4L,
+              concat(lit(lineA + "\n" + lineB + "\n"), col("text")))
+            .otherwise(col("text"))),
+        lineDedup = true)
     }),
     "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(t(s, d, "documents"))),
     "q_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d, "documents"))),
@@ -1479,6 +1524,46 @@ object SparkEntry {
       |    r.rs IS NULL AS keep
       |  FROM se LEFT JOIN removed r
       |    ON se.doc_id = r.doc_id AND se.sent_id = r.rs
+      |)
+      |""".stripMargin
+
+  // lineDedup mirrored: the planted boilerplate block, newline split
+  // with trim + empty drop, positional ids via unnest(range) in its
+  // own CTE (the DuckDB v1.0.0 binder rule), global first-occurrence
+  // ownership via row_number over (doc_id, line_id) restricted to
+  // eligible (≥30 char) lines — the struct-min mirror; grouping is by
+  // the LINE itself (the engine's sha256 key is just a grouping key,
+  // equal strings group identically either way)
+  private val lineDedupCteSql =
+    """WITH lsynth AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 4
+      |      THEN 'JOIN OUR NEWSLETTER TODAY FOR EXCLUSIVE UPDATES' || chr(10) ||
+      |           'Copyright 2026 Example Corp All Rights Reserved' || chr(10) ||
+      |           'OK' || chr(10) || text
+      |      ELSE text END AS ltext
+      |  FROM documents
+      |), lt AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(string_split(ltext, chr(10)),
+      |      x -> trim(x)), x -> x <> '') AS ls
+      |  FROM lsynth
+      |), lx AS (
+      |  SELECT doc_id, ls, unnest(range(0, len(ls))) AS line_id FROM lt
+      |), le AS (
+      |  SELECT doc_id, CAST(line_id AS BIGINT) AS line_id,
+      |    ls[line_id + 1] AS line
+      |  FROM lx
+      |), lo AS (
+      |  SELECT line, doc_id AS own_doc, line_id AS own_line FROM (
+      |    SELECT line, doc_id, line_id,
+      |      row_number() OVER (PARTITION BY line ORDER BY doc_id, line_id) AS rn
+      |    FROM le WHERE length(line) >= 30) WHERE rn = 1
+      |), lflags AS (
+      |  SELECT le.doc_id, le.line_id, le.line,
+      |    (length(le.line) < 30 OR
+      |      (le.doc_id = lo.own_doc AND le.line_id = lo.own_line)) AS keep
+      |  FROM le LEFT JOIN lo ON le.line = lo.line
       |)
       |""".stripMargin
 
@@ -2566,6 +2651,47 @@ object SparkEntry {
         |  h.prefix AS matched_prefix, h.allow AS matched_allow
         |FROM ppf p LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
         |  ON p.doc_id = h.doc_id AND p.host = h.host AND p.path = h.path""".stripMargin),
+    // wildcard rules: the dedicated URL namespace mirrored, rules as
+    // the same range construction but with HAND-WRITTEN regexes (the
+    // engine derives its regex from the pattern — an independent
+    // translation check); unnest kept in its own CTE (DuckDB v1.0.0
+    // binder limitation with unnest+JOIN in one SELECT)
+    "q_robots_gate_wildcard" -> ("""WITH u AS (
+        |  SELECT doc_id,
+        |    'http://wh' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/d/' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '/f' || CAST(doc_id % 3 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '.json' ELSE '.html' END) AS url
+        |  FROM documents
+        |)
+        |""".stripMargin + urlCanonSql +
+      """, wk AS (SELECT unnest(range(5)) AS k)
+        |, wrules AS (
+        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com' AS host, '/*.json$' AS prefix, FALSE AS allow, TRUE AS is_pat, '^/.*\.json$' AS rx FROM wk
+        |  UNION ALL
+        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', '/d/3/', FALSE, FALSE, NULL FROM wk
+        |  UNION ALL
+        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', '/d/3/f*.html$', TRUE, TRUE, '^/d/3/f.*\.html$' FROM wk WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', '/d/5/', FALSE, FALSE, NULL FROM wk
+        |  UNION ALL
+        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', '/d/5*', TRUE, TRUE, '^/d/5.*' FROM wk
+        |), wpp AS (
+        |  SELECT doc_id, host,
+        |    regexp_extract(url_canonical, '^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path
+        |  FROM canon
+        |), whits AS (
+        |  SELECT doc_id, host, path, prefix, allow,
+        |    row_number() OVER (PARTITION BY doc_id, host, path
+        |      ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rn
+        |  FROM wpp JOIN wrules USING (host)
+        |  WHERE CASE WHEN is_pat THEN regexp_matches(path, rx)
+        |        ELSE starts_with(path, prefix) END
+        |)
+        |SELECT p.doc_id, p.host, p.path,
+        |  COALESCE(NOT h.allow, FALSE) AS disallowed,
+        |  h.prefix AS matched_prefix, h.allow AS matched_allow
+        |FROM wpp p LEFT JOIN (SELECT * FROM whits WHERE rn = 1) h
+        |  ON p.doc_id = h.doc_id AND p.host = h.host AND p.path = h.path""".stripMargin),
     // unnest stays in its own single-table CTE (DuckDB v1.0.0's binder
     // hits an INTERNAL error on unnest combined with a JOIN in one
     // SELECT); the base-url join happens after extraction
@@ -2649,6 +2775,14 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(n_tok) FILTER (WHERE keep), 0) AS BIGINT) AS kept_tokens,
         |  COALESCE(array_to_string(list(sentence ORDER BY sent_id) FILTER (WHERE keep), ' '), '') AS text_clean
         |FROM flags GROUP BY doc_id""".stripMargin),
+    "q_line_dedup" -> (lineDedupCteSql +
+      "SELECT doc_id, line_id, line, keep FROM lflags"),
+    "q_line_dedup_apply" -> (lineDedupCteSql +
+      """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(SUM(length(line)) FILTER (WHERE keep), 0) AS BIGINT) AS kept_chars,
+        |  COALESCE(array_to_string(list(line ORDER BY line_id) FILTER (WHERE keep), chr(10)), '') AS text_clean
+        |FROM lflags GROUP BY doc_id""".stripMargin),
     "q_meta_robots" -> (linkPageSql +
       s"""SELECT doc_id, robots,
          |  len(list_filter(string_split(robots, ','), d -> trim(d) = 'noindex')) > 0 AS noindex,
@@ -2961,6 +3095,158 @@ object SparkEntry {
         |), st(stage_ord, stage) AS (
         |  SELECT * FROM (VALUES (1, 'benchmark_holdout'), (2, 'cleaning'),
         |    (3, 'exact_dedup'), (4, 'sentence_dedup'), (5, 'gopher'),
+        |    (6, 'decontaminate'), (7, 'neardup'))
+        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
+        |SELECT stage_ord, stage, n_in, n_dropped, n_in - n_dropped AS n_out
+        |FROM (
+        |  SELECT CAST(st.stage_ord AS BIGINT) AS stage_ord, st.stage,
+        |    total - CAST(COALESCE(SUM(COALESCE(cnt.n_dropped, 0))
+        |      OVER (ORDER BY st.stage_ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+        |    COALESCE(cnt.n_dropped, 0) AS n_dropped
+        |  FROM st LEFT JOIN cnt ON st.stage_ord = cnt.stage_ord CROSS JOIN tot)""".stripMargin,
+    // the line-stage funnel: same telescoping skeleton as the sent
+    // variant; the line machinery mirrors lineDedupCteSql (ownership
+    // by row_number over (doc_id, line_id) among >=30-char lines),
+    // the rebuild is the newline join, and every downstream CTE reads
+    // the rebuilt text — gopher/neardup tokenization stays the shared
+    // single-space split on BOTH engines, so a token spanning the
+    // newline ('today\ncopyright') is the same token in each
+    "q_curate_report_lines" ->
+      """WITH RECURSIVE lsynth AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 7
+        |      THEN 'please subscribe to the newsletter and share the page today' ||
+        |           repeat(' ', CAST(doc_id % 7 + 1 AS INT)) || chr(10) ||
+        |           'copyright of the example corporation all rights reserved'
+        |      WHEN doc_id % 9 = 4
+        |      THEN 'please subscribe to the newsletter and share the page today' || chr(10) ||
+        |           'copyright of the example corporation all rights reserved' || chr(10) || text
+        |      ELSE text END AS text
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+        |    md5(text) AS text_hash,
+        |    (doc_id % 10 = 0) AS is_bench
+        |  FROM lsynth
+        |), cleaned AS (
+        |  SELECT doc_id, text_hash FROM sc
+        |  WHERE NOT is_bench AND n_tok >= 10 AND stop_ratio >= 0.05
+        |), rn AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        |  FROM cleaned
+        |), ek AS (SELECT doc_id FROM rn WHERE rn = 1),
+        |lt0 AS (
+        |  SELECT s.doc_id,
+        |    list_filter(list_transform(string_split(s.text, chr(10)),
+        |      x -> trim(x)), x -> x <> '') AS ls
+        |  FROM lsynth s JOIN ek USING (doc_id)
+        |), lx2 AS (
+        |  SELECT doc_id, ls, unnest(range(0, len(ls))) AS line_id FROM lt0
+        |), le2 AS (
+        |  SELECT doc_id, CAST(line_id AS BIGINT) AS line_id,
+        |    ls[line_id + 1] AS line
+        |  FROM lx2
+        |), lo2 AS (
+        |  SELECT line, doc_id AS own_doc, line_id AS own_line FROM (
+        |    SELECT line, doc_id, line_id,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, line_id) AS rno
+        |    FROM le2 WHERE length(line) >= 30) WHERE rno = 1
+        |), reb AS (
+        |  SELECT le2.doc_id,
+        |    array_to_string(list(le2.line ORDER BY le2.line_id), chr(10)) AS text
+        |  FROM le2 LEFT JOIN lo2
+        |    ON le2.line = lo2.line
+        |  WHERE length(le2.line) < 30
+        |    OR (le2.doc_id = lo2.own_doc AND le2.line_id = lo2.own_line)
+        |  GROUP BY le2.doc_id
+        |), lk AS (SELECT doc_id FROM reb),
+        |gtoks AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM reb
+        |), grep1 AS (
+        |  SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT bigram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rep
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks2) - 1),
+        |          i -> toks2[i + 1] || ' ' || toks2[i + 2])) AS bigram
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks2 FROM reb)
+        |        WHERE len(toks2) >= 2)
+        |  GROUP BY doc_id
+        |), gbase AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tok,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+        |    CAST((length(text) - length(replace(text, '#', ''))) +
+        |         (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_distinct(list_filter(ts,
+        |      t -> t IN ('the','a','of','and','is')))) AS BIGINT) AS n_stop
+        |  FROM gtoks WHERE len(ts) > 0
+        |), gk AS (
+        |  SELECT doc_id FROM gbase LEFT JOIN grep1 USING (doc_id)
+        |  WHERE (n_tok >= 50 AND n_tok <= 100000)
+        |    AND (CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0)
+        |    AND (CAST(n_sym AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 0.1)
+        |    AND (CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.8)
+        |    AND (n_stop >= 2)
+        |    AND (COALESCE(rep, 0.0) <= 0.3)
+        |), dsh AS (
+        |  SELECT DISTINCT doc_id, shingle
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 3),
+        |          i -> array_to_string(toks[i + 1:i + 4], ' '))) AS shingle
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM lsynth)
+        |        WHERE len(toks) >= 4)
+        |), dbench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT DISTINCT doc_id FROM dsh JOIN dbench USING (shingle)
+        |  WHERE doc_id % 10 <> 0
+        |), decon AS (
+        |  SELECT doc_id FROM ek JOIN lk USING (doc_id) JOIN gk USING (doc_id)
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        |), nsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM reb JOIN decon USING (doc_id))
+        |  WHERE len(toks) >= 3
+        |), nsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM nsh GROUP BY 1),
+        |ninter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+        |  FROM nsh a JOIN nsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), near AS (
+        |  SELECT a_id, b_id FROM ninter
+        |  JOIN nsz sa ON a_id = sa.doc_id
+        |  JOIN nsz sb ON b_id = sb.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+        |), edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM near
+        |  UNION ALL SELECT b_id, a_id FROM near
+        |), reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM decon
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON r.node = e.src
+        |), reps AS (
+        |  SELECT node AS doc_id FROM
+        |    (SELECT node, MIN(label) AS lbl FROM reach GROUP BY node)
+        |  WHERE node = lbl
+        |), lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN is_bench THEN 1
+        |         WHEN NOT (n_tok >= 10 AND stop_ratio >= 0.05) THEN 2
+        |         WHEN doc_id NOT IN (SELECT doc_id FROM ek) THEN 3
+        |         WHEN doc_id NOT IN (SELECT doc_id FROM lk) THEN 4
+        |         WHEN doc_id NOT IN (SELECT doc_id FROM gk) THEN 5
+        |         WHEN doc_id IN (SELECT doc_id FROM hits) THEN 6
+        |         WHEN doc_id NOT IN (SELECT doc_id FROM reps) THEN 7
+        |         ELSE 8 END AS stage_ord
+        |  FROM sc
+        |), cnt AS (
+        |  SELECT stage_ord, CAST(COUNT(*) AS BIGINT) AS n_dropped FROM lab GROUP BY 1
+        |), st(stage_ord, stage) AS (
+        |  SELECT * FROM (VALUES (1, 'benchmark_holdout'), (2, 'cleaning'),
+        |    (3, 'exact_dedup'), (4, 'line_dedup'), (5, 'gopher'),
         |    (6, 'decontaminate'), (7, 'neardup'))
         |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
         |SELECT stage_ord, stage, n_in, n_dropped, n_in - n_dropped AS n_out

@@ -1696,7 +1696,8 @@ object Curation {
       minStopRatio: Double = 0.05, benchmarkEvery: Int = 10,
       gopherMinTok: Long = 50, neardupThreshold: Double = 0.8,
       valPct: Int = 10, testPct: Int = 10,
-      sentenceDedup: Boolean = false): DataFrame = {
+      sentenceDedup: Boolean = false,
+      lineDedup: Boolean = false): DataFrame = {
     val train =
       documents.where(pmod(col("doc_id"), lit(benchmarkEvery)) =!= 0)
     val scored = train.select(Seq(col("doc_id"), col("text"), col("lang"),
@@ -1707,6 +1708,23 @@ object Curation {
       .withColumn("rn", row_number().over(wDup))
       .where(col("rn") === 1)
       .select("doc_id", "text", "lang", "source", "n_tok")
+    // 2a-line (opt-in, late r14): the Dolma/RefinedWeb line-level
+    // stage BEFORE the sentence-span rule (published order — line
+    // boilerplate is cut before sentence statistics are trusted):
+    // duplicated long lines keep their global first occurrence, each
+    // doc rebuilds newline-joined ([[TextOps.lineDedupApply]]), a doc
+    // that keeps NO line (pure boilerplate) drops here; n_tok
+    // recomputed over the rebuilt text (whitespace class — the
+    // sentence stage's kept_tokens convention)
+    val afterLine = if (!lineDedup) exactKept else
+      TextOps.lineDedupApply(exactKept)
+        .where(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .join(exactKept.select("doc_id", "lang", "source"), "doc_id")
+        .withColumn("n_tok",
+          size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+            .cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_tok")
     // 2b (opt-in, r13 verdict #6): the C4 §2.2 three-sentence-span
     // rule as a CLEANING stage between exact-dedup and gopher —
     // non-owner occurrences of duplicated spans drop their sentences,
@@ -1714,12 +1732,12 @@ object Curation {
     // .sentSpanDedupApply]]), and a doc that loses EVERY sentence
     // (pure boilerplate) drops here; all downstream gates read the
     // rebuilt text
-    val cleaned = if (!sentenceDedup) exactKept else
-      TextOps.sentSpanDedupApply(exactKept)
+    val cleaned = if (!sentenceDedup) afterLine else
+      TextOps.sentSpanDedupApply(afterLine)
         .where(col("n_kept") > 0)
         .select(col("doc_id"), col("text_clean").as("text"),
           col("kept_tokens").as("n_tok"))
-        .join(exactKept.select("doc_id", "lang", "source"), "doc_id")
+        .join(afterLine.select("doc_id", "lang", "source"), "doc_id")
         .select("doc_id", "text", "lang", "source", "n_tok")
     val gophKeep = TextOps.gopherGate(cleaned, minTok = gopherMinTok)
       .where(col("keep")).select("doc_id")
@@ -1800,7 +1818,8 @@ object Curation {
   def curateReport(documents: DataFrame, minTokens: Int = 10,
       minStopRatio: Double = 0.05, benchmarkEvery: Int = 10,
       gopherMinTok: Long = 50, neardupThreshold: Double = 0.8,
-      sentenceDedup: Boolean = false): DataFrame = {
+      sentenceDedup: Boolean = false,
+      lineDedup: Boolean = false): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val base = documents.select(Seq(col("doc_id"), col("text"), col("lang"),
@@ -1824,14 +1843,23 @@ object Curation {
     val exactKeep = documents
       .select("doc_id", "text", "lang", "source")
       .join(rnIds.where(col("rn") === 1).select("doc_id"), "doc_id")
-    // the opt-in sentence-span stage (the capstone's 2b): downstream
-    // gates read the REBUILT text; `sk` marks docs that kept at least
-    // one sentence (a pure-boilerplate doc drops here, its own stage)
-    val afterSent = if (!sentenceDedup) exactKeep else
-      TextOps.sentSpanDedupApply(exactKeep)
+    // the opt-in line stage (2a-line, late r14): precedes the
+    // sentence rule; `lk` marks docs that kept at least one line
+    val afterLine = if (!lineDedup) exactKeep else
+      TextOps.lineDedupApply(exactKeep)
         .where(col("n_kept") > 0)
         .select(col("doc_id"), col("text_clean").as("text"))
         .join(exactKeep.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "text", "lang", "source")
+        .localCheckpoint(false)
+    // the opt-in sentence-span stage (the capstone's 2b): downstream
+    // gates read the REBUILT text; `sk` marks docs that kept at least
+    // one sentence (a pure-boilerplate doc drops here, its own stage)
+    val afterSent = if (!sentenceDedup) afterLine else
+      TextOps.sentSpanDedupApply(afterLine)
+        .where(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .join(afterLine.select("doc_id", "lang", "source"), "doc_id")
         .select("doc_id", "text", "lang", "source")
         .localCheckpoint(false)
     val goph = TextOps.gopherGate(afterSent, minTok = gopherMinTok)
@@ -1846,17 +1874,24 @@ object Curation {
     val reps = Dedup.dedupGroups(decon, threshold = neardupThreshold)
       .where(col("group_id") === col("doc_id"))
       .select(col("doc_id"), lit(1).as("r"))
-    // stage ordinals shift by one past exact_dedup when the sentence
-    // stage is on — the funnel stays a single telescoping pass
+    // stage ordinals shift by one past exact_dedup per optional stage
+    // that is on — the funnel stays a single telescoping pass
+    val l = if (lineDedup) 1L else 0L
     val s = if (sentenceDedup) 1L else 0L
     val joined0 = base.join(rnIds, Seq("doc_id"), "left")
-    // the sk join and its label branch exist only when the stage does,
-    // so the flag-off funnel's plan is bit-identical to the r13 shape
+    // the lk/sk joins and their label branches exist only when their
+    // stage does, so the flag-off funnel's plan is bit-identical to
+    // the r13 shape
+    val joined1 =
+      if (lineDedup)
+        joined0.join(afterLine.select(col("doc_id"), lit(1).as("lk")),
+          Seq("doc_id"), "left")
+      else joined0.withColumn("lk", lit(1))
     val labeled0 =
       (if (sentenceDedup)
-        joined0.join(afterSent.select(col("doc_id"), lit(1).as("sk")),
+        joined1.join(afterSent.select(col("doc_id"), lit(1).as("sk")),
           Seq("doc_id"), "left")
-      else joined0.withColumn("sk", lit(1)))
+      else joined1.withColumn("sk", lit(1)))
         .join(goph, Seq("doc_id"), "left")
         .join(hits, Seq("doc_id"), "left")
         .join(reps, Seq("doc_id"), "left")
@@ -1865,18 +1900,20 @@ object Curation {
         when(col("is_bench"), lit(1L))
           .when(!cleanOk, lit(2L))
           .when(col("rn") > 1, lit(3L))
-          .when(lit(sentenceDedup) && col("sk").isNull, lit(4L))
-          .when(col("g").isNull, lit(4L + s))
-          .when(col("h").isNotNull, lit(5L + s))
-          .when(col("r").isNull, lit(6L + s))
-          .otherwise(lit(7L + s)))
+          .when(lit(lineDedup) && col("lk").isNull, lit(4L))
+          .when(lit(sentenceDedup) && col("sk").isNull, lit(4L + l))
+          .when(col("g").isNull, lit(4L + l + s))
+          .when(col("h").isNotNull, lit(5L + l + s))
+          .when(col("r").isNull, lit(6L + l + s))
+          .otherwise(lit(7L + l + s)))
     val counts = labeled.groupBy("stage_ord")
       .agg(count(lit(1)).as("n_dropped"))
     val stageSeq = Seq((1L, "benchmark_holdout"), (2L, "cleaning"),
       (3L, "exact_dedup")) ++
-      (if (sentenceDedup) Seq((4L, "sentence_dedup")) else Seq.empty) ++
-      Seq((4L + s, "gopher"), (5L + s, "decontaminate"),
-        (6L + s, "neardup"))
+      (if (lineDedup) Seq((4L, "line_dedup")) else Seq.empty) ++
+      (if (sentenceDedup) Seq((4L + l, "sentence_dedup")) else Seq.empty) ++
+      Seq((4L + l + s, "gopher"), (5L + l + s, "decontaminate"),
+        (6L + l + s, "neardup"))
     val stages = stageSeq.toDF("stage_ord", "stage")
     val total = documents.agg(count(lit(1)).as("total"))
     // funnel arithmetic over the constant 6-row stage frame: the

@@ -494,6 +494,86 @@ object TextOps {
             when(col("keep"), struct(col("sent_id"), col("sentence"))))),
           x => x.getField("sentence")), " ").as("text_clean"))
 
+  /** Deterministic duplicate-line fixture — the testdata docs are
+    * single-line and globally unique, so the registered line dedup
+    * plants the classic boilerplate block on the `id%9=4` residue
+    * slice: two long lines (newsletter bait, a copyright footer —
+    * the exact strings RefinedWeb's line filter targets) that dedup
+    * globally, plus the 2-char line `OK` that the `minChars`
+    * exemption must KEEP everywhere. Oracle mirrors the concat.
+    */
+  def syntheticLineDupes(docId: Column, text: Column): Column =
+    when(pmod(docId.cast("long"), lit(9L)) === 4L,
+      concat(
+        lit("JOIN OUR NEWSLETTER TODAY FOR EXCLUSIVE UPDATES\n" +
+          "Copyright 2026 Example Corp All Rights Reserved\nOK\n"),
+        text)).otherwise(text)
+
+  /** Line-level exact dedup — the Dolma paragraph-dedup /
+    * RefinedWeb line-dedup cleaning stage (Soldaini et al.
+    * arXiv:2402.00159 §2.3 dedupes at paragraph granularity = text
+    * split on newlines; Penedo et al. arXiv:2306.01116 §3.3 drops
+    * duplicated lines — menus, cookie banners, copyright footers are
+    * LINE-shaped boilerplate that document-level and 3-sentence-span
+    * dedup both miss when the surrounding text differs): every line
+    * (split on `\n`, trimmed, empties dropped) of at least `minChars`
+    * characters dedups GLOBALLY — the first occurrence by
+    * (doc_id, line_id) keeps (lexicographic `min(struct)`, the
+    * [[sentSpanDedup]] overflow-free ownership idiom), every later
+    * occurrence drops. Shorter lines are EXEMPT ("Introduction",
+    * "OK" are legitimate repeats — the published recipes gate the
+    * aggressive rule on line mass; Dolma's Bloom variant skips short
+    * paragraphs the same way). One row per line with its keep flag;
+    * [[lineDedupApply]] rebuilds.
+    *
+    * Scale shape: the split is scan-local; ownership is a
+    * hash-keyed MIN AGGREGATE with map-side partial combine (the hot
+    * footer on 10⁹ pages folds per partition before the shuffle —
+    * never a window); the occurrences-to-owner join fans out only on
+    * the probe side. Same 100 TB shape as [[sentSpanDedup]], minus
+    * the per-doc lead() window (no spans — the unit IS the line).
+    */
+  def lineDedup(documents: DataFrame, minChars: Int = 30): DataFrame = {
+    require(minChars >= 1, s"lineDedup: minChars must be >= 1: $minChars")
+    // \r?\n: the Windows line ending folds to the same line content
+    // (Spark trim strips SPACES only, so a stray \r would otherwise
+    // mint a distinct line key); trim then drops edge spaces, empties
+    // vanish so line ids are dense over real content
+    val lines = documents
+      .select(col("doc_id"),
+        posexplode(filter(transform(split(col("text"), "\\r?\\n"),
+          l => trim(l)), l => l =!= "")).as(Seq("line_id", "line")))
+      .select(col("doc_id"), col("line_id").cast("long").as("line_id"),
+        col("line"), (length(col("line")) >= minChars).as("eligible"),
+        sha2(col("line"), 256).as("line_hash"))
+    val owners = lines.where(col("eligible"))
+      .groupBy("line_hash")
+      .agg(min(struct(col("doc_id"), col("line_id"))).as("own"))
+    lines.join(owners, Seq("line_hash"), "left")
+      .select(col("doc_id"), col("line_id"), col("line"),
+        (!col("eligible") ||
+          (col("own.doc_id") === col("doc_id") &&
+            col("own.line_id") === col("line_id"))).as("keep"))
+  }
+
+  /** [[lineDedup]] materialized back to documents — per doc the
+    * kept-line rebuild (document order, newline-joined — the split's
+    * exact inverse), line counts and kept character mass. One
+    * doc-keyed aggregate over the flag frame.
+    */
+  def lineDedupApply(documents: DataFrame, minChars: Int = 30): DataFrame =
+    lineDedup(documents, minChars)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        sum(when(col("keep"), length(col("line")).cast("long"))
+          .otherwise(lit(0L))).as("kept_chars"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("line_id"), col("line"))))),
+          x => x.getField("line")), "\n").as("text_clean"))
+
   /** Token counting per language tag: whitespace tokens and BPE-ish
     * regex tokens (letter runs / digit runs / single symbols).
     */

@@ -841,10 +841,15 @@ object WebOps {
     * rules, and the rules emitted are the non-empty `Disallow:`
     * values of every group naming `agent` (default `*`; an empty
     * Disallow means allow-all and emits nothing — dropping it is the
-    * spec behavior, not data loss). `Allow:` lines are a DOCUMENTED
-    * NON-GOAL (the gate is prefix-disallow only — the conservative
-    * direction: honoring fewer carve-outs only ever drops MORE);
-    * rules before any User-agent line are spec-invalid and ignored.
+    * spec behavior, not data loss). A NAMED agent falls back to the
+    * `*` groups per host where no group names it (§2.2.1 — the two
+    * never mix on one host; r14). `Allow:` lines are emitted with
+    * their direction under `withAllow = true` (the
+    * [[robotsTxtGateFull]] input shape); the default disallow-only
+    * frame keeps the conservative prefix-gate contract of
+    * [[robotsTxtGate]] (honoring fewer carve-outs only ever drops
+    * MORE); rules before any User-agent line are spec-invalid and
+    * ignored.
     *
     * Scale shape: one posexplode over bodies (robots.txt is KB-sized
     * by convention), then a host-keyed window for the running group
@@ -874,9 +879,25 @@ object WebOps {
         !coalesce(lag(col("is_ua"), 1).over(w), lit(false)))
       .withColumn("grp",
         sum(when(col("starts"), lit(1L)).otherwise(lit(0L))).over(w))
-    val matched = grouped
+    // RFC 9309 §2.2.1 group selection (r14): a named agent obeys the
+    // groups naming it, and ONLY falls back to the `*` groups on
+    // hosts where NO group names it — the two sets never mix on one
+    // host (the "most specific matching group" rule; the corpus-side
+    // use case is retroactive re-filtering for a specific crawler —
+    // CCBot, GPTBot — where a host with no named group still means
+    // "the * rules apply", not "no rules"). All frames here are
+    // (host, group)-sized — aggregate-scale next to the body scan.
+    val matchedNamed = grouped
       .where(col("is_ua") && lower(col("value")) === agent.toLowerCase)
       .select(col("host"), col("grp")).distinct()
+    val matched = if (agent == "*") matchedNamed else {
+      val matchedStar = grouped
+        .where(col("is_ua") && col("value") === "*")
+        .select(col("host"), col("grp")).distinct()
+      matchedNamed.unionByName(matchedStar
+        .join(matchedNamed.select("host").distinct(),
+          Seq("host"), "left_anti"))
+    }
     val rules = grouped
       .where(!col("is_ua") && col("value") =!= "")
       .join(matched, Seq("host", "grp"))
@@ -888,19 +909,50 @@ object WebOps {
       rules.select(col("host"), col("value").as("prefix")).distinct()
   }
 
+  /** A robots.txt rule value as a match REGEX — the RFC 9309 §2.2.3
+    * special characters (`*` = any octet sequence, a TRAILING `$` =
+    * end-of-path anchor; a `$` anywhere else is a literal octet, the
+    * conservative published reading) over an otherwise literal
+    * pattern: strip the trailing anchor if present, escape every
+    * regex metacharacter EXCEPT `*` (including interior `$`), then
+    * widen `*` to `.*` and re-attach `^`/`$`. Literal-prefix rules
+    * never reach this — [[robotsTxtGateFull]] routes them through
+    * `startswith` (codegen'd, no per-row regex compile); only rules
+    * that actually carry `*` or a trailing `$` pay the regex path,
+    * and the translation runs once per RULE on the hosts-sized build
+    * side, not per page.
+    */
+  private def robotsPatternRegex(prefix: Column): Column = {
+    val anchored = prefix.endsWith("$")
+    val core = when(anchored,
+      substring(prefix, lit(1), length(prefix) - 1)).otherwise(prefix)
+    val esc = regexp_replace(core,
+      "([\\.\\^\\+\\?\\(\\)\\{\\}\\[\\]\\|\\\\$])", "\\\\$1")
+    concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
   /** The FULL RFC 9309 §2.2.2 gate (r14 — upgrades the r13 "Allow is
     * a non-goal" boundary): rules carry BOTH directions
     * (`(host, prefix, allow)` — [[robotsTxtRules]] `withAllow =
-    * true`), and per page the MOST SPECIFIC (longest-prefix) matching
-    * rule decides; on a length tie Allow wins (the spec's
-    * least-restrictive tie rule); no matching rule → allowed. The
-    * argmax is one `max(struct(len, allow, prefix))` aggregate —
-    * lexicographic struct ordering gives longest-then-allow-then-
-    * deterministic-prefix in a single map-side-combinable MIN/MAX
-    * shape (no window), the sentSpanDedup ownership idiom; the oracle
-    * mirrors it as a row_number over (len DESC, allow DESC, prefix
-    * DESC). Same scale shape as [[robotsTxtGate]]: pages shuffle once
-    * on host, rules are hosts-sized on the build side, prefix test
+    * true`), and per page the MOST SPECIFIC (longest-pattern)
+    * matching rule decides; on a length tie Allow wins (the spec's
+    * least-restrictive tie rule); no matching rule → allowed. Rules
+    * carrying the §2.2.3 special characters (`*`, trailing `$`)
+    * match as patterns via [[robotsPatternRegex]] — the RFC's MUST
+    * and the form real robots.txt files overwhelmingly use
+    * (the block-the-API `Disallow: *.json$` form, trailing-star
+    * section rules); literal rules stay on the
+    * `startswith` fast path. Specificity is the OCTET LENGTH OF THE
+    * RULE AS WRITTEN (RFC 9309: "most specific match … based on the
+    * length of the [pattern]"), wildcard or not. The argmax is one
+    * `max(struct(len, allow, prefix))` aggregate — lexicographic
+    * struct ordering gives longest-then-allow-then-deterministic-
+    * prefix in a single map-side-combinable MIN/MAX shape (no
+    * window), the sentSpanDedup ownership idiom; the oracle mirrors
+    * it as a row_number over (len DESC, allow DESC, prefix DESC).
+    * Same scale shape as [[robotsTxtGate]]: pages shuffle once on
+    * host, rules are hosts-sized on the build side, prefix test
     * post-join.
     */
   def robotsTxtGateFull(pages: DataFrame, rules: DataFrame,
@@ -909,12 +961,18 @@ object WebOps {
       .select(col("doc_id"), col("host"),
         regexp_extract(col("url_canonical"),
           "^[a-z][a-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1).as("path"))
+    val prepped = rules
+      .select(col("host"), col("prefix"), col("allow"),
+        (col("prefix").contains("*") || col("prefix").endsWith("$"))
+          .as("is_pat"))
+      .withColumn("rx",
+        when(col("is_pat"), robotsPatternRegex(col("prefix"))))
     norm
-      .join(rules.select(col("host"), col("prefix"), col("allow")),
-        Seq("host"), "left")
+      .join(prepped, Seq("host"), "left")
       .select(col("doc_id"), col("host"), col("path"),
         when(col("prefix").isNotNull &&
-            startswith(col("path"), col("prefix")),
+            when(col("is_pat"), regexp_like(col("path"), col("rx")))
+              .otherwise(startswith(col("path"), col("prefix"))),
           struct(length(col("prefix")).as("l"), col("allow").as("a"),
             col("prefix").as("p"))).as("m"))
       .groupBy("doc_id", "host", "path")
@@ -923,6 +981,52 @@ object WebOps {
         (col("m").isNotNull && !col("m.a")).as("disallowed"),
         col("m.p").as("matched_prefix"),
         col("m.a").as("matched_allow"))
+  }
+
+  /** Deterministic wildcard-rule pages — a DEDICATED URL namespace
+    * for the §2.2.3 wildcard gate key (the shared [[syntheticUrl]]
+    * fixture's `/p/<g>` paths have no extensions or nesting for
+    * `*`/`$` patterns to bite on): five hosts `wh{0..4}.example.com`,
+    * paths `/d/<doc_id%7>/f<doc_id%3>` with a `.json`/`.html`
+    * extension split on doc_id%4. Oracle mirrors the construction.
+    */
+  def syntheticWildcardPages(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      concat(lit("http://wh"), (col("doc_id") % 5).cast("string"),
+        lit(".example.com/d/"), (col("doc_id") % 7).cast("string"),
+        lit("/f"), (col("doc_id") % 3).cast("string"),
+        when(col("doc_id") % 4 === 0, lit(".json"))
+          .otherwise(lit(".html"))).as("url"))
+
+  /** Deterministic wildcard rules for [[robotsTxtGateFull]] —
+    * every RFC 9309 §2.2.3 shape plus the interactions the argmax
+    * must get right, on the [[syntheticWildcardPages]] hosts:
+    * the slash-star `.json$` block everywhere (the classic
+    * block-the-API rule: `*`
+    * widening, escaped literal `.`, trailing anchor), the plain
+    * prefix `/d/3/` everywhere (literal fast path mixing with
+    * patterns), the LONGER `Allow: /d/3/f*.html$` on even hosts (a
+    * wildcard carve-out overriding a literal disallow — `.html`
+    * under `/d/3/` comes back on wh0/wh2/wh4, `.json` stays blocked
+    * by the anchor rule), and the equal-length pair `/d/5/` disallow
+    * vs `/d/5*` allow everywhere (5 octets each — the tie MUST go to
+    * Allow). Oracle: the same table with HAND-WRITTEN regexes — an
+    * independent check on the engine-side pattern translation.
+    */
+  def syntheticRobotsWildcardRules(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val ks = spark.range(0, 5).select(col("id").as("k"))
+    def hostCol = concat(lit("wh"), col("k").cast("string"),
+      lit(".example.com"))
+    def rule(p: String, allow: Boolean)(df: DataFrame) =
+      df.select(hostCol.as("host"), lit(p).as("prefix"),
+        lit(allow).as("allow"))
+    rule("/*.json$", allow = false)(ks)
+      .unionByName(rule("/d/3/", allow = false)(ks))
+      .unionByName(rule("/d/3/f*.html$", allow = true)(
+        ks.where(col("k") % 2 === 0)))
+      .unionByName(rule("/d/5/", allow = false)(ks))
+      .unionByName(rule("/d/5*", allow = true)(ks))
   }
 
   /** Deterministic raw robots.txt bodies whose parse is EXACTLY

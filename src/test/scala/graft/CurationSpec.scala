@@ -149,6 +149,61 @@ class CurationSpec extends SparkSuite {
       (6L, "neardup")), s"flag-off rows: $off")
   }
 
+  test("curateCorpus/curateReport lineDedup (late r14): no duplicated " +
+      "long line among survivors, the line_dedup row appears with " +
+      "nonzero drops, the funnel telescopes to the capstone's count, " +
+      "both flags compose") {
+    // the q_curate_report_lines plant: %11=7 docs are PURE boilerplate
+    // (the two long lines, exact-dup-distinct via the space run before
+    // the newline), %9=4 docs carry the block as a prefix
+    val sp = expr("repeat(' ', CAST(doc_id % 7 + 1 AS INT))")
+    val lineA = "please subscribe to the newsletter and share the page today"
+    val lineB = "copyright of the example corporation all rights reserved"
+    val planted = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(11L)) === 7L,
+        concat(lit(lineA), sp, lit("\n" + lineB)))
+        .when(pmod(col("doc_id"), lit(9L)) === 4L,
+          concat(lit(lineA + "\n" + lineB + "\n"), col("text")))
+        .otherwise(col("text")))
+    val out = Curation.curateCorpus(planted, lineDedup = true)
+    val survivors = out.collect()
+    assert(survivors.nonEmpty)
+    // the Dolma/RefinedWeb invariant on the OUTPUT: across all
+    // survivor texts, no >=30-char line occurs twice
+    val lines = survivors.flatMap(
+      _.getAs[String]("text").split("\n").map(_.trim)
+        .filter(l => l.nonEmpty && l.length >= 30))
+    assert(lines.distinct.length == lines.length,
+      "a duplicated long line survived the line stage")
+    val rep = Curation.curateReport(planted, lineDedup = true)
+      .collect()
+      .map(r => (r.getAs[Long]("stage_ord"), r.getAs[String]("stage"),
+        r.getAs[Long]("n_in"), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("n_out")))
+      .sortBy(_._1).toSeq
+    assert(rep.map(t => (t._1, t._2)) == Seq(
+      (1L, "benchmark_holdout"), (2L, "cleaning"), (3L, "exact_dedup"),
+      (4L, "line_dedup"), (5L, "gopher"), (6L, "decontaminate"),
+      (7L, "neardup")), s"stage rows: $rep")
+    rep.foreach { case (_, s, in, d, o) =>
+      assert(o == in - d, s"stage $s: $in - $d != $o") }
+    rep.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._5 == b._3, s"${a._2} out ${a._5} != ${b._2} in ${b._3}") }
+    assert(rep.find(_._2 == "line_dedup").get._4 > 0L,
+      s"the pure-boilerplate slice must drop docs at the line stage: $rep")
+    assert(rep.last._5 == out.count(),
+      "funnel n_out must equal the line-staged capstone's size")
+    // BOTH optional stages on: 8 rows, line before sentence, ords shift
+    val both = Curation.curateReport(planted, sentenceDedup = true,
+        lineDedup = true).collect()
+      .map(r => (r.getAs[Long]("stage_ord"), r.getAs[String]("stage")))
+      .sortBy(_._1).toSeq
+    assert(both == Seq((1L, "benchmark_holdout"), (2L, "cleaning"),
+      (3L, "exact_dedup"), (4L, "line_dedup"), (5L, "sentence_dedup"),
+      (6L, "gopher"), (7L, "decontaminate"), (8L, "neardup")),
+      s"both-flags rows: $both")
+  }
+
   test("curateCorpusFromHtml: extraction front door equals curateCorpus " +
       "on the word-floor-cleared docs; boilerplate never leaks") {
     val pages = docs.select(col("doc_id"),

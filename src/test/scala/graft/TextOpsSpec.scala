@@ -109,6 +109,61 @@ class TextOpsSpec extends SparkSuite {
     assert((0L to 3L).forall(i => r((idMid, i))), s"unique doc: $r")
   }
 
+  test("lineDedup: global first-occurrence-keeps over long lines, " +
+      "short lines exempt, within-doc repeats collapse, empty lines " +
+      "drop at the split; rebuild is the newline-join inverse") {
+    val boiler = "SUBSCRIBE NOW FOR OUR VERY EXCITING NEWSLETTER"
+    val docs = Seq(
+      (1L, s"$boiler\nalpha body text\nOK"),
+      // cross-doc repeat of the long line (doc 1 owns), plus blank
+      // lines the split must drop and a trimmed \r
+      (2L, s"$boiler\r\n\nbeta body text\nOK"),
+      // within-doc repeat of its own long line: position 0 owns
+      (3L, s"$boiler twice\n$boiler twice\ngamma tail"),
+      (4L, "delta only")).toDF("doc_id", "text")
+    val r = TextOps.lineDedup(docs).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("line_id")) ->
+        x.getAs[Boolean]("keep")).toMap
+    // doc 1 owns the boilerplate; its short OK line is exempt
+    assert(r((1L, 0L)) && r((1L, 1L)) && r((1L, 2L)), s"doc 1: $r")
+    // doc 2's occurrence drops; empties are gone so ids are dense
+    // (0 = boiler, 1 = beta body text, 2 = OK)
+    assert(!r((2L, 0L)) && r((2L, 1L)) && r((2L, 2L)), s"doc 2: $r")
+    // within-doc: position 0 owns, position 1 drops
+    assert(r((3L, 0L)) && !r((3L, 1L)) && r((3L, 2L)), s"doc 3: $r")
+    // short single-line docs ride through ("delta only" < 30 chars)
+    assert(r((4L, 0L)), s"doc 4: $r")
+    // the rebuild: kept lines newline-joined in document order
+    val a = TextOps.lineDedupApply(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_lines"), x.getAs[Long]("n_kept"),
+          x.getAs[String]("text_clean")))).toMap
+    assert(a(1L) == ((3L, 3L, s"$boiler\nalpha body text\nOK")),
+      s"got ${a(1L)}")
+    assert(a(2L) == ((3L, 2L, "beta body text\nOK")), s"got ${a(2L)}")
+    assert(a(3L) == ((3L, 2L, s"$boiler twice\ngamma tail")),
+      s"got ${a(3L)}")
+    assert(a(4L) == ((1L, 1L, "delta only")), s"got ${a(4L)}")
+
+    // the registered fixture: the two planted long lines dedup to the
+    // first id%9=4 doc, the exempt OK line keeps everywhere, and no
+    // original (unique) doc text is ever dropped
+    val fix = Seq(4L, 13L, 22L, 5L).toDF("doc_id")
+      .withColumn("text", concat(lit("body text of doc "),
+        col("doc_id").cast("string")))
+      .withColumn("text",
+        TextOps.syntheticLineDupes(col("doc_id"), col("text")))
+    val f = TextOps.lineDedup(fix).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("line_id")) ->
+        x.getAs[Boolean]("keep")).toMap
+    assert(f((4L, 0L)) && f((4L, 1L)), s"first planted doc owns: $f")
+    assert(!f((13L, 0L)) && !f((13L, 1L)) && !f((22L, 0L)) && !f((22L, 1L)),
+      s"later planted docs drop the block: $f")
+    assert(f((13L, 2L)) && f((22L, 2L)), s"exempt OK line keeps: $f")
+    assert(f((13L, 3L)) && f((22L, 3L)) && f((5L, 0L)),
+      s"unique body text keeps: $f")
+  }
+
   test("textExtract: known-answer boilerplate removal on a hand-built page") {
     val html =
       "<html><head><title>My Page</title><script>var a=1;</script>" +

@@ -677,6 +677,90 @@ class WebOpsSpec extends SparkSuite {
       s"disallow-only gate must drop both: $plain")
   }
 
+  test("robotsTxtGateFull wildcards: * widens, trailing $ anchors, " +
+      "mid-pattern $ and regex metachars stay literal, literal rules " +
+      "keep the startswith path; fixture verdicts hand-checked") {
+    val rules = Seq(
+      // '.' must be LITERAL after translation: /a.b* matches /a.b/…
+      // but NOT /axb/… (an unescaped dot would accept both)
+      ("m.example.com", "/a.b*", false),
+      // mid-pattern '$' is a literal octet; the trailing '*' makes
+      // the rule a pattern so the escape path is exercised
+      ("m.example.com", "/x$*", false),
+      // trailing '$' anchors: exactly /f, not /f2
+      ("m.example.com", "/f$", false),
+      // interior wildcard with a literal tail
+      ("m.example.com", "/d/*/e", false))
+      .toDF("host", "prefix", "allow")
+    val pages = Seq(
+      (1L, "http://m.example.com/a.b/c"),   // dot literal -> hit
+      (2L, "http://m.example.com/axb/c"),   // unescaped-dot trap -> miss
+      (3L, "http://m.example.com/x$yz"),    // mid-$ literal -> hit
+      (4L, "http://m.example.com/xyz"),     // -> miss
+      (5L, "http://m.example.com/f"),       // anchored exact -> hit
+      (6L, "http://m.example.com/f2"),      // past the anchor -> miss
+      (7L, "http://m.example.com/d/1/e2"),  // interior * -> hit
+      (8L, "http://m.example.com/d/1/x"))   // literal tail -> miss
+      .toDF("doc_id", "url")
+    val v = WebOps.robotsTxtGateFull(pages, rules).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("disallowed"))
+      .toMap
+    assert(v == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+      5L -> true, 6L -> false, 7L -> true, 8L -> false), s"$v")
+
+    // registered fixture verdicts, hand-computed: the JSON anchor
+    // rule, the literal /d/3/ disallow, the longer wildcard carve-out
+    // on even hosts, and the 5-octet tie going to Allow
+    val docs = Seq(0L, 3L, 10L, 5L, 40L).toDF("doc_id")
+    val pagesFix = WebOps.syntheticWildcardPages(docs)
+    val g = WebOps.robotsTxtGateFull(pagesFix,
+        WebOps.syntheticRobotsWildcardRules(spark)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("disallowed"),
+          Option(r.getAs[String]("matched_prefix")))))
+      .toMap
+    // doc 0 -> wh0 /d/0/f0.json: the anchor rule
+    assert(g(0L) == ((true, Some("/*.json$"))), s"${g(0L)}")
+    // doc 3 -> wh3 /d/3/f0.html: odd host, no carve -> /d/3/ drops it
+    assert(g(3L) == ((true, Some("/d/3/"))), s"${g(3L)}")
+    // doc 10 -> wh0 /d/3/f1.html: even host, 13-octet carve wins
+    assert(g(10L) == ((false, Some("/d/3/f*.html$"))), s"${g(10L)}")
+    // doc 5 -> wh0 /d/5/f2.html: /d/5/ vs /d/5* both 5 octets -> Allow
+    assert(g(5L) == ((false, Some("/d/5*"))), s"${g(5L)}")
+    // doc 40 -> wh0 /d/5/f1.json: the 8-octet JSON rule outranks the
+    // 5-octet tie pair
+    assert(g(40L) == ((true, Some("/*.json$"))), s"${g(40L)}")
+  }
+
+  test("robotsTxtRules named-agent group pick: named groups win their " +
+      "host outright, * applies ONLY on hosts with no named group, " +
+      "agent matching is case-insensitive") {
+    val bodies = Seq(
+      // both a named and a star group: gptbot obeys ONLY the named one
+      ("a.example.com",
+        "User-agent: GPTBot\nDisallow: /named\n\n" +
+          "User-agent: *\nDisallow: /star\n"),
+      // star only: the named agent falls back to it
+      ("b.example.com", "User-agent: *\nDisallow: /fallback\n"),
+      // named only: no star to fall back to, and none needed
+      ("c.example.com", "User-agent: gptbot\nDisallow: /only\n"),
+      // a DIFFERENT named group and no star: nothing applies
+      ("d.example.com", "User-agent: bingbot\nDisallow: /other\n"))
+      .toDF("host", "body")
+    val named = WebOps.robotsTxtRules(bodies, agent = "gptbot").collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[String]("prefix")))
+      .toSet
+    assert(named == Set(("a.example.com", "/named"),
+      ("b.example.com", "/fallback"), ("c.example.com", "/only")),
+      s"got $named")
+    // the star agent itself never falls back INTO named groups
+    val star = WebOps.robotsTxtRules(bodies).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[String]("prefix")))
+      .toSet
+    assert(star == Set(("a.example.com", "/star"),
+      ("b.example.com", "/fallback")), s"got $star")
+  }
+
   test("idnFold: RFC 3490 known answer, Unicode/ACE cross-form " +
       "collapse under urlDedup, ASCII hosts untouched, malformed " +
       "hosts ride through") {
