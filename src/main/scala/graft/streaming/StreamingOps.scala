@@ -1096,6 +1096,92 @@ object StreamingOps {
     * data-then-timeout protocol cannot be orchestrated through
     * MemoryStream; [[statusTtlStep]]'s rationale).
     */
+  case class LineOcc(lineHash: String, docId: Long, lineId: Long,
+    line: String)
+  case class LineFlag(docId: Long, lineId: Long, line: String,
+    keep: Boolean)
+  case class LineSeen(ownDoc: Long, ownLine: Long)
+
+  /** Streaming LINE-level exact dedup — the ingest twin of
+    * [[graft.operators.TextOps.lineDedup]] and the shape Dolma's
+    * paragraph dedup actually RUNS as (Soldaini et al. 2402.00159
+    * §2.3 updates a Bloom filter online: the first occurrence of a
+    * paragraph lands, later occurrences drop — an arrival-order
+    * claim, exactly this protocol with exact state instead of a
+    * Bloom's false-positive risk): each arriving doc explodes into
+    * trimmed non-empty lines ROW-LOCALLY (no shuffle before the
+    * claim), lines of at least `minChars` characters key by their
+    * sha256 and CLAIM on first arrival — later occurrences inside the
+    * TTL horizon emit `keep = false`; shorter lines are exempt and
+    * ride through a stateless branch (the batch operator's guard: a
+    * legitimate short repeat like "Introduction" must not burn state,
+    * let alone drop). Within a micro-batch the claim goes to the
+    * LOWEST (doc_id, line_id) — the batch operator's lexicographic
+    * struct-min ownership, so replays flag the same occurrences.
+    *
+    * Contract vs batch, stated: batch ownership is GLOBAL min over
+    * the whole corpus; the stream claims by ARRIVAL order under a TTL
+    * (the [[liveLatestStatusTtl]] state-bound contract) — the same
+    * claim-vs-recompute trade [[nearDupDocStream]] documents. State
+    * is one (ownDoc, ownLine) pair per distinct live line — bounded
+    * by traffic, and the hot boilerplate line is ONE state row no
+    * matter how many pages carry it.
+    */
+  def lineDedupDocStream(docs: DataFrame, minChars: Int = 30,
+      ttlMs: Long = 3600 * 1000L): Dataset[LineFlag] = {
+    implicit val outEnc = Encoders.product[LineFlag]
+    implicit val keyEnc = Encoders.STRING
+    implicit val occEnc = Encoders.product[LineOcc]
+    implicit val stEnc = Encoders.product[LineSeen]
+    val lines = docs
+      // poison-pill tolerance (typedStatusEvents' policy)
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("docId"),
+        posexplode(filter(transform(split(col("text"), "\\r?\\n"),
+          l => trim(l)), l => l =!= "")).as(Seq("lineId", "line")))
+      .select(col("docId"), col("lineId").cast("long").as("lineId"),
+        col("line"))
+    val exempt = lines
+      .where(length(col("line")) < minChars)
+      .select(col("docId"), col("lineId"), col("line"),
+        lit(true).as("keep"))
+      .as[LineFlag]
+    val claimed = lines
+      .where(length(col("line")) >= minChars)
+      .select(sha2(col("line"), 256).as("lineHash"),
+        col("docId"), col("lineId"), col("line"))
+      .as[LineOcc]
+      .groupByKey(_.lineHash)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout())(
+        (h: String, os: Iterator[LineOcc], st: GroupState[LineSeen]) =>
+          lineClaimStep(h, os, st, ttlMs))
+    claimed.unionByName(exempt)
+  }
+
+  private[streaming] def lineClaimStep(hash: String,
+      os: Iterator[LineOcc], state: GroupState[LineSeen],
+      ttlMs: Long): Iterator[LineFlag] = {
+    if (state.hasTimedOut) {
+      state.remove() // idle past TTL: evict, emit nothing
+      Iterator.empty
+    } else {
+      // micro-batch iterator order is not deterministic across
+      // retries; claim by lowest (docId, lineId) — the batch
+      // operator's ownership order — so replays keep the same line
+      val sorted = os.toSeq.sortBy(o => (o.docId, o.lineId))
+      val out = sorted.map { o =>
+        val keep = state.getOption match {
+          case None => state.update(LineSeen(o.docId, o.lineId)); true
+          case Some(s) => s.ownDoc == o.docId && s.ownLine == o.lineId
+        }
+        LineFlag(o.docId, o.lineId, o.line, keep)
+      }
+      state.setTimeoutDuration(ttlMs) // any activity renews the TTL
+      out.iterator
+    }
+  }
+
   private[streaming] def nearDupStep(band: String, ds: Iterator[BandDoc],
       state: GroupState[BandState], ttlMs: Long): Iterator[NearDupFlag] = {
     if (state.hasTimedOut) {

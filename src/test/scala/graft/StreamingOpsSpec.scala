@@ -551,6 +551,45 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("lineDedupDocStream: cross-batch repeated long line drops, " +
+      "first claimant and the short exempt line keep, unique lines " +
+      "ride through") {
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "please subscribe to the newsletter and share today"
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.lineDedupDocStream(df)
+      .writeStream.format("memory").queryName("line_dedup_docs")
+      .outputMode("update").start()
+    try {
+      // poll-with-deadline: ProcessingTimeTimeout keeps micro-batches
+      // scheduling, so processAllAvailable never settles
+      def await(n: Int): Map[(Long, Long), Boolean] = {
+        val deadline = System.nanoTime() + 150L * 1000 * 1000 * 1000
+        var out = Map.empty[(Long, Long), Boolean]
+        while (out.size < n && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          out = spark.table("line_dedup_docs").collect()
+            .map(r => (r.getAs[Long]("docId"), r.getAs[Long]("lineId")) ->
+              r.getAs[Boolean]("keep"))
+            .toMap
+        }
+        out
+      }
+      input.addData((1L, s"$boiler\nalpha unique body line one\nOK"))
+      assert(await(3).values.forall(identity),
+        "first batch: claimant + unique + exempt all keep")
+      // second batch: the boilerplate line repeats ACROSS batches (the
+      // claim state carries), a new unique line keeps, OK stays exempt
+      input.addData((2L, s"$boiler\nbeta unique body line two\nOK"))
+      val out = await(6)
+      assert(out((2L, 0L)) == false, s"repeated line must drop: $out")
+      assert(out((2L, 1L)) && out((2L, 2L)), s"unique + exempt keep: $out")
+      assert(out((1L, 0L)) && out((1L, 1L)) && out((1L, 2L)),
+        s"first batch verdicts stand: $out")
+    } finally q.stop()
+  }
+
   test("embedDupVecStream: scaled copy flagged, exact copy and first " +
       "claimants not, degenerate vectors dropped") {
     implicit val sqlCtx = spark.sqlContext
