@@ -755,6 +755,22 @@ object SparkEntry {
       WebOps.robotsTxtGateFull(
         WebOps.syntheticWildcardPages(t(s, d, "documents")),
         WebOps.syntheticRobotsWildcardRules(s))),
+    // sitemap parsing (late r14 — the DISCOVERY half of the crawl
+    // front door): raw urlset/sitemapindex bodies → per-entry rows;
+    // known-answer oracle (independent range construction incl. the
+    // loc whitespace trim)
+    "q_sitemap_urls" -> ((s, d) =>
+      WebOps.sitemapUrls(WebOps.syntheticSitemapBodies(s))),
+    // the coverage audit: declared (sitemap, canonicalized) vs held
+    // (crawl, canonicalized) per canonical host — matched / missing
+    // (the recrawl frontier) / stray (link-discovery orphans); the
+    // listed-side canonicals in the oracle are HAND-WRITTEN (the
+    // www/scheme/trailing-slash/%2f folds on declared URLs are part
+    // of what is under test)
+    "q_crawl_coverage" -> ((s, d) =>
+      WebOps.sitemapCoverage(
+        WebOps.syntheticWildcardPages(t(s, d, "documents")),
+        WebOps.sitemapUrls(WebOps.syntheticSitemapBodies(s)))),
     // relative-href resolution (r13 verdict #5): the RFC 3986 §5
     // resolved link layer — raw hrefs resolve against the page's own
     // base URL (dot-relative anchors merge into the base path,
@@ -2692,6 +2708,64 @@ object SparkEntry {
         |  h.prefix AS matched_prefix, h.allow AS matched_allow
         |FROM wpp p LEFT JOIN (SELECT * FROM whits WHERE rn = 1) h
         |  ON p.doc_id = h.doc_id AND p.host = h.host AND p.path = h.path""".stripMargin),
+    // known-answer: the independent range construction of every
+    // sitemap entry, loc ALREADY TRIMMED (the parse under test strips
+    // the planted indentation), absent lastmod as ''
+    "q_sitemap_urls" ->
+      """WITH wk AS (SELECT unnest(range(5)) AS k)
+        |SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com' AS host, 'url' AS kind,
+        |  'http://wh' || CAST(k AS VARCHAR) || '.example.com/d/' || CAST(k AS VARCHAR) || '/f1.html' AS loc,
+        |  '2026-0' || CAST(k + 1 AS VARCHAR) || '-01' AS lastmod
+        |FROM wk WHERE k <> 3
+        |UNION ALL
+        |SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', 'url',
+        |  'HTTP://WWW.wh' || CAST(k AS VARCHAR) || '.example.com/d/' || CAST(k AS VARCHAR) || '/f9.html/', ''
+        |FROM wk WHERE k <> 3
+        |UNION ALL
+        |SELECT 'wh2.example.com', 'url', 'http://wh2.example.com/sp%2face', ''
+        |UNION ALL
+        |SELECT 'wh3.example.com', 'sitemap', 'http://wh3.example.com/sitemap-0.xml', ''""".stripMargin,
+    // crawled side = the wildcard-pages construction through the ONE
+    // canonical chain; listed side = HAND-WRITTEN canonicals of the
+    // declared URLs (scheme-lower/www-strip/trailing-slash/%2f-fold
+    // applied by hand — known-answer on the listed-side
+    // canonicalization); FULL OUTER on (host, canonical) → host agg
+    "q_crawl_coverage" -> ("""WITH u AS (
+        |  SELECT doc_id,
+        |    'http://wh' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/d/' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '/f' || CAST(doc_id % 3 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '.json' ELSE '.html' END) AS url
+        |  FROM documents
+        |)
+        |""".stripMargin + urlCanonSql +
+      """, crawled AS (
+        |  SELECT DISTINCT host, url_canonical AS u FROM canon
+        |), wk AS (SELECT unnest(range(5)) AS k)
+        |, listed AS (
+        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com' AS host,
+        |    'http://wh' || CAST(k AS VARCHAR) || '.example.com/d/' || CAST(k AS VARCHAR) || '/f1.html' AS u
+        |  FROM wk WHERE k <> 3
+        |  UNION ALL
+        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com',
+        |    'http://wh' || CAST(k AS VARCHAR) || '.example.com/d/' || CAST(k AS VARCHAR) || '/f9.html'
+        |  FROM wk WHERE k <> 3
+        |  UNION ALL
+        |  SELECT 'wh2.example.com', 'http://wh2.example.com/sp%2Face'
+        |), cov AS (
+        |  SELECT COALESCE(cr.host, li.host) AS host,
+        |    cr.u AS cu, li.u AS lu
+        |  FROM crawled cr FULL OUTER JOIN listed li
+        |    ON cr.host = li.host AND cr.u = li.u
+        |)
+        |SELECT host,
+        |  CAST(COUNT(*) FILTER (WHERE lu IS NOT NULL) AS BIGINT) AS n_listed,
+        |  CAST(COUNT(*) FILTER (WHERE cu IS NOT NULL) AS BIGINT) AS n_crawled,
+        |  CAST(COUNT(*) FILTER (WHERE lu IS NOT NULL AND cu IS NOT NULL) AS BIGINT) AS n_matched,
+        |  CAST(COUNT(*) FILTER (WHERE lu IS NOT NULL AND cu IS NULL) AS BIGINT) AS n_missing,
+        |  CAST(COUNT(*) FILTER (WHERE cu IS NOT NULL AND lu IS NULL) AS BIGINT) AS n_stray,
+        |  (COUNT(*) FILTER (WHERE lu IS NOT NULL AND cu IS NOT NULL) * 1000000)
+        |    // greatest(COUNT(*) FILTER (WHERE lu IS NOT NULL), 1) AS coverage_ppm
+        |FROM cov GROUP BY 1""".stripMargin),
     // unnest stays in its own single-table CTE (DuckDB v1.0.0's binder
     // hits an INTERNAL error on unnest combined with a JOIN in one
     // SELECT); the base-url join happens after extraction

@@ -1059,6 +1059,122 @@ object WebOps {
           when(col("k") % 4 === 1, lit("Allow: /p/10\n")).otherwise(lit("")),
           lit("Disallow:\nAllow: /open\n")).as("body"))
 
+  /** Sitemap parser — the DISCOVERY half of the crawl front door
+    * (robots.txt is the exclusion half, both parsed from raw bodies
+    * now): raw (host, body) sitemap XML to one row per entry. Both
+    * published shapes (sitemaps.org 0.9): `<urlset>` page entries
+    * (`kind = 'url'`, loc + optional lastmod) and `<sitemapindex>`
+    * child-sitemap entries (`kind = 'sitemap'` — FETCHING children is
+    * a fetcher-side concern; the engine parses what it is given, the
+    * robotsTxtRules boundary). Honest subset, stated: `<loc>` /
+    * `<lastmod>` extracted per `<url>`/`<sitemap>` block with
+    * surrounding whitespace trimmed (the spec's example files indent
+    * them), no CDATA/entity decoding (sitemaps.org requires
+    * entity-escaped URLs; the canonical chain downstream treats the
+    * escaped form consistently), absent lastmod rides as ''. One
+    * regexp_extract_all + explode per shape — scan-local, zero
+    * shuffle (the block-scoped pairing is what keeps a loc from
+    * pairing with a NEIGHBOR entry's lastmod: each block is its own
+    * match).
+    */
+  def sitemapUrls(bodies: DataFrame): DataFrame = {
+    def locOf(b: Column) =
+      regexp_extract(b, "(?is)<loc>\\s*([^<]*?)\\s*</loc>", 1)
+    def lastmodOf(b: Column) =
+      regexp_extract(b, "(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1)
+    def entries(tag: String, kind: String) = bodies
+      .select(col("host"),
+        explode(regexp_extract_all(col("body"),
+          lit(s"(?is)<$tag>(.*?)</$tag>"), lit(1))).as("b"))
+      .select(col("host"), lit(kind).as("kind"),
+        locOf(col("b")).as("loc"), lastmodOf(col("b")).as("lastmod"))
+    entries("url", "url")
+      .unionByName(entries("sitemap", "sitemap"))
+      .where(col("loc") =!= "")
+  }
+
+  /** Crawl-coverage audit — sitemap vs crawl, the first question a
+    * recrawl planner asks (what did the host DECLARE vs what do we
+    * HOLD): both sides canonicalize through the ONE urlNormalize
+    * chain, match on (canonical host, canonical url), and the
+    * per-host scorecard counts declared/held/matched plus the two
+    * interesting complements — `n_missing` (declared, never crawled:
+    * the recrawl frontier) and `n_stray` (crawled, never declared:
+    * the orphan set link-discovery found). `coverage_ppm` =
+    * matched·10⁶ div declared, floored (§6), divisor clamped for
+    * index-only hosts. Hosts are taken from the URLS' canonical
+    * form on both sides (a sitemap may declare cross-host URLs —
+    * sitemaps.org cross-submits; the audit buckets by where the URL
+    * LIVES, not which file declared it).
+    *
+    * Scale shape: pages shuffle once on the (host, url) equi-key of
+    * the full outer join (canonical URLs are near-unique — balanced);
+    * the sitemap side is declaration-sized; output is hosts-sized.
+    */
+  def sitemapCoverage(pages: DataFrame, sitemap: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val crawled = urlNormalize(pages, urlCol)
+      .select(col("host"), col("url_canonical")).distinct()
+      .withColumn("c", lit(1))
+    val listed = urlNormalize(
+      sitemap.where(col("kind") === "url")
+        .select(lit(0L).as("doc_id"), col("loc").as("url")), "url")
+      .select(col("host"), col("url_canonical")).distinct()
+      .withColumn("l", lit(1))
+    crawled.join(listed, Seq("host", "url_canonical"), "full_outer")
+      .groupBy("host")
+      .agg(
+        sum(when(col("l").isNotNull, 1L).otherwise(0L)).as("n_listed"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_crawled"),
+        sum(when(col("l").isNotNull && col("c").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("l").isNotNull && col("c").isNull, 1L)
+          .otherwise(0L)).as("n_missing"),
+        sum(when(col("c").isNotNull && col("l").isNull, 1L)
+          .otherwise(0L)).as("n_stray"))
+      .withColumn("coverage_ppm",
+        expr("(n_matched * 1000000) div greatest(n_listed, 1)"))
+  }
+
+  /** Deterministic sitemap bodies over the [[syntheticWildcardPages]]
+    * hosts (`wh{0..4}` — the query-free URL namespace, so declared
+    * and crawled CANONICALS can actually meet; the shared
+    * [[syntheticUrl]] fixture's canonicals carry query strings no
+    * sitemap would declare): every non-index host declares its own
+    * `/d/<k>/f1.html` page (CRAWLED at every sf by CRT over the
+    * doc_id residues → matched; lastmod attached, loc indented — the
+    * trim case) and an uppercase-scheme/www/trailing-slash variant of
+    * the NEVER-crawled `/d/<k>/f9.html` (→ missing, through the full
+    * canonical chain); host wh2 adds a `%2f`-bearing path (→ missing,
+    * the pctNormalize case-fold on the LISTED side). Host wh3 ships a
+    * `<sitemapindex>` INSTEAD (child entries, `kind = 'sitemap'` — no
+    * page declarations, so its crawled pages are all strays). Oracle:
+    * the independent range construction, canonical forms HAND-WRITTEN
+    * (known-answer — the parse and the listed-side canonicalization
+    * are the things under test).
+    */
+  def syntheticSitemapBodies(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val ks = spark.range(0, 5).select(col("id").as("k"))
+    def s = col("k").cast("string")
+    ks.select(concat(lit("wh"), s, lit(".example.com")).as("host"),
+      when(col("k") === 3,
+        concat(lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>http://wh"),
+          s, lit(".example.com/sitemap-0.xml</loc></sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<?xml version=\"1.0\"?><urlset><url><loc>\n  http://wh"),
+          s, lit(".example.com/d/"), s,
+          lit("/f1.html\n  </loc><lastmod>2026-0"),
+          (col("k") + 1).cast("string"),
+          lit("-01</lastmod></url><url><loc>HTTP://WWW.wh"),
+          s, lit(".example.com/d/"), s,
+          lit("/f9.html/</loc></url>"),
+          when(col("k") === 2,
+            lit("<url><loc>http://wh2.example.com/sp%2face</loc></url>"))
+            .otherwise(lit("")),
+          lit("</urlset>"))).as("body"))
+  }
+
   /** Encoding-damage audit — the mojibake/replacement-char scorecard
     * a curation pass runs where CCNet runs charset fixing (double-
     * encoded UTF-8 and lossy transcodes are the classic crawl damage;

@@ -732,6 +732,70 @@ class WebOpsSpec extends SparkSuite {
     assert(g(40L) == ((true, Some("/*.json$"))), s"${g(40L)}")
   }
 
+  test("sitemapUrls: urlset and sitemapindex entries parse with loc " +
+      "trim and optional lastmod; sitemapCoverage matches through the " +
+      "canonical chain and splits missing from stray") {
+    val bodies = Seq(
+      ("a.example.com",
+        "<?xml version=\"1.0\"?><urlset>" +
+          "<url><loc>\n  http://a.example.com/x.html\n  </loc>" +
+          "<lastmod>2026-02-01</lastmod></url>" +
+          "<url><loc>HTTP://WWW.a.example.com/y.html/</loc></url>" +
+          "</urlset>"),
+      ("i.example.com",
+        "<sitemapindex><sitemap><loc>http://i.example.com/s1.xml</loc>" +
+          "</sitemap></sitemapindex>")).toDF("host", "body")
+    val parsed = WebOps.sitemapUrls(bodies).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[String]("kind"),
+        r.getAs[String]("loc"), r.getAs[String]("lastmod"))).toSet
+    assert(parsed == Set(
+      ("a.example.com", "url", "http://a.example.com/x.html", "2026-02-01"),
+      ("a.example.com", "url", "HTTP://WWW.a.example.com/y.html/", ""),
+      ("i.example.com", "sitemap", "http://i.example.com/s1.xml", "")),
+      s"got $parsed")
+
+    // coverage: x.html declared+crawled (through the canonical chain —
+    // the crawl fetched it under www + uppercase scheme), y.html
+    // declared-only, z.html crawled-only; the index host's page is a
+    // stray (its sitemap declares no pages)
+    val pages = Seq(
+      (1L, "HTTP://WWW.a.example.com/x.html"),
+      (2L, "http://a.example.com/z.html"),
+      (3L, "http://i.example.com/q.html")).toDF("doc_id", "url")
+    val cov = WebOps.sitemapCoverage(pages, WebOps.sitemapUrls(bodies))
+      .collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("n_listed"), r.getAs[Long]("n_crawled"),
+          r.getAs[Long]("n_matched"), r.getAs[Long]("n_missing"),
+          r.getAs[Long]("n_stray"), r.getAs[Long]("coverage_ppm"))))
+      .toMap
+    assert(cov("a.example.com") == ((2L, 2L, 1L, 1L, 1L, 500000L)),
+      s"${cov("a.example.com")}")
+    assert(cov("i.example.com") == ((0L, 1L, 0L, 0L, 1L, 0L)),
+      s"${cov("i.example.com")}")
+
+    // the registered fixture: every urlset host's /f1.html entry is
+    // crawled at sf-gate scale (CRT over the doc_id residues), every
+    // /f9.html entry is not, and the index-only host wh3 lists nothing
+    val fixPages = WebOps.syntheticWildcardPages(
+      spark.range(0, 500).toDF("doc_id"))
+    val fcov = WebOps.sitemapCoverage(fixPages,
+        WebOps.sitemapUrls(WebOps.syntheticSitemapBodies(spark)))
+      .collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("n_listed"), r.getAs[Long]("n_matched"),
+          r.getAs[Long]("n_missing"))))
+      .toMap
+    Seq(0, 1, 4).foreach { k =>
+      assert(fcov(s"wh$k.example.com") == ((2L, 1L, 1L)),
+        s"wh$k: ${fcov(s"wh$k.example.com")}")
+    }
+    assert(fcov("wh2.example.com") == ((3L, 1L, 2L)),
+      s"wh2: ${fcov("wh2.example.com")}")
+    assert(fcov("wh3.example.com")._1 == 0L,
+      s"index-only host lists no pages: ${fcov("wh3.example.com")}")
+  }
+
   test("robotsTxtRules named-agent group pick: named groups win their " +
       "host outright, * applies ONLY on hosts with no named group, " +
       "agent matching is case-insensitive") {
