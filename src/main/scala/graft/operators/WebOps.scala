@@ -945,15 +945,17 @@ object WebOps {
     * section rules); literal rules stay on the
     * `startswith` fast path. Specificity is the OCTET LENGTH OF THE
     * RULE AS WRITTEN (RFC 9309: "most specific match … based on the
-    * length of the [pattern]"), wildcard or not. The argmax is one
-    * `max(struct(len, allow, prefix))` aggregate — lexicographic
-    * struct ordering gives longest-then-allow-then-deterministic-
-    * prefix in a single map-side-combinable MIN/MAX shape (no
-    * window), the sentSpanDedup ownership idiom; the oracle mirrors
-    * it as a row_number over (len DESC, allow DESC, prefix DESC).
-    * Same scale shape as [[robotsTxtGate]]: pages shuffle once on
-    * host, rules are hosts-sized on the build side, prefix test
-    * post-join.
+    * length of the [pattern]"), wildcard or not. The argmax is a
+    * ROW-LOCAL `array_max(filter(rules, matches))` over the host's
+    * packed rule array — lexicographic struct ordering gives
+    * longest-then-allow-then-deterministic-prefix with ZERO
+    * corpus-side shuffle (see the shape note in the body; the first
+    * cut's struct-max aggregate was skew-safe but paid a fan-out and
+    * an Exchange the packing removes); the oracle mirrors the
+    * decision as a row_number over (len DESC, allow DESC, prefix
+    * DESC). Stream-transparent: the same function runs UNCHANGED on
+    * a streaming pages frame (stream-static 1:1 join + row-local
+    * fold, zero state — spec-asserted against the batch verdicts).
     */
   def robotsTxtGateFull(pages: DataFrame, rules: DataFrame,
       urlCol: String = "url"): DataFrame = {
@@ -961,22 +963,41 @@ object WebOps {
       .select(col("doc_id"), col("host"),
         regexp_extract(col("url_canonical"),
           "^[a-z][a-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1).as("path"))
-    val prepped = rules
+    // rules PACKED per host on the build side (late r14 — the second
+    // shape iteration): the first cut joined pages × matching-rules
+    // and folded back with a struct-max aggregate — partial-combined
+    // and skew-safe, but it still multiplied every page by its
+    // host's rule count and paid an Exchange to re-assemble. Packing
+    // each host's rules into ONE array row (a hosts-sized aggregate —
+    // robots files are KB-bounded, so the array is too) makes the
+    // page side a 1:1 equi-join (auto-broadcast at realistic rules
+    // sizes; at a 10⁸-host extreme it degrades to a shuffle join that
+    // is STILL 1:1 — no hint pinned, the build side must be free to
+    // shuffle) and the argmax a ROW-LOCAL `array_max(filter(...))`:
+    // struct ordering gives the same longest-then-allow decision,
+    // with NO fan-out, NO aggregate and NO shuffle on the corpus
+    // side — the gate is scan-shaped. The same projection is
+    // STREAM-TRANSPARENT (stream-static join + row-local fold, zero
+    // state), so the streaming twin IS this function (spec-asserted).
+    val packed = rules
       .select(col("host"), col("prefix"), col("allow"),
         (col("prefix").contains("*") || col("prefix").endsWith("$"))
           .as("is_pat"))
       .withColumn("rx",
         when(col("is_pat"), robotsPatternRegex(col("prefix"))))
+      .select(col("host"),
+        struct(length(col("prefix")).as("l"), col("allow").as("a"),
+          col("prefix").as("p"), col("is_pat").as("w"),
+          col("rx").as("x")).as("r"))
+      .groupBy("host").agg(collect_list(col("r")).as("rules"))
     norm
-      .join(prepped, Seq("host"), "left")
+      .join(packed, Seq("host"), "left")
       .select(col("doc_id"), col("host"), col("path"),
-        when(col("prefix").isNotNull &&
-            when(col("is_pat"), regexp_like(col("path"), col("rx")))
-              .otherwise(startswith(col("path"), col("prefix"))),
-          struct(length(col("prefix")).as("l"), col("allow").as("a"),
-            col("prefix").as("p"))).as("m"))
-      .groupBy("doc_id", "host", "path")
-      .agg(max(col("m")).as("m"))
+        array_max(filter(col("rules"), r =>
+          when(r.getField("w"),
+            regexp_like(col("path"), r.getField("x")))
+            .otherwise(startswith(col("path"), r.getField("p")))))
+          .as("m"))
       .select(col("doc_id"), col("host"), col("path"),
         (col("m").isNotNull && !col("m.a")).as("disallowed"),
         col("m.p").as("matched_prefix"),

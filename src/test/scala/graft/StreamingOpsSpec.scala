@@ -551,6 +551,49 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("robotsTxtGateFull is stream-transparent: the SAME function " +
+      "over a MemoryStream pages frame reproduces the batch verdicts " +
+      "(stream-static join + row-local argmax, zero state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(
+      ("a.example.com", "/", false),
+      ("a.example.com", "/p/10", true),
+      ("a.example.com", "/*.json$", false))
+      .toDF("host", "prefix", "allow")
+    val pageRows = Seq(
+      (1L, "http://a.example.com/p/9"),
+      (2L, "http://a.example.com/p/10/doc"),
+      (3L, "http://a.example.com/p/10/x.json"),
+      (4L, "http://z.example.com/q"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.WebOps.robotsTxtGateFull(
+        input.toDF().toDF("doc_id", "url"), rules)
+      .writeStream.format("memory").queryName("robots_full_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(pageRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("robots_full_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("disallowed"),
+            Option(r.getAs[String]("matched_prefix")))))
+        .toMap
+      val batch = graft.operators.WebOps.robotsTxtGateFull(
+          pageRows.toDF("doc_id", "url"), rules).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("disallowed"),
+            Option(r.getAs[String]("matched_prefix")))))
+        .toMap
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // and the verdicts themselves are the RFC ones: carve-out in,
+      // json anchored out (longest-match inside the carve-out space),
+      // rule-free host allowed
+      assert(batch(2L) == ((false, Some("/p/10"))), s"$batch")
+      assert(batch(3L) == ((true, Some("/*.json$"))), s"$batch")
+      assert(batch(4L) == ((false, None)), s"$batch")
+    } finally q.stop()
+  }
+
   test("lineDedupDocStream: cross-batch repeated long line drops, " +
       "first claimant and the short exempt line keep, unique lines " +
       "ride through") {

@@ -164,6 +164,23 @@ class TextOpsSpec extends SparkSuite {
       s"unique body text keeps: $f")
   }
 
+  test("lineDedup composes with the WARC front door: full-signed-range " +
+      "doc ids own lines via the lexicographic struct min") {
+    val idNeg = Long.MinValue + 23L
+    val idBig = Long.MaxValue - 7L
+    val boiler = "copyright example corporation all rights reserved line"
+    val docs = Seq(
+      (idBig, s"$boiler\nbig doc body"),
+      (idNeg, s"$boiler\nneg doc body")).toDF("doc_id", "text")
+    val r = TextOps.lineDedup(docs).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("line_id")) ->
+        x.getAs[Boolean]("keep")).toMap
+    // ownership follows the id ORDERING (negative < positive), not
+    // input order or any composite-key arithmetic
+    assert(r((idNeg, 0L)) && r((idNeg, 1L)), s"negative id owns: $r")
+    assert(!r((idBig, 0L)) && r((idBig, 1L)), s"big id drops the dup: $r")
+  }
+
   test("textExtract: known-answer boilerplate removal on a hand-built page") {
     val html =
       "<html><head><title>My Page</title><script>var a=1;</script>" +
