@@ -922,7 +922,7 @@ object WebOps {
     * and the translation runs once per RULE on the hosts-sized build
     * side, not per page.
     */
-  private def robotsPatternRegex(prefix: Column): Column = {
+  private[graft] def robotsPatternRegex(prefix: Column): Column = {
     val anchored = prefix.endsWith("$")
     val core = when(anchored,
       substring(prefix, lit(1), length(prefix) - 1)).otherwise(prefix)

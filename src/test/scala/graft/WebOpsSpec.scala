@@ -732,6 +732,54 @@ class WebOpsSpec extends SparkSuite {
     assert(g(40L) == ((true, Some("/*.json$"))), s"${g(40L)}")
   }
 
+  test("robotsPatternRegex property: the translated regex agrees with " +
+      "an independent RFC 9309 reference matcher on randomized " +
+      "(pattern, path) pairs over a metachar-heavy alphabet") {
+    // reference: direct §2.2.3 semantics — '*' spans any octets, a
+    // TRAILING '$' anchors the end, everything else literal, and an
+    // un-anchored pattern is a PREFIX test. Greedy leftmost placement
+    // of the middle segments is the standard existence argument.
+    def refMatch(pat: String, path: String): Boolean = {
+      val anchored = pat.nonEmpty && pat.endsWith("$")
+      val core = if (anchored) pat.dropRight(1) else pat
+      val segs = core.split("\\*", -1).toIndexedSeq
+      if (!path.startsWith(segs.head)) return false
+      var pos = segs.head.length
+      val middle = if (anchored) segs.tail.dropRight(1) else segs.tail
+      for (s <- middle) {
+        val idx = path.indexOf(s, pos)
+        if (idx < 0) return false
+        pos = idx + s.length
+      }
+      if (!anchored) true
+      else if (segs.length == 1) path == core
+      else {
+        val last = segs.last
+        path.length - last.length >= pos && path.endsWith(last)
+      }
+    }
+    val rnd = new scala.util.Random(20260816L)
+    val patChars = "ab/.+*$(x["
+    val pathChars = "ab/.+$x(["
+    val pairs = (1 to 600).map { i =>
+      val pat = (0 until rnd.nextInt(8))
+        .map(_ => patChars(rnd.nextInt(patChars.length))).mkString
+      val path = (0 until rnd.nextInt(10))
+        .map(_ => pathChars(rnd.nextInt(pathChars.length))).mkString
+      (i.toLong, pat, path)
+    }
+    val got = pairs.toDF("i", "pat", "path")
+      .withColumn("rx", WebOps.robotsPatternRegex(col("pat")))
+      .withColumn("m", expr("path rlike rx"))
+      .collect().map(r => r.getAs[Long]("i") -> r.getAs[Boolean]("m"))
+      .toMap
+    pairs.foreach { case (i, pat, path) =>
+      assert(got(i) == refMatch(pat, path),
+        s"pattern '$pat' vs path '$path': engine ${got(i)}, " +
+          s"reference ${refMatch(pat, path)}")
+    }
+  }
+
   test("sitemapUrls: urlset and sitemapindex entries parse with loc " +
       "trim and optional lastmod; sitemapCoverage matches through the " +
       "canonical chain and splits missing from stray") {
