@@ -979,7 +979,23 @@ object WebOps {
     // side — the gate is scan-shaped. The same projection is
     // STREAM-TRANSPARENT (stream-static join + row-local fold, zero
     // state), so the streaming twin IS this function (spec-asserted).
-    val packed = rules
+    norm
+      .join(packedRobotsRules(rules), Seq("host"), "left")
+      .select(col("doc_id"), col("host"), col("path"),
+        robotsRuleMatch(col("path"), col("rules")).as("m"))
+      .select(col("doc_id"), col("host"), col("path"),
+        (col("m").isNotNull && !col("m.a")).as("disallowed"),
+        col("m.p").as("matched_prefix"),
+        col("m.a").as("matched_allow"))
+  }
+
+  /** A rules frame packed to ONE array row per host — the
+    * [[robotsTxtGateFull]] build side, exposed so the streaming
+    * intake shares the exact pack (one definition of the struct
+    * layout and the pattern pre-translation).
+    */
+  private[graft] def packedRobotsRules(rules: DataFrame): DataFrame =
+    rules
       .select(col("host"), col("prefix"), col("allow"),
         (col("prefix").contains("*") || col("prefix").endsWith("$"))
           .as("is_pat"))
@@ -990,18 +1006,26 @@ object WebOps {
           col("prefix").as("p"), col("is_pat").as("w"),
           col("rx").as("x")).as("r"))
       .groupBy("host").agg(collect_list(col("r")).as("rules"))
-    norm
-      .join(packed, Seq("host"), "left")
-      .select(col("doc_id"), col("host"), col("path"),
-        array_max(filter(col("rules"), r =>
-          when(r.getField("w"),
-            regexp_like(col("path"), r.getField("x")))
-            .otherwise(startswith(col("path"), r.getField("p")))))
-          .as("m"))
-      .select(col("doc_id"), col("host"), col("path"),
-        (col("m").isNotNull && !col("m.a")).as("disallowed"),
-        col("m.p").as("matched_prefix"),
-        col("m.a").as("matched_allow"))
+
+  /** The row-local RFC 9309 argmax: the most specific matching rule
+    * of a packed array, null when nothing matches (or the host has
+    * no rules — `filter(null)` folds to null). ONE definition under
+    * the batch gate and the streaming intake's drop predicate.
+    */
+  private[graft] def robotsRuleMatch(path: Column,
+      rules: Column): Column =
+    array_max(filter(rules, r =>
+      when(r.getField("w"), regexp_like(path, r.getField("x")))
+        .otherwise(startswith(path, r.getField("p")))))
+
+  /** `disallowed` as a bare predicate over the packed rules array —
+    * null-safe (rule-free host → false → allowed), the streaming
+    * gate's filter column.
+    */
+  private[graft] def robotsDisallowedCol(path: Column,
+      rules: Column): Column = {
+    val m = robotsRuleMatch(path, rules)
+    m.isNotNull && !m.getField("a")
   }
 
   /** Deterministic wildcard-rule pages — a DEDICATED URL namespace

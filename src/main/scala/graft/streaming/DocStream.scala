@@ -176,7 +176,12 @@ object DocStream {
       ttlMs: Long = 3600 * 1000L,
       urlDedupWatermark: String = "10 minutes",
       maxFilesPerTrigger: Option[Int] = None,
-      robotsRules: Option[DataFrame] = None): StreamingQuery = {
+      robotsRules: Option[DataFrame] = None,
+      robotsRulesFull: Option[DataFrame] = None): StreamingQuery = {
+    require(robotsRules.isEmpty || robotsRulesFull.isEmpty,
+      "curatePipelineFromWarc: pass robotsRules (disallow-prefix) OR " +
+        "robotsRulesFull (RFC 9309 with Allow), not both — the full " +
+        "gate's carve-outs would be re-dropped by the prefix gate")
     // stage-0 URL-level dedup, the published order (C4/RefinedWeb dedup
     // by canonical URL BEFORE any text work): re-fetches of one page
     // under decorated URLs drop here, before extraction pays for them.
@@ -203,7 +208,7 @@ object DocStream {
     // verdict is deterministic from the archive, so dropped not
     // quarantined — [[graft.operators.WebOps.robotsTxtAudit]] over the
     // same archive is the audit trail)
-    val gated = robotsRules match {
+    val gated1 = robotsRules match {
       case None => gated0
       case Some(rules) =>
         gated0
@@ -216,6 +221,29 @@ object DocStream {
             col("__host") === col("__rhost") &&
               startswith(col("__path"), col("__prefix")), "left_anti")
           .drop("__host", "__path")
+    }
+    // the FULL RFC 9309 twin (late r14): the packed-rules row-local
+    // argmax is stream-transparent, so the intake drop predicate IS
+    // the batch gate's — one stream-static 1:1 join against the
+    // hosts-sized packed array frame, then a stateless filter; a
+    // longer Allow carve-out survives here exactly as it does in
+    // [[graft.operators.WebOps.robotsTxtGateFull]] (the prefix-only
+    // option above would drop it — hence the either/or contract)
+    val gated = robotsRulesFull match {
+      case None => gated1
+      case Some(rules) =>
+        val packed = graft.operators.WebOps.packedRobotsRules(rules)
+          .select(col("host").as("__rhost"), col("rules").as("__rules"))
+        gated1
+          .withColumn("__host",
+            graft.operators.WebOps.hostOf(col("url")))
+          .withColumn("__path", regexp_extract(col("url_canonical"),
+            "^[a-z][a-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1))
+          .join(broadcast(packed),
+            col("__host") === col("__rhost"), "left")
+          .where(!graft.operators.WebOps.robotsDisallowedCol(
+            col("__path"), col("__rules")))
+          .drop("__host", "__path", "__rhost", "__rules")
     }
     val pages = gated
       .withWatermark("ingest_ts", urlDedupWatermark)

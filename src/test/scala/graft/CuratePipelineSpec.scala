@@ -394,4 +394,77 @@ class CuratePipelineSpec extends SparkSuite {
       .toMap
     assert(audit("s4.test") == ((2L, 2L)), s"got $audit")
   }
+
+  test("curatePipelineFromWarc with robotsRulesFull: the RFC 9309 " +
+      "longest-match gate at the intake door — a longer Allow " +
+      "carve-out SURVIVES the Disallow the prefix gate would apply, " +
+      "the plain disallowed page drops, rule-free hosts pass") {
+    val root = Files.createTempDirectory("graft-warcfull").toFile
+    val in = new File(root, "in"); in.mkdirs()
+    val out = new File(root, "out").getPath
+    val ckpt = new File(root, "ckpt").getPath
+    val trainDocs = (0L until 20L).map(i =>
+      (i, s"model training document number $i with the usual run of " +
+        s"filler words token$i and more", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val probeIdx = new File(root, "probe").getPath
+    val dsirIdx = new File(root, "dsir").getPath
+    Curation.writeProbeIndex(trainDocs, probeIdx)
+    Curation.writeDsirIndex(trainDocs, dsirIdx)
+    val benchmark = Seq((10L, benchText)).toDF("doc_id", "text")
+    val urls = Map(
+      "CARVED" -> "http://s5.test/blocked/p10/doc",
+      "BLOCKED" -> "http://s5.test/blocked/other",
+      "FREE" -> "http://s6.test/free")
+    val h = urls.view.mapValues(u =>
+      Seq(u).toDF("u").select(xxhash64(col("u"))).collect()(0).getLong(0))
+      .toMap
+    val every = Seq(10, 7, 11, 13, 17, 19).find(e =>
+      h.values.forall(v => java.lang.Math.floorMod(v, e.toLong) != 0L)).get
+    val rulesFull = Seq(
+      ("s5.test", "/blocked", false),
+      ("s5.test", "/blocked/p10", true))
+      .toDF("host", "prefix", "allow")
+    val texts = Map(
+      "CARVED" -> ("the carved out page carries clean prose with many " +
+        "common words that pass the whole gate chain easily"),
+      "BLOCKED" -> ("the disallowed page also carries clean prose with " +
+        "many common words for every downstream gate"),
+      "FREE" -> text9)
+    val bytes = new java.io.ByteArrayOutputStream()
+    Seq("CARVED", "BLOCKED", "FREE").zipWithIndex.foreach {
+      case (k, i) =>
+        bytes.write(graft.sources.WarcSource.packRecord(urls(k),
+          java.time.Instant.parse("2024-01-01T10:00:00Z")
+            .plusSeconds(i.toLong), pageHtml(texts(k))))
+    }
+    val tmp = new File(root, "w1.warc")
+    Files.write(tmp.toPath, bytes.toByteArray)
+    assert(tmp.renameTo(new File(in, "w1.warc")))
+    val q = DocStream.curatePipelineFromWarc(spark, in.getPath,
+      benchmark, probeIdx, dsirIdx, out, ckpt, minScore = 0.0,
+      benchmarkEvery = every, robotsRulesFull = Some(rulesFull))
+    val want = Set(h("CARVED"), h("FREE"))
+    val landed = try {
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      var got = Set.empty[Long]
+      while (got != want && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        got = try spark.read.parquet(out).collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          Set.empty[Long] }
+      }
+      got
+    } finally q.stop()
+    assert(landed == want,
+      s"carve-out + rule-free must land, disallowed must not: $landed")
+    // the contract guard: mixing both rule forms is refused loudly
+    intercept[IllegalArgumentException] {
+      DocStream.curatePipelineFromWarc(spark, in.getPath,
+        benchmark, probeIdx, dsirIdx, out, ckpt,
+        robotsRules = Some(rulesFull.select("host", "prefix")),
+        robotsRulesFull = Some(rulesFull))
+    }
+  }
 }
