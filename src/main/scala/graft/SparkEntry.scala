@@ -755,6 +755,13 @@ object SparkEntry {
       WebOps.robotsTxtGateFull(
         WebOps.syntheticWildcardPages(t(s, d, "documents")),
         WebOps.syntheticRobotsWildcardRules(s))),
+    // the full-gate scorecard — the batch audit trail the streaming
+    // intake's silent RFC drops point at; n_allow_matched counts the
+    // pages a prefix-only gate would have verdicted WRONG
+    "q_robots_audit_full" -> ((s, d) =>
+      WebOps.robotsTxtAuditFull(
+        WebOps.syntheticWildcardPages(t(s, d, "documents")),
+        WebOps.syntheticRobotsWildcardRules(s))),
     // sitemap parsing (late r14 — the DISCOVERY half of the crawl
     // front door): raw urlset/sitemapindex bodies → per-entry rows;
     // known-answer oracle (independent range construction incl. the
@@ -1580,6 +1587,50 @@ object SparkEntry {
       |    (length(le.line) < 30 OR
       |      (le.doc_id = lo.own_doc AND le.line_id = lo.own_line)) AS keep
       |  FROM le LEFT JOIN lo ON le.line = lo.line
+      |)
+      |""".stripMargin
+
+  // the wildcard-gate oracle chain shared by the gate and its audit:
+  // dedicated URL namespace, hand-written rule regexes (independent
+  // of the engine's translation), row_number argmax, ending at the
+  // per-page `wverdicts` frame
+  private lazy val wildcardGateCteSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'http://wh' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/d/' ||
+      |    CAST(doc_id % 7 AS VARCHAR) || '/f' || CAST(doc_id % 3 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '.json' ELSE '.html' END) AS url
+      |  FROM documents
+      |)
+      |""".stripMargin + urlCanonSql +
+    """, wk AS (SELECT unnest(range(5)) AS k)
+      |, wrules AS (
+      |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com' AS host, '/*.json$' AS prefix, FALSE AS allow, TRUE AS is_pat, '^/.*\.json$' AS rx FROM wk
+      |  UNION ALL
+      |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', '/d/3/', FALSE, FALSE, NULL FROM wk
+      |  UNION ALL
+      |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', '/d/3/f*.html$', TRUE, TRUE, '^/d/3/f.*\.html$' FROM wk WHERE k % 2 = 0
+      |  UNION ALL
+      |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', '/d/5/', FALSE, FALSE, NULL FROM wk
+      |  UNION ALL
+      |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', '/d/5*', TRUE, TRUE, '^/d/5.*' FROM wk
+      |), wpp AS (
+      |  SELECT doc_id, host,
+      |    regexp_extract(url_canonical, '^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path
+      |  FROM canon
+      |), whits AS (
+      |  SELECT doc_id, host, path, prefix, allow,
+      |    row_number() OVER (PARTITION BY doc_id, host, path
+      |      ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rn
+      |  FROM wpp JOIN wrules USING (host)
+      |  WHERE CASE WHEN is_pat THEN regexp_matches(path, rx)
+      |        ELSE starts_with(path, prefix) END
+      |), wverdicts AS (
+      |  SELECT p.doc_id, p.host, p.path,
+      |    COALESCE(NOT h.allow, FALSE) AS disallowed,
+      |    h.prefix AS matched_prefix, h.allow AS matched_allow
+      |  FROM wpp p LEFT JOIN (SELECT * FROM whits WHERE rn = 1) h
+      |    ON p.doc_id = h.doc_id AND p.host = h.host AND p.path = h.path
       |)
       |""".stripMargin
 
@@ -2672,42 +2723,18 @@ object SparkEntry {
     // engine derives its regex from the pattern — an independent
     // translation check); unnest kept in its own CTE (DuckDB v1.0.0
     // binder limitation with unnest+JOIN in one SELECT)
-    "q_robots_gate_wildcard" -> ("""WITH u AS (
-        |  SELECT doc_id,
-        |    'http://wh' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/d/' ||
-        |    CAST(doc_id % 7 AS VARCHAR) || '/f' || CAST(doc_id % 3 AS VARCHAR) ||
-        |    (CASE WHEN doc_id % 4 = 0 THEN '.json' ELSE '.html' END) AS url
-        |  FROM documents
-        |)
-        |""".stripMargin + urlCanonSql +
-      """, wk AS (SELECT unnest(range(5)) AS k)
-        |, wrules AS (
-        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com' AS host, '/*.json$' AS prefix, FALSE AS allow, TRUE AS is_pat, '^/.*\.json$' AS rx FROM wk
-        |  UNION ALL
-        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', '/d/3/', FALSE, FALSE, NULL FROM wk
-        |  UNION ALL
-        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', '/d/3/f*.html$', TRUE, TRUE, '^/d/3/f.*\.html$' FROM wk WHERE k % 2 = 0
-        |  UNION ALL
-        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', '/d/5/', FALSE, FALSE, NULL FROM wk
-        |  UNION ALL
-        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com', '/d/5*', TRUE, TRUE, '^/d/5.*' FROM wk
-        |), wpp AS (
-        |  SELECT doc_id, host,
-        |    regexp_extract(url_canonical, '^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path
-        |  FROM canon
-        |), whits AS (
-        |  SELECT doc_id, host, path, prefix, allow,
-        |    row_number() OVER (PARTITION BY doc_id, host, path
-        |      ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rn
-        |  FROM wpp JOIN wrules USING (host)
-        |  WHERE CASE WHEN is_pat THEN regexp_matches(path, rx)
-        |        ELSE starts_with(path, prefix) END
-        |)
-        |SELECT p.doc_id, p.host, p.path,
-        |  COALESCE(NOT h.allow, FALSE) AS disallowed,
-        |  h.prefix AS matched_prefix, h.allow AS matched_allow
-        |FROM wpp p LEFT JOIN (SELECT * FROM whits WHERE rn = 1) h
-        |  ON p.doc_id = h.doc_id AND p.host = h.host AND p.path = h.path""".stripMargin),
+    "q_robots_gate_wildcard" -> (wildcardGateCteSql +
+      """SELECT doc_id, host, path, disallowed, matched_prefix, matched_allow
+        |FROM wverdicts""".stripMargin),
+    // the per-host scorecard over the full gate — the batch audit
+    // trail the streaming intake's silent RFC drops point at;
+    // n_allow_matched counts pages whose DECIDING rule was an Allow
+    "q_robots_audit_full" -> (wildcardGateCteSql +
+      """SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+        |  CAST(COUNT(*) FILTER (WHERE disallowed) AS BIGINT) AS n_disallowed,
+        |  CAST(COUNT(*) FILTER (WHERE matched_allow) AS BIGINT) AS n_allow_matched,
+        |  (COUNT(*) FILTER (WHERE disallowed) * 1000000) // COUNT(*) AS disallowed_ppm
+        |FROM wverdicts GROUP BY 1""".stripMargin),
     // known-answer: the independent range construction of every
     // sitemap entry, loc ALREADY TRIMMED (the parse under test strips
     // the planted indentation), absent lastmod as ''

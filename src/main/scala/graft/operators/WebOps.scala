@@ -989,6 +989,31 @@ object WebOps {
         col("m.a").as("matched_allow"))
   }
 
+  /** Per-host scorecard over [[robotsTxtGateFull]] — the audit trail
+    * the streaming intake's silent RFC 9309 drops point at (the
+    * stateless-reject policy: a deterministic verdict is re-runnable
+    * from the archive, so the stream drops without quarantine and
+    * THIS batch pass accounts for it — [[robotsTxtAudit]] plays the
+    * same role for the prefix gate): page and disallowed counts, the
+    * exact-ppm disallowed share, PLUS the carve-out evidence the full
+    * gate adds — `n_allow_matched`, pages whose deciding rule was an
+    * Allow (nonzero exactly where the longest-match semantics changed
+    * a verdict a prefix gate would have gotten wrong). Hosts-sized.
+    */
+  def robotsTxtAuditFull(pages: DataFrame, rules: DataFrame,
+      urlCol: String = "url"): DataFrame =
+    robotsTxtGateFull(pages, rules, urlCol)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("disallowed"), lit(1L)).otherwise(lit(0L)))
+          .as("n_disallowed"),
+        sum(when(col("matched_allow"), lit(1L)).otherwise(lit(0L)))
+          .as("n_allow_matched"))
+      .select(col("host"), col("n_pages"), col("n_disallowed"),
+        col("n_allow_matched"),
+        expr("(n_disallowed * 1000000) div n_pages")
+          .as("disallowed_ppm"))
+
   /** A rules frame packed to ONE array row per host — the
     * [[robotsTxtGateFull]] build side, exposed so the streaming
     * intake shares the exact pack (one definition of the struct

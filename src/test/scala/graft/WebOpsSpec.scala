@@ -730,6 +730,29 @@ class WebOpsSpec extends SparkSuite {
     // doc 40 -> wh0 /d/5/f1.json: the 8-octet JSON rule outranks the
     // 5-octet tie pair
     assert(g(40L) == ((true, Some("/*.json$"))), s"${g(40L)}")
+
+    // the audit reconciles with the gate row-for-row, and its
+    // n_allow_matched is the carve-out evidence (nonzero on every
+    // host — the /d/5* tie rule fires corpus-wide)
+    val pagesAll = WebOps.syntheticWildcardPages(
+      spark.range(0, 500).toDF("doc_id"))
+    val gate = WebOps.robotsTxtGateFull(pagesAll,
+      WebOps.syntheticRobotsWildcardRules(spark)).collect()
+    val fromGate = gate.groupBy(_.getAs[String]("host")).map {
+      case (h, rows) => h -> ((rows.length.toLong,
+        rows.count(_.getAs[Boolean]("disallowed")).toLong,
+        rows.count(r => Option(r.getAs[Any]("matched_allow"))
+          .contains(true)).toLong))
+    }
+    val audit = WebOps.robotsTxtAuditFull(pagesAll,
+        WebOps.syntheticRobotsWildcardRules(spark)).collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("n_pages"), r.getAs[Long]("n_disallowed"),
+          r.getAs[Long]("n_allow_matched"))))
+      .toMap
+    assert(audit == fromGate.toMap, s"audit $audit vs gate $fromGate")
+    assert(audit.values.forall(_._3 > 0L),
+      s"the tie rule must fire on every host: $audit")
   }
 
   test("robotsPatternRegex property: the translated regex agrees with " +
