@@ -860,10 +860,34 @@ object WebOps {
     */
   def robotsTxtRules(bodies: DataFrame, agent: String = "*",
       withAllow: Boolean = false): DataFrame = {
-    val w = Window.partitionBy("host").orderBy("line_no")
     val keys = if (withAllow) Seq("user-agent", "disallow", "allow")
       else Seq("user-agent", "disallow")
-    val kv = bodies
+    val grouped = robotsGroupedKv(bodies, keys)
+    val rules = grouped
+      .where(!col("is_ua") && col("value") =!= "")
+      .join(robotsMatchedGroups(grouped, agent), Seq("host", "grp"))
+    if (withAllow)
+      // (host, prefix, allow) — the [[robotsTxtGateFull]] input shape
+      rules.select(col("host"), col("value").as("prefix"),
+        (col("key") === "allow").as("allow")).distinct()
+    else
+      rules.select(col("host"), col("value").as("prefix")).distinct()
+  }
+
+  /** The robots.txt line model shared by every directive reader
+    * ([[robotsTxtRules]], [[robotsCrawlDelay]], [[robotsSitemaps]]):
+    * split on `\n` (a stray `\r` trims with the whitespace), strip
+    * `#` comments, keep only `keys` (field names case-insensitive,
+    * value = everything after the FIRST colon — a `Sitemap:` URL's
+    * own `://` stays intact), and tag each line with its §2.2 group
+    * id (a maximal run of consecutive `User-agent:` lines starts a
+    * group). The group window partitions by host over KB-bounded
+    * files — the per-doc lead() rationale, never a corpus window.
+    */
+  private[graft] def robotsGroupedKv(bodies: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("host").orderBy("line_no")
+    bodies
       .select(col("host"),
         posexplode(split(col("body"), "\n")).as(Seq("line_no", "raw")))
       .select(col("host"), col("line_no").cast("long").as("line_no"),
@@ -873,24 +897,29 @@ object WebOps {
         lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("key"),
         trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
       .where(col("key").isin(keys: _*))
-    val grouped = kv
       .withColumn("is_ua", col("key") === "user-agent")
       .withColumn("starts", col("is_ua") &&
         !coalesce(lag(col("is_ua"), 1).over(w), lit(false)))
       .withColumn("grp",
         sum(when(col("starts"), lit(1L)).otherwise(lit(0L))).over(w))
-    // RFC 9309 §2.2.1 group selection (r14): a named agent obeys the
-    // groups naming it, and ONLY falls back to the `*` groups on
-    // hosts where NO group names it — the two sets never mix on one
-    // host (the "most specific matching group" rule; the corpus-side
-    // use case is retroactive re-filtering for a specific crawler —
-    // CCBot, GPTBot — where a host with no named group still means
-    // "the * rules apply", not "no rules"). All frames here are
-    // (host, group)-sized — aggregate-scale next to the body scan.
+  }
+
+  /** RFC 9309 §2.2.1 group selection, shared by the group-scoped
+    * directive readers: a named agent obeys the groups naming it, and
+    * ONLY falls back to the `*` groups on hosts where NO group names
+    * it — the two sets never mix on one host (the "most specific
+    * matching group" rule; the corpus-side use case is retroactive
+    * re-filtering for a specific crawler — CCBot, GPTBot — where a
+    * host with no named group still means "the * rules apply", not
+    * "no rules"). All frames here are (host, group)-sized —
+    * aggregate-scale next to the body scan.
+    */
+  private[graft] def robotsMatchedGroups(grouped: DataFrame,
+      agent: String): DataFrame = {
     val matchedNamed = grouped
       .where(col("is_ua") && lower(col("value")) === agent.toLowerCase)
       .select(col("host"), col("grp")).distinct()
-    val matched = if (agent == "*") matchedNamed else {
+    if (agent == "*") matchedNamed else {
       val matchedStar = grouped
         .where(col("is_ua") && col("value") === "*")
         .select(col("host"), col("grp")).distinct()
@@ -898,16 +927,50 @@ object WebOps {
         .join(matchedNamed.select("host").distinct(),
           Seq("host"), "left_anti"))
     }
-    val rules = grouped
-      .where(!col("is_ua") && col("value") =!= "")
-      .join(matched, Seq("host", "grp"))
-    if (withAllow)
-      // (host, prefix, allow) — the [[robotsTxtGateFull]] input shape
-      rules.select(col("host"), col("value").as("prefix"),
-        (col("key") === "allow").as("allow")).distinct()
-    else
-      rules.select(col("host"), col("value").as("prefix")).distinct()
   }
+
+  /** `Crawl-delay:` — the de-facto politeness directive (not in RFC
+    * 9309 but honored by Bing/Yandex and present in a large share of
+    * real robots.txt files; Google ignores it, which is exactly why a
+    * RETROACTIVE compliance audit wants it parsed from the archived
+    * bodies). Group-scoped like Disallow: the matched §2.2.1 group's
+    * value applies, seconds possibly fractional (`0.5` is common),
+    * emitted as integer milliseconds (§6 floored). Several matched
+    * groups or repeated lines fold to the MAX delay — the
+    * conservative politeness reading. Non-numeric values drop (the
+    * directive is spec-less; `Crawl-delay: soon` exists in the wild).
+    * Hosts-sized output: (host, crawl_delay_ms).
+    */
+  def robotsCrawlDelay(bodies: DataFrame,
+      agent: String = "*"): DataFrame = {
+    val grouped = robotsGroupedKv(bodies,
+      Seq("user-agent", "crawl-delay"))
+    grouped
+      .where(!col("is_ua") &&
+        col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .join(robotsMatchedGroups(grouped, agent), Seq("host", "grp"))
+      .select(col("host"),
+        floor(col("value").cast("decimal(18,6)") * 1000)
+          .cast("long").as("delay_ms"))
+      .groupBy("host")
+      .agg(max(col("delay_ms")).as("crawl_delay_ms"))
+  }
+
+  /** `Sitemap:` — the discovery directive that ties the exclusion
+    * half of the crawl front door to the [[sitemapUrls]] half:
+    * GROUP-INDEPENDENT per the sitemaps.org protocol ("independent of
+    * the user-agent line", may appear anywhere in the file), so this
+    * reads the flat line model with no group machinery — every
+    * non-empty `Sitemap:` value, distinct per host. Hosts-sized:
+    * (host, sitemap_url). Fetching the declared files is a
+    * fetcher-side concern (the [[robotsTxtRules]] boundary); the
+    * composition key feeds what WAS fetched to [[sitemapUrls]].
+    */
+  def robotsSitemaps(bodies: DataFrame): DataFrame =
+    robotsGroupedKv(bodies, Seq("sitemap"))
+      .where(col("value") =!= "")
+      .select(col("host"), col("value").as("sitemap_url"))
+      .distinct()
 
   /** A robots.txt rule value as a match REGEX — the RFC 9309 §2.2.3
     * special characters (`*` = any octet sequence, a TRAILING `$` =
@@ -1117,8 +1180,18 @@ object WebOps {
         concat(lit("h"), col("k").cast("string"), lit(".example.com"))
           .as("host"),
         concat(
-          lit("# synthetic fixture\nUser-agent: googlebot\n" +
-            "Disallow: /secret\n\nUser-agent: *\n"),
+          // late r14: directive lines the RULES parse must ignore —
+          // a group-independent Sitemap BEFORE any group (the
+          // sitemaps.org "anywhere in the file" position), a
+          // Crawl-delay in the non-star group (must not leak into
+          // agent=*), fractional/integer star-group delays and a
+          // non-numeric one (dropped by the numeric filter). Every
+          // existing key filters these out, so their oracles are
+          // unchanged by construction.
+          lit("# synthetic fixture\nSitemap: http://h"),
+          col("k").cast("string"),
+          lit(".example.com/sitemap.xml\nUser-agent: googlebot\n" +
+            "Disallow: /secret\nCrawl-delay: 9\n\nUser-agent: *\n"),
           when(col("k") % 3 === 0,
             lit("Disallow: /p/1 # inline comment\n")).otherwise(lit("")),
           when(col("k") % 5 === 2, lit("Disallow: /\n")).otherwise(lit("")),
@@ -1127,6 +1200,13 @@ object WebOps {
           // known-answer oracle is unchanged), load-bearing for the
           // full RFC 9309 gate where longest-match wins
           when(col("k") % 4 === 1, lit("Allow: /p/10\n")).otherwise(lit("")),
+          when(col("k") % 2 === 0, lit("Crawl-delay: 2.5\n"))
+            .otherwise(lit("Crawl-delay: 1\n")),
+          when(col("k") % 7 === 3, lit("Crawl-delay: soon\n"))
+            .otherwise(lit("")),
+          when(col("k") % 6 === 2,
+            concat(lit("Sitemap: http://h"), col("k").cast("string"),
+              lit(".example.com/sitemap-news.xml\n"))).otherwise(lit("")),
           lit("Disallow:\nAllow: /open\n")).as("body"))
 
   /** Sitemap parser — the DISCOVERY half of the crawl front door
@@ -1204,6 +1284,99 @@ object WebOps {
           .otherwise(0L)).as("n_stray"))
       .withColumn("coverage_ppm",
         expr("(n_matched * 1000000) div greatest(n_listed, 1)"))
+  }
+
+  /** Politeness-aware fetch scheduler — the frontier planner that
+    * turns a URL set plus per-host [[robotsCrawlDelay]] delays into a
+    * deterministic per-host fetch order and earliest-start offsets
+    * (one fetch per `delay_ms` per host — the contract every polite
+    * crawler enforces; the planner makes it a DATA artifact a fleet
+    * of fetchers can consume by slot instead of coordinating live).
+    * Per canonical URL: `seq` (1-based position in the host's fetch
+    * order) and `fetch_at_ms = (seq-1) · delay_ms` (delay from the
+    * rules, `defaultDelayMs` where a host declares none).
+    *
+    * Scale shape — the per-host sequence is the textbook hot-key
+    * window (a crawl frontier IS the skewed workload: one host with
+    * 10⁸ queued URLs next to a million one-page hosts), so the rank
+    * is TWO-LEVEL instead of one `row_number` over host: URLs bucket
+    * by an md5-derived hash of the canonical (engine-portable — the
+    * oracle computes the same bucket), counts per (host, bucket)
+    * aggregate with map-side combine, per-host cumulative offsets
+    * ride a window over ≤`nBuckets` rows per host (bounded, never
+    * corpus-sized), and the final `row_number` partitions by
+    * (host, bucket) — the hottest host's sort splits into `nBuckets`
+    * tasks. The fetch order is host-deterministic but arbitrary
+    * (bucket-then-URL — politeness needs SOME stable order, not a
+    * lexicographic one), and equals one global
+    * `row_number over (host ORDER BY bucket, url)` — the oracle's
+    * mirror.
+    */
+  def fetchSchedule(pages: DataFrame, delays: DataFrame,
+      urlCol: String = "url", defaultDelayMs: Long = 1000L,
+      nBuckets: Int = 32): DataFrame = {
+    val canon = urlNormalize(pages, urlCol)
+      .select(col("host"), col("url_canonical")).distinct()
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("url_canonical")), 1, 2), 16, 10)
+          .cast("long"), lit(nBuckets.toLong)))
+    val offsets = canon.groupBy("host", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(Window.partitionBy("host")
+          .orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("host"), col("bucket"), col("off"))
+    canon
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("host", "bucket").orderBy("url_canonical")))
+      .join(offsets, Seq("host", "bucket"))
+      .join(delays, Seq("host"), "left")
+      .select(col("host"), col("url_canonical"),
+        (col("off") + col("rn")).as("seq"),
+        coalesce(col("crawl_delay_ms"), lit(defaultDelayMs))
+          .as("delay_ms"))
+      .withColumn("fetch_at_ms", (col("seq") - 1) * col("delay_ms"))
+  }
+
+  /** Recrawl prioritization — the second question a recrawl planner
+    * asks after [[sitemapCoverage]]'s first (WHAT is missing → now
+    * WHEN is what we hold out of date): per canonical URL, join the
+    * declared side (sitemap `loc` + `lastmod`, max lastmod across
+    * duplicate declarations) against the held side (crawl snapshot +
+    * its `fetched_at` stamp, max across re-fetches) and classify —
+    * `missing` (declared, never crawled: fetch first), `stale`
+    * (declared lastmod is STRICTLY newer than the held fetch:
+    * re-fetch), `fresh` (held copy current), `undeclared` (held but
+    * not declared: age-based recrawl only, no declared signal).
+    * Timestamps compare as ISO-8601 strings (the sitemaps.org W3C
+    * datetime form — lexicographic order IS temporal order; an
+    * absent lastmod '' is never newer than anything). Both sides ride
+    * the ONE urlNormalize canonical chain, one balanced shuffle on
+    * the near-unique (host, canonical) key, scan-shaped otherwise.
+    */
+  def recrawlPriority(pages: DataFrame, sitemap: DataFrame,
+      urlCol: String = "url",
+      fetchedAtCol: String = "fetched_at"): DataFrame = {
+    val crawled = urlNormalize(pages, urlCol)
+      .select(col("doc_id"), col("host"), col("url_canonical"))
+      .join(pages.select(col("doc_id"),
+        col(fetchedAtCol).as("fetched_at")), Seq("doc_id"))
+      .groupBy("host", "url_canonical")
+      .agg(max(col("fetched_at")).as("fetched_at"))
+    val listed = sitemap.where(col("kind") === "url")
+      .select(hostOf(col("loc")).as("host"),
+        urlCanonicalCol(col("loc"), identity).as("url_canonical"),
+        col("lastmod"))
+      .groupBy("host", "url_canonical")
+      .agg(max(col("lastmod")).as("lastmod"))
+    crawled.join(listed, Seq("host", "url_canonical"), "full_outer")
+      .select(col("host"), col("url_canonical"), col("lastmod"),
+        col("fetched_at"),
+        when(col("fetched_at").isNull, lit("missing"))
+          .when(col("lastmod").isNull, lit("undeclared"))
+          .when(col("lastmod") > col("fetched_at"), lit("stale"))
+          .otherwise(lit("fresh")).as("status"))
   }
 
   /** Deterministic sitemap bodies over the [[syntheticWildcardPages]]

@@ -970,4 +970,141 @@ class WebOpsSpec extends SparkSuite {
     }
     assert(at1 == ref, s"engine $at1 vs reference $ref")
   }
+
+  // ── robots directives: Crawl-delay / Sitemap ─────────────────────
+
+  test("robotsCrawlDelay: group-scoped seconds to floored ms — the " +
+      "named group's delay never leaks into agent=*, fractions floor, " +
+      "non-numeric values drop, repeated matches fold to MAX") {
+    val bodies = Seq(
+      // googlebot 9s must not surface under *; star has 2.5s → 2500
+      ("a.example.com", "User-agent: googlebot\nCrawl-delay: 9\n" +
+        "User-agent: *\nCrawl-delay: 2.5\n"),
+      // two matched star groups: max(1, 4) = 4000
+      ("b.example.com", "User-agent: *\nCrawl-delay: 1\n\n" +
+        "User-agent: *\nCrawl-delay: 4\n"),
+      // non-numeric drops; no valid delay at all -> host absent
+      ("c.example.com", "User-agent: *\nCrawl-delay: soon\n"),
+      // no star group -> absent under *
+      ("d.example.com", "User-agent: yandex\nCrawl-delay: 3\n"))
+      .toDF("host", "body")
+    val got = WebOps.robotsCrawlDelay(bodies).collect()
+      .map(r => r.getAs[String]("host") -> r.getAs[Long]("crawl_delay_ms"))
+      .toMap
+    assert(got == Map("a.example.com" -> 2500L, "b.example.com" -> 4000L),
+      s"got $got")
+    // named agent: the yandex group applies on d; on a, googlebot's 9
+    val yx = WebOps.robotsCrawlDelay(bodies, agent = "yandex").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(yx("d.example.com") == 3000L, s"got $yx")
+    // §2.2.1 fallback: yandex has no group on a -> the star 2.5 applies
+    assert(yx("a.example.com") == 2500L, s"got $yx")
+    val gb = WebOps.robotsCrawlDelay(bodies, agent = "googlebot")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gb("a.example.com") == 9000L, s"got $gb")
+  }
+
+  test("robotsSitemaps: group-INDEPENDENT — before any group, inside " +
+      "a group, after everything all surface; duplicates collapse; " +
+      "empty values drop") {
+    val bodies = Seq(
+      ("a.example.com", "Sitemap: http://a.example.com/s1.xml\n" +
+        "User-agent: *\nDisallow: /p\n" +
+        "Sitemap: http://a.example.com/s2.xml\n" +
+        "Sitemap: http://a.example.com/s1.xml\nSitemap:\n"),
+      ("b.example.com", "User-agent: *\nDisallow: /q\n"))
+      .toDF("host", "body")
+    val got = WebOps.robotsSitemaps(bodies).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("a.example.com", "http://a.example.com/s1.xml"),
+      ("a.example.com", "http://a.example.com/s2.xml")), s"got $got")
+  }
+
+  // ── fetchSchedule ─────────────────────────────────────────────────
+
+  test("fetchSchedule: per-host seq is a 1..n permutation equal to the " +
+      "single-window reference order, fetch_at = (seq-1)*delay with " +
+      "declared delays honored and the default applied elsewhere") {
+    val pages = (0L until 40L).map(i =>
+      (i, s"http://h${i % 3}.example.com/p/$i")).toDF("doc_id", "url")
+    val delays = Seq(("h0.example.com", 2000L))
+      .toDF("host", "crawl_delay_ms")
+    val got = WebOps.fetchSchedule(pages, delays).collect()
+    val byHost = got.groupBy(_.getAs[String]("host"))
+    assert(byHost.keySet == Set("h0.example.com", "h1.example.com",
+      "h2.example.com"))
+    for ((h, rows) <- byHost) {
+      val seqs = rows.map(_.getAs[Long]("seq")).sorted
+      assert(seqs.toSeq == (1L to rows.length).toSeq,
+        s"$h seq not a permutation: ${seqs.toSeq}")
+      val d = if (h == "h0.example.com") 2000L else 1000L
+      rows.foreach { r =>
+        assert(r.getAs[Long]("delay_ms") == d, s"$h delay $r")
+        assert(r.getAs[Long]("fetch_at_ms") ==
+          (r.getAs[Long]("seq") - 1) * d, s"$h offset $r")
+      }
+    }
+    // the two-level rank must equal ONE row_number over
+    // (host ORDER BY bucket, url) — the reference the oracle mirrors
+    import org.apache.spark.sql.expressions.Window
+    val ref = WebOps.urlNormalize(pages)
+      .select(col("host"), col("url_canonical")).distinct()
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("url_canonical")), 1, 2), 16, 10)
+          .cast("long"), lit(32L)))
+      .withColumn("seq", row_number().over(Window.partitionBy("host")
+        .orderBy("bucket", "url_canonical")).cast("long"))
+      .select("host", "url_canonical", "seq").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got.foreach { r =>
+      val k = (r.getAs[String]("host"), r.getAs[String]("url_canonical"))
+      assert(ref(k) == r.getAs[Long]("seq"), s"two-level != global at $k")
+    }
+  }
+
+  test("fetchSchedule: a hot host (one host, many URLs) still yields " +
+      "a dense 1..n sequence — the two-level rank composes offsets " +
+      "across buckets correctly") {
+    val pages = (0L until 2000L).map(i =>
+      (i, s"http://hot.example.com/x/$i")).toDF("doc_id", "url")
+    val empty = Seq.empty[(String, Long)].toDF("host", "crawl_delay_ms")
+    val seqs = WebOps.fetchSchedule(pages, empty, nBuckets = 8)
+      .select("seq").collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq == (1L to 2000L).toSeq, "not dense")
+  }
+
+  // ── recrawlPriority ───────────────────────────────────────────────
+
+  test("recrawlPriority: missing / stale / fresh / undeclared classes, " +
+      "strictly-greater staleness (lastmod == fetched_at is fresh), " +
+      "max-fold across duplicate declarations and re-fetches") {
+    val pages = Seq(
+      (1L, "http://a.io/fresh", "2026-03-01"),
+      (2L, "http://a.io/stale", "2026-03-01"),
+      // re-fetched: max(fetched) = 04-01, lastmod 03-15 -> fresh
+      (3L, "http://a.io/refetched", "2026-02-01"),
+      (4L, "http://a.io/refetched", "2026-04-01"),
+      (5L, "http://a.io/orphan", "2026-03-01"))
+      .toDF("doc_id", "url", "fetched_at")
+    val sitemap = Seq(
+      ("a.io", "url", "http://a.io/fresh", "2026-03-01"),
+      ("a.io", "url", "http://a.io/stale", "2026-03-02"),
+      // duplicate declaration: max(lastmod) = 03-15
+      ("a.io", "url", "http://a.io/refetched", "2026-01-01"),
+      ("a.io", "url", "http://a.io/refetched", "2026-03-15"),
+      ("a.io", "url", "http://a.io/never", "2026-01-01"),
+      // index entries never count as declarations
+      ("a.io", "sitemap", "http://a.io/child.xml", ""))
+      .toDF("host", "kind", "loc", "lastmod")
+    val got = WebOps.recrawlPriority(pages, sitemap).collect()
+      .map(r => r.getAs[String]("url_canonical") ->
+        r.getAs[String]("status")).toMap
+    assert(got == Map(
+      "http://a.io/fresh" -> "fresh",
+      "http://a.io/stale" -> "stale",
+      "http://a.io/refetched" -> "fresh",
+      "http://a.io/orphan" -> "undeclared",
+      "http://a.io/never" -> "missing"), s"got $got")
+  }
 }
