@@ -188,6 +188,30 @@ object SparkEntry {
     * hand later queries a lineage chained through the training
     * session's checkpoints.
     */
+  /** Memoized full-corpus unigram piece table — the driver-looped
+    * hard-EM training is deterministic, so q_unigram_learn/tokens
+    * share ONE run per (session, dir); collected and re-created as a
+    * local frame (the bpeMergesOf lineage discipline).
+    */
+  private def unigramPiecesOf(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "unigram-pieces") {
+      import s.implicits._
+      TextOps.unigramLearn(t(s, d, "documents")).collect()
+        .map(r => (r.getAs[String]("piece"), r.getAs[Long]("usage"),
+          r.getAs[Double]("logprob")))
+        .toSeq.toDF("piece", "usage", "logprob")
+    }
+
+  /** Memoized old-half frozen unigram tokenizer — q_unigram_serve
+    * encodes the new half under it with zero training rounds.
+    */
+  private def unigramIndexOf(s: SparkSession, d: String): String =
+    memo(s, d, "unigramindex-path") {
+      val p = indexScratchPath(d, "unigramindex")
+      TextOps.writeUnigramIndex(docHalf(s, d, old = true), p)
+      p
+    }
+
   private def bpeMergesOf(s: SparkSession, d: String): DataFrame =
     memo(s, d, "bpe-merges") {
       import s.implicits._
@@ -778,6 +802,39 @@ object SparkEntry {
       WebOps.sitemapCoverage(
         WebOps.syntheticWildcardPages(t(s, d, "documents")),
         WebOps.sitemapUrls(WebOps.syntheticSitemapBodies(s)))),
+    // the two robots.txt directives the RULES parse filters out
+    // (late r14 session 3): Sitemap — group-INDEPENDENT discovery
+    // lines, one planted before any group and one inside the star
+    // group (position must not matter) — and Crawl-delay — group-
+    // scoped politeness seconds (the googlebot group's 9 must NOT
+    // leak into agent=*; fractional 2.5 → 2500 ms floored; the
+    // non-numeric 'soon' drops). Known-answer oracles (independent
+    // range constructions mirroring the fixture residues)
+    "q_robots_sitemaps" -> ((s, d) =>
+      WebOps.robotsSitemaps(WebOps.syntheticRobotsBodies(s))),
+    "q_crawl_delay" -> ((s, d) =>
+      WebOps.robotsCrawlDelay(WebOps.syntheticRobotsBodies(s))),
+    // politeness-aware fetch scheduler: the frontier ordered per host
+    // with earliest-start offsets at the host's declared crawl delay
+    // (default 1000 ms where none) — the per-host sequence is the
+    // textbook hot-key window, so the rank is TWO-LEVEL (md5-derived
+    // bucket splits a hot host's sort into nBuckets tasks); the
+    // oracle mirrors the order as ONE row_number over (host ORDER BY
+    // bucket, url) — proving the two-level rank equals the global one
+    "q_fetch_schedule" -> ((s, d) =>
+      WebOps.fetchSchedule(webPagesOf(s, d, withUrl = true),
+        WebOps.robotsCrawlDelay(WebOps.syntheticRobotsBodies(s)))),
+    // recrawl prioritization — coverage's WHAT-is-missing extended
+    // with WHEN-is-it-stale: declared lastmod vs the held snapshot's
+    // fetched_at per canonical URL → missing / stale / fresh /
+    // undeclared (the fixture's lastmods straddle the constant
+    // fetch stamp, incl. the equality edge: 2026-03-01 is NOT stale)
+    "q_recrawl_priority" -> ((s, d) =>
+      WebOps.recrawlPriority(
+        WebOps.syntheticWildcardPages(t(s, d, "documents"))
+          .withColumn("fetched_at",
+            org.apache.spark.sql.functions.lit("2026-03-01")),
+        WebOps.sitemapUrls(WebOps.syntheticSitemapBodies(s)))),
     // relative-href resolution (r13 verdict #5): the RFC 3986 §5
     // resolved link layer — raw hrefs resolve against the page's own
     // base URL (dot-relative anchors merge into the base path,
@@ -1028,6 +1085,20 @@ object SparkEntry {
     // serial argmax rounds per key was pure waste (the fixture-memo
     // rule applied to a driver-trained artifact)
     "q_bpe_learn" -> ((s, d) => bpeMergesOf(s, d)),
+    // the unigram-LM (SentencePiece) tokenizer family (late r14
+    // session 3) — the OTHER major subword algorithm next to BPE:
+    // rows-only (driver-iterated hard-EM training, the bpeLearn
+    // precedent); independent-local-model + coverage + determinism
+    // specs in UnigramSpec
+    "q_unigram_learn" -> ((s, d) => unigramPiecesOf(s, d)),
+    "q_unigram_tokens" -> ((s, d) =>
+      TextOps.unigramTokens(t(s, d, "documents"),
+        unigramPiecesOf(s, d))),
+    // serve leg: NEW half under the PERSISTED table trained on the
+    // old half — zero training rounds; round-trip spec in UnigramSpec
+    "q_unigram_serve" -> ((s, d) =>
+      TextOps.unigramTokensFrom(s, unigramIndexOf(s, d),
+        docHalf(s, d, old = false))),
     // rows-only (needs the learned table): per-doc fertility under the
     // merges learned on the same corpus
     "q_bpe_tokens" -> ((s, d) =>
@@ -2793,6 +2864,91 @@ object SparkEntry {
         |  (COUNT(*) FILTER (WHERE lu IS NOT NULL AND cu IS NOT NULL) * 1000000)
         |    // greatest(COUNT(*) FILTER (WHERE lu IS NOT NULL), 1) AS coverage_ppm
         |FROM cov GROUP BY 1""".stripMargin),
+    // known-answer: every host's top-of-file sitemap plus the k%6=2
+    // in-group one (position-independent per sitemaps.org)
+    "q_robots_sitemaps" ->
+      """WITH rk AS (SELECT unnest(range(20)) AS k)
+        |SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+        |  'http://h' || CAST(k AS VARCHAR) || '.example.com/sitemap.xml' AS sitemap_url
+        |FROM rk
+        |UNION ALL
+        |SELECT 'h' || CAST(k AS VARCHAR) || '.example.com',
+        |  'http://h' || CAST(k AS VARCHAR) || '.example.com/sitemap-news.xml'
+        |FROM rk WHERE k % 6 = 2""".stripMargin,
+    // known-answer: the star group's delay per residue (2.5 s floored
+    // to 2500 ms on even k, 1 s otherwise); the googlebot group's 9
+    // and the non-numeric 'soon' never surface under agent=*
+    "q_crawl_delay" ->
+      """WITH rk AS (SELECT unnest(range(20)) AS k)
+        |SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+        |  CAST(CASE WHEN k % 2 = 0 THEN 2500 ELSE 1000 END AS BIGINT) AS crawl_delay_ms
+        |FROM rk""".stripMargin,
+    // the two-level (bucket-offset + per-bucket rank) sequence must
+    // equal ONE global row_number over (host ORDER BY bucket, url) —
+    // the oracle computes exactly that, with the same md5-derived
+    // bucket (DuckDB's md5 and Spark's agree; hex → int via the
+    // '0x' cast the pnorm mirror already relies on)
+    "q_fetch_schedule" -> (urlFixtureSql + urlCanonSql +
+      """, cu AS (
+        |  SELECT DISTINCT host, url_canonical FROM canon
+        |), cb AS (
+        |  SELECT host, url_canonical,
+        |    CAST('0x' || substr(md5(url_canonical), 1, 2) AS INT) % 32 AS bucket
+        |  FROM cu
+        |), dl AS (
+        |  SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+        |    CASE WHEN k % 2 = 0 THEN 2500 ELSE 1000 END AS d
+        |  FROM (SELECT unnest(range(20)) AS k)
+        |), sq AS (
+        |  SELECT c.host, c.url_canonical,
+        |    row_number() OVER (PARTITION BY c.host
+        |      ORDER BY c.bucket, c.url_canonical) AS seq,
+        |    COALESCE(dl.d, 1000) AS delay_ms
+        |  FROM cb c LEFT JOIN dl ON c.host = dl.host
+        |)
+        |SELECT host, url_canonical, CAST(seq AS BIGINT) AS seq,
+        |  CAST(delay_ms AS BIGINT) AS delay_ms,
+        |  CAST((seq - 1) * delay_ms AS BIGINT) AS fetch_at_ms
+        |FROM sq""".stripMargin),
+    // crawled side = the wildcard construction through the canonical
+    // chain at a constant fetch stamp; listed side = hand-written
+    // canonicals + lastmods; FULL OUTER, CASE per class (strictly-
+    // greater comparison: the lastmod EQUAL to the stamp is fresh)
+    "q_recrawl_priority" -> ("""WITH u AS (
+        |  SELECT doc_id,
+        |    'http://wh' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/d/' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '/f' || CAST(doc_id % 3 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '.json' ELSE '.html' END) AS url
+        |  FROM documents
+        |)
+        |""".stripMargin + urlCanonSql +
+      """, crawled AS (
+        |  SELECT DISTINCT host, url_canonical, '2026-03-01' AS fetched_at FROM canon
+        |), wk AS (SELECT unnest(range(5)) AS k)
+        |, listed AS (
+        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com' AS host,
+        |    'http://wh' || CAST(k AS VARCHAR) || '.example.com/d/' || CAST(k AS VARCHAR) || '/f1.html' AS lu,
+        |    '2026-0' || CAST(k + 1 AS VARCHAR) || '-01' AS lastmod
+        |  FROM wk WHERE k <> 3
+        |  UNION ALL
+        |  SELECT 'wh' || CAST(k AS VARCHAR) || '.example.com',
+        |    'http://wh' || CAST(k AS VARCHAR) || '.example.com/d/' || CAST(k AS VARCHAR) || '/f9.html', ''
+        |  FROM wk WHERE k <> 3
+        |  UNION ALL
+        |  SELECT 'wh2.example.com', 'http://wh2.example.com/sp%2Face', ''
+        |), j AS (
+        |  SELECT COALESCE(c.host, l.host) AS host,
+        |    COALESCE(c.url_canonical, l.lu) AS url_canonical,
+        |    l.lastmod, c.fetched_at
+        |  FROM crawled c FULL OUTER JOIN listed l
+        |    ON c.host = l.host AND c.url_canonical = l.lu
+        |)
+        |SELECT host, url_canonical, lastmod, fetched_at,
+        |  CASE WHEN fetched_at IS NULL THEN 'missing'
+        |       WHEN lastmod IS NULL THEN 'undeclared'
+        |       WHEN lastmod > fetched_at THEN 'stale'
+        |       ELSE 'fresh' END AS status
+        |FROM j""".stripMargin),
     // unnest stays in its own single-table CTE (DuckDB v1.0.0's binder
     // hits an INTERNAL error on unnest combined with a JOIN in one
     // SELECT); the base-url join happens after extraction

@@ -1848,6 +1848,219 @@ object TextOps {
     syms
   }
 
+  /** Unigram-LM tokenizer LEARNING (Kudo 2018, arXiv:1804.10959 — the
+    * SentencePiece unigram model; the OTHER major subword family next
+    * to [[bpeLearn]]'s merge-based one, and the one production
+    * multilingual tokenizers ship): pieces carry independent
+    * probabilities, a word's tokenization is its maximum-likelihood
+    * segmentation, and training alternates estimation with pruning.
+    * This is the VITERBI (hard-EM) variant — each E-step assigns
+    * every word its single best segmentation under the current piece
+    * probabilities and the M-step re-estimates probabilities from
+    * those assignments (the k-means-style point-estimate counterpart
+    * of the paper's soft EM, which integrates over all segmentations
+    * with forward-backward; stated, not hidden — hard EM converges to
+    * coarser optima but needs no per-position posterior machinery,
+    * and the pruning schedule dominates the final vocab either way).
+    *
+    * Scale shape — the [[bpeLearn]] discipline throughout: the corpus
+    * is touched exactly ONCE (the same whitespace word-frequency
+    * aggregate), seeding counts every ≤`maxPieceLen`-char substring
+    * occurrence of the VOCABULARY-sized word frame declaratively
+    * (explode of a position×length lambda — map-side combine folds
+    * the heavy hitters), and each EM round is one typed flatMap over
+    * distinct words (the [[bpeTokens]] rung-(d) escape hatch: the DP
+    * has no declarative form, and the frame it touches is vocab-sized)
+    * plus one piece-keyed aggregate. The piece table rides the closure
+    * as a bounded driver artifact (≤ `seedSize` + alphabet rows — the
+    * bpeTokens ≤512-merge precedent, bound REQUIRED below). `nIters`
+    * EM rounds cost `nIters` vocab-frame passes, never a corpus scan.
+    *
+    * Semantics, deterministic end-to-end: seed = all single chars
+    * (coverage floor — never pruned, Laplace-floored at usage 1 when
+    * unused) plus the top `seedSize` multi-char substrings by
+    * (corpus count desc, piece asc); probabilities from exact LONG
+    * usage counts; each round keeps multi-char pieces with nonzero
+    * Viterbi usage; the final table keeps all single chars plus the
+    * top (`vocabSize` − alphabet) multi-char pieces by
+    * (usage desc, piece asc). Ties inside the DP break to the LONGEST
+    * piece ([[unigramApply]]). Returns (piece, usage, logprob 6dp) —
+    * rows-only (driver-iterated training, the bpeLearn precedent);
+    * the spec re-derives segmentations with an independent local
+    * model and asserts the planted-unit, coverage and determinism
+    * contracts.
+    */
+  def unigramLearn(documents: DataFrame, vocabSize: Int = 64,
+      maxPieceLen: Int = 4, nIters: Int = 3,
+      seedSize: Int = 512): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= 65536,
+      s"vocabSize must be in [1, 65536], got $vocabSize")
+    require(seedSize >= 1 && seedSize <= 65536,
+      s"seedSize must be in [1, 65536], got $seedSize")
+    require(maxPieceLen >= 2 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [2, 16], got $maxPieceLen")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // the ONE corpus pass (shared shape with bpeLearn/vocabTopK)
+    val words = documents
+      .select(explode(tokenize(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    // seed counts: every substring occurrence, declarative (position ×
+    // length lambda), corpus-weighted; Column.substr takes Column args
+    // (the functions.substring(col,Int,Int) overload does not)
+    val subs = words
+      .select(col("wc"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), i =>
+          transform(
+            sequence(lit(1),
+              least(lit(maxPieceLen), length(col("w")) - i + 1)),
+            l => col("w").substr(i, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+    // bounded collects: alphabet-sized + seedSize-sized by the require
+    val chars = subs.where(length(col("piece")) === 1)
+      .as[(String, Long)].collect()
+    val multi = subs.where(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+      .as[(String, Long)].collect()
+    val charSet = chars.map(_._1).toSet
+    def toLogProbs(counts: Array[(String, Long)]): Map[String, Double] = {
+      val total = counts.map(_._2).sum.toDouble
+      counts.map { case (p, c) => p -> math.log(c / total) }.toMap
+    }
+    var table = toLogProbs(chars ++ multi)
+    var usage: Array[(String, Long)] = chars ++ multi
+    for (_ <- 1 to nIters) {
+      val local = table
+      val maxLen = maxPieceLen
+      // E-step: Viterbi usage per distinct word, corpus-weighted;
+      // M-step inputs are exact LONGs, so probabilities (and the
+      // learned table) are deterministic across runs and plans
+      usage = words.as[(String, Long)]
+        .flatMap { case (w, wc) =>
+          unigramApply(w, local, maxLen).map(p => (p, wc)) }
+        .toDF("piece", "u").groupBy("piece")
+        .agg(sum(col("u")).as("usage"))
+        .as[(String, Long)].collect()
+      val used = usage.toMap
+      // coverage floor: single chars survive at Laplace usage 1
+      val kept = charSet.toArray.sorted
+        .map(c => c -> math.max(used.getOrElse(c, 0L), 1L)) ++
+        usage.filter { case (p, u) => p.length > 1 && u > 0L }
+          .sortBy { case (p, u) => (-u, p) }
+      table = toLogProbs(kept)
+      usage = kept
+    }
+    // final prune to the shipped vocab: all single chars + the top
+    // multi-char pieces by (usage desc, piece asc)
+    val singles = usage.filter(_._1.length == 1).sortBy(_._1)
+    val multis = usage.filter(_._1.length > 1)
+      .sortBy { case (p, u) => (-u, p) }
+      .take(math.max(0, vocabSize - singles.length))
+    val finalTable = toLogProbs(singles ++ multis)
+    (singles ++ multis).toSeq
+      .map { case (p, u) =>
+        (p, u, math.rint(finalTable(p) * 1e6) / 1e6) }
+      .toDF("piece", "usage", "logprob")
+  }
+
+  /** Maximum-likelihood (Viterbi) segmentation of one word under a
+    * unigram piece table — the exact DP [[unigramLearn]] trains with,
+    * shared by the encode/serve legs so training-corpus words
+    * re-encode to their training segmentation. O(len · maxLen) per
+    * word. A character absent from the table segments as itself at
+    * `unkLogProb` (the UNK floor — coverage never fails, the miss is
+    * COUNTED by [[unigramTokens]]). Score ties break to the LONGEST
+    * candidate piece (lengths probe descending with strict-greater
+    * updates), so the segmentation is deterministic.
+    */
+  private[graft] def unigramApply(w: String, logp: Map[String, Double],
+      maxLen: Int, unkLogProb: Double = -100.0): Array[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = math.min(maxLen, i)
+      while (l >= 1) {
+        val piece = w.substring(i - l, i)
+        val lp = logp.getOrElse(piece,
+          if (l == 1) unkLogProb else Double.NegativeInfinity)
+        if (lp != Double.NegativeInfinity) {
+          val s = best(i - l) + lp
+          if (s > best(i)) { best(i) = s; back(i) = l }
+        }
+        l -= 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = n
+    while (j > 0) { out += w.substring(j - back(j), j); j -= back(j) }
+    out.reverseIterator.toArray
+  }
+
+  /** Per-doc token statistics under a learned unigram table
+    * ([[unigramLearn]]'s output) — the fertility audit, the
+    * [[bpeTokens]] twin for the unigram family: pieces per whitespace
+    * word, plus `n_unk_chars` (characters that fell to the UNK floor —
+    * the coverage signal BPE's closed merge alphabet doesn't need but
+    * an open piece vocabulary does). Plan shape is bpeTokens':
+    * one per-doc (doc, word) tf aggregate, the Viterbi map over the
+    * DISTINCT-word frame only, one keyed join back, one per-doc sum;
+    * the piece table rides the closure as a bounded driver artifact.
+    * Docs with zero words emit no row (the wordEntropy convention).
+    */
+  def unigramTokens(documents: DataFrame, pieces: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // bounded collect: the piece table is vocab-sized by construction
+    val tbl = pieces.select(col("piece"), col("logprob"))
+      .as[(String, Double)].collect().toMap
+    val maxLen = if (tbl.isEmpty) 1 else tbl.keysIterator.map(_.length).max
+    val docWords = documents
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val enc = docWords.select("w").distinct().as[String]
+      .map { w =>
+        val ps = unigramApply(w, tbl, maxLen)
+        (w, ps.length.toLong, ps.count(p => !tbl.contains(p)).toLong)
+      }.toDF("w", "n_p", "n_unk")
+    docWords.join(enc, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("n_p")).as("n_pieces"),
+        sum(col("tf") * col("n_unk")).as("n_unk_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        col("n_unk_chars"),
+        round(col("n_pieces").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"))
+  }
+
+  /** Persist a trained unigram tokenizer — the artifact hand-off
+    * ([[writeBpeIndex]]'s twin): `pieces/` = (piece, usage, logprob),
+    * trained ONCE on a reference snapshot; later slices encode under
+    * the frozen table via [[unigramTokensFrom]].
+    */
+  def writeUnigramIndex(documents: DataFrame, path: String,
+      vocabSize: Int = 64, maxPieceLen: Int = 4, nIters: Int = 3,
+      seedSize: Int = 512): Unit =
+    unigramLearn(documents, vocabSize, maxPieceLen, nIters, seedSize)
+      .write.mode("overwrite").parquet(s"$path/pieces")
+
+  /** Per-doc fertility of a NEW snapshot under a persisted
+    * [[writeUnigramIndex]] tokenizer — the serve leg ([[bpeTokensFrom]]
+    * twin): the stored table loads as a bounded driver artifact, zero
+    * training rounds on the serve path; a rising fertility or UNK
+    * share against the SAME artifact is the tokenizer-rot audit.
+    */
+  def unigramTokensFrom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame): DataFrame =
+    unigramTokens(newDocs, spark.read.parquet(s"$indexPath/pieces"))
+
   /** Heavy-hitter tokens via a Misra-Gries summary
     * ([[graft.plans.MisraGriesAgg]]) — the constant-memory dual of
     * [[vocabTopK]]: where vocabTopK shuffles the FULL (token, count)
