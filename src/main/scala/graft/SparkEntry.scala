@@ -633,6 +633,17 @@ object SparkEntry {
     "q_cluster_balance" -> ((s, d) =>
       Similarity.clusterBalance(t(s, d, "embeddings"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    // Unicode-script composition (late r14 s3) — the pre-lang-ID
+    // bucketing signal: per-doc counts over seven script blocks,
+    // dominant script (priority CASE on ties), share in ppm; the
+    // fixture plants each script on a disjoint residue (id%19=6
+    // REPLACES with pure CJK — the dominance flip), oracle mirrors
+    // the injection and the \x{...} class counts literally
+    "q_script_mix" -> ((s, d) =>
+      TextOps.scriptMix(t(s, d, "documents").withColumn("text",
+        TextOps.syntheticScript(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))))),
     // the heuristic's accuracy audit: confusion matrix vs the labeled
     // lang column, per-true-lang shares in floored ppm
     "q_lang_confusion" -> ((s, d) => TextOps.langConfusion(t(s, d, "documents"))),
@@ -729,6 +740,16 @@ object SparkEntry {
       WebOps.pageRank(hostGraphOf(s, d), iters = 10,
         persistFrames = false, checkpointEvery = 1,
         redistributeDangling = true)),
+    // crawl-budget apportionment (late r14 session 3) — the last
+    // crawl-planning stage: totalBudget page fetches across ranked
+    // hosts by Hamilton largest-remainder in exact integer arithmetic
+    // (floors + one remainder round), off the memoized 5-iter
+    // PageRank; sum(quota) == budget EXACTLY. Oracle mirrors the
+    // floors and an independent row_number remainder round
+    "q_crawl_budget" -> ((s, d) =>
+      WebOps.crawlBudget(
+        memo(s, d, "pagerank-frame")(WebOps.pageRank(hostGraphOf(s, d))),
+        totalBudget = 100000L, minPerHost = 2L)),
     // the nofollow-honoring link graph (r12 verdict #4: the flag was
     // extracted and nothing read it): rel=nofollow anchors and
     // nofollow-flagged pages drop BEFORE the edge count — the
@@ -2582,6 +2603,60 @@ object SparkEntry {
         |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
         |  CAST(FLOOR(n / n_lang * 1000000) AS BIGINT) AS share_ppm
         |FROM cells JOIN totals USING (lang)""".stripMargin,
+    // the script injection mirrored as chained CASEs (same UTF-8
+    // literals), counts as the length-minus-stripped idiom over the
+    // \x{...} ranges both regex engines share, dominance as the same
+    // priority CASE chain
+    "q_script_mix" ->
+      """WITH s0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 19 = 6 THEN '中文網頁的內容測試' ELSE text END AS t
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN t || ' Яркая' ELSE t END AS t FROM s0
+        |), s2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 2 THEN t || ' 中文' ELSE t END AS t FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 3 THEN t || ' γειά' ELSE t END AS t FROM s2
+        |), s4 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 4 THEN t || ' مرحبا' ELSE t END AS t FROM s3
+        |), s5 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 17 = 5 THEN t || ' 한국어 देव' ELSE t END AS t FROM s4
+        |), c AS (
+        |  SELECT doc_id,
+        |    length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS n_latin,
+        |    length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+        |    length(t) - length(regexp_replace(t, '[\x{0370}-\x{03FF}]', '', 'g')) AS n_greek,
+        |    length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS n_cjk,
+        |    length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+        |    length(t) - length(regexp_replace(t, '[\x{AC00}-\x{D7AF}]', '', 'g')) AS n_hangul,
+        |    length(t) - length(regexp_replace(t, '[\x{0900}-\x{097F}]', '', 'g')) AS n_devanagari
+        |  FROM s5
+        |), m AS (
+        |  SELECT *,
+        |    n_latin + n_cyrillic + n_greek + n_cjk + n_arabic + n_hangul + n_devanagari AS n_script,
+        |    greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_hangul, n_devanagari) AS n_dominant
+        |  FROM c
+        |)
+        |SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin,
+        |  CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+        |  CAST(n_greek AS BIGINT) AS n_greek,
+        |  CAST(n_cjk AS BIGINT) AS n_cjk,
+        |  CAST(n_arabic AS BIGINT) AS n_arabic,
+        |  CAST(n_hangul AS BIGINT) AS n_hangul,
+        |  CAST(n_devanagari AS BIGINT) AS n_devanagari,
+        |  CAST(n_script AS BIGINT) AS n_script,
+        |  CAST(n_dominant AS BIGINT) AS n_dominant,
+        |  CASE WHEN n_dominant = 0 THEN 'none'
+        |       WHEN n_latin = n_dominant THEN 'latin'
+        |       WHEN n_cyrillic = n_dominant THEN 'cyrillic'
+        |       WHEN n_greek = n_dominant THEN 'greek'
+        |       WHEN n_cjk = n_dominant THEN 'cjk'
+        |       WHEN n_arabic = n_dominant THEN 'arabic'
+        |       WHEN n_hangul = n_dominant THEN 'hangul'
+        |       ELSE 'devanagari' END AS dominant_script,
+        |  (n_dominant * 1000000) // greatest(n_script, 1) AS dominant_ppm
+        |FROM m""".stripMargin,
     "q_text_quality" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
@@ -2707,6 +2782,29 @@ object SparkEntry {
       urlCanonSql + hostEdgeSql(false) +
       pageRankSql(10, dangling = true) +
       "SELECT host, rank_micro FROM r10"),
+    // Hamilton apportionment over the 5-iter ranks: integer floors,
+    // then the leftover distributed by an INDEPENDENT row_number over
+    // (remainder DESC, host) — exact-sum arithmetic mirrors bit-level
+    "q_crawl_budget" -> (linkPageSql + ", " + urlFixtureCteSql +
+      urlCanonSql + hostEdgeSql(false) + pageRankSql(5) +
+      """, bw AS (
+        |  SELECT SUM(rank_micro) AS tw, COUNT(*) AS n
+        |  FROM r5 WHERE rank_micro > 0
+        |), bq AS (
+        |  SELECT host, rank_micro AS wt,
+        |    ((100000 - 2 * (SELECT n FROM bw)) * rank_micro) // (SELECT tw FROM bw) AS fl,
+        |    ((100000 - 2 * (SELECT n FROM bw)) * rank_micro) % (SELECT tw FROM bw) AS rem
+        |  FROM r5 WHERE rank_micro > 0
+        |), bl AS (
+        |  SELECT (100000 - 2 * (SELECT n FROM bw)) - SUM(fl) AS leftover FROM bq
+        |), br AS (
+        |  SELECT host, wt, fl, rem,
+        |    row_number() OVER (ORDER BY rem DESC, host) AS rk
+        |  FROM bq
+        |)
+        |SELECT host, wt,
+        |  CAST(2 + fl + (CASE WHEN rk <= (SELECT leftover FROM bl) THEN 1 ELSE 0 END) AS BIGINT) AS quota
+        |FROM br""".stripMargin),
     "q_anchor_text" -> (linkPageSql + anchorTextSql(false) +
       """SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n
         |FROM ah WHERE dst_host <> '' GROUP BY 1, 2""".stripMargin),

@@ -14,6 +14,79 @@ import graft.functions.TextFunctions._
   */
 object TextOps {
 
+  /** Unicode-script composition per document (late r14 s3) — the
+    * bucketing signal multilingual pipelines read BEFORE any
+    * language-ID model runs (a stopword/ngram classifier like
+    * [[langId]] is per-script; CCNet and fastText both shard by
+    * script first, and mixed-script docs are their own quality flag —
+    * spam and mojibake are script-mixed far more often than prose):
+    * per doc, character counts for the seven highest-volume script
+    * blocks (Latin, Cyrillic, Greek, CJK Unified, Arabic, Hangul,
+    * Devanagari — stated subset; blocks outside it simply don't
+    * count), the dominant script (deterministic first-in-priority on
+    * count ties, `none` when no scripted char appears) and its share
+    * in ppm (§6 floored, clamped divisor). Counts via the
+    * length-minus-stripped idiom over `\x{...}` class ranges — the
+    * ONE regex syntax Java regex and RE2 share, so the oracle mirrors
+    * literally. Pure projection — zero shuffle, scan speed at 100 TB.
+    */
+  def scriptMix(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    def cnt(pat: String): Column =
+      (length(t) - length(regexp_replace(t, pat, ""))).cast("long")
+    val defs = Seq(
+      "latin" -> "[A-Za-z]",
+      "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "greek" -> "[\\x{0370}-\\x{03FF}]",
+      "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+      "arabic" -> "[\\x{0600}-\\x{06FF}]",
+      "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
+      "devanagari" -> "[\\x{0900}-\\x{097F}]")
+    val counted = documents.select(
+      (col("doc_id") +: defs.map { case (n, p) => cnt(p).as(s"n_$n") }): _*)
+    val total = defs.map(d => col(s"n_${d._1}")).reduce(_ + _)
+    val mx = greatest(defs.map(d => col(s"n_${d._1}")): _*)
+    // priority CASE chain (latin first), not a struct-max: the oracle
+    // mirrors a CASE chain verbatim, and the tie rule is explicit
+    val dom = defs.reverse.foldLeft(lit("none"): Column) {
+      case (acc, (n, _)) =>
+        when(col(s"n_$n") === mx && mx > 0, lit(n)).otherwise(acc)
+    }
+    counted
+      .withColumn("n_script", total)
+      .withColumn("n_dominant", mx)
+      .withColumn("dominant_script", dom)
+      .withColumn("dominant_ppm",
+        expr("(n_dominant * 1000000) div greatest(n_script, 1)"))
+  }
+
+  /** Deterministic script-injection fixture for [[scriptMix]] — the
+    * testdata text is clean ASCII, so the registered query plants
+    * each script on a disjoint residue slice (the [[WebOps
+    * .syntheticDamage]] pattern): id%19=6 REPLACES the text with pure
+    * CJK (the dominance flip), the others append Cyrillic / CJK /
+    * Greek / Arabic / Hangul+Devanagari runs; the untouched majority
+    * pins the all-Latin path. The oracle mirrors the injection with
+    * the same UTF-8 literals.
+    */
+  def syntheticScript(docId: Column, text: Column): Column = {
+    val id = docId.cast("long")
+    val base = when(pmod(id, lit(19L)) === 6L,
+      lit("中文網頁的內容測試"))
+      .otherwise(text)
+    val c1 = when(pmod(id, lit(5L)) === 1L,
+      concat(base, lit(" Яркая"))).otherwise(base)
+    val c2 = when(pmod(id, lit(7L)) === 2L,
+      concat(c1, lit(" 中文"))).otherwise(c1)
+    val c3 = when(pmod(id, lit(11L)) === 3L,
+      concat(c2, lit(" γειά"))).otherwise(c2)
+    val c4 = when(pmod(id, lit(13L)) === 4L,
+      concat(c3, lit(" مرحبا"))).otherwise(c3)
+    when(pmod(id, lit(17L)) === 5L,
+      concat(c4, lit(" 한국어 देव")))
+      .otherwise(c4)
+  }
+
   /** Language-ID heuristic: frequency of per-language stopword markers,
     * argmax with deterministic preference order (en > de > fr > es),
     * `unknown` when no marker hits. Pure projection — zero shuffle.

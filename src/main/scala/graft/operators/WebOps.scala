@@ -1379,6 +1379,70 @@ object WebOps {
           .otherwise(lit("fresh")).as("status"))
   }
 
+  /** Crawl-budget allocation — the last stage of the crawl-planning
+    * family ([[sitemapCoverage]] says WHAT is missing,
+    * [[recrawlPriority]] WHEN it went stale, [[fetchSchedule]] the
+    * per-host order; this says HOW MANY pages each host gets next
+    * epoch): apportion `totalBudget` page fetches across hosts
+    * proportionally to a quality weight (host PageRank is the
+    * published crawl-frontier weight — the [[pageRank]] scaladoc's
+    * Common Crawl note), with an optional per-host floor
+    * (`minPerHost` — every live host deserves a recrawl probe even at
+    * zero rank). The apportionment is Hamilton's largest-remainder
+    * method in EXACT integer arithmetic: floor quotas
+    * `(base·w) div W`, then one extra page to the hosts with the
+    * largest remainders (ties to host asc) until the floors sum to
+    * `base` — so `sum(quota) == totalBudget` EXACTLY, the invariant a
+    * budget means. Non-positive weights drop (no budget without
+    * signal; the floor is for ranked hosts, not dead ones).
+    *
+    * Scale shape: NO global window — the weight total and the floor
+    * sum are single-row driver aggregates (the pageRank dangling-mass
+    * discipline), and the remainder round is a distributed
+    * `orderBy().limit(leftover)` (TakeOrderedAndProject — leftover is
+    * provably < n) joined back, so a 10⁸-host allocation never sorts
+    * on one task. The frame is localCheckpoint'ed first: three
+    * downstream references must not re-execute the caller's rank
+    * iteration three times (the starFrames lesson). Overflow is loud,
+    * not silent (ANSI): `base · max(w)` must stay inside a long —
+    * micro-unit ranks and real budgets are ~10¹⁷ under the 2⁶³ bound.
+    */
+  def crawlBudget(hosts: DataFrame, totalBudget: Long,
+      weightCol: String = "rank_micro",
+      minPerHost: Long = 0L): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0: $totalBudget")
+    require(minPerHost >= 0, s"minPerHost must be >= 0: $minPerHost")
+    val w = hosts
+      .select(col("host"), col(weightCol).cast("long").as("wt"))
+      .where(col("wt") > 0)
+    val head = w.agg(coalesce(sum(col("wt")), lit(0L)).as("tw"),
+      count(lit(1)).as("n")).head()
+    val totW = head.getAs[Long]("tw")
+    val n = head.getAs[Long]("n")
+    if (n == 0L) w.select(col("host"), col("wt"), lit(0L).as("quota"))
+    else {
+      val base = totalBudget - n * minPerHost
+      require(base >= 0, s"totalBudget $totalBudget cannot cover " +
+        s"minPerHost $minPerHost across $n hosts")
+      val q = w.select(col("host"), col("wt"),
+          expr(s"($base * wt) div $totW").as("fl"),
+          expr(s"($base * wt) % $totW").as("rem"))
+        .localCheckpoint()
+      val sumFl = q.agg(coalesce(sum(col("fl")), lit(0L)))
+        .head().getLong(0)
+      val leftover = base - sumFl
+      require(leftover >= 0 && leftover <= Int.MaxValue,
+        s"leftover $leftover out of range (n=$n)")
+      val top = q.orderBy(col("rem").desc, col("host"))
+        .limit(leftover.toInt)
+        .select(col("host"), lit(1L).as("bump"))
+      q.join(top, Seq("host"), "left")
+        .select(col("host"), col("wt"),
+          (lit(minPerHost) + col("fl") +
+            coalesce(col("bump"), lit(0L))).as("quota"))
+    }
+  }
+
   /** Deterministic sitemap bodies over the [[syntheticWildcardPages]]
     * hosts (`wh{0..4}` — the query-free URL namespace, so declared
     * and crawled CANONICALS can actually meet; the shared

@@ -1064,4 +1064,30 @@ class TextOpsSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("cannot overwrite"))
   }
+
+  test("scriptMix: per-script counts, dominance with priority ties, " +
+      "none for unscripted text, floored ppm share") {
+    val d = Seq(
+      (1L, "abc xyz"),      // latin only
+      (2L, "Яр abc"),       // latin 3 > cyrillic 2
+      (3L, "中文網頁"),      // pure CJK
+      (4L, "12 .. !"),      // no scripted char at all
+      (5L, "ab ЯР"),        // 2-2 tie -> latin by priority
+      (6L, "γγ 中中中"),     // cjk 3 > greek 2
+      (7L, "한국 देव مرحبا")) // arabic 5 > hangul 2, devanagari 3
+      .toDF("doc_id", "text")
+    val got = TextOps.scriptMix(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("dominant_script"), r.getAs[Long]("n_script"),
+          r.getAs[Long]("n_dominant"), r.getAs[Long]("dominant_ppm"))))
+      .toMap
+    assert(got(1L) == (("latin", 6L, 6L, 1000000L)), s"got ${got(1L)}")
+    assert(got(2L)._1 == "latin" && got(2L)._2 == 5L)
+    assert(got(3L) == (("cjk", 4L, 4L, 1000000L)))
+    assert(got(4L) == (("none", 0L, 0L, 0L)))
+    assert(got(5L)._1 == "latin", s"tie must break to priority: ${got(5L)}")
+    assert(got(6L)._1 == "cjk" && got(6L)._4 == 600000L)
+    assert(got(7L)._1 == "arabic" && got(7L)._2 == 10L &&
+      got(7L)._4 == 500000L, s"got ${got(7L)}")
+  }
 }

@@ -1074,6 +1074,38 @@ class WebOpsSpec extends SparkSuite {
     assert(seqs.toSeq == (1L to 2000L).toSeq, "not dense")
   }
 
+  // ── crawlBudget ───────────────────────────────────────────────────
+
+  test("crawlBudget: quotas sum EXACTLY to the budget, each host gets " +
+      "floor-or-floor-plus-one of its proportional share above the " +
+      "min, non-positive weights drop, remainder ties break to host " +
+      "asc, and the empty frame yields an empty allocation") {
+    val hosts = Seq(("a", 500000L), ("b", 300000L), ("c", 150000L),
+      ("d", 50000L), ("dead", 0L), ("neg", -7L))
+      .toDF("host", "rank_micro")
+    val got = WebOps.crawlBudget(hosts, totalBudget = 1003L,
+      minPerHost = 2L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    assert(!got.contains("dead") && !got.contains("neg"))
+    assert(got.values.sum == 1003L, s"conservation: $got")
+    // base = 1003 - 4*2 = 995 over W = 1e6
+    val base = 995L; val w = Map("a" -> 500000L, "b" -> 300000L,
+      "c" -> 150000L, "d" -> 50000L)
+    got.foreach { case (h, q) =>
+      val fl = base * w(h) / 1000000L
+      assert(q == 2L + fl || q == 2L + fl + 1L, s"$h got $q (floor $fl)")
+    }
+    // equal weights, leftover 1 -> lexicographically first host bumps
+    val eq = Seq(("x", 10L), ("y", 10L), ("z", 10L))
+      .toDF("host", "rank_micro")
+    val g2 = WebOps.crawlBudget(eq, totalBudget = 4L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    assert(g2 == Map("x" -> 2L, "y" -> 1L, "z" -> 1L), s"got $g2")
+    val empty = WebOps.crawlBudget(
+      Seq.empty[(String, Long)].toDF("host", "rank_micro"), 100L)
+    assert(empty.collect().isEmpty)
+  }
+
   // ── recrawlPriority ───────────────────────────────────────────────
 
   test("recrawlPriority: missing / stale / fresh / undeclared classes, " +
