@@ -896,6 +896,35 @@ object SparkEntry {
       TextOps.sentSplit(t(s, d, "documents").withColumn("text",
         TextOps.syntheticSentences(col("text"))))
     }),
+    // Gale-Church length-based alignment (late r14 s3) — the classic
+    // doc-aligned bitext segmenter next to the embedding miners: the
+    // target side is the SAME segmented doc with mild length noise
+    // (doc%3=0), the FIRST sentence deleted on doc%5=1 (forces a 1-0
+    // bead) and an extra tail on doc%7=2 (forces a 0-1 bead);
+    // rows-only — exhaustive-DP-reference + plant specs in AlignSpec
+    "q_align_gale_church" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val sa = TextOps.sentSplit(t(s, d, "documents").withColumn("text",
+          TextOps.syntheticSentences(col("text"))))
+        .select(col("doc_id"), col("sent_id"), col("sentence"))
+      val dropped = sa
+        .where(!(pmod(col("doc_id"), lit(5L)) === 1L &&
+          col("sent_id") === 0L))
+        .withColumn("sent_id",
+          when(pmod(col("doc_id"), lit(5L)) === 1L, col("sent_id") - 1)
+            .otherwise(col("sent_id")))
+        .withColumn("sentence",
+          when(pmod(col("doc_id"), lit(3L)) === 0L,
+            concat(col("sentence"), lit(" ok")))
+            .otherwise(col("sentence")))
+      val extra = sa.groupBy("doc_id")
+        .agg(max(col("sent_id")).as("mxid"))
+        .where(pmod(col("doc_id"), lit(7L)) === 2L)
+        .select(col("doc_id"), (col("mxid") + 1).as("sent_id"),
+          lit("An extra tail sentence for the alignment fixture.")
+            .as("sentence"))
+      TextOps.galeChurchAlign(sa, dropped.unionByName(extra))
+    }),
     // the C4 §2.2 three-sentence-span rule (r12 verdict #2): every
     // 3-sentence sliding window hashed, the globally first occurrence
     // owns a duplicated span, covered sentences of non-owner

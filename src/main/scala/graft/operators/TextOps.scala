@@ -1921,6 +1921,141 @@ object TextOps {
     syms
   }
 
+  /** Gale-Church sentence alignment (Gale & Church 1993, CL 19(1) —
+    * the classic LENGTH-BASED aligner for document-aligned bitext;
+    * the complement of the embedding-margin miners in
+    * [[graft.operators.Similarity]]: those SCORE candidate pairs from
+    * unaligned corpora, this SEGMENTS two parallel documents into
+    * aligned beads with no model at all, the recipe every published
+    * parallel-corpus build runs on page-aligned crawls): sentences
+    * pair by character-length correlation under a per-bead prior —
+    * moves 1-1 (prior penalty 0), 1-0/0-1 (450), 2-1/1-2 (230), 2-2
+    * (440), the paper's −100·log₂-prior constants — plus the length
+    * match cost −100·log P(|δ|), δ = (l₂−l₁)/√(6.8·mean), normal CDF
+    * via the Abramowitz-Stegun 26.2.17 rational approximation (the
+    * approximation the original implementation ships). DP ties break
+    * to the FIRST move in the fixed order above (1-1 preferred), so
+    * beads are deterministic. Known behavior of the published
+    * constants, stated: a lone mid-document insertion/deletion is
+    * ABSORBED into a 2-1/1-2 bead rather than surfacing as 1-0/0-1
+    * (450 plus an outlier length cost always exceeds 230 plus a mild
+    * one when an absorbing neighbor exists — the paper's own aligned
+    * output shows the same shape); bare 1-0/0-1 beads appear when no
+    * neighbor is available (document edges, consecutive deletions).
+    *
+    * Shape: the corpus-side work is ONE per-doc aggregate per side
+    * (sentence lengths into a sorted array — per-doc bounded, the
+    * sentSpanDedup rationale), an equi-join on doc_id, then the DP as
+    * a typed flatMap over the doc-pair frame (the bpeTokens rung-(d)
+    * escape hatch: a dynamic program has no declarative form; the
+    * frame it touches is doc-pairs, each carrying only its two length
+    * arrays). The DP is O(nA·nB) PER DOC — document-aligned units are
+    * paragraph/page-scale by construction (the paper aligns
+    * paragraphs first for exactly this reason); a 10⁴-sentence pair
+    * is the caller's smell, not a shuffle problem. Output: one row
+    * per bead (doc_id, a_first, n_a, b_first, n_b, kind, cost_centi),
+    * beads tile both sides exactly (spec-asserted). rows-only: the
+    * spec checks the DP against an exhaustive-search reference on
+    * small inputs and known merge/deletion plants.
+    */
+  def galeChurchAlign(sentsA: DataFrame, sentsB: DataFrame): DataFrame = {
+    val spark = sentsA.sparkSession
+    import spark.implicits._
+    def lens(df: DataFrame, out: String) = df
+      .select(col("doc_id"), col("sent_id"),
+        length(col("sentence")).cast("long").as("len"))
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sent_id"), col("len")))),
+        x => x.getField("len")).as(out))
+    lens(sentsA, "la").join(lens(sentsB, "lb"), Seq("doc_id"))
+      .select(col("doc_id"), col("la"), col("lb"))
+      .as[(Long, Seq[Long], Seq[Long])]
+      .flatMap { case (doc, la, lb) =>
+        galeChurchBeads(la.toArray, lb.toArray).map { case (af, na, bf, nb, k, c) =>
+          (doc, af, na, bf, nb, k, c) } }
+      .toDF("doc_id", "a_first", "n_a", "b_first", "n_b", "kind",
+        "cost_centi")
+  }
+
+  /** The bead move set: (Δa, Δb, −100·log₂ prior) — the paper's
+    * published constants, probed in THIS order on DP ties.
+    */
+  private[graft] val gcMoves: Seq[(Int, Int, Double)] = Seq(
+    (1, 1, 0.0), (1, 0, 450.0), (0, 1, 450.0),
+    (2, 1, 230.0), (1, 2, 230.0), (2, 2, 440.0))
+
+  // standard normal CDF, Abramowitz-Stegun 26.2.17 (|err| < 7.5e-8) —
+  // the approximation the original gale-church code uses
+  private def gcPnorm(z: Double): Double = {
+    val t = 1.0 / (1.0 + 0.2316419 * z)
+    val d = 0.3989423 * math.exp(-z * z / 2.0)
+    1.0 - d * t * (0.3193815 + t * (-0.3565638 + t * (1.781478 +
+      t * (-1.821256 + t * 1.330274))))
+  }
+
+  /** Length-match cost of one bead (char sums `la` vs `lb`):
+    * −100·log P, P = 2·(1−Φ(|δ|)), δ = (lb−la)/√(6.8·(la+lb)/2);
+    * floor 1e-10 keeps the log finite on wild length ratios.
+    */
+  private[graft] def gcMatchCost(la: Long, lb: Long): Double =
+    if (la == 0L && lb == 0L) 0.0
+    else {
+      val mean = (la + lb) / 2.0
+      val delta = (lb - la) / math.sqrt(6.8 * mean)
+      -100.0 * math.log(math.max(2.0 * (1.0 - gcPnorm(math.abs(delta))),
+        1e-10))
+    }
+
+  /** The alignment DP over two length arrays — beads as
+    * (a_first, n_a, b_first, n_b, kind, cost_centi), tiling both
+    * arrays exactly in order.
+    */
+  private[graft] def galeChurchBeads(a: Array[Long], b: Array[Long])
+      : Seq[(Long, Long, Long, Long, String, Long)] = {
+    val n = a.length
+    val m = b.length
+    if (n == 0 && m == 0) return Seq.empty
+    val INF = Double.MaxValue / 4
+    val cost = Array.fill(n + 1, m + 1)(INF)
+    val back = Array.fill(n + 1, m + 1)((0, 0))
+    cost(0)(0) = 0.0
+    var i = 0
+    while (i <= n) {
+      var j = 0
+      while (j <= m) {
+        if (i != 0 || j != 0) {
+          var best = INF
+          var bm = (0, 0)
+          gcMoves.foreach { case (da, db, pen) =>
+            if (i >= da && j >= db && cost(i - da)(j - db) < INF) {
+              var sa = 0L; var sb = 0L
+              var k = i - da; while (k < i) { sa += a(k); k += 1 }
+              k = j - db; while (k < j) { sb += b(k); k += 1 }
+              val s = cost(i - da)(j - db) + pen + gcMatchCost(sa, sb)
+              if (s < best) { best = s; bm = (da, db) }
+            }
+          }
+          cost(i)(j) = best
+          back(i)(j) = bm
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Long, Long, Long, Long, String, Long)]
+    var ci = n; var cj = m
+    while (ci > 0 || cj > 0) {
+      val (da, db) = back(ci)(cj)
+      val step = cost(ci)(cj) - cost(ci - da)(cj - db)
+      out.prepend(((ci - da).toLong, da.toLong, (cj - db).toLong,
+        db.toLong, s"$da-$db", math.rint(step).toLong))
+      ci -= da; cj -= db
+    }
+    out.toSeq
+  }
+
   /** Unigram-LM tokenizer LEARNING (Kudo 2018, arXiv:1804.10959 — the
     * SentencePiece unigram model; the OTHER major subword family next
     * to [[bpeLearn]]'s merge-based one, and the one production
