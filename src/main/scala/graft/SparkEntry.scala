@@ -633,6 +633,15 @@ object SparkEntry {
     "q_cluster_balance" -> ((s, d) =>
       Similarity.clusterBalance(t(s, d, "embeddings"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    // code-block extraction (late r14 s3) — <pre> blocks plus inline
+    // <code> scanned over the PRE-STRIPPED page (nested code never
+    // double-counts), inner tags stripped, entities decoded after;
+    // known-answer oracle enumerates the planted residues hand-decoded
+    "q_code_blocks" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextOps.codeBlocks(t(s, d, "documents").withColumn("html",
+        TextOps.syntheticCodeHtml(col("doc_id"), col("text"))))
+    }),
     // Unicode-script composition (late r14 s3) — the pre-lang-ID
     // bucketing signal: per-doc counts over seven script blocks,
     // dominant script (priority CASE on ties), share in ppm; the
@@ -2632,6 +2641,27 @@ object SparkEntry {
         |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
         |  CAST(FLOOR(n / n_lang * 1000000) AS BIGINT) AS share_ppm
         |FROM cells JOIN totals USING (lang)""".stripMargin,
+    // known-answer: the planted blocks per residue, contents
+    // HAND-DECODED (the entity decode and inner-tag strip are what is
+    // under test); the nested pre+code doc yields ONE pre row
+    "q_code_blocks" ->
+      """WITH raw AS (
+        |  SELECT doc_id, 'pre' AS kind, CAST(0 AS BIGINT) AS block_id,
+        |    'def f(x):' || chr(10) || '  return x < 1' || chr(10) AS content
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'pre',
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT),
+        |    'nested > block'
+        |  FROM documents WHERE doc_id % 5 = 2
+        |  UNION ALL
+        |  SELECT doc_id, 'code', CAST(0 AS BIGINT), 'a && b'
+        |  FROM documents WHERE doc_id % 4 = 1
+        |)
+        |SELECT doc_id, kind, block_id, content,
+        |  CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(length(content) AS BIGINT) AS n_chars
+        |FROM raw""".stripMargin,
     // the script injection mirrored as chained CASEs (same UTF-8
     // literals), counts as the length-minus-stripped idiom over the
     // \x{...} ranges both regex engines share, dominance as the same

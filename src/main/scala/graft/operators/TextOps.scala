@@ -87,6 +87,64 @@ object TextOps {
       .otherwise(c4)
   }
 
+  /** Code-block extraction (late r14 s3) — the code-vs-prose
+    * separation every published code-bearing corpus build runs (The
+    * Stack and RedPajama route `<pre>`/`<code>` content to a code
+    * pipeline with its own dedup/quality rules; leaving it inline
+    * instead poisons prose perplexity and stopword gates): one row
+    * per block — `<pre>` blocks first, then inline `<code>` scanned
+    * over the PRE-STRIPPED page (a `<code>` nested inside `<pre>`
+    * belongs to the pre block, never double-counts), inner tags
+    * stripped, entities decoded AFTER the strip (code is
+    * entity-escaped in HTML — `&lt;` IS the payload), per-block line
+    * and char counts. Scan-local regexp_extract_all + posexplode,
+    * zero shuffle; the quote-aware [[attrBody]] tag pattern
+    * throughout. block_id numbers blocks per (doc, kind) in document
+    * order.
+    */
+  def codeBlocks(documents: DataFrame,
+      htmlCol: String = "html"): DataFrame = {
+    def blocks(frame: DataFrame, tag: String, kind: String) = frame
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col(htmlCol),
+          lit(s"(?is)<$tag(?:\\s$attrBody)?>(.*?)</$tag>"), lit(1)))
+          .as(Seq("block_id", "raw")))
+      .select(col("doc_id"), lit(kind).as("kind"),
+        col("block_id").cast("long").as("block_id"),
+        decodeEntities(regexp_replace(col("raw"),
+          "<" + attrBody + ">", "")).as("content"))
+    val noPre = documents.withColumn(htmlCol,
+      regexp_replace(col(htmlCol), "(?is)<pre(?:\\s" + attrBody +
+        ")?>.*?</pre>", " "))
+    blocks(documents, "pre", "pre")
+      .unionByName(blocks(noPre, "code", "code"))
+      .withColumn("n_lines", size(split(col("content"), "\n")).cast("long"))
+      .withColumn("n_chars", length(col("content")).cast("long"))
+  }
+
+  /** Deterministic code-bearing HTML fixture for [[codeBlocks]]: a
+    * multi-line `<pre>` with an escaped `<` (id%3=0), an inline
+    * `<code>` with escaped `&&` (id%4=1), and a `<code>` NESTED in a
+    * `<pre>` (id%5=2 — must surface once, as the pre's content with
+    * the inner tag stripped). Known-answer oracle: the expected rows
+    * enumerated per residue, hand-decoded.
+    */
+  def syntheticCodeHtml(docId: Column, text: Column): Column = {
+    val id = docId.cast("long")
+    concat(
+      lit("<html><body><p>"), text, lit("</p>\n"),
+      when(pmod(id, lit(3L)) === 0L,
+        lit("<pre class=\"lang\">def f(x):\n  return x &lt; 1\n</pre>"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(4L)) === 1L,
+        lit("<p>Inline <code>a &amp;&amp; b</code> stays.</p>"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(5L)) === 2L,
+        lit("<pre><code>nested &gt; block</code></pre>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
   /** Language-ID heuristic: frequency of per-language stopword markers,
     * argmax with deterministic preference order (en > de > fr > es),
     * `unknown` when no marker hits. Pure projection — zero shuffle.

@@ -1065,6 +1065,30 @@ class TextOpsSpec extends SparkSuite {
     assert(err.getMessage.contains("cannot overwrite"))
   }
 
+  test("codeBlocks: pre and inline code extract with entities decoded " +
+      "and inner tags stripped; code nested in pre never double-counts; " +
+      "block ids follow document order; block-free docs emit nothing") {
+    val d = Seq(
+      (1L, "<p>x</p><pre>a &lt; b\nc</pre><p><code>f() &amp;&amp; g()</code></p>"),
+      (2L, "<pre><code>only pre</code></pre>"),
+      (3L, "<p>no blocks at all</p>"),
+      (4L, "<pre>first</pre><pre a=\"v>w\">second</pre>"))
+      .toDF("doc_id", "html")
+    val got = TextOps.codeBlocks(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    val d1 = got.filter(_._1 == 1L).sortBy(x => (x._2, x._3))
+    assert(d1.toSeq == Seq(
+      (1L, "code", 0L, "f() && g()", 1L),
+      (1L, "pre", 0L, "a < b\nc", 2L)), s"${d1.toSeq}")
+    assert(got.filter(_._1 == 2L).toSeq ==
+      Seq((2L, "pre", 0L, "only pre", 1L)), "nested must not double")
+    assert(!got.exists(_._1 == 3L))
+    val d4 = got.filter(_._1 == 4L).sortBy(_._3).map(_._4)
+    assert(d4.toSeq == Seq("first", "second"),
+      s"quoted '>' attr must not truncate: ${d4.toSeq}")
+  }
+
   test("scriptMix: per-script counts, dominance with priority ties, " +
       "none for unscripted text, floored ppm share") {
     val d = Seq(
