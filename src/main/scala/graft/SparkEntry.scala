@@ -854,6 +854,22 @@ object SparkEntry {
     "q_fetch_schedule" -> ((s, d) =>
       WebOps.fetchSchedule(webPagesOf(s, d, withUrl = true),
         WebOps.robotsCrawlDelay(WebOps.syntheticRobotsBodies(s)))),
+    // the composed crawler front half: RFC 9309 verdicts drop
+    // disallowed URLs BEFORE the scheduler orders what remains — the
+    // order a real fetcher actually executes (scheduling a forbidden
+    // URL is a wasted politeness slot); bodies→rules→gate→schedule,
+    // all four stages the engine's own parsers
+    "q_fetch_schedule_gated" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val pages = webPagesOf(s, d, withUrl = true)
+      val verdicts = WebOps.robotsTxtGateFull(pages,
+        WebOps.robotsTxtRules(WebOps.syntheticRobotsBodies(s),
+          withAllow = true))
+      WebOps.fetchSchedule(
+        pages.join(verdicts.where(!col("disallowed"))
+          .select("doc_id"), Seq("doc_id")),
+        WebOps.robotsCrawlDelay(WebOps.syntheticRobotsBodies(s)))
+    }),
     // recrawl prioritization — coverage's WHAT-is-missing extended
     // with WHEN-is-it-stale: declared lastmod vs the held snapshot's
     // fetched_at per canonical URL → missing / stale / fresh /
@@ -1893,6 +1909,32 @@ object SparkEntry {
 
   // syntheticRobotsRules mirrored: the per-host disallow table from
   // the same range construction
+  // the RFC 9309 full-gate verdict CTEs shared by q_robots_gate_full
+  // and the gated-schedule composition: both directions from the
+  // independent range construction, longest-match argmax as an
+  // independent row_number over (len DESC, allow DESC, prefix DESC)
+  private val fullGateCteSql =
+    """, rules_full AS (
+      |  SELECT host, prefix, FALSE AS allow FROM rules
+      |  UNION ALL
+      |  SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host, '/p/10' AS prefix, TRUE AS allow
+      |  FROM (SELECT unnest(range(20)) AS k) WHERE k % 4 = 1
+      |  UNION ALL
+      |  SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host, '/open' AS prefix, TRUE AS allow
+      |  FROM (SELECT unnest(range(20)) AS k)
+      |), ppf AS (
+      |  SELECT doc_id, host,
+      |    regexp_extract(url_canonical, '^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path
+      |  FROM canon
+      |), hits AS (
+      |  SELECT doc_id, host, path, prefix, allow,
+      |    row_number() OVER (PARTITION BY doc_id, host, path
+      |      ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rn
+      |  FROM ppf JOIN rules_full USING (host)
+      |  WHERE starts_with(path, prefix)
+      |), top1 AS (SELECT * FROM hits WHERE rn = 1)
+      |""".stripMargin
+
   private val robotsRulesSql =
     """, rules AS (
       |  SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host, '/p/1' AS prefix
@@ -2922,30 +2964,45 @@ object SparkEntry {
     // row_number over (len DESC, allow DESC, prefix DESC) — the
     // lexicographic-struct-max mirror
     "q_robots_gate_full" -> (urlFixtureSql + urlCanonSql + robotsRulesSql +
-      """, rules_full AS (
-        |  SELECT host, prefix, FALSE AS allow FROM rules
-        |  UNION ALL
-        |  SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host, '/p/10' AS prefix, TRUE AS allow
-        |  FROM (SELECT unnest(range(20)) AS k) WHERE k % 4 = 1
-        |  UNION ALL
-        |  SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host, '/open' AS prefix, TRUE AS allow
-        |  FROM (SELECT unnest(range(20)) AS k)
-        |), ppf AS (
-        |  SELECT doc_id, host,
-        |    regexp_extract(url_canonical, '^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path
-        |  FROM canon
-        |), hits AS (
-        |  SELECT doc_id, host, path, prefix, allow,
-        |    row_number() OVER (PARTITION BY doc_id, host, path
-        |      ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rn
-        |  FROM ppf JOIN rules_full USING (host)
-        |  WHERE starts_with(path, prefix)
-        |)
-        |SELECT p.doc_id, p.host, p.path,
+      fullGateCteSql +
+      """SELECT p.doc_id, p.host, p.path,
         |  COALESCE(NOT h.allow, FALSE) AS disallowed,
         |  h.prefix AS matched_prefix, h.allow AS matched_allow
-        |FROM ppf p LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
+        |FROM ppf p LEFT JOIN top1 h
         |  ON p.doc_id = h.doc_id AND p.host = h.host AND p.path = h.path""".stripMargin),
+    // the composed crawler front half: full-gate verdicts filter the
+    // frontier BEFORE the scheduler orders it — allowed canonicals
+    // only, same two-level-vs-global row_number proof as the plain
+    // schedule oracle
+    "q_fetch_schedule_gated" -> (urlFixtureSql + urlCanonSql +
+      robotsRulesSql + fullGateCteSql +
+      """, allowed AS (
+        |  SELECT p.doc_id
+        |  FROM ppf p LEFT JOIN top1 h
+        |    ON p.doc_id = h.doc_id AND p.host = h.host AND p.path = h.path
+        |  WHERE NOT COALESCE(NOT h.allow, FALSE)
+        |), cu AS (
+        |  SELECT DISTINCT host, url_canonical
+        |  FROM canon JOIN allowed USING (doc_id)
+        |), cb AS (
+        |  SELECT host, url_canonical,
+        |    CAST('0x' || substr(md5(url_canonical), 1, 2) AS INT) % 32 AS bucket
+        |  FROM cu
+        |), dl AS (
+        |  SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+        |    CASE WHEN k % 2 = 0 THEN 2500 ELSE 1000 END AS d
+        |  FROM (SELECT unnest(range(20)) AS k)
+        |), sq AS (
+        |  SELECT c.host, c.url_canonical,
+        |    row_number() OVER (PARTITION BY c.host
+        |      ORDER BY c.bucket, c.url_canonical) AS seq,
+        |    COALESCE(dl.d, 1000) AS delay_ms
+        |  FROM cb c LEFT JOIN dl ON c.host = dl.host
+        |)
+        |SELECT host, url_canonical, CAST(seq AS BIGINT) AS seq,
+        |  CAST(delay_ms AS BIGINT) AS delay_ms,
+        |  CAST((seq - 1) * delay_ms AS BIGINT) AS fetch_at_ms
+        |FROM sq""".stripMargin),
     // wildcard rules: the dedicated URL namespace mirrored, rules as
     // the same range construction but with HAND-WRITTEN regexes (the
     // engine derives its regex from the pattern — an independent

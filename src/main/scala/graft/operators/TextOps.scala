@@ -2158,19 +2158,28 @@ object TextOps {
     */
   def unigramLearn(documents: DataFrame, vocabSize: Int = 64,
       maxPieceLen: Int = 4, nIters: Int = 3,
-      seedSize: Int = 512): DataFrame = {
+      seedSize: Int = 512, maxWordLen: Int = 64): DataFrame = {
     require(vocabSize >= 1 && vocabSize <= 65536,
       s"vocabSize must be in [1, 65536], got $vocabSize")
     require(seedSize >= 1 && seedSize <= 65536,
       s"seedSize must be in [1, 65536], got $seedSize")
     require(maxPieceLen >= 2 && maxPieceLen <= 16,
       s"maxPieceLen must be in [2, 16], got $maxPieceLen")
+    require(maxWordLen >= maxPieceLen && maxWordLen <= 4096,
+      s"maxWordLen must be in [$maxPieceLen, 4096], got $maxWordLen")
     val spark = documents.sparkSession
     import spark.implicits._
-    // the ONE corpus pass (shared shape with bpeLearn/vocabTopK)
+    // the ONE corpus pass (shared shape with bpeLearn/vocabTopK).
+    // Words past maxWordLen are EXCLUDED from training — a crawl's
+    // megabyte no-whitespace garbage "word" would otherwise explode
+    // the substring seed len×maxPieceLen-fold and stall the E-step
+    // on one task (SentencePiece's trainer prunes over-long
+    // sentencepieces for the same reason); ENCODE still segments
+    // such words ([[unigramTokens]] has no length gate — the DP is
+    // linear in length, and coverage must never fail).
     val words = documents
       .select(explode(tokenize(col("text"))).as("w"))
-      .where(col("w") =!= "")
+      .where(col("w") =!= "" && length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .localCheckpoint()
     // seed counts: every substring occurrence, declarative (position ×

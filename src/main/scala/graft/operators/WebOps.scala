@@ -938,7 +938,14 @@ object WebOps {
     * emitted as integer milliseconds (§6 floored). Several matched
     * groups or repeated lines fold to the MAX delay — the
     * conservative politeness reading. Non-numeric values drop (the
-    * directive is spec-less; `Crawl-delay: soon` exists in the wild).
+    * directive is spec-less; `Crawl-delay: soon` exists in the wild),
+    * and so do values past 9 integer or 6 fraction digits — a
+    * ~31-year "delay" or a nano-second politeness claim is
+    * adversarial garbage, and BOUNDING the accepted pattern keeps the
+    * decimal cast inside range so one hostile robots.txt can never
+    * throw the job (ANSI overflow is loud by design everywhere else;
+    * an internet-facing parser must not hand that trigger to the
+    * crawled site).
     * Hosts-sized output: (host, crawl_delay_ms).
     */
   def robotsCrawlDelay(bodies: DataFrame,
@@ -947,7 +954,7 @@ object WebOps {
       Seq("user-agent", "crawl-delay"))
     grouped
       .where(!col("is_ua") &&
-        col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
+        col("value").rlike("^[0-9]{1,9}(\\.[0-9]{1,6})?$"))
       .join(robotsMatchedGroups(grouped, agent), Seq("host", "grp"))
       .select(col("host"),
         floor(col("value").cast("decimal(18,6)") * 1000)

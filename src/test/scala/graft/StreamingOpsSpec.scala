@@ -594,6 +594,33 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("scriptMix is stream-transparent: the SAME projection over a " +
+      "MemoryStream docs frame reproduces the batch scorecard (pure " +
+      "projection, zero state) — the intake can gate on script before " +
+      "lang-ID exactly as batch curation does") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "ab Яр"), (2L, "中文網頁"),
+      (3L, "...."))
+    def keyed(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("dominant_script"), r.getAs[Long]("n_script"),
+          r.getAs[Long]("dominant_ppm")))).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.scriptMix(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("script_mix_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = keyed(spark.table("script_mix_stream").collect())
+      val batch = keyed(graft.operators.TextOps.scriptMix(
+        rows.toDF("doc_id", "text")).collect())
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch(2L)._1 == "cjk" && batch(3L)._1 == "none")
+    } finally q.stop()
+  }
+
   test("lineDedupDocStream: cross-batch repeated long line drops, " +
       "first claimant and the short exempt line keep, unique lines " +
       "ride through") {

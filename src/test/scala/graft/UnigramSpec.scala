@@ -123,6 +123,23 @@ class UnigramSpec extends SparkSuite {
       s"got ${row.toSeq}")
   }
 
+  test("unigramLearn: words past maxWordLen are EXCLUDED from training " +
+      "(the crawl-garbage guard) but still encode at the UNK floor") {
+    val long = "q" * 500
+    val texts = Seq.fill(4)("abab abab") :+ s"ab $long"
+    val pieces = TextOps.unigramLearn(df(texts), vocabSize = 10,
+      maxPieceLen = 4, nIters = 2, seedSize = 32, maxWordLen = 16)
+    val tbl = pieces.collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(!tbl.keys.exists(_.contains("q")),
+      "the excluded word must contribute nothing to the table")
+    val enc = TextOps.unigramApply(long, tbl, 4)
+    assert(enc.mkString == long, "encode must still reconstruct")
+    val row = TextOps.unigramTokens(df(Seq(s"ab $long")), pieces)
+      .collect().head
+    assert(row.getAs[Long]("n_unk_chars") == 500L, s"got $row")
+  }
+
   test("property: segmentation reconstructs every distinct word under " +
       "a table learned from a seeded random corpus") {
     val rnd = new scala.util.Random(42)

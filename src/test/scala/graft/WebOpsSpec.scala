@@ -985,6 +985,11 @@ class WebOpsSpec extends SparkSuite {
         "User-agent: *\nCrawl-delay: 4\n"),
       // non-numeric drops; no valid delay at all -> host absent
       ("c.example.com", "User-agent: *\nCrawl-delay: soon\n"),
+      // out-of-bound digits drop instead of throwing (an adversarial
+      // robots.txt must never ANSI-overflow the job)
+      ("e.example.com", "User-agent: *\n" +
+        "Crawl-delay: 99999999999999999999\n" +
+        "Crawl-delay: 2.000000001\n"),
       // no star group -> absent under *
       ("d.example.com", "User-agent: yandex\nCrawl-delay: 3\n"))
       .toDF("host", "body")
@@ -992,7 +997,7 @@ class WebOpsSpec extends SparkSuite {
       .map(r => r.getAs[String]("host") -> r.getAs[Long]("crawl_delay_ms"))
       .toMap
     assert(got == Map("a.example.com" -> 2500L, "b.example.com" -> 4000L),
-      s"got $got")
+      s"got $got (e must drop both out-of-bound values, not throw)")
     // named agent: the yandex group applies on d; on a, googlebot's 9
     val yx = WebOps.robotsCrawlDelay(bodies, agent = "yandex").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
