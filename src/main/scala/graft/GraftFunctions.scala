@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSim, DeflateLen, DotF32, HmacSha256Hex, IdnToAscii, MinHashSketch, MisraGriesAgg, SimHash64Agg, VectorMeanAgg, VectorMomentsAgg}
+import graft.plans.{CosineSim, DeflateLen, DotF32, HmacSha256Hex, IdnToAscii, MinHashSketch, MisraGriesAgg, NfkcNormalize, SimHash64Agg, VectorMeanAgg, VectorMomentsAgg}
 
 /** Registers graft's native expressions as SQL functions on a session.
   *
@@ -45,6 +45,10 @@ object GraftFunctions {
     Fn("idn_to_ascii", { args =>
       require(args.length == 1, "idn_to_ascii(host)")
       IdnToAscii(args(0))
+    }),
+    Fn("nfkc_normalize", { args =>
+      require(args.length == 1, "nfkc_normalize(text)")
+      NfkcNormalize(args(0))
     }),
     // aggregate: the analyzer wraps the returned AggregateFunction
     Fn("minhash_sketch", { args =>

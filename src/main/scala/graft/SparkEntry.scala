@@ -642,6 +642,16 @@ object SparkEntry {
       TextOps.codeBlocks(t(s, d, "documents").withColumn("html",
         TextOps.syntheticCodeHtml(col("doc_id"), col("text"))))
     }),
+    // NFKC normalization (late r14 s3) — the SentencePiece-default
+    // pre-tokenization fold as a native codegen'd expression; the
+    // fixture pairs plain-ASCII and compatibility-damaged spellings
+    // of one text, the fold collapses each pair (rows-only — DuckDB
+    // ships NFC only; known-answer + collapse specs)
+    "q_nfkc_fold" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextOps.nfkcFold(t(s, d, "documents").withColumn("text",
+        TextOps.syntheticNfkcText(col("doc_id"))))
+    }),
     // Unicode-script composition (late r14 s3) — the pre-lang-ID
     // bucketing signal: per-doc counts over seven script blocks,
     // dominant script (priority CASE on ties), share in ppm; the

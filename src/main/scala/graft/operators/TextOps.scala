@@ -87,6 +87,49 @@ object TextOps {
       .otherwise(c4)
   }
 
+  /** NFKC text normalization (late r14 s3) — the pre-tokenization
+    * pass SentencePiece applies by DEFAULT (Kudo & Richardson 2018
+    * §3) and curation recipes run before dedup keys are cut:
+    * full-width letters, ligatures (`ﬁ`), super/subscripts and
+    * compatibility forms fold, so two crawls of one page that differ
+    * only in encoding form stop being distinct dedup keys and the
+    * tokenizer sees ONE spelling. Rides the codegen'd
+    * [[graft.plans.NfkcNormalize]] expression (pure-ASCII rows
+    * byte-scan and pass through — the dominant case); the fold is
+    * not SQL-expressible (DuckDB ships NFC only), so the key is
+    * rows-only with known-answer specs, the idnFold precedent.
+    * Returns per doc: the normalized text, before/after char counts
+    * and a `changed` flag (the audit trail — a corpus whose changed
+    * share spikes was fetched through a damaged transcode path).
+    * Pure projection, zero shuffle.
+    */
+  def nfkcFold(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), col(textCol).as("__raw"),
+        call_function("nfkc_normalize", col(textCol)).as("text_nfkc"))
+      .select(col("doc_id"),
+        length(col("__raw")).cast("long").as("n_chars_raw"),
+        length(col("text_nfkc")).cast("long").as("n_chars_nfkc"),
+        (col("text_nfkc") =!= col("__raw")).as("changed"),
+        col("text_nfkc"))
+  }
+
+  /** Deterministic compatibility-form fixture for [[nfkcFold]] — the
+    * [[WebOps.syntheticIdnUrl]] pattern: every 2 consecutive doc_ids
+    * are the SAME logical text, once in plain ASCII and once through
+    * compatibility damage (`ﬁ` ligature, superscript `²`, full-width
+    * `Ａ`), so the fold must collapse each pair to one normalized
+    * form (spec-asserted) and flag exactly the odd rows as changed.
+    */
+  def syntheticNfkcText(docId: Column): Column = {
+    val g = (docId.cast("long") / 2).cast("long")
+    when(pmod(docId.cast("long"), lit(2L)) === 0L,
+      concat(lit("sample fi x2 A doc "), g.cast("string")))
+      .otherwise(
+        concat(lit("sample ﬁ x² Ａ doc "), g.cast("string")))
+  }
+
   /** Code-block extraction (late r14 s3) — the code-vs-prose
     * separation every published code-bearing corpus build runs (The
     * Stack and RedPajama route `<pre>`/`<code>` content to a code

@@ -143,4 +143,23 @@ class ExpressionsSpec extends SparkSuite {
       .as[Double].collect()
     assert(got.forall(_.isNaN))
   }
+
+  test("nfkc_normalize: UAX #15 known answers — ligature, superscript, " +
+      "full-width, combining composition; ASCII identity; null-safe") {
+    GraftFunctions.register(spark)
+    val got = Seq(
+      Some("ﬁle x² Ａ"),          // ligature + superscript + full-width
+      Some("café"),          // e + combining acute composes to é
+      Some("plain ascii 123"),     // fast path: identity
+      Some("１２３"),  // full-width digits
+      None)
+      .toDF("t")
+      .select(call_function("nfkc_normalize", col("t")).as("n"))
+      .as[Option[String]].collect()
+    assert(got(0).contains("file x2 A"), s"got ${got(0)}")
+    assert(got(1).contains("café"), s"got ${got(1)}")
+    assert(got(2).contains("plain ascii 123"))
+    assert(got(3).contains("123"), s"got ${got(3)}")
+    assert(got(4).isEmpty, "null must stay null")
+  }
 }

@@ -1065,6 +1065,23 @@ class TextOpsSpec extends SparkSuite {
     assert(err.getMessage.contains("cannot overwrite"))
   }
 
+  test("nfkcFold: the fixture's compatibility-damaged twin collapses " +
+      "onto its ASCII pair, exactly the odd rows flag changed, and " +
+      "char counts shrink where forms decompose-fold") {
+    val d = spark.range(0, 10).toDF("doc_id")
+      .withColumn("text", TextOps.syntheticNfkcText(col("doc_id")))
+    val got = TextOps.nfkcFold(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("changed"), r.getAs[String]("text_nfkc"))))
+      .toMap
+    for (g <- 0L until 5L) {
+      val (cEven, tEven) = got(2 * g)
+      val (cOdd, tOdd) = got(2 * g + 1)
+      assert(!cEven && cOdd, s"pair $g flags: $cEven/$cOdd")
+      assert(tEven == tOdd, s"pair $g must collapse: '$tEven' vs '$tOdd'")
+    }
+  }
+
   test("codeBlocks: pre and inline code extract with entities decoded " +
       "and inner tags stripped; code nested in pre never double-counts; " +
       "block ids follow document order; block-free docs emit nothing") {
