@@ -1272,6 +1272,111 @@ object TextOps {
           .as("kl_nats"))
   }
 
+  /** Stupid-backoff trigram scoring (Brants et al. 2007, EMNLP —
+    * "Large Language Models in Machine Translation"; THE web-scale
+    * distributed-LM technique: no discount mass bookkeeping, just raw
+    * count ratios with a fixed backoff multiplier, designed exactly
+    * for the count-tables-as-joins shape a cluster computes): score a
+    * snapshot's documents under counts from a REFERENCE corpus —
+    * S(w₃|w₁w₂) = f(w₁w₂w₃)/f(w₁w₂) when the trigram is attested,
+    * else α·f(w₂w₃)/f(w₂), else α²·(f(w₃)+1)/(N+V) (Brants leaves
+    * OOV undefined; the add-one unigram floor is the documented
+    * deviation — a score must exist for every position). α = 0.4,
+    * the paper's value. Serve-shaped BY DESIGN: scoring a corpus
+    * under its own counts never backs off (every attested trigram
+    * hits), so the registered key scores the NEW half under OLD-half
+    * counts — the frozen-reference-model form [[lmScoreFrom]]
+    * established, with both backoff paths live. Emits per doc the
+    * path telemetry (n_tri_hits / n_bi_backoffs / n_uni_backoffs —
+    * a rising backoff share IS the domain-shift audit) and the mean
+    * trigram logprob.
+    *
+    * Determinism ([[bigramLogProb]]'s discipline exactly): count
+    * ratios are exact-integer inputs to ONE double division per
+    * distinct triple, the single ln rounds to 6 dp into DECIMAL × tf
+    * (fold-order-free sum), one final unrounded IEEE division; α
+    * multiplications are left-associated doubles, mirrored literally
+    * (the oracle CASTs its α to DOUBLE — DuckDB's bare 0.4 is a
+    * DECIMAL whose exact product would diverge from IEEE).
+    *
+    * Plan shape: the reference contributes three n-gram count
+    * aggregates (tri/bi/uni — each one explode + hash-agg with
+    * map-side combine); the scored snapshot ONE per-doc trigram tf
+    * aggregate (persisted — five lookup joins read it); lookups are
+    * n-gram-keyed equi-joins, shuffle O(distinct n-grams), never
+    * docs × vocab. Docs with fewer than 3 tokens emit no row (the
+    * wordEntropy convention).
+    */
+  def trigramBackoffScore(documents: DataFrame, reference: DataFrame,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    def toksOf = filter(tokenize(col("text")), t => t =!= "")
+    val refTri = reference.where(size(toksOf) >= 3)
+      .select(explode(shingleStructs(toksOf, 3)).as("z"))
+      .select(col("z").getField("0").as("w1"),
+        col("z").getField("1").as("w2"),
+        col("z").getField("2").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n_tri"))
+    val refBi = reference.where(size(toksOf) >= 2)
+      .select(explode(shingleStructs(toksOf, 2)).as("z"))
+      .select(col("z").getField("0").as("b1"),
+        col("z").getField("1").as("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("n_bi"))
+    val refUni = reference.select(explode(toksOf).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("n_uni"))
+    val refTotals = refUni.agg(sum(col("n_uni")).as("n_total"),
+      count(lit(1)).as("v_ref"))
+    val tf = documents.where(size(toksOf) >= 3)
+      .select(col("doc_id"), explode(shingleStructs(toksOf, 3)).as("z"))
+      .select(col("doc_id"), col("z").getField("0").as("w1"),
+        col("z").getField("1").as("w2"),
+        col("z").getField("2").as("w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count()
+    val joined = tf
+      .join(refTri, Seq("w1", "w2", "w3"), "left")
+      .join(refBi.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("n_bi").as("n_bi_ctx")), Seq("w1", "w2"), "left")
+      .join(refBi.select(col("b1").as("w2"), col("b2").as("w3"),
+        col("n_bi").as("n_bi_back")), Seq("w2", "w3"), "left")
+      .join(refUni.select(col("u").as("w2"),
+        col("n_uni").as("n_uni2")), Seq("w2"), "left")
+      .join(refUni.select(col("u").as("w3"),
+        col("n_uni").as("n_uni3")), Seq("w3"), "left")
+      .crossJoin(broadcast(refTotals))
+    // an attested trigram implies its context bigram is attested, and
+    // an attested backoff bigram implies w2's unigram is — the CASE
+    // arms never divide by null
+    val path = when(col("n_tri").isNotNull, lit(0))
+      .when(col("n_bi_back").isNotNull, lit(1)).otherwise(lit(2))
+    val s = when(col("n_tri").isNotNull,
+        col("n_tri").cast("double") / col("n_bi_ctx").cast("double"))
+      .when(col("n_bi_back").isNotNull,
+        lit(alpha) * col("n_bi_back").cast("double") /
+          col("n_uni2").cast("double"))
+      .otherwise(lit(alpha) * lit(alpha) *
+        (coalesce(col("n_uni3"), lit(0L)) + 1).cast("double") /
+        (col("n_total") + col("v_ref")).cast("double"))
+    val lp = round(log(s), 6).cast("decimal(12,6)")
+    joined
+      .select(col("doc_id"), col("tf"), path.as("p"),
+        (col("tf").cast("decimal(10,0)") * lp).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(when(col("p") === 0, col("tf")).otherwise(lit(0L)))
+          .as("n_tri_hits"),
+        sum(when(col("p") === 1, col("tf")).otherwise(lit(0L)))
+          .as("n_bi_backoffs"),
+        sum(when(col("p") === 2, col("tf")).otherwise(lit(0L)))
+          .as("n_uni_backoffs"),
+        sum(col("contrib")).as("sum_lp"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_tri_hits"),
+        col("n_bi_backoffs"), col("n_uni_backoffs"),
+        (col("sum_lp").cast("double") / col("n_trigrams").cast("double"))
+          .as("avg_logprob"))
+  }
+
   /** Bigram-LM fluency score — one rung up the CCNet ladder from
     * [[unigramLogProb]] (unigram scoring is order-blind: "the the the"
     * and real prose with the same tokens score identically; a bigram

@@ -1065,6 +1065,34 @@ class TextOpsSpec extends SparkSuite {
     assert(err.getMessage.contains("cannot overwrite"))
   }
 
+  test("trigramBackoffScore: hand-computed stupid-backoff arms — " +
+      "attested trigram ratio, alpha bigram backoff, alpha-squared " +
+      "add-one unigram floor — with per-path telemetry; short docs " +
+      "emit no row") {
+    // reference "a b c a b d": uni a2 b2 c1 d1 (N=6, V=4);
+    // bi ab2 bc1 ca1 bd1; tri abc1 bca1 cab1 abd1
+    val ref = Seq((0L, "a b c a b d", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val scored = Seq(
+      (1L, "a b c x", "en", "s"),  // (a,b,c) hit 1/2; (b,c,x) uni floor
+      (2L, "x a b", "en", "s"),    // (x,a,b): bi backoff 0.4*2/2
+      (3L, "a b", "en", "s"))      // <3 tokens: no row
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.trigramBackoffScore(scored, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(!got.contains(3L))
+    val (n1, h1, b1, u1, lp1) = got(1L)
+    assert((n1, h1, b1, u1) == ((2L, 1L, 0L, 1L)), s"doc1 paths: ${got(1L)}")
+    val exp1 = (math.rint(math.log(0.5) * 1e6) / 1e6 +
+      math.rint(math.log(0.4 * 0.4 * 1.0 / 10.0) * 1e6) / 1e6) / 2.0
+    assert(math.abs(lp1 - exp1) < 1e-9, s"doc1 lp $lp1 vs $exp1")
+    val (n2, h2, b2, u2, lp2) = got(2L)
+    assert((n2, h2, b2, u2) == ((1L, 0L, 1L, 0L)), s"doc2 paths: ${got(2L)}")
+    val exp2 = math.rint(math.log(0.4 * 2.0 / 2.0) * 1e6) / 1e6
+    assert(math.abs(lp2 - exp2) < 1e-9, s"doc2 lp $lp2 vs $exp2")
+  }
+
   test("nfkcFold: the fixture's compatibility-damaged twin collapses " +
       "onto its ASCII pair, exactly the odd rows flag changed, and " +
       "char counts shrink where forms decompose-fold") {
