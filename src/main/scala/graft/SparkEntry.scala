@@ -212,6 +212,16 @@ object SparkEntry {
       p
     }
 
+  /** Memoized old-half frozen trigram count tables — q_lm_trigram_serve
+    * scores the new half under them with zero reference passes.
+    */
+  private def trigramIndexOf(s: SparkSession, d: String): String =
+    memo(s, d, "trigramindex-path") {
+      val p = indexScratchPath(d, "trigramindex")
+      TextOps.writeTrigramIndex(docHalf(s, d, old = true), p)
+      p
+    }
+
   private def bpeMergesOf(s: SparkSession, d: String): DataFrame =
     memo(s, d, "bpe-merges") {
       import s.implicits._
@@ -1332,6 +1342,13 @@ object SparkEntry {
     "q_lm_trigram" -> ((s, d) =>
       TextOps.trigramBackoffScore(docHalf(s, d, old = false),
         docHalf(s, d, old = true))),
+    // the persisted-table twin: frozen tri/bi/uni count parquet from
+    // the old half, zero reference-corpus passes on the serve path;
+    // counting is deterministic, so the oracle is q_lm_trigram's own
+    // (the q_lm_serve rule — the stored model recomputes inline)
+    "q_lm_trigram_serve" -> ((s, d) =>
+      TextOps.trigramScoreFrom(s, trigramIndexOf(s, d),
+        docHalf(s, d, old = false))),
     "q_hash_embed" -> ((s, d) => TextOps.hashEmbedSparse(t(s, d, "documents"))),
     "q_zipf_slope" -> ((s, d) => TextOps.zipfSlope(t(s, d, "documents"))),
     // rows-only (driver-iterated k-means centroids); threshold opts
@@ -1928,6 +1945,77 @@ object SparkEntry {
 
   // syntheticRobotsRules mirrored: the per-host disallow table from
   // the same range construction
+  // the stupid-backoff oracle text shared by q_lm_trigram and
+  // its persisted-table serve twin (deterministic counting makes
+  // them hash-equal)
+  private lazy val lmTrigramOracle =
+    """WITH cut AS (
+        |  SELECT CAST(FLOOR(MAX(doc_id) / 2.0) AS BIGINT) AS c FROM documents
+        |), olddocs AS (
+        |  SELECT * FROM documents WHERE doc_id < (SELECT c FROM cut)
+        |), newdocs AS (
+        |  SELECT * FROM documents WHERE doc_id >= (SELECT c FROM cut)
+        |), otg AS (
+        |  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2, toks[i + 3] AS w3
+        |  FROM (SELECT toks, unnest(range(len(toks) - 2)) AS i
+        |        FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |              FROM olddocs)
+        |        WHERE len(toks) >= 3)
+        |), tri AS (
+        |  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n_tri FROM otg GROUP BY 1, 2, 3
+        |), obg AS (
+        |  SELECT toks[i + 1] AS b1, toks[i + 2] AS b2
+        |  FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i
+        |        FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |              FROM olddocs)
+        |        WHERE len(toks) >= 2)
+        |), bi AS (
+        |  SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS n_bi FROM obg GROUP BY 1, 2
+        |), ou AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS u
+        |  FROM olddocs
+        |), uni AS (
+        |  SELECT u, CAST(COUNT(*) AS BIGINT) AS n_uni FROM ou GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(n_uni) AS BIGINT) AS n_total,
+        |    CAST(COUNT(*) AS BIGINT) AS v_ref FROM uni
+        |), ntg AS (
+        |  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2, toks[i + 3] AS w3
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |              FROM newdocs)
+        |        WHERE len(toks) >= 3)
+        |), tf AS (
+        |  SELECT doc_id, w1, w2, w3, COUNT(*) AS tf FROM ntg GROUP BY 1, 2, 3, 4
+        |), scored AS (
+        |  SELECT f.doc_id, f.tf,
+        |    CASE WHEN t.n_tri IS NOT NULL THEN 0
+        |         WHEN bb.n_bi IS NOT NULL THEN 1 ELSE 2 END AS p,
+        |    CASE WHEN t.n_tri IS NOT NULL
+        |           THEN CAST(t.n_tri AS DOUBLE) / CAST(bc.n_bi AS DOUBLE)
+        |         WHEN bb.n_bi IS NOT NULL
+        |           THEN CAST(0.4 AS DOUBLE) * CAST(bb.n_bi AS DOUBLE) / CAST(u2.n_uni AS DOUBLE)
+        |         ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+        |           CAST(COALESCE(u3.n_uni, 0) + 1 AS DOUBLE) /
+        |           CAST(tot.n_total + tot.v_ref AS DOUBLE) END AS s
+        |  FROM tf f
+        |  LEFT JOIN tri t ON f.w1 = t.w1 AND f.w2 = t.w2 AND f.w3 = t.w3
+        |  LEFT JOIN bi bc ON f.w1 = bc.b1 AND f.w2 = bc.b2
+        |  LEFT JOIN bi bb ON f.w2 = bb.b1 AND f.w3 = bb.b2
+        |  LEFT JOIN uni u2 ON f.w2 = u2.u
+        |  LEFT JOIN uni u3 ON f.w3 = u3.u
+        |  CROSS JOIN tot
+        |)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(CASE WHEN p = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_tri_hits,
+        |  CAST(SUM(CASE WHEN p = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_bi_backoffs,
+        |  CAST(SUM(CASE WHEN p = 2 THEN tf ELSE 0 END) AS BIGINT) AS n_uni_backoffs,
+        |  CAST(SUM(CAST(tf AS DECIMAL(10,0)) *
+        |      CAST(ROUND(ln(s), 6) AS DECIMAL(12,6))) AS DOUBLE)
+        |    / CAST(SUM(tf) AS DOUBLE) AS avg_logprob
+        |FROM scored GROUP BY doc_id""".stripMargin
+
   // the RFC 9309 full-gate verdict CTEs shared by q_robots_gate_full
   // and the gated-schedule composition: both directions from the
   // independent range construction, longest-match argmax as an
@@ -4593,73 +4681,10 @@ object SparkEntry {
     // new-half per-doc trigram tf, the three-arm CASE with
     // DOUBLE-cast alpha (left-associated like the Spark plan), the
     // 6-dp-round-into-DECIMAL contribution discipline
-    "q_lm_trigram" ->
-      """WITH cut AS (
-        |  SELECT CAST(FLOOR(MAX(doc_id) / 2.0) AS BIGINT) AS c FROM documents
-        |), olddocs AS (
-        |  SELECT * FROM documents WHERE doc_id < (SELECT c FROM cut)
-        |), newdocs AS (
-        |  SELECT * FROM documents WHERE doc_id >= (SELECT c FROM cut)
-        |), otg AS (
-        |  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2, toks[i + 3] AS w3
-        |  FROM (SELECT toks, unnest(range(len(toks) - 2)) AS i
-        |        FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
-        |              FROM olddocs)
-        |        WHERE len(toks) >= 3)
-        |), tri AS (
-        |  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n_tri FROM otg GROUP BY 1, 2, 3
-        |), obg AS (
-        |  SELECT toks[i + 1] AS b1, toks[i + 2] AS b2
-        |  FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i
-        |        FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
-        |              FROM olddocs)
-        |        WHERE len(toks) >= 2)
-        |), bi AS (
-        |  SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS n_bi FROM obg GROUP BY 1, 2
-        |), ou AS (
-        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS u
-        |  FROM olddocs
-        |), uni AS (
-        |  SELECT u, CAST(COUNT(*) AS BIGINT) AS n_uni FROM ou GROUP BY 1
-        |), tot AS (
-        |  SELECT CAST(SUM(n_uni) AS BIGINT) AS n_total,
-        |    CAST(COUNT(*) AS BIGINT) AS v_ref FROM uni
-        |), ntg AS (
-        |  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2, toks[i + 3] AS w3
-        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
-        |        FROM (SELECT doc_id,
-        |                list_filter(string_split(text, ' '), t -> t <> '') AS toks
-        |              FROM newdocs)
-        |        WHERE len(toks) >= 3)
-        |), tf AS (
-        |  SELECT doc_id, w1, w2, w3, COUNT(*) AS tf FROM ntg GROUP BY 1, 2, 3, 4
-        |), scored AS (
-        |  SELECT f.doc_id, f.tf,
-        |    CASE WHEN t.n_tri IS NOT NULL THEN 0
-        |         WHEN bb.n_bi IS NOT NULL THEN 1 ELSE 2 END AS p,
-        |    CASE WHEN t.n_tri IS NOT NULL
-        |           THEN CAST(t.n_tri AS DOUBLE) / CAST(bc.n_bi AS DOUBLE)
-        |         WHEN bb.n_bi IS NOT NULL
-        |           THEN CAST(0.4 AS DOUBLE) * CAST(bb.n_bi AS DOUBLE) / CAST(u2.n_uni AS DOUBLE)
-        |         ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
-        |           CAST(COALESCE(u3.n_uni, 0) + 1 AS DOUBLE) /
-        |           CAST(tot.n_total + tot.v_ref AS DOUBLE) END AS s
-        |  FROM tf f
-        |  LEFT JOIN tri t ON f.w1 = t.w1 AND f.w2 = t.w2 AND f.w3 = t.w3
-        |  LEFT JOIN bi bc ON f.w1 = bc.b1 AND f.w2 = bc.b2
-        |  LEFT JOIN bi bb ON f.w2 = bb.b1 AND f.w3 = bb.b2
-        |  LEFT JOIN uni u2 ON f.w2 = u2.u
-        |  LEFT JOIN uni u3 ON f.w3 = u3.u
-        |  CROSS JOIN tot
-        |)
-        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
-        |  CAST(SUM(CASE WHEN p = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_tri_hits,
-        |  CAST(SUM(CASE WHEN p = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_bi_backoffs,
-        |  CAST(SUM(CASE WHEN p = 2 THEN tf ELSE 0 END) AS BIGINT) AS n_uni_backoffs,
-        |  CAST(SUM(CAST(tf AS DECIMAL(10,0)) *
-        |      CAST(ROUND(ln(s), 6) AS DECIMAL(12,6))) AS DOUBLE)
-        |    / CAST(SUM(tf) AS DOUBLE) AS avg_logprob
-        |FROM scored GROUP BY doc_id""".stripMargin,
+    "q_lm_trigram" -> lmTrigramOracle,
+    // deterministic counting means the persisted-table serve equals
+    // the inline reference score — ONE oracle text for both keys
+    "q_lm_trigram_serve" -> lmTrigramOracle,
     "q_train_order" ->
       """WITH keyed AS (
         |  SELECT doc_id,

@@ -1317,13 +1317,71 @@ object TextOps {
         col("z").getField("1").as("w2"),
         col("z").getField("2").as("w3"))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n_tri"))
+    // localCheckpoint'ed: the bigram table feeds TWO lookup joins
+    // (context + backoff) and the unigram table three readers — each
+    // un-truncated plan reference would re-run the reference-corpus
+    // explode (the starFrames re-derivation lesson); both frames are
+    // vocab-sized, so eager materialization is cheap
     val refBi = reference.where(size(toksOf) >= 2)
       .select(explode(shingleStructs(toksOf, 2)).as("z"))
       .select(col("z").getField("0").as("b1"),
         col("z").getField("1").as("b2"))
       .groupBy("b1", "b2").agg(count(lit(1)).as("n_bi"))
+      .localCheckpoint()
     val refUni = reference.select(explode(toksOf).as("u"))
       .groupBy("u").agg(count(lit(1)).as("n_uni"))
+      .localCheckpoint()
+    trigramScoreCore(documents, refTri, refBi, refUni, alpha)
+  }
+
+  /** Persist the stupid-backoff count tables — the artifact hand-off
+    * ([[writeLmIndex]]'s trigram twin): `tri/`, `bi/`, `uni/` count
+    * parquet, counted ONCE on a reference snapshot; later slices
+    * score under the frozen tables via [[trigramScoreFrom]].
+    */
+  def writeTrigramIndex(reference: DataFrame, path: String): Unit = {
+    def toksOf = filter(tokenize(col("text")), t => t =!= "")
+    reference.where(size(toksOf) >= 3)
+      .select(explode(shingleStructs(toksOf, 3)).as("z"))
+      .select(col("z").getField("0").as("w1"),
+        col("z").getField("1").as("w2"),
+        col("z").getField("2").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n_tri"))
+      .write.mode("overwrite").parquet(s"$path/tri")
+    reference.where(size(toksOf) >= 2)
+      .select(explode(shingleStructs(toksOf, 2)).as("z"))
+      .select(col("z").getField("0").as("b1"),
+        col("z").getField("1").as("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("n_bi"))
+      .write.mode("overwrite").parquet(s"$path/bi")
+    reference.select(explode(toksOf).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("n_uni"))
+      .write.mode("overwrite").parquet(s"$path/uni")
+  }
+
+  /** Score a NEW snapshot under a persisted [[writeTrigramIndex]] —
+    * the serve leg: the frozen count tables load as parquet scans
+    * (no reference-corpus pass at all on the serve path), and because
+    * counting is deterministic the serve output hash-equals scoring
+    * against a fresh inline reference (the q_lm_serve oracle rule —
+    * the stored model recomputes in SQL).
+    */
+  def trigramScoreFrom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newDocs: DataFrame,
+      alpha: Double = 0.4): DataFrame =
+    trigramScoreCore(newDocs,
+      spark.read.parquet(s"$indexPath/tri"),
+      spark.read.parquet(s"$indexPath/bi"),
+      spark.read.parquet(s"$indexPath/uni"), alpha)
+
+  /** The scoring half shared by the inline and persisted-table legs:
+    * one per-doc trigram tf aggregate, five n-gram-keyed lookup
+    * joins, the three-arm CASE, the 6-dp determinism discipline.
+    */
+  private def trigramScoreCore(documents: DataFrame, refTri: DataFrame,
+      refBi: DataFrame, refUni: DataFrame, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    def toksOf = filter(tokenize(col("text")), t => t =!= "")
     val refTotals = refUni.agg(sum(col("n_uni")).as("n_total"),
       count(lit(1)).as("v_ref"))
     val tf = documents.where(size(toksOf) >= 3)

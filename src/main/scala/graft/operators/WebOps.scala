@@ -1322,11 +1322,16 @@ object WebOps {
   def fetchSchedule(pages: DataFrame, delays: DataFrame,
       urlCol: String = "url", defaultDelayMs: Long = 1000L,
       nBuckets: Int = 32): DataFrame = {
+    // persisted: the offsets aggregate AND the rank both read this
+    // corpus-sized frame — unpersisted, the canonicalize+distinct
+    // would run twice (the decode-once discipline; bigramLogProb's
+    // tf persist is the precedent)
     val canon = urlNormalize(pages, urlCol)
       .select(col("host"), col("url_canonical")).distinct()
       .withColumn("bucket",
         pmod(conv(substring(md5(col("url_canonical")), 1, 2), 16, 10)
           .cast("long"), lit(nBuckets.toLong)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = canon.groupBy("host", "bucket")
       .agg(count(lit(1)).as("n"))
       .withColumn("off",

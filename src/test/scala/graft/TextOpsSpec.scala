@@ -1093,6 +1093,22 @@ class TextOpsSpec extends SparkSuite {
     assert(math.abs(lp2 - exp2) < 1e-9, s"doc2 lp $lp2 vs $exp2")
   }
 
+  test("trigram serve round trip: the persisted count tables reproduce " +
+      "the inline reference score exactly") {
+    val ref = Seq((0L, "a b c a b d", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val scored = Seq((1L, "a b c x", "en", "s"), (2L, "x a b", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val path = s"/tmp/graft-test-warehouse/trigram-rt-${System.nanoTime}"
+    TextOps.writeTrigramIndex(ref, path)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val inline = keyed(TextOps.trigramBackoffScore(scored, ref))
+    val served = keyed(TextOps.trigramScoreFrom(spark, path, scored))
+    assert(served == inline, s"served $served vs inline $inline")
+  }
+
   test("nfkcFold: the fixture's compatibility-damaged twin collapses " +
       "onto its ASCII pair, exactly the odd rows flag changed, and " +
       "char counts shrink where forms decompose-fold") {
