@@ -2993,17 +2993,24 @@ object SparkEntry {
     // Hamilton apportionment over the 5-iter ranks: integer floors,
     // then the leftover distributed by an INDEPENDENT row_number over
     // (remainder DESC, host) — exact-sum arithmetic mirrors bit-level
+    // rb/bw/bq/bl are MATERIALIZED and the per-row scalars ride a
+    // CROSS JOIN: DuckDB v1.0.0 INLINES plain CTEs, so the first cut
+    // re-evaluated the whole 5-iteration pagerank chain once per
+    // scalar-subquery reference (measured 247.9 s at sf0.1 — the one
+    // oracle outlier of the round); pinned, it times like its
+    // neighbors (the pageRankSql dangling-variant precedent)
     "q_crawl_budget" -> (linkPageSql + ", " + urlFixtureCteSql +
       urlCanonSql + hostEdgeSql(false) + pageRankSql(5) +
-      """, bw AS (
-        |  SELECT SUM(rank_micro) AS tw, COUNT(*) AS n
-        |  FROM r5 WHERE rank_micro > 0
-        |), bq AS (
+      """, rb AS MATERIALIZED (
+        |  SELECT host, rank_micro FROM r5 WHERE rank_micro > 0
+        |), bw AS MATERIALIZED (
+        |  SELECT SUM(rank_micro) AS tw, COUNT(*) AS n FROM rb
+        |), bq AS MATERIALIZED (
         |  SELECT host, rank_micro AS wt,
-        |    ((100000 - 2 * (SELECT n FROM bw)) * rank_micro) // (SELECT tw FROM bw) AS fl,
-        |    ((100000 - 2 * (SELECT n FROM bw)) * rank_micro) % (SELECT tw FROM bw) AS rem
-        |  FROM r5 WHERE rank_micro > 0
-        |), bl AS (
+        |    ((100000 - 2 * w.n) * rank_micro) // w.tw AS fl,
+        |    ((100000 - 2 * w.n) * rank_micro) % w.tw AS rem
+        |  FROM rb CROSS JOIN bw w
+        |), bl AS MATERIALIZED (
         |  SELECT (100000 - 2 * (SELECT n FROM bw)) - SUM(fl) AS leftover FROM bq
         |), br AS (
         |  SELECT host, wt, fl, rem,
