@@ -11,6 +11,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // r14 opt round (guide §2): let AQE re-plan partitioning across
+      // the InMemoryRelation boundary. The engine leans on memoized
+      // persisted fixtures/index frames (the compute-once discipline),
+      // and with Spark's default `false` every stage DOWNSTREAM of a
+      // cached frame is pinned to the static shuffle partition count —
+      // AQE's size-based coalescing never fires, at ANY scale, for
+      // exactly the operators that reuse data. Measured at sf0.1:
+      // q_crawl_budget 488→26 tasks (85→0.4 summed task-seconds),
+      // q_mine_bitext_sent_ann 686→35 tasks, q_pagerank 357→20, with
+      // no regression on the compute-heavy keys (partition targets
+      // stay size-derived, so real data keeps its parallelism). Env
+      // knob so the driver's A/B stays one flag away.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: exercises parquet reader, codegen, shuffle and

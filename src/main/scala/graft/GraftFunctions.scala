@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSim, DeflateLen, DotF32, HmacSha256Hex, IdnToAscii, MinHashSketch, MisraGriesAgg, NfkcNormalize, SimHash64Agg, VectorMeanAgg, VectorMomentsAgg}
+import graft.plans.{CosineSim, DeflateLen, DotF32, HmacSha256Hex, IdnToAscii, MinHashSketch, MisraGriesAgg, NfkcNormalize, PqCodes, PqLut, SimHash64Agg, TopCells, VectorMeanAgg, VectorMomentsAgg}
 
 /** Registers graft's native expressions as SQL functions on a session.
   *
@@ -87,6 +87,23 @@ object GraftFunctions {
     Fn("deflate_len", { args =>
       require(args.length == 1, "deflate_len(text)")
       DeflateLen(args(0))
+    }),
+    // the IVF/PQ loop kernels (r14 opt round): constant generated-code
+    // size in the centroid/codeword count — the unrolled per-cell
+    // dot_f32 forms they replace blow Janino's 64 KB method limit at
+    // the √N auto geometry and drop the hottest ANN stages to
+    // interpreted execution
+    Fn("top_cells", { args =>
+      require(args.length == 3, "top_cells(emb, centroidsLit, nProbe)")
+      TopCells(args(0), args(1), intLit(args, 2, "top_cells nProbe", 1))
+    }),
+    Fn("pq_codes", { args =>
+      require(args.length == 2, "pq_codes(emb, booksLit)")
+      PqCodes(args(0), args(1))
+    }),
+    Fn("pq_lut", { args =>
+      require(args.length == 2, "pq_lut(emb, booksLit)")
+      PqLut(args(0), args(1))
     })
   )
 

@@ -659,36 +659,47 @@ object Similarity {
   private def centroidComponent(c: Int, d: Int): Float =
     planeComponent(c + 10007, d)
 
+  /** The unit-normalization behind [[unitLit]], reusable where the
+    * normalized components feed a MATRIX literal ([[cellsFor]]'s
+    * `top_cells` centroid argument) instead of one vector literal.
+    */
+  private def unitComponents(components: IndexedSeq[Float]): Seq[Float] = {
+    val norm = math.sqrt(components.map(x => x.toDouble * x).sum)
+    components.map(x => (x / norm).toFloat).toSeq
+  }
+
   /** Unit-normalized literal vector (normalized once at plan build, in
     * Scala): lets the per-row kernel be a plain `dot_f32` — same sign
     * as cosine for LSH bits, same argmax for IVF cells — without
     * recomputing the row norm against every plane/centroid.
     */
-  private def unitLit(components: IndexedSeq[Float]): Column = {
-    val norm = math.sqrt(components.map(x => x.toDouble * x).sum)
+  private def unitLit(components: IndexedSeq[Float]): Column =
     // ONE Literal node per vector (typedLit), not dim CreateArray
     // children: with hundreds of embedded vectors (512 PQ codewords at
     // the defaults) the per-element form costs thousands of Catalyst
     // nodes, and plan analysis dominated annIvfPq's wall clock
-    typedLit(components.map(x => (x / norm).toFloat).toSeq)
-  }
+    typedLit(unitComponents(components))
 
   /** Cell assignment against a given centroid set: argmax-dot over the
-    * unit-normalized centroid literals — pure codegen'd projection,
-    * zero shuffle. `nProbe` > 1 returns the top-probe cells (query
-    * side); one row per (vec, probed cell).
+    * unit-normalized centroid matrix — ONE native `top_cells` loop
+    * kernel (graft.plans.TopCells), zero shuffle. `nProbe` > 1 returns
+    * the top-probe cells (query side); one row per (vec, probed cell).
+    *
+    * r14 opt round: this was an UNROLLED per-cell struct sort
+    * (`reverse(array_sort(array(struct(dot_f32(emb, c_i), i)…)))`) —
+    * at the √N auto geometry (≈190 cells at sf0.1 sentences, up to
+    * 4096 at the cap) the fused projection's generated Java blew
+    * Janino's 64 KB method limit and the stage fell back to
+    * interpreted execution. The loop kernel generates O(1) code at any
+    * cell count and ranks (dot DESC, cell DESC) — bit-identical to the
+    * struct-sort form (IvfPqExprSpec asserts equality on the
+    * degenerate vectors too).
     */
   private def cellsFor(e: DataFrame,
-      centroids: IndexedSeq[IndexedSeq[Float]], nProbe: Int): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (cvec, i) =>
-      struct(call_function("dot_f32", col("embedding"), unitLit(cvec)).as("d"),
-        lit(i).as("c"))
-    }
-    val ranked = reverse(array_sort(array(scored: _*)))
+      centroids: IndexedSeq[IndexedSeq[Float]], nProbe: Int): DataFrame =
     e.select(col("vec_id"), col("embedding"),
-        explode(slice(ranked, 1, nProbe)).as("cell_s"))
-      .select(col("vec_id"), col("embedding"), col("cell_s.c").as("cell"))
-  }
+      explode(call_function("top_cells", col("embedding"),
+        typedLit(centroids.map(unitComponents)), lit(nProbe))).as("cell"))
 
   /** IVF cell assignment over `nCells` FIXED (splitmix) centroids. */
   def ivfCells(embeddings: DataFrame, nCells: Int = 8, nProbe: Int = 1,
@@ -1044,28 +1055,9 @@ object Similarity {
     math.min(maxAutoCells.toLong, math.max(8L, wanted)).toInt
   }
 
-  /** L2 argmin against one PQ codebook as a codegen expression:
-    * argmin_j ||x − c_j||² = argmax_j (x·c_j − ||c_j||²/2) — the
-    * squared-norm halves fold to literals at plan build, so the per-row
-    * work is `kCodes` native `dot_f32` kernels over a `dim/m`-length
-    * slice plus one bounded array sort. Ties break toward the higher
-    * code index (the same struct-sort convention as [[cellsFor]]),
-    * deterministically.
-    */
-  private def pqArgminExpr(book: IndexedSeq[IndexedSeq[Float]],
-      subvec: Column): Column = {
-    val scored = book.zipWithIndex.map { case (cw, j) =>
-      val halfNorm2 = cw.map(x => x.toDouble * x).sum / 2.0
-      struct(
-        (call_function("dot_f32", subvec, typedLit(cw.toSeq)) -
-          lit(halfNorm2)).as("d"),
-        lit(j).as("c"))
-    }
-    // array_max = one O(k) pass under the same (d, c) struct ordering
-    // as the reverse-sort idiom — measured ~2× on the PQ training
-    // passes vs sorting 64 structs per row
-    array_max(array(scored: _*)).getField("c")
-  }
+  // (the former pqArgminExpr — an unrolled per-codeword struct
+  // array_max — lives on as the native pq_codes loop kernel; see
+  // [[pqCodeArray]] and graft.plans.PqCodes)
 
   /** Vectors the PQ encoder can actually represent: present, exactly
     * `dim` elements, no NULL/NaN element. Without this gate a
@@ -1084,15 +1076,18 @@ object Similarity {
 
   /** The `m` per-subspace code columns for one embedding column —
     * shared by [[pqEncode]] and [[annIvfPq]] so the stored codes and
-    * the ADC scorer can never disagree on the encoding.
+    * the ADC scorer can never disagree on the encoding. ONE native
+    * `pq_codes` loop kernel (graft.plans.PqCodes): L2 argmin per
+    * subspace as argmax_j (x·c_j − ‖c_j‖²/2), ties toward the higher
+    * code index — bit-identical to the unrolled per-codeword struct
+    * array_max it replaces (r14 opt round: 512 unrolled dot_f32 calls
+    * per encode projection were the other half of the 64 KB codegen
+    * blowups; IvfPqExprSpec asserts equality).
     */
   private def pqCodeArray(books: IndexedSeq[IndexedSeq[IndexedSeq[Float]]],
-      emb: Column, dim: Int): Column = {
-    val m = books.length
-    val ds = dim / m
-    array((0 until m).map(s =>
-      pqArgminExpr(books(s), slice(emb, s * ds + 1, ds))): _*)
-  }
+      emb: Column, dim: Int): Column =
+    call_function("pq_codes", emb,
+      typedLit(books.map(_.map(_.toSeq): Seq[Seq[Float]]): Seq[Seq[Seq[Float]]]))
 
   /** Product-quantization codebooks: `m` subspaces of `dim/m`
     * components, each with `kCodes` centroids refined by Lloyd's
@@ -1346,12 +1341,12 @@ object Similarity {
       e: DataFrame, queries: DataFrame, nProbe: Int, rerank: Int,
       dim: Int): DataFrame = {
     val m = books.length
-    val kCodes = books.head.length
-    val ds = dim / m
-    val lut = array((0 until m).map(s =>
-      array((0 until kCodes).map(j =>
-        call_function("dot_f32", slice(col("embedding"), s * ds + 1, ds),
-          typedLit(books(s)(j).toSeq))): _*)): _*)
+    // ONE native pq_lut loop kernel per query row (graft.plans.PqLut):
+    // the unrolled m×kCodes dot_f32-on-slice grid (512 calls at the
+    // defaults) was the third 64 KB codegen blowup site (r14 opt
+    // round); the kernel produces the same doubles in the same order
+    val lut = call_function("pq_lut", col("embedding"),
+      typedLit(books.map(_.map(_.toSeq): Seq[Seq[Float]]): Seq[Seq[Seq[Float]]]))
     val q = cellsFor(queries, centroids, nProbe)
       .select(col("vec_id").as("q_id"), col("cell").as("q_cell"), lut.as("lut"))
     // ADC dot(q, x̂) …
@@ -2352,7 +2347,18 @@ object Similarity {
       maxSlices: Int = 16): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive: $batchSize")
     require(maxSlices > 0, s"maxSlices must be positive: $maxSlices")
-    val (a, b) = bitextSides(embeddings, documents, srcLang, dstLang)
+    val (a0, b0) = bitextSides(embeddings, documents, srcLang, dstLang)
+    // persist both lang sides: every slice's subplan references `a`
+    // (reverse scoring) and `b` (forward + candidate join), so the
+    // union plan re-derived the embeddings⋈documents join up to
+    // 2×maxSlices+1 times — with the sides cached each slice subtree
+    // starts from an InMemoryRelation scan (r14 opt round; the
+    // starFrames / trigram-reference-table lesson applied to the
+    // sweep loop). The bounds aggregate below materializes `a` before
+    // the slice plans are even built.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val a = a0.persist(lvl)
+    val b = b0.persist(lvl)
     // one 2-value driver aggregate bounds the id sweep
     val bounds = a.agg(min(col("q_id")).as("lo"), max(col("q_id")).as("hi"))
       .collect()(0)
@@ -2463,10 +2469,17 @@ object Similarity {
     require(centroids.head.length == dim,
       s"mineBitextIndexed: stored centroids are dim=${centroids.head.length}, " +
         s"caller asked dim=$dim")
+    // the lang-joined embedding frame feeds FOUR subtrees (src ids,
+    // dst ids, the query batch, the reverse candidate semi-join) —
+    // persist so the serve derives it once (r14 opt round: the same
+    // fix the dedup-first twin got for the r13 §5b finding; measured
+    // 118 s of summed task time on this key's serve pass at sf0.1,
+    // most of it the re-derived join)
     val e = registered(embeddings)
       .join(documents.select(col("doc_id").as("vec_id"), col("lang")),
         "vec_id")
       .where(pqEncodable(dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codes = spark.read.parquet(s"$path/codes")
     indexedBitextPairs(centroids, books, codes, e,
       srcIds = e.where(col("lang") === srcLang).select("vec_id"),

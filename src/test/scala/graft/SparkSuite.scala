@@ -15,5 +15,9 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .config("spark.ui.enabled", "false")
+    // match Bench/Verify (r14 opt): AQE partitioning across the
+    // cached-plan boundary — specs exercise the plans the bench times
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      "true")
     .getOrCreate()
 }
