@@ -104,6 +104,10 @@ object GraftFunctions {
     Fn("pq_lut", { args =>
       require(args.length == 2, "pq_lut(emb, booksLit)")
       PqLut(args(0), args(1))
+    }),
+    Fn("aligned_hamming", { args =>
+      require(args.length == 2, "aligned_hamming(framesA, framesB)")
+      graft.plans.AlignedHamming(args(0), args(1))
     })
   )
 

@@ -1358,6 +1358,7 @@ object Dedup {
     */
   def videoDedupPairsFrom(fh: DataFrame, maxHamming: Int = 5,
       minFrac: Double = 0.5): DataFrame = {
+    graft.GraftFunctions.register(fh.sparkSession)
     val (members, repFh, counts) = clipStarFrames(fh)
     val (nBands, width, mask) = pigeonholeBands(maxHamming)
     val bandCols = (0 until nBands).map(b => struct(lit(b).as("band_idx"),
@@ -1375,17 +1376,41 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
       .distinct()
-    val va = repFh.select(col("doc_id").as("ra"), col("frame_idx"),
-      col("fhash").as("ha"))
-    val vb = repFh.select(col("doc_id").as("rb"), col("frame_idx"),
-      col("fhash").as("hb"))
-    val repPairs = cand.join(va, "ra").join(vb, Seq("rb", "frame_idx"))
-      .groupBy("ra", "rb")
-      // sum(long)/count is exact-then-one-divide: order-independent
-      .agg((sum(hamming(col("ha"), col("hb")).cast("long")) /
-        count(lit(1))).as("avg_hamming"), count(lit(1)).as("n_matched"))
-      .join(counts.select(col("rep_id").as("ra"), col("nf").as("na")), "ra")
-      .join(counts.select(col("rep_id").as("rb"), col("nf").as("nb")), "rb")
+    // verification over PACKED per-clip frame arrays (r14 opt round):
+    // the old shape joined every candidate pair back to per-frame
+    // hash rows — on a corpus whose dHash bands saturate (the
+    // structural low-entropy case dropSaturatedBuckets documents,
+    // which this op's unconditional-completeness contract forbids it
+    // to use), the candidate flood is quadratic in the bucket and the
+    // two (pair × frame) joins + groupBy shuffled 6× the pair count
+    // (measured at sf0.1: 1.35M distinct candidates → 8M+ join rows
+    // → 187 survivors). Packing each rep's frames into ONE sorted
+    // array (clip-count rows, ≤ maxHashFrames elements) makes
+    // verification two id-keyed joins with no fan-out and a codegen'd
+    // merge fold per pair — identical arithmetic (the same
+    // bit_count(xor) per aligned frame, the same matched count the
+    // (rb, frame_idx) equi-join produced; array length IS nf, so the
+    // counts joins fold away). Spec: AlignedHammingSpec asserts the
+    // rewritten operator row-equal to the old join shape.
+    val clipVec = repFh.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("fhash"))))
+        .as("frames"))
+    val stats = call_function("aligned_hamming", col("fa"), col("fb"))
+    val repPairs = cand
+      .join(clipVec.select(col("doc_id").as("ra"), col("frames").as("fa")),
+        "ra")
+      .join(clipVec.select(col("doc_id").as("rb"), col("frames").as("fb")),
+        "rb")
+      .withColumn("st", stats)
+      // CaseWhen guards the ANSI division: a zero-overlap candidate
+      // (possible only for degenerate inputs) yields null avg and is
+      // dropped by the coverage gate, exactly like the old inner join
+      .select(col("ra"), col("rb"),
+        when(col("st.n_matched") > 0,
+          col("st.sum_h") / col("st.n_matched")).as("avg_hamming"),
+        col("st.n_matched").as("n_matched"),
+        size(col("fa")).cast("long").as("na"),
+        size(col("fb")).cast("long").as("nb"))
       .where(col("avg_hamming") <= maxHamming &&
         col("n_matched") >= ceil(least(col("na"), col("nb")) * lit(minFrac)))
       .select(col("ra"), col("rb"), col("avg_hamming"), col("n_matched"))
@@ -1416,14 +1441,25 @@ object Dedup {
     */
   private def clipStarFrames(
       fh: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sigs = fh.groupBy("doc_id")
       .agg(xxhash64(concat_ws(",", sort_array(collect_list(
         concat_ws(":", col("frame_idx"), col("fhash")))))).as("sig"),
         count(lit(1)).as("nf"))
     val stars = sigs.groupBy("sig").agg(min(col("doc_id")).as("rep_id"))
+    // persist the star frames (r14 opt round — the starFrames /
+    // imageDedupPairs rule applied here): the composed pair plan reads
+    // members from three subtrees, repFh from three and counts from
+    // two, and every un-materialized reference re-derived the
+    // signature aggregate chain — the aligned key's plan carried 102
+    // Exchange nodes at sf0.1, most of them these re-derivations.
+    // Clip-count-sized rows, the same retention class as the
+    // videoDedupPairs fh pin.
     val members = sigs.join(stars, "sig")
       .select(col("doc_id"), col("rep_id"), col("nf"))
+      .persist(lvl)
     val repFh = fh.join(stars.select(col("rep_id").as("doc_id")), "doc_id")
+      .persist(lvl)
     val counts = members.select(col("rep_id"), col("nf")).distinct()
     (members, repFh, counts)
   }
@@ -1568,13 +1604,11 @@ object Dedup {
   private[graft] def warpPairsFromFrameHashes(fh: DataFrame,
       maxHamming: Int, minFrac: Double, bucketCap: Int,
       minVotes: Int): DataFrame = {
-    val (members, repFh0, counts) = clipStarFrames(fh)
+    val (members, repFh, counts) = clipStarFrames(fh)
     // the warp plan reads the rep frame rows from FIVE subtrees
     // (band totals, the hot-bucket aggregate, the banded anti-join
-    // input, and both verification sides) — materialize the 20-byte
-    // rows once, per the imageDedupPairs rule
-    val repFh = repFh0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // input, and both verification sides) — clipStarFrames persists
+    // them (r14); the count here materializes before the fan-out
     repFh.count()
     val (nBands, width, mask) = pigeonholeBands(maxHamming)
     val bandCols = (0 until nBands).map(b => struct(lit(b).as("band_idx"),
